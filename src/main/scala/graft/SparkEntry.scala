@@ -1,13 +1,397 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Scans
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` keys are named after SURVEY.md §2 operators; each has a DuckDB
+  * oracle in `oracleSql` unless marked rows-only. Double SUMs go through a
+  * DECIMAL(18,4) cast in BOTH engines: decimal addition is exact and
+  * order-independent, so the hash compare cannot flake on float summation
+  * order; values stay < 2^53/1e4 so the final cast back to DOUBLE is exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact, order-independent sum of a double column (see scaladoc above). */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-shaped: scan → filter → groupBy(agg) → orderBy. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- TableFilter (`TableIR.scala:2143`) --------------------------------
+    "table_filter" -> ((s, dir) =>
+      Table(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+        .filter(col("l_shipdate") > lit("1997-06-01") &&
+          col("l_discount") > lit(0.05))
+        .annotate("ship" -> col("l_shipdate").cast("string"))
+        .selectFields("l_quantity", "ship").df),
+
+    // --- TableMapRows / annotate (`TableIR.scala:2367`) --------------------
+    "table_map_rows" -> ((s, dir) =>
+      Table(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+        .annotate(
+          "revenue" -> round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")), 4),
+          "is_return" -> (col("l_returnflag") === lit("R")))
+        .selectFields("revenue", "is_return").df),
+
+    // --- TableAggregateByKey (`TableIR.scala:2503`), TPC-H Q1 --------------
+    "table_aggregate_by_key" -> ((s, dir) =>
+      Table(t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02")),
+        Seq("l_returnflag", "l_linestatus"))
+        .aggregateByKey(
+          "sum_qty" -> dsum(col("l_quantity")),
+          "sum_base_price" -> dsum(col("l_extendedprice")),
+          "sum_disc_price" -> dsum(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))),
+          "avg_qty" -> round(dsum(col("l_quantity")) / count(lit(1)), 6),
+          "count_order" -> count(lit(1))).df),
+
+    // --- TableKeyByAndAggregate (`TableIR.scala:2472`): new computed key ---
+    "table_key_by_and_aggregate" -> ((s, dir) =>
+      Table(t(s, dir, "orders"))
+        .keyByAndAggregate(
+          newKey = Seq("bucket" -> pmod(col("o_custkey"), lit(7L)),
+            "status" -> col("o_orderstatus")),
+          exprs = Seq(
+            "n" -> count(lit(1)),
+            "total" -> dsum(col("o_totalprice")))).df),
+
+    // --- TableAggregate (ir-gen `Main.scala:1125`): whole-table scalar -----
+    "table_aggregate" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_shipdate")).cast("string").as("min_ship"),
+        max(col("l_shipdate")).cast("string").as("max_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // --- TableJoin inner (`TableIR.scala:2216`) -----------------------------
+    "table_join_inner" -> ((s, dir) => {
+      val o = Table(t(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "custkey"), Seq("custkey"))
+      val c = Table(t(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey"), Seq("custkey"))
+      o.join(c, "inner")
+        .selectFields("o_orderkey", "c_name", "o_totalprice").df
+    }),
+
+    // --- TableJoin left + group (customers with zero orders kept) ----------
+    "table_join_left" -> ((s, dir) => {
+      val c = Table(t(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey"), Seq("custkey"))
+      val o = Table(t(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "custkey"), Seq("custkey"))
+      c.join(o, "left")
+        .keyByAndAggregate(
+          newKey = Seq("custkey" -> col("custkey")),
+          exprs = Seq(
+            "n_orders" -> count(col("o_orderkey")),
+            "total" -> coalesce(dsum(col("o_totalprice")), lit(0.0)))).df
+    }),
+
+    // --- semi/anti joins (python `semi_join`/`anti_join`, `table.py:3260`) -
+    "table_semi_join" -> ((s, dir) => {
+      val c = Table(t(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey"), Seq("custkey"))
+      val o = Table(t(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "custkey"), Seq("custkey"))
+      c.semiJoin(o).selectFields("c_name", "c_acctbal").df
+    }),
+    "table_anti_join" -> ((s, dir) => {
+      val c = Table(t(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey"), Seq("custkey"))
+      val o = Table(t(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "custkey"), Seq("custkey"))
+      c.antiJoin(o).selectFields("c_name", "c_acctbal").df
+    }),
+
+    // --- TableLeftJoinRightDistinct (`TableIR.scala:2315`): index join -----
+    "table_left_join_right_distinct" -> ((s, dir) => {
+      val n = Table(t(s, dir, "nation")
+        .withColumnRenamed("n_nationkey", "nationkey"), Seq("nationkey"))
+      val c = Table(t(s, dir, "customer")
+        .withColumnRenamed("c_nationkey", "nationkey"), Seq("nationkey"))
+      c.leftJoinRightDistinct(n.broadcastHint)
+        .selectFields("c_custkey", "c_name", "n_name").df
+    }),
+
+    // --- TableUnion (`TableIR.scala:2414`) ----------------------------------
+    "table_union" -> ((s, dir) => {
+      val o = Table(t(s, dir, "orders"), Seq("o_orderkey"))
+      o.filter(col("o_orderstatus") === lit("F"))
+        .union(o.filter(col("o_totalprice") > lit(300000.0)))
+        .selectFields("o_orderstatus", "o_totalprice").df
+    }),
+
+    // --- TableDistinct keep-first-in-key-order (`TableIR.scala:2459`) ------
+    "table_distinct" -> ((s, dir) =>
+      Table(t(s, dir, "orders"), Seq("o_custkey"))
+        .distinctByKey(tieBreak = Seq(col("o_orderdate"), col("o_orderkey")))
+        .annotate("first_date" -> col("o_orderdate").cast("string"))
+        .selectFields("o_orderkey", "first_date").df),
+
+    // --- TableOrderBy (`TableIR.scala:2528`) + head -------------------------
+    "table_order_by" -> ((s, dir) =>
+      Table(t(s, dir, "orders"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .head(100)
+        .selectFields("o_orderkey", "o_totalprice").df),
+
+    // --- TableHead in key order (`TableIR.scala:2156`) ----------------------
+    "table_head" -> ((s, dir) =>
+      Table(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+        .head(50)
+        .selectFields("l_quantity").df),
+
+    // --- TableExplode (`TableIR.scala:2394`) --------------------------------
+    "table_explode" -> ((s, dir) =>
+      Table(t(s, dir, "part"))
+        .annotate("word" -> split(col("p_type"), " "))
+        .explodeField("word")
+        .keyByAndAggregate(
+          newKey = Seq("word" -> col("word")),
+          exprs = Seq("n" -> count(lit(1)))).df),
+
+    // --- scans: running sum over key order (`hl.scan`, two-phase) ----------
+    "table_scan_sum" -> ((s, dir) =>
+      Scans.runningSum(
+        t(s, dir, "orders").filter(col("o_custkey") < 100)
+          .select("o_orderkey", "o_totalprice"),
+        orderCols = Seq("o_orderkey"),
+        value = col("o_totalprice").cast(DecimalType(18, 4)),
+        outName = "running_total")
+        .withColumn("running_total", round(col("running_total"), 4))),
+
+    // --- TableIntervalJoin (`TableIR.scala:2264`): point-in-interval -------
+    "table_interval_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val iv = t(s, dir, "region").select(
+        col("r_name"),
+        (col("r_regionkey").cast("double") * 2000.0 - 1000.0).as("lo"),
+        (col("r_regionkey").cast("double") * 2000.0 + 1000.0).as("hi"))
+      graft.operators.IntervalJoin.pointInInterval(
+        c, col("c_acctbal"), iv, col("lo"), col("hi"))
+        .groupBy(col("r_name")).agg(
+          count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("bal_sum"))
+    }),
+
+    // --- agg: take_by (top-k per group; `TakeByAggregator`) ----------------
+    "agg_take_by" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    }),
+
+    // --- agg: collect_as_set (`CollectAsSetAggregator`, sorted-set coding) -
+    "agg_collect_set" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+          count(lit(1)).as("n"))),
+
+    // --- agg: stats (count/mean/stdev/min/max — exact via decimal sums) ----
+    "agg_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(col("l_quantity")).as("n"),
+          round(dsum(col("l_quantity")) / count(col("l_quantity")), 6)
+            .as("mean_qty"),
+          round(
+            sqrt((dsum(col("l_quantity") * col("l_quantity")) -
+              dsum(col("l_quantity")) * dsum(col("l_quantity")) /
+                count(col("l_quantity"))) /
+              (count(col("l_quantity")) - 1)), 6).as("sd_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))),
+
+    // --- agg: counter (`hl.agg.counter` → groupBy count) -------------------
+    "agg_counter" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))),
+
+    // --- TableFilterIntervals (`TableIR.scala:2590`): key-range pruning ----
+    "table_filter_intervals" -> ((s, dir) =>
+      Table(t(s, dir, "orders"), Seq("o_orderkey"))
+        .filterIntervals(Seq((1000L, 2000L), (5000L, 5500L)))
+        .selectFields("o_custkey", "o_totalprice").df)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "table_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(l_shipdate AS VARCHAR) AS ship
+        |FROM lineitem
+        |WHERE l_shipdate > TIMESTAMP '1997-06-01' AND l_discount > 0.05""".stripMargin,
+
+    "table_map_rows" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
+        |  l_returnflag = 'R' AS is_return
+        |FROM lineitem""".stripMargin,
+
+    "table_aggregate_by_key" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "table_key_by_and_aggregate" ->
+      """SELECT o_custkey % 7 AS bucket, o_orderstatus AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "table_aggregate" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(min(l_shipdate) AS VARCHAR) AS min_ship,
+        |  CAST(max(l_shipdate) AS VARCHAR) AS max_ship,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "table_join_inner" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey, c.c_name, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    "table_join_left" ->
+      """SELECT c.c_custkey AS custkey,
+        |  count(o.o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "table_semi_join" ->
+      """SELECT c_custkey AS custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "table_anti_join" ->
+      """SELECT c_custkey AS custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "table_left_join_right_distinct" ->
+      """SELECT c.c_nationkey AS nationkey, c.c_custkey, c.c_name, n.n_name
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+    "table_union" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_totalprice > 300000.0""".stripMargin,
+
+    "table_distinct" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS VARCHAR) AS first_date FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "table_order_by" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "table_head" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+
+    "table_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+        |GROUP BY word""".stripMargin,
+
+    "table_scan_sum" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE), 4) AS running_total
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+
+    "table_interval_join" ->
+      """SELECT r.r_name, count(*) AS n,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
+        |FROM customer c JOIN (
+        |  SELECT r_name,
+        |    CAST(r_regionkey AS DOUBLE) * 2000.0 - 1000.0 AS lo,
+        |    CAST(r_regionkey AS DOUBLE) * 2000.0 + 1000.0 AS hi
+        |  FROM region) r
+        |ON c.c_acctbal >= r.lo AND c.c_acctbal < r.hi
+        |GROUP BY r.r_name""".stripMargin,
+
+    "agg_take_by" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "agg_collect_set" ->
+      """SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  count(l_quantity) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(l_quantity), 6) AS mean_qty,
+        |  round(sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(l_quantity)) / (count(l_quantity) - 1)), 6) AS sd_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_counter" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "table_filter_intervals" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE (o_orderkey >= 1000 AND o_orderkey < 2000)
+        |   OR (o_orderkey >= 5000 AND o_orderkey < 5500)""".stripMargin
+  )
 }

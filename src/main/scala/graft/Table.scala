@@ -1,0 +1,323 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed distributed table: a `DataFrame` of row structs, an ordered key, and
+  * a scalar `globals` struct — the core relational abstraction of the engine
+  * (reference: hail `TableIR`, `hail/hail/src/is/hail/expr/ir/TableIR.scala:59`,
+  * `types/TableType.scala`).
+  *
+  * Design (Spark-first, not a port):
+  *   - rows are a plain `DataFrame`; Catalyst owns codegen/pushdown/shuffles.
+  *   - the key is metadata + a lazily-enforced physical invariant:
+  *     `repartitionByRange(key) + sortWithinPartitions(key)` is only applied
+  *     when an order-sensitive operator (scan, distinct-keep-first, head/tail,
+  *     native write) needs it; pure relational ops stay declarative so
+  *     Catalyst can elide redundant exchanges.
+  *   - globals are a small driver-side map, merged on joins
+  *     (reference `TableJoin.typ`, `TableIR.scala:2247`) and available to
+  *     expressions as literal columns — the Spark analogue of a broadcast
+  *     one-row struct.
+  *
+  * At cluster scale the key invariant maps to Spark's `RangePartitioning`,
+  * which the planner reuses across stages; `filterIntervals` becomes a key
+  * range predicate that reaches Parquet row-group stats (file skipping).
+  */
+final case class Table(
+    df: DataFrame,
+    key: Seq[String] = Nil,
+    globals: Map[String, Any] = Map.empty,
+    keySorted: Boolean = false) {
+
+  def spark: SparkSession = df.sparkSession
+  private def keyCols: Seq[Column] = key.map(col)
+
+  /** Physically establish the key-order invariant (range partition + sort).
+    * No-op if already established. (reference: `TableKeyBy` lowering via
+    * `LowerAndExecuteShuffles.scala:15`; here it is ONE Catalyst exchange,
+    * not an eager temp-file shuffle.) */
+  def ensureKeyOrder(): Table =
+    if (key.isEmpty || keySorted) this
+    else copy(
+      df = df.repartitionByRange(keyCols.map(_.asc_nulls_last): _*)
+        .sortWithinPartitions(keyCols.map(_.asc_nulls_last): _*),
+      keySorted = true)
+
+  // ---- keying -------------------------------------------------------------
+
+  /** TableKeyBy (`TableIR.scala:2055`). Sort deferred until required. */
+  def keyBy(newKey: String*): Table = {
+    val stillSorted = keySorted && newKey.length <= key.length &&
+      key.take(newKey.length) == newKey
+    copy(key = newKey, keySorted = stillSorted)
+  }
+
+  def unkey: Table = copy(key = Nil, keySorted = false)
+
+  // ---- row transforms -----------------------------------------------------
+
+  /** TableFilter (`TableIR.scala:2143`) → `df.filter`; predicate pushdown is
+    * Catalyst's job. Order-preserving. */
+  def filter(p: Column): Table = copy(df = df.filter(p))
+
+  /** TableMapRows / annotate (`TableIR.scala:2367`): add or overwrite fields.
+    * Order-preserving (no shuffle). */
+  def annotate(cols: (String, Column)*): Table =
+    copy(df = df.withColumns(cols.toMap))
+
+  /** select a subset of fields (key fields are always retained). */
+  def selectFields(fields: String*): Table = {
+    val keep = (key ++ fields).distinct
+    copy(df = df.select(keep.map(col): _*))
+  }
+
+  def drop(fields: String*): Table = {
+    require(!fields.exists(key.contains), s"cannot drop key field of $key")
+    copy(df = df.drop(fields: _*))
+  }
+
+  /** TableRename (`TableIR.scala:2570`). */
+  def rename(m: (String, String)*): Table = {
+    val mm = m.toMap
+    copy(
+      df = df.withColumnsRenamed(mm),
+      key = key.map(k => mm.getOrElse(k, k)))
+  }
+
+  /** TableExplode (`TableIR.scala:2394`): flatten an array field into rows. */
+  def explodeField(field: String): Table =
+    copy(df = df.withColumn(field, explode(col(field))), keySorted = false)
+
+  /** TableMapPartitions (`TableIR.scala:2338`). */
+  def mapPartitionsRows(f: Iterator[Row] => Iterator[Row],
+      schema: org.apache.spark.sql.types.StructType): Table =
+    copy(df = df.mapPartitions(f)(
+      org.apache.spark.sql.Encoders.row(schema)).toDF(), keySorted = false)
+
+  // ---- globals ------------------------------------------------------------
+
+  /** TableMapGlobals (`TableIR.scala:2380`). */
+  def annotateGlobals(kvs: (String, Any)*): Table =
+    copy(globals = globals ++ kvs)
+
+  /** Reference a global as a literal column (broadcast scalar). */
+  def global(name: String): Column = lit(globals(name))
+
+  // ---- ordering / key-ordered ops ----------------------------------------
+
+  /** TableOrderBy (`TableIR.scala:2528`) — total sort by arbitrary fields.
+    * Spark's RangePartitioner is already the sampled distributed sort the
+    * reference hand-rolls in `LowerDistributedSort.scala`. Drops the key
+    * (as in the reference: ordering fields replace it). */
+  def orderBy(cols: Column*): Table =
+    copy(df = df.orderBy(cols: _*), key = Nil, keySorted = false)
+
+  /** TableHead (`TableIR.scala:2156`) — first n rows in key order. Spark's
+    * CollectLimitExec probes partitions incrementally, same trick as the
+    * reference's progressive head. */
+  def head(n: Int): Table = {
+    val t = ensureKeyOrder()
+    if (key.isEmpty) copy(df = df.limit(n))
+    else copy(df = t.df.sort(keyCols.map(_.asc_nulls_last): _*).limit(n),
+      keySorted = false)
+  }
+
+  /** TableTail (`TableIR.scala:2167`) — last n rows in key order. */
+  def tail(n: Int): Table = {
+    require(key.nonEmpty, "tail requires a key")
+    val desc = keyCols.map(_.desc_nulls_first)
+    copy(df = df.sort(desc: _*).limit(n)
+      .sort(keyCols.map(_.asc_nulls_last): _*), keySorted = false)
+  }
+
+  /** TableDistinct (`TableIR.scala:2459`): keep the FIRST row per key in key
+    * order (order-sensitive, unlike `dropDuplicates`). One shuffle:
+    * window over the key partition. */
+  def distinctByKey(tieBreak: Seq[Column] = Nil): Table = {
+    require(key.nonEmpty, "distinct requires a key")
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(tieBreak.map(_.asc_nulls_last): _*)
+    copy(df = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** TableRepartition (`TableIR.scala:2184`). */
+  def repartitionTo(n: Int, shuffle: Boolean = false): Table =
+    if (!shuffle) copy(df = df.coalesce(n))
+    else if (key.nonEmpty)
+      copy(df = df.repartitionByRange(n, keyCols: _*), keySorted = false)
+    else copy(df = df.repartition(n), keySorted = false)
+
+  // ---- joins --------------------------------------------------------------
+
+  /** TableJoin (`TableIR.scala:2216`): equi-join on a shared key prefix;
+    * inner/left/right/outer only (reference `require` at `:2221-2225`);
+    * merges globals. Catalyst picks SMJ vs broadcast. */
+  def join(right: Table, joinType: String = "inner"): Table = {
+    require(Set("inner", "left", "right", "outer").contains(joinType),
+      s"unsupported join type $joinType")
+    val joinKey = key.zip(right.key).takeWhile { case (a, b) => a == b }
+      .map(_._1)
+    require(joinKey.nonEmpty, "join requires a shared key prefix")
+    copy(
+      df = df.join(right.df, joinKey, joinType),
+      globals = globals ++ right.globals,
+      keySorted = false)
+  }
+
+  /** TableLeftJoinRightDistinct (`TableIR.scala:2315`) — the `Table.index`
+    * annotation join: left join against a key-distinct right side. Small
+    * right sides should be broadcast by the caller via `broadcastHint`. */
+  def leftJoinRightDistinct(right: Table): Table = {
+    val r = right.distinctByKey(right.df.columns.filterNot(
+      right.key.contains).take(1).map(col).toSeq)
+    copy(df = df.join(r.df, key.intersect(right.key), "left"),
+      globals = globals ++ right.globals, keySorted = false)
+  }
+
+  /** semi/anti joins (python `semi_join`/`anti_join`, `table.py:3260`). */
+  def semiJoin(right: Table): Table =
+    copy(df = df.join(right.df, key.intersect(right.key), "left_semi"))
+  def antiJoin(right: Table): Table =
+    copy(df = df.join(right.df, key.intersect(right.key), "left_anti"))
+
+  def broadcastHint: Table = copy(df = broadcast(df))
+
+  /** TableUnion (`TableIR.scala:2414`). */
+  def union(others: Table*): Table =
+    copy(df = others.foldLeft(df)((a, t) => a.unionByName(t.df)),
+      keySorted = false)
+
+  // ---- aggregation --------------------------------------------------------
+
+  /** TableAggregate (ir-gen `Main.scala:1125`) — whole-table agg to one Row.
+    * Spark's partial→final agg is the reference's tree aggregation. */
+  def aggregate(exprs: Column*): Row = df.agg(exprs.head, exprs.tail: _*).head()
+
+  /** TableAggregateByKey (`TableIR.scala:2503`): group by the CURRENT key. */
+  def aggregateByKey(exprs: (String, Column)*): Table = {
+    require(key.nonEmpty, "aggregateByKey requires a key")
+    val agged = df.groupBy(keyCols: _*)
+      .agg(exprs.head._2.as(exprs.head._1),
+        exprs.tail.map { case (n, c) => c.as(n) }: _*)
+    copy(df = agged, keySorted = false)
+  }
+
+  /** TableKeyByAndAggregate (`TableIR.scala:2472`): group by NEW key exprs —
+    * Spark's partial hash agg → shuffle → final is exactly the reference's
+    * `StreamBufferedAggregate` plan. */
+  def keyByAndAggregate(newKey: Seq[(String, Column)],
+      exprs: Seq[(String, Column)]): Table = {
+    val keyed = df.groupBy(newKey.map { case (n, c) => c.as(n) }: _*)
+      .agg(exprs.head._2.as(exprs.head._1),
+        exprs.tail.map { case (n, c) => c.as(n) }: _*)
+    Table(keyed, newKey.map(_._1), globals)
+  }
+
+  // ---- interval / key-range ops ------------------------------------------
+
+  /** TableFilterIntervals (`TableIR.scala:2590`): keep rows whose (single)
+    * key falls in any [start, end) interval. Declarative OR-of-ranges so the
+    * predicate reaches Parquet min/max stats → file/row-group skipping at
+    * scale (the reference's partition-pruning path). */
+  def filterIntervals(intervals: Seq[(Any, Any)], keep: Boolean = true)
+      : Table = {
+    require(key.nonEmpty, "filterIntervals requires a key")
+    val k = keyCols.head
+    val p = intervals.map { case (s, e) => k >= lit(s) && k < lit(e) }
+      .reduce(_ || _)
+    filter(if (keep) p else !p)
+  }
+
+  // ---- actions ------------------------------------------------------------
+
+  def count(): Long = df.count()
+  def collect(): Array[Row] = ensureKeyOrder().df.collect()
+  def take(n: Int): Array[Row] = head(n).df.collect()
+
+  // ---- native format ------------------------------------------------------
+
+  /** Native write (reference `TableNativeWriter`, `TableWriter.scala:243`):
+    * key-sorted Parquet + a JSON manifest carrying key + globals. Parquet
+    * min/max stats replace the reference's per-partition B-tree index. */
+  def write(path: String): Unit = {
+    val t = ensureKeyOrder()
+    t.df.write.mode("overwrite").parquet(s"$path/rows")
+    val meta = NativeFormat.manifestJson(key, globals)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/metadata.json"))
+    out.write(meta.getBytes("UTF-8")); out.close()
+  }
+}
+
+object Table {
+  /** TableRead of native format (`TableNativeReader`, `TableIR.scala:1651`). */
+  def read(spark: SparkSession, path: String): Table = {
+    val df = spark.read.parquet(s"$path/rows")
+    val (key, globals) = NativeFormat.readManifest(spark, path)
+    Table(df, key, globals, keySorted = true)
+  }
+
+  /** TableRange (`TableIR.scala:2123`). */
+  def range(spark: SparkSession, n: Long, nPartitions: Int = 0): Table = {
+    val base = if (nPartitions > 0) spark.range(0, n, 1, nPartitions)
+      else spark.range(n)
+    Table(base.toDF("idx"), Seq("idx"), keySorted = true)
+  }
+
+  /** TableParallelize (`TableIR.scala:2024`). */
+  def parallelize(spark: SparkSession, rows: Seq[Row],
+      schema: org.apache.spark.sql.types.StructType): Table =
+    Table(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema))
+
+  def fromParquet(spark: SparkSession, path: String, key: String*): Table =
+    Table(spark.read.parquet(path), key)
+}
+
+private[graft] object NativeFormat {
+  def manifestJson(key: Seq[String], globals: Map[String, Any]): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    def jval(v: Any): String = v match {
+      case null => "null"
+      case s: String => "\"" + esc(s) + "\""
+      case b: Boolean => b.toString
+      case n: Int => n.toString
+      case n: Long => n.toString
+      case n: Double => n.toString
+      case n: Float => n.toString
+      case other => "\"" + esc(other.toString) + "\""
+    }
+    val ks = key.map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")
+    val gs = globals.map { case (k, v) => "\"" + esc(k) + "\":" + jval(v) }
+      .mkString("{", ",", "}")
+    s"""{"format":"graft-native","version":1,"key":$ks,"globals":$gs}"""
+  }
+
+  def readManifest(spark: SparkSession, path: String)
+      : (Seq[String], Map[String, Any]) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/metadata.json"))
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    // parse with the JSON reader Spark ships (jackson via DataFrameReader)
+    import spark.implicits._
+    val row = spark.read.json(Seq(txt).toDS).head()
+    val key = row.getAs[scala.collection.Seq[String]]("key").toSeq
+    val gRow = row.schema.fieldNames.contains("globals") match {
+      case true => Option(row.getAs[Row]("globals"))
+      case false => None
+    }
+    val globals = gRow.map(g =>
+      g.schema.fieldNames.map(f => f -> g.getAs[Any](f)).toMap)
+      .getOrElse(Map.empty[String, Any])
+    (key, globals)
+  }
+}

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify output
+against DuckDB on the same parquet tables and diff per query."""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    spark_path = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_path):
+        fails.append((name, "missing spark output")); continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+        want = con.execute(sql).df()
+    except Exception as e:
+        fails.append((name, f"exec error: {e}")); continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    if list(got.columns) != list(want.columns):
+        fails.append((name, f"schema: {list(got.columns)} vs {list(want.columns)}"))
+        continue
+    if len(got) != len(want):
+        fails.append((name, f"rows: {len(got)} vs {len(want)}")); continue
+    def norm(df):
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].apply(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                    str(type(v)).find('ndarray') >= 0 else v)
+            # normalize tz-aware vs naive timestamps
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    g, w = norm(got), norm(want)
+    if not g.equals(w):
+        diff_mask = ~(g == w) & ~(g.isna() & w.isna())
+        ndiff = int(diff_mask.any(axis=1).sum())
+        if ndiff:
+            i = diff_mask.any(axis=1).idxmax()
+            fails.append((name, f"{ndiff} differing rows; first:\n  spark={g.loc[i].to_dict()}\n  duck ={w.loc[i].to_dict()}"))
+            continue
+    print(f"PASS {name} ({len(got)} rows)")
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
