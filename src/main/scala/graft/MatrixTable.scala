@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** 2-dimensional matrix table: row axis × col axis × entry fields, plus row
+  * fields, col fields and globals (reference `MatrixType`,
+  * `types/MatrixType.scala`; IR `expr/ir/MatrixIR.scala:56`).
+  *
+  * Representation (the reference's own lowering, done natively): a row-keyed
+  * `DataFrame` whose rows carry an `entries: array<struct>` column aligned
+  * positionally with a driver-side `colValues` array (reference
+  * `CastMatrixToTable`, `TableIR.scala:2552`; `LowerMatrixIR.scala`). Column
+  * counts are "thousands, not billions" (samples, features) so col values
+  * live on the driver / in literals, exactly like hail keeps `cols` in
+  * globals.
+  *
+  * All entry-space transforms compile to Catalyst higher-order array
+  * functions (`transform`, `filter`, `aggregate`, `zip_with`) — whole-stage
+  * codegen, no per-row UDFs — so a 100 TB entries column streams through
+  * the same generated loop hail JITs by hand. */
+final case class MatrixTable(
+    rows: DataFrame,
+    rowKey: Seq[String],
+    colValues: IndexedSeq[Row],
+    colSchema: StructType,
+    colKey: Seq[String],
+    globals: Map[String, Any] = Map.empty) {
+
+  def spark: SparkSession = rows.sparkSession
+  def nCols: Int = colValues.length
+  def entries: Column = col(MatrixTable.EntriesField)
+
+  private def entrySchema: StructType =
+    rows.schema(MatrixTable.EntriesField).dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  /** A literal column holding one col field's values, indexable by col idx —
+    * the Spark analogue of hail's `cols`-in-globals. Constant-folded by
+    * Catalyst. Supports primitive-typed col fields. */
+  def colFieldArray(field: String): Column = {
+    val i = colSchema.fieldIndex(field)
+    array(colValues.map(r => lit(r.get(i))): _*)
+  }
+
+  // ---- row space ----------------------------------------------------------
+
+  /** MatrixFilterRows (`MatrixIR.scala:483`). */
+  def filterRows(p: Column): MatrixTable = copy(rows = rows.filter(p))
+
+  /** MatrixMapRows / annotate_rows (`MatrixIR.scala:640`); entry aggs are
+    * expressed with `aggregate`/`filter` over the entries array. */
+  def annotateRows(cols: (String, Column)*): MatrixTable =
+    copy(rows = rows.withColumns(cols.toMap))
+
+  /** MatrixRowsHead (`MatrixIR.scala:816`). */
+  def headRows(n: Int): MatrixTable =
+    copy(rows = rows.sort(rowKey.map(col(_).asc_nulls_last): _*).limit(n))
+
+  /** MatrixExplodeRows (`MatrixIR.scala:752`). */
+  def explodeRows(field: String): MatrixTable =
+    copy(rows = rows.withColumn(field, explode(col(field))))
+
+  /** MatrixDistinctByRow (`MatrixIR.scala:801`). */
+  def distinctByRow(): MatrixTable =
+    copy(rows = rows.dropDuplicates(rowKey))
+
+  // ---- col space (driver-side: col counts are small by design) -----------
+
+  /** MatrixFilterCols (`MatrixIR.scala:469`): predicate over col values runs
+    * on the driver; entries arrays are re-projected by literal index list
+    * (constant-folded, codegen'd). */
+  def filterCols(p: Row => Boolean): MatrixTable = {
+    val keep = colValues.zipWithIndex.filter { case (r, _) => p(r) }
+    chooseCols(keep.map(_._2))
+  }
+
+  /** MatrixChooseCols (`MatrixIR.scala:498`). */
+  def chooseCols(indices: IndexedSeq[Int]): MatrixTable = {
+    val idxArr = array(indices.map(i => lit(i)): _*)
+    copy(
+      rows = rows.withColumn(MatrixTable.EntriesField,
+        transform(idxArr, i => element_at(entries, i + 1))),
+      colValues = indices.map(colValues))
+  }
+
+  /** annotate_cols with driver-computed values. */
+  def annotateCols(field: String, dt: DataType, f: Row => Any): MatrixTable = {
+    val newSchema = StructType(colSchema.fields :+ StructField(field, dt))
+    copy(
+      colValues = colValues.map(r => Row.fromSeq(r.toSeq :+ f(r))),
+      colSchema = newSchema)
+  }
+
+  // ---- entry space --------------------------------------------------------
+
+  /** MatrixFilterEntries (`MatrixIR.scala:689`): failing entries become
+    * missing (null), preserving the matrix shape. */
+  def filterEntries(p: Column => Column): MatrixTable =
+    copy(rows = rows.withColumn(MatrixTable.EntriesField,
+      transform(entries, e => when(p(e), e))))
+
+  /** MatrixMapEntries (`MatrixIR.scala:609`): `f(entry, colIdx)` must build a
+    * struct. Col fields come in via `colFieldArray`. */
+  def mapEntries(f: (Column, Column) => Column): MatrixTable =
+    copy(rows = rows.withColumn(MatrixTable.EntriesField,
+      transform(entries, (e, i) => when(e.isNotNull, f(e, i)))))
+
+  /** unfilter_entries: replace missing entries with an all-null struct. */
+  def unfilterEntries(): MatrixTable = {
+    val nullStruct = struct(entrySchema.fields.map(f =>
+      lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    copy(rows = rows.withColumn(MatrixTable.EntriesField,
+      transform(entries, e => coalesce(e, nullStruct))))
+  }
+
+  // ---- aggregation --------------------------------------------------------
+
+  /** Per-row aggregation over entries (entry-scoped agg in annotate_rows,
+    * e.g. call_rate) — a Catalyst `aggregate` fold over the array. */
+  def aggregateEntriesPerRow(name: String, zero: Column,
+      seq: (Column, Column) => Column): MatrixTable =
+    annotateRows(name -> aggregate(entries, zero, seq))
+
+  /** MatrixAggregateRowsByKey (`MatrixIR.scala:533`): group rows by a new
+    * key, aggregating entries element-wise (the reference's `AggElements`
+    * zip-aggregation). Implemented in coordinate space: posexplode →
+    * groupBy(key, colIdx) → re-assemble dense arrays — two shuffles of
+    * (groups × cols) size, the scalable plan for wide aggregation. */
+  def aggregateRowsByKey(newKey: Seq[(String, Column)],
+      entryAggs: Seq[(String, Column => Column)]): MatrixTable = {
+    val keyed = rows.select(
+      newKey.map { case (n, c) => c.as(n) } :+
+        posexplode(entries).as(Seq("__cidx", "__e")): _*)
+    val aggExprs = entryAggs.map { case (n, f) => f(col("__e")).as(n) }
+    val grouped = keyed.groupBy(
+      (newKey.map(n => col(n._1)) :+ col("__cidx")): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val entryStruct = struct(entryAggs.map(n => col(n._1)): _*)
+    val reassembled = grouped
+      .groupBy(newKey.map(n => col(n._1)): _*)
+      .agg(map_from_entries(collect_list(struct(col("__cidx"),
+        entryStruct))).as("__m"))
+      .withColumn(MatrixTable.EntriesField,
+        transform(sequence(lit(0), lit(nCols - 1)),
+          i => element_at(col("__m"), i)))
+      .drop("__m")
+    copy(rows = reassembled, rowKey = newKey.map(_._1))
+  }
+
+  /** MatrixAggregateColsByKey (`MatrixIR.scala:551`): aggregate entry groups
+    * within each row, grouping columns by col key (computed on the driver);
+    * nested higher-order fold per group — no shuffle at all. */
+  def aggregateColsByKey(entryAggs: Seq[(String, (Column, Column) => Column,
+      Column)]): MatrixTable = {
+    val keyIdx = colKey.map(colSchema.fieldIndex)
+    val groups: IndexedSeq[(Row, IndexedSeq[Int])] =
+      colValues.zipWithIndex
+        .groupBy { case (r, _) => Row.fromSeq(keyIdx.map(r.get)) }
+        .map { case (k, v) => (k, v.map(_._2)) }
+        .toIndexedSeq.sortBy(_._2.head)
+    val newEntries = array(groups.map { case (_, idxs) =>
+      val idxArr = array(idxs.map(i => lit(i)): _*)
+      struct(entryAggs.map { case (n, seqOp, zero) =>
+        aggregate(idxArr, zero,
+          (acc, i) => seqOp(acc, element_at(entries, i + 1))).as(n)
+      }: _*)
+    }: _*)
+    val newColSchema = StructType(keyIdx.map(colSchema.fields).toArray)
+    copy(
+      rows = rows.withColumn(MatrixTable.EntriesField, newEntries),
+      colValues = groups.map(_._1),
+      colSchema = newColSchema,
+      colKey = colKey)
+  }
+
+  /** Whole-matrix entry aggregation (aggregate_entries). */
+  def aggregateEntries(aggs: (String, Column => Column)*): DataFrame = {
+    val flat = rows.select(posexplode(entries).as(Seq("__cidx", "__e")))
+    flat.agg(aggs.head._2(col("__e")).as(aggs.head._1),
+      aggs.tail.map { case (n, f) => f(col("__e")).as(n) }: _*)
+  }
+
+  // ---- to tables (MatrixRowsTable/ColsTable/EntriesTable) -----------------
+
+  /** MatrixRowsTable (`TableIR.scala:2423`). */
+  def rowsTable: Table =
+    Table(rows.drop(MatrixTable.EntriesField), rowKey, globals)
+
+  /** MatrixColsTable (`TableIR.scala:2436`). */
+  def colsTable: Table = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(colValues.toSeq, 1), colSchema)
+    Table(df, colKey, globals)
+  }
+
+  /** MatrixEntriesTable (`TableIR.scala:2447`) — the coordinate
+    * representation: one row per (row, col) with non-missing entry, row
+    * fields + col fields + entry fields. Col fields joined by broadcast. */
+  def entriesTable: Table = {
+    val exploded = rows.select(
+      rows.columns.filterNot(_ == MatrixTable.EntriesField).map(col) :+
+        posexplode(entries).as(Seq("col_idx", "__e")): _*)
+      .filter(col("__e").isNotNull)
+    val withEntry = entrySchema.fieldNames.foldLeft(exploded)(
+      (d, f) => d.withColumn(f, col("__e")(f))).drop("__e")
+    val colsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        colValues.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(i +: r.toSeq) }.toSeq, 1),
+      StructType(StructField("col_idx", IntegerType) +: colSchema.fields))
+    Table(withEntry.join(broadcast(colsDf), Seq("col_idx")),
+      rowKey ++ colKey, globals)
+  }
+
+  // ---- combinators --------------------------------------------------------
+
+  /** MatrixUnionRows (`MatrixIR.scala:792`): same col set required. */
+  def unionRows(other: MatrixTable): MatrixTable = {
+    require(other.nCols == nCols, "unionRows requires identical cols")
+    copy(rows = rows.unionByName(other.rows))
+  }
+
+  /** MatrixUnionCols (`MatrixIR.scala:569`): join on row key, concat entry
+    * arrays. */
+  def unionCols(other: MatrixTable): MatrixTable = {
+    val r = other.rows.select(
+      (other.rowKey.map(col) :+
+        col(MatrixTable.EntriesField).as("__e2")): _*)
+    copy(
+      rows = rows.join(r, rowKey.toSeq, "inner")
+        .withColumn(MatrixTable.EntriesField,
+          concat(entries, col("__e2"))).drop("__e2"),
+      colValues = colValues ++ other.colValues)
+  }
+}
+
+object MatrixTable {
+  val EntriesField = "entries"
+
+  /** Build a MatrixTable from a coordinate DataFrame (one row per
+    * (rowKey, colIdx) observation) — the inverse of `entriesTable`.
+    * Missing (rowKey, col) cells become null entries. Used by readers
+    * (e.g. VCF: variant × sample) and by `to_matrix_table` on tables. */
+  def fromCoordinates(
+      coord: DataFrame,
+      rowKey: Seq[String],
+      colIdx: Column,
+      entryFields: Seq[(String, Column)],
+      colValues: IndexedSeq[Row],
+      colSchema: StructType,
+      colKey: Seq[String],
+      rowFields: Seq[(String, Column)] = Nil): MatrixTable = {
+    val n = colValues.length
+    val entryStruct = struct(
+      entryFields.map { case (f, c) => c.as(f) }: _*)
+    val base = coord.groupBy(rowKey.map(col): _*)
+      .agg(
+        map_from_entries(collect_list(struct(colIdx.cast("int"),
+          entryStruct))).as("__m"),
+        rowFields.map { case (f, c) => first(c).as(f) }: _*)
+      .withColumn(EntriesField,
+        transform(sequence(lit(0), lit(n - 1)),
+          i => element_at(col("__m"), i)))
+      .drop("__m")
+    MatrixTable(base, rowKey, colValues, colSchema, colKey)
+  }
+}

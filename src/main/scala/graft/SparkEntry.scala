@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 import graft.operators.Scans
 
@@ -23,6 +23,36 @@ object SparkEntry {
   /** Exact, order-independent sum of a double column (see scaladoc above). */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** lineitem viewed as a MatrixTable: rows = orders, cols = line numbers
+    * 1..7, entries = per-cell (qty, price) sums — the §2.2 parity fixture.
+    * The synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    * cells pre-aggregate; sums are decimal-cleaned for cross-engine
+    * determinism (see `dsum`). */
+  private def lineitemMatrix(s: SparkSession, dir: String): MatrixTable = {
+    val cell = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(
+        sum(col("l_quantity")).cast(DecimalType(18, 4)).cast("double")
+          .as("qty"),
+        sum(col("l_extendedprice")).cast(DecimalType(18, 4)).cast("double")
+          .as("price"))
+    MatrixTable.fromCoordinates(
+      coord = cell,
+      rowKey = Seq("l_orderkey"),
+      colIdx = col("l_linenumber") - 1,
+      entryFields = Seq("qty" -> col("qty"), "price" -> col("price")),
+      colValues = (1 to 7).map(i => Row(i)),
+      colSchema = StructType(Seq(StructField("line_no", IntegerType, false))),
+      colKey = Seq("line_no"))
+  }
+
+  /** DuckDB view of the same matrix cells. */
+  private val cellSql =
+    """(SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(sum(l_quantity) AS DECIMAL(18,4)) AS DOUBLE) AS qty,
+      |  CAST(CAST(sum(l_extendedprice) AS DECIMAL(18,4)) AS DOUBLE) AS price
+      | FROM lineitem GROUP BY 1, 2) cell""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped: scan → filter → groupBy(agg) → orderBy. */
@@ -246,7 +276,74 @@ object SparkEntry {
     "table_filter_intervals" -> ((s, dir) =>
       Table(t(s, dir, "orders"), Seq("o_orderkey"))
         .filterIntervals(Seq((1000L, 2000L), (5000L, 5500L)))
-        .selectFields("o_custkey", "o_totalprice").df)
+        .selectFields("o_custkey", "o_totalprice").df),
+
+    // --- MatrixTable: build + MatrixEntriesTable roundtrip (`TableIR:2447`)
+    "matrix_entries_table" -> ((s, dir) =>
+      lineitemMatrix(s, dir).entriesTable
+        .selectFields("line_no", "qty", "price").df.drop("col_idx")),
+
+    // --- MatrixMapRows with entry-scoped agg (call_rate pattern) ----------
+    "matrix_annotate_rows_entry_agg" -> ((s, dir) => {
+      val mt = lineitemMatrix(s, dir)
+      mt.annotateRows(
+        "n_defined" -> aggregate(mt.entries, lit(0L),
+          (acc, e) => acc + when(e.isNotNull, 1L).otherwise(0L)),
+        "qty_sum" -> round(aggregate(mt.entries, lit(0.0),
+          (acc, e) => acc + coalesce(e("qty"), lit(0.0))), 4))
+        .rowsTable.df
+    }),
+
+    // --- MatrixFilterEntries + aggregate_entries (`MatrixIR.scala:689`) ----
+    "matrix_filter_entries_agg" -> ((s, dir) =>
+      lineitemMatrix(s, dir)
+        .filterEntries(e => e("qty") >= 10.0)
+        .aggregateEntries(
+          "n" -> (e => count(e)),
+          "sum_qty" -> (e => dsum(e("qty"))))),
+
+    // --- MatrixAggregateRowsByKey (`MatrixIR.scala:533`) -------------------
+    "matrix_aggregate_rows_by_key" -> ((s, dir) =>
+      lineitemMatrix(s, dir)
+        .aggregateRowsByKey(
+          newKey = Seq("bucket" -> pmod(col("l_orderkey"), lit(100L))),
+          entryAggs = Seq(
+            "sum_qty" -> (e => dsum(e("qty"))),
+            "n" -> (e => count(e))))
+        .entriesTable
+        .selectFields("line_no", "sum_qty", "n").df.drop("col_idx")),
+
+    // --- MatrixAggregateColsByKey (`MatrixIR.scala:551`) -------------------
+    "matrix_aggregate_cols_by_key" -> ((s, dir) =>
+      lineitemMatrix(s, dir)
+        .annotateCols("parity", IntegerType,
+          r => r.getInt(0) % 2)
+        .copy(colKey = Seq("parity"))
+        .aggregateColsByKey(Seq(
+          ("qty_sum",
+            (acc: Column, e: Column) =>
+              acc + coalesce(e("qty"), lit(0.0)),
+            lit(0.0))))
+        .entriesTable
+        .annotate("qty_sum" -> round(col("qty_sum"), 4))
+        .selectFields("parity", "qty_sum").df.drop("col_idx")),
+
+    // --- MatrixChooseCols (`MatrixIR.scala:498`) ---------------------------
+    "matrix_choose_cols" -> ((s, dir) =>
+      lineitemMatrix(s, dir)
+        .chooseCols(IndexedSeq(0, 2, 4))
+        .aggregateEntries(
+          "n" -> (e => count(e)),
+          "sum_price" -> (e => dsum(e("price"))))),
+
+    // --- per-col aggregation across rows (annotate_cols agg pattern) -------
+    "matrix_cols_agg" -> ((s, dir) =>
+      lineitemMatrix(s, dir).entriesTable
+        .keyByAndAggregate(
+          newKey = Seq("line_no" -> col("line_no")),
+          exprs = Seq(
+            "n" -> count(lit(1)),
+            "sum_qty" -> dsum(col("qty")))).df)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -392,6 +489,47 @@ object SparkEntry {
     "table_filter_intervals" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE (o_orderkey >= 1000 AND o_orderkey < 2000)
-        |   OR (o_orderkey >= 5000 AND o_orderkey < 5500)""".stripMargin
+        |   OR (o_orderkey >= 5000 AND o_orderkey < 5500)""".stripMargin,
+
+    "matrix_entries_table" ->
+      s"""SELECT l_orderkey, l_linenumber AS line_no, qty, price
+        |FROM $cellSql""".stripMargin,
+
+    "matrix_annotate_rows_entry_agg" ->
+      s"""SELECT l_orderkey, count(*) AS n_defined,
+        |  round(sum(qty), 4) AS qty_sum
+        |FROM $cellSql GROUP BY l_orderkey""".stripMargin,
+
+    "matrix_filter_entries_agg" ->
+      s"""SELECT count(*) AS n,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM $cellSql WHERE qty >= 10.0""".stripMargin,
+
+    "matrix_aggregate_rows_by_key" ->
+      s"""SELECT l_orderkey % 100 AS bucket, l_linenumber AS line_no,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM $cellSql GROUP BY 1, 2""".stripMargin,
+
+    "matrix_aggregate_cols_by_key" ->
+      s"""SELECT o.l_orderkey, p.parity,
+        |  coalesce(round(s.qty_sum, 4), 0.0) AS qty_sum
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem) o
+        |CROSS JOIN (VALUES (0), (1)) p(parity)
+        |LEFT JOIN (
+        |  SELECT l_orderkey, l_linenumber % 2 AS parity,
+        |    sum(qty) AS qty_sum
+        |  FROM $cellSql GROUP BY 1, 2) s
+        |USING (l_orderkey, parity)""".stripMargin,
+
+    "matrix_choose_cols" ->
+      s"""SELECT count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM $cellSql WHERE l_linenumber IN (1, 3, 5)""".stripMargin,
+
+    "matrix_cols_agg" ->
+      s"""SELECT l_linenumber AS line_no, count(*) AS n,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM $cellSql GROUP BY 1""".stripMargin
   )
 }
