@@ -343,7 +343,72 @@ object SparkEntry {
           newKey = Seq("line_no" -> col("line_no")),
           exprs = Seq(
             "n" -> count(lit(1)),
-            "sum_qty" -> dsum(col("qty")))).df)
+            "sum_qty" -> dsum(col("qty")))).df),
+
+    // --- pipeline: exact dedup (hash-groupBy) ------------------------------
+    "pipe_dedup_exact" -> ((s, dir) =>
+      pipeline.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "content_hash")),
+
+    // --- pipeline: token-bag fingerprint dedup -----------------------------
+    "pipe_dedup_fingerprint" -> ((s, dir) =>
+      pipeline.Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "fp")),
+
+    // --- pipeline: text quality features -----------------------------------
+    "pipe_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        pipeline.Text.tokenCount(col("text")).as("n_tokens"),
+        round(pipeline.Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(pipeline.Text.meanWordLen(col("text")), 6)
+          .as("mean_word_len"))
+    }),
+
+    // --- pipeline: MinHash+LSH near-dup pairs (shingle→minhash→band→join) --
+    "pipe_minhash_pairs" -> ((s, dir) =>
+      pipeline.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- pipeline: brute-force cosine top-k ANN ----------------------------
+    "pipe_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      pipeline.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // --- pipeline: multimodal metadata over binary payloads ----------------
+    "pipe_multimodal_meta" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      pipeline.Multimodal.withMetadata(bin, "payload", "image", "png")
+        .select(col("doc_id"), col("meta")("byte_len").as("byte_len"),
+          col("meta")("content_md5").as("content_md5"))
+    }),
+
+    // --- pipeline: language id + quality (rows-only: heuristic model) ------
+    "pipe_langid_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        pipeline.Text.langId(col("text")).as("pred_lang"),
+        pipeline.Text.qualityScore(col("text")).as("quality"),
+        pipeline.Text.subwordCount(col("text")).as("n_subwords"))),
+
+    // --- pipeline: SimHash near-dup pairs (rows-only: bit-vote sketch) -----
+    "pipe_simhash_pairs" -> ((s, dir) =>
+      pipeline.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        prefixBits = 12, maxDist = 16)),
+
+    // --- pipeline: LSH-bucketed ANN (rows-only: recall<1 by design) --------
+    "pipe_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      pipeline.Similarity.lshTopK(e.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", q, 10, nPlanes = 4)
+        .withColumn("cos", round(col("cos"), 6))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,6 +595,88 @@ object SparkEntry {
     "matrix_cols_agg" ->
       s"""SELECT l_linenumber AS line_no, count(*) AS n,
         |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-        |FROM $cellSql GROUP BY 1""".stripMargin
+        |FROM $cellSql GROUP BY 1""".stripMargin,
+
+    "pipe_dedup_exact" ->
+      """SELECT doc_id, content_hash FROM (
+        |  SELECT doc_id, md5(text) AS content_hash,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "pipe_dedup_fingerprint" ->
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split_regex(lower(text), ' +'))), ' ')) AS fp,
+        |    row_number() OVER (PARTITION BY md5(array_to_string(list_sort(
+        |      list_distinct(string_split_regex(lower(text), ' +'))), ' '))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "pipe_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), ' +')) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |      AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, ' +', '', 'g')) AS DOUBLE)
+        |    / greatest(len(string_split_regex(trim(text), ' +')), 1), 6)
+        |    AS mean_word_len
+        |FROM documents""".stripMargin,
+
+    "pipe_minhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      j -> concat(w[j], ' ', w[j+1], ' ', w[j+2]))) AS shingles
+        |  FROM tok WHERE len(w) >= 3),
+        |mh AS (
+        |  SELECT doc_id, shingles,
+        |    list_transform(range(0, 8), i ->
+        |      list_min(list_transform(shingles,
+        |        s -> md5(concat(s, '|', i))))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.band,
+        |    md5(concat(sig[b.band*2+1], sig[b.band*2+2])) AS bsig
+        |  FROM mh, (SELECT unnest(range(0,4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |    / (len(sa.shingles) + len(sb.shingles)
+        |       - len(list_intersect(sa.shingles, sb.shingles))), 4)
+        |    AS jaccard
+        |FROM cand
+        |JOIN sh sa ON cand.id_a = sa.doc_id
+        |JOIN sh sb ON cand.id_b = sb.doc_id""".stripMargin,
+
+    "pipe_ann_topk" ->
+      """WITH q AS (
+        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |      AS dp,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE)
+        |         * CAST(embedding[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nb
+        |  FROM embeddings, q WHERE vec_id != 0)
+        |SELECT vec_id, round(dp / (na * nb), 6) AS cos
+        |FROM c ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""".stripMargin,
+
+    "pipe_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+        |    AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin
   )
 }

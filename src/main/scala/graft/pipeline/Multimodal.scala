@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing: payloads are opaque
+  * `binary` columns with a typed metadata struct; decode / feature-extract /
+  * resize / frame-sample run as batched per-partition transforms
+  * (`mapPartitions` — the Scala analogue of arrow-batched `mapInPandas`).
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container): `fakeDecode` produces a deterministic "decoded" feature
+  * struct derived from the payload bytes. The Spark-side contract — schema,
+  * batch iteration, partitioning, null-safety — is real and tested; swap
+  * `fakeDecode` for an actual codec (JNI/javax.imageio/ffmpeg pipe) without
+  * touching the plumbing. */
+object Multimodal {
+
+  /** Metadata schema carried alongside every binary payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType),   // "image" | "audio" | "video"
+    StructField("format", StringType),     // e.g. "png", "wav"
+    StructField("byte_len", LongType),
+    StructField("content_md5", StringType)))
+
+  /** Decoded-feature schema produced by the (stubbed) decoder. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_intensity", DoubleType)))
+
+  /** Attach a metadata struct to a binary payload column — declarative,
+    * codegen'd (no decode needed for metadata). */
+  def withMetadata(df: DataFrame, payload: String, modality: String,
+      format: String): DataFrame =
+    df.withColumn("meta", struct(
+      lit(modality).as("modality"),
+      lit(format).as("format"),
+      octet_length(col(payload)).cast("long").as("byte_len"),
+      md5(col(payload)).as("content_md5")))
+
+  /** STUB decoder: deterministic fake features from payload bytes.
+    * Replace with a real codec; signature and batching stay identical. */
+  private def fakeDecode(bytes: Array[Byte]): Row = {
+    if (bytes == null) Row(null, null, null, null)
+    else {
+      val h = java.util.Arrays.hashCode(bytes)
+      val w = 64 + math.floorMod(h, 960)          // fake width 64..1023
+      val ht = 64 + math.floorMod(h >> 10, 960)   // fake height
+      val mean = bytes.iterator.map(b => (b & 0xff).toDouble).sum /
+        math.max(bytes.length, 1)
+      Row(w, ht, 3, mean)
+    }
+  }
+
+  /** Batched decode over partitions: one decoder instance per partition
+    * (the expensive init — codec context, model weights — amortizes over
+    * the whole batch, exactly like arrow-batched `mapInPandas`). Appends a
+    * `decoded` struct column. */
+  def decodeBatched(df: DataFrame, payload: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("decoded", decodedSchema))
+    val payloadIdx = df.schema.fieldIndex(payload)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+ fakeDecode(bytes))
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling for video-like payloads: pick every
+    * `stride`-th chunk of `chunkSize` bytes as a "frame" — the partition/
+    * schema shape of real frame extraction. */
+  def sampleFrames(df: DataFrame, payload: String, chunkSize: Int,
+      stride: Int): DataFrame =
+    df.withColumn("frames",
+      transform(
+        sequence(lit(0),
+          greatest((octet_length(col(payload)) / (chunkSize * stride)) - 1,
+            lit(0))),
+        i => col(payload).substr((i * chunkSize * stride + 1).cast("int"),
+          lit(chunkSize))))
+}

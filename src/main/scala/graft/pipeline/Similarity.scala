@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — one narrow pass, no shuffle except
+  * the final top-k (a `TakeOrderedAndProject`, partial per partition).
+  * Scale path: random-hyperplane LSH bucketing — candidates only compare
+  * within a bucket, turning O(N·Q) into O(N/2^b·Q) per probe.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions in
+  * DOUBLE (cast before multiply, left-to-right fold — bit-reproducible and
+  * matched exactly by the SQL oracle). */
+object Similarity {
+
+  /** dot(a, b) in double, left fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector (as literal array).
+    * The plan is scan → project → TakeOrderedAndProject: per-partition
+    * partial top-k then a single driver merge — optimal for one query. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.withColumn("cos", cosine(col(vecCol), q))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batched brute force: every query row against every data row via a
+    * broadcast of the (small) query set, grouped top-k per query. */
+  def bruteForceTopKBatch(data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = data.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(qIdCol), col(idCol), col("cos"), col("rk"))
+  }
+
+  /** Deterministic random hyperplanes for sign-bit LSH (driver-generated
+    * from `seed`, shipped as literals — constant-folded by Catalyst). */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id of a vector: one bit per hyperplane. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      when(dot(vec, pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** IVF/LSH-bucketed ANN: bucket all vectors, then search only the query's
+    * bucket (single-probe; callers can OR several probe buckets). Trades
+    * recall for a 2^nPlanes candidate reduction — the scale path when
+    * brute force over 100 TB of vectors is off the table. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nPlanes: Int = 8, seed: Long = 42L)
+      : DataFrame = {
+    val planes = hyperplanes(query.length, nPlanes, seed)
+    val qVec = array(query.map(lit): _*)
+    val bucketed = df.withColumn("bucket",
+      lshBucket(col(vecCol), planes))
+    val qBucketRow = df.sparkSession.range(1).select(
+      lshBucket(qVec, planes).as("qb")).head()
+    val qb = qBucketRow.getLong(0)
+    bucketed.filter(col("bucket") === qb)
+      .withColumn("cos", cosine(col(vecCol), qVec))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
