@@ -82,8 +82,8 @@ object Multimodal {
     df.withColumn("frames",
       transform(
         sequence(lit(0),
-          greatest((octet_length(col(payload)) / (chunkSize * stride)) - 1,
-            lit(0))),
+          greatest(floor(octet_length(col(payload)) /
+            (chunkSize * stride)).cast("int") - 1, lit(0))),
         i => col(payload).substr((i * chunkSize * stride + 1).cast("int"),
           lit(chunkSize))))
 }

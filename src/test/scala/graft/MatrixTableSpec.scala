@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MatrixTableSpec extends SparkSpec {
+
+  /** 3 rows × 3 cols toy matrix; cell (r, c) = r*10 + c, with (1,2) and
+    * (2,0) missing. */
+  private def toyMatrix(): MatrixTable = {
+    val coord = spark.createDataFrame(Seq(
+      (0L, 0, 0.0), (0L, 1, 1.0), (0L, 2, 2.0),
+      (1L, 0, 10.0), (1L, 1, 11.0),
+      (2L, 1, 21.0), (2L, 2, 22.0)))
+      .toDF("r", "c", "v")
+    MatrixTable.fromCoordinates(
+      coord, Seq("r"), col("c"),
+      entryFields = Seq("v" -> col("v")),
+      colValues = IndexedSeq(Row("s0"), Row("s1"), Row("s2")),
+      colSchema = StructType(Seq(StructField("sample", StringType))),
+      colKey = Seq("sample"))
+  }
+
+  test("fromCoordinates/entriesTable roundtrip drops missing cells") {
+    val got = toyMatrix().entriesTable.df
+      .select("r", "sample", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set(
+      (0L, "s0", 0.0), (0L, "s1", 1.0), (0L, "s2", 2.0),
+      (1L, "s0", 10.0), (1L, "s1", 11.0),
+      (2L, "s1", 21.0), (2L, "s2", 22.0)))
+  }
+
+  test("per-row entry aggregation counts defined entries") {
+    val mt = toyMatrix()
+    val got = mt.annotateRows("nd" -> aggregate(mt.entries, lit(0),
+      (a, e) => a + when(e.isNotNull, 1).otherwise(0)))
+      .rowsTable.df.select("r", "nd").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === Map(0L -> 3, 1L -> 2, 2L -> 2))
+  }
+
+  test("filterEntries nulls out failing entries, keeps shape") {
+    val mt = toyMatrix().filterEntries(e => e("v") >= 10.0)
+    val agg = mt.aggregateEntries("n" -> (e => count(e)))
+    assert(agg.head().getLong(0) === 4L)
+  }
+
+  test("chooseCols subsets and reorders columns") {
+    val mt = toyMatrix().chooseCols(IndexedSeq(2, 0))
+    assert(mt.colValues.map(_.getString(0)) === IndexedSeq("s2", "s0"))
+    val got = mt.entriesTable.df.select("r", "sample", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((0L, "s2"), (0L, "s0"), (1L, "s0"), (2L, "s2")))
+  }
+
+  test("filterCols by col value predicate") {
+    val mt = toyMatrix().filterCols(r => r.getString(0) != "s1")
+    assert(mt.nCols === 2)
+    assert(mt.aggregateEntries("n" -> (e => count(e)))
+      .head().getLong(0) === 4L)
+  }
+
+  test("aggregateColsByKey groups columns by key on the driver") {
+    // group s0,s2 vs s1 via a parity annotation
+    val mt = toyMatrix()
+      .annotateCols("grp", IntegerType,
+        r => if (r.getString(0) == "s1") 1 else 0)
+      .copy(colKey = Seq("grp"))
+      .aggregateColsByKey(Seq(
+        ("vs", (acc: org.apache.spark.sql.Column,
+          e: org.apache.spark.sql.Column) =>
+          acc + coalesce(e("v"), lit(0.0)), lit(0.0))))
+    val got = mt.entriesTable.df.select("r", "grp", "vs").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got((0L, 0)) === 2.0)   // 0.0 + 2.0
+    assert(got((0L, 1)) === 1.0)
+    assert(got((1L, 0)) === 10.0)
+    assert(got((2L, 1)) === 21.0)
+  }
+
+  test("unionCols concatenates entries on shared row key") {
+    val a = toyMatrix()
+    val b = toyMatrix()
+    val u = a.unionCols(b)
+    assert(u.nCols === 6)
+    assert(u.aggregateEntries("n" -> (e => count(e)))
+      .head().getLong(0) === 14L)
+  }
+
+  test("colsTable and rowsTable carry the right fields") {
+    val mt = toyMatrix()
+    assert(mt.colsTable.df.collect().map(_.getString(0)).toSet ===
+      Set("s0", "s1", "s2"))
+    assert(mt.rowsTable.df.columns.toSeq === Seq("r"))
+  }
+}

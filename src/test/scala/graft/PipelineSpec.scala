@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+
+class PipelineSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(rows.toSeq).toDF("doc_id", "text")
+
+  test("shingles: short text yields empty, no descending-sequence bug") {
+    val got = docs((1L, "one two"), (2L, "a b c d"))
+      .select(col("doc_id"), Text.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSeq).toMap
+    assert(got(1L) === Seq.empty)
+    assert(got(2L) === Seq("a b c", "b c d"))
+  }
+
+  test("bagFingerprint collapses word permutations") {
+    val fp = docs((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta"))
+      .select(Text.bagFingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val got = Dedup.exact(
+      docs((5L, "same text here"), (2L, "same text here"),
+        (9L, "different text")), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 9L))
+  }
+
+  test("minhashPairs finds permuted near-dups, skips unrelated") {
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val permuted = (1 to 30).map(i => s"word$i").reverse.mkString(" ")
+    val other = (100 to 130).map(i => s"tok$i").mkString(" ")
+    val pairs = Dedup.minhashPairs(
+      docs((1L, base), (2L, base), (3L, other)), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("simHash64: identical text -> dist 0; small perturbation small dist") {
+    val t1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val t2 = (1 to 38).map(i => s"w$i").mkString(" ") + " zz yy"
+    val sigs = docs((1L, t1), (2L, t1), (3L, t2))
+      .select(Text.simHash64(col("text"))).collect().map(_.getLong(0))
+    assert(sigs(0) === sigs(1))
+    val d13 = java.lang.Long.bitCount(sigs(0) ^ sigs(2))
+    assert(d13 > 0 && d13 <= 20, s"dist was $d13")
+  }
+
+  test("cosine: orthogonal -> 0, identical -> 1") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f))))
+      .toDF("id", "vec")
+    val topk = Similarity.bruteForceTopK(df, "id", "vec",
+      Seq(1.0f, 0.0f), 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(topk(0)._2 === 1.0 && topk(1)._2 === 1.0) // ids 1 and 3
+    assert(topk(2) === ((2L, 0.0)))
+  }
+
+  test("lshTopK returns subset of brute-force ranking from query bucket") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val got = Similarity.lshTopK(e.filter(col("vec_id") =!= 0L),
+      "vec_id", "embedding", q, 5, nPlanes = 3)
+    assert(got.count() === 5)
+  }
+
+  test("multimodal: metadata + batched stub decode are deterministic") {
+    val bin = docs((1L, "hello world"), (2L, "hello world"), (3L, "bye"))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val withMeta = Multimodal.withMetadata(bin, "payload", "image", "png")
+    val meta = withMeta.select(col("meta")("byte_len"),
+      col("meta")("content_md5")).collect()
+    assert(meta(0) === meta(1))
+    val dec = Multimodal.decodeBatched(withMeta, "payload")
+    assert(dec.schema.fieldNames.contains("decoded"))
+    val rows = dec.select(col("doc_id"), col("decoded")("mean_intensity"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L) !== rows(3L))
+  }
+
+  test("sampleFrames produces fixed-size chunks") {
+    val bin = docs((1L, "a" * 100))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val frames = Multimodal.sampleFrames(bin, "payload", 10, 2)
+      .select(col("frames")).head().getSeq[Array[Byte]](0)
+    assert(frames.nonEmpty)
+    assert(frames.head.length === 10)
+  }
+
+  test("langId detects CJK and stopword languages") {
+    val got = docs(
+      (1L, "the cat and the dog went to the park in the morning"),
+      (2L, "der hund und die katze ist nicht ein tier mit der maus"),
+      (3L, "中文文本处理测试中文"))
+      .select(col("doc_id"), Text.langId(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "zh")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class TableSpec extends SparkSpec {
+
+  private def rangeTable(n: Int, parts: Int = 4): Table =
+    Table.range(spark, n, parts)
+
+  test("range produces keyed 0..n-1") {
+    val t = rangeTable(100)
+    assert(t.count() === 100)
+    assert(t.key === Seq("idx"))
+    val got = t.collect().map(_.getLong(0))
+    assert(got.toSeq === (0L until 100L))
+  }
+
+  test("keyBy prefix keeps sortedness; new key drops it") {
+    val t = rangeTable(10).annotate("v" -> (col("idx") * 2))
+    assert(t.keyBy("idx").keySorted)
+    assert(!t.keyBy("v").keySorted)
+  }
+
+  test("distinctByKey keeps first row in tiebreak order") {
+    val df = spark.createDataFrame(Seq(
+      (1, "b", 20), (1, "a", 10), (2, "c", 30), (2, "d", 5)))
+      .toDF("k", "tag", "v")
+    val got = Table(df, Seq("k"))
+      .distinctByKey(tieBreak = Seq(col("v")))
+      .df.select("k", "tag").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === Set((1, "a"), (2, "d")))
+  }
+
+  test("head and tail respect key order") {
+    val t = rangeTable(50)
+    assert(t.head(3).df.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(t.tail(3).df.collect().map(_.getLong(0)).toSeq ===
+      Seq(47L, 48L, 49L))
+  }
+
+  test("join merges globals and joins on shared key prefix") {
+    val a = rangeTable(10).annotate("x" -> col("idx") * 10)
+      .annotateGlobals("ga" -> 1)
+    val b = rangeTable(5).annotate("y" -> (col("idx") + 100))
+      .annotateGlobals("gb" -> "two")
+    val j = a.join(b, "inner")
+    assert(j.globals === Map("ga" -> 1, "gb" -> "two"))
+    assert(j.count() === 5)
+    val r = j.df.filter(col("idx") === 3).head()
+    assert(r.getAs[Long]("x") === 30L && r.getAs[Long]("y") === 103L)
+  }
+
+  test("left join keeps unmatched; semi/anti partition the table") {
+    val a = rangeTable(10)
+    val b = rangeTable(4)
+    assert(a.join(b, "left").count() === 10)
+    assert(a.semiJoin(b).count() === 4)
+    assert(a.antiJoin(b).count() === 6)
+  }
+
+  test("filterIntervals keeps rows in [start,end) and supports drop") {
+    val t = rangeTable(100)
+    assert(t.filterIntervals(Seq((10L, 20L), (50L, 55L))).count() === 15)
+    assert(t.filterIntervals(Seq((0L, 90L)), keep = false).count() === 10)
+  }
+
+  test("explodeField flattens arrays") {
+    val t = rangeTable(3).annotate("a" -> sequence(lit(0), col("idx")))
+    assert(t.explodeField("a").count() === 6) // 1 + 2 + 3
+  }
+
+  test("native write/read roundtrip preserves key, globals, data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_native")
+      .toString
+    val t = rangeTable(20).annotate("v" -> (col("idx") % 3))
+      .annotateGlobals("version" -> 7, "name" -> "t20")
+    t.write(s"$dir/t")
+    val back = Table.read(spark, s"$dir/t")
+    assert(back.key === Seq("idx"))
+    assert(back.globals("version") === 7L ||
+      back.globals("version") === 7) // json numbers come back as long
+    assert(back.globals("name") === "t20")
+    assert(back.count() === 20)
+  }
+
+  test("aggregateByKey groups on current key") {
+    val df = spark.createDataFrame(Seq((1, 2.0), (1, 3.0), (2, 5.0)))
+      .toDF("k", "v")
+    val got = Table(df, Seq("k"))
+      .aggregateByKey("s" -> sum(col("v")), "n" -> count(lit(1)))
+      .df.collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((1, 5.0, 2L), (2, 5.0, 1L)))
+  }
+
+  test("orderBy gives total order") {
+    val t = rangeTable(100).annotate("neg" -> -col("idx"))
+    val got = t.orderBy(col("neg").asc).df.collect().map(_.getLong(0))
+    assert(got.head === 99L && got.last === 0L)
+  }
+}
