@@ -408,7 +408,121 @@ object SparkEntry {
       pipeline.Similarity.lshTopK(e.filter(col("vec_id") =!= 0L),
         "vec_id", "embedding", q, 10, nPlanes = 4)
         .withColumn("cos", round(col("cos"), 6))
-    })
+    }),
+
+    // --- genetics: packed-call accessors (Calls: pure bit arithmetic) ------
+    "geno_call_functions" -> ((s, dir) => {
+      import graft.functions.Calls
+      val o = t(s, dir, "orders")
+      val call = Calls.diploid(pmod(col("o_orderkey"), lit(3)),
+        pmod(col("o_custkey"), lit(3)))
+      o.select(col("o_orderkey"),
+        call.as("call"),
+        Calls.unphasedDiploidGtIndex(call).as("gt"),
+        Calls.nNonRefAlleles(call).as("n_alt"),
+        Calls.isHet(call).as("is_het"),
+        Calls.isHomRef(call).as("is_hom_ref"),
+        Calls.ploidy(call).as("ploidy"))
+    }),
+
+    // --- genetics: call_stats aggregator (AC/AF/AN/hom) --------------------
+    "geno_call_stats" -> ((s, dir) => {
+      import graft.functions.Calls
+      val o = t(s, dir, "orders")
+      val call = Calls.diploid(pmod(col("o_orderkey"), lit(2)),
+        pmod(col("o_custkey"), lit(2)))
+      o.select(col("o_orderstatus"), call.as("call"))
+        .groupBy(col("o_orderstatus"))
+        .agg(operators.Aggs.callStats(col("call"), 2).as("cs"))
+        .select(col("o_orderstatus"),
+          col("cs")("AN").as("an"),
+          element_at(col("cs")("AC"), 2).as("ac_alt"),
+          round(element_at(col("cs")("AF"), 2), 6).as("af_alt"),
+          element_at(col("cs")("homozygote_count"), 1).as("hom_ref"),
+          element_at(col("cs")("homozygote_count"), 2).as("hom_alt"))
+    }),
+
+    // --- genetics: Hardy-Weinberg equilibrium (expression kernel) ----------
+    "geno_hwe" -> ((s, dir) => {
+      import graft.functions.{Calls, StatTests}
+      val o = t(s, dir, "orders")
+      val call = Calls.diploid(pmod(col("o_orderkey"), lit(2)),
+        pmod(col("o_custkey"), lit(2)))
+      val counts = o.select(call.as("c")).agg(
+        sum(Calls.isHomRef(col("c")).cast("long")).as("n_hom_ref"),
+        sum(Calls.isHet(col("c")).cast("long")).as("n_het"),
+        sum(Calls.isHomVar(col("c")).cast("long")).as("n_hom_var"))
+      val hwe = StatTests.hardyWeinbergTest(col("n_hom_ref"), col("n_het"),
+        col("n_hom_var"))
+      counts.select(col("n_hom_ref"), col("n_het"), col("n_hom_var"),
+        round(hwe("het_freq_hwe"), 6).as("het_freq"),
+        round(hwe("stat"), 6).as("chi_sq_stat"))
+    }),
+
+    // --- agg: exact product (custom Aggregator, not exp-log) ---------------
+    "agg_product" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .groupBy(col("l_returnflag"))
+        .agg(round(operators.Aggs.product(lit(1.0) + col("l_discount")), 6)
+          .as("prod_disc"), count(lit(1)).as("n"))),
+
+    // --- agg: exact interpolated percentiles ------------------------------
+    "agg_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))),
+
+    // --- agg: impute_type (schema inference over strings) ------------------
+    "agg_impute_type" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.agg(
+        operators.Aggs.imputeType(col("o_orderkey").cast("string"))("inferred")
+          .as("t_int"),
+        operators.Aggs.imputeType(col("o_totalprice").cast("string"))("inferred")
+          .as("t_float"),
+        operators.Aggs.imputeType(col("o_orderstatus"))("inferred")
+          .as("t_str"),
+        operators.Aggs.imputeType(
+          (pmod(col("o_orderkey"), lit(2)) === 0).cast("string"))("inferred")
+          .as("t_bool"))
+    }),
+
+    // --- agg: per-group OLS slope/intercept (exact decimal sums) -----------
+    "agg_linreg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("x", pmod(col("o_custkey"), lit(50L)).cast("double"))
+        .withColumn("y", col("o_totalprice"))
+      val sx = dsum(col("x"));  val sy = dsum(col("y"))
+      val sxx = dsum(col("x") * col("x")); val sxy = dsum(col("x") * col("y"))
+      val n = count(lit(1)).cast("double")
+      o.groupBy(col("o_orderstatus"))
+        .agg(sx.as("sx"), sy.as("sy"), sxx.as("sxx"), sxy.as("sxy"),
+          n.as("n"))
+        .select(col("o_orderstatus"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+            / col("n"), 6).as("intercept"),
+          col("n").cast("long").as("n"))
+    }),
+
+    // --- deterministic seeded RNG (rows-only: hash family is ours) ---------
+    "rand_seeded" -> ((s, dir) => {
+      import graft.functions.Rand
+      t(s, dir, "orders").select(col("o_orderkey"),
+        round(Rand.runif(42L, col("o_orderkey")), 8).as("u"),
+        round(Rand.rnorm(42L, col("o_orderkey")), 8).as("z"),
+        Rand.rint32(7L, 10, col("o_orderkey")).as("k"))
+    }),
+
+    // --- agg: deterministic uniform sample (bottom-k by hash) --------------
+    "agg_sample" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .agg(operators.Aggs.sample(col("o_orderstatus"), 5).as("s"))
+        .select(explode(col("s")).as("v")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -677,6 +791,91 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
         |    AS byte_len,
         |  md5(text) AS content_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "geno_call_functions" ->
+      """SELECT o_orderkey,
+        |  CAST((o_custkey % 3) * 65536 + (o_orderkey % 3) * 2 AS INTEGER)
+        |    AS call,
+        |  CAST(CASE WHEN o_orderkey % 3 <= o_custkey % 3
+        |    THEN (o_custkey % 3) * ((o_custkey % 3) + 1) / 2
+        |         + (o_orderkey % 3)
+        |    ELSE (o_orderkey % 3) * ((o_orderkey % 3) + 1) / 2
+        |         + (o_custkey % 3) END AS INTEGER) AS gt,
+        |  CAST(CASE WHEN o_orderkey % 3 > 0 THEN 1 ELSE 0 END +
+        |       CASE WHEN o_custkey % 3 > 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_alt,
+        |  (o_orderkey % 3) != (o_custkey % 3) AS is_het,
+        |  (o_orderkey % 3) = 0 AND (o_custkey % 3) = 0 AS is_hom_ref,
+        |  CAST(2 AS INTEGER) AS ploidy
+        |FROM orders""".stripMargin,
+
+    "geno_call_stats" ->
+      """SELECT o_orderstatus,
+        |  2 * count(*) AS an,
+        |  CAST(sum((o_orderkey % 2) + (o_custkey % 2)) AS BIGINT) AS ac_alt,
+        |  round(CAST(sum((o_orderkey % 2) + (o_custkey % 2)) AS DOUBLE)
+        |    / (2 * count(*)), 6) AS af_alt,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 AND o_custkey % 2 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS hom_ref,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_custkey % 2 = 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS hom_alt
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "geno_hwe" ->
+      """WITH c AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 AND o_custkey % 2 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_ref,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 != o_custkey % 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_custkey % 2 = 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_var
+        | FROM orders),
+        |e AS (SELECT n_hom_ref, n_het, n_hom_var,
+        |  CAST(n_hom_ref + n_het + n_hom_var AS DOUBLE) AS n,
+        |  (2.0 * n_hom_ref + n_het)
+        |    / (2.0 * (n_hom_ref + n_het + n_hom_var)) AS p
+        | FROM c)
+        |SELECT n_hom_ref, n_het, n_hom_var,
+        |  round(2.0 * p * (1.0 - p) * n / n, 6) AS het_freq,
+        |  round(pow(n_hom_ref - p * p * n, 2) / (p * p * n)
+        |    + pow(n_het - 2.0 * p * (1.0 - p) * n, 2)
+        |      / (2.0 * p * (1.0 - p) * n)
+        |    + pow(n_hom_var - (1.0 - p) * (1.0 - p) * n, 2)
+        |      / ((1.0 - p) * (1.0 - p) * n), 6) AS chi_sq_stat
+        |FROM e""".stripMargin,
+
+    "agg_product" ->
+      """SELECT l_returnflag, round(product(1.0 + l_discount), 6)
+        |    AS prod_disc,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_orderkey < 200 GROUP BY 1""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "agg_impute_type" ->
+      """SELECT 'int64' AS t_int, 'float64' AS t_float,
+        |  'string' AS t_str, 'boolean' AS t_bool""".stripMargin,
+
+    "agg_linreg" ->
+      """WITH s AS (SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_custkey % 50 AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST((o_custkey % 50) * (o_custkey % 50)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(CAST(o_custkey % 50 AS DOUBLE) * o_totalprice
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+        |  CAST(count(*) AS DOUBLE) AS n
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderstatus,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept,
+        |  CAST(n AS BIGINT) AS n
+        |FROM s""".stripMargin
   )
 }

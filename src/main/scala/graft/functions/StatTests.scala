@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Statistical tests and distribution functions (reference
+  * `functions/MathFunctions.scala`, kernels under the `stats` dir — e.g.
+  * `stats/FisherExactTest.scala`).
+  *
+  * Strategy: closed-form pieces (chi-squared statistics, HWE expected
+  * counts) are pure expressions; p-values need special functions
+  * (incomplete gamma / hypergeometric tails) which come from commons-math3
+  * (ships with Spark) behind scala UDFs. The UDF is per-GROUP (post-agg),
+  * not per-entry, so it is off the 100 TB hot path by construction. */
+object StatTests {
+
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+
+  /** P(X > x) for chi-squared with df degrees of freedom. */
+  val chiSqTail: UserDefinedFunction = udf { (x: Double, df: Double) =>
+    if (x.isNaN || x < 0) Double.NaN
+    else 1.0 - new org.apache.commons.math3.distribution
+      .ChiSquaredDistribution(df).cumulativeProbability(x)
+  }
+
+  val pnorm: UserDefinedFunction = udf { (x: Double) =>
+    new org.apache.commons.math3.distribution.NormalDistribution()
+      .cumulativeProbability(x)
+  }
+
+  val qnorm: UserDefinedFunction = udf { (p: Double) =>
+    new org.apache.commons.math3.distribution.NormalDistribution()
+      .inverseCumulativeProbability(p)
+  }
+
+  /** Student-t two-sided p-value for a t statistic with df dof. */
+  val pT: UserDefinedFunction = udf { (t: Double, df: Double) =>
+    if (t.isNaN) Double.NaN
+    else 2.0 * (1.0 - new org.apache.commons.math3.distribution
+      .TDistribution(df).cumulativeProbability(math.abs(t)))
+  }
+
+  /** F-distribution upper tail (for linear regression F stats). */
+  val pF: UserDefinedFunction = udf { (f: Double, d1: Double, d2: Double) =>
+    if (f.isNaN || f < 0) Double.NaN
+    else 1.0 - new org.apache.commons.math3.distribution
+      .FDistribution(d1, d2).cumulativeProbability(f)
+  }
+
+  /** 2x2 chi-squared test statistic (no continuity correction) as a pure
+    * expression: returns struct(stat, p) — p via UDF tail. */
+  def chiSquaredTest(a: Column, b: Column, c: Column, d: Column): Column = {
+    val n = (a + b + c + d).cast("double")
+    val stat = (a * d - b * c).cast("double") *
+      (a * d - b * c).cast("double") * n /
+      (((a + b) * (c + d)).cast("double") *
+        ((a + c) * (b + d)).cast("double"))
+    struct(stat.as("stat"), chiSqTail(stat, lit(2.0) - 1.0).as("p_value"))
+  }
+
+  /** Fisher exact test (2x2, two-sided) via hypergeometric enumeration. */
+  val fisherExact: UserDefinedFunction =
+    udf { (a: Int, b: Int, c: Int, d: Int) =>
+      val n = a + b + c + d
+      val hg = new org.apache.commons.math3.distribution
+        .HypergeometricDistribution(n, a + b, a + c)
+      val pObs = hg.probability(a)
+      val lo = math.max(0, a + c - (c + d))
+      val hi = math.min(a + b, a + c)
+      var p = 0.0
+      var k = lo
+      while (k <= hi) {
+        val pk = hg.probability(k)
+        if (pk <= pObs * (1 + 1e-7)) p += pk
+        k += 1
+      }
+      math.min(p, 1.0)
+    }
+
+  /** Hardy–Weinberg equilibrium: expected het freq + exact-test-style
+    * chi-squared p (reference `hardy_weinberg_test`). Takes genotype
+    * counts. */
+  def hardyWeinbergTest(nHomRef: Column, nHet: Column, nHomVar: Column)
+      : Column = {
+    val n = (nHomRef + nHet + nHomVar).cast("double")
+    val p = (lit(2.0) * nHomRef + nHet) / (lit(2.0) * n)
+    val q = lit(1.0) - p
+    val eHomRef = p * p * n
+    val eHet = lit(2.0) * p * q * n
+    val eHomVar = q * q * n
+    val stat =
+      pow(nHomRef - eHomRef, 2) / eHomRef +
+      pow(nHet - eHet, 2) / eHet +
+      pow(nHomVar - eHomVar, 2) / eHomVar
+    struct(
+      (eHet / n).as("het_freq_hwe"),
+      stat.as("stat"),
+      chiSqTail(stat, lit(1.0)).as("p_value"))
+  }
+
+  /** Binomial test p-value (two-sided) via commons-math. */
+  val binomTest: UserDefinedFunction =
+    udf { (successes: Int, n: Int, p: Double) =>
+      new org.apache.commons.math3.stat.inference.BinomialTest()
+        .binomialTest(n, successes, p,
+          org.apache.commons.math3.stat.inference.AlternativeHypothesis
+            .TWO_SIDED)
+    }
+
+  /** Shannon entropy of a string's character distribution (reference
+    * `entropy`). Pure expression over char counts. */
+  def entropy(s: Column): Column = {
+    // group characters via aggregate over the exploded... simplest exact
+    // form: -sum p log2 p over distinct chars, via transform on the
+    // distinct char set
+    val chars = split(s, "")
+    val n = size(chars).cast("double")
+    val distinctChars = array_distinct(chars)
+    val terms = transform(distinctChars, ch => {
+      val cnt = size(filter(chars, x => x === ch)).cast("double")
+      -(cnt / n) * log2(cnt / n)
+    })
+    when(n > 0, aggregate(terms, lit(0.0), (a, v) => a + v)).otherwise(0.0)
+  }
+}

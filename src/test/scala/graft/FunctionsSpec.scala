@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Calls, Loci, Rand, ReferenceGenome, StatTests}
+import graft.operators.Aggs
+
+class FunctionsSpec extends SparkSpec {
+
+  test("Calls: pack/unpack roundtrip and predicates") {
+    val df = spark.createDataFrame(Seq((0, 0), (0, 1), (1, 1), (2, 1)))
+      .toDF("a1", "a2")
+      .withColumn("call", Calls.diploid(col("a1"), col("a2")))
+    val got = df.select(
+      Calls.allele1(col("call")), Calls.allele2(col("call")),
+      Calls.isHomRef(col("call")), Calls.isHet(col("call")),
+      Calls.isHomVar(col("call")), Calls.nNonRefAlleles(col("call")),
+      Calls.unphasedDiploidGtIndex(col("call"))).collect()
+    assert(got(0).toSeq === Seq(0, 0, true, false, false, 0, 0))
+    assert(got(1).toSeq === Seq(0, 1, false, true, false, 1, 1))
+    assert(got(2).toSeq === Seq(1, 1, false, false, true, 2, 2))
+    assert(got(3).toSeq === Seq(2, 1, false, true, false, 2, 4))
+  }
+
+  test("Calls: haploid ploidy and one-hot") {
+    val df = spark.range(1).select(
+      Calls.haploid(lit(1)).as("h"),
+      Calls.diploid(lit(0), lit(2)).as("d"))
+    val r = df.select(
+      Calls.ploidy(col("h")), Calls.nNonRefAlleles(col("h")),
+      Calls.oneHotAlleles(col("d"), 3)).head()
+    assert(r.getInt(0) === 1)
+    assert(r.getInt(1) === 1)
+    assert(r.getSeq[Int](2) === Seq(1, 0, 1))
+  }
+
+  test("Calls: plToGp normalizes and gqFromPl picks second smallest") {
+    val df = spark.createDataFrame(Seq(Tuple1(Seq(0, 10, 100))))
+      .toDF("pl")
+    val r = df.select(Calls.plToGp(col("pl")), Calls.gqFromPl(col("pl")))
+      .head()
+    val gp = r.getSeq[Double](0)
+    assert(math.abs(gp.sum - 1.0) < 1e-12)
+    assert(gp(0) > 0.9)
+    assert(r.getInt(1) === 10)
+  }
+
+  test("Loci: global position roundtrip on GRCh38") {
+    implicit val rg: ReferenceGenome = ReferenceGenome.GRCh38
+    val df = spark.createDataFrame(Seq(
+      ("chr1", 1), ("chr2", 100), ("chrX", 5000)))
+      .toDF("c", "p")
+      .withColumn("l", Loci.locus(col("c"), col("p")))
+      .withColumn("g", Loci.toGlobalPos(col("l")))
+      .withColumn("back", Loci.fromGlobalPos(col("g")))
+    val got = df.select(col("g"), col("back")("contig"),
+      col("back")("position")).collect()
+    assert(got(0).getLong(0) === 0L)
+    assert(got(1).getLong(0) === 248956422L + 99L)
+    got.zip(Seq(("chr1", 1), ("chr2", 100), ("chrX", 5000))).foreach {
+      case (r, (c, p)) =>
+        assert(r.getString(1) === c && r.getInt(2) === p)
+    }
+  }
+
+  test("Loci: PAR and contig classification") {
+    implicit val rg: ReferenceGenome = ReferenceGenome.GRCh38
+    val df = spark.createDataFrame(Seq(
+      ("chrX", 20000), ("chrX", 5000000), ("chr5", 100), ("chrM", 7)))
+      .toDF("c", "p").withColumn("l", Loci.locus(col("c"), col("p")))
+    val got = df.select(Loci.inXPar(col("l")), Loci.inXNonPar(col("l")),
+      Loci.isAutosomal(col("l")), Loci.isMitochondrial(col("l"))).collect()
+    assert(got(0).toSeq === Seq(true, false, false, false))
+    assert(got(1).toSeq === Seq(false, true, false, false))
+    assert(got(2).toSeq === Seq(false, false, true, false))
+    assert(got(3).toSeq === Seq(false, false, false, true))
+  }
+
+  test("Loci: allele classification and minRep") {
+    val df = spark.createDataFrame(Seq(
+      ("A", "G"), ("A", "T"), ("C", "CTT"), ("CTT", "C")))
+      .toDF("ref", "alt")
+    val types = df.select(Loci.alleleType(col("ref"), col("alt")))
+      .collect().map(_.getString(0))
+    assert(types.toSeq === Seq("transition", "transversion", "insertion",
+      "deletion"))
+    val mr = spark.createDataFrame(Seq((100, "CAA", "CA")))
+      .toDF("pos", "ref", "alt")
+      .select(Loci.minRep(col("pos"), col("ref"), col("alt"))).head()
+      .getStruct(0)
+    // CAA->CA trims shared suffix 'A' then no prefix beyond first char:
+    // minimal rep is pos=100, CA->C
+    assert(mr.getInt(0) === 100)
+    assert(mr.getString(1) === "CA")
+    assert(mr.getString(2) === "C")
+  }
+
+  test("Rand: deterministic under repartitioning, uniform-ish") {
+    val a = spark.range(0, 1000, 1, 3)
+      .select(col("id"), Rand.runif(42L, col("id")).as("u"))
+    val b = spark.range(0, 1000, 1, 13)
+      .select(col("id"), Rand.runif(42L, col("id")).as("u"))
+    val ma = a.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mb = b.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ma === mb) // partitioning-independent
+    val mean = ma.values.sum / ma.size
+    assert(math.abs(mean - 0.5) < 0.03)
+    assert(ma.values.forall(u => u >= 0.0 && u < 1.0))
+    // different seed -> different stream
+    val c = spark.range(0, 1000, 1, 3)
+      .select(Rand.runif(43L, col("id")).as("u")).collect()
+      .map(_.getDouble(0))
+    assert(c.toSeq !== ma.toSeq.sortBy(_._1).map(_._2))
+  }
+
+  test("Rand: rnorm has ~N(0,1) moments; rpois has ~mean lambda") {
+    val z = spark.range(0, 4000)
+      .select(Rand.rnorm(1L, col("id")).as("z")).collect()
+      .map(_.getDouble(0))
+    val mean = z.sum / z.length
+    val sd = math.sqrt(z.map(x => (x - mean) * (x - mean)).sum / z.length)
+    assert(math.abs(mean) < 0.05, s"mean $mean")
+    assert(math.abs(sd - 1.0) < 0.05, s"sd $sd")
+    val p = spark.range(0, 4000)
+      .select(Rand.rpois(2L, 4.0, col("id")).as("p")).collect()
+      .map(_.getInt(0))
+    val pmean = p.sum.toDouble / p.length
+    assert(math.abs(pmean - 4.0) < 0.2, s"pois mean $pmean")
+  }
+
+  test("StatTests: chi-squared tail and HWE against known values") {
+    // chisq(1) upper tail at 3.841 ~ 0.05
+    val r = spark.range(1).select(
+      StatTests.chiSqTail(lit(3.841459), lit(1.0))).head().getDouble(0)
+    assert(math.abs(r - 0.05) < 1e-4)
+    // perfect HWE: p=0.5, n=400: 100/200/100
+    val hwe = spark.range(1).select(StatTests.hardyWeinbergTest(
+      lit(100L), lit(200L), lit(100L))).head().getStruct(0)
+    assert(math.abs(hwe.getDouble(0) - 0.5) < 1e-12) // het freq
+    assert(hwe.getDouble(1) < 1e-12)                 // stat ~ 0
+    assert(hwe.getDouble(2) > 0.999)                 // p ~ 1
+  }
+
+  test("StatTests: fisher exact matches R value for (3,1,1,3)") {
+    val p = spark.range(1).select(
+      StatTests.fisherExact(lit(3), lit(1), lit(1), lit(3)))
+      .head().getDouble(0)
+    // R: fisher.test(matrix(c(3,1,1,3),2,2))$p.value = 0.4857...
+    assert(math.abs(p - 0.4857142857) < 1e-9)
+  }
+
+  test("Aggs: callStats counts alleles correctly") {
+    val df = spark.createDataFrame(Seq((0, 0), (0, 1), (1, 1), (0, 0)))
+      .toDF("a1", "a2")
+      .select(Calls.diploid(col("a1"), col("a2")).as("c"))
+    val r = df.agg(Aggs.callStats(col("c"), 2).as("cs"))
+      .select(col("cs")("AC"), col("cs")("AN"),
+        col("cs")("homozygote_count")).head()
+    assert(r.getSeq[Long](0) === Seq(5L, 3L))
+    assert(r.getLong(1) === 8L)
+    assert(r.getSeq[Long](2) === Seq(2L, 1L))
+  }
+
+  test("Aggs: linreg recovers exact coefficients on noise-free data") {
+    // y = 3 + 2*x1 - 0.5*x2
+    val rows = (1 to 200).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 7).toDouble
+      (3.0 + 2.0 * x1 - 0.5 * x2, Seq(1.0, x1, x2))
+    }
+    val df = spark.createDataFrame(rows).toDF("y", "x")
+    val beta = df.agg(Aggs.linreg(col("y"), col("x"), 3).as("r"))
+      .select(col("r")("beta")).head().getSeq[Double](0)
+    assert(math.abs(beta(0) - 3.0) < 1e-8)
+    assert(math.abs(beta(1) - 2.0) < 1e-10)
+    assert(math.abs(beta(2) + 0.5) < 1e-8)
+  }
+
+  test("Aggs: product, imputeType, hist, sample") {
+    val df = spark.createDataFrame(Seq(1.5, 2.0, 4.0).map(Tuple1(_)))
+      .toDF("v")
+    assert(df.agg(Aggs.product(col("v"))).head().getDouble(0) === 12.0)
+
+    val types = spark.createDataFrame(
+      Seq("1", "2", "-5").map(Tuple1(_))).toDF("s")
+      .agg(Aggs.imputeType(col("s"))("inferred")).head().getString(0)
+    assert(types === "int64")
+
+    val h = spark.range(0, 100).select(col("id").cast("double").as("v"))
+      .agg(Aggs.hist(col("v"), 0.0, 100.0, 4).as("h"))
+      .select(col("h")("bin_freq")).head().getSeq[Long](0)
+    assert(h === Seq(25L, 25L, 25L, 25L))
+
+    val s1 = spark.range(0, 1000, 1, 4)
+      .select(col("id").cast("string").as("s"))
+      .agg(Aggs.sample(col("s"), 10)).head().getSeq[String](0)
+    val s2 = spark.range(0, 1000, 1, 9)
+      .select(col("id").cast("string").as("s"))
+      .agg(Aggs.sample(col("s"), 10)).head().getSeq[String](0)
+    assert(s1 === s2)  // deterministic under partitioning
+    assert(s1.size === 10)
+  }
+}
