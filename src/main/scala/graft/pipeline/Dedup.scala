@@ -49,28 +49,44 @@ object Dedup {
       : DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    // materialize shingles + band signatures ONCE: a self-join over an
+    // uncached plan would recompute the md5 minhash subtree on both sides
+    // (Catalyst duplicates the subtree), which dominated runtime by ~50x
     val sh = df
       .select(col(id).as("doc"), Text.shingles(col(text), shingleSize)
         .as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sig = sh.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("shingles"), s =>
-          md5(concat(s, lit("|"), i.cast("string")))))))
-    val banded = sig.select(col("doc"), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        md5(concat_ws("", (1 to rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r)): _*))))
-        .as(Seq("band", "bsig")))
-    val left = banded.select(col("band"), col("bsig"),
-      col("doc").as("id_a"), col("shingles").as("sh_a"))
-    val right = banded.select(col("band"), col("bsig"),
-      col("doc").as("id_b"), col("shingles").as("sh_b"))
-    val cand = left.join(right, Seq("band", "bsig"))
+      .persist()
+    // relational minhash: explode shingles and compute the hash family as
+    // plain codegen'd md5 columns + min() aggregates (md5 inside a
+    // higher-order transform lambda is interpreted — ~10x slower)
+    val hashed = sh
+      .select(col("doc"), explode(col("shingles")).as("s"))
+      .select(col("doc") +: (0 until numHashes).map(i =>
+        md5(concat(col("s"), lit(s"|$i"))).as(s"h$i")): _*)
+    val sig = hashed.groupBy(col("doc")).agg(
+      min(col("h0")).as("mh0"),
+      (1 until numHashes).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
+    val banded = sig
+      .select(col("doc"),
+        posexplode(array((0 until bands).map(b =>
+          md5(concat_ws("", (0 until rowsPerBand).map(r =>
+            col(s"mh${b * rowsPerBand + r}")): _*))): _*))
+          .as(Seq("band", "bsig")))
+      .persist()
+    banded.count() // pin before the self-join
+    val cand = banded.select(col("band"), col("bsig"), col("doc").as("id_a"))
+      .join(banded.select(col("band"), col("bsig"), col("doc").as("id_b")),
+        Seq("band", "bsig"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard", round(
+    val withSh = cand
+      .join(sh.select(col("doc").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+    withSh.withColumn("jaccard", round(
       size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) -
           size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"),
@@ -83,9 +99,23 @@ object Dedup {
     * distance <= `maxDist`. */
   def simhashPairs(df: DataFrame, id: String, text: String,
       prefixBits: Int = 16, maxDist: Int = 6): DataFrame = {
-    val sigs = df.select(col(id).as("doc"),
-      Text.simHash64(col(text)).as("sig"))
+    // relational simhash: explode tokens and take the 60 per-bit votes as
+    // plain sum() aggregates — fully codegen'd, unlike higher-order array
+    // folds (CodegenFallback, ~10x slower interpreted)
+    val tok = df.select(col(id).as("doc"),
+      explode(array_distinct(Text.tokens(col(text)))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10)
+        .cast("long"))
+    val votes = tok.groupBy(col("doc")).agg(
+      count(lit(1)).as("n"),
+      (0 until 60).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b")): _*)
+    val sigs = votes.select(col("doc"),
+      (0 until 60).map(b =>
+        when(col(s"b$b") * 2 > col("n"), math.pow(2.0, b).toLong)
+          .otherwise(0L)).reduce(_ + _).as("sig"))
       .withColumn("bucket", shiftright(col("sig"), 60 - prefixBits))
+      .persist()
     val l = sigs.select(col("bucket"), col("doc").as("id_a"),
       col("sig").as("sig_a"))
     val r = sigs.select(col("bucket"), col("doc").as("id_b"),

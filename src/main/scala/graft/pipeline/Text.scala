@@ -14,14 +14,22 @@ object Text {
 
   /** Distinct n-word shingles (1-based positions, matching the SQL oracle
     * formulation exactly). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          j => concat_ws(" ",
-            (0 until n).map(o => element_at(w, j + o)): _*))))
-      .otherwise(array().cast("array<string>"))
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** n-word shingles built by zipping the token array against its own
+    * shifted slices. `element_at(w, j+o)` inside a transform lambda would
+    * re-evaluate the tokenizing `split` for EVERY element (interpreted
+    * higher-order eval) — this form references the token array only at top
+    * level, so it is computed once per row. */
+  def shinglesOfTokens(w: Column, n: Int): Column = {
+    val zipped = (2 to n).foldLeft(w) { (acc, k) =>
+      // concat (not concat_ws): null-pads beyond the end become null
+      // shingles, filtered below — exactly dropping the trailing <n-grams
+      zip_with(acc, slice(w, lit(k), greatest(size(w) - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(zipped, s => s.isNotNull))
   }
 
   /** Stable 128-bit content fingerprint of the exact text. */
@@ -96,14 +104,20 @@ object Text {
     * bit-twiddling (no UDF). Near-duplicates differ in few bits. */
   def simHash64(text: Column): Column = {
     val w = array_distinct(tokens(text))
-    // token -> 64-bit hash from the first 16 hex chars of md5
-    val h = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-    val votes = (0 until 60).map { bit =>
-      val ones = size(filter(w, t =>
-        shiftright(h(t), bit).bitwiseAND(lit(1L)) === 1L))
-      when(ones * 2 > size(w), shiftleft(lit(1L), bit)).otherwise(0L)
-    }
-    votes.reduce(_ + _)
+    // hash every token ONCE (the hash array is referenced exactly once, so
+    // Catalyst cannot duplicate the md5 subtree), then accumulate all 60
+    // per-bit vote counters in a single aggregate pass over the tokens
+    val hs = transform(w, t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val counts = aggregate(hs, array_repeat(lit(0), 60), (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(59)), (c, b) =>
+        c + (h.bitwiseAND(pow(lit(2.0), b).cast("long")) =!= 0L)
+          .cast("int")))
+    // majority vote per bit -> set bit b (2^b exact in double for b<63)
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(59)), (c, b) =>
+        when(c * 2 > size(w), pow(lit(2.0), b).cast("long")).otherwise(0L)),
+      lit(0L), (a, v) => a + v)
   }
 
   /** Hamming distance between two 64-bit simhashes. */
