@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Table
+import graft.operators.Aggs
+
+/** Delimited-text table import/export with optional type imputation
+  * (reference `StringTableReader.scala`, python `import_table`
+  * `impex.py:1548`; `ImputeType` agg `AggOp.scala:29`).
+  *
+  * Imputation runs our `imputeType` aggregator over every column in ONE
+  * distributed pass (all columns' aggs in a single `agg`), then recasts —
+  * same two-phase plan as the reference, but the inference pass is a plain
+  * Spark aggregation. `spark.read.csv(inferSchema)` exists too; this path
+  * matches the reference's narrower int64/float64/boolean/string lattice. */
+object TextTable {
+
+  def importTable(spark: SparkSession, path: String, sep: String = "\t",
+      impute: Boolean = false, noHeader: Boolean = false): Table = {
+    val base = spark.read
+      .option("sep", sep)
+      .option("header", !noHeader)
+      .option("nullValue", "NA")
+      .csv(path)
+    if (!impute) Table(base)
+    else {
+      val aggs = base.columns.map(c =>
+        Aggs.imputeType(col(c))("inferred").as(c))
+      val inferred = base.agg(aggs.head, aggs.tail.toSeq: _*).head()
+      val casted = base.columns.zipWithIndex.foldLeft(base) {
+        case (df, (c, i)) =>
+          inferred.getString(i) match {
+            case "int64" => df.withColumn(c, col(c).cast("long"))
+            case "float64" => df.withColumn(c, col(c).cast("double"))
+            case "boolean" => df.withColumn(c, col(c).cast("boolean"))
+            case _ => df
+          }
+      }
+      Table(casted)
+    }
+  }
+
+  /** Export to delimited text (reference `TableTextWriter`,
+    * `TableWriter.scala:536`). */
+  def exportTable(t: Table, path: String, sep: String = "\t",
+      header: Boolean = true): Unit =
+    t.ensureKeyOrder().df.write
+      .option("sep", sep).option("header", header)
+      .mode("overwrite").csv(path)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{TextTable, Vcf}
+
+class SourcesSpec extends SparkSpec {
+
+  private val vcfText =
+    """##fileformat=VCFv4.2
+      |##INFO=<ID=AC,Number=A,Type=Integer,Description="AC">
+      |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	NA1	NA2	NA3
+      |chr1	100	rs1	A	G	50.0	PASS	AC=2;AN=6	GT:DP	0/1	0|0	1/1
+      |chr1	200	.	C	T,TT	.	q10	AC=1	GT:DP	0/2:7	.	0/0:9
+      |chr2	5	rs9	G	C	9.5	PASS	.	GT	1	0/1	./.
+      |""".stripMargin
+
+  private def writeVcf(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcf")
+    val f = dir.resolve("test.vcf")
+    java.nio.file.Files.writeString(f, vcfText)
+    f.toString
+  }
+
+  test("VCF read: variants, samples, calls, info, filters") {
+    val mt = Vcf.read(spark, writeVcf())
+    assert(mt.colValues.map(_.getString(0)) ===
+      IndexedSeq("NA1", "NA2", "NA3"))
+    val rows = mt.rows.orderBy("contig", "position").collect()
+    assert(rows.length === 3)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("contig") === "chr1")
+    assert(r0.getAs[Int]("position") === 100)
+    assert(r0.getAs[String]("rsid") === "rs1")
+    assert(r0.getAs[Seq[String]]("alt") === Seq("G"))
+    assert(r0.getAs[Double]("qual") === 50.0)
+    assert(r0.getAs[Map[String, String]]("info") ===
+      Map("AC" -> "2", "AN" -> "6"))
+    // entry GT decoding via entriesTable
+    val ents = mt.entriesTable.df
+      .select(col("position"), col("s"),
+        graft.functions.Calls.allele1(col("GT")),
+        graft.functions.Calls.allele2(col("GT")),
+        graft.functions.Calls.isPhased(col("GT")))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(ents((100, "NA1")) === ((0, 1, false)))
+    assert(ents((100, "NA2")) === ((0, 0, true)))
+    assert(ents((100, "NA3")) === ((1, 1, false)))
+    assert(ents((200, "NA1")) === ((0, 2, false)))
+    assert(!ents.contains((200, "NA2"))) // '.' -> missing, dropped
+    // haploid '1' for NA1 at chr2:5
+    val hap = mt.entriesTable.df
+      .filter(col("position") === 5 && col("s") === "NA1")
+      .select(graft.functions.Calls.ploidy(col("GT")),
+        graft.functions.Calls.allele1(col("GT"))).head()
+    assert(hap.getInt(0) === 1 && hap.getInt(1) === 1)
+    // DP secondary field string-typed in fields map
+    val dp = mt.entriesTable.df
+      .filter(col("position") === 200 && col("s") === "NA3")
+      .select(element_at(col("fields"), "DP")).head().getString(0)
+    assert(dp === "9")
+  }
+
+  test("VCF roundtrip: write then re-read preserves variants and GTs") {
+    val mt = Vcf.read(spark, writeVcf())
+    val outDir = java.nio.file.Files.createTempDirectory("graft_vcf_out")
+      .toString
+    Vcf.write(mt, outDir)
+    // stitch header + parts into one readable dir
+    val stitched = java.nio.file.Files.createTempDirectory("graft_vcf_rt")
+    val header = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/header.vcf"))
+    val parts = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$outDir/parts")).toArray.map(_.toString)
+      .filter(_.endsWith(".txt")).sorted
+      .map(p => java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p))).mkString
+    java.nio.file.Files.writeString(stitched.resolve("all.vcf"),
+      header + parts)
+    val back = Vcf.read(spark, stitched.resolve("all.vcf").toString)
+    assert(back.rows.count() === 3)
+    val gts = (m: MatrixTable) => m.entriesTable.df
+      .select(col("contig"), col("position"), col("s"), col("GT"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)) ->
+        r.getInt(3)).toMap
+    assert(gts(back) === gts(mt))
+  }
+
+  test("importTable with imputation infers int/float/bool/string") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    java.nio.file.Files.writeString(dir.resolve("t.tsv"),
+      "a\tb\tc\td\n1\t1.5\ttrue\tx\n2\t2.5\tfalse\ty\nNA\t3.5\ttrue\tz\n")
+    val t = TextTable.importTable(spark, dir.resolve("t.tsv").toString,
+      impute = true)
+    val sch = t.df.schema
+    assert(sch("a").dataType.typeName === "long")
+    assert(sch("b").dataType.typeName === "double")
+    assert(sch("c").dataType.typeName === "boolean")
+    assert(sch("d").dataType.typeName === "string")
+    assert(t.df.where(col("a").isNull).count() === 1) // NA -> null
+  }
+
+  test("export/import roundtrip via TSV") {
+    val t = Table.range(spark, 10).annotate("v" -> (col("idx") * 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv").toString
+    TextTable.exportTable(t, s"$dir/out")
+    val back = TextTable.importTable(spark, s"$dir/out", impute = true)
+    assert(back.df.count() === 10)
+    assert(back.df.agg(sum("v")).head().getLong(0) === 90L)
+  }
+}
