@@ -15,46 +15,67 @@ import graft.MatrixTable
   * parse is distributed and columnar-pruned: if the query only needs
   * CHROM/POS, Catalyst prunes the per-sample parsing subtree entirely.
   *
-  * Header (sample names, contig order) is tiny and read driver-side, like
-  * the reference's header pass. Result is a row-keyed `MatrixTable`:
-  * rows = variants, cols = samples, entries = struct(GT call, fields map).
+  * Header (sample names, INFO/FORMAT type declarations, contig order) is tiny
+  * and read driver-side, like the reference's header pass. INFO and FORMAT
+  * fields are **typed from their header declarations** (reference
+  * `io/vcf/LoadVCF.scala` `headerSignature`): Integer→int, Float→double,
+  * Flag→boolean, Number=1→scalar, Number=A/R/G/.→array. Undeclared data
+  * fields are ignored (the declared schema is the contract).
+  *
+  * Every cast in the parse path is *total*: inputs are regex-guarded before
+  * `cast`, so ANSI mode can never throw regardless of how Catalyst reorders
+  * the parse expressions relative to the header filter.
+  *
+  * Result is a row-keyed `MatrixTable`: rows = variants, cols = samples,
+  * entries = struct(GT call, typed FORMAT fields).
   */
 object Vcf {
 
   val FixedCols = 9 // CHROM POS ID REF ALT QUAL FILTER INFO FORMAT
 
-  /** Parse "0/1", "0|1", ".", "./." into our packed call int (see
-    * `graft.functions.Calls`): null for missing. */
-  def parseGt(gt: Column): Column = {
-    val parts = split(gt, "[/|]")
-    val a1 = element_at(parts, 1)
-    val a2 = try_element_at(parts, lit(2))
-    val phased = gt.contains("|")
-    when(a1 === "." || a1 === "" || gt.isNull, lit(null).cast("int"))
-      .otherwise(
-        when(a2.isNull || a2 === ".",
-          // haploid
-          shiftleft(lit(0x7fff), 16)
-            .bitwiseOR(shiftleft(a1.cast("int"), 1)))
-        .otherwise(
-          shiftleft(a2.cast("int"), 16)
-            .bitwiseOR(shiftleft(a1.cast("int"), 1))
-            .bitwiseOR(phased.cast("int"))))
+  // ---- total (never-throwing) casts for ANSI mode -------------------------
+
+  private val IntRe = "^[+-]?\\d+$"
+  private val FloatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+
+  /** Cast that yields null (never throws) on non-numeric input. The guard is
+    * inside the cast's child, so it is safe under any expression reordering —
+    * a bare `when(cond, c.cast(t))` is NOT (the cast branch can still be
+    * evaluated speculatively by collapsed projections). */
+  def safeInt(c: Column): Column = when(c.rlike(IntRe), c).cast("int")
+  def safeDouble(c: Column): Column = when(c.rlike(FloatRe), c).cast("double")
+
+  private def scalarCast(c: Column, typ: String): Column = typ match {
+    case "Integer" => safeInt(c)
+    case "Float"   => safeDouble(c)
+    case _         => when(c =!= "." && c =!= "", c) // String/Character
   }
 
-  /** Render our packed call back to VCF GT text. */
-  def formatGt(call: Column): Column = {
-    import graft.functions.Calls
-    when(call.isNull, "./.")
-      .otherwise(
-        when(Calls.ploidy(call) === 1, Calls.allele1(call).cast("string"))
-        .otherwise(concat(
-          Calls.allele1(call).cast("string"),
-          when(Calls.isPhased(call), "|").otherwise("/"),
-          Calls.allele2(call).cast("string"))))
+  // ---- header -------------------------------------------------------------
+
+  /** One `##INFO=<...>` / `##FORMAT=<...>` declaration. */
+  case class FieldDecl(id: String, number: String, typ: String) {
+    def isFlag: Boolean = typ == "Flag" || number == "0"
+    def isScalar: Boolean = number == "1"
+    def sparkType: DataType = {
+      val base: DataType = typ match {
+        case "Integer" => IntegerType
+        case "Float"   => DoubleType
+        case "Flag"    => BooleanType
+        case _         => StringType
+      }
+      if (isFlag || isScalar) base else ArrayType(base)
+    }
   }
 
-  case class Header(samples: IndexedSeq[String], lines: Seq[String])
+  case class Header(
+      samples: IndexedSeq[String],
+      lines: Seq[String],
+      info: Seq[FieldDecl],
+      format: Seq[FieldDecl])
+
+  private val declRe =
+    """##(INFO|FORMAT)=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+)""".r.unanchored
 
   /** Driver-side header scan (header is KBs; data can be TBs). */
   def readHeader(spark: SparkSession, path: String): Header = {
@@ -78,10 +99,83 @@ object Vcf {
     } finally in.close()
     val chromLine = lines.find(_.startsWith("#CHROM")).getOrElse(
       throw new IllegalArgumentException(s"no #CHROM header line in $path"))
-    Header(chromLine.split("\t").drop(FixedCols).toIndexedSeq, lines.toSeq)
+    val decls = lines.collect {
+      case declRe(kind, id, num, typ) => (kind, FieldDecl(id, num, typ))
+    }
+    Header(
+      chromLine.split("\t").drop(FixedCols).toIndexedSeq,
+      lines.toSeq,
+      decls.collect { case ("INFO", d) => d }.toSeq,
+      decls.collect { case ("FORMAT", d) => d }.toSeq)
   }
 
-  /** Read a VCF (or directory of VCFs) into a MatrixTable. */
+  // ---- GT codec -----------------------------------------------------------
+
+  /** Parse "0/1", "0|1", ".", "./." into our packed call int (see
+    * `graft.functions.Calls`): null for missing. Total under ANSI. */
+  def parseGt(gt: Column): Column = {
+    val parts = split(gt, "[/|]")
+    val a1 = safeInt(element_at(parts, 1))
+    val a2 = safeInt(try_element_at(parts, lit(2)))
+    val phased = gt.contains("|")
+    when(a1.isNull || gt.isNull, lit(null).cast("int"))
+      .otherwise(
+        when(a2.isNull,
+          // haploid
+          shiftleft(lit(0x7fff), 16).bitwiseOR(shiftleft(a1, 1)))
+        .otherwise(
+          shiftleft(a2, 16)
+            .bitwiseOR(shiftleft(a1, 1))
+            .bitwiseOR(phased.cast("int"))))
+  }
+
+  /** Render our packed call back to VCF GT text. */
+  def formatGt(call: Column): Column = {
+    import graft.functions.Calls
+    when(call.isNull, "./.")
+      .otherwise(
+        when(Calls.ploidy(call) === 1, Calls.allele1(call).cast("string"))
+        .otherwise(concat(
+          Calls.allele1(call).cast("string"),
+          when(Calls.isPhased(call), "|").otherwise("/"),
+          Calls.allele2(call).cast("string"))))
+  }
+
+  // ---- read ---------------------------------------------------------------
+
+  /** Typed value of one INFO declaration out of the raw `k=v` map. */
+  private def infoField(m: Column, d: FieldDecl): Column = {
+    val raw = element_at(m, d.id)
+    val c =
+      if (d.isFlag) map_contains_key(m, d.id)
+      else if (d.isScalar) scalarCast(raw, d.typ)
+      else when(raw.isNotNull && raw =!= ".",
+        transform(split(raw, ","), v => scalarCast(v, d.typ)))
+    c.as(d.id)
+  }
+
+  /** Typed value of one FORMAT declaration from the per-entry `:`-split
+    * values, located positionally via the row's FORMAT keys. */
+  private def formatField(vals: Column, keys: Column, d: FieldDecl): Column = {
+    val pos = array_position(keys, d.id) // 0 when absent
+    // null index (not a 0 index guarded by `when`) — element_at null-skips
+    // via nullSafeEval, so this can never throw even when evaluated
+    // speculatively on a non-matching row
+    val raw = try_element_at(vals, when(pos > 0, pos.cast("int")))
+    val c =
+      if (d.isScalar || d.isFlag) scalarCast(raw, d.typ)
+      else when(raw.isNotNull && raw =!= ".",
+        transform(split(raw, ","), v => scalarCast(v, d.typ)))
+    c.as(d.id)
+  }
+
+  /** Read a VCF (or directory of VCFs) into a MatrixTable.
+    *
+    * Row schema: contig, position, rsid, ref, alt, qual, filters,
+    * `info: struct<declared fields>` (or `map<string,string>` when the header
+    * declares nothing). Entry schema: `GT: int` (packed call) + one typed
+    * field per non-GT FORMAT declaration. A bare "." sample entry is a
+    * missing (null) entry struct. */
   def read(spark: SparkSession, path: String): MatrixTable = {
     val header = readHeader(spark, path)
     val n = header.samples.length
@@ -92,27 +186,40 @@ object Vcf {
     val fieldAt = (i: Int) => element_at(f, i + 1)
     val entryStrs = slice(f, FixedCols + 1, n)
     val formatKeys = split(fieldAt(8), ":")
+    val infoMap = when(fieldAt(7) === ".",
+        expr("map()").cast("map<string,string>"))
+      .otherwise(str_to_map(fieldAt(7), lit(";"), lit("=")))
+    val infoCol =
+      if (header.info.nonEmpty)
+        struct(header.info.map(d => infoField(infoMap, d)): _*)
+      else infoMap
+    val fmtDecls = header.format.filterNot(_.id == "GT")
+    val entryCol = transform(entryStrs, e => {
+      val vals = split(e, ":")
+      val gtPos = array_position(formatKeys, "GT")
+      val gt = parseGt(try_element_at(vals, when(gtPos > 0, gtPos.cast("int"))))
+      val entry =
+        if (fmtDecls.nonEmpty)
+          struct((gt.as("GT") +: fmtDecls.map(d =>
+            formatField(vals, formatKeys, d))): _*)
+        else
+          struct(gt.as("GT"),
+            map_from_arrays(formatKeys, transform(formatKeys, (k, i) =>
+              try_element_at(vals, i + 1))).as("fields"))
+      when(e =!= "." && e =!= "", entry) // fully-missing sample → null entry
+    })
     val parsed = raw.select(
       fieldAt(0).as("contig"),
-      fieldAt(1).cast("int").as("position"),
-      when(fieldAt(2) === ".", lit(null).cast("string")).otherwise(fieldAt(2))
-        .as("rsid"),
+      safeInt(fieldAt(1)).as("position"),
+      when(fieldAt(2) =!= ".", fieldAt(2)).as("rsid"),
       fieldAt(3).as("ref"),
       split(fieldAt(4), ",").as("alt"),
-      when(fieldAt(5) === ".", lit(null).cast("double"))
-        .otherwise(fieldAt(5).cast("double")).as("qual"),
+      safeDouble(fieldAt(5)).as("qual"),
       when(fieldAt(6) === "." || fieldAt(6) === "PASS",
         array().cast("array<string>")).otherwise(split(fieldAt(6), ";"))
         .as("filters"),
-      when(fieldAt(7) === ".", expr("map()").cast("map<string,string>"))
-        .otherwise(str_to_map(fieldAt(7), lit(";"), lit("="))).as("info"),
-      transform(entryStrs, e => {
-        val vals = split(e, ":")
-        struct(
-          parseGt(try_element_at(vals, lit(1))).as("GT"),
-          map_from_arrays(formatKeys, transform(formatKeys, (k, i) =>
-            try_element_at(vals, i + 1))).as("fields"))
-      }).as(MatrixTable.EntriesField))
+      infoCol.as("info"),
+      entryCol.as(MatrixTable.EntriesField))
     MatrixTable(
       rows = parsed,
       rowKey = Seq("contig", "position", "ref", "alt"),
@@ -121,11 +228,51 @@ object Vcf {
       colKey = Seq("s"))
   }
 
+  // ---- write --------------------------------------------------------------
+
+  private def renderValue(c: Column, dt: DataType): Column = dt match {
+    case ArrayType(et, _) =>
+      when(c.isNull, ".").otherwise(
+        concat_ws(",", transform(c, v => coalesce(v.cast("string"), lit(".")))))
+    case _ => coalesce(c.cast("string"), lit("."))
+  }
+
   /** Export a MatrixTable (shaped as produced by `read`) to VCF part files
     * under `path` (distributed text write; one header written driver-side,
-    * matching the reference's sharded export). */
+    * matching the reference's sharded export, `io/vcf/ExportVCF.scala`).
+    * Renders GT plus every other entry field; INFO struct fields are emitted
+    * by declaration (Flag → bare name, arrays comma-joined, nulls skipped). */
   def write(mt: MatrixTable, path: String): Unit = {
     val spark = mt.rows.sparkSession
+    val entrySchema = mt.rows.schema(MatrixTable.EntriesField).dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    val fmtFields = entrySchema.fields.filterNot(f =>
+      f.name == "GT" || f.name == "fields")
+    val fmtHeader = ("GT" +: fmtFields.map(_.name)).mkString(":")
+    val infoSchema = mt.rows.schema("info").dataType
+    val infoText: Column = infoSchema match {
+      case st: StructType =>
+        val parts = st.fields.map { fld =>
+          val v = col("info")(fld.name)
+          fld.dataType match {
+            case BooleanType => when(v === true, fld.name)
+            case dt => when(v.isNotNull,
+              concat(lit(fld.name), lit("="), renderValue(v, dt)))
+          }
+        }
+        val joined = concat_ws(";", parts.toSeq: _*)
+        when(length(joined) === 0, ".").otherwise(joined)
+      case _: MapType =>
+        when(size(map_keys(col("info"))) === 0, lit("."))
+          .otherwise(concat_ws(";",
+            transform(map_entries(col("info")),
+              kv => concat(kv("key"), lit("="), kv("value")))))
+      case _ => lit(".")
+    }
+    val renderEntry = (e: Column) =>
+      when(e.isNull, ".").otherwise(concat_ws(":",
+        (formatGt(e("GT")) +: fmtFields.toSeq.map(fld =>
+          renderValue(e(fld.name), fld.dataType))): _*))
     val gtLine = concat_ws("\t",
       (Seq(
         col("contig"), col("position").cast("string"),
@@ -134,14 +281,10 @@ object Vcf {
         coalesce(col("qual").cast("string"), lit(".")),
         when(size(col("filters")) === 0, "PASS")
           .otherwise(concat_ws(";", col("filters"))),
-        when(size(map_keys(col("info"))) === 0, lit("."))
-          .otherwise(concat_ws(";",
-            transform(map_entries(col("info")),
-              kv => concat(kv("key"), lit("="), kv("value"))))),
-        lit("GT")) :+
+        infoText,
+        lit(fmtHeader)) :+
         concat_ws("\t",
-          transform(col(MatrixTable.EntriesField),
-            e => formatGt(e("GT"))))): _*)
+          transform(col(MatrixTable.EntriesField), renderEntry))): _*)
     val sorted = mt.rows
       .repartitionByRange(col("contig"), col("position"))
       .sortWithinPartitions(col("contig"), col("position"))
@@ -152,9 +295,38 @@ object Vcf {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/header.vcf"))
     val samples = mt.colValues.map(_.getString(0))
+    val declLines = new StringBuilder
+    infoSchema match {
+      case st: StructType => st.fields.foreach { fld =>
+        val (num, t) = fld.dataType match {
+          case BooleanType => ("0", "Flag")
+          case IntegerType => ("1", "Integer")
+          case DoubleType => ("1", "Float")
+          case ArrayType(IntegerType, _) => (".", "Integer")
+          case ArrayType(DoubleType, _) => (".", "Float")
+          case ArrayType(_, _) => (".", "String")
+          case _ => ("1", "String")
+        }
+        declLines ++= s"""##INFO=<ID=${fld.name},Number=$num,Type=$t,Description="">""" + "\n"
+      }
+      case _ =>
+    }
+    declLines ++= """##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">""" + "\n"
+    fmtFields.foreach { fld =>
+      val (num, t) = fld.dataType match {
+        case IntegerType => ("1", "Integer")
+        case DoubleType => ("1", "Float")
+        case ArrayType(IntegerType, _) => (".", "Integer")
+        case ArrayType(DoubleType, _) => (".", "Float")
+        case ArrayType(_, _) => (".", "String")
+        case _ => ("1", "String")
+      }
+      declLines ++= s"""##FORMAT=<ID=${fld.name},Number=$num,Type=$t,Description="">""" + "\n"
+    }
     out.write((
       "##fileformat=VCFv4.2\n" +
       "##source=graft\n" +
+      declLines.toString +
       "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
       samples.mkString("\t") + "\n").getBytes("UTF-8"))
     out.close()

@@ -8,9 +8,13 @@ class SourcesSpec extends SparkSpec {
   private val vcfText =
     """##fileformat=VCFv4.2
       |##INFO=<ID=AC,Number=A,Type=Integer,Description="AC">
+      |##INFO=<ID=AN,Number=1,Type=Integer,Description="AN">
+      |##INFO=<ID=DB,Number=0,Type=Flag,Description="dbSNP">
+      |##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+      |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">
       |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	NA1	NA2	NA3
-      |chr1	100	rs1	A	G	50.0	PASS	AC=2;AN=6	GT:DP	0/1	0|0	1/1
-      |chr1	200	.	C	T,TT	.	q10	AC=1	GT:DP	0/2:7	.	0/0:9
+      |chr1	100	rs1	A	G	50.0	PASS	AC=2;AN=6;DB	GT:DP	0/1	0|0	1/1
+      |chr1	200	.	C	T,TT	.	q10	AC=1,3	GT:DP	0/2:7	.	0/0:9
       |chr2	5	rs9	G	C	9.5	PASS	.	GT	1	0/1	./.
       |""".stripMargin
 
@@ -33,10 +37,18 @@ class SourcesSpec extends SparkSpec {
     assert(r0.getAs[String]("rsid") === "rs1")
     assert(r0.getAs[Seq[String]]("alt") === Seq("G"))
     assert(r0.getAs[Double]("qual") === 50.0)
-    assert(r0.getAs[Map[String, String]]("info") ===
-      Map("AC" -> "2", "AN" -> "6"))
+    // typed INFO struct per header declarations
+    val info0 = r0.getAs[org.apache.spark.sql.Row]("info")
+    assert(info0.getAs[Seq[Int]]("AC") === Seq(2))
+    assert(info0.getAs[Int]("AN") === 6)
+    assert(info0.getAs[Boolean]("DB") === true)
+    val info1 = rows(1).getAs[org.apache.spark.sql.Row]("info")
+    assert(info1.getAs[Seq[Int]]("AC") === Seq(1, 3))
+    assert(info1.isNullAt(info1.fieldIndex("AN")))
+    assert(info1.getAs[Boolean]("DB") === false)
     // entry GT decoding via entriesTable
     val ents = mt.entriesTable.df
+      .filter(col("GT").isNotNull)
       .select(col("position"), col("s"),
         graft.functions.Calls.allele1(col("GT")),
         graft.functions.Calls.allele2(col("GT")),
@@ -54,11 +66,16 @@ class SourcesSpec extends SparkSpec {
       .select(graft.functions.Calls.ploidy(col("GT")),
         graft.functions.Calls.allele1(col("GT"))).head()
     assert(hap.getInt(0) === 1 && hap.getInt(1) === 1)
-    // DP secondary field string-typed in fields map
+    // DP typed int per FORMAT declaration
     val dp = mt.entriesTable.df
       .filter(col("position") === 200 && col("s") === "NA3")
-      .select(element_at(col("fields"), "DP")).head().getString(0)
-    assert(dp === "9")
+      .select(col("DP")).head().getInt(0)
+    assert(dp === 9)
+    // missing DP (FORMAT lacks DP on chr2) is null, not an error
+    val noDp = mt.entriesTable.df
+      .filter(col("position") === 5 && col("s") === "NA2")
+      .select(col("DP")).head()
+    assert(noDp.isNullAt(0))
   }
 
   test("VCF roundtrip: write then re-read preserves variants and GTs") {
@@ -80,9 +97,10 @@ class SourcesSpec extends SparkSpec {
     val back = Vcf.read(spark, stitched.resolve("all.vcf").toString)
     assert(back.rows.count() === 3)
     val gts = (m: MatrixTable) => m.entriesTable.df
-      .select(col("contig"), col("position"), col("s"), col("GT"))
+      .filter(col("GT").isNotNull)
+      .select(col("contig"), col("position"), col("s"), col("GT"), col("DP"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)) ->
-        r.getInt(3)).toMap
+        ((r.getInt(3), if (r.isNullAt(4)) -1 else r.getInt(4)))).toMap
     assert(gts(back) === gts(mt))
   }
 
