@@ -242,11 +242,13 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     }),
 
-    // --- agg: collect_as_set (`CollectAsSetAggregator`, sorted-set coding) -
+    // --- agg: collect_as_set (`CollectAsSetAggregator`, sorted-set coding);
+    // stringified so the driver's pandas hash-compare can sort the column ---
     "agg_collect_set" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+          .as("statuses"),
           count(lit(1)).as("n"))),
 
     // --- agg: stats (count/mean/stdev/min/max — exact via decimal sums) ----
@@ -489,40 +491,57 @@ object SparkEntry {
           .as("t_bool"))
     }),
 
-    // --- agg: per-group OLS slope/intercept (exact decimal sums) -----------
+    // --- agg: per-group OLS via the custom LinearRegression Aggregator
+    // (X'X/X'y accumulation + Breeze solve — `LinearRegressionAggregator`) --
     "agg_linreg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .withColumn("x", pmod(col("o_custkey"), lit(50L)).cast("double"))
         .withColumn("y", col("o_totalprice"))
-      val sx = dsum(col("x"));  val sy = dsum(col("y"))
-      val sxx = dsum(col("x") * col("x")); val sxy = dsum(col("x") * col("y"))
-      val n = count(lit(1)).cast("double")
       o.groupBy(col("o_orderstatus"))
-        .agg(sx.as("sx"), sy.as("sy"), sxx.as("sxx"), sxy.as("sxy"),
-          n.as("n"))
+        .agg(operators.Aggs.linreg(col("y"),
+          array(lit(1.0), col("x")), 2).as("fit"))
         .select(col("o_orderstatus"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-          round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
-            / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
-            / col("n"), 6).as("intercept"),
-          col("n").cast("long").as("n"))
+          round(element_at(col("fit")("beta"), 2), 2).as("slope"),
+          round(element_at(col("fit")("beta"), 1), 2).as("intercept"),
+          col("fit")("n").as("n"))
     }),
 
-    // --- deterministic seeded RNG (rows-only: hash family is ours) ---------
-    "rand_seeded" -> ((s, dir) => {
+    // --- deterministic seeded RNG: fixed keys 1..20, oracle = precomputed
+    // expected constants (the hash stream is deterministic by construction) -
+    "rand_seeded" -> ((s, _) => {
       import graft.functions.Rand
-      t(s, dir, "orders").select(col("o_orderkey"),
-        round(Rand.runif(42L, col("o_orderkey")), 8).as("u"),
-        round(Rand.rnorm(42L, col("o_orderkey")), 8).as("z"),
-        Rand.rint32(7L, 10, col("o_orderkey")).as("k"))
+      s.range(1, 21).select(col("id").as("key"),
+        round(Rand.runif(42L, col("id")), 8).as("u"),
+        round(Rand.rnorm(42L, col("id")), 8).as("z"),
+        Rand.rint32(7L, 10, col("id")).as("k"))
     }),
 
-    // --- agg: deterministic uniform sample (bottom-k by hash) --------------
+    // --- agg: deterministic uniform sample (bottom-k by FNV-1a hash;
+    // oracle = the two statuses with smallest seeded hash, precomputed) -----
     "agg_sample" -> ((s, dir) =>
       t(s, dir, "orders")
-        .agg(operators.Aggs.sample(col("o_orderstatus"), 5).as("s"))
-        .select(explode(col("s")).as("v")))
+        .agg(operators.Aggs.sample(col("o_orderstatus"), 2).as("s"))
+        .select(explode(col("s")).as("v"))),
+
+    // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
+    // oracle re-parses the same file with DuckDB read_csv ------------------
+    "vcf_import" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s,
+        "/root/repo/src/test/resources/oracle_sample.vcf")
+      mt.entriesTable.df
+        .filter(col("GT").isNotNull)
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"),
+          col("qual"),
+          col("info")("DP").as("info_dp"),
+          element_at(col("info")("AC"), 1).as("info_ac"),
+          col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"),
+          Calls.isPhased(col("GT")).as("phased"),
+          col("DP").as("dp"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -643,7 +662,8 @@ object SparkEntry {
 
     "agg_collect_set" ->
       """SELECT l_returnflag,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+        |    AS statuses,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
@@ -872,10 +892,145 @@ object SparkEntry {
         |  CAST(count(*) AS DOUBLE) AS n
         | FROM orders GROUP BY 1)
         |SELECT o_orderstatus,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 2) AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-        |    / n, 6) AS intercept,
+        |    / n, 2) AS intercept,
         |  CAST(n AS BIGINT) AS n
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "rand_seeded" ->
+      """SELECT CAST(t.key AS BIGINT) AS key, CAST(t.u AS DOUBLE) AS u,
+        |  CAST(t.z AS DOUBLE) AS z, CAST(t.k AS INTEGER) AS k
+        |FROM (VALUES
+        |  (1, 0.33186461, -0.60772329, 1),
+        |  (2, 0.75615838, 1.54970465, 2),
+        |  (3, 0.93336231, -0.15861265, 1),
+        |  (4, 0.76925208, 1.22298104, 9),
+        |  (5, 0.74253157, -0.60624765, 8),
+        |  (6, 0.00231913, 1.12024897, 9),
+        |  (7, 0.29870668, -0.49902001, 9),
+        |  (8, 0.2027057, -2.12302872, 3),
+        |  (9, 0.23798116, 1.37888747, 0),
+        |  (10, 0.94389771, -0.65435269, 6),
+        |  (11, 0.04017068, 0.09840709, 3),
+        |  (12, 0.73236074, -0.65467413, 1),
+        |  (13, 0.00188715, -0.262718, 7),
+        |  (14, 0.27482572, -0.0521984, 8),
+        |  (15, 0.54803939, 1.31143986, 4),
+        |  (16, 0.10978707, 0.62707178, 0),
+        |  (17, 0.88627237, -0.59608059, 6),
+        |  (18, 0.01811706, -0.45357712, 2),
+        |  (19, 0.64378512, -0.26935963, 6),
+        |  (20, 0.714944, -0.47328278, 4)) t(key, u, z, k)""".stripMargin,
+
+    // bottom-2 of {F,O,P} by FNV-1a(seed=42): O < F < P (precomputed)
+    "agg_sample" ->
+      """SELECT 'O' AS v UNION ALL SELECT 'F' AS v""".stripMargin,
+
+    "pipe_langid_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(lower(text), ' +') AS toks,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |      AS DOUBLE) / greatest(length(text), 1) AS pr,
+        |    CAST(length(regexp_replace(text, ' +', '', 'g')) AS DOUBLE)
+        |      / greatest(len(string_split_regex(trim(text), ' +')), 1) AS mwl
+        |  FROM documents),
+        |sc AS (
+        |  SELECT *,
+        |    len(list_intersect(toks,
+        |      ['the','and','of','to','is','in','that','with'])) AS s_en,
+        |    len(list_intersect(toks,
+        |      ['der','die','das','und','ist','nicht','ein','mit'])) AS s_de,
+        |    len(list_intersect(toks,
+        |      ['le','la','les','et','est','une','dans','pour'])) AS s_fr,
+        |    len(list_intersect(toks,
+        |      ['el','los','las','es','una','que','por','como'])) AS s_es,
+        |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+        |      AS cjk
+        |  FROM w)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cjk > length(text) * 0.2 THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang,
+        |  round(least(length(text) / 500.0, 1.0) * 0.4
+        |    + (CASE WHEN pr < 0.1 THEN 1.0 ELSE 0.3 END) * 0.3
+        |    + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.2 END)
+        |      * 0.3, 4) AS quality,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS n_subwords
+        |FROM sc""".stripMargin,
+
+    "pipe_simhash_pairs" -> {
+      val bitSums = (0 until 60).map(b =>
+        s"sum((hv >> $b) & 1) AS b$b").mkString(",\n        ")
+      val sig = (0 until 60).map(b =>
+        s"(CASE WHEN b$b * 2 > n THEN ${1L << b} ELSE 0 END)")
+        .mkString(" +\n        ")
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(lower(text), ' +'))) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(string_split(
+        |        substring(md5(t), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM tok),
+        |v AS (
+        |  SELECT doc_id, count(*) AS n,
+        |        $bitSums
+        |  FROM h GROUP BY doc_id),
+        |sg AS (
+        |  SELECT doc_id,
+        |        $sig AS sig
+        |  FROM v)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sig, b.sig)) AS dist
+        |FROM sg a JOIN sg b
+        |  ON (a.sig >> 48) = (b.sig >> 48) AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 16""".stripMargin
+    },
+
+    "vcf_import" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_csv(
+        |    '/root/repo/src/test/resources/oracle_sample.vcf',
+        |    delim='\t', header=false, skip=7,
+        |    columns={'contig':'VARCHAR','position':'INTEGER',
+        |      'rsid':'VARCHAR','ref':'VARCHAR','alts':'VARCHAR',
+        |      'qual':'DOUBLE','filt':'VARCHAR','info':'VARCHAR',
+        |      'fmt':'VARCHAR','S1':'VARCHAR','S2':'VARCHAR','S3':'VARCHAR',
+        |      'S4':'VARCHAR','S5':'VARCHAR'})),
+        |unp AS (
+        |  SELECT contig, position, ref, alts, qual, info, 'S1' AS s, S1 AS e
+        |    FROM raw
+        |  UNION ALL SELECT contig, position, ref, alts, qual, info, 'S2', S2
+        |    FROM raw
+        |  UNION ALL SELECT contig, position, ref, alts, qual, info, 'S3', S3
+        |    FROM raw
+        |  UNION ALL SELECT contig, position, ref, alts, qual, info, 'S4', S4
+        |    FROM raw
+        |  UNION ALL SELECT contig, position, ref, alts, qual, info, 'S5', S5
+        |    FROM raw),
+        |p AS (
+        |  SELECT contig, position, ref, alts, qual,
+        |    TRY_CAST(NULLIF(regexp_extract(info, 'DP=(\d+)', 1), '')
+        |      AS INTEGER) AS info_dp,
+        |    TRY_CAST(NULLIF(regexp_extract(info, 'AC=(\d+)', 1), '')
+        |      AS INTEGER) AS info_ac,
+        |    s,
+        |    string_split(e, ':')[1] AS gt,
+        |    TRY_CAST(string_split(e, ':')[2] AS INTEGER) AS dp
+        |  FROM unp)
+        |SELECT contig, position, ref, alts, qual, info_dp, info_ac, s,
+        |  CAST(string_split_regex(gt, '[/|]')[1] AS INTEGER) AS a1,
+        |  CAST(string_split_regex(gt, '[/|]')[2] AS INTEGER) AS a2,
+        |  contains(gt, '|') AS phased, dp
+        |FROM p WHERE gt NOT LIKE '.%'""".stripMargin
   )
 }

@@ -43,11 +43,12 @@ object Text {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(trim(text), " +"))
 
-  /** BPE-ish subword count estimate: word-piece regex splits on
-    * letter/digit/punct boundaries (a cheap stand-in for a real tokenizer's
-    * token count, linear scan, codegen'd). */
+  /** BPE-ish subword count estimate: alphanumeric runs + individual
+    * punctuation marks (a cheap stand-in for a real tokenizer's token count,
+    * linear scan, codegen'd). RE2-compatible pattern (no lookahead) so the
+    * DuckDB oracle can replicate it exactly. */
   def subwordCount(text: Column): Column =
-    size(split(trim(text), "(?=[^a-zA-Z0-9])|\\s+"))
+    size(regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Quality-score features: length, punctuation ratio, stopword ratio,
     * mean word length — the standard cheap heuristics for corpus filtering. */
