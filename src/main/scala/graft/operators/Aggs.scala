@@ -183,6 +183,8 @@ object Aggs {
         org.apache.spark.sql.catalyst.encoders
           .ExpressionEncoder[Seq[(Double, Double)]]()
     }
+  def downsample(x: Column, y: Column, factor: Int): Column =
+    udaf(downsampleAgg(factor)).apply(x, y)
 
   // ---- impute_type (schema inference over strings) ------------------------
 

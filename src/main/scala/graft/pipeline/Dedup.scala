@@ -44,22 +44,27 @@ object Dedup {
     * concentrate on true near-dups, so the join output is ~linear in the
     * number of real duplicate pairs. Returns (id_a, id_b) with the verified
     * shingle-set Jaccard similarity. */
-  def minhashPairs(df: DataFrame, id: String, text: String,
-      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3)
+  /** Shingle sets per doc, behind a forced exchange: the set is consumed
+    * multiple times (minhash pass + verify joins) and Catalyst's
+    * ReuseExchange computes one shared shuffle instead of re-deriving the
+    * md5/shingle subtree per consumer. Disk-backed shuffle, not executor
+    * memory — the round-1 version persisted the full shingle sets
+    * (O(corpus) memory, leaked un-unpersisted). */
+  private def shingleSets(df: DataFrame, id: String, text: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(id).as("doc"), Text.shingles(col(text), shingleSize)
+        .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .repartition(col("doc"))
+
+  /** (doc, band, bsig) band signatures — relational minhash: explode
+    * shingles and compute the hash family as plain codegen'd md5 columns +
+    * min() aggregates (md5 inside a higher-order transform lambda is
+    * interpreted — ~10x slower). */
+  private def bandSignatures(sh: DataFrame, numHashes: Int, bands: Int)
       : DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
-    // materialize shingles + band signatures ONCE: a self-join over an
-    // uncached plan would recompute the md5 minhash subtree on both sides
-    // (Catalyst duplicates the subtree), which dominated runtime by ~50x
-    val sh = df
-      .select(col(id).as("doc"), Text.shingles(col(text), shingleSize)
-        .as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist()
-    // relational minhash: explode shingles and compute the hash family as
-    // plain codegen'd md5 columns + min() aggregates (md5 inside a
-    // higher-order transform lambda is interpreted — ~10x slower)
     val hashed = sh
       .select(col("doc"), explode(col("shingles")).as("s"))
       .select(col("doc") +: (0 until numHashes).map(i =>
@@ -67,16 +72,36 @@ object Dedup {
     val sig = hashed.groupBy(col("doc")).agg(
       min(col("h0")).as("mh0"),
       (1 until numHashes).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
-    val banded = sig
-      .select(col("doc"),
-        posexplode(array((0 until bands).map(b =>
-          md5(concat_ws("", (0 until rowsPerBand).map(r =>
-            col(s"mh${b * rowsPerBand + r}")): _*))): _*))
-          .as(Seq("band", "bsig")))
-      .persist()
-    banded.count() // pin before the self-join
-    val cand = banded.select(col("band"), col("bsig"), col("doc").as("id_a"))
-      .join(banded.select(col("band"), col("bsig"), col("doc").as("id_b")),
+    sig.select(col("doc"),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws("", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}")): _*))): _*))
+        .as(Seq("band", "bsig")))
+  }
+
+  /** Keep only buckets with 2..maxBucketSize members: singletons produce no
+    * pairs, and a degenerate bucket (boilerplate text shared by k docs)
+    * makes the self-join O(k²). Oversized buckets are dropped — at corpus
+    * scale those are near-identical boilerplate the caller should collapse
+    * with `exact`/`byFingerprint` first; count them with
+    * `oversizedBuckets` when tuning. */
+  private def capBuckets(banded: DataFrame, byCols: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val buckets = banded.groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucketSize)
+      .select(byCols.map(col): _*)
+    banded.join(buckets, byCols)
+  }
+
+  def minhashPairs(df: DataFrame, id: String, text: String,
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sh = shingleSets(df, id, text, shingleSize)
+    val banded = bandSignatures(sh, numHashes, bands)
+    val pruned = capBuckets(banded, Seq("band", "bsig"), maxBucketSize)
+    val cand = pruned.select(col("band"), col("bsig"), col("doc").as("id_a"))
+      .join(pruned.select(col("band"), col("bsig"), col("doc").as("id_b")),
         Seq("band", "bsig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -94,11 +119,21 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Diagnostic: LSH band buckets larger than `maxBucketSize` (dropped by
+    * `minhashPairs`); returns (band, bsig, n) for cap tuning. */
+  def oversizedBuckets(df: DataFrame, id: String, text: String,
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame =
+    bandSignatures(shingleSets(df, id, text, shingleSize), numHashes, bands)
+      .groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
+
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal top-k-bit
     * prefix bucket (cheap LSH for hamming space), verified by full hamming
     * distance <= `maxDist`. */
   def simhashPairs(df: DataFrame, id: String, text: String,
-      prefixBits: Int = 16, maxDist: Int = 6): DataFrame = {
+      prefixBits: Int = 16, maxDist: Int = 6,
+      maxBucketSize: Int = 10000): DataFrame = {
     // relational simhash: explode tokens and take the 60 per-bit votes as
     // plain sum() aggregates — fully codegen'd, unlike higher-order array
     // folds (CodegenFallback, ~10x slower interpreted)
@@ -110,15 +145,17 @@ object Dedup {
       count(lit(1)).as("n"),
       (0 until 60).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b")): _*)
+    // no persist: `sigs` descends from the groupBy(doc) exchange, which
+    // ReuseExchange shares between the self-join sides and the bucket count
     val sigs = votes.select(col("doc"),
       (0 until 60).map(b =>
         when(col(s"b$b") * 2 > col("n"), math.pow(2.0, b).toLong)
           .otherwise(0L)).reduce(_ + _).as("sig"))
       .withColumn("bucket", shiftright(col("sig"), 60 - prefixBits))
-      .persist()
-    val l = sigs.select(col("bucket"), col("doc").as("id_a"),
+    val pruned = capBuckets(sigs, Seq("bucket"), maxBucketSize)
+    val l = pruned.select(col("bucket"), col("doc").as("id_a"),
       col("sig").as("sig_a"))
-    val r = sigs.select(col("bucket"), col("doc").as("id_b"),
+    val r = pruned.select(col("bucket"), col("doc").as("id_b"),
       col("sig").as("sig_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("dist", Text.hammingDist64(col("sig_a"), col("sig_b")))

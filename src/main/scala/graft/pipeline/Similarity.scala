@@ -64,21 +64,32 @@ object Similarity {
       when(dot(vec, pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** LSH bucket of a local vector — plain driver-side math (the round-1
+    * version ran a single-row Spark job to compute this constant). */
+  def lshBucketLocal(vec: Seq[Float], planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(vec).map { case (w, v) => w * v.toDouble }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+
   /** IVF/LSH-bucketed ANN: bucket all vectors, then search only the query's
-    * bucket (single-probe; callers can OR several probe buckets). Trades
-    * recall for a 2^nPlanes candidate reduction — the scale path when
-    * brute force over 100 TB of vectors is off the table. */
+    * probe buckets. `probes = 1` searches the exact bucket; `probes > 1`
+    * additionally searches all buckets at Hamming distance 1 (multi-probe
+    * LSH — the standard recall booster: near neighbors most often land in a
+    * bucket differing by one sign bit). Trades recall for a ~2^nPlanes/probes
+    * candidate reduction — the scale path when brute force over 100 TB of
+    * vectors is off the table. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, nPlanes: Int = 8, seed: Long = 42L)
-      : DataFrame = {
+      query: Seq[Float], k: Int, nPlanes: Int = 8, seed: Long = 42L,
+      probes: Int = 1): DataFrame = {
     val planes = hyperplanes(query.length, nPlanes, seed)
     val qVec = array(query.map(lit): _*)
-    val bucketed = df.withColumn("bucket",
-      lshBucket(col(vecCol), planes))
-    val qBucketRow = df.sparkSession.range(1).select(
-      lshBucket(qVec, planes).as("qb")).head()
-    val qb = qBucketRow.getLong(0)
-    bucketed.filter(col("bucket") === qb)
+    val qb = lshBucketLocal(query, planes)
+    val probeBuckets: Seq[Long] =
+      if (probes <= 1) Seq(qb)
+      else qb +: (0 until nPlanes).map(i => qb ^ (1L << i))
+    val bucketed = df.withColumn("bucket", lshBucket(col(vecCol), planes))
+    bucketed.filter(col("bucket").isin(probeBuckets: _*))
       .withColumn("cos", cosine(col(vecCol), qVec))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
