@@ -54,6 +54,41 @@ object SparkEntry {
       |  CAST(CAST(sum(l_extendedprice) AS DECIMAL(18,4)) AS DOUBLE) AS price
       | FROM lineitem GROUP BY 1, 2) cell""".stripMargin
 
+  private val VcfFixture = "/root/repo/src/test/resources/oracle_sample.vcf"
+  private val VcfMultiFixture = "/root/repo/src/test/resources/oracle_multi.vcf"
+
+  /** DuckDB CTE parsing a committed VCF fixture into one row per
+    * (variant, sample) with gt/a1/a2/dp — shared by the genetics oracles. */
+  private def vcfParseCte(path: String, skip: Int, samples: Seq[String])
+      : String = {
+    val cols = samples.map(s => s"'$s':'VARCHAR'").mkString(",")
+    val unions = samples.map(s =>
+      s"SELECT contig, position, ref, alts, '$s' AS s, $s AS e FROM raw")
+      .mkString("\n  UNION ALL ")
+    s"""raw AS (
+       |  SELECT * FROM read_csv('$path', delim='\t', header=false,
+       |    skip=$skip,
+       |    columns={'contig':'VARCHAR','position':'INTEGER',
+       |      'rsid':'VARCHAR','ref':'VARCHAR','alts':'VARCHAR',
+       |      'qual':'DOUBLE','filt':'VARCHAR','info':'VARCHAR',
+       |      'fmt':'VARCHAR',$cols})),
+       |unp AS ($unions),
+       |pq AS (
+       |  SELECT contig, position, ref, alts, s,
+       |    string_split(e, ':')[1] AS gt,
+       |    TRY_CAST(string_split(e, ':')[2] AS INTEGER) AS dp
+       |  FROM unp),
+       |q AS (
+       |  SELECT *,
+       |    CASE WHEN gt LIKE '.%' THEN NULL
+       |      ELSE CAST(string_split_regex(gt, '[/|]')[1] AS INTEGER)
+       |      END AS a1,
+       |    CASE WHEN gt LIKE '.%' THEN NULL
+       |      ELSE CAST(string_split_regex(gt, '[/|]')[2] AS INTEGER)
+       |      END AS a2
+       |  FROM pq)""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped: scan → filter → groupBy(agg) → orderBy. */
   def entry(spark: SparkSession): DataFrame = {
@@ -536,6 +571,53 @@ object SparkEntry {
         // across engines (rounding would reintroduce half-way flakiness)
         .select(col("o_orderstatus"),
           col("p")("_1").as("x"), col("p")("_2").as("y"))),
+
+    // --- sample_qc (reference qc.py:59) over the committed VCF fixture ----
+    "qc_sample_qc" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Qc.sampleQc(mt).df.select(
+        col("s"), col("n_called"), col("n_not_called"), col("n_filtered"),
+        round(col("call_rate"), 6).as("call_rate"),
+        col("n_hom_ref"), col("n_het"), col("n_hom_var"), col("n_non_ref"),
+        col("n_singleton"), col("n_snp"), col("n_transition"),
+        col("n_transversion"), col("n_insertion"), col("n_deletion"),
+        round(col("r_ti_tv"), 6).as("r_ti_tv"),
+        round(col("dp_mean"), 6).as("dp_mean"),
+        round(col("dp_stdev"), 6).as("dp_stdev"),
+        col("dp_min"), col("dp_max"))
+    }),
+
+    // --- variant_qc (reference qc.py:219); HWE fields are spec-tested
+    // against hail's documented goldens (no closed SQL form) ---------------
+    "qc_variant_qc" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Qc.variantQc(mt).df.select(
+        col("contig"), col("position"), col("ref"),
+        concat_ws(",", col("alt")).as("alts"),
+        element_at(col("AC"), 1).as("ac_ref"),
+        element_at(col("AC"), 2).as("ac_alt"),
+        col("AN").as("an"),
+        round(element_at(col("AF"), 2), 6).as("af_alt"),
+        element_at(col("homozygote_count"), 1).as("hom_ref"),
+        element_at(col("homozygote_count"), 2).as("hom_alt"),
+        round(col("call_rate"), 6).as("call_rate"),
+        col("n_called"), col("n_not_called"), col("n_filtered"),
+        col("n_het"), col("n_non_ref"))
+    }),
+
+    // --- split_multi (reference statgen.py:3132/3312): explode alts,
+    // downcode GT, min-rep — on a committed multiallelic fixture -----------
+    "split_multi" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfMultiFixture)
+      methods.SplitMulti(mt).entriesTable.df
+        .select(col("contig"), col("position"), col("ref"),
+          element_at(col("alt"), 1).as("alt"),
+          col("a_index"), col("was_split"), col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"),
+          col("DP").as("dp"))
+    }),
 
     // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
     // oracle re-parses the same file with DuckDB read_csv ------------------
@@ -1024,6 +1106,97 @@ object SparkEntry {
         |      CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS y
         |    FROM orders))
         |WHERE rn = 1""".stripMargin,
+
+    "qc_sample_qc" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |ac AS (
+        |  SELECT contig, position,
+        |    sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS ac1
+        |  FROM q GROUP BY 1, 2),
+        |j AS (
+        |  SELECT q.*, ac.ac1,
+        |    (ref || '>' || alts) IN ('A>G','G>A','C>T','T>C') AS is_ti
+        |  FROM q JOIN ac USING (contig, position))
+        |SELECT s,
+        |  count(a1) AS n_called,
+        |  count(*) - count(a1) AS n_not_called,
+        |  CAST(0 AS BIGINT) AS n_filtered,
+        |  round(CAST(count(a1) AS DOUBLE) / count(*), 6) AS call_rate,
+        |  sum(CASE WHEN a1 = 0 AND a2 = 0 THEN 1 ELSE 0 END) AS n_hom_ref,
+        |  sum(CASE WHEN a1 <> a2 THEN 1 ELSE 0 END) AS n_het,
+        |  sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END) AS n_hom_var,
+        |  sum(CASE WHEN a1 <> a2 OR (a1 = 1 AND a2 = 1) THEN 1 ELSE 0 END)
+        |    AS n_non_ref,
+        |  sum(CASE WHEN a1 = 1 AND ac1 = 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 1 AND ac1 = 1 THEN 1 ELSE 0 END)
+        |    AS n_singleton,
+        |  sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS n_snp,
+        |  sum((CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END)
+        |    * CASE WHEN is_ti THEN 1 ELSE 0 END) AS n_transition,
+        |  sum((CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END)
+        |    * CASE WHEN is_ti THEN 0 ELSE 1 END) AS n_transversion,
+        |  CAST(0 AS BIGINT) AS n_insertion,
+        |  CAST(0 AS BIGINT) AS n_deletion,
+        |  round(CAST(sum((CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN a2 = 1 THEN 1 ELSE 0 END)
+        |      * CASE WHEN is_ti THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / NULLIF(sum((CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN a2 = 1 THEN 1 ELSE 0 END)
+        |      * CASE WHEN is_ti THEN 0 ELSE 1 END), 0), 6) AS r_ti_tv,
+        |  round(avg(dp), 6) AS dp_mean,
+        |  round(stddev_pop(dp), 6) AS dp_stdev,
+        |  min(dp) AS dp_min,
+        |  max(dp) AS dp_max
+        |FROM j GROUP BY s""".stripMargin
+    },
+
+    "qc_variant_qc" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base
+        |SELECT contig, position, ref, alts,
+        |  sum(CASE WHEN a1 = 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 0 THEN 1 ELSE 0 END) AS ac_ref,
+        |  sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS ac_alt,
+        |  2 * count(a1) AS an,
+        |  round(CAST(sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / (2 * count(a1)), 6) AS af_alt,
+        |  sum(CASE WHEN a1 = 0 AND a2 = 0 THEN 1 ELSE 0 END) AS hom_ref,
+        |  sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END) AS hom_alt,
+        |  round(CAST(count(a1) AS DOUBLE) / 5, 6) AS call_rate,
+        |  count(a1) AS n_called,
+        |  count(*) - count(a1) AS n_not_called,
+        |  CAST(0 AS BIGINT) AS n_filtered,
+        |  sum(CASE WHEN a1 <> a2 THEN 1 ELSE 0 END) AS n_het,
+        |  sum(CASE WHEN a1 <> a2 OR (a1 = 1 AND a2 = 1) THEN 1 ELSE 0 END)
+        |    AS n_non_ref
+        |FROM q GROUP BY 1, 2, 3, 4""".stripMargin
+    },
+
+    "split_multi" -> {
+      val base = vcfParseCte(VcfMultiFixture, 4, (1 to 4).map(i => s"T$i"))
+      s"""WITH $base,
+        |x AS (
+        |  SELECT contig, position, ref, string_split(alts, ',') AS alist,
+        |    s, a1, a2, dp, i.i AS a_index
+        |  FROM q, (SELECT unnest(range(1, 4)) AS i) i
+        |  WHERE i.i <= len(string_split(alts, ',')))
+        |SELECT contig, position, ref, alist[a_index] AS alt,
+        |  CAST(a_index AS INTEGER) AS a_index,
+        |  len(alist) > 1 AS was_split, s,
+        |  CASE WHEN a1 IS NULL THEN NULL
+        |    WHEN a1 = a_index THEN 1 ELSE 0 END AS a1,
+        |  CASE WHEN a2 IS NULL THEN NULL
+        |    WHEN a2 = a_index THEN 1 ELSE 0 END AS a2,
+        |  dp
+        |FROM x""".stripMargin
+    },
 
     "vcf_import" ->
       """WITH raw AS (

@@ -80,12 +80,15 @@ object Calls {
           .otherwise(0))
 
   /** downcode: keep only ref vs this alt (all other alts -> ref). */
-  def downcode(c: Column, alt: Int): Column =
-    diploid(
+  def downcode(c: Column, alt: Int): Column = downcode(c, lit(alt))
+
+  /** downcode with a per-row alt index (used by split_multi). */
+  def downcode(c: Column, alt: Column): Column =
+    when(c.isNull, lit(null).cast("int")).otherwise(diploid(
       allele1(c).equalTo(alt).cast("int"),
       when(ploidy(c) === 2, allele2(c).equalTo(alt).cast("int"))
         .otherwise(lit(HaploidA2)),
-      isPhased(c))
+      isPhased(c)))
 
   def containsAllele(c: Column, a: Int): Column =
     allele1(c) === a || (ploidy(c) === 2 && allele2(c) === a)

@@ -98,6 +98,53 @@ object StatTests {
       chiSqTail(stat, lit(1.0)).as("p_value"))
   }
 
+  /** Exact Hardy–Weinberg test via the Levene–Haldane distribution
+    * (reference `stats/LeveneHaldane.scala`, wrapper
+    * `stats/package.scala:114` `hardyWeinbergTest`): conditioned on n
+    * samples and nA minor-allele copies, P(nAB het samples) ∝
+    * n! nA! nB! 2^nAB / ((nA-nAB)/2)! nAB! ((nB-nAB)/2)! (2n)!.
+    * Returns (het_freq_hwe = E[nAB]/n, p_value). Two-sided p is the mid-p:
+    * outcomes with probability < P(obs) count fully, ties (relative 1e-12)
+    * count half. `oneSided=true` gives the right-tail mid-p (excess het).
+    * O(nA) enumeration in log space — per-variant cost. */
+  def hweExactPair(nHomRef: Long, nHet: Long, nHomVar: Long,
+      oneSided: Boolean): (Double, Double) = {
+    val n = nHomRef + nHet + nHomVar
+    if (n == 0) return (Double.NaN, Double.NaN)
+    val nAB = nHet
+    val nA = nHet + 2 * math.min(nHomRef, nHomVar) // minor allele copies
+    val nB = 2 * n - nA
+    import org.apache.commons.math3.special.Gamma.logGamma
+    def lf(x: Long): Double = logGamma(x + 1.0)
+    val base = lf(n) + lf(nA) + lf(nB) - lf(2 * n)
+    val ks = (nA % 2) to math.min(nA, nB) by 2
+    val logPs = ks.map(k =>
+      base + k * math.log(2.0) - lf((nA - k) / 2) - lf(k) - lf((nB - k) / 2))
+    val mx = logPs.max
+    val unnorm = logPs.map(lp => math.exp(lp - mx))
+    val z = unnorm.sum
+    val ps = unnorm.map(_ / z)
+    val mean = ks.zip(ps).map { case (k, p) => k * p }.sum
+    val p0 = ps(ks.indexOf(nAB))
+    val tol = 1e-12
+    val pVal =
+      if (oneSided)
+        ks.zip(ps).collect { case (k, p) if k > nAB => p }.sum + 0.5 * p0
+      else
+        ps.map { p =>
+          if (p < p0 * (1 - tol)) p
+          else if (p <= p0 * (1 + tol)) 0.5 * p
+          else 0.0
+        }.sum
+    (mean / n, math.min(pVal, 1.0))
+  }
+
+  /** UDF: struct(het_freq_hwe, p_value) of the exact HWE test. */
+  val hweExact: UserDefinedFunction =
+    udf { (nHomRef: Long, nHet: Long, nHomVar: Long, oneSided: Boolean) =>
+      hweExactPair(nHomRef, nHet, nHomVar, oneSided)
+    }
+
   /** Binomial test p-value (two-sided) via commons-math. */
   val binomTest: UserDefinedFunction =
     udf { (successes: Int, n: Int, p: Double) =>

@@ -1,0 +1,197 @@
+package graft.methods
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+import graft.{MatrixTable, Table}
+import graft.functions.{Alleles, Calls, StatTests}
+
+/** Per-sample / per-variant quality-control metrics (reference
+  * `python/hail/methods/qc.py:59` `sample_qc`, `:219` `variant_qc`).
+  *
+  * Spark-first split of the two axes:
+  *   - `variantQc` is a PER-ROW expression over the entries array — a
+  *     single narrow pass, no shuffle: the whole metric struct folds over
+  *     `aggregate(entries, …)` exactly like the reference's lowered
+  *     entries-scoped aggregation.
+  *   - `sampleQc` aggregates ACROSS rows per column, which is a genuine
+  *     shuffle: per-entry contributions are computed as codegen'd int
+  *     expressions in the coordinate representation, then one
+  *     `groupBy(sample)` — the same two-phase partial/final hash agg the
+  *     reference's AggElements lowering produces, at any matrix size.
+  *
+  * Input contract: VCF-shaped MatrixTable (rows keyed
+  * contig/position/ref/alt, entry field GT packed call; optional DP/GQ
+  * int fields picked up automatically like the reference). */
+object Qc {
+
+  private def entrySchema(mt: MatrixTable): StructType =
+    mt.rows.schema(MatrixTable.EntriesField).dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  /** Fold over the entries array accumulating callStats-shaped counts:
+    * struct(called, ac[nAlleles], hom[nAlleles]). Null entries / null GTs
+    * contribute nothing. */
+  private def callStatsFold(entries: Column, nAlleles: Column): Column = {
+    val zero = struct(
+      lit(0L).as("called"),
+      array_repeat(lit(0L), nAlleles.cast("int")).as("ac"),
+      array_repeat(lit(0L), nAlleles.cast("int")).as("hom"))
+    aggregate(entries, zero, (acc, e) => {
+      val gt = e("GT")
+      val a1 = Calls.allele1(gt)
+      val a2 = Calls.allele2(gt)
+      val dip = Calls.ploidy(gt) === 2
+      val skip = e.isNull || gt.isNull
+      when(skip, acc).otherwise(struct(
+        (acc("called") + 1L).as("called"),
+        zip_with(acc("ac"), sequence(lit(0), nAlleles.cast("int") - 1),
+          (c, j) => c + (a1 === j).cast("long") +
+            (dip && a2 === j).cast("long")).as("ac"),
+        zip_with(acc("hom"), sequence(lit(0), nAlleles.cast("int") - 1),
+          (c, j) => c + (dip && a1 === j && a2 === j).cast("long"))
+          .as("hom")))
+    })
+  }
+
+  private def divideNull(num: Column, den: Column): Column =
+    when(den =!= 0, num.cast("double") / den)
+
+  /** variant_qc (reference `qc.py:219`): per-variant metrics as one
+    * narrow per-row pass; returns the rows Table annotated with the
+    * metrics (AC/AF/AN/homozygote_count arrays + scalar counts + exact
+    * Levene-Haldane HWE for biallelic variants). */
+  def variantQc(mt: MatrixTable): Table = {
+    val es = entrySchema(mt)
+    val nAlleles = size(col("alt")) + 1
+    val nCols = lit(mt.nCols.toLong)
+    val withCs = mt.rows.withColumn("__cs",
+      callStatsFold(col(MatrixTable.EntriesField), nAlleles))
+      .withColumn("__present",
+        size(filter(col(MatrixTable.EntriesField), e => e.isNotNull))
+          .cast("long"))
+    val ac = col("__cs")("ac")
+    val hom = col("__cs")("hom")
+    val called = col("__cs")("called")
+    val an = aggregate(ac, lit(0L), (a, v) => a + v)
+    val hwe = when(size(col("alt")) === 1,
+      StatTests.hweExact(element_at(hom, 1),
+        element_at(ac, 2) - element_at(hom, 2) * 2,
+        element_at(hom, 2), lit(false)))
+    val hweHi = when(size(col("alt")) === 1,
+      StatTests.hweExact(element_at(hom, 1),
+        element_at(ac, 2) - element_at(hom, 2) * 2,
+        element_at(hom, 2), lit(true)))
+    val dpGq: Seq[(String, Column)] =
+      es.fieldNames.filter(f => f == "DP" || f == "GQ").toSeq.flatMap { f =>
+        val vals = transform(
+          filter(col(MatrixTable.EntriesField),
+            e => e.isNotNull && e(f).isNotNull),
+          e => e(f).cast("double"))
+        val n = size(vals).cast("double")
+        val mean = aggregate(vals, lit(0.0), (a, v) => a + v) / n
+        val meanSq = aggregate(vals, lit(0.0), (a, v) => a + v * v) / n
+        val p = f.toLowerCase
+        Seq(
+          s"${p}_mean" -> when(n > 0, mean),
+          s"${p}_stdev" -> when(n > 0, sqrt(meanSq - mean * mean)),
+          s"${p}_min" -> array_min(vals).cast("int"),
+          s"${p}_max" -> array_max(vals).cast("int"))
+      }
+    val annotated = withCs.withColumns(Map(
+      "AC" -> ac, "AN" -> an,
+      "AF" -> transform(ac, c => divideNull(c, an)),
+      "homozygote_count" -> hom,
+      "call_rate" -> divideNull(called, nCols),
+      "n_called" -> called,
+      "n_not_called" -> (col("__present") - called),
+      "n_filtered" -> (nCols - col("__present")),
+      "n_het" -> (called - aggregate(hom, lit(0L), (a, v) => a + v)),
+      "n_non_ref" -> (called - element_at(hom, 1)),
+      "het_freq_hwe" -> hwe("_1"),
+      "p_value_hwe" -> hwe("_2"),
+      "p_value_excess_het" -> hweHi("_2")))
+    val withDpGq = dpGq.foldLeft(annotated) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    Table(withDpGq.drop(MatrixTable.EntriesField, "__cs", "__present"),
+      mt.rowKey, mt.globals)
+  }
+
+  /** sample_qc (reference `qc.py:59`): per-sample metrics via one
+    * coordinate-space shuffle. Returns a Table keyed by the col key. */
+  def sampleQc(mt: MatrixTable): Table = {
+    val es = entrySchema(mt)
+    val nAlleles = size(col("alt")) + 1
+    val nRows = mt.rows.count()
+    // row-space annotations reused by every entry of the row: variant AC
+    // (for singletons) and per-alt allele types (for snp/ti/tv/indel)
+    val rows2 = mt.rows
+      .withColumn("__ac", callStatsFold(col(MatrixTable.EntriesField),
+        nAlleles)("ac"))
+      .withColumn("__atypes",
+        transform(col("alt"), a => Alleles.alleleType(col("ref"), a)))
+      .withColumn("__ti",
+        transform(col("alt"), a =>
+          when(Alleles.alleleType(col("ref"), a) === Alleles.Snp,
+            Alleles.isTransition(col("ref"), a)).otherwise(lit(false))))
+    val e = mt.copy(rows = rows2).entriesTable.df
+    val gt = col("GT")
+    val a1 = Calls.allele1(gt)
+    val a2 = Calls.allele2(gt)
+    val dip = Calls.ploidy(gt) === 2
+    // per-allele-instance contributions as plain int expressions
+    def perAllele(f: Column => Column): Column =
+      when(gt.isNull, 0L).otherwise(
+        when(a1 > 0, f(a1).cast("long")).otherwise(0L) +
+        when(dip && a2 > 0, f(a2).cast("long")).otherwise(0L))
+    val singletons = perAllele(a => element_at(col("__ac"), a + 1) === 1)
+    val ofType = (t: Int) =>
+      perAllele(a => element_at(col("__atypes"), a) === t)
+    val transitions = perAllele(a => element_at(col("__ti"), a))
+    val transversions = perAllele(a =>
+      element_at(col("__atypes"), a) === Alleles.Snp &&
+        !element_at(col("__ti"), a))
+    val dpGqAggs = es.fieldNames.filter(f => f == "DP" || f == "GQ")
+      .flatMap { f =>
+        val p = f.toLowerCase
+        Seq(
+          avg(col(f)).as(s"${p}_mean"),
+          stddev_pop(col(f)).as(s"${p}_stdev"),
+          min(col(f)).as(s"${p}_min"),
+          max(col(f)).as(s"${p}_max"))
+      }
+    val aggExprs: Seq[Column] = Seq(
+      count(when(gt.isNull, 1)).as("n_not_called"),
+      count(lit(1)).as("__present"),
+      count(when(Calls.isHomRef(gt), 1)).as("n_hom_ref"),
+      count(when(Calls.isHet(gt), 1)).as("n_het"),
+      count(when(Calls.isHomVar(gt), 1)).as("n_hom_var"),
+      sum(singletons).as("n_singleton"),
+      sum(transitions).as("n_transition"),
+      sum(transversions).as("n_transversion"),
+      sum(ofType(Alleles.Insertion)).as("n_insertion"),
+      sum(ofType(Alleles.Deletion)).as("n_deletion"),
+      sum(ofType(Alleles.Star)).as("n_star")) ++ dpGqAggs
+    val perSample = e.groupBy(mt.colKey.map(col): _*)
+      .agg(count(when(gt.isNotNull, 1)).as("n_called"), aggExprs: _*)
+    val full = mt.colsTable.df
+      .join(perSample, mt.colKey, "left")
+      .na.fill(0L, Seq("n_called", "n_not_called", "__present", "n_hom_ref",
+        "n_het", "n_hom_var", "n_singleton", "n_transition",
+        "n_transversion", "n_insertion", "n_deletion", "n_star"))
+      .withColumn("n_filtered", lit(nRows) - col("__present"))
+      .withColumn("call_rate", divideNull(col("n_called"), lit(nRows)))
+      .withColumn("n_non_ref", col("n_het") + col("n_hom_var"))
+      .withColumn("n_snp", col("n_transition") + col("n_transversion"))
+      .withColumn("r_ti_tv",
+        divideNull(col("n_transition"), col("n_transversion")))
+      .withColumn("r_het_hom_var",
+        divideNull(col("n_het"), col("n_hom_var")))
+      .withColumn("r_insertion_deletion",
+        divideNull(col("n_insertion"), col("n_deletion")))
+      .drop("__present")
+    Table(full, mt.colKey, mt.globals)
+  }
+}
