@@ -619,6 +619,42 @@ object SparkEntry {
           col("DP").as("dp"))
     }),
 
+    // --- linear_regression_rows (statgen.py:235): per-variant OLS via the
+    // X'X Aggregator; deterministic phenotype derived from sample id;
+    // p_value is spec-tested (no t-CDF in the oracle engine) ---------------
+    "linreg_rows" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val pheno = mt.colsTable.df
+        .withColumn("y", substring(col("s"), 2, 10).cast("double"))
+      methods.Regression.linearRegressionRows(mt, pheno, "y").df
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"), col("n"),
+          round(col("beta"), 6).as("beta"),
+          round(col("standard_error"), 6).as("standard_error"),
+          round(col("t_stat"), 4).as("t_stat"))
+    }),
+
+    // --- GRM (statgen.py:3576): normalized Gramian — exact SQL oracle -----
+    "linalg_grm" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Pca.grm(mt)
+        .select(col("i"), col("j"), round(col("grm"), 6).as("grm"))
+    }),
+
+    // --- hwe_normalized_pca (pca.py:35): eigenvalue-sum = trace of the
+    // normalized Gramian, an exact invariant the oracle can compute;
+    // eigenvalue/score/loading values are spec-tested against Breeze SVD --
+    "linalg_pca" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val res = methods.Pca.hweNormalizedPca(mt, k = 5)
+      // Σλ over returned components = trace of the normalized Gramian
+      // (rank <= nSamples-1 because rows are mean-centered; a dropped
+      // zero-sigma tail changes the sum by ~1e-16, invisible at 4 dp)
+      val trace = BigDecimal(res.eigenvalues.sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s.range(1).select(lit(trace).as("trace"))
+    }),
+
     // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
     // oracle re-parses the same file with DuckDB read_csv ------------------
     "vcf_import" -> ((s, _) => {
@@ -1196,6 +1232,80 @@ object SparkEntry {
         |    WHEN a2 = a_index THEN 1 ELSE 0 END AS a2,
         |  dp
         |FROM x""".stripMargin
+    },
+
+    "linreg_rows" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |imp AS (
+        |  SELECT contig, position, ref, alts,
+        |    coalesce(CAST(a1 + a2 AS DOUBLE),
+        |      avg(CAST(a1 + a2 AS DOUBLE))
+        |        OVER (PARTITION BY contig, position)) AS x,
+        |    CAST(substr(s, 2, 10) AS DOUBLE) AS y
+        |  FROM q),
+        |g AS (
+        |  SELECT contig, position, ref, alts,
+        |    count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM imp GROUP BY 1, 2, 3, 4),
+        |f AS (
+        |  SELECT *,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |      AS alpha
+        |  FROM g)
+        |SELECT contig, position, ref, alts, n,
+        |  round(beta, 6) AS beta,
+        |  round(sqrt(greatest((syy - beta * sxy - alpha * sy) / (n - 2), 0)
+        |    * n / (n * sxx - sx * sx)), 6) AS standard_error,
+        |  round(beta / sqrt(greatest((syy - beta * sxy - alpha * sy)
+        |      / (n - 2), 0) * n / (n * sxx - sx * sx)), 4) AS t_stat
+        |FROM f""".stripMargin
+    },
+
+    "linalg_grm" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, s, CAST(a1 + a2 AS DOUBLE) AS dose
+        |  FROM q),
+        |st AS (
+        |  SELECT contig, position, sum(dose) AS ac, count(dose) AS nc
+        |  FROM d GROUP BY 1, 2),
+        |f AS (
+        |  SELECT d.contig, d.position,
+        |    CAST(substr(d.s, 2, 10) AS INTEGER) - 1 AS idx,
+        |    coalesce((dose - ac / nc)
+        |      / sqrt((ac / nc) * (2 - ac / nc)), 0) AS nrm
+        |  FROM d JOIN st USING (contig, position)
+        |  WHERE ac > 0 AND ac < 2 * nc),
+        |mm AS (SELECT count(*) AS m FROM st WHERE ac > 0 AND ac < 2 * nc)
+        |SELECT a.idx AS i, b.idx AS j,
+        |  round(2.0 / mm.m * sum(a.nrm * b.nrm), 6) AS grm
+        |FROM f a
+        |JOIN f b ON a.contig = b.contig AND a.position = b.position
+        |  AND a.idx <= b.idx, mm
+        |GROUP BY a.idx, b.idx, mm.m""".stripMargin
+    },
+
+    "linalg_pca" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, s, CAST(a1 + a2 AS DOUBLE) AS dose
+        |  FROM q),
+        |st AS (
+        |  SELECT contig, position, sum(dose) AS ac, count(dose) AS nc
+        |  FROM d GROUP BY 1, 2),
+        |f AS (
+        |  SELECT coalesce((dose - ac / nc)
+        |      / sqrt((ac / nc) * (2 - ac / nc)), 0) AS nrm
+        |  FROM d JOIN st USING (contig, position)
+        |  WHERE ac > 0 AND ac < 2 * nc),
+        |mm AS (SELECT count(*) AS m FROM st WHERE ac > 0 AND ac < 2 * nc)
+        |SELECT round(sum(nrm * nrm) * 2.0 / mm.m, 4) AS trace
+        |FROM f, mm GROUP BY mm.m""".stripMargin
     },
 
     "vcf_import" ->

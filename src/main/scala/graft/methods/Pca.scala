@@ -1,0 +1,126 @@
+package graft.methods
+
+import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+import org.apache.spark.mllib.linalg.distributed.RowMatrix
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.MatrixTable
+import graft.functions.Calls
+
+/** PCA / GRM over the genotype matrix (reference
+  * `python/hail/methods/pca.py:15` `hwe_normalize`, `:35`
+  * `hwe_normalized_pca`; `statgen.py:3576` `genetic_relatedness_matrix`;
+  * Scala kernel `is/hail/methods/PCA.scala` — spectral via
+  * `RowMatrix.computeSVD`, which is exactly what we use).
+  *
+  * Spark shape: variants are the distributed dimension (an
+  * `RDD[Vector]`-backed `RowMatrix`, arbitrarily many rows); samples are
+  * the vector dimension (thousands — the k×k / n×k local results fit on
+  * the driver, the same contract as the reference's PCA.scala). The
+  * normalized dosage matrix is built with pure Column expressions; only
+  * the final SVD leaves DataFrame land. Loadings are computed as the
+  * per-row projection `row · V · S⁻¹` (broadcast V, S) instead of
+  * `computeU` — keyed, deterministic, and one narrow pass. */
+object Pca {
+
+  final case class PcaResult(
+      eigenvalues: Seq[Double],
+      scores: DataFrame, // one row per sample: col key fields + scores array
+      loadings: Option[DataFrame]) // one row per variant: key + loadings
+
+  /** HWE-normalized dosage rows: filters monomorphic variants, returns
+    * (filtered rows with `__norm` array column, m = variant count).
+    * Normalization: (gt - mean) / sqrt(mean (2-mean) m/2), 0 when missing
+    * (reference `pca.py:15-31`). `scaleM` toggles the 1/sqrt(m/2) factor
+    * (present for PCA, absent for GRM whose Gramian is divided by m/2). */
+  private[graft] def hweNormalized(mt: MatrixTable, scaleM: Boolean)
+      : (DataFrame, Long) = {
+    val dose = transform(mt.entries, e =>
+      Calls.nNonRefAlleles(e("GT")).cast("double"))
+    val withDose = mt.rows.withColumn("__dose", dose)
+      .withColumn("__ac",
+        aggregate(col("__dose"), lit(0.0), (a, v) => a + coalesce(v, lit(0.0))))
+      .withColumn("__nc",
+        size(filter(col("__dose"), v => v.isNotNull)).cast("double"))
+      .filter(col("__ac") > 0 && col("__ac") < col("__nc") * 2)
+    val m = withDose.count()
+    val mean = col("__ac") / col("__nc")
+    val denom = if (scaleM)
+      sqrt(mean * (lit(2.0) - mean) * (m / 2.0))
+    else
+      sqrt(mean * (lit(2.0) - mean))
+    val norm = transform(col("__dose"), v =>
+      coalesce((v - mean) / denom, lit(0.0)))
+    (withDose.withColumn("__norm", norm)
+      .drop("__dose", "__ac", "__nc", MatrixTable.EntriesField), m)
+  }
+
+  /** hwe_normalized_pca (reference `pca.py:35`): top-k eigenvalues,
+    * per-sample score table, optional per-variant loadings. */
+  def hweNormalizedPca(mt: MatrixTable, k: Int = 10,
+      computeLoadings: Boolean = false): PcaResult = {
+    val spark = mt.spark
+    val (normRows, _) = hweNormalized(mt, scaleM = true)
+    val kk = math.min(k, mt.nCols)
+    val vecRdd = normRows.select(col("__norm")).rdd
+      .map(r => MlVectors.dense(
+        r.getSeq[Double](0).toArray))
+    vecRdd.cache() // RowMatrix makes multiple passes (Gram + multiply)
+    try {
+      val svd = new RowMatrix(vecRdd).computeSVD(kk, computeU = false)
+      val s = svd.s.toArray
+      val v = svd.V // nCols x kk local
+      val eigen = s.map(x => x * x).toSeq
+      // sample scores = V * diag(s)  (reference returns U_k S_k projections
+      // for columns of the variant-major matrix = our V S)
+      val scoreRows = mt.colValues.zipWithIndex.map { case (cv, j) =>
+        Row.fromSeq(cv.toSeq :+ (0 until kk).map(i => v(j, i) * s(i)))
+      }
+      val scoresDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(scoreRows.toSeq, 1),
+        StructType(mt.colSchema.fields :+
+          StructField("scores", ArrayType(DoubleType))))
+      val loadings =
+        if (!computeLoadings) None
+        else {
+          // loadings_row = norm_row · V · S^-1, a pure per-row expression
+          // over the broadcast (small) V and S
+          val proj = (0 until kk).map { i =>
+            val vi = array((0 until mt.nCols).map(j => lit(v(j, i))): _*)
+            (aggregate(zip_with(col("__norm"), vi, (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x) / s(i)).as(s"__pc$i")
+          }
+          Some(normRows.select((mt.rowKey.map(col) :+
+            array(proj: _*).as("loadings")): _*))
+        }
+      PcaResult(eigen, scoresDf, loadings)
+    } finally vecRdd.unpersist(blocking = false)
+  }
+
+  /** genetic_relatedness_matrix (reference `statgen.py:3576`):
+    * GRM = MᵀM / (m/2) over (gt-mean)/sqrt(mean(2-mean))-normalized
+    * dosages; returns the dense sample×sample matrix as a DataFrame of
+    * (i, j, value) for i <= j (symmetric). Sample count is the driver-size
+    * dimension (matches the reference's BlockMatrix contract at our col
+    * scale; swap in MLlib BlockMatrix for >100k samples). */
+  def grm(mt: MatrixTable): DataFrame = {
+    val spark = mt.spark
+    val (normRows, m) = hweNormalized(mt, scaleM = false)
+    val vecRdd = normRows.select(col("__norm")).rdd
+      .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
+    val gram = new RowMatrix(vecRdd).computeGramianMatrix() // samples²
+    val scale = 2.0 / m
+    val rows = for {
+      i <- 0 until mt.nCols
+      j <- i until mt.nCols
+    } yield Row(i, j, gram(i, j) * scale)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("i", IntegerType, false),
+        StructField("j", IntegerType, false),
+        StructField("grm", DoubleType, false))))
+  }
+}

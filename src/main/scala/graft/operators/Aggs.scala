@@ -74,17 +74,22 @@ object Aggs {
   // ---- per-group linear regression (multi-covariate OLS) ------------------
 
   case class LinregIn(y: java.lang.Double, x: Seq[Double])
-  case class LinregBuf(n: Long, xtx: Array[Double], xty: Array[Double])
-  case class LinregOut(beta: Seq[Double], n: Long)
+  case class LinregBuf(n: Long, xtx: Array[Double], xty: Array[Double],
+      yty: Double)
+  case class LinregOut(beta: Seq[Double], standard_error: Seq[Double],
+      sigma_sq: Double, n: Long)
 
-  /** OLS betas per group: accumulate X'X (upper triangle) and X'y in a
-    * constant-size buffer; solve on finish with Breeze (reference
-    * `LinearRegressionAggregator.scala` does exactly this). `k` = number of
-    * covariates including intercept if the caller appends one. */
+  /** OLS per group: accumulate X'X, X'y, y'y in a constant-size buffer;
+    * solve on finish with Breeze (reference
+    * `LinearRegressionAggregator.scala` accumulates the same moments).
+    * `k` = number of covariates including the intercept if the caller
+    * appends one. Output: betas, per-coefficient standard errors
+    * (sqrt(sigma² (X'X)⁻¹_jj) with sigma² = RSS/(n-k)), residual variance,
+    * and n — enough for t/p downstream. */
   def linregAgg(k: Int): Aggregator[LinregIn, LinregBuf, LinregOut] =
     new Aggregator[LinregIn, LinregBuf, LinregOut] {
       def zero: LinregBuf = LinregBuf(0L, new Array[Double](k * k),
-        new Array[Double](k))
+        new Array[Double](k), 0.0)
       def reduce(b: LinregBuf, in: LinregIn): LinregBuf = {
         if (in.y == null || in.x == null || in.x.length != k) b
         else {
@@ -97,21 +102,30 @@ object Aggs {
             }
             b.xty(i) += x(i) * in.y; i += 1
           }
-          LinregBuf(b.n + 1, b.xtx, b.xty)
+          LinregBuf(b.n + 1, b.xtx, b.xty, b.yty + in.y * in.y)
         }
       }
       def merge(a: LinregBuf, c: LinregBuf): LinregBuf =
         LinregBuf(a.n + c.n,
           a.xtx.zip(c.xtx).map(t => t._1 + t._2),
-          a.xty.zip(c.xty).map(t => t._1 + t._2))
+          a.xty.zip(c.xty).map(t => t._1 + t._2),
+          a.yty + c.yty)
       def finish(b: LinregBuf): LinregOut = {
-        if (b.n < k) LinregOut(Seq.fill(k)(Double.NaN), b.n)
+        val nan = Seq.fill(k)(Double.NaN)
+        if (b.n <= k) LinregOut(nan, nan, Double.NaN, b.n)
         else {
-          val m = breeze.linalg.DenseMatrix.create(k, k, b.xtx)
-          val v = breeze.linalg.DenseVector(b.xty)
-          try LinregOut((m \ v).toArray.toSeq, b.n)
-          catch { case _: Exception =>
-            LinregOut(Seq.fill(k)(Double.NaN), b.n) }
+          try {
+            val m = breeze.linalg.DenseMatrix.create(k, k, b.xtx)
+            val v = breeze.linalg.DenseVector(b.xty)
+            val beta = m \ v
+            val rss = b.yty - (beta dot v)
+            val sigmaSq = rss / (b.n - k)
+            val inv = breeze.linalg.inv(m)
+            val se = (0 until k).map(j =>
+              math.sqrt(math.max(sigmaSq * inv(j, j), 0.0)))
+            LinregOut(beta.toArray.toSeq, se, sigmaSq, b.n)
+          } catch { case _: Exception =>
+            LinregOut(nan, nan, Double.NaN, b.n) }
         }
       }
       def bufferEncoder: Encoder[LinregBuf] = Encoders.product

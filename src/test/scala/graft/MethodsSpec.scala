@@ -91,6 +91,81 @@ class MethodsSpec extends SparkSpec {
     assert(qc(300).getAs[Long]("n_filtered") === 1L)
   }
 
+  test("linearRegressionRows: exact OLS, SE, t, p and mean imputation") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mt = fixtureMt()
+    val pheno = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("SA", 1.0), Row("SB", 2.0), Row("SC", 4.0))),
+      StructType(Seq(StructField("s", StringType),
+        StructField("y", DoubleType))))
+    val fit = methods.Regression.linearRegressionRows(mt, pheno, "y").df
+      .collect().map(r => r.getAs[Int]("position") -> r).toMap
+    // v100: x = (0,1,2), y = (1,2,4): beta=1.5, int=5/6, se=sqrt(1/12),
+    // t = sqrt(27), p = 2*(1 - T_1(sqrt(27)))
+    val v = fit(100)
+    assert(math.abs(v.getAs[Double]("beta") - 1.5) < 1e-12)
+    assert(math.abs(v.getAs[Double]("standard_error") -
+      math.sqrt(1.0 / 12)) < 1e-12)
+    val expT = 1.5 / math.sqrt(1.0 / 12)
+    assert(math.abs(v.getAs[Double]("t_stat") - expT) < 1e-10)
+    val expP = 2.0 * (1.0 - new org.apache.commons.math3.distribution
+      .TDistribution(1).cumulativeProbability(expT))
+    assert(math.abs(v.getAs[Double]("p_value") - expP) < 1e-12)
+    assert(v.getAs[Long]("n") === 3L)
+    // v400: SB's GT is missing -> mean-imputed x=1.5; beta = 3 exactly
+    assert(math.abs(fit(400).getAs[Double]("beta") - 3.0) < 1e-10)
+  }
+
+  test("hweNormalizedPca eigenvalues/scores match a local Breeze SVD") {
+    val mt = fixtureMt()
+    val (normRows, _) = methods.Pca.hweNormalized(mt, scaleM = true)
+    val local = normRows.select("__norm").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val bm = breeze.linalg.DenseMatrix(local.toIndexedSeq: _*)
+    val breezeSvd = breeze.linalg.svd.reduced(bm)
+    // every normalized row sums to zero (mean-centering over called
+    // entries, missing -> 0), so rank <= nCols - 1: ask for k = 2
+    // non-degenerate components
+    val res = methods.Pca.hweNormalizedPca(mt, k = 2,
+      computeLoadings = true)
+    val expected = breezeSvd.S.toArray.map(x => x * x).sorted.reverse.take(2)
+    assert(res.eigenvalues.length === 2)
+    res.eigenvalues.zip(expected).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 1e-6, s"$got vs $exp")
+    }
+    // scores: |V S| match up to per-component sign
+    val scores = res.scores.orderBy("s").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val expScores = (0 until mt.nCols).map(j =>
+      (0 until 2).map(i => breezeSvd.Vt(i, j) * breezeSvd.S(i)).toArray)
+    scores.zip(expScores).foreach { case (got, exp) =>
+      got.zip(exp).foreach { case (g, e) =>
+        assert(math.abs(math.abs(g) - math.abs(e)) < 1e-6) }
+    }
+    // loadings: unit-norm columns (U has orthonormal columns)
+    val lo = res.loadings.get.collect().map(_.getSeq[Double](
+      res.loadings.get.columns.length - 1).toArray)
+    val colNorm = (0 until 2).map(i =>
+      math.sqrt(lo.map(r => r(i) * r(i)).sum))
+    colNorm.foreach(n => assert(math.abs(n - 1.0) < 1e-6))
+  }
+
+  test("grm matches hand-computed normalized Gramian") {
+    val mt = fixtureMt()
+    val (normRows, m) = methods.Pca.hweNormalized(mt, scaleM = false)
+    val local = normRows.select("__norm").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = mt.nCols
+    val got = methods.Pca.grm(mt).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until n; j <- i until n) {
+      val exp = local.map(row => row(i) * row(j)).sum * 2.0 / m
+      assert(math.abs(got((i, j)) - exp) < 1e-12)
+    }
+  }
+
   test("splitMulti splits rows, downcodes GT, min-reps alleles") {
     val split = SplitMulti(fixtureMt())
     val rows = split.rows.orderBy("position", "a_index").collect()
