@@ -94,6 +94,64 @@ final case class MatrixTable(
       colSchema = newSchema)
   }
 
+  /** MatrixAnnotateRowsTable (`MatrixIR.scala:726`): the
+    * `mt.annotate_rows(db.index(mt.row_key))` idiom — left join the row
+    * space against a keyed table. Join is positional: the table's key
+    * columns are equated with the first `table.key.length` row-key fields
+    * (names may differ). `fields` selects which annotation columns to add
+    * (default: all non-key columns). Broadcast small tables via
+    * `table.broadcastHint`. */
+  def annotateRowsTable(table: Table, fields: Seq[String] = Nil)
+      : MatrixTable = {
+    val n = table.key.length
+    require(n > 0 && n <= rowKey.length,
+      s"table key (${table.key}) must be a non-empty prefix-match of row key")
+    val keep =
+      if (fields.nonEmpty) fields
+      else table.df.columns.filterNot(table.key.contains).toSeq
+    val right = table.df.select(
+      (table.key.map(k => col(k).as(s"__rk_$k")) ++ keep.map(col)): _*)
+    val cond = rowKey.take(n).zip(table.key)
+      .map { case (l, r) => col(l) === col(s"__rk_$r") }
+      .reduce(_ && _)
+    copy(rows = rows.join(right, cond, "left")
+      .drop(table.key.map(k => s"__rk_$k"): _*))
+  }
+
+  /** Interval-keyed MatrixAnnotateRowsTable: annotate each row with the
+    * (broadcast) interval containing `point` — [lo, hi) semantics, rows
+    * with no containing interval keep null annotations (left join). */
+  def annotateRowsIntervalTable(intervals: DataFrame, point: Column,
+      lo: Column, hi: Column): MatrixTable =
+    copy(rows = rows.join(broadcast(intervals),
+      point >= lo && point < hi, "left"))
+
+  /** MatrixAnnotateColsTable (`MatrixIR.scala:704`): join col fields
+    * against a keyed table — cols live on the driver, so this is a local
+    * hash lookup over the collected (small) table. */
+  def annotateColsTable(table: Table, fields: Seq[String] = Nil)
+      : MatrixTable = {
+    require(table.key.length == colKey.length && table.key.nonEmpty,
+      "annotateColsTable requires matching key arity")
+    val keep =
+      if (fields.nonEmpty) fields
+      else table.df.columns.filterNot(table.key.contains).toSeq
+    val tSchema = table.df.schema
+    val tKeyIdx = table.key.map(tSchema.fieldIndex)
+    val tKeepIdx = keep.map(tSchema.fieldIndex)
+    val lookup = table.df.collect()
+      .map(r => tKeyIdx.map(r.get) -> tKeepIdx.map(r.get)).toMap
+    val cKeyIdx = colKey.map(colSchema.fieldIndex)
+    val newVals = colValues.map { r =>
+      val anno = lookup.getOrElse(cKeyIdx.map(r.get),
+        keep.map(_ => null))
+      Row.fromSeq(r.toSeq ++ anno)
+    }
+    val newSchema = StructType(colSchema.fields ++
+      tKeepIdx.map(tSchema.fields))
+    copy(colValues = newVals, colSchema = newSchema)
+  }
+
   // ---- entry space --------------------------------------------------------
 
   /** MatrixFilterEntries (`MatrixIR.scala:689`): failing entries become

@@ -373,6 +373,28 @@ object SparkEntry {
           "n" -> (e => count(e)),
           "sum_price" -> (e => dsum(e("price"))))),
 
+    // --- MatrixAnnotateRowsTable (`MatrixIR.scala:726`): row-space join ----
+    "matrix_annotate_rows_table" -> ((s, dir) => {
+      val orders = Table(t(s, dir, "orders"), Seq("o_orderkey"))
+      lineitemMatrix(s, dir)
+        .annotateRowsTable(orders.broadcastHint,
+          Seq("o_orderstatus", "o_totalprice"))
+        .rowsTable
+        .annotate("o_totalprice" -> round(col("o_totalprice"), 2))
+        .selectFields("o_orderstatus", "o_totalprice").df
+    }),
+
+    // --- MatrixAnnotateColsTable (`MatrixIR.scala:704`): col-space join ----
+    "matrix_annotate_cols_table" -> ((s, dir) => {
+      val lineStats = Table(t(s, dir, "lineitem"))
+        .keyByAndAggregate(
+          newKey = Seq("line_no" -> col("l_linenumber")),
+          exprs = Seq("n_lines" -> count(lit(1))))
+      lineitemMatrix(s, dir)
+        .annotateColsTable(lineStats)
+        .colsTable.df
+    }),
+
     // --- per-col aggregation across rows (annotate_cols agg pattern) -------
     "matrix_cols_agg" -> ((s, dir) =>
       lineitemMatrix(s, dir).entriesTable
@@ -655,6 +677,19 @@ object SparkEntry {
       s.range(1).select(lit(trace).as("trace"))
     }),
 
+    // --- PLINK import (io/plink/LoadPlink.scala): 2-bit .bed decode;
+    // oracle = golden text dump generated alongside the binary fixture -----
+    "plink_import" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Plink.read(s,
+        "/root/repo/src/test/resources/oracle_plink")
+      mt.entriesTable.df.select(
+        col("contig"), col("position"), col("ref"),
+        element_at(col("alt"), 1).as("alt"), col("s"),
+        Calls.allele1(col("GT")).as("a1"),
+        Calls.allele2(col("GT")).as("a2"))
+    }),
+
     // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
     // oracle re-parses the same file with DuckDB read_csv ------------------
     "vcf_import" -> ((s, _) => {
@@ -862,6 +897,18 @@ object SparkEntry {
       s"""SELECT l_linenumber AS line_no, count(*) AS n,
         |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM $cellSql GROUP BY 1""".stripMargin,
+
+    "matrix_annotate_rows_table" ->
+      """SELECT c.l_orderkey, o.o_orderstatus,
+        |  round(o.o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+        |LEFT JOIN orders o ON c.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "matrix_annotate_cols_table" ->
+      """SELECT n.line_no, c.n_lines
+        |FROM (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS line_no) n
+        |LEFT JOIN (SELECT l_linenumber AS line_no, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1) c USING (line_no)""".stripMargin,
 
     "pipe_dedup_exact" ->
       """SELECT doc_id, content_hash FROM (
@@ -1307,6 +1354,14 @@ object SparkEntry {
         |SELECT round(sum(nrm * nrm) * 2.0 / mm.m, 4) AS trace
         |FROM f, mm GROUP BY mm.m""".stripMargin
     },
+
+    "plink_import" ->
+      """SELECT contig, position, ref, alt, s, a1, a2
+        |FROM read_csv(
+        |  '/root/repo/src/test/resources/oracle_plink_expected.tsv',
+        |  delim='\t', header=true, nullstr='\N',
+        |  columns={'contig':'VARCHAR','position':'INTEGER','ref':'VARCHAR',
+        |    'alt':'VARCHAR','s':'VARCHAR','a1':'INTEGER','a2':'INTEGER'})""".stripMargin,
 
     "vcf_import" ->
       """WITH raw AS (

@@ -104,6 +104,28 @@ class SourcesSpec extends SparkSpec {
     assert(gts(back) === gts(mt))
   }
 
+  test("PLINK read decodes 2-bit genotypes against the golden dump") {
+    import graft.functions.Calls
+    val mt = sources.Plink.read(spark,
+      "/root/repo/src/test/resources/oracle_plink")
+    assert(mt.nCols === 11)
+    assert(mt.rows.count() === 25)
+    assert(mt.colValues.head.getString(0) === "IND0")
+    val got = mt.entriesTable.df
+      .select(col("position"), col("s"),
+        Calls.allele1(col("GT")), Calls.allele2(col("GT")))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) null else (r.getInt(2), r.getInt(3)))).toMap
+    val expected = spark.read.option("sep", "\t").option("header", "true")
+      .option("nullValue", "\\N")
+      .csv("/root/repo/src/test/resources/oracle_plink_expected.tsv")
+      .collect().map(r => (r.getString(1).toInt, r.getString(4)) ->
+        (if (r.isNullAt(5)) null
+         else (r.getString(5).toInt, r.getString(6).toInt))).toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (k, v) => assert(got(k) === v, s"at $k") }
+  }
+
   test("importTable with imputation infers int/float/bool/string") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv")
     java.nio.file.Files.writeString(dir.resolve("t.tsv"),
