@@ -86,6 +86,89 @@ final case class MatrixTable(
         array(indices.map(i => element_at(entries, i + 1)): _*)),
       colValues = indices.map(colValues))
 
+  /** MatrixColsHead / MatrixColsTail (`MatrixIR.scala:830,858`). */
+  def headCols(n: Int): MatrixTable = chooseCols(0 until math.min(n, nCols))
+  def tailCols(n: Int): MatrixTable =
+    chooseCols(math.max(0, nCols - n) until nCols)
+
+  /** MatrixCollectColsByKey (`MatrixIR.scala:512`): group columns by col
+    * key; every entry field becomes an ARRAY of the group's values (and
+    * non-key col fields become arrays on the col side). Groups are
+    * computed on the driver; the entry reshaping is a literal-index array
+    * projection — codegen'd, no shuffle. */
+  def collectColsByKey(): MatrixTable = {
+    val keyIdx = colKey.map(colSchema.fieldIndex)
+    val nonKeyIdx = colSchema.fieldNames.indices
+      .filterNot(keyIdx.contains)
+    val groups: IndexedSeq[(Row, IndexedSeq[Int])] =
+      colValues.zipWithIndex
+        .groupBy { case (r, _) => Row.fromSeq(keyIdx.map(r.get)) }
+        .map { case (k, v) => (k, v.map(_._2)) }
+        .toIndexedSeq.sortBy(_._2.head)
+    val ef = entrySchema.fieldNames.toSeq
+    val newEntries = array(groups.map { case (_, idxs) =>
+      struct(ef.map(f =>
+        array(idxs.map(i => element_at(entries, i + 1)(f)): _*).as(f)): _*)
+    }: _*)
+    val newColSchema = StructType(
+      keyIdx.map(colSchema.fields).toArray ++
+        nonKeyIdx.map(i => StructField(colSchema.fields(i).name,
+          ArrayType(colSchema.fields(i).dataType))))
+    val newColValues = groups.map { case (k, idxs) =>
+      Row.fromSeq(k.toSeq ++
+        nonKeyIdx.map(i => idxs.map(colValues(_).get(i))))
+    }
+    copy(
+      rows = rows.withColumn(MatrixTable.EntriesField, newEntries),
+      colValues = newColValues,
+      colSchema = newColSchema)
+  }
+
+  /** MatrixExplodeCols (`MatrixIR.scala:872`): explode an array-valued col
+    * field — each column is duplicated once per element, entries are
+    * duplicated alongside (literal-index projection, no shuffle). */
+  def explodeCols(field: String): MatrixTable = {
+    val fi = colSchema.fieldIndex(field)
+    val elemType = colSchema.fields(fi).dataType
+      .asInstanceOf[ArrayType].elementType
+    val expanded: IndexedSeq[(Row, Int)] = colValues.zipWithIndex.flatMap {
+      case (r, i) =>
+        val arr = Option(r.getAs[scala.collection.Seq[Any]](fi))
+          .getOrElse(Seq.empty)
+        arr.map(v => (Row.fromSeq(r.toSeq.updated(fi, v)), i))
+    }
+    val idxArr = expanded.map(_._2)
+    copy(
+      rows = rows.withColumn(MatrixTable.EntriesField,
+        array(idxArr.map(i => element_at(entries, i + 1)): _*)),
+      colValues = expanded.map(_._1),
+      colSchema = StructType(colSchema.fields.updated(fi,
+        StructField(field, elemType))))
+  }
+
+  /** localize_entries (`matrixtable.py:3270`): the rows Table keeping the
+    * entries array under `entriesFieldName`, with cols available to the
+    * caller via `colsTable`. (Our representation is already localized —
+    * this is a rename + re-wrap.) */
+  def localizeEntries(entriesFieldName: String): Table =
+    Table(rows.withColumnRenamed(MatrixTable.EntriesField, entriesFieldName),
+      rowKey, globals)
+
+  /** make_table (`matrixtable.py:4415`): one column per (sample, entry
+    * field), named "<sampleKey>.<field>" — a literal wide projection. */
+  def makeTable(): Table = {
+    val keyIdx = colKey.map(colSchema.fieldIndex)
+    val ef = entrySchema.fieldNames.toSeq
+    val wide = colValues.zipWithIndex.flatMap { case (cv, j) =>
+      val sid = keyIdx.map(cv.get).mkString("_")
+      ef.map(f => element_at(entries, j + 1)(f).as(s"$sid.$f"))
+    }
+    Table(rows.select((rowKey.map(col) ++
+      rows.columns.filterNot(c => rowKey.contains(c) ||
+        c == MatrixTable.EntriesField).map(col) ++ wide): _*),
+      rowKey, globals)
+  }
+
   /** annotate_cols with driver-computed values. */
   def annotateCols(field: String, dt: DataType, f: Row => Any): MatrixTable = {
     val newSchema = StructType(colSchema.fields :+ StructField(field, dt))

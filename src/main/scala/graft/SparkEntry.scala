@@ -373,6 +373,90 @@ object SparkEntry {
           "n" -> (e => count(e)),
           "sum_price" -> (e => dsum(e("price"))))),
 
+    // --- TableMultiWayZipJoin (`TableIR.scala:2291`) -----------------------
+    "table_multi_way_zip_join" -> ((s, dir) => {
+      val byStatus = Seq("F", "O", "P").map(st =>
+        Table(t(s, dir, "orders").filter(col("o_orderstatus") === st))
+          .keyByAndAggregate(
+            newKey = Seq("custkey" -> col("o_custkey")),
+            exprs = Seq("n" -> count(lit(1)))))
+      byStatus.head.multiWayZipJoin(byStatus.tail)
+        .annotate(
+          "n_f" -> element_at(col("data"), 1)("n"),
+          "n_o" -> element_at(col("data"), 2)("n"),
+          "n_p" -> element_at(col("data"), 3)("n"))
+        .selectFields("n_f", "n_o", "n_p").df.drop("data")
+    }),
+
+    // --- MatrixCollectColsByKey (`MatrixIR.scala:512`) ---------------------
+    "matrix_collect_cols_by_key" -> ((s, dir) =>
+      lineitemMatrix(s, dir)
+        .annotateCols("parity", IntegerType, r => r.getInt(0) % 2)
+        .copy(colKey = Seq("parity"))
+        .collectColsByKey()
+        .entriesTable
+        .annotate(
+          "n_present" -> size(filter(col("qty"), v => v.isNotNull)),
+          "qty_sum" -> round(aggregate(col("qty"), lit(0.0),
+            (a, v) => a + coalesce(v, lit(0.0))), 4))
+        .selectFields("parity", "n_present", "qty_sum").df
+        .drop("col_idx", "qty", "price")),
+
+    // --- make_table (`matrixtable.py:4415`): wide per-sample columns ------
+    "matrix_make_table" -> ((s, dir) =>
+      lineitemMatrix(s, dir).makeTable().df
+        .select(col("l_orderkey") +:
+          (1 to 7).map(i => col(s"`$i.qty`")): _*)),
+
+    // --- agg: bounded-heap take_by (`agg/TakeByAggregator.scala`) ----------
+    "agg_take_by_heap" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(operators.Aggs.takeBy(col("o_orderkey"), col("o_totalprice"),
+          3, asc = false).as("top"))
+        .select(col("o_custkey"), explode(col("top")).as("o_orderkey"))),
+
+    // --- agg: fold with user seq/comb (`agg/FoldAggregator.scala`) ---------
+    "agg_fold" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          operators.Aggs.foldDouble(col("o_totalprice"), Double.MinValue,
+            math.max, math.max).as("max_price"),
+          operators.Aggs.foldDouble(col("o_totalprice"), Double.MaxValue,
+            math.min, math.min).as("min_price"))),
+
+    // --- agg: group (dict of sub-aggs; `agg/GroupedAggregator.scala`) ------
+    "agg_group" -> ((s, dir) => {
+      val inner = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).cast("bigint").as("q"))
+      inner.groupBy(col("l_returnflag"))
+        .agg(concat_ws(",", array_sort(collect_list(
+          concat(col("l_linestatus"), lit(":"), col("q").cast("string")))))
+          .as("by_status"))
+    }),
+
+    // --- scan: prev_non_null (`agg/PrevNonNullAggregator.scala`) -----------
+    "table_scan_prev_non_null" -> ((s, dir) =>
+      operators.Scans.prevNonNull(
+        t(s, dir, "orders").filter(col("o_custkey") < 100)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice"))
+              .as("v")),
+        orderCols = Seq("o_orderkey"), col("v"), "prev_v")),
+
+    // --- agg: approx_cdf sketch (exact while n <= k; KLL-style) ------------
+    "agg_approx_cdf" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .groupBy(col("l_returnflag"))
+        .agg(operators.Aggs.approxCdf(col("l_quantity"), 4096).as("cdf"))
+        .select(col("l_returnflag"),
+          round(operators.Aggs.sketchQuantileUdf(col("cdf"), lit(0.5)), 6)
+            .as("median_qty"),
+          round(operators.Aggs.sketchQuantileUdf(col("cdf"), lit(0.9)), 6)
+            .as("p90_qty"))),
+
     // --- MatrixAnnotateRowsTable (`MatrixIR.scala:726`): row-space join ----
     "matrix_annotate_rows_table" -> ((s, dir) => {
       val orders = Table(t(s, dir, "orders"), Seq("o_orderkey"))
@@ -897,6 +981,69 @@ object SparkEntry {
       s"""SELECT l_linenumber AS line_no, count(*) AS n,
         |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM $cellSql GROUP BY 1""".stripMargin,
+
+    "table_multi_way_zip_join" ->
+      """SELECT o_custkey AS custkey,
+        |  NULLIF(count(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
+        |  NULLIF(count(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
+        |  NULLIF(count(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "matrix_collect_cols_by_key" ->
+      s"""SELECT o.l_orderkey, p.parity,
+        |  coalesce(s.n_present, 0) AS n_present,
+        |  coalesce(round(s.qty_sum, 4), 0.0) AS qty_sum
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem) o
+        |CROSS JOIN (VALUES (0), (1)) p(parity)
+        |LEFT JOIN (
+        |  SELECT l_orderkey, l_linenumber % 2 AS parity,
+        |    count(*) AS n_present, sum(qty) AS qty_sum
+        |  FROM $cellSql GROUP BY 1, 2) s
+        |USING (l_orderkey, parity)""".stripMargin,
+
+    "matrix_make_table" ->
+      s"""SELECT l_orderkey,
+        |  ${(1 to 7).map(i =>
+              s"""max(CASE WHEN l_linenumber = $i THEN qty END) AS "$i.qty"""")
+            .mkString(",\n  ")}
+        |FROM $cellSql GROUP BY l_orderkey""".stripMargin,
+
+    "agg_take_by_heap" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "agg_fold" ->
+      """SELECT o_orderstatus, max(o_totalprice) AS max_price,
+        |  min(o_totalprice) AS min_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "agg_group" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(l_linestatus || ':' ||
+        |    CAST(q AS VARCHAR))), ',') AS by_status
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin,
+
+    "table_scan_prev_non_null" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS v,
+        |  last_value(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END
+        |    IGNORE NULLS) OVER (ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+
+    "agg_approx_cdf" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+        |FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1""".stripMargin,
 
     "matrix_annotate_rows_table" ->
       """SELECT c.l_orderkey, o.o_orderstatus,

@@ -198,6 +198,33 @@ final case class Table(
     copy(df = others.foldLeft(df)((a, t) => a.unionByName(t.df)),
       keySorted = false)
 
+  /** TableMultiWayZipJoin (`TableIR.scala:2291`): n-way outer zip-join of
+    * like-typed keyed tables — one row per key present in ANY input, with
+    * `fieldName` = fixed-length array of value structs (element i from
+    * table i, null where that table lacks the key). Powers multi-cohort
+    * merges / the VDS combiner. One union + one grouped shuffle — no
+    * iterated joins, so cost is linear in total input at any n. */
+  def multiWayZipJoin(others: Seq[Table], fieldName: String = "data")
+      : Table = {
+    val all = this +: others
+    require(all.forall(_.key == key) && key.nonEmpty,
+      "multiWayZipJoin requires identical non-empty keys")
+    val valueFields = df.columns.filterNot(key.contains).toSeq
+    val tagged = all.zipWithIndex.map { case (t, i) =>
+      t.df.select((key.map(col) :+ lit(i).as("__i") :+
+        struct(valueFields.map(col): _*).as("__v")): _*)
+    }
+    val unioned = tagged.reduce(_ unionByName _)
+    val zipped = unioned.groupBy(keyCols: _*)
+      .agg(map_from_entries(collect_list(struct(col("__i"), col("__v"))))
+        .as("__m"))
+      .withColumn(fieldName,
+        transform(sequence(lit(0), lit(all.length - 1)),
+          i => element_at(col("__m"), i)))
+      .drop("__m")
+    Table(zipped, key, all.map(_.globals).reduce(_ ++ _))
+  }
+
   // ---- aggregation --------------------------------------------------------
 
   /** TableAggregate (ir-gen `Main.scala:1125`) — whole-table agg to one Row.
@@ -286,6 +313,18 @@ object Table {
       schema: org.apache.spark.sql.types.StructType): Table =
     Table(spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq), schema))
+
+  /** TableGen (`TableIR.scala:2094`): generate one partition per context
+    * value with a user body — the escape hatch for custom sources. Each
+    * context becomes exactly one partition (the reference's contract). */
+  def gen[C: scala.reflect.ClassTag](spark: SparkSession, contexts: Seq[C],
+      schema: org.apache.spark.sql.types.StructType)(
+      body: C => Iterator[Row]): Table = {
+    val rdd = spark.sparkContext
+      .parallelize(contexts, math.max(contexts.length, 1))
+      .flatMap(body)
+    Table(spark.createDataFrame(rdd, schema))
+  }
 
   def fromParquet(spark: SparkSession, path: String, key: String*): Table =
     Table(spark.read.parquet(path), key)

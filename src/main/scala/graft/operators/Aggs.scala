@@ -200,7 +200,151 @@ object Aggs {
   def downsample(x: Column, y: Column, factor: Int): Column =
     udaf(downsampleAgg(factor)).apply(x, y)
 
-  // ---- impute_type (schema inference over strings) ------------------------
+  // ---- take_by: bounded-heap top-n ---------------------------------------
+
+  case class TakeByBuf(items: Seq[(Double, Long)])
+
+  /** TakeBy as a true bounded-buffer aggregator (reference
+    * `agg/TakeByAggregator.scala`): keeps only the n best (key, value)
+    * pairs per group through partial/merge — O(n) state, unlike the
+    * window-function formulation which shuffles every row. Ties broken by
+    * value for determinism. */
+  def takeByAgg(n: Int, asc: Boolean)
+      : Aggregator[(java.lang.Long, java.lang.Double), TakeByBuf, Seq[Long]] =
+    new Aggregator[(java.lang.Long, java.lang.Double), TakeByBuf, Seq[Long]] {
+      private def better(s: Seq[(Double, Long)]) = {
+        val sorted = s.sortBy(p => (p._1, p._2))
+        (if (asc) sorted else sorted.reverse).take(n)
+      }
+      def zero: TakeByBuf = TakeByBuf(Nil)
+      def reduce(b: TakeByBuf, in: (java.lang.Long, java.lang.Double))
+          : TakeByBuf =
+        if (in._1 == null || in._2 == null) b
+        else TakeByBuf(better(b.items :+ ((in._2.doubleValue, in._1.longValue))))
+      def merge(a: TakeByBuf, b: TakeByBuf): TakeByBuf =
+        TakeByBuf(better(a.items ++ b.items))
+      def finish(b: TakeByBuf): Seq[Long] = b.items.map(_._2)
+      def bufferEncoder: Encoder[TakeByBuf] = Encoders.product
+      def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+  def takeBy(v: Column, key: Column, n: Int, asc: Boolean = true): Column =
+    udaf(takeByAgg(n, asc)).apply(v, key)
+
+  // ---- fold: user-supplied zero/seq/comb ----------------------------------
+
+  /** Fold with caller-supplied semantics (reference
+    * `agg/FoldAggregator.scala`, `AggFold` ir-gen `Main.scala:985`). */
+  def foldAgg[T: Encoder](z: T, seq: (T, T) => T, comb: (T, T) => T)
+      : Aggregator[T, T, T] =
+    new Aggregator[T, T, T] {
+      def zero: T = z
+      def reduce(b: T, a: T): T = seq(b, a)
+      def merge(a: T, b: T): T = comb(a, b)
+      def finish(b: T): T = b
+      def bufferEncoder: Encoder[T] = implicitly[Encoder[T]]
+      def outputEncoder: Encoder[T] = implicitly[Encoder[T]]
+    }
+  def foldDouble(c: Column, z: Double, seq: (Double, Double) => Double,
+      comb: (Double, Double) => Double): Column = {
+    implicit val e: Encoder[Double] = Encoders.scalaDouble
+    udaf(foldAgg(z, seq, comb)).apply(c)
+  }
+  def foldLong(c: Column, z: Long, seq: (Long, Long) => Long,
+      comb: (Long, Long) => Long): Column = {
+    implicit val e: Encoder[Long] = Encoders.scalaLong
+    udaf(foldAgg(z, seq, comb)).apply(c)
+  }
+
+  // ---- approx_cdf: KLL-style mergeable quantile sketch --------------------
+
+  case class CdfBuf(levels: Seq[Seq[Double]])
+
+  /** Bounded-memory quantile sketch (reference
+    * `agg/ApproxCDFAggregator.scala`, a KLL-family sketch). Level i holds
+    * values of weight 2^i; when a level exceeds `k` items it is compacted:
+    * sorted, then every other element promoted to level i+1
+    * (deterministic even-offset compaction, so results are reproducible
+    * under any partitioning of the same multiset — merges sort before
+    * compacting). While total input fits in level 0 (n <= k) the sketch is
+    * EXACT and `quantile` matches the interpolated percentile definition
+    * bit-for-bit. */
+  def approxCdfAgg(k: Int)
+      : Aggregator[java.lang.Double, CdfBuf, Seq[Double]] =
+    new Aggregator[java.lang.Double, CdfBuf, Seq[Double]] {
+      private def compactAll(levels: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+        var ls = levels.toIndexedSeq
+        var i = 0
+        while (i < ls.length) {
+          if (ls(i).length > k) {
+            val sorted = ls(i).sorted
+            val kept = sorted.zipWithIndex.collect {
+              case (v, idx) if idx % 2 == 1 => v
+            }
+            ls = ls.updated(i, Seq.empty[Double])
+            if (i + 1 >= ls.length) ls = ls :+ kept
+            else ls = ls.updated(i + 1, ls(i + 1) ++ kept)
+          }
+          i += 1
+        }
+        ls
+      }
+      def zero: CdfBuf = CdfBuf(Seq(Seq.empty))
+      def reduce(b: CdfBuf, a: java.lang.Double): CdfBuf =
+        if (a == null) b
+        else CdfBuf(compactAll(
+          b.levels.updated(0, b.levels.head :+ a.doubleValue)))
+      def merge(a: CdfBuf, b: CdfBuf): CdfBuf = {
+        val n = math.max(a.levels.length, b.levels.length)
+        val merged = (0 until n).map(i =>
+          (a.levels.applyOrElse(i, (_: Int) => Seq.empty[Double]) ++
+            b.levels.applyOrElse(i, (_: Int) => Seq.empty[Double]))
+            .sorted)
+        CdfBuf(compactAll(merged))
+      }
+      /** weighted (value, weight) pairs sorted by value. */
+      def finish(b: CdfBuf): Seq[Double] = {
+        val pairs = b.levels.zipWithIndex.flatMap { case (vs, i) =>
+          vs.map(v => (v, (1L << i).toDouble))
+        }.sortBy(_._1)
+        // flatten to [v1, w1, v2, w2, ...] for a stable wire shape
+        pairs.flatMap(p => Seq(p._1, p._2))
+      }
+      def bufferEncoder: Encoder[CdfBuf] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CdfBuf]()
+      def outputEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+  def approxCdf(c: Column, k: Int = 1024): Column =
+    udaf(approxCdfAgg(k)).apply(c)
+
+  /** Interpolated quantile q from an approxCdf sketch result (exact —
+    * matching `percentile`/`quantile_cont` — whenever the sketch never
+    * compacted, i.e. group size <= k). Each (value, weight w) pair covers
+    * index positions [cum, cum+w-1] of the virtual sorted sequence;
+    * targets between two plateaus interpolate linearly. */
+  def sketchQuantile(flat: Seq[Double], q: Double): Double = {
+    val pairs = flat.grouped(2).map(a => (a(0), a(1))).toIndexedSeq
+    if (pairs.isEmpty) return Double.NaN
+    val total = pairs.map(_._2).sum
+    val target = q * (total - 1)
+    var cum = 0.0
+    var i = 0
+    while (i < pairs.length && cum + pairs(i)._2 - 1 < target) {
+      cum += pairs(i)._2
+      i += 1
+    }
+    if (i >= pairs.length) pairs.last._1
+    else if (target >= cum) pairs(i)._1 // inside this value's plateau
+    else {
+      val frac = target - (cum - 1) // between prev plateau end and this one
+      pairs(i - 1)._1 * (1 - frac) + pairs(i)._1 * frac
+    }
+  }
+
+  val sketchQuantileUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (flat: Seq[Double], q: Double) => sketchQuantile(flat, q))
 
   case class ImputeTypeBuf(anyNonMissing: Boolean, allInt: Boolean,
       allFloat: Boolean, allBool: Boolean)

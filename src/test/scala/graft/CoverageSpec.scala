@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Aggs
+
+class CoverageSpec extends SparkSpec {
+
+  private def miniMt(): MatrixTable = {
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(Row(1.0), Row(2.0), Row(3.0), Row(4.0))),
+        Row(2L, Seq(Row(5.0), null, Row(7.0), Row(8.0))))),
+      StructType(Seq(
+        StructField("k", LongType),
+        StructField("entries", ArrayType(StructType(Seq(
+          StructField("v", DoubleType))))))))
+    MatrixTable(rows, Seq("k"),
+      colValues = IndexedSeq(Row("a", Seq(1, 2)), Row("b", Seq(3)),
+        Row("c", Seq.empty[Int]), Row("d", Seq(4, 5))),
+      colSchema = StructType(Seq(StructField("s", StringType),
+        StructField("tags", ArrayType(IntegerType)))),
+      colKey = Seq("s"))
+  }
+
+  test("explodeCols duplicates columns and entries per array element") {
+    val ex = miniMt().explodeCols("tags")
+    assert(ex.nCols === 5) // a×2, b×1, c×0, d×2
+    assert(ex.colValues.map(r => (r.getString(0), r.getInt(1))) ===
+      IndexedSeq(("a", 1), ("a", 2), ("b", 3), ("d", 4), ("d", 5)))
+    val r1 = ex.rows.filter(col("k") === 1).head()
+    val vs = r1.getAs[scala.collection.Seq[Row]]("entries")
+      .map(e => e.getDouble(0)).toSeq
+    assert(vs === Seq(1.0, 1.0, 2.0, 4.0, 4.0))
+  }
+
+  test("headCols/tailCols slice the column space") {
+    val mt = miniMt()
+    assert(mt.headCols(2).colValues.map(_.getString(0)) ===
+      IndexedSeq("a", "b"))
+    assert(mt.tailCols(2).colValues.map(_.getString(0)) ===
+      IndexedSeq("c", "d"))
+  }
+
+  test("localizeEntries keeps entries as a named array field") {
+    val t = miniMt().localizeEntries("ents")
+    assert(t.df.columns.toSeq === Seq("k", "ents"))
+    assert(t.df.count() === 2)
+  }
+
+  test("TableGen generates one partition per context") {
+    val schema = StructType(Seq(StructField("part", IntegerType),
+      StructField("v", IntegerType)))
+    val t = Table.gen(spark, Seq(0, 1, 2), schema)(c =>
+      (0 until 3).iterator.map(i => Row(c, c * 10 + i)))
+    assert(t.df.rdd.getNumPartitions === 3)
+    assert(t.df.count() === 9)
+    assert(t.df.agg(sum("v")).head().getLong(0) === (0 to 2).flatMap(c =>
+      (0 until 3).map(i => c * 10 + i)).sum)
+  }
+
+  test("approxCdf stays accurate through compaction (n >> k)") {
+    // 20k uniform values, sketch capacity 256: compaction definitely fires
+    val df = spark.range(0, 20000, 1, 8)
+      .select((col("id") % 1000).cast("double").as("v"))
+    val flat = df.agg(Aggs.approxCdf(col("v"), 256).as("c"))
+      .head().getAs[scala.collection.Seq[Double]]("c").toSeq
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = Aggs.sketchQuantile(flat, q)
+      val truth = q * 999
+      assert(math.abs(est - truth) < 60, s"q=$q est=$est truth=$truth")
+    }
+  }
+
+  test("approxCdf is exact (percentile-equal) when n <= k") {
+    val df = spark.range(0, 500, 1, 4)
+      .select(((col("id") * 37) % 101).cast("double").as("v"))
+    val flat = df.agg(Aggs.approxCdf(col("v"), 1024).as("c"))
+      .head().getAs[scala.collection.Seq[Double]]("c").toSeq
+    val exact = df.agg(expr("percentile(v, 0.25)")).head().getDouble(0)
+    assert(math.abs(Aggs.sketchQuantile(flat, 0.25) - exact) < 1e-9)
+  }
+
+  test("takeBy keeps only n best with deterministic tiebreak") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10.0), Row(2L, 30.0), Row(3L, 20.0), Row(4L, 30.0),
+        Row(5L, 5.0))),
+      StructType(Seq(StructField("v", LongType),
+        StructField("k", DoubleType))))
+    val top = df.agg(Aggs.takeBy(col("v"), col("k"), 3, asc = false))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(top.toSeq === Seq(4L, 2L, 3L)) // 30(v4 > v2 tie-desc), 30, 20
+  }
+}
