@@ -774,6 +774,42 @@ object SparkEntry {
         Calls.allele2(col("GT")).as("a2"))
     }),
 
+    // --- logistic_regression_rows (statgen.py:731, Wald) with binary x:
+    // the fitted slope must equal the closed-form log odds ratio ------------
+    "logistic_rows" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val pheno = mt.colsTable.df.withColumn("y",
+        (substring(col("s"), 2, 10).cast("int") % 2).cast("double"))
+      val fit = methods.Regression.logisticRegressionRows(mt, pheno, "y",
+        xOf = gt => (Calls.nNonRefAlleles(gt) > 0).cast("double")).df
+      val e = mt.entriesTable.df.join(broadcast(pheno), Seq("s"))
+        .filter(col("GT").isNotNull)
+        .withColumn("x", (Calls.nNonRefAlleles(col("GT")) > 0).cast("int"))
+      val cells = e.groupBy(col("contig"), col("position"), col("ref"))
+        .agg(
+          sum(col("x") * col("y")).cast("long").as("n11"),
+          sum(col("x") * (lit(1.0) - col("y"))).cast("long").as("n10"),
+          sum((lit(1) - col("x")) * col("y")).cast("long").as("n01"),
+          sum((lit(1) - col("x")) * (lit(1.0) - col("y"))).cast("long")
+            .as("n00"))
+      fit.join(cells, Seq("contig", "position", "ref"))
+        .filter(col("n11") > 0 && col("n10") > 0 && col("n01") > 0 &&
+          col("n00") > 0)
+        .select(col("contig"), col("position"), col("ref"), col("n"),
+          round(col("beta"), 6).as("beta"),
+          round(col("standard_error"), 6).as("standard_error"))
+    }),
+
+    // --- locus-aware filter_intervals over the (contig, position) key -----
+    "table_filter_locus_intervals" -> ((s, _) => {
+      implicit val rg: graft.functions.ReferenceGenome =
+        graft.functions.ReferenceGenome.GRCh38
+      sources.Vcf.read(s, VcfFixture).rowsTable
+        .filterLocusIntervals(Seq((("chr1", 1500), ("chr2", 1000))))
+        .df.select(col("contig"), col("position"), col("ref"), col("qual"))
+    }),
+
     // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
     // oracle re-parses the same file with DuckDB read_csv ------------------
     "vcf_import" -> ((s, _) => {
@@ -1500,6 +1536,36 @@ object SparkEntry {
         |mm AS (SELECT count(*) AS m FROM st WHERE ac > 0 AND ac < 2 * nc)
         |SELECT round(sum(nrm * nrm) * 2.0 / mm.m, 4) AS trace
         |FROM f, mm GROUP BY mm.m""".stripMargin
+    },
+
+    "logistic_rows" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, ref,
+        |    CASE WHEN a1 + a2 > 0 THEN 1 ELSE 0 END AS x,
+        |    CAST(substr(s, 2, 10) AS INTEGER) % 2 AS y
+        |  FROM q WHERE a1 IS NOT NULL),
+        |c AS (
+        |  SELECT contig, position, ref,
+        |    sum(x * y) AS n11, sum(x * (1 - y)) AS n10,
+        |    sum((1 - x) * y) AS n01, sum((1 - x) * (1 - y)) AS n00
+        |  FROM d GROUP BY 1, 2, 3)
+        |SELECT contig, position, ref,
+        |  n11 + n10 + n01 + n00 AS n,
+        |  round(ln(CAST(n11 * n00 AS DOUBLE) / (n10 * n01)), 6) AS beta,
+        |  round(sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00), 6)
+        |    AS standard_error
+        |FROM c WHERE n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0""".stripMargin
+    },
+
+    "table_filter_locus_intervals" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base
+        |SELECT DISTINCT contig, position, ref, qual
+        |FROM raw
+        |WHERE (contig = 'chr1' AND position >= 1500)
+        |   OR (contig = 'chr2' AND position < 1000)""".stripMargin
     },
 
     "plink_import" ->

@@ -266,6 +266,36 @@ final case class Table(
     filter(if (keep) p else !p)
   }
 
+  /** Locus-aware TableFilterIntervals over a (contig, position) compound
+    * key (reference `ExtractIntervalFilters.scala:27-60`): each genomic
+    * interval ((c1,p1), (c2,p2)) expands to contig-equality + position-
+    * range disjuncts in reference-genome contig order — plain column
+    * predicates that reach Parquet min/max stats for file skipping (an
+    * opaque global-position expression would not push down). */
+  def filterLocusIntervals(
+      intervals: Seq[((String, Int), (String, Int))],
+      keep: Boolean = true)(implicit rg: functions.ReferenceGenome)
+      : Table = {
+    require(key.length >= 2,
+      "filterLocusIntervals requires a (contig, position) key prefix")
+    val c = col(key(0)); val p = col(key(1))
+    val pred = intervals.map { case ((c1, p1), (c2, p2)) =>
+      val i1 = rg.contigs.indexOf(c1)
+      val i2 = rg.contigs.indexOf(c2)
+      require(i1 >= 0 && i2 >= 0 && i1 <= i2,
+        s"bad interval contigs $c1..$c2 for genome ${rg.name}")
+      if (i1 == i2) c === c1 && p >= p1 && p < p2
+      else {
+        val mid = rg.contigs.slice(i1 + 1, i2)
+        val parts = Seq(c === c1 && p >= p1) ++
+          (if (mid.nonEmpty) Seq(c.isin(mid: _*)) else Nil) ++
+          Seq(c === c2 && p < p2)
+        parts.reduce(_ || _)
+      }
+    }.reduce(_ || _)
+    filter(if (keep) pred else !pred)
+  }
+
   // ---- actions ------------------------------------------------------------
 
   def count(): Long = df.count()

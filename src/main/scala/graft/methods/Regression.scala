@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
 import graft.{MatrixTable, Table}
 import graft.functions.{Calls, StatTests}
 import graft.operators.Aggs
@@ -55,5 +57,89 @@ object Regression {
       .withColumn("p_value", StatTests.pT(t, (n - k).cast("double")))
       .drop("__fit")
     Table(out, mt.rowKey, mt.globals)
+  }
+
+  /** Newton-Raphson logistic fit on one variant's collected design matrix
+    * (samples per variant — thousands — fit locally per group, exactly the
+    * reference's per-variant kernel shape,
+    * `is/hail/methods/LogisticRegression.scala`). Returns
+    * (beta, se, z, p, converged) for the x term (index 1). */
+  private val logisticFit: UserDefinedFunction = udf {
+    (xs: Seq[Seq[Double]], ys: Seq[Double]) =>
+      val n = xs.length
+      if (n == 0) (Double.NaN, Double.NaN, Double.NaN, Double.NaN, false)
+      else {
+        val k = xs.head.length
+        val X = breeze.linalg.DenseMatrix(xs.map(_.toArray): _*)
+        val y = breeze.linalg.DenseVector(ys.toArray)
+        var beta = breeze.linalg.DenseVector.zeros[Double](k)
+        var converged = false
+        var iter = 0
+        var H = breeze.linalg.DenseMatrix.zeros[Double](k, k)
+        while (!converged && iter < 25) {
+          val eta = X * beta
+          val mu = eta.map(e => 1.0 / (1.0 + math.exp(-e)))
+          val w = mu.map(m => m * (1.0 - m))
+          val grad = X.t * (y - mu)
+          val Xw = X.copy
+          var i = 0
+          while (i < n) {
+            var j = 0
+            while (j < k) { Xw(i, j) = X(i, j) * w(i); j += 1 }
+            i += 1
+          }
+          H = X.t * Xw
+          val step =
+            try H \ grad
+            catch { case _: Exception =>
+              breeze.linalg.DenseVector.fill(k)(Double.NaN) }
+          beta = beta + step
+          iter += 1
+          converged = breeze.linalg.norm(grad) < 1e-6
+        }
+        if (!converged || beta.exists(_.isNaN))
+          (Double.NaN, Double.NaN, Double.NaN, Double.NaN, false)
+        else {
+          val hinv: breeze.linalg.DenseMatrix[Double] = breeze.linalg.inv(H)
+          val se = math.sqrt(hinv(1, 1))
+          val z = beta(1) / se
+          val p = 2.0 * (1.0 - new org.apache.commons.math3.distribution
+            .NormalDistribution().cumulativeProbability(math.abs(z)))
+          (beta(1), se, z, p, true)
+        }
+      }
+  }
+
+  /** logistic_regression_rows, Wald test (reference `statgen.py:731`):
+    * per-variant logistic regression of binary `yCol` on `xOf(GT)` plus
+    * covariates with intercept. The per-variant design (n samples × k)
+    * is collected into the group and fitted locally — bounded by sample
+    * count, distributed across variants. Rows with missing GT or y are
+    * dropped (complete-case). */
+  def logisticRegressionRows(mt: MatrixTable, pheno: DataFrame,
+      yCol: String, covCols: Seq[String] = Nil,
+      xOf: Column => Column = Calls.nNonRefAlleles(_).cast("double"))
+      : Table = {
+    val e = mt.entriesTable.df
+      .join(broadcast(pheno), mt.colKey, "inner")
+      .filter(col("GT").isNotNull && col(yCol).isNotNull)
+    val x = xOf(col("GT"))
+    val xs = array((lit(1.0) +: x +: covCols.map(c =>
+      col(c).cast("double"))): _*)
+    val keyCols = mt.rowKey.map(col)
+    val fit = e
+      .withColumn("__xs", xs)
+      .groupBy(keyCols: _*)
+      .agg(
+        logisticFit(collect_list(col("__xs")),
+          collect_list(col(yCol).cast("double"))).as("__fit"),
+        count(lit(1)).as("n"))
+    Table(fit
+      .withColumn("beta", col("__fit")("_1"))
+      .withColumn("standard_error", col("__fit")("_2"))
+      .withColumn("z_stat", col("__fit")("_3"))
+      .withColumn("p_value", col("__fit")("_4"))
+      .withColumn("converged", col("__fit")("_5"))
+      .drop("__fit"), mt.rowKey, mt.globals)
   }
 }
