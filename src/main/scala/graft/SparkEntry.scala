@@ -810,6 +810,41 @@ object SparkEntry {
         .df.select(col("contig"), col("position"), col("ref"), col("qual"))
     }),
 
+    // --- impute_sex (statgen.py:73): inbreeding F on "X" (chr2 re-labeled
+    // as X to exercise the path on the autosomal fixture) ------------------
+    "geno_impute_sex" -> ((s, _) => {
+      implicit val rg: graft.functions.ReferenceGenome =
+        graft.functions.ReferenceGenome.GRCh38.copy(xContigs = Set("chr2"))
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Genetics.imputeSex(mt).df.select(
+        col("s"), col("n_called"),
+        round(col("expected_homs"), 6).as("expected_homs"),
+        col("observed_homs"),
+        round(col("f_stat"), 6).as("f_stat"),
+        col("is_female"))
+    }),
+
+    // --- mendel_errors (family_methods.py:130): trio violation codes ------
+    "geno_mendel_errors" -> ((s, _) => {
+      implicit val rg: graft.functions.ReferenceGenome =
+        graft.functions.ReferenceGenome.GRCh38
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Genetics.mendelErrors(mt, Seq(
+        ("S1", "S2", "S3", true),
+        ("S4", "S2", "S3", false))).df
+        .select(col("contig"), col("position"), col("ref"), col("s"),
+          col("mendel_code"))
+    }),
+
+    // --- concordance (qc.py:360): 5-state cross-tab of two matrices -------
+    "geno_concordance" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val right = mt
+        .filterRows(pmod(col("position"), lit(2)) === 1)
+        .filterEntries(e => e("DP") >= 10)
+      methods.Genetics.concordance(mt, right)
+    }),
+
     // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
     // oracle re-parses the same file with DuckDB read_csv ------------------
     "vcf_import" -> ((s, _) => {
@@ -1536,6 +1571,95 @@ object SparkEntry {
         |mm AS (SELECT count(*) AS m FROM st WHERE ac > 0 AND ac < 2 * nc)
         |SELECT round(sum(nrm * nrm) * 2.0 / mm.m, 4) AS trace
         |FROM f, mm GROUP BY mm.m""".stripMargin
+    },
+
+    "geno_impute_sex" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |x AS (SELECT * FROM q WHERE contig = 'chr2'),
+        |st AS (
+        |  SELECT contig, position,
+        |    CAST(sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / (2 * count(a1)) AS af
+        |  FROM x GROUP BY 1, 2 HAVING count(a1) > 0),
+        |j AS (
+        |  SELECT x.s, x.a1, x.a2, st.af
+        |  FROM x JOIN st USING (contig, position) WHERE x.a1 IS NOT NULL),
+        |per AS (
+        |  SELECT s, count(*) AS n_called,
+        |    sum(1.0 - 2.0 * af * (1.0 - af)) AS e_homs,
+        |    sum(CASE WHEN a1 = a2 THEN 1 ELSE 0 END) AS o_homs
+        |  FROM j GROUP BY s),
+        |f AS (
+        |  SELECT sl.s, per.n_called, per.e_homs, per.o_homs,
+        |    (per.o_homs - per.e_homs) / (per.n_called - per.e_homs) AS fs
+        |  FROM (SELECT DISTINCT s FROM q) sl LEFT JOIN per USING (s))
+        |SELECT s, n_called,
+        |  round(e_homs, 6) AS expected_homs,
+        |  o_homs AS observed_homs,
+        |  round(fs, 6) AS f_stat,
+        |  CASE WHEN fs < 0.2 THEN true
+        |       WHEN fs > 0.8 THEN false END AS is_female
+        |FROM f""".stripMargin
+    },
+
+    "geno_mendel_errors" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      def cls(role: String) =
+        s"""CASE WHEN $role.a1 IS NULL THEN 1
+           |  WHEN $role.a1 = 0 AND $role.a2 = 0 THEN 2
+           |  WHEN $role.a1 <> $role.a2 THEN 3 ELSE 4 END""".stripMargin
+      s"""WITH $base,
+        |g AS (
+        |  SELECT k.contig, k.position, k.ref, t.kid AS s,
+        |    ${cls("k")} AS kc, ${cls("d")} AS dc, ${cls("m")} AS mc
+        |  FROM (VALUES ('S1'), ('S4')) t(kid)
+        |  JOIN q k ON k.s = t.kid
+        |  JOIN q d ON d.s = 'S2' AND d.contig = k.contig
+        |    AND d.position = k.position
+        |  JOIN q m ON m.s = 'S3' AND m.contig = k.contig
+        |    AND m.position = k.position)
+        |SELECT contig, position, ref, s,
+        |  CASE WHEN dc = 4 AND mc = 4 AND kc = 3 THEN 1
+        |       WHEN dc = 2 AND mc = 2 AND kc = 3 THEN 2
+        |       WHEN dc = 2 AND mc NOT IN (1, 2) AND kc = 4 THEN 3
+        |       WHEN dc NOT IN (1, 2) AND mc = 2 AND kc = 4 THEN 4
+        |       WHEN dc = 2 AND mc = 2 AND kc = 4 THEN 5
+        |       WHEN dc = 4 AND mc NOT IN (1, 4) AND kc = 2 THEN 6
+        |       WHEN dc NOT IN (1, 4) AND mc = 4 AND kc = 2 THEN 7
+        |       WHEN dc = 4 AND mc = 4 AND kc = 2 THEN 8
+        |       END AS mendel_code
+        |FROM g WHERE CASE WHEN dc = 4 AND mc = 4 AND kc = 3 THEN 1
+        |       WHEN dc = 2 AND mc = 2 AND kc = 3 THEN 2
+        |       WHEN dc = 2 AND mc NOT IN (1, 2) AND kc = 4 THEN 3
+        |       WHEN dc NOT IN (1, 2) AND mc = 2 AND kc = 4 THEN 4
+        |       WHEN dc = 2 AND mc = 2 AND kc = 4 THEN 5
+        |       WHEN dc = 4 AND mc NOT IN (1, 4) AND kc = 2 THEN 6
+        |       WHEN dc NOT IN (1, 4) AND mc = 4 AND kc = 2 THEN 7
+        |       WHEN dc = 4 AND mc = 4 AND kc = 2 THEN 8
+        |       END IS NOT NULL""".stripMargin
+    },
+
+    "geno_concordance" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |l AS (
+        |  SELECT contig, position, ref, s,
+        |    CASE WHEN a1 IS NULL THEN 1
+        |      WHEN a1 = 0 AND a2 = 0 THEN 2
+        |      WHEN a1 <> a2 THEN 3 ELSE 4 END AS lc
+        |  FROM q),
+        |r AS (
+        |  SELECT contig, position, ref, s,
+        |    CASE WHEN a1 IS NULL THEN 1
+        |      WHEN a1 = 0 AND a2 = 0 THEN 2
+        |      WHEN a1 <> a2 THEN 3 ELSE 4 END AS rc
+        |  FROM q WHERE position % 2 = 1 AND dp >= 10)
+        |SELECT coalesce(l.lc, 0) AS left_state,
+        |  coalesce(r.rc, 0) AS right_state, count(*) AS n
+        |FROM l FULL OUTER JOIN r USING (contig, position, ref, s)
+        |GROUP BY 1, 2""".stripMargin
     },
 
     "logistic_rows" -> {

@@ -33,7 +33,7 @@ object Qc {
   /** Fold over the entries array accumulating callStats-shaped counts:
     * struct(called, ac[nAlleles], hom[nAlleles]). Null entries / null GTs
     * contribute nothing. */
-  private def callStatsFold(entries: Column, nAlleles: Column): Column = {
+  private[graft] def callStatsFold(entries: Column, nAlleles: Column): Column = {
     val zero = struct(
       lit(0L).as("called"),
       array_repeat(lit(0L), nAlleles.cast("int")).as("ac"),

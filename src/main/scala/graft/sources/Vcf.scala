@@ -183,7 +183,10 @@ object Vcf {
       if (path.endsWith(".vcf")) path else s"$path/*.vcf")
       .filter(!col("value").startsWith("#"))
     val f = split(col("value"), "\t")
-    val fieldAt = (i: Int) => element_at(f, i + 1)
+    // try_element_at, not element_at: downstream filters (e.g. on contig)
+    // can be merged ahead of the header-line filter by Catalyst, so fixed-
+    // column access must not throw on short '##' lines
+    val fieldAt = (i: Int) => try_element_at(f, lit(i + 1))
     val entryStrs = slice(f, FixedCols + 1, n)
     val formatKeys = split(fieldAt(8), ":")
     val infoMap = when(fieldAt(7) === ".",
