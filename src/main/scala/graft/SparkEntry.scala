@@ -845,6 +845,35 @@ object SparkEntry {
       methods.Genetics.concordance(mt, right)
     }),
 
+    // --- BGEN v1.2 import (io/bgen/LoadBgen.scala): zlib layout-2 decode;
+    // oracle = golden dump generated alongside the binary fixture ----------
+    "bgen_import" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Bgen.read(s,
+        "/root/repo/src/test/resources/oracle_bgen.bgen",
+        Some("/root/repo/src/test/resources/oracle_bgen.sample"))
+      mt.entriesTable.df.select(
+        col("contig"), col("position"), col("ref"),
+        element_at(col("alt"), 1).as("alt"), col("s"),
+        Calls.nNonRefAlleles(col("GT")).as("gt"),
+        round(element_at(col("GP"), 1), 6).as("paa"),
+        round(element_at(col("GP"), 2), 6).as("pab"),
+        round(element_at(col("GP"), 3), 6).as("pbb"))
+    }),
+
+    // --- Oxford GEN import (io/gen/): text probabilities + hard calls -----
+    "gen_import" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Gen.read(s,
+        "/root/repo/src/test/resources/oracle_gen.gen",
+        "/root/repo/src/test/resources/oracle_gen.sample")
+      mt.entriesTable.df.select(
+        col("contig"), col("position"), col("ref"),
+        element_at(col("alt"), 1).as("alt"), col("s"),
+        Calls.nNonRefAlleles(col("GT")).as("gt"),
+        round(element_at(col("GP"), 1), 6).as("paa"))
+    }),
+
     // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
     // oracle re-parses the same file with DuckDB read_csv ------------------
     "vcf_import" -> ((s, _) => {
@@ -1691,6 +1720,39 @@ object SparkEntry {
         |WHERE (contig = 'chr1' AND position >= 1500)
         |   OR (contig = 'chr2' AND position < 1000)""".stripMargin
     },
+
+    "bgen_import" ->
+      """SELECT contig, position, ref, alt, s, gt,
+        |  round(paa8 / 255.0, 6) AS paa,
+        |  round(pab8 / 255.0, 6) AS pab,
+        |  round(1.0 - paa8 / 255.0 - pab8 / 255.0, 6) AS pbb
+        |FROM read_csv(
+        |  '/root/repo/src/test/resources/oracle_bgen_expected.tsv',
+        |  delim='\t', header=true, nullstr='\N',
+        |  columns={'contig':'VARCHAR','position':'INTEGER','ref':'VARCHAR',
+        |    'alt':'VARCHAR','s':'VARCHAR','gt':'INTEGER',
+        |    'paa8':'INTEGER','pab8':'INTEGER'})""".stripMargin,
+
+    "gen_import" ->
+      """WITH raw AS (
+        |  SELECT string_split_regex(trim(line), ' +') AS f
+        |  FROM read_csv('/root/repo/src/test/resources/oracle_gen.gen',
+        |    delim='~', header=false, columns={'line':'VARCHAR'})),
+        |samp AS (SELECT unnest(range(0, 6)) AS j),
+        |e AS (
+        |  SELECT f[1] AS contig, CAST(f[4] AS INTEGER) AS position,
+        |    f[5] AS ref, f[6] AS alt, 'G' || j AS s,
+        |    CAST(f[7 + j * 3] AS DOUBLE) AS paa,
+        |    CAST(f[8 + j * 3] AS DOUBLE) AS pab,
+        |    CAST(f[9 + j * 3] AS DOUBLE) AS pbb
+        |  FROM raw, samp)
+        |SELECT contig, position, ref, alt, s,
+        |  CASE WHEN greatest(paa, pab, pbb) < 0.9 THEN NULL
+        |       WHEN greatest(paa, pab, pbb) = paa THEN 0
+        |       WHEN greatest(paa, pab, pbb) = pab THEN 1
+        |       ELSE 2 END AS gt,
+        |  round(paa, 6) AS paa
+        |FROM e""".stripMargin,
 
     "plink_import" ->
       """SELECT contig, position, ref, alt, s, a1, a2

@@ -99,6 +99,45 @@ object Pca {
     } finally vecRdd.unpersist(blocking = false)
   }
 
+  /** realized_relationship_matrix (reference `statgen.py:3656`): like the
+    * GRM but variance-normalized empirically — per variant,
+    * norm = (gt - mean) / sqrt(ACsq - AC²/n_called), rows with
+    * centered length <= 0.1 dropped; RRM = MᵀM / (m/n). */
+  def rrm(mt: MatrixTable): DataFrame = {
+    val spark = mt.spark
+    val dose = transform(mt.entries, e =>
+      Calls.nNonRefAlleles(e("GT")).cast("double"))
+    val withStats = mt.rows.withColumn("__dose", dose)
+      .withColumn("__ac", aggregate(col("__dose"), lit(0.0),
+        (a, v) => a + coalesce(v, lit(0.0))))
+      .withColumn("__acsq", aggregate(col("__dose"), lit(0.0),
+        (a, v) => a + coalesce(v * v, lit(0.0))))
+      .withColumn("__nc",
+        size(filter(col("__dose"), v => v.isNotNull)).cast("double"))
+      .filter(col("__nc") > 0)
+      .withColumn("__len",
+        sqrt(col("__acsq") - col("__ac") * col("__ac") / col("__nc")))
+      .filter(col("__len") > 0.1)
+    val m = withStats.count()
+    val norm = transform(col("__dose"), v =>
+      coalesce((v - col("__ac") / col("__nc")) / col("__len"), lit(0.0)))
+    val vecRdd = withStats.withColumn("__norm", norm)
+      .select(col("__norm")).rdd
+      .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
+    val gram = new RowMatrix(vecRdd).computeGramianMatrix()
+    val scale = mt.nCols.toDouble / m
+    val rows = for {
+      i <- 0 until mt.nCols
+      j <- i until mt.nCols
+    } yield Row(i, j, gram(i, j) * scale)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("i", IntegerType, false),
+        StructField("j", IntegerType, false),
+        StructField("rrm", DoubleType, false))))
+  }
+
   /** genetic_relatedness_matrix (reference `statgen.py:3576`):
     * GRM = MᵀM / (m/2) over (gt-mean)/sqrt(mean(2-mean))-normalized
     * dosages; returns the dense sample×sample matrix as a DataFrame of

@@ -166,6 +166,36 @@ class MethodsSpec extends SparkSpec {
     }
   }
 
+  test("rrm matches hand-computed variance-normalized Gramian") {
+    val mt = fixtureMt()
+    // recompute locally: dose rows, mean-center, variance-normalize
+    val doses = mt.entriesTable.df
+      .filter(col("GT").isNotNull)
+      .select(col("position"), col("s"),
+        graft.functions.Calls.nNonRefAlleles(col("GT")).cast("double"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val sampleIds = Seq("SA", "SB", "SC")
+    val positions = Seq(100, 200, 300, 400)
+    val local = positions.flatMap { p =>
+      val ds = sampleIds.map(s => doses.get((p, s)))
+      val called = ds.flatten
+      val ac = called.sum
+      val len = math.sqrt(called.map(d => d * d).sum -
+        ac * ac / called.length)
+      if (len <= 0.1) None
+      else Some(ds.map(_.map(d => (d - ac / called.length) / len)
+        .getOrElse(0.0)))
+    }
+    val m = local.length
+    val got = methods.Pca.rrm(mt).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until 3; j <- i until 3) {
+      val exp = local.map(row => row(i) * row(j)).sum * 3.0 / m
+      assert(math.abs(got((i, j)) - exp) < 1e-12, s"($i,$j)")
+    }
+  }
+
   test("splitMulti splits rows, downcodes GT, min-reps alleles") {
     val split = SplitMulti(fixtureMt())
     val rows = split.rows.orderBy("position", "a_index").collect()

@@ -126,6 +126,47 @@ class SourcesSpec extends SparkSpec {
     expected.foreach { case (k, v) => assert(got(k) === v, s"at $k") }
   }
 
+  test("BGEN read matches golden dump incl missing samples") {
+    import graft.functions.Calls
+    val mt = sources.Bgen.read(spark,
+      "/root/repo/src/test/resources/oracle_bgen.bgen",
+      Some("/root/repo/src/test/resources/oracle_bgen.sample"))
+    assert(mt.nCols === 7)
+    assert(mt.rows.count() === 18)
+    val got = mt.entriesTable.df
+      .select(col("position"), col("s"), Calls.nNonRefAlleles(col("GT")))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    val expected = spark.read.option("sep", "\t").option("header", "true")
+      .option("nullValue", "\\N")
+      .csv("/root/repo/src/test/resources/oracle_bgen_expected.tsv")
+      .collect().map(r => (r.getString(1).toInt, r.getString(4)) ->
+        (if (r.isNullAt(5)) -1 else r.getString(5).toInt)).toMap
+    assert(got === expected)
+  }
+
+  test("locus-interval and BED importers parse and convert coordinates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iv")
+    java.nio.file.Files.writeString(dir.resolve("iv.interval_list"),
+      "# header\nchr1:100-200\nchr2:5-50\n")
+    val iv = sources.Annotations.importLocusIntervals(spark,
+      dir.resolve("iv.interval_list").toString)
+    assert(iv.df.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getInt(2))).toSet === Set(("chr1", 100, 200), ("chr2", 5, 50)))
+    java.nio.file.Files.writeString(dir.resolve("t.bed"),
+      "track name=x\nchr1\t99\t200\tgeneA\nchr2\t4\t50\n")
+    val bed = sources.Annotations.importBed(spark,
+      dir.resolve("t.bed").toString)
+    // BED 0-based half-open -> 1-based inclusive start
+    assert(bed.df.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getInt(2))).toSet === Set(("chr1", 100, 200), ("chr2", 5, 50)))
+    val fam = sources.Annotations.importFam(spark,
+      "/root/repo/src/test/resources/oracle_plink.fam")
+    assert(fam.df.count() === 11)
+    assert(fam.df.filter(col("s") === "IND0").head()
+      .getAs[String]("fam_id") === "FAM0")
+  }
+
   test("importTable with imputation infers int/float/bool/string") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv")
     java.nio.file.Files.writeString(dir.resolve("t.tsv"),
