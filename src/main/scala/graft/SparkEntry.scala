@@ -874,6 +874,23 @@ object SparkEntry {
         round(element_at(col("GP"), 1), 6).as("paa"))
     }),
 
+    // --- KING-robust kinship (relatedness/king.py:9) -----------------------
+    "geno_king" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Genetics.king(mt)
+        .select(col("s_i"), col("s_j"), col("n_shared"),
+          col("n_het_het"), col("n_opp_hom"),
+          round(col("phi"), 6).as("phi"))
+    }),
+
+    // --- windowed ld_matrix (statgen.py:3836): pairwise Pearson r ---------
+    "geno_ld_matrix" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Ld.ldMatrix(mt, window = 1500)
+        .select(col("contig"), col("pos_i"), col("pos_j"),
+          round(col("r"), 6).as("r"))
+    }),
+
     // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
     // oracle re-parses the same file with DuckDB read_csv ------------------
     "vcf_import" -> ((s, _) => {
@@ -1719,6 +1736,53 @@ object SparkEntry {
         |FROM raw
         |WHERE (contig = 'chr1' AND position >= 1500)
         |   OR (contig = 'chr2' AND position < 1000)""".stripMargin
+    },
+
+    "geno_king" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |g AS (
+        |  SELECT contig, position, s,
+        |    CASE WHEN a1 = 0 AND a2 = 0 THEN 2
+        |         WHEN a1 <> a2 THEN 3 ELSE 4 END AS c
+        |  FROM q WHERE a1 IS NOT NULL)
+        |SELECT a.s AS s_i, b.s AS s_j, count(*) AS n_shared,
+        |  sum(CASE WHEN a.c = 3 AND b.c = 3 THEN 1 ELSE 0 END)
+        |    AS n_het_het,
+        |  sum(CASE WHEN (a.c = 2 AND b.c = 4) OR (a.c = 4 AND b.c = 2)
+        |    THEN 1 ELSE 0 END) AS n_opp_hom,
+        |  round((sum(CASE WHEN a.c = 3 AND b.c = 3 THEN 1 ELSE 0 END)
+        |    - 2.0 * sum(CASE WHEN (a.c = 2 AND b.c = 4)
+        |        OR (a.c = 4 AND b.c = 2) THEN 1 ELSE 0 END))
+        |    / (sum(CASE WHEN a.c = 3 THEN 1 ELSE 0 END)
+        |       + sum(CASE WHEN b.c = 3 THEN 1 ELSE 0 END)), 6) AS phi
+        |FROM g a JOIN g b
+        |  ON a.contig = b.contig AND a.position = b.position AND a.s < b.s
+        |GROUP BY 1, 2""".stripMargin
+    },
+
+    "geno_ld_matrix" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, s, CAST(a1 + a2 AS DOUBLE) AS dose
+        |  FROM q),
+        |st AS (
+        |  SELECT contig, position, sum(dose) AS ac,
+        |    sum(dose * dose) AS acsq, count(dose) AS nc
+        |  FROM d GROUP BY 1, 2),
+        |nr AS (
+        |  SELECT d.contig, d.position, d.s,
+        |    coalesce((dose - ac / nc)
+        |      / sqrt(acsq - ac * ac / nc), 0) AS n
+        |  FROM d JOIN st USING (contig, position)
+        |  WHERE nc > 0 AND sqrt(acsq - ac * ac / nc) > 1e-6)
+        |SELECT a.contig, a.position AS pos_i, b.position AS pos_j,
+        |  round(sum(a.n * b.n), 6) AS r
+        |FROM nr a JOIN nr b
+        |  ON a.contig = b.contig AND a.s = b.s
+        |  AND a.position < b.position AND b.position <= a.position + 1500
+        |GROUP BY 1, 2, 3""".stripMargin
     },
 
     "bgen_import" ->

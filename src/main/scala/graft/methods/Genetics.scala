@@ -143,4 +143,36 @@ object Genetics {
     concordanceCells(left, right)
       .groupBy(col("left_state"), col("right_state"))
       .agg(count(lit(1)).as("n"))
+
+  /** KING-robust kinship (reference
+    * `methods/relatedness/king.py:9`): for each sample pair over their
+    * shared called sites,
+    * phi = (N_AaAa - 2 N_opposing_hom) / (N_het_i + N_het_j).
+    * Coordinate self-join on the variant key — one shuffle, cost linear
+    * in (variants × sample pairs); the reference's BlockMatrix matmul is
+    * the same arithmetic batched. */
+  def king(mt: MatrixTable): DataFrame = {
+    val e = mt.entriesTable.df
+      .filter(col("GT").isNotNull)
+      .select((mt.rowKey.map(col) :+ col("s") :+
+        gtClass(col("GT")).as("__c")): _*)
+    val l = e.select((mt.rowKey.map(col) :+ col("s").as("s_i") :+
+      col("__c").as("__ci")): _*)
+    val r = e.select((mt.rowKey.map(col) :+ col("s").as("s_j") :+
+      col("__c").as("__cj")): _*)
+    val pairs = l.join(r, mt.rowKey).filter(col("s_i") < col("s_j"))
+    val ci = col("__ci"); val cj = col("__cj")
+    pairs.groupBy(col("s_i"), col("s_j"))
+      .agg(
+        count(lit(1)).as("n_shared"),
+        sum((ci === 3).cast("long")).as("n_het_i"),
+        sum((cj === 3).cast("long")).as("n_het_j"),
+        sum((ci === 3 && cj === 3).cast("long")).as("n_het_het"),
+        sum(((ci === 2 && cj === 4) || (ci === 4 && cj === 2)).cast("long"))
+          .as("n_opp_hom"))
+      .withColumn("phi",
+        when(col("n_het_i") + col("n_het_j") > 0,
+          (col("n_het_het").cast("double") - col("n_opp_hom") * 2.0) /
+            (col("n_het_i") + col("n_het_j")).cast("double")))
+  }
 }

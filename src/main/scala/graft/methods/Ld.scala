@@ -1,0 +1,104 @@
+package graft.methods
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.{MatrixTable, Table}
+import graft.functions.Calls
+
+/** Linkage-disequilibrium operations (reference `statgen.py:3836`
+  * `ld_matrix`, `:4708` `ld_prune` + `is/hail/methods/LocalLDPrune.scala`,
+  * `StreamLocalLDPrune` IR node). */
+object Ld {
+
+  /** Per-variant mean-imputed, unit-length-standardized dosage rows
+    * (`__norm` array; the reference's `ld_matrix` normalization). Rows
+    * with near-zero variance dropped. */
+  private def normRows(mt: MatrixTable): DataFrame = {
+    val dose = transform(mt.entries, e =>
+      Calls.nNonRefAlleles(e("GT")).cast("double"))
+    mt.rows.withColumn("__dose", dose)
+      .withColumn("__ac", aggregate(col("__dose"), lit(0.0),
+        (a, v) => a + coalesce(v, lit(0.0))))
+      .withColumn("__acsq", aggregate(col("__dose"), lit(0.0),
+        (a, v) => a + coalesce(v * v, lit(0.0))))
+      .withColumn("__nc",
+        size(filter(col("__dose"), v => v.isNotNull)).cast("double"))
+      .filter(col("__nc") > 0)
+      // divisions guarded by when(): ANSI throws on double /0 and merged
+      // projections can evaluate past the nc>0 filter speculatively
+      .withColumn("__len", when(col("__nc") > 0,
+        sqrt(col("__acsq") - col("__ac") * col("__ac") / col("__nc"))))
+      .filter(col("__len") > 1e-6)
+      .withColumn("__norm", when(col("__len") > 1e-6,
+        transform(col("__dose"), v =>
+          coalesce((v - col("__ac") / col("__nc")) / col("__len"),
+            lit(0.0)))))
+      .drop("__dose", "__ac", "__acsq", "__nc", "__len")
+  }
+
+  /** Windowed LD matrix: Pearson r between all variant pairs within
+    * `window` bp on the same contig (the scalable banded form of the
+    * reference's `ld_matrix`; a full m×m matrix at 100 TB is never the
+    * right plan — the reference's own `ld_prune` also windows).
+    * Coordinate self-join keyed on (contig, sample): one shuffle, output
+    * linear in in-window pairs. */
+  def ldMatrix(mt: MatrixTable, window: Int): DataFrame = {
+    val coords = normRows(mt)
+      .select(col("contig"), col("position"),
+        posexplode(col("__norm")).as(Seq("__cidx", "__n")))
+    val l = coords.select(col("contig"), col("position").as("pos_i"),
+      col("__cidx"), col("__n").as("__ni"))
+    val r = coords.select(col("contig"), col("position").as("pos_j"),
+      col("__cidx"), col("__n").as("__nj"))
+    l.join(r, Seq("contig", "__cidx"))
+      .filter(col("pos_i") < col("pos_j") &&
+        col("pos_j") <= col("pos_i") + window)
+      .groupBy(col("contig"), col("pos_i"), col("pos_j"))
+      .agg(sum(col("__ni") * col("__nj")).as("r"))
+  }
+
+  /** ld_prune (reference `statgen.py:4708`, local pass
+    * `LocalLDPrune.scala`): greedy in key order — keep a variant unless
+    * its r² with a previously-KEPT variant within `window` bp exceeds
+    * `r2Threshold`. Implemented exactly like the reference's local stage:
+    * range-partition + sort by (contig, position), then a per-partition
+    * streaming scan holding only the in-window kept variants (bounded
+    * buffer). Like the reference's first pass, pruning is local to a
+    * partition (cross-boundary pairs are not re-checked; the reference
+    * follows with a global MIS step for those). Returns the kept
+    * variant-key Table. */
+  def ldPrune(mt: MatrixTable, r2Threshold: Double = 0.2,
+      window: Int = 1000000): Table = {
+    val sorted = normRows(mt)
+      .select(col("contig"), col("position"), col("ref"), col("alt"),
+        col("__norm"))
+      .repartitionByRange(col("contig"), col("position"))
+      .sortWithinPartitions(col("contig"), col("position"))
+    val schema = sorted.drop("__norm").schema
+    val kept = sorted.mapPartitions { it =>
+      val buf = scala.collection.mutable.ArrayDeque
+        .empty[(String, Int, Array[Double])]
+      it.flatMap { row =>
+        val contig = row.getString(0)
+        val pos = row.getInt(1)
+        val norm = row.getSeq[Double](4).toArray
+        while (buf.nonEmpty && (buf.head._1 != contig ||
+            buf.head._2 < pos - window))
+          buf.removeHead()
+        val pruned = buf.exists { case (_, _, other) =>
+          var dot = 0.0
+          var i = 0
+          while (i < norm.length) { dot += norm(i) * other(i); i += 1 }
+          dot * dot > r2Threshold
+        }
+        if (pruned) None
+        else {
+          buf.append((contig, pos, norm))
+          Some(Row(contig, pos, row.get(2), row.get(3)))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    Table(kept.toDF(), mt.rowKey)
+  }
+}

@@ -46,13 +46,15 @@ object Pca {
         size(filter(col("__dose"), v => v.isNotNull)).cast("double"))
       .filter(col("__ac") > 0 && col("__ac") < col("__nc") * 2)
     val m = withDose.count()
-    val mean = col("__ac") / col("__nc")
+    // nc>0 is implied by the monomorphic filter, but ANSI double-division
+    // can be evaluated speculatively ahead of it — guard explicitly
+    val mean = when(col("__nc") > 0, col("__ac") / col("__nc"))
     val denom = if (scaleM)
       sqrt(mean * (lit(2.0) - mean) * (m / 2.0))
     else
       sqrt(mean * (lit(2.0) - mean))
     val norm = transform(col("__dose"), v =>
-      coalesce((v - mean) / denom, lit(0.0)))
+      coalesce(when(denom > 0, (v - mean) / denom), lit(0.0)))
     (withDose.withColumn("__norm", norm)
       .drop("__dose", "__ac", "__nc", MatrixTable.EntriesField), m)
   }
@@ -115,12 +117,13 @@ object Pca {
       .withColumn("__nc",
         size(filter(col("__dose"), v => v.isNotNull)).cast("double"))
       .filter(col("__nc") > 0)
-      .withColumn("__len",
-        sqrt(col("__acsq") - col("__ac") * col("__ac") / col("__nc")))
+      .withColumn("__len", when(col("__nc") > 0,
+        sqrt(col("__acsq") - col("__ac") * col("__ac") / col("__nc"))))
       .filter(col("__len") > 0.1)
     val m = withStats.count()
     val norm = transform(col("__dose"), v =>
-      coalesce((v - col("__ac") / col("__nc")) / col("__len"), lit(0.0)))
+      coalesce(when(col("__len") > 0.1,
+        (v - col("__ac") / col("__nc")) / col("__len")), lit(0.0)))
     val vecRdd = withStats.withColumn("__norm", norm)
       .select(col("__norm")).rdd
       .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))

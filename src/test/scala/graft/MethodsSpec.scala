@@ -196,6 +196,41 @@ class MethodsSpec extends SparkSpec {
     }
   }
 
+  test("ldPrune matches a local greedy prune on one partition") {
+    val mt = fixtureMt()
+    // force one partition so the local streaming prune is the exact greedy
+    val one = mt.copy(rows = mt.rows.coalesce(1))
+    val kept = methods.Ld.ldPrune(one, r2Threshold = 0.5, window = 1000000)
+      .df.select("position").collect().map(_.getInt(0)).toSet
+    // local reference: normalized dosage vectors in (contig,pos) order
+    val doses = mt.entriesTable.df.filter(col("GT").isNotNull)
+      .select(col("position"), col("s"),
+        graft.functions.Calls.nNonRefAlleles(col("GT")).cast("double"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val samples = Seq("SA", "SB", "SC")
+    def norm(p: Int): Option[Array[Double]] = {
+      val ds = samples.map(s => doses.get((p, s)))
+      val called = ds.flatten
+      val ac = called.sum
+      val len = math.sqrt(called.map(d => d * d).sum -
+        ac * ac / called.length)
+      if (len <= 1e-6) None
+      else Some(ds.map(_.map(d => (d - ac / called.length) / len)
+        .getOrElse(0.0)).toArray)
+    }
+    val expected = scala.collection.mutable.Set[Int]()
+    val keptNorms = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (p <- Seq(100, 200, 300, 400); n <- norm(p)) {
+      val prune = keptNorms.exists { o =>
+        val dot = n.zip(o).map(t => t._1 * t._2).sum
+        dot * dot > 0.5
+      }
+      if (!prune) { expected += p; keptNorms += n }
+    }
+    assert(kept === expected.toSet)
+  }
+
   test("splitMulti splits rows, downcodes GT, min-reps alleles") {
     val split = SplitMulti(fixtureMt())
     val rows = split.rows.orderBy("position", "a_index").collect()
