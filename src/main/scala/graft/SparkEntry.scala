@@ -553,6 +553,22 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    // --- query_table (functions.py query_table / StagedIndexReader):
+    // keyed range read of the native format; parquet stats skip files ------
+    "query_table" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_qt_orders"
+      Table(t(s, dir, "orders"), Seq("o_orderkey")).write(tmp)
+      Table.queryTable(s, tmp, 1000L, 3000L)
+        .selectFields("o_custkey", "o_totalprice").df
+    }),
+
+    // --- pipeline: embedding-cosine near-dup pairs (exact baseline) -------
+    "pipe_embed_dedup" -> ((s, dir) =>
+      pipeline.Dedup.embeddingPairsExact(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", 0.2)
+        .withColumn("cos", round(col("cos"), 6))),
+
     // --- genetics: packed-call accessors (Calls: pure bit arithmetic) ------
     "geno_call_functions" -> ((s, dir) => {
       import graft.functions.Calls
@@ -1255,6 +1271,28 @@ object SparkEntry {
         |    AS byte_len,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    "query_table" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 3000""".stripMargin,
+
+    "pipe_embed_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(a.embedding[i] AS DOUBLE)
+        |        * CAST(b.embedding[i] AS DOUBLE))) AS dp,
+        |    sqrt(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(a.embedding[i] AS DOUBLE)
+        |        * CAST(a.embedding[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(b.embedding[i] AS DOUBLE)
+        |        * CAST(b.embedding[i] AS DOUBLE)))) AS nb
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(dp / (na * nb), 6) AS cos
+        |FROM p WHERE dp / (na * nb) >= 0.2""".stripMargin,
 
     "geno_call_functions" ->
       """SELECT o_orderkey,

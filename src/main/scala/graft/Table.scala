@@ -331,6 +331,30 @@ object Table {
     Table(df, key, globals, keySorted = false)
   }
 
+  /** query_table (reference `functions.py` `query_table`,
+    * `StagedIndexReader`): point / range reads against a native-format
+    * table WITHOUT a full scan — the key predicate is applied directly to
+    * the parquet scan so row-group/file min-max stats skip non-matching
+    * files (the data was written key-sorted, so each file covers a tight
+    * key range; this is the Parquet replacement for the reference's
+    * per-partition B-tree index). */
+  def queryTable(spark: SparkSession, path: String,
+      lo: Any, hi: Any, inclusiveHi: Boolean = false): Table = {
+    val t = read(spark, path)
+    require(t.key.nonEmpty, s"$path has no key")
+    val k = col(t.key.head)
+    val hiPred = if (inclusiveHi) k <= lit(hi) else k < lit(hi)
+    t.copy(df = t.df.filter(k >= lit(lo) && hiPred))
+  }
+
+  /** Single-key point lookup. */
+  def queryTablePoint(spark: SparkSession, path: String, key: Any)
+      : Table = {
+    val t = read(spark, path)
+    require(t.key.nonEmpty, s"$path has no key")
+    t.copy(df = t.df.filter(col(t.key.head) === lit(key)))
+  }
+
   /** TableRange (`TableIR.scala:2123`). */
   def range(spark: SparkSession, n: Long, nPartitions: Int = 0): Table = {
     val base = if (nPartitions > 0) spark.range(0, n, 1, nPartitions)

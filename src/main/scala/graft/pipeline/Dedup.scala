@@ -163,6 +163,43 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all pairs with cosine
+    * similarity >= `threshold`. Brute-force over a bounded id range —
+    * the verification baseline for `embeddingPairsLsh` (O(n²) by
+    * definition; cap the input). */
+  def embeddingPairsExact(df: DataFrame, id: String, vec: String,
+      threshold: Double): DataFrame = {
+    val l = df.select(col(id).as("id_a"), col(vec).as("__va"))
+    val r = df.select(col(id).as("id_b"), col(vec).as("__vb"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Embedding-cosine near-dup at scale: sign-bit LSH bucketing (equal
+    * bucket → candidate) then exact cosine verification — same shape as
+    * `minhashPairs`, trading recall for a ~2^nPlanes candidate cut.
+    * Bucket sizes capped like the text pipelines. */
+  def embeddingPairsLsh(df: DataFrame, id: String, vec: String,
+      threshold: Double, nPlanes: Int = 8, seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val dim = df.select(size(col(vec))).head().getInt(0)
+    val planes = Similarity.hyperplanes(dim, nPlanes, seed)
+    val bucketed = df.select(col(id).as("doc"), col(vec).as("__v"))
+      .withColumn("bucket", Similarity.lshBucket(col("__v"), planes))
+      .repartition(col("doc"))
+    val pruned = capBuckets(bucketed, Seq("bucket"), maxBucketSize)
+    val l = pruned.select(col("bucket"), col("doc").as("id_a"),
+      col("__v").as("__va"))
+    val r = pruned.select(col("bucket"), col("doc").as("id_b"),
+      col("__v").as("__vb"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** n-gram Jaccard verification for an arbitrary candidate-pair set:
     * join shingle sets back and compute exact similarity. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: String,

@@ -231,6 +231,60 @@ class MethodsSpec extends SparkSpec {
     assert(kept === expected.toSet)
   }
 
+  test("trioMatrix reshapes samples into trio-indexed entries") {
+    val mt = fixtureMt()
+    val tm = methods.Trios.trioMatrix(mt,
+      Seq(("SA", "SB", "SC", true)))
+    assert(tm.nCols === 1)
+    assert(tm.colValues.head.getString(1) === "SB")
+    val e100 = tm.rows.filter(col("position") === 100)
+      .select(element_at(col("entries"), 1)).head().getStruct(0)
+    // proband SA 0/0, father SB 0/1, mother SC 1/1 at chr1:100
+    import graft.functions.Calls
+    val gts = tm.entriesTable.df.filter(col("position") === 100)
+      .select(
+        Calls.nNonRefAlleles(col("proband_entry")("GT")),
+        Calls.nNonRefAlleles(col("father_entry")("GT")),
+        Calls.nNonRefAlleles(col("mother_entry")("GT"))).head()
+    assert((gts.getInt(0), gts.getInt(1), gts.getInt(2)) === ((0, 1, 2)))
+  }
+
+  test("VDS toDenseMt fills missing cells from covering ref blocks") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val es = StructType(Seq(StructField("GT", IntegerType),
+      StructField("DP", IntegerType)))
+    def mtOf(rows: Seq[Row], entrySchema: StructType): MatrixTable =
+      MatrixTable(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows),
+          StructType(Seq(
+            StructField("contig", StringType),
+            StructField("position", IntegerType),
+            StructField("entries", ArrayType(entrySchema))))),
+        Seq("contig", "position"),
+        IndexedSeq(Row("X1"), Row("X2")),
+        StructType(Seq(StructField("s", StringType))), Seq("s"))
+    // variant data: v@100 has X1 called het, X2 missing; v@500 both missing
+    val variant = mtOf(Seq(
+      Row("chr1", 100, Seq(Row(1 << 16, 30), null)),
+      Row("chr1", 500, Seq(null, null))), es)
+    // ref blocks: X2 covered 50..199 (DP 7); X1 covered 400..600 (DP 9)
+    val refEs = StructType(Seq(StructField("END", IntegerType),
+      StructField("DP", IntegerType)))
+    val reference = mtOf(Seq(
+      Row("chr1", 50, Seq(null, Row(199, 7))),
+      Row("chr1", 400, Seq(Row(600, 9), null))), refEs)
+    val dense = methods.VariantDataset(reference, variant).toDenseMt()
+    val cells = dense.entriesTable.df
+      .select(col("position"), col("s"), col("GT"), col("DP"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3)))).toMap
+    assert(cells((100, "X1")) === ((1 << 16, -1))) // variant entry wins
+    assert(cells((100, "X2")) === ((0, 7)))  // filled hom-ref from block
+    assert(cells((500, "X1")) === ((0, 9)))
+    assert(!cells.contains((500, "X2")))     // no covering block -> missing
+  }
+
   test("splitMulti splits rows, downcodes GT, min-reps alleles") {
     val split = SplitMulti(fixtureMt())
     val rows = split.rows.orderBy("position", "a_index").collect()
