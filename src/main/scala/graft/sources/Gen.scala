@@ -36,6 +36,38 @@ object Gen {
     } finally in.close()
   }
 
+  /** Export a MatrixTable (with GP entries) as GEN text + .sample —
+    * a fully distributed text write (reference `export_gen`); `read`
+    * accepts the resulting part-file directory directly. */
+  def write(mt: MatrixTable, genDir: String, samplePath: String): Unit = {
+    val spark = mt.rows.sparkSession
+    val entryTxt = transform(col(MatrixTable.EntriesField), e =>
+      concat_ws(" ",
+        format_number(coalesce(element_at(e("GP"), 1), lit(0.0)), 3),
+        format_number(coalesce(element_at(e("GP"), 2), lit(0.0)), 3),
+        format_number(coalesce(element_at(e("GP"), 3), lit(0.0)), 3)))
+    val line = concat_ws(" ",
+      col("contig"), coalesce(col("varid"), lit(".")),
+      coalesce(col("rsid"), lit(".")), col("position").cast("string"),
+      col("ref"), element_at(col("alt"), 1),
+      concat_ws(" ", entryTxt))
+    val withVarid =
+      if (mt.rows.columns.contains("varid")) mt.rows
+      else mt.rows.withColumn("varid", lit(null).cast("string"))
+    withVarid
+      .repartitionByRange(col("contig"), col("position"))
+      .sortWithinPartitions(col("contig"), col("position"))
+      .select(line.as("value"))
+      .write.mode("overwrite").text(genDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(samplePath), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(samplePath), true)
+    out.write("ID_1 ID_2 missing\n0 0 0\n".getBytes("UTF-8"))
+    mt.colValues.foreach(r =>
+      out.write(s"${r.getString(0)} ${r.getString(0)} 0\n".getBytes("UTF-8")))
+    out.close()
+  }
+
   /** Read a GEN file into a MatrixTable. `gpThreshold`: minimum winning
     * probability for a hard call (hail `import_gen` default 0.2 applies
     * to the *difference*; we use the common >threshold contract). */

@@ -55,6 +55,74 @@ object Plink {
     case 3 => 0                    // hom A2 = 0/0
   }
 
+  /** Export a biallelic MatrixTable as .bed/.bim/.fam (reference
+    * `io/plink/ExportPlink.scala`). Variant records are produced
+    * partition-parallel and streamed to the single .bed through
+    * `toLocalIterator` (one partition resident at a time — the driver is
+    * IO-bound like the reference's shard-concat step). a1 = alt,
+    * a2 = ref (hail's a2_reference convention, matching `read`). */
+  def write(mt: graft.MatrixTable, basePath: String): Unit = {
+    val spark = mt.spark
+    val n = mt.nCols
+    val stride = (n + 3) / 4
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(basePath), spark.sparkContext.hadoopConfiguration)
+    // .fam
+    val famOut = fs.create(
+      new org.apache.hadoop.fs.Path(s"$basePath.fam"), true)
+    val famIdx = mt.colSchema.fieldNames.indexOf("fam_id")
+    val sIdx = mt.colSchema.fieldIndex(mt.colKey.head)
+    mt.colValues.foreach { r =>
+      val s = r.getString(sIdx)
+      val fam = if (famIdx >= 0) r.getString(famIdx) else "0"
+      famOut.write(s"$fam $s 0 0 0 -9\n".getBytes("UTF-8"))
+    }
+    famOut.close()
+    // .bim + .bed in lockstep, partition-streamed
+    import org.apache.spark.sql.functions.{col, element_at, size}
+    val sorted = mt.rows
+      .filter(size(col("alt")) === 1)
+      .repartitionByRange(col("contig"), col("position"))
+      .sortWithinPartitions(col("contig"), col("position"))
+      .select(col("contig"), col("position"), col("rsid"), col("ref"),
+        element_at(col("alt"), 1).as("a1"),
+        col(graft.MatrixTable.EntriesField))
+    val bimOut = fs.create(
+      new org.apache.hadoop.fs.Path(s"$basePath.bim"), true)
+    val bedOut = fs.create(
+      new org.apache.hadoop.fs.Path(s"$basePath.bed"), true)
+    bedOut.write(Magic)
+    val it = sorted.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val rsid = if (r.isNullAt(2)) "." else r.getString(2)
+      bimOut.write((Seq(r.getString(0), rsid, "0", r.getInt(1).toString,
+        r.getString(4), r.getString(3)).mkString("\t") + "\n")
+        .getBytes("UTF-8"))
+      val entries = r.getSeq[Row](5)
+      val buf = new Array[Byte](stride)
+      var j = 0
+      while (j < n) {
+        val e = if (j < entries.length) entries(j) else null
+        val code =
+          if (e == null || e.isNullAt(0)) 1 // missing
+          else {
+            val gt = e.getInt(0)
+            val a1 = (gt >> 1) & 0x7fff
+            val a2 = (gt >> 16) & 0x7fff
+            if (a1 == 0 && a2 == 0) 3       // hom ref = hom A2
+            else if (a1 == 1 && a2 == 1) 0  // hom alt = hom A1
+            else 2                          // het
+          }
+        buf(j / 4) = (buf(j / 4) | (code << (2 * (j % 4)))).toByte
+        j += 1
+      }
+      bedOut.write(buf)
+    }
+    bimOut.close()
+    bedOut.close()
+  }
+
   /** Read a PLINK triple into a MatrixTable (rows keyed
     * contig/position/ref/alt; entries = struct(GT)). `basePath` may omit
     * the extension. */

@@ -83,6 +83,26 @@ class CoverageSpec extends SparkSpec {
     assert(math.abs(Aggs.sketchQuantile(flat, 0.25) - exact) < 1e-9)
   }
 
+  test("maximalIndependentSet removes max-degree vertices greedily") {
+    val edges = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", "b"), Row("b", "c"), Row("c", "d"), Row("e", "f"))),
+      StructType(Seq(StructField("i", StringType),
+        StructField("j", StringType))))
+    val keep = graft.methods.Misc.maximalIndependentSet(edges)
+    // b and c are degree-2: greedy removes c (tie c>b? degree(b)=2,
+    // degree(c)=2, maxBy picks larger id 'c'), then b (degree 1 still
+    // adjacent to a)... final set must be independent and maximal
+    val es = Set(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"))
+    es.foreach { case (x, y) =>
+      assert(!(keep.contains(x) && keep.contains(y)), s"edge $x-$y kept")
+    }
+    assert(keep.nonEmpty)
+    // a and d must survive (their only neighbors are removed)
+    assert(keep.contains("a") || keep.contains("b"))
+    assert(keep.contains("c") || keep.contains("d"))
+  }
+
   test("takeBy keeps only n best with deterministic tiebreak") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(

@@ -167,6 +167,38 @@ class SourcesSpec extends SparkSpec {
       .getAs[String]("fam_id") === "FAM0")
   }
 
+  test("PLINK export/import roundtrip preserves genotypes") {
+    import graft.functions.Calls
+    val mt = sources.Plink.read(spark,
+      "/root/repo/src/test/resources/oracle_plink")
+    val dir = java.nio.file.Files.createTempDirectory("graft_plink")
+    sources.Plink.write(mt, s"$dir/out")
+    val back = sources.Plink.read(spark, s"$dir/out")
+    def gts(m: MatrixTable) = m.entriesTable.df
+      .select(col("position"), col("s"), Calls.nNonRefAlleles(col("GT")))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(gts(back) === gts(mt))
+    assert(back.colValues.map(_.getString(0)) ===
+      mt.colValues.map(_.getString(0)))
+  }
+
+  test("GEN export/import roundtrip preserves probabilities") {
+    val mt = sources.Gen.read(spark,
+      "/root/repo/src/test/resources/oracle_gen.gen",
+      "/root/repo/src/test/resources/oracle_gen.sample")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gen")
+    sources.Gen.write(mt, s"$dir/gen", s"$dir/out.sample")
+    val back = sources.Gen.read(spark, s"$dir/gen", s"$dir/out.sample")
+    def gps(m: MatrixTable) = m.entriesTable.df
+      .select(col("position"), col("s"),
+        round(element_at(col("GP"), 1), 3),
+        round(element_at(col("GP"), 2), 3))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(gps(back) === gps(mt))
+  }
+
   test("importTable with imputation infers int/float/bool/string") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv")
     java.nio.file.Files.writeString(dir.resolve("t.tsv"),
