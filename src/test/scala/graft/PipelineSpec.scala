@@ -44,6 +44,26 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("minhashPairs plan shares the shingle exchange (no persist)") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Dedup.minhashPairs(
+      docs((1L, base), (2L, base), (3L, base + " x")), "doc_id", "text")
+    df.collect() // AQE reuses identical shuffle stages at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage"), plan.take(2000))
+  }
+
+  test("minhashPairs bucket cap drops oversized buckets") {
+    // 12 identical docs share every band bucket; cap 5 drops those buckets
+    val many = (1L to 12L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val capped = Dedup.minhashPairs(docs(many: _*), "doc_id", "text",
+      maxBucketSize = 5)
+    assert(capped.count() === 0)
+    val uncapped = Dedup.minhashPairs(docs(many: _*), "doc_id", "text")
+    assert(uncapped.count() === 12L * 11 / 2)
+  }
+
   test("simHash64: identical text -> dist 0; small perturbation small dist") {
     val t1 = (1 to 40).map(i => s"w$i").mkString(" ")
     val t2 = (1 to 38).map(i => s"w$i").mkString(" ") + " zz yy"
