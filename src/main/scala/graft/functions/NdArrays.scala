@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Local (per-row) n-dimensional arrays as
+  * `struct(shape: array<long>, data: array<double>)` in row-major order
+  * (reference `TNDArray`, `types/virtual/TNDArray.scala`; value nodes
+  * `MakeNDArray`/`NDArrayRef`/`NDArrayMatMul`... ir-gen
+  * `Main.scala:927-968`; kernels `functions/NDArrayFunctions.scala`).
+  * Element-wise ops are pure Column expressions over `data`; matmul /
+  * solve drop to Breeze in per-row UDFs (the reference likewise executes
+  * these as local linalg kernels). */
+object NdArrays {
+
+  def make(shape: Seq[Long], data: Column): Column =
+    struct(array(shape.map(lit): _*).cast("array<long>").as("shape"),
+      data.cast("array<double>").as("data"))
+
+  def shape(nd: Column): Column = nd("shape")
+  def data(nd: Column): Column = nd("data")
+  def nElements(nd: Column): Column =
+    aggregate(nd("shape"), lit(1L), (a, v) => a * v)
+
+  /** 2-D element reference (row-major). */
+  def ref2(nd: Column, i: Column, j: Column): Column =
+    element_at(nd("data"),
+      (i * element_at(nd("shape"), 2) + j + 1).cast("int"))
+
+  /** Element-wise map/zip preserve shape. */
+  def map1(nd: Column, f: Column => Column): Column =
+    struct(nd("shape").as("shape"), transform(nd("data"), f).as("data"))
+  def map2(a: Column, b: Column, f: (Column, Column) => Column): Column =
+    struct(a("shape").as("shape"),
+      zip_with(a("data"), b("data"), f).as("data"))
+
+  /** Reshape (row-major; total size must match). */
+  def reshape(nd: Column, newShape: Seq[Long]): Column =
+    struct(array(newShape.map(lit): _*).cast("array<long>").as("shape"),
+      nd("data").as("data"))
+
+  private def toBreeze(shape: Seq[Long], d: Seq[Double]) = {
+    val r = shape(0).toInt; val c = shape(1).toInt
+    // breeze create is column-major; our wire format is row-major
+    new breeze.linalg.DenseMatrix(r, c, d.toArray, 0, c, true)
+  }
+
+  /** 2-D matrix multiply (reference `NDArrayMatMul`). */
+  val matmulUdf: UserDefinedFunction =
+    udf { (sa: Seq[Long], da: Seq[Double], sb: Seq[Long], db: Seq[Double]) =>
+      val m = toBreeze(sa, da) * toBreeze(sb, db)
+      (Seq(sa(0), sb(1)), m.t.toArray.toSeq) // back to row-major
+    }
+  def matmul(a: Column, b: Column): Column =
+    matmulUdf(a("shape"), a("data"), b("shape"), b("data"))
+      .cast("struct<shape:array<bigint>,data:array<double>>")
+
+  /** linear_solve Ax = b (reference `functions/NDArrayFunctions.scala`
+    * `linear_solve`): A is (n×n), b is (n×k); returns x (n×k), null on
+    * singular A. */
+  val solveUdf: UserDefinedFunction =
+    udf { (sa: Seq[Long], da: Seq[Double], sb: Seq[Long], db: Seq[Double]) =>
+      try {
+        val x = toBreeze(sa, da) \ toBreeze(sb, db)
+        Some((Seq(sa(1), sb(1)), x.t.toArray.toSeq))
+      } catch { case _: Exception => None }
+    }
+  def solve(a: Column, b: Column): Column =
+    solveUdf(a("shape"), a("data"), b("shape"), b("data"))
+      .cast("struct<shape:array<bigint>,data:array<double>>")
+
+  /** Sum over all elements / axis-0 column sums for 2-D. */
+  def sumAll(nd: Column): Column =
+    aggregate(nd("data"), lit(0.0), (a, v) => a + v)
+}

@@ -103,6 +103,65 @@ class CoverageSpec extends SparkSpec {
     assert(keep.contains("c") || keep.contains("d"))
   }
 
+  test("Sets/Dicts/Strings helper surface") {
+    import graft.functions.{Sets, Dicts, Strings}
+    val df = spark.range(1).select(
+      array(lit("c"), lit("a"), lit("b"), lit("a")).as("xs"),
+      array(lit("b"), lit("d")).as("ys"),
+      map(lit("k1"), lit(1), lit("k2"), lit(2)).as("m"),
+      lit("abcd").as("s1"), lit("abed").as("s2"))
+    val r = df.select(
+      Sets.toSet(col("xs")),
+      Sets.union(Sets.toSet(col("xs")), col("ys")),
+      Sets.intersection(Sets.toSet(col("xs")), col("ys")),
+      Sets.difference(Sets.toSet(col("xs")), col("ys")),
+      Sets.isSubset(array(lit("a")), col("xs")),
+      Dicts.get(col("m"), lit("k2")),
+      Dicts.keys(col("m")),
+      Strings.hamming(col("s1"), col("s2")),
+      Strings.firstMatchIn(col("s1"), "b.")).head()
+    assert(r.getSeq[String](0) === Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) === Seq("a", "b", "c", "d"))
+    assert(r.getSeq[String](2) === Seq("b"))
+    assert(r.getSeq[String](3) === Seq("a", "c"))
+    assert(r.getBoolean(4))
+    assert(r.getInt(5) === 2)
+    assert(r.getSeq[String](6) === Seq("k1", "k2"))
+    assert(r.getInt(7) === 1)
+    assert(r.getString(8) === "bc")
+    // strftime/strptime roundtrip
+    val ts = spark.range(1).select(
+      Strings.strptime(lit("2020-01-02 03:04:05"),
+        "yyyy-MM-dd HH:mm:ss").as("t"))
+      .select(Strings.strftime(col("t"), "yyyy-MM-dd HH:mm:ss"))
+      .head().getString(0)
+    assert(ts === "2020-01-02 03:04:05")
+  }
+
+  test("NdArrays: matmul, solve, ref, elementwise") {
+    import graft.functions.NdArrays
+    val df = spark.range(1).select(
+      NdArrays.make(Seq(2L, 2L),
+        array(lit(1.0), lit(2.0), lit(3.0), lit(4.0))).as("a"),
+      NdArrays.make(Seq(2L, 1L), array(lit(5.0), lit(6.0))).as("b"))
+    val mm = df.select(NdArrays.matmul(col("a"), col("b")).as("m"))
+      .head().getStruct(0)
+    // [[1,2],[3,4]] x [5,6]^T = [17, 39]
+    assert(mm.getSeq[Long](0) === Seq(2L, 1L))
+    assert(mm.getSeq[Double](1) === Seq(17.0, 39.0))
+    val sol = df.select(NdArrays.solve(col("a"), col("b")).as("x"))
+      .head().getStruct(0)
+    val x = sol.getSeq[Double](1)
+    // verify A x = b
+    assert(math.abs(1.0 * x(0) + 2.0 * x(1) - 5.0) < 1e-12)
+    assert(math.abs(3.0 * x(0) + 4.0 * x(1) - 6.0) < 1e-12)
+    val refd = df.select(
+      NdArrays.ref2(col("a"), lit(1), lit(0)),
+      NdArrays.sumAll(col("a"))).head()
+    assert(refd.getDouble(0) === 3.0)
+    assert(refd.getDouble(1) === 10.0)
+  }
+
   test("takeBy keeps only n best with deterministic tiebreak") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
