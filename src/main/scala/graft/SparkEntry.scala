@@ -907,6 +907,17 @@ object SparkEntry {
           round(col("r"), 6).as("r"))
     }),
 
+    // --- transmission disequilibrium test (statgen.py tdt) ----------------
+    "geno_tdt" -> ((s, _) => {
+      implicit val rg: graft.functions.ReferenceGenome =
+        graft.functions.ReferenceGenome.GRCh38
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Genetics.tdt(mt, Seq(
+        ("S1", "S2", "S3"), ("S4", "S2", "S3"), ("S5", "S2", "S3"))).df
+        .select(col("contig"), col("position"), col("ref"),
+          col("t"), col("u"), round(col("chi_sq"), 6).as("chi_sq"))
+    }),
+
     // --- VCF import: typed INFO/FORMAT entries on a committed fixture;
     // oracle re-parses the same file with DuckDB read_csv ------------------
     "vcf_import" -> ((s, _) => {
@@ -1655,6 +1666,31 @@ object SparkEntry {
         |mm AS (SELECT count(*) AS m FROM st WHERE ac > 0 AND ac < 2 * nc)
         |SELECT round(sum(nrm * nrm) * 2.0 / mm.m, 4) AS trace
         |FROM f, mm GROUP BY mm.m""".stripMargin
+    },
+
+    "geno_tdt" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |g AS (
+        |  SELECT contig, position, ref, s, a1 + a2 AS nalt,
+        |    CASE WHEN a1 <> a2 THEN 1 ELSE 0 END AS het,
+        |    CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END AS homv
+        |  FROM q WHERE a1 IS NOT NULL),
+        |tr AS (
+        |  SELECT k.contig, k.position, k.ref,
+        |    k.nalt - d.homv - m.homv AS t,
+        |    d.het + m.het - (k.nalt - d.homv - m.homv) AS u
+        |  FROM (VALUES ('S1'), ('S4'), ('S5')) kid(ks)
+        |  JOIN g k ON k.s = kid.ks
+        |  JOIN g d ON d.s = 'S2' AND d.contig = k.contig
+        |    AND d.position = k.position
+        |  JOIN g m ON m.s = 'S3' AND m.contig = k.contig
+        |    AND m.position = k.position)
+        |SELECT contig, position, ref, sum(t) AS t, sum(u) AS u,
+        |  round(CAST((sum(t) - sum(u)) * (sum(t) - sum(u)) AS DOUBLE)
+        |    / (sum(t) + sum(u)), 6) AS chi_sq
+        |FROM tr WHERE t >= 0 AND u >= 0 AND t + u > 0
+        |GROUP BY 1, 2, 3""".stripMargin
     },
 
     "geno_impute_sex" -> {

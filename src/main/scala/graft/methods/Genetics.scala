@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.{MatrixTable, Table}
-import graft.functions.{Calls, ReferenceGenome}
+import graft.functions.{Calls, ReferenceGenome, StatTests}
 
 /** Genetics method library: impute_sex, mendel_errors, concordance
   * (reference `python/hail/methods/statgen.py:73` `impute_sex`,
@@ -119,6 +119,54 @@ object Genetics {
       .select((keyCols.map(col) :+ col("__s_kid").as("s") :+
         col("mendel_code")): _*),
       keyCols :+ "s", mt.globals)
+  }
+
+  /** transmission_disequilibrium_test (reference
+    * `statgen.py` `transmission_disequilibrium_test`): per variant, counts
+    * of alt alleles transmitted (t) vs untransmitted (u) from
+    * heterozygous parents across complete trios, chi² = (t-u)²/(t+u)
+    * (1 dof). Counting rule: every hom-var parent transmits alt
+    * obligately, so t = kidAltAlleles − #homVarParents and
+    * u = #hetParents − t; Mendel-inconsistent triples are skipped.
+    * Autosomes only (standard TDT). */
+  def tdt(mt: MatrixTable, trios: Seq[(String, String, String)])
+      (implicit rg: ReferenceGenome): Table = {
+    val e = mt.entriesTable.df
+    val keyCols = mt.rowKey
+    def side(id: String, role: String) =
+      e.filter(col("s") === id)
+        .select((keyCols.map(col) :+ col("GT").as(s"__gt_$role")): _*)
+    val joined = trios.map { case (kid, dad, mom) =>
+      side(kid, "kid")
+        .join(side(dad, "dad"), keyCols, "inner")
+        .join(side(mom, "mom"), keyCols, "inner")
+    }.reduce(_ unionByName _)
+    val autosomal = joined.filter(
+      !(rg.xContigs ++ rg.yContigs ++ rg.mtContigs)
+        .map(col("contig") === _).reduce(_ || _))
+      .filter(col("__gt_kid").isNotNull && col("__gt_dad").isNotNull &&
+        col("__gt_mom").isNotNull)
+    def nAlt(c: Column) = Calls.nNonRefAlleles(c)
+    def isHet(c: Column) = Calls.isHet(c)
+    def isHomVar(c: Column) = Calls.isHomVar(c)
+    val hetP = isHet(col("__gt_dad")).cast("int") +
+      isHet(col("__gt_mom")).cast("int")
+    val homVarP = isHomVar(col("__gt_dad")).cast("int") +
+      isHomVar(col("__gt_mom")).cast("int")
+    val t = nAlt(col("__gt_kid")) - homVarP
+    val u = hetP - t
+    val counted = autosomal
+      .withColumn("__t", t).withColumn("__u", u)
+      .filter(col("__t") >= 0 && col("__u") >= 0 &&
+        (col("__t") + col("__u")) > 0) // consistent + informative
+    val perVariant = counted.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__t")).as("t"), sum(col("__u")).as("u"))
+      .withColumn("chi_sq",
+        pow(col("t") - col("u"), 2).cast("double") /
+          (col("t") + col("u")).cast("double"))
+      .withColumn("p_value",
+        StatTests.chiSqTail(col("chi_sq"), lit(1.0)))
+    Table(perVariant, keyCols, mt.globals)
   }
 
   /** concordance (reference `qc.py:360`): full-outer join of two matrix

@@ -162,6 +162,22 @@ class CoverageSpec extends SparkSpec {
     assert(refd.getDouble(1) === 10.0)
   }
 
+  test("native-format key predicates reach the parquet scan (pushdown)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qt").toString
+    Table(spark.range(0, 10000).toDF("k")
+      .withColumn("v", col("k") * 2), Seq("k")).write(dir)
+    val q = Table.queryTable(spark, dir, 100L, 200L)
+      .selectFields("v").df
+    val scan = q.queryExecution.executedPlan.toString
+    // the key range must appear as pushed parquet filters (file/row-group
+    // skipping), and the scan must prune to the two needed columns
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(k,100)"), scan.take(1500))
+    assert(scan.contains("ReadSchema") && !scan.contains("struct<k:bigint,v:bigint,extra"),
+      scan.take(1500))
+    assert(q.collect().map(_.getLong(1)).sorted.head === 200L)
+  }
+
   test("takeBy keeps only n best with deterministic tiebreak") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
