@@ -907,6 +907,17 @@ object SparkEntry {
           round(col("r"), 6).as("r"))
     }),
 
+    // --- identity_by_descent (IBD.scala, PLINK MoM); raw (unbounded) Zs
+    // so the oracle is closed-form ------------------------------------------
+    "geno_ibd" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Genetics.identityByDescent(mt, bounded = false)
+        .select(col("s_i"), col("s_j"), col("ibs0"), col("ibs1"),
+          col("ibs2"), round(col("Z0"), 6).as("z0"),
+          round(col("Z1"), 6).as("z1"), round(col("Z2"), 6).as("z2"),
+          round(col("PI_HAT"), 6).as("pi_hat"))
+    }),
+
     // --- transmission disequilibrium test (statgen.py tdt) ----------------
     "geno_tdt" -> ((s, _) => {
       implicit val rg: graft.functions.ReferenceGenome =
@@ -1666,6 +1677,71 @@ object SparkEntry {
         |mm AS (SELECT count(*) AS m FROM st WHERE ac > 0 AND ac < 2 * nc)
         |SELECT round(sum(nrm * nrm) * 2.0 / mm.m, 4) AS trace
         |FROM f, mm GROUP BY mm.m""".stripMargin
+    },
+
+    "geno_ibd" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |st AS (
+        |  SELECT contig, position,
+        |    CAST(sum(CASE WHEN a1 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN a2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+        |    CAST(sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS y
+        |  FROM q GROUP BY 1, 2),
+        |cf AS (
+        |  SELECT avg(a00) AS e00, avg(a10) AS e10, avg(a20) AS e20,
+        |    avg(a11) AS e11, avg(a21) AS e21
+        |  FROM (
+        |    SELECT
+        |      2*(x/(x+y))*(x/(x+y))*(y/(x+y))*(y/(x+y))
+        |        *((x-1)/x)*((y-1)/y)
+        |        *((x+y)/(x+y-1))*((x+y)/(x+y-2))*((x+y)/(x+y-3)) AS a00,
+        |      (4*pow(x/(x+y),3)*(y/(x+y))*((x-1)/x)*((x-2)/x)
+        |       + 4*(x/(x+y))*pow(y/(x+y),3)*((y-1)/y)*((y-2)/y))
+        |        *((x+y)/(x+y-1))*((x+y)/(x+y-2))*((x+y)/(x+y-3)) AS a10,
+        |      (pow(y/(x+y),4)*((y-1)/y)*((y-2)/y)*((y-3)/y)
+        |       + pow(x/(x+y),4)*((x-1)/x)*((x-2)/x)*((x-3)/x)
+        |       + 4*pow(x/(x+y),2)*pow(y/(x+y),2)*((x-1)/x)*((y-1)/y))
+        |        *((x+y)/(x+y-1))*((x+y)/(x+y-2))*((x+y)/(x+y-3)) AS a20,
+        |      (2*pow(x/(x+y),2)*(y/(x+y))*((x-1)/x)
+        |       + 2*(x/(x+y))*pow(y/(x+y),2)*((y-1)/y))
+        |        *((x+y)/(x+y-1))*((x+y)/(x+y-2)) AS a11,
+        |      (pow(x/(x+y),3)*((x-1)/x)*((x-2)/x)
+        |       + pow(y/(x+y),3)*((y-1)/y)*((y-2)/y)
+        |       + pow(x/(x+y),2)*(y/(x+y))*((x-1)/x)
+        |       + (x/(x+y))*pow(y/(x+y),2)*((y-1)/y))
+        |        *((x+y)/(x+y-1))*((x+y)/(x+y-2)) AS a21
+        |    FROM st WHERE x > 0 AND y > 0 AND x + y > 3)),
+        |d AS (
+        |  SELECT contig, position, s, a1 + a2 AS dose
+        |  FROM q WHERE a1 IS NOT NULL),
+        |pc AS (
+        |  SELECT a.s AS s_i, b.s AS s_j,
+        |    sum(CASE WHEN 2 - abs(a.dose - b.dose) = 0 THEN 1 ELSE 0 END)
+        |      AS ibs0,
+        |    sum(CASE WHEN 2 - abs(a.dose - b.dose) = 1 THEN 1 ELSE 0 END)
+        |      AS ibs1,
+        |    sum(CASE WHEN 2 - abs(a.dose - b.dose) = 2 THEN 1 ELSE 0 END)
+        |      AS ibs2
+        |  FROM d a JOIN d b
+        |    ON a.contig = b.contig AND a.position = b.position
+        |    AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |z AS (
+        |  SELECT s_i, s_j, ibs0, ibs1, ibs2,
+        |    CAST(ibs0 + ibs1 + ibs2 AS DOUBLE) AS n,
+        |    ibs0 / (e00 * (ibs0 + ibs1 + ibs2)) AS z0,
+        |    (ibs1 - ibs0 / (e00 * (ibs0 + ibs1 + ibs2))
+        |      * e10 * (ibs0 + ibs1 + ibs2))
+        |      / (e11 * (ibs0 + ibs1 + ibs2)) AS z1
+        |  FROM pc, cf)
+        |SELECT s_i, s_j, ibs0, ibs1, ibs2,
+        |  round(z0, 6) AS z0, round(z1, 6) AS z1,
+        |  round((ibs2 - z0 * e20 * n - z1 * e21 * n) / n, 6) AS z2,
+        |  round(z1 / 2 + (ibs2 - z0 * e20 * n - z1 * e21 * n) / n, 6)
+        |    AS pi_hat
+        |FROM z, cf""".stripMargin
     },
 
     "geno_tdt" -> {

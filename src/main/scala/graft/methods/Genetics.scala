@@ -169,6 +169,106 @@ object Genetics {
     Table(perVariant, keyCols, mt.globals)
   }
 
+  /** identity_by_descent (reference `is/hail/methods/IBD.scala`,
+    * implementing PLINK's method-of-moments estimators): per sample pair,
+    * IBS0/1/2 counts over shared called biallelic sites plus the PLINK
+    * expected-IBS coefficients (small-sample-corrected, computed per
+    * variant from the REF allele frequency and averaged over non-missing
+    * variants), solved for Z0/Z1/Z2 and PI_HAT = Z1/2 + Z2. `bounded`
+    * clamps the estimates into the simplex (PLINK's default).
+    *
+    * Spark shape: coefficients are one narrow row-space pass + a scalar
+    * aggregate; IBS counts are a coordinate self-join on the variant key
+    * (one shuffle, linear in variants × pairs). */
+  def identityByDescent(mt: MatrixTable, bounded: Boolean = true)
+      : DataFrame = {
+    // per-variant PLINK expectation coefficients from ref-allele counts
+    val cs = Qc.callStatsFold(col(MatrixTable.EntriesField),
+      size(col("alt")) + 1)
+    val withCoef = mt.rows
+      .filter(size(col("alt")) === 1)
+      .withColumn("__cs", cs)
+      .withColumn("__x", element_at(col("__cs")("ac"), 1).cast("double"))
+      .withColumn("__y", element_at(col("__cs")("ac"), 2).cast("double"))
+      .withColumn("__na", col("__x") + col("__y"))
+    val x = col("__x"); val y = col("__y"); val na = col("__na")
+    val p = x / na; val q = y / na
+    val corr3 = (na / (na - 1)) * (na / (na - 2)) * (na / (na - 3))
+    val corr2 = (na / (na - 1)) * (na / (na - 2))
+    val ok = x > 0 && y > 0 && na > 3
+    val a00 = when(ok,
+      lit(2) * p * p * q * q * ((x - 1) / x) * ((y - 1) / y) * corr3)
+    val a10 = when(ok,
+      lit(4) * p * p * p * q * ((x - 1) / x) * ((x - 2) / x) * corr3 +
+      lit(4) * p * q * q * q * ((y - 1) / y) * ((y - 2) / y) * corr3)
+    val a20 = when(ok,
+      q * q * q * q * ((y - 1) / y) * ((y - 2) / y) * ((y - 3) / y) * corr3 +
+      p * p * p * p * ((x - 1) / x) * ((x - 2) / x) * ((x - 3) / x) * corr3 +
+      lit(4) * p * p * q * q * ((x - 1) / x) * ((y - 1) / y) * corr3)
+    val a11 = when(ok,
+      lit(2) * p * p * q * ((x - 1) / x) * corr2 +
+      lit(2) * p * q * q * ((y - 1) / y) * corr2)
+    val a21 = when(ok,
+      p * p * p * ((x - 1) / x) * ((x - 2) / x) * corr2 +
+      q * q * q * ((y - 1) / y) * ((y - 2) / y) * corr2 +
+      p * p * q * ((x - 1) / x) * corr2 +
+      p * q * q * ((y - 1) / y) * corr2)
+    val coefMeans = withCoef
+      .select(a00.as("a00"), a10.as("a10"), a20.as("a20"),
+        a11.as("a11"), a21.as("a21"))
+      .agg(avg(col("a00")).as("e00"), avg(col("a10")).as("e10"),
+        avg(col("a20")).as("e20"), avg(col("a11")).as("e11"),
+        avg(col("a21")).as("e21"))
+      .head()
+    val (e00m, e10m, e20m, e11m, e21m) = (coefMeans.getDouble(0),
+      coefMeans.getDouble(1), coefMeans.getDouble(2),
+      coefMeans.getDouble(3), coefMeans.getDouble(4))
+    // pairwise IBS counts (biallelic: IBS = 2 - |dose_i - dose_j|)
+    val e = mt.copy(rows = mt.rows.filter(size(col("alt")) === 1))
+      .entriesTable.df
+      .filter(col("GT").isNotNull && Calls.ploidy(col("GT")) === 2)
+      .select((mt.rowKey.map(col) :+ col("s") :+
+        Calls.nNonRefAlleles(col("GT")).as("__d")): _*)
+    val l = e.select((mt.rowKey.map(col) :+ col("s").as("s_i") :+
+      col("__d").as("__di")): _*)
+    val r = e.select((mt.rowKey.map(col) :+ col("s").as("s_j") :+
+      col("__d").as("__dj")): _*)
+    val ibs = lit(2) - abs(col("__di") - col("__dj"))
+    val counts = l.join(r, mt.rowKey).filter(col("s_i") < col("s_j"))
+      .groupBy(col("s_i"), col("s_j"))
+      .agg(
+        count(when(ibs === 0, 1)).as("ibs0"),
+        count(when(ibs === 1, 1)).as("ibs1"),
+        count(when(ibs === 2, 1)).as("ibs2"))
+    val n = (col("ibs0") + col("ibs1") + col("ibs2")).cast("double")
+    val z0r = col("ibs0") / (lit(e00m) * n)
+    val z1r = (col("ibs1") - z0r * lit(e10m) * n) / (lit(e11m) * n)
+    val z2r = (col("ibs2") - z0r * lit(e20m) * n - z1r * lit(e21m) * n) / n
+    val withRaw = counts
+      .withColumn("__z0", z0r).withColumn("__z1", z1r)
+      .withColumn("__z2", z2r)
+    val (bz0, bz1, bz2) =
+      if (!bounded) (col("__z0"), col("__z1"), col("__z2"))
+      else {
+        val z0 = col("__z0"); val z1 = col("__z1"); val z2 = col("__z2")
+        val c0 = when(z0 > 1, 1.0).when(z1 > 1 || z2 > 1, 0.0)
+          .when(z0 < 0, 0.0)
+          .when(z1 < 0, z0 / (z0 + z2)).when(z2 < 0, z0 / (z0 + z1))
+          .otherwise(z0)
+        val c1 = when(z0 > 1 || z2 > 1, 0.0).when(z1 > 1, 1.0)
+          .when(z0 < 0, z1 / (z1 + z2)).when(z1 < 0, 0.0)
+          .when(z2 < 0, z1 / (z0 + z1)).otherwise(z1)
+        val c2 = when(z0 > 1 || z1 > 1, 0.0).when(z2 > 1, 1.0)
+          .when(z0 < 0, z2 / (z1 + z2)).when(z1 < 0, z2 / (z0 + z2))
+          .when(z2 < 0, 0.0).otherwise(z2)
+        (c0, c1, c2)
+      }
+    withRaw
+      .withColumn("Z0", bz0).withColumn("Z1", bz1).withColumn("Z2", bz2)
+      .withColumn("PI_HAT", col("Z1") / 2 + col("Z2"))
+      .drop("__z0", "__z1", "__z2")
+  }
+
   /** concordance (reference `qc.py:360`): full-outer join of two matrix
     * tables in coordinate space; each cell classified into hail's 5
     * states (0 = no data, 1 = no call, 2 = hom ref, 3 = het,
