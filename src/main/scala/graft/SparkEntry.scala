@@ -907,6 +907,33 @@ object SparkEntry {
           round(col("r"), 6).as("r"))
     }),
 
+    // --- poisson_regression_rows (statgen.py:1650, Wald) with binary x:
+    // the fitted slope must equal the closed-form log rate ratio -----------
+    "poisson_rows" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      // deterministic count phenotype from sample id
+      val pheno = mt.colsTable.df.withColumn("y",
+        (substring(col("s"), 2, 10).cast("int") + 1).cast("double"))
+      val fit = methods.Regression.poissonRegressionRows(mt, pheno, "y",
+        xOf = gt => (Calls.nNonRefAlleles(gt) > 0).cast("double")).df
+      val e = mt.entriesTable.df.join(broadcast(pheno), Seq("s"))
+        .filter(col("GT").isNotNull)
+        .withColumn("x", (Calls.nNonRefAlleles(col("GT")) > 0).cast("int"))
+      val cells = e.groupBy(col("contig"), col("position"), col("ref"))
+        .agg(
+          sum(col("x") * col("y")).cast("double").as("sy1"),
+          sum((lit(1) - col("x")) * col("y")).cast("double").as("sy0"),
+          sum(col("x")).cast("long").as("n1"),
+          sum(lit(1) - col("x")).cast("long").as("n0"))
+      fit.join(cells, Seq("contig", "position", "ref"))
+        .filter(col("n1") > 0 && col("n0") > 0 && col("sy1") > 0 &&
+          col("sy0") > 0)
+        .select(col("contig"), col("position"), col("ref"), col("n"),
+          round(col("beta"), 6).as("beta"),
+          round(col("standard_error"), 6).as("standard_error"))
+    }),
+
     // --- identity_by_descent (IBD.scala, PLINK MoM); raw (unbounded) Zs
     // so the oracle is closed-form ------------------------------------------
     "geno_ibd" -> ((s, _) => {
@@ -1677,6 +1704,27 @@ object SparkEntry {
         |mm AS (SELECT count(*) AS m FROM st WHERE ac > 0 AND ac < 2 * nc)
         |SELECT round(sum(nrm * nrm) * 2.0 / mm.m, 4) AS trace
         |FROM f, mm GROUP BY mm.m""".stripMargin
+    },
+
+    // Poisson MLE with binary x is closed-form: beta = ln(mean1/mean0),
+    // SE = sqrt(1/sum(y|x=1) + 1/sum(y|x=0))
+    "poisson_rows" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, ref,
+        |    CASE WHEN a1 + a2 > 0 THEN 1 ELSE 0 END AS x,
+        |    CAST(CAST(substr(s, 2, 10) AS INTEGER) + 1 AS DOUBLE) AS y
+        |  FROM q WHERE a1 IS NOT NULL),
+        |c AS (
+        |  SELECT contig, position, ref,
+        |    sum(x * y) AS sy1, sum((1 - x) * y) AS sy0,
+        |    sum(x) AS n1, sum(1 - x) AS n0, count(*) AS n
+        |  FROM d GROUP BY 1, 2, 3)
+        |SELECT contig, position, ref, n,
+        |  round(ln((sy1 / n1) / (sy0 / n0)), 6) AS beta,
+        |  round(sqrt(1.0 / sy1 + 1.0 / sy0), 6) AS standard_error
+        |FROM c WHERE n1 > 0 AND n0 > 0 AND sy1 > 0 AND sy0 > 0""".stripMargin
     },
 
     "geno_ibd" -> {

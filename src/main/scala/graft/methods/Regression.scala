@@ -110,6 +110,85 @@ object Regression {
       }
   }
 
+  /** Newton-Raphson Poisson (log link) fit — same shape as
+    * `logisticFit` with mu = exp(eta), W = mu (reference
+    * `statgen.py:1650` `poisson_regression_rows`,
+    * `PoissonRegression.scala`). */
+  private val poissonFit: UserDefinedFunction = udf {
+    (xs: Seq[Seq[Double]], ys: Seq[Double]) =>
+      val n = xs.length
+      if (n == 0) (Double.NaN, Double.NaN, Double.NaN, Double.NaN, false)
+      else {
+        val k = xs.head.length
+        val X = breeze.linalg.DenseMatrix(xs.map(_.toArray): _*)
+        val y = breeze.linalg.DenseVector(ys.toArray)
+        var beta = breeze.linalg.DenseVector.zeros[Double](k)
+        var converged = false
+        var iter = 0
+        var H = breeze.linalg.DenseMatrix.zeros[Double](k, k)
+        while (!converged && iter < 25) {
+          val mu = (X * beta).map(math.exp)
+          val grad = X.t * (y - mu)
+          val Xw = X.copy
+          var i = 0
+          while (i < n) {
+            var j = 0
+            while (j < k) { Xw(i, j) = X(i, j) * mu(i); j += 1 }
+            i += 1
+          }
+          H = X.t * Xw
+          val step =
+            try H \ grad
+            catch { case _: Exception =>
+              breeze.linalg.DenseVector.fill(k)(Double.NaN) }
+          beta = beta + step
+          iter += 1
+          converged = breeze.linalg.norm(grad) < 1e-8
+        }
+        if (!converged || beta.exists(_.isNaN))
+          (Double.NaN, Double.NaN, Double.NaN, Double.NaN, false)
+        else {
+          val hinv: breeze.linalg.DenseMatrix[Double] = breeze.linalg.inv(H)
+          val se = math.sqrt(hinv(1, 1))
+          val z = beta(1) / se
+          val p = 2.0 * (1.0 - new org.apache.commons.math3.distribution
+            .NormalDistribution().cumulativeProbability(math.abs(z)))
+          (beta(1), se, z, p, true)
+        }
+      }
+  }
+
+  /** poisson_regression_rows, Wald (reference `statgen.py:1650`): per-
+    * variant Poisson regression of count `yCol` on `xOf(GT)` plus
+    * covariates with intercept; complete-case, same distribution shape
+    * as the logistic path. */
+  def poissonRegressionRows(mt: MatrixTable, pheno: DataFrame,
+      yCol: String, covCols: Seq[String] = Nil,
+      xOf: Column => Column = Calls.nNonRefAlleles(_).cast("double"))
+      : Table = {
+    val e = mt.entriesTable.df
+      .join(broadcast(pheno), mt.colKey, "inner")
+      .filter(col("GT").isNotNull && col(yCol).isNotNull)
+    val x = xOf(col("GT"))
+    val xs = array((lit(1.0) +: x +: covCols.map(c =>
+      col(c).cast("double"))): _*)
+    val keyCols = mt.rowKey.map(col)
+    val fit = e
+      .withColumn("__xs", xs)
+      .groupBy(keyCols: _*)
+      .agg(
+        poissonFit(collect_list(col("__xs")),
+          collect_list(col(yCol).cast("double"))).as("__fit"),
+        count(lit(1)).as("n"))
+    Table(fit
+      .withColumn("beta", col("__fit")("_1"))
+      .withColumn("standard_error", col("__fit")("_2"))
+      .withColumn("z_stat", col("__fit")("_3"))
+      .withColumn("p_value", col("__fit")("_4"))
+      .withColumn("converged", col("__fit")("_5"))
+      .drop("__fit"), mt.rowKey, mt.globals)
+  }
+
   /** logistic_regression_rows, Wald test (reference `statgen.py:731`):
     * per-variant logistic regression of binary `yCol` on `xOf(GT)` plus
     * covariates with intercept. The per-variant design (n samples × k)
