@@ -902,9 +902,11 @@ object SparkEntry {
     // --- windowed ld_matrix (statgen.py:3836): pairwise Pearson r ---------
     "geno_ld_matrix" -> ((s, _) => {
       val mt = sources.Vcf.read(s, VcfFixture)
+      // `+ 0.0` collapses IEEE -0.0 (from rounding a tiny negative) to
+      // +0.0 so the driver's repr-hash matches the oracle's
       methods.Ld.ldMatrix(mt, window = 1500)
         .select(col("contig"), col("pos_i"), col("pos_j"),
-          round(col("r"), 6).as("r"))
+          (round(col("r"), 6) + lit(0.0)).as("r"))
     }),
 
     // --- poisson_regression_rows (statgen.py:1650, Wald) with binary x:
@@ -1315,6 +1317,42 @@ object SparkEntry {
         |SELECT vec_id, round(dp / (na * nb), 6) AS cos
         |FROM c ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""".stripMargin,
 
+    // LSH ANN: the hyperplanes are seed-deterministic
+    // (Similarity.hyperplanes(64, 4, 42)) so they are embedded as literal
+    // lists — DuckDB reproduces the exact bucket assignment and top-k.
+    "pipe_ann_lsh" -> {
+      val planes = pipeline.Similarity.hyperplanes(64, 4, 42L)
+      def lst(p: Seq[Double]) = p.map(_.toString).mkString("[", ", ", "]")
+      val planeCols = planes.zipWithIndex
+        .map { case (p, i) => s"${lst(p)} AS p$i" }.mkString(",\n  ")
+      def dotp(i: Int) =
+        s"list_sum(list_transform(range(1, 65), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * p$i[i]))"
+      s"""WITH p AS (SELECT $planeCols),
+        |b AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN ${dotp(0)} >= 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN ${dotp(1)} >= 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN ${dotp(2)} >= 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN ${dotp(3)} >= 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings, p),
+        |qq AS (SELECT embedding AS qv, bucket AS qb FROM b
+        |  WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |      AS dp,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE)
+        |         * CAST(embedding[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nb
+        |  FROM b, qq WHERE vec_id != 0 AND bucket = qb)
+        |SELECT vec_id, round(dp / (na * nb), 6) AS cos
+        |FROM c ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""".stripMargin
+    },
+
     "pipe_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
         |    AS byte_len,
@@ -1558,22 +1596,27 @@ object SparkEntry {
         |  count(*) - count(a1) AS n_not_called,
         |  CAST(0 AS BIGINT) AS n_filtered,
         |  round(CAST(count(a1) AS DOUBLE) / count(*), 6) AS call_rate,
-        |  sum(CASE WHEN a1 = 0 AND a2 = 0 THEN 1 ELSE 0 END) AS n_hom_ref,
-        |  sum(CASE WHEN a1 <> a2 THEN 1 ELSE 0 END) AS n_het,
-        |  sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END) AS n_hom_var,
-        |  sum(CASE WHEN a1 <> a2 OR (a1 = 1 AND a2 = 1) THEN 1 ELSE 0 END)
-        |    AS n_non_ref,
-        |  sum(CASE WHEN a1 = 1 AND ac1 = 1 THEN 1 ELSE 0 END
+        |  CAST(sum(CASE WHEN a1 = 0 AND a2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hom_ref,
+        |  CAST(sum(CASE WHEN a1 <> a2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_het,
+        |  CAST(sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hom_var,
+        |  CAST(sum(CASE WHEN a1 <> a2 OR (a1 = 1 AND a2 = 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ref,
+        |  CAST(sum(CASE WHEN a1 = 1 AND ac1 = 1 THEN 1 ELSE 0 END
         |    + CASE WHEN a2 = 1 AND ac1 = 1 THEN 1 ELSE 0 END)
-        |    AS n_singleton,
-        |  sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
-        |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS n_snp,
-        |  sum((CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_singleton,
+        |  CAST(sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_snp,
+        |  CAST(sum((CASE WHEN a1 = 1 THEN 1 ELSE 0 END
         |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END)
-        |    * CASE WHEN is_ti THEN 1 ELSE 0 END) AS n_transition,
-        |  sum((CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |    * CASE WHEN is_ti THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_transition,
+        |  CAST(sum((CASE WHEN a1 = 1 THEN 1 ELSE 0 END
         |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END)
-        |    * CASE WHEN is_ti THEN 0 ELSE 1 END) AS n_transversion,
+        |    * CASE WHEN is_ti THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_transversion,
         |  CAST(0 AS BIGINT) AS n_insertion,
         |  CAST(0 AS BIGINT) AS n_deletion,
         |  round(CAST(sum((CASE WHEN a1 = 1 THEN 1 ELSE 0 END
@@ -1593,23 +1636,26 @@ object SparkEntry {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
       s"""WITH $base
         |SELECT contig, position, ref, alts,
-        |  sum(CASE WHEN a1 = 0 THEN 1 ELSE 0 END
-        |    + CASE WHEN a2 = 0 THEN 1 ELSE 0 END) AS ac_ref,
-        |  sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
-        |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS ac_alt,
+        |  CAST(sum(CASE WHEN a1 = 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ac_ref,
+        |  CAST(sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ac_alt,
         |  2 * count(a1) AS an,
         |  round(CAST(sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
         |      + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / (2 * count(a1)), 6) AS af_alt,
-        |  sum(CASE WHEN a1 = 0 AND a2 = 0 THEN 1 ELSE 0 END) AS hom_ref,
-        |  sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END) AS hom_alt,
+        |  CAST(sum(CASE WHEN a1 = 0 AND a2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hom_ref,
+        |  CAST(sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hom_alt,
         |  round(CAST(count(a1) AS DOUBLE) / 5, 6) AS call_rate,
         |  count(a1) AS n_called,
         |  count(*) - count(a1) AS n_not_called,
         |  CAST(0 AS BIGINT) AS n_filtered,
-        |  sum(CASE WHEN a1 <> a2 THEN 1 ELSE 0 END) AS n_het,
-        |  sum(CASE WHEN a1 <> a2 OR (a1 = 1 AND a2 = 1) THEN 1 ELSE 0 END)
-        |    AS n_non_ref
+        |  CAST(sum(CASE WHEN a1 <> a2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_het,
+        |  CAST(sum(CASE WHEN a1 <> a2 OR (a1 = 1 AND a2 = 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ref
         |FROM q GROUP BY 1, 2, 3, 4""".stripMargin
     },
 
@@ -1784,7 +1830,9 @@ object SparkEntry {
         |      * e10 * (ibs0 + ibs1 + ibs2))
         |      / (e11 * (ibs0 + ibs1 + ibs2)) AS z1
         |  FROM pc, cf)
-        |SELECT s_i, s_j, ibs0, ibs1, ibs2,
+        |SELECT s_i, s_j,
+        |  CAST(ibs0 AS BIGINT) AS ibs0, CAST(ibs1 AS BIGINT) AS ibs1,
+        |  CAST(ibs2 AS BIGINT) AS ibs2,
         |  round(z0, 6) AS z0, round(z1, 6) AS z1,
         |  round((ibs2 - z0 * e20 * n - z1 * e21 * n) / n, 6) AS z2,
         |  round(z1 / 2 + (ibs2 - z0 * e20 * n - z1 * e21 * n) / n, 6)
@@ -1810,7 +1858,8 @@ object SparkEntry {
         |    AND d.position = k.position
         |  JOIN g m ON m.s = 'S3' AND m.contig = k.contig
         |    AND m.position = k.position)
-        |SELECT contig, position, ref, sum(t) AS t, sum(u) AS u,
+        |SELECT contig, position, ref,
+        |  CAST(sum(t) AS BIGINT) AS t, CAST(sum(u) AS BIGINT) AS u,
         |  round(CAST((sum(t) - sum(u)) * (sum(t) - sum(u)) AS DOUBLE)
         |    / (sum(t) + sum(u)), 6) AS chi_sq
         |FROM tr WHERE t >= 0 AND u >= 0 AND t + u > 0
@@ -1841,7 +1890,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT s FROM q) sl LEFT JOIN per USING (s))
         |SELECT s, n_called,
         |  round(e_homs, 6) AS expected_homs,
-        |  o_homs AS observed_homs,
+        |  CAST(o_homs AS BIGINT) AS observed_homs,
         |  round(fs, 6) AS f_stat,
         |  CASE WHEN fs < 0.2 THEN true
         |       WHEN fs > 0.8 THEN false END AS is_female
@@ -1920,7 +1969,7 @@ object SparkEntry {
         |    sum((1 - x) * y) AS n01, sum((1 - x) * (1 - y)) AS n00
         |  FROM d GROUP BY 1, 2, 3)
         |SELECT contig, position, ref,
-        |  n11 + n10 + n01 + n00 AS n,
+        |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS n,
         |  round(ln(CAST(n11 * n00 AS DOUBLE) / (n10 * n01)), 6) AS beta,
         |  round(sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00), 6)
         |    AS standard_error
@@ -1945,10 +1994,11 @@ object SparkEntry {
         |         WHEN a1 <> a2 THEN 3 ELSE 4 END AS c
         |  FROM q WHERE a1 IS NOT NULL)
         |SELECT a.s AS s_i, b.s AS s_j, count(*) AS n_shared,
-        |  sum(CASE WHEN a.c = 3 AND b.c = 3 THEN 1 ELSE 0 END)
-        |    AS n_het_het,
-        |  sum(CASE WHEN (a.c = 2 AND b.c = 4) OR (a.c = 4 AND b.c = 2)
-        |    THEN 1 ELSE 0 END) AS n_opp_hom,
+        |  CAST(sum(CASE WHEN a.c = 3 AND b.c = 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_het_het,
+        |  CAST(sum(CASE WHEN (a.c = 2 AND b.c = 4) OR
+        |    (a.c = 4 AND b.c = 2) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_opp_hom,
         |  round((sum(CASE WHEN a.c = 3 AND b.c = 3 THEN 1 ELSE 0 END)
         |    - 2.0 * sum(CASE WHEN (a.c = 2 AND b.c = 4)
         |        OR (a.c = 4 AND b.c = 2) THEN 1 ELSE 0 END))
@@ -1963,24 +2013,28 @@ object SparkEntry {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
       s"""WITH $base,
         |d AS (
-        |  SELECT contig, position, s, CAST(a1 + a2 AS DOUBLE) AS dose
+        |  SELECT contig, position, ref, alts, s,
+        |    CAST(a1 + a2 AS DOUBLE) AS dose
         |  FROM q),
         |st AS (
-        |  SELECT contig, position, sum(dose) AS ac,
+        |  SELECT contig, position, ref, alts, sum(dose) AS ac,
         |    sum(dose * dose) AS acsq, count(dose) AS nc
-        |  FROM d GROUP BY 1, 2),
+        |  FROM d GROUP BY 1, 2, 3, 4),
         |nr AS (
-        |  SELECT d.contig, d.position, d.s,
+        |  SELECT d.contig, d.position, d.ref, d.alts, d.s,
         |    coalesce((dose - ac / nc)
         |      / sqrt(acsq - ac * ac / nc), 0) AS n
-        |  FROM d JOIN st USING (contig, position)
+        |  FROM d JOIN st USING (contig, position, ref, alts)
         |  WHERE nc > 0 AND sqrt(acsq - ac * ac / nc) > 1e-6)
         |SELECT a.contig, a.position AS pos_i, b.position AS pos_j,
-        |  round(sum(a.n * b.n), 6) AS r
+        |  round(sum(a.n * b.n), 6) + 0.0 AS r
         |FROM nr a JOIN nr b
         |  ON a.contig = b.contig AND a.s = b.s
-        |  AND a.position < b.position AND b.position <= a.position + 1500
-        |GROUP BY 1, 2, 3""".stripMargin
+        |  AND (a.position < b.position OR (a.position = b.position
+        |    AND (a.ref || '_' || a.alts) < (b.ref || '_' || b.alts)))
+        |  AND b.position <= a.position + 1500
+        |GROUP BY a.contig, a.position, a.ref, a.alts,
+        |  b.position, b.ref, b.alts""".stripMargin
     },
 
     "bgen_import" ->

@@ -41,21 +41,41 @@ object Ld {
     * `window` bp on the same contig (the scalable banded form of the
     * reference's `ld_matrix`; a full m×m matrix at 100 TB is never the
     * right plan — the reference's own `ld_prune` also windows).
-    * Coordinate self-join keyed on (contig, sample): one shuffle, output
-    * linear in in-window pairs. */
+    *
+    * Plan: positions are binned to window-width buckets; the left side is
+    * emitted into its own bin AND the next one, the right side only into
+    * its own, and the join key is `(contig, bin, sample)`. Every in-window
+    * pair (pos_i < pos_j <= pos_i + window) meets in exactly one bin, so
+    * the per-group join fan-out is bounded by variants-per-window², not
+    * variants-per-contig² — the equi-join stays an ordinary shuffled hash
+    * join at any contig size. The window predicate is a residual filter.
+    *
+    * Variants are identified by the full (position, ref, alt) key — two
+    * variants at the same position (common after split_multi) stay
+    * distinct pairs; same-position pairs are ordered by allele string. */
   def ldMatrix(mt: MatrixTable, window: Int): DataFrame = {
+    val vid = concat_ws("_", col("ref"), concat_ws(",", col("alt")))
     val coords = normRows(mt)
-      .select(col("contig"), col("position"),
+      .select(col("contig"), col("position"), vid.as("__vid"),
         posexplode(col("__norm")).as(Seq("__cidx", "__n")))
     val l = coords.select(col("contig"), col("position").as("pos_i"),
-      col("__cidx"), col("__n").as("__ni"))
+        col("__vid").as("__vid_i"), col("__cidx"), col("__n").as("__ni"))
+      .withColumn("__bin", explode(array(
+        floor(col("pos_i").cast("long") / window),
+        floor(col("pos_i").cast("long") / window) + 1)))
     val r = coords.select(col("contig"), col("position").as("pos_j"),
-      col("__cidx"), col("__n").as("__nj"))
-    l.join(r, Seq("contig", "__cidx"))
-      .filter(col("pos_i") < col("pos_j") &&
+        col("__vid").as("__vid_j"), col("__cidx"), col("__n").as("__nj"))
+      .withColumn("__bin", floor(col("pos_j").cast("long") / window))
+    l.join(r, Seq("contig", "__bin", "__cidx"))
+      .filter((col("pos_i") < col("pos_j") ||
+        (col("pos_i") === col("pos_j") &&
+          col("__vid_i") < col("__vid_j"))) &&
         col("pos_j") <= col("pos_i") + window)
-      .groupBy(col("contig"), col("pos_i"), col("pos_j"))
+      .groupBy(col("contig"), col("pos_i"), col("__vid_i"),
+        col("pos_j"), col("__vid_j"))
       .agg(sum(col("__ni") * col("__nj")).as("r"))
+      .withColumnRenamed("__vid_i", "vid_i")
+      .withColumnRenamed("__vid_j", "vid_j")
   }
 
   /** ld_prune (reference `statgen.py:4708`, local pass

@@ -32,6 +32,19 @@ for name, sql in sorted(oracle.items()):
         continue
     if len(got) != len(want):
         fails.append((name, f"rows: {len(got)} vs {len(want)}")); continue
+    # dtype-strict: the driver's hash distinguishes int 2 from float 2.0
+    # (DuckDB sum()->HUGEINT->float64 vs Spark BIGINT), so flag kind
+    # mismatches even when values compare == .
+    kind_bad = [
+        (c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+        if got[c].dtype.kind != want[c].dtype.kind
+        and {got[c].dtype.kind, want[c].dtype.kind} - {"i", "u"}
+        # nullable columns surface as object/float; only flag int-vs-float
+        and {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u", "f", "b"}
+    ]
+    if kind_bad:
+        fails.append((name, f"dtype kind mismatch (spark vs duck): {kind_bad}"))
+        continue
     def norm(df):
         df = df.copy()
         for c in df.columns:
@@ -42,15 +55,23 @@ for name, sql in sorted(oracle.items()):
             # normalize tz-aware vs naive timestamps
             if str(df[c].dtype).startswith("datetime64"):
                 df[c] = df[c].astype(str)
-        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        # repr-strict: hash on the printed value, like the driver —
+        # catches -0.0 vs 0.0 and int-vs-float that == would mask
+        for c in df.columns:
+            if df[c].dtype.kind == "f":
+                df[c] = df[c].map(lambda v: None if pd.isna(v) else repr(v))
+            elif df[c].dtype.kind in "iu":
+                # width is immaterial to the driver's repr-hash
+                df[c] = df[c].astype("int64")
+        return df
     g, w = norm(got), norm(want)
     if not g.equals(w):
         diff_mask = ~(g == w) & ~(g.isna() & w.isna())
         ndiff = int(diff_mask.any(axis=1).sum())
-        if ndiff:
-            i = diff_mask.any(axis=1).idxmax()
-            fails.append((name, f"{ndiff} differing rows; first:\n  spark={g.loc[i].to_dict()}\n  duck ={w.loc[i].to_dict()}"))
-            continue
+        i = diff_mask.any(axis=1).idxmax() if ndiff else 0
+        fails.append((name, f"{ndiff} differing rows; first:\n  spark={g.loc[i].to_dict()}\n  duck ={w.loc[i].to_dict()}"))
+        continue
     print(f"PASS {name} ({len(got)} rows)")
 for name, why in fails:
     print(f"FAIL {name}: {why}")
