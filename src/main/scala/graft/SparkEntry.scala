@@ -1897,41 +1897,37 @@ object SparkEntry {
         |FROM f""".stripMargin
     },
 
+    // n_alt-based predicates in the reference's evaluation order
+    // (functions.py:6415 mendel_error_code): both-hom codes 1/2/5/8
+    // first, then single-parent codes 3/4/6/7, which also fire with the
+    // other parent uncalled (NULL n_alt makes its conditions false —
+    // missing_false). All fixture variants are autosomal.
     "geno_mendel_errors" -> {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
-      def cls(role: String) =
-        s"""CASE WHEN $role.a1 IS NULL THEN 1
-           |  WHEN $role.a1 = 0 AND $role.a2 = 0 THEN 2
-           |  WHEN $role.a1 <> $role.a2 THEN 3 ELSE 4 END""".stripMargin
       s"""WITH $base,
         |g AS (
         |  SELECT k.contig, k.position, k.ref, t.kid AS s,
-        |    ${cls("k")} AS kc, ${cls("d")} AS dc, ${cls("m")} AS mc
+        |    d.a1 + d.a2 AS fn, m.a1 + m.a2 AS mn, k.a1 + k.a2 AS cn
         |  FROM (VALUES ('S1'), ('S4')) t(kid)
         |  JOIN q k ON k.s = t.kid
         |  JOIN q d ON d.s = 'S2' AND d.contig = k.contig
         |    AND d.position = k.position
         |  JOIN q m ON m.s = 'S3' AND m.contig = k.contig
-        |    AND m.position = k.position)
-        |SELECT contig, position, ref, s,
-        |  CASE WHEN dc = 4 AND mc = 4 AND kc = 3 THEN 1
-        |       WHEN dc = 2 AND mc = 2 AND kc = 3 THEN 2
-        |       WHEN dc = 2 AND mc NOT IN (1, 2) AND kc = 4 THEN 3
-        |       WHEN dc NOT IN (1, 2) AND mc = 2 AND kc = 4 THEN 4
-        |       WHEN dc = 2 AND mc = 2 AND kc = 4 THEN 5
-        |       WHEN dc = 4 AND mc NOT IN (1, 4) AND kc = 2 THEN 6
-        |       WHEN dc NOT IN (1, 4) AND mc = 4 AND kc = 2 THEN 7
-        |       WHEN dc = 4 AND mc = 4 AND kc = 2 THEN 8
-        |       END AS mendel_code
-        |FROM g WHERE CASE WHEN dc = 4 AND mc = 4 AND kc = 3 THEN 1
-        |       WHEN dc = 2 AND mc = 2 AND kc = 3 THEN 2
-        |       WHEN dc = 2 AND mc NOT IN (1, 2) AND kc = 4 THEN 3
-        |       WHEN dc NOT IN (1, 2) AND mc = 2 AND kc = 4 THEN 4
-        |       WHEN dc = 2 AND mc = 2 AND kc = 4 THEN 5
-        |       WHEN dc = 4 AND mc NOT IN (1, 4) AND kc = 2 THEN 6
-        |       WHEN dc NOT IN (1, 4) AND mc = 4 AND kc = 2 THEN 7
-        |       WHEN dc = 4 AND mc = 4 AND kc = 2 THEN 8
-        |       END IS NOT NULL""".stripMargin
+        |    AND m.position = k.position),
+        |c AS (
+        |  SELECT contig, position, ref, s,
+        |    CASE WHEN fn = 2 AND mn = 2 AND cn = 1 THEN 1
+        |         WHEN fn = 0 AND mn = 0 AND cn = 1 THEN 2
+        |         WHEN fn = 0 AND mn = 0 AND cn = 2 THEN 5
+        |         WHEN fn = 2 AND mn = 2 AND cn = 0 THEN 8
+        |         WHEN fn = 0 AND cn = 2 THEN 3
+        |         WHEN mn = 0 AND cn = 2 THEN 4
+        |         WHEN fn = 2 AND cn = 0 THEN 6
+        |         WHEN mn = 2 AND cn = 0 THEN 7
+        |         END AS mendel_code
+        |  FROM g)
+        |SELECT contig, position, ref, s, mendel_code
+        |FROM c WHERE mendel_code IS NOT NULL""".stripMargin
     },
 
     "geno_concordance" -> {

@@ -199,11 +199,15 @@ final case class Table(
       keySorted = false)
 
   /** TableMultiWayZipJoin (`TableIR.scala:2291`): n-way outer zip-join of
-    * like-typed keyed tables — one row per key present in ANY input, with
-    * `fieldName` = fixed-length array of value structs (element i from
-    * table i, null where that table lacks the key). Powers multi-cohort
-    * merges / the VDS combiner. One union + one grouped shuffle — no
-    * iterated joins, so cost is linear in total input at any n. */
+    * like-typed keyed tables — one row per (key, occurrence) present in
+    * ANY input, with `fieldName` = fixed-length array of value structs
+    * (element i from table i, null where that table lacks the key).
+    * Duplicate-keyed rows zip positionally like the reference (the k-th
+    * row of a key in table i aligns with the k-th row of that key
+    * elsewhere; within-key order is whatever the shuffle delivered, as in
+    * the reference's post-shuffle zip). Powers multi-cohort merges / the
+    * VDS combiner. One union + one grouped shuffle — no iterated joins,
+    * so cost is linear in total input at any n. */
   def multiWayZipJoin(others: Seq[Table], fieldName: String = "data")
       : Table = {
     val all = this +: others
@@ -215,13 +219,22 @@ final case class Table(
         struct(valueFields.map(col): _*).as("__v")): _*)
     }
     val unioned = tagged.reduce(_ unionByName _)
+    val tableIdxs = sequence(lit(0), lit(all.length - 1))
     val zipped = unioned.groupBy(keyCols: _*)
-      .agg(map_from_entries(collect_list(struct(col("__i"), col("__v"))))
-        .as("__m"))
-      .withColumn(fieldName,
-        transform(sequence(lit(0), lit(all.length - 1)),
-          i => element_at(col("__m"), i)))
-      .drop("__m")
+      .agg(collect_list(struct(col("__i"), col("__v"))).as("__all"))
+      // rows per key = max occurrences over the inputs
+      .withColumn("__n",
+        org.apache.spark.sql.functions.aggregate(tableIdxs, lit(0),
+          (acc, i) =>
+            greatest(acc, size(org.apache.spark.sql.functions.filter(
+              col("__all"), x => x("__i") === i)))))
+      .withColumn("__occ", explode(sequence(lit(0), col("__n") - 1)))
+      // `get` is 0-based and null past the end (element_at would throw
+      // under ANSI when a table has fewer occurrences of the key)
+      .withColumn(fieldName, transform(tableIdxs, i =>
+        get(org.apache.spark.sql.functions.filter(col("__all"),
+          x => x("__i") === i), col("__occ"))("__v")))
+      .drop("__all", "__n", "__occ")
     Table(zipped, key, all.map(_.globals).reduce(_ ++ _))
   }
 

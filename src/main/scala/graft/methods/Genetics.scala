@@ -60,60 +60,97 @@ object Genetics {
     Table(out, mt.colKey, mt.globals)
   }
 
+  /** hail's 4-state genotype class (1 = no call, 2 = hom ref, 3 = het,
+    * 4 = hom var). Haploid calls classify by their single allele —
+    * haploid REF is hom-ref, haploid ALT is hom-var (the reference's
+    * n_alt_alleles semantics for hemizygous calls) — NOT by the
+    * diploid allele1/allele2 equality, whose haploid sentinel would
+    * misread every hemizygous REF as hom-var. */
   private def gtClass(gt: Column): Column =
     when(gt.isNull, 1) // no call
+      .when(Calls.ploidy(gt) === 1,
+        when(Calls.allele1(gt) === 0, 2).otherwise(4))
       .when(Calls.isHomRef(gt), 2)
       .when(Calls.isHet(gt), 3)
       .otherwise(4) // hom var
 
+  /** One row per (sample, trio-role): the broadcast side of the single-scan
+    * trio assembly shared by mendel_errors and tdt. A sample appearing in
+    * several trios (e.g. a parent of siblings) fans out to several rows —
+    * the entries table is still scanned exactly once. */
+  private def trioRoles(mt: MatrixTable,
+      trios: Seq[(String, String, String, Boolean)]): DataFrame = {
+    val rows = trios.zipWithIndex.flatMap {
+      case ((kid, dad, mom, isF), i) =>
+        Seq((kid, i, "kid", kid, isF), (dad, i, "dad", kid, isF),
+          (mom, i, "mom", kid, isF))
+    }
+    mt.spark.createDataFrame(rows)
+      .toDF("s", "__trio", "__role", "__s_kid", "__kid_female")
+  }
+
+  /** Single scan of the entries table joined against the broadcast
+    * (sample → trio, role) map, pivoted to one row per (variant, trio)
+    * with the kid/dad/mom GTs side by side. One shuffle on
+    * (variant key, trio); T trios cost T broadcast-joined output rows per
+    * variant, not 3·T scans of the table. */
+  private def trioPivot(mt: MatrixTable,
+      trios: Seq[(String, String, String, Boolean)]): DataFrame = {
+    val keyCols = mt.rowKey
+    val e = mt.entriesTable.df
+      .select((keyCols.map(col) :+ col("s") :+ col("GT")): _*)
+    def gtOf(role: String) =
+      max(when(col("__role") === role, col("GT"))).as(s"__gt_$role")
+    e.join(broadcast(trioRoles(mt, trios)), Seq("s"))
+      .groupBy((keyCols.map(col) :+ col("__trio")): _*)
+      .agg(gtOf("kid"), gtOf("dad"), gtOf("mom"),
+        first(col("__s_kid")).as("__s_kid"),
+        first(col("__kid_female")).as("__kid_female"))
+  }
+
   /** mendel_errors (reference `family_methods.py:130`; code table
     * `functions.py:6415` `mendel_error_code`): per (trio, variant) Mendel
     * violation codes. Trios are (kid, dad, mom, kidIsFemale). Copy state:
-    * Auto (autosome/PAR/X-female), HemiX (X non-PAR male kid), HemiY
-    * (Y non-PAR male kid). Assumes biallelic rows (split_multi first).
-    * Implementation: the per-variant (kid, dad, mom) genotype triple is
-    * assembled with three broadcast-filtered coordinate joins, then the
-    * code table is one codegen'd CASE chain. */
+    * Auto (autosome/PAR, or X and female kid), HemiX (X non-PAR male
+    * kid), HemiY (Y non-PAR male kid). Assumes biallelic rows
+    * (split_multi first).
+    *
+    * The code table mirrors the reference's n_alt_alleles predicates and
+    * evaluation order exactly (both-hom codes 1/2/5/8 first, then the
+    * single-parent codes 3/4/6/7 — which fire even when the other parent
+    * is uncalled, because a null n_alt makes its conditions false, the
+    * reference's `missing_false` semantics). One entries scan
+    * (`trioPivot`), then one codegen'd CASE chain. */
   def mendelErrors(mt: MatrixTable,
       trios: Seq[(String, String, String, Boolean)])
       (implicit rg: ReferenceGenome): Table = {
-    val e = mt.entriesTable.df
     val keyCols = mt.rowKey
-    def side(id: String, role: String): DataFrame =
-      e.filter(col("s") === id)
-        .select((keyCols.map(col) :+ col("GT").as(s"__gt_$role")): _*)
-    val joined = trios.map { case (kid, dad, mom, isF) =>
-      side(kid, "kid")
-        .join(side(dad, "dad"), keyCols, "left")
-        .join(side(mom, "mom"), keyCols, "left")
-        .withColumn("__s_kid", lit(kid))
-        .withColumn("__kid_female", lit(isF))
-    }.reduce(_ unionByName _)
-    val k = gtClass(col("__gt_kid"))
-    val d = gtClass(col("__gt_dad"))
-    val m = gtClass(col("__gt_mom"))
+    val fn = Calls.nNonRefAlleles(col("__gt_dad"))
+    val mn = Calls.nNonRefAlleles(col("__gt_mom"))
+    val cn = Calls.nNonRefAlleles(col("__gt_kid"))
     val inPar = rg.par.map { case (c, s0, e0) =>
       col("contig") === c && col("position") >= s0 && col("position") < e0
     }.foldLeft(lit(false))(_ || _)
     val inX = rg.xContigs.map(col("contig") === _).reduce(_ || _)
     val inY = rg.yContigs.map(col("contig") === _).reduce(_ || _)
-    val isAuto = (!inX && !inY) || inPar || (inX && col("__kid_female"))
-    val hemiX = inX && !inPar && !col("__kid_female")
-    val hemiY = inY && !inPar && !col("__kid_female")
+    val autoCode =
+      when(fn === 2 && mn === 2 && cn === 1, 1)
+        .when(fn === 0 && mn === 0 && cn === 1, 2)
+        .when(fn === 0 && mn === 0 && cn === 2, 5)
+        .when(fn === 2 && mn === 2 && cn === 0, 8)
+        .when(fn === 0 && cn === 2, 3)
+        .when(mn === 0 && cn === 2, 4)
+        .when(fn === 2 && cn === 0, 6)
+        .when(mn === 2 && cn === 0, 7)
+    val hemiXCode = when(mn === 2 && cn === 0, 9)
+      .when(mn === 0 && cn > 0, 10)
+    val hemiYCode = when(fn > 0 && cn === 0, 11)
+      .when(fn === 0 && cn > 0, 12)
     val code =
-      when(isAuto && d === 4 && m === 4 && k === 3, 1)
-        .when(isAuto && d === 2 && m === 2 && k === 3, 2)
-        .when(isAuto && d === 2 && m =!= 2 && m =!= 1 && k === 4, 3)
-        .when(isAuto && d =!= 2 && d =!= 1 && m === 2 && k === 4, 4)
-        .when(isAuto && d === 2 && m === 2 && k === 4, 5)
-        .when(isAuto && d === 4 && m =!= 4 && m =!= 1 && k === 2, 6)
-        .when(isAuto && d =!= 4 && d =!= 1 && m === 4 && k === 2, 7)
-        .when(isAuto && d === 4 && m === 4 && k === 2, 8)
-        .when(hemiX && m === 4 && k === 2, 9)
-        .when(hemiX && m === 2 && k === 4, 10)
-        .when(hemiY && d === 4 && k === 2, 11)
-        .when(hemiY && d === 2 && k === 4, 12)
-    Table(joined
+      when((!inX && !inY) || inPar || col("__kid_female"), autoCode)
+        .when(inX && !inPar && !col("__kid_female"), hemiXCode)
+        .when(inY && !inPar && !col("__kid_female"), hemiYCode)
+    Table(trioPivot(mt, trios)
       .withColumn("mendel_code", code)
       .filter(col("mendel_code").isNotNull)
       .select((keyCols.map(col) :+ col("__s_kid").as("s") :+
@@ -131,16 +168,10 @@ object Genetics {
     * Autosomes only (standard TDT). */
   def tdt(mt: MatrixTable, trios: Seq[(String, String, String)])
       (implicit rg: ReferenceGenome): Table = {
-    val e = mt.entriesTable.df
     val keyCols = mt.rowKey
-    def side(id: String, role: String) =
-      e.filter(col("s") === id)
-        .select((keyCols.map(col) :+ col("GT").as(s"__gt_$role")): _*)
-    val joined = trios.map { case (kid, dad, mom) =>
-      side(kid, "kid")
-        .join(side(dad, "dad"), keyCols, "inner")
-        .join(side(mom, "mom"), keyCols, "inner")
-    }.reduce(_ unionByName _)
+    // one entries scan + broadcast role map (vs 3 scans per trio)
+    val joined = trioPivot(mt,
+      trios.map { case (k, d, m) => (k, d, m, false) })
     val autosomal = joined.filter(
       !(rg.xContigs ++ rg.yContigs ++ rg.mtContigs)
         .map(col("contig") === _).reduce(_ || _))
