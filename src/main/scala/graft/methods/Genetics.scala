@@ -1,7 +1,10 @@
 package graft.methods
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+import org.apache.spark.mllib.linalg.distributed.RowMatrix
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.{MatrixTable, Table}
 import graft.functions.{Calls, ReferenceGenome, StatTests}
@@ -209,8 +212,9 @@ object Genetics {
     * clamps the estimates into the simplex (PLINK's default).
     *
     * Spark shape: coefficients are one narrow row-space pass + a scalar
-    * aggregate; IBS counts are a coordinate self-join on the variant key
-    * (one shuffle, linear in variants × pairs). */
+    * aggregate; IBS counts come from the stacked-indicator Gramian
+    * (`classPairCounts`) — one distributed treeAggregate, no sample-pair
+    * shuffle (the reference's IBD.scala batches the same arithmetic). */
   def identityByDescent(mt: MatrixTable, bounded: Boolean = true)
       : DataFrame = {
     // per-variant PLINK expectation coefficients from ref-allele counts
@@ -254,50 +258,108 @@ object Genetics {
     val (e00m, e10m, e20m, e11m, e21m) = (coefMeans.getDouble(0),
       coefMeans.getDouble(1), coefMeans.getDouble(2),
       coefMeans.getDouble(3), coefMeans.getDouble(4))
-    // pairwise IBS counts (biallelic: IBS = 2 - |dose_i - dose_j|)
-    val e = mt.copy(rows = mt.rows.filter(size(col("alt")) === 1))
-      .entriesTable.df
-      .filter(col("GT").isNotNull && Calls.ploidy(col("GT")) === 2)
-      .select((mt.rowKey.map(col) :+ col("s") :+
-        Calls.nNonRefAlleles(col("GT")).as("__d")): _*)
-    val l = e.select((mt.rowKey.map(col) :+ col("s").as("s_i") :+
-      col("__d").as("__di")): _*)
-    val r = e.select((mt.rowKey.map(col) :+ col("s").as("s_j") :+
-      col("__d").as("__dj")): _*)
-    val ibs = lit(2) - abs(col("__di") - col("__dj"))
-    val counts = l.join(r, mt.rowKey).filter(col("s_i") < col("s_j"))
-      .groupBy(col("s_i"), col("s_j"))
-      .agg(
-        count(when(ibs === 0, 1)).as("ibs0"),
-        count(when(ibs === 1, 1)).as("ibs1"),
-        count(when(ibs === 2, 1)).as("ibs2"))
-    val n = (col("ibs0") + col("ibs1") + col("ibs2")).cast("double")
-    val z0r = col("ibs0") / (lit(e00m) * n)
-    val z1r = (col("ibs1") - z0r * lit(e10m) * n) / (lit(e11m) * n)
-    val z2r = (col("ibs2") - z0r * lit(e20m) * n - z1r * lit(e21m) * n) / n
-    val withRaw = counts
-      .withColumn("__z0", z0r).withColumn("__z1", z1r)
-      .withColumn("__z2", z2r)
-    val (bz0, bz1, bz2) =
-      if (!bounded) (col("__z0"), col("__z1"), col("__z2"))
-      else {
-        val z0 = col("__z0"); val z1 = col("__z1"); val z2 = col("__z2")
-        val c0 = when(z0 > 1, 1.0).when(z1 > 1 || z2 > 1, 0.0)
-          .when(z0 < 0, 0.0)
-          .when(z1 < 0, z0 / (z0 + z2)).when(z2 < 0, z0 / (z0 + z1))
-          .otherwise(z0)
-        val c1 = when(z0 > 1 || z2 > 1, 0.0).when(z1 > 1, 1.0)
-          .when(z0 < 0, z1 / (z1 + z2)).when(z1 < 0, 0.0)
-          .when(z2 < 0, z1 / (z0 + z1)).otherwise(z1)
-        val c2 = when(z0 > 1 || z1 > 1, 0.0).when(z2 > 1, 1.0)
-          .when(z0 < 0, z2 / (z1 + z2)).when(z1 < 0, z2 / (z0 + z2))
-          .when(z2 < 0, 0.0).otherwise(z2)
-        (c0, c1, c2)
-      }
-    withRaw
-      .withColumn("Z0", bz0).withColumn("Z1", bz1).withColumn("Z2", bz2)
-      .withColumn("PI_HAT", col("Z1") / 2 + col("Z2"))
-      .drop("__z0", "__z1", "__z2")
+    // pairwise IBS counts from the stacked-indicator Gramian over dose
+    // classes on biallelic rows (diploid called entries only);
+    // IBS0 = opposing homs, IBS2 = same-class, IBS1 = remainder
+    val biallelic = mt.copy(rows = mt.rows.filter(size(col("alt")) === 1))
+    val doseClass = transform(biallelic.entries, e => {
+      val gt = e("GT")
+      when(gt.isNull || Calls.ploidy(gt) =!= 2, 1)
+        .when(Calls.isHomRef(gt), 2)
+        .when(Calls.isHet(gt), 3)
+        .otherwise(4)
+    })
+    val pairCounts = classPairCounts(biallelic, doseClass)
+    val idIdx = mt.colSchema.fieldIndex(mt.colKey.head)
+    def id(i: Int) = mt.colValues(i).get(idIdx)
+    // pairs sharing no called site produce no estimate (as the
+    // coordinate-join formulation's inner join implied)
+    val rows = pairCounts.filter(_._11 > 0).map { case (i0, j0,
+        h0h0, h0h1, h1h0, h1h1, h0c, ch0, h1c, ch1, cc) =>
+      val (si, sj) =
+        if (id(i0).toString <= id(j0).toString) (id(i0), id(j0))
+        else (id(j0), id(i0))
+      val ibs0 = (h0c - h0h0 - h0h1) + (ch0 - h0h0 - h1h0)
+      val h2h2 = cc - h0c - h1c - ch0 - ch1 +
+        h0h0 + h0h1 + h1h0 + h1h1
+      val ibs2 = h0h0 + h1h1 + h2h2
+      val ibs1 = cc - ibs0 - ibs2
+      val n = cc.toDouble
+      val z0 = ibs0 / (e00m * n)
+      val z1 = (ibs1 - z0 * e10m * n) / (e11m * n)
+      val z2 = (ibs2 - z0 * e20m * n - z1 * e21m * n) / n
+      val (b0, b1, b2) =
+        if (!bounded) (z0, z1, z2)
+        else {
+          val c0 =
+            if (z0 > 1) 1.0 else if (z1 > 1 || z2 > 1) 0.0
+            else if (z0 < 0) 0.0
+            else if (z1 < 0) z0 / (z0 + z2)
+            else if (z2 < 0) z0 / (z0 + z1) else z0
+          val c1 =
+            if (z0 > 1 || z2 > 1) 0.0 else if (z1 > 1) 1.0
+            else if (z0 < 0) z1 / (z1 + z2)
+            else if (z1 < 0) 0.0
+            else if (z2 < 0) z1 / (z0 + z1) else z1
+          val c2 =
+            if (z0 > 1 || z1 > 1) 0.0 else if (z2 > 1) 1.0
+            else if (z0 < 0) z2 / (z1 + z2)
+            else if (z1 < 0) z2 / (z0 + z2)
+            else if (z2 < 0) 0.0 else z2
+          (c0, c1, c2)
+        }
+      Row(si, sj, ibs0, ibs1, ibs2, b0, b1, b2, b1 / 2 + b2)
+    }
+    val idType = mt.colSchema.fields(idIdx).dataType
+    mt.spark.createDataFrame(
+      mt.spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("s_i", idType), StructField("s_j", idType),
+        StructField("ibs0", LongType, false),
+        StructField("ibs1", LongType, false),
+        StructField("ibs2", LongType, false),
+        StructField("Z0", DoubleType, false),
+        StructField("Z1", DoubleType, false),
+        StructField("Z2", DoubleType, false),
+        StructField("PI_HAT", DoubleType, false))))
+  }
+
+  /** All pairwise genotype-class co-occurrence counts via ONE Gramian.
+    *
+    * `classes` is an array<int> of per-sample genotype classes (gtClass
+    * codes; 1 = no call). Per variant we build the stacked indicator
+    * vector [H0 | H1 | C] (hom-ref, het, called — width 3S); the Gramian
+    * MᵀM then holds every pairwise block (H0ᵀH0, H0ᵀH1, H0ᵀC, H1ᵀH1,
+    * H1ᵀC, CᵀC), and hom-var blocks follow from H2 = C − H0 − H1. This is
+    * the reference's BlockMatrix-matmul shape (`is/hail/methods/IBD.scala`,
+    * `relatedness/king.py`): one distributed treeAggregate pass, NO
+    * pairwise shuffle — the O(variants × samples²) coordinate self-join
+    * this replaces is fatal at biobank scale. The local 3S×3S result is
+    * the same driver-size contract as `Pca.grm`; swap in MLlib
+    * BlockMatrix.multiply past ~30k samples.
+    *
+    * Returns per ordered pair (i < j by column index):
+    * (i, j, h0h0, h0h1, h1h0, h1h1, h0c, ch0, h1c, ch1, cc) as exact
+    * longs (indicator dot products are integer-valued). */
+  private def classPairCounts(mt: MatrixTable, classes: Column)
+      : IndexedSeq[(Int, Int, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)] = {
+    val n = mt.nCols
+    val vec = concat(
+      transform(classes, c => (c === 2).cast("double")),
+      transform(classes, c => (c === 3).cast("double")),
+      transform(classes, c => (c =!= 1).cast("double")))
+    val vecRdd = mt.rows.select(vec.as("__v")).rdd
+      .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
+    val g = new RowMatrix(vecRdd).computeGramianMatrix()
+    def l(a: Int, b: Int): Long = math.round(g(a, b))
+    for {
+      i <- 0 until n
+      j <- (i + 1) until n
+    } yield (i, j,
+      l(i, j), l(i, n + j), l(n + i, j), l(n + i, n + j),
+      l(i, 2 * n + j), l(2 * n + i, j), l(n + i, 2 * n + j),
+      l(2 * n + i, n + j), l(2 * n + i, 2 * n + j))
   }
 
   /** concordance (reference `qc.py:360`): full-outer join of two matrix
@@ -323,35 +385,46 @@ object Genetics {
       .groupBy(col("left_state"), col("right_state"))
       .agg(count(lit(1)).as("n"))
 
-  /** KING-robust kinship (reference
-    * `methods/relatedness/king.py:9`): for each sample pair over their
-    * shared called sites,
+  /** KING-robust kinship (reference `methods/relatedness/king.py:9`,
+    * expressed there as BlockMatrix matmuls): for each sample pair over
+    * their shared called sites,
     * phi = (N_AaAa - 2 N_opposing_hom) / (N_het_i + N_het_j).
-    * Coordinate self-join on the variant key — one shuffle, cost linear
-    * in (variants × sample pairs); the reference's BlockMatrix matmul is
-    * the same arithmetic batched. */
+    *
+    * All pair counts come from the single stacked-indicator Gramian
+    * (`classPairCounts`) — one distributed pass over the entries, no
+    * sample-pair shuffle. */
   def king(mt: MatrixTable): DataFrame = {
-    val e = mt.entriesTable.df
-      .filter(col("GT").isNotNull)
-      .select((mt.rowKey.map(col) :+ col("s") :+
-        gtClass(col("GT")).as("__c")): _*)
-    val l = e.select((mt.rowKey.map(col) :+ col("s").as("s_i") :+
-      col("__c").as("__ci")): _*)
-    val r = e.select((mt.rowKey.map(col) :+ col("s").as("s_j") :+
-      col("__c").as("__cj")): _*)
-    val pairs = l.join(r, mt.rowKey).filter(col("s_i") < col("s_j"))
-    val ci = col("__ci"); val cj = col("__cj")
-    pairs.groupBy(col("s_i"), col("s_j"))
-      .agg(
-        count(lit(1)).as("n_shared"),
-        sum((ci === 3).cast("long")).as("n_het_i"),
-        sum((cj === 3).cast("long")).as("n_het_j"),
-        sum((ci === 3 && cj === 3).cast("long")).as("n_het_het"),
-        sum(((ci === 2 && cj === 4) || (ci === 4 && cj === 2)).cast("long"))
-          .as("n_opp_hom"))
-      .withColumn("phi",
-        when(col("n_het_i") + col("n_het_j") > 0,
-          (col("n_het_het").cast("double") - col("n_opp_hom") * 2.0) /
-            (col("n_het_i") + col("n_het_j")).cast("double")))
+    val spark = mt.spark
+    val counts = classPairCounts(mt,
+      transform(mt.entries, e => gtClass(e("GT"))))
+    val idIdx = mt.colSchema.fieldIndex(mt.colKey.head)
+    def id(i: Int) = mt.colValues(i).get(idIdx)
+    // pairs sharing no called site are absent (inner-join semantics)
+    val rows = counts.filter(_._11 > 0).map { case (i0, j0,
+        h0h0, h0h1, h1h0, h1h1, h0c, ch0, h1c, ch1, cc) =>
+      // order the pair by sample id (the join formulation sorted on id);
+      // swapping transposes the asymmetric blocks
+      val swap = id(i0).toString > id(j0).toString
+      val (hetI, hetJ) = if (swap) (ch1, h1c) else (h1c, ch1)
+      val (si, sj) = if (swap) (id(j0), id(i0)) else (id(i0), id(j0))
+      // H0ᵀH2 = H0ᵀC − H0ᵀH0 − H0ᵀH1 (and transposed) — symmetric in swap
+      val oppHom = (h0c - h0h0 - h0h1) + (ch0 - h0h0 - h1h0)
+      val hetHet = h1h1
+      val phi: Any =
+        if (hetI + hetJ > 0)
+          (hetHet.toDouble - 2.0 * oppHom) / (hetI + hetJ) else null
+      Row(si, sj, cc, hetI, hetJ, hetHet, oppHom, phi)
+    }
+    val idType = mt.colSchema.fields(idIdx).dataType
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("s_i", idType), StructField("s_j", idType),
+        StructField("n_shared", LongType, false),
+        StructField("n_het_i", LongType, false),
+        StructField("n_het_j", LongType, false),
+        StructField("n_het_het", LongType, false),
+        StructField("n_opp_hom", LongType, false),
+        StructField("phi", DoubleType))))
   }
 }
