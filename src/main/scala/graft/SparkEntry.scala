@@ -909,6 +909,78 @@ object SparkEntry {
           (round(col("r"), 6) + lit(0.0)).as("r"))
     }),
 
+    // --- skat (statgen.py:2870, Skat.scala): linear variance-component
+    // score per key group; q_stat is a closed quadratic form the oracle
+    // reproduces exactly (p_value is spec-tested — mixture CDF) ----------
+    "geno_skat" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val pheno = mt.colsTable.df
+        .withColumn("y", substring(col("s"), 2, 10).cast("double"))
+      methods.Skat.skat(mt, pheno, "y", Nil,
+        keyExpr = col("contig"),
+        weightExpr = lit(1.0) /
+          (pmod(col("position"), lit(7)) + 1).cast("double"))
+        .select(col("id"), col("size"),
+          round(col("q_stat"), 6).as("q_stat"))
+    }),
+
+    // --- logistic_regression_rows test='lrt' (statgen.py:731): with
+    // binary x the full model is saturated on the 2x2 cells, so the
+    // deviance is closed-form ----------------------------------------------
+    "logistic_lrt" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val pheno = mt.colsTable.df.withColumn("y",
+        (substring(col("s"), 2, 10).cast("int") % 2).cast("double"))
+      val fit = methods.Regression.logisticRegressionRows(mt, pheno, "y",
+        xOf = gt => (Calls.nNonRefAlleles(gt) > 0).cast("double"),
+        test = "lrt").df
+      val e = mt.entriesTable.df.join(broadcast(pheno), Seq("s"))
+        .filter(col("GT").isNotNull)
+        .withColumn("x", (Calls.nNonRefAlleles(col("GT")) > 0).cast("int"))
+      val cells = e.groupBy(col("contig"), col("position"), col("ref"))
+        .agg(
+          sum(col("x") * col("y")).cast("long").as("n11"),
+          sum(col("x") * (lit(1.0) - col("y"))).cast("long").as("n10"),
+          sum((lit(1) - col("x")) * col("y")).cast("long").as("n01"),
+          sum((lit(1) - col("x")) * (lit(1.0) - col("y"))).cast("long")
+            .as("n00"))
+      fit.join(cells, Seq("contig", "position", "ref"))
+        .filter(col("n11") > 0 && col("n10") > 0 && col("n01") > 0 &&
+          col("n00") > 0)
+        .select(col("contig"), col("position"), col("ref"), col("n"),
+          round(col("chi_sq_stat"), 6).as("chi_sq_stat"))
+    }),
+
+    // --- logistic_regression_rows test='score' (statgen.py:731): the
+    // score statistic at the null fit is closed-form for binary x ----------
+    "logistic_score" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val pheno = mt.colsTable.df.withColumn("y",
+        (substring(col("s"), 2, 10).cast("int") % 2).cast("double"))
+      val fit = methods.Regression.logisticRegressionRows(mt, pheno, "y",
+        xOf = gt => (Calls.nNonRefAlleles(gt) > 0).cast("double"),
+        test = "score").df
+      val e = mt.entriesTable.df.join(broadcast(pheno), Seq("s"))
+        .filter(col("GT").isNotNull)
+        .withColumn("x", (Calls.nNonRefAlleles(col("GT")) > 0).cast("int"))
+      val cells = e.groupBy(col("contig"), col("position"), col("ref"))
+        .agg(
+          sum(col("x") * col("y")).cast("long").as("n11"),
+          sum(col("x") * (lit(1.0) - col("y"))).cast("long").as("n10"),
+          sum((lit(1) - col("x")) * col("y")).cast("long").as("n01"),
+          sum((lit(1) - col("x")) * (lit(1.0) - col("y"))).cast("long")
+            .as("n00"))
+      fit.join(cells, Seq("contig", "position", "ref"))
+        .filter(col("n11") + col("n01") > 0 &&
+          col("n10") + col("n00") > 0 &&
+          col("n11") + col("n10") > 0 &&
+          col("n01") + col("n00") > 0)
+        .select(col("contig"), col("position"), col("ref"), col("n"),
+          round(col("chi_sq_stat"), 6).as("chi_sq_stat"))
+    }),
+
     // --- poisson_regression_rows (statgen.py:1650, Wald) with binary x:
     // the fitted slope must equal the closed-form log rate ratio -----------
     "poisson_rows" -> ((s, _) => {
@@ -1970,6 +2042,97 @@ object SparkEntry {
         |  round(sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00), 6)
         |    AS standard_error
         |FROM c WHERE n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0""".stripMargin
+    },
+
+    // deviance of the cell-saturated full model vs the intercept null:
+    // 2*(LL_full - LL_null), all closed-form over the 2x2 cells
+    "logistic_lrt" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, ref,
+        |    CASE WHEN a1 + a2 > 0 THEN 1 ELSE 0 END AS x,
+        |    CAST(substr(s, 2, 10) AS INTEGER) % 2 AS y
+        |  FROM q WHERE a1 IS NOT NULL),
+        |c AS (
+        |  SELECT contig, position, ref,
+        |    sum(x * y) AS n11, sum(x * (1 - y)) AS n10,
+        |    sum((1 - x) * y) AS n01, sum((1 - x) * (1 - y)) AS n00
+        |  FROM d GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT contig, position, ref,
+        |    CAST(n11 + n10 + n01 + n00 AS BIGINT) AS n,
+        |    n11 * ln(CAST(n11 AS DOUBLE) / (n11 + n10))
+        |      + n10 * ln(CAST(n10 AS DOUBLE) / (n11 + n10))
+        |      + n01 * ln(CAST(n01 AS DOUBLE) / (n01 + n00))
+        |      + n00 * ln(CAST(n00 AS DOUBLE) / (n01 + n00)) AS ll_full,
+        |    (n11 + n01) * ln(CAST(n11 + n01 AS DOUBLE)
+        |        / (n11 + n10 + n01 + n00))
+        |      + (n10 + n00) * ln(CAST(n10 + n00 AS DOUBLE)
+        |        / (n11 + n10 + n01 + n00)) AS ll_null
+        |  FROM c WHERE n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0)
+        |SELECT contig, position, ref, n,
+        |  round(2 * (ll_full - ll_null), 6) AS chi_sq_stat
+        |FROM f""".stripMargin
+    },
+
+    // score statistic at the intercept-only null fit: closed-form
+    // U^2 / (pbar qbar n1 (1 - n1/n)) for binary x
+    "logistic_score" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, ref,
+        |    CASE WHEN a1 + a2 > 0 THEN 1 ELSE 0 END AS x,
+        |    CAST(substr(s, 2, 10) AS INTEGER) % 2 AS y
+        |  FROM q WHERE a1 IS NOT NULL),
+        |c AS (
+        |  SELECT contig, position, ref,
+        |    sum(x * y) AS n11, sum(x * (1 - y)) AS n10,
+        |    sum((1 - x) * y) AS n01, sum((1 - x) * (1 - y)) AS n00,
+        |    count(*) AS n
+        |  FROM d GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT contig, position, ref, CAST(n AS BIGINT) AS n,
+        |    CAST(n11 + n10 AS DOUBLE) AS n1,
+        |    CAST(n11 + n01 AS DOUBLE) / n AS pbar,
+        |    n11 - (n11 + n10) * (CAST(n11 + n01 AS DOUBLE) / n) AS u
+        |  FROM c
+        |  WHERE n11 + n01 > 0 AND n10 + n00 > 0
+        |    AND n11 + n10 > 0 AND n01 + n00 > 0)
+        |SELECT contig, position, ref, n,
+        |  round(u * u / (pbar * (1 - pbar) * n1 * (1 - n1 / n)), 6)
+        |    AS chi_sq_stat
+        |FROM f""".stripMargin
+    },
+
+    // linear SKAT q_stat is the closed quadratic form
+    // sum_v w_v (res . x_v)^2 / (2 sigma^2) with an intercept-only null
+    "geno_skat" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |yy AS (
+        |  SELECT DISTINCT s, CAST(substr(s, 2, 10) AS DOUBLE) AS yv
+        |  FROM q),
+        |st AS (SELECT avg(yv) AS ybar FROM yy),
+        |r AS (SELECT s, yv - ybar AS res FROM yy, st),
+        |ss AS (
+        |  SELECT sum(res * res) / (count(*) - 1) AS sigsq FROM r),
+        |mi AS (
+        |  SELECT contig, position, ref, alts, s,
+        |    coalesce(CAST(a1 + a2 AS DOUBLE),
+        |      avg(CAST(a1 + a2 AS DOUBLE))
+        |        OVER (PARTITION BY contig, position, ref, alts)) AS x
+        |  FROM q),
+        |qv AS (
+        |  SELECT contig, position, ref, alts,
+        |    pow(sum(r.res * mi.x), 2)
+        |      * (CAST(1.0 AS DOUBLE) / (position % 7 + 1)) AS qc
+        |  FROM mi JOIN r USING (s)
+        |  GROUP BY contig, position, ref, alts)
+        |SELECT contig AS id, CAST(count(*) AS INTEGER) AS size,
+        |  round(sum(qc) / (2 * ss.sigsq), 6) AS q_stat
+        |FROM qv, ss GROUP BY contig, ss.sigsq""".stripMargin
     },
 
     "table_filter_locus_intervals" -> {

@@ -124,7 +124,9 @@ object Qc {
   def sampleQc(mt: MatrixTable): Table = {
     val es = entrySchema(mt)
     val nAlleles = size(col("alt")) + 1
-    val nRows = mt.rows.count()
+    // row count as a broadcast 1-row aggregate, not an eager count():
+    // the whole method stays one Spark job
+    val nRowsDf = mt.rows.select(count(lit(1)).as("__n_rows"))
     // row-space annotations reused by every entry of the row: variant AC
     // (for singletons) and per-alt allele types (for snp/ti/tv/indel)
     val rows2 = mt.rows
@@ -181,8 +183,9 @@ object Qc {
       .na.fill(0L, Seq("n_called", "n_not_called", "__present", "n_hom_ref",
         "n_het", "n_hom_var", "n_singleton", "n_transition",
         "n_transversion", "n_insertion", "n_deletion", "n_star"))
-      .withColumn("n_filtered", lit(nRows) - col("__present"))
-      .withColumn("call_rate", divideNull(col("n_called"), lit(nRows)))
+      .crossJoin(broadcast(nRowsDf))
+      .withColumn("n_filtered", col("__n_rows") - col("__present"))
+      .withColumn("call_rate", divideNull(col("n_called"), col("__n_rows")))
       .withColumn("n_non_ref", col("n_het") + col("n_hom_var"))
       .withColumn("n_snp", col("n_transition") + col("n_transversion"))
       .withColumn("r_ti_tv",
@@ -191,7 +194,7 @@ object Qc {
         divideNull(col("n_het"), col("n_hom_var")))
       .withColumn("r_insertion_deletion",
         divideNull(col("n_insertion"), col("n_deletion")))
-      .drop("__present")
+      .drop("__present", "__n_rows")
     Table(full, mt.colKey, mt.globals)
   }
 }

@@ -189,16 +189,147 @@ object Regression {
       .drop("__fit"), mt.rowKey, mt.globals)
   }
 
-  /** logistic_regression_rows, Wald test (reference `statgen.py:731`):
-    * per-variant logistic regression of binary `yCol` on `xOf(GT)` plus
-    * covariates with intercept. The per-variant design (n samples × k)
-    * is collected into the group and fitted locally — bounded by sample
-    * count, distributed across variants. Rows with missing GT or y are
-    * dropped (complete-case). */
+  /** Newton (optionally Firth-penalized) logistic fit on a local design.
+    * Returns (beta, observed information at the optimum, log-likelihood —
+    * penalized by 0.5·logdet(I) when `firth` — and convergence flag).
+    * Firth's adjusted score (Firth 1993; the reference's
+    * `LogisticRegressionModel` firth path) adds h_i(0.5 − mu_i) to each
+    * residual, h the hat-matrix diagonal. */
+  private def fitLogisticLocal(X: breeze.linalg.DenseMatrix[Double],
+      y: breeze.linalg.DenseVector[Double], firth: Boolean)
+      : (breeze.linalg.DenseVector[Double],
+        breeze.linalg.DenseMatrix[Double], Double, Boolean) = {
+    import breeze.linalg._
+    val n = X.rows; val k = X.cols
+    var beta = DenseVector.zeros[Double](k)
+    var info = DenseMatrix.zeros[Double](k, k)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 100) {
+      val eta = X * beta
+      val mu = eta.map(e => 1.0 / (1.0 + math.exp(-e)))
+      val w = mu.map(m => m * (1.0 - m))
+      val Xw = X(::, *) *:* w
+      info = X.t * Xw
+      val resid = y - mu
+      if (firth) {
+        val infoInv = inv(info)
+        var i = 0
+        while (i < n) {
+          val xi = X(i, ::).t
+          val h = w(i) * (xi dot (infoInv * xi))
+          resid(i) += h * (0.5 - mu(i))
+          i += 1
+        }
+      }
+      val grad = X.t * resid
+      val step =
+        try info \ grad
+        catch { case _: Exception => DenseVector.fill(k)(Double.NaN) }
+      beta = beta + step
+      iter += 1
+      converged = norm(step) < 1e-7 && !step.exists(_.isNaN)
+      if (step.exists(_.isNaN)) iter = 100
+    }
+    val eta = X * beta
+    // stable log(1 + e^eta) = max(eta, 0) + log1p(e^-|eta|)
+    var ll = 0.0
+    var i = 0
+    while (i < y.length) {
+      ll += y(i) * eta(i) -
+        (math.max(eta(i), 0.0) + math.log1p(math.exp(-math.abs(eta(i)))))
+      i += 1
+    }
+    if (firth && converged) {
+      val mu = eta.map(e => 1.0 / (1.0 + math.exp(-e)))
+      val w = mu.map(m => m * (1.0 - m))
+      info = X.t * (X(::, *) *:* w)
+      val c = cholesky(info)
+      ll += (0 until k).map(j => math.log(c(j, j))).sum
+    }
+    (beta, info, ll, converged)
+  }
+
+  private def chiSqTail1(x: Double): Double =
+    // clamp at 0: the firth penalized deviance of nested fits can land
+    // epsilon-negative (the penalties have different dimension)
+    if (x <= 0) 1.0
+    else 1.0 - org.apache.commons.math3.special.Gamma
+      .regularizedGammaP(0.5, x / 2.0)
+
+  /** UDF for the lrt/score/firth logistic tests (reference
+    * `LogisticRegression.scala` wald/lrt/score/firth kernels; per-variant
+    * complete-case, so the null model refits on each variant's called
+    * samples). Column 1 of the design is the tested genotype term.
+    * Returns (beta, se, chi_sq, p, converged). */
+  private def logisticTestUdf(test: String): UserDefinedFunction = udf {
+    (xs: Seq[Seq[Double]], ys: Seq[Double]) =>
+      import breeze.linalg._
+      val bad = (null: java.lang.Double, null: java.lang.Double,
+        null: java.lang.Double, null: java.lang.Double, false)
+      val n = xs.length
+      if (n == 0) bad
+      else {
+        val k = xs.head.length
+        val X = DenseMatrix(xs.map(_.toArray): _*)
+        val y = DenseVector(ys.toArray)
+        val nullCols = (0 until k).filter(_ != 1)
+        val Xn = X(::, nullCols).toDenseMatrix
+        test match {
+          case "lrt" | "firth" =>
+            val firth = test == "firth"
+            val (bF, iF, llF, cF) = fitLogisticLocal(X, y, firth)
+            val (_, _, ll0, c0) = fitLogisticLocal(Xn, y, firth)
+            if (!cF || !c0) bad
+            else {
+              val chi2 = 2.0 * (llF - ll0)
+              val se =
+                try {
+                  val iFInv: DenseMatrix[Double] = inv(iF)
+                  math.sqrt(iFInv(1, 1))
+                } catch { case _: Exception => Double.NaN }
+              (java.lang.Double.valueOf(bF(1)),
+                java.lang.Double.valueOf(se),
+                java.lang.Double.valueOf(chi2),
+                java.lang.Double.valueOf(chiSqTail1(chi2)), true)
+            }
+          case "score" =>
+            val (b0, _, _, c0) = fitLogisticLocal(Xn, y, firth = false)
+            if (!c0) bad
+            else {
+              // beta at the null: fitted for untested terms, 0 for x
+              val mu0 = (Xn * b0).map(e => 1.0 / (1.0 + math.exp(-e)))
+              val w0 = mu0.map(m => m * (1.0 - m))
+              val u = X.t * (y - mu0)
+              val info = X.t * (X(::, *) *:* w0)
+              val stat =
+                try u dot (info \ u)
+                catch { case _: Exception => Double.NaN }
+              if (stat.isNaN) bad
+              else (null: java.lang.Double, null: java.lang.Double,
+                java.lang.Double.valueOf(stat),
+                java.lang.Double.valueOf(chiSqTail1(stat)), true)
+            }
+        }
+      }
+  }
+
+  /** logistic_regression_rows (reference `statgen.py:731`): per-variant
+    * logistic regression of binary `yCol` on `xOf(GT)` plus covariates
+    * with intercept; `test` selects wald (default) / lrt / score / firth
+    * (`is/hail/methods/LogisticRegression.scala` implements the same
+    * four). The per-variant design (n samples × k) is collected into the
+    * group and fitted locally — bounded by sample count, distributed
+    * across variants. Rows with missing GT or y are dropped
+    * (complete-case). Wald emits beta/standard_error/z_stat/p_value;
+    * lrt/firth emit beta/standard_error/chi_sq_stat/p_value; score emits
+    * chi_sq_stat/p_value. */
   def logisticRegressionRows(mt: MatrixTable, pheno: DataFrame,
       yCol: String, covCols: Seq[String] = Nil,
-      xOf: Column => Column = Calls.nNonRefAlleles(_).cast("double"))
-      : Table = {
+      xOf: Column => Column = Calls.nNonRefAlleles(_).cast("double"),
+      test: String = "wald"): Table = {
+    require(Set("wald", "lrt", "score", "firth").contains(test),
+      s"unknown logistic test $test")
     val e = mt.entriesTable.df
       .join(broadcast(pheno), mt.colKey, "inner")
       .filter(col("GT").isNotNull && col(yCol).isNotNull)
@@ -206,19 +337,32 @@ object Regression {
     val xs = array((lit(1.0) +: x +: covCols.map(c =>
       col(c).cast("double"))): _*)
     val keyCols = mt.rowKey.map(col)
+    val fitUdf = if (test == "wald") logisticFit else logisticTestUdf(test)
     val fit = e
       .withColumn("__xs", xs)
       .groupBy(keyCols: _*)
       .agg(
-        logisticFit(collect_list(col("__xs")),
+        fitUdf(collect_list(col("__xs")),
           collect_list(col(yCol).cast("double"))).as("__fit"),
         count(lit(1)).as("n"))
-    Table(fit
-      .withColumn("beta", col("__fit")("_1"))
-      .withColumn("standard_error", col("__fit")("_2"))
-      .withColumn("z_stat", col("__fit")("_3"))
-      .withColumn("p_value", col("__fit")("_4"))
-      .withColumn("converged", col("__fit")("_5"))
-      .drop("__fit"), mt.rowKey, mt.globals)
+    val out = test match {
+      case "wald" =>
+        fit.withColumn("beta", col("__fit")("_1"))
+          .withColumn("standard_error", col("__fit")("_2"))
+          .withColumn("z_stat", col("__fit")("_3"))
+          .withColumn("p_value", col("__fit")("_4"))
+          .withColumn("converged", col("__fit")("_5"))
+      case "score" =>
+        fit.withColumn("chi_sq_stat", col("__fit")("_3"))
+          .withColumn("p_value", col("__fit")("_4"))
+          .withColumn("converged", col("__fit")("_5"))
+      case _ =>
+        fit.withColumn("beta", col("__fit")("_1"))
+          .withColumn("standard_error", col("__fit")("_2"))
+          .withColumn("chi_sq_stat", col("__fit")("_3"))
+          .withColumn("p_value", col("__fit")("_4"))
+          .withColumn("converged", col("__fit")("_5"))
+    }
+    Table(out.drop("__fit"), mt.rowKey, mt.globals)
   }
 }

@@ -183,9 +183,11 @@ object Dedup {
     * Bucket sizes capped like the text pipelines. */
   def embeddingPairsLsh(df: DataFrame, id: String, vec: String,
       threshold: Double, nPlanes: Int = 8, seed: Long = 42L,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val dim = df.select(size(col(vec))).head().getInt(0)
-    val planes = Similarity.hyperplanes(dim, nPlanes, seed)
+      maxBucketSize: Int = 10000, dim: Int = -1): DataFrame = {
+    // hyperplane literals need the vector width on the driver; pass `dim`
+    // to keep the plan job-free (the probe is a LIMIT-1 scan fallback)
+    val d = if (dim > 0) dim else df.select(size(col(vec))).head().getInt(0)
+    val planes = Similarity.hyperplanes(d, nPlanes, seed)
     val bucketed = df.select(col(id).as("doc"), col(vec).as("__v"))
       .withColumn("bucket", Similarity.lshBucket(col("__v"), planes))
       .repartition(col("doc"))
