@@ -909,6 +909,56 @@ object SparkEntry {
           (round(col("r"), 6) + lit(0.0)).as("r"))
     }),
 
+    // --- de_novo (family_methods.py:564): posterior de novo calls over
+    // synthesized GATK-style AD/GQ/PL entry fields (deterministic from
+    // GT/DP/position so the oracle reproduces the closed-form posterior)
+    "geno_de_novo" -> ((s, _) => {
+      import graft.functions.Calls
+      implicit val rg: graft.functions.ReferenceGenome =
+        graft.functions.ReferenceGenome.GRCh38
+      val mt0 = sources.Vcf.read(s, VcfFixture)
+      val pen = lit(25) + pmod(col("position"), lit(10))
+      val mt = mt0.mapEntries((e, _) => {
+        val d = Calls.nNonRefAlleles(e("GT"))
+        val gi = Calls.unphasedDiploidGtIndex(e("GT"))
+        val adAlt = floor(e("DP").cast("double") * d / 2.0).cast("int")
+        struct(
+          e("GT").as("GT"),
+          array(e("DP") - adAlt, adAlt).as("AD"),
+          e("DP").as("DP"),
+          pen.as("GQ"),
+          transform(sequence(lit(0), lit(2)), j =>
+            when(j === gi, 0).otherwise(pen)).as("PL"))
+      })
+      // both probands share their het sites in this fixture, so the
+      // in-sample AF prior suppresses every call — use the reference's
+      // ignore_in_sample_allele_frequency mode (per-trio semantics:
+      // prior = max(pop prior, 100/3e7), AC pinned to 1)
+      methods.DeNovo.deNovo(mt,
+        Seq(("S1", "S2", "S3", true), ("S4", "S2", "S3", false)),
+        priorCol = lit(null).cast("double"),
+        ignoreInSampleAlleleFrequency = true).df
+        .select(col("contig"), col("position"), col("ref"), col("id"),
+          round(col("prior"), 6).as("prior"),
+          round(col("p_de_novo"), 6).as("p_de_novo"),
+          col("confidence"))
+    }),
+
+    // --- pc_relate (PCRelate.scala) with an intercept-only model (zero
+    // PCs) so every statistic is a closed form the oracle reproduces;
+    // PCA-adjusted path is spec-tested ------------------------------------
+    "geno_pc_relate" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.PcRelate.pcRelate(mt,
+        IndexedSeq.fill(mt.nCols)(Array.empty[Double]),
+        minIndividualMaf = 0.05)
+        .select(col("i"), col("j"),
+          (round(col("kin"), 6) + lit(0.0)).as("kin"),
+          (round(col("ibd0"), 6) + lit(0.0)).as("ibd0"),
+          (round(col("ibd1"), 6) + lit(0.0)).as("ibd1"),
+          (round(col("ibd2"), 6) + lit(0.0)).as("ibd2"))
+    }),
+
     // --- skat (statgen.py:2870, Skat.scala): linear variance-component
     // score per key group; q_stat is a closed quadratic form the oracle
     // reproduces exactly (p_value is spec-tested — mixture CDF) ----------
@@ -2104,6 +2154,131 @@ object SparkEntry {
         |  round(u * u / (pbar * (1 - pbar) * n1 * (1 - n1 / n)), 6)
         |    AS chi_sq_stat
         |FROM f""".stripMargin
+    },
+
+    // de novo posterior for the het-kid/hom-ref-parents config with the
+    // synthesized PL model: eps = 10^(-(25+pos%10)/10), matching-class
+    // pp = 1/(1+2eps), off-class pp = eps/(1+2eps); all-SNV fixture so
+    // only the SNP confidence chain applies; GQ always >= min_gq
+    "geno_de_novo" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |g AS (
+        |  SELECT k.contig, k.position, k.ref, t.kid AS id,
+        |    k.a1 + k.a2 AS kg, d.a1 + d.a2 AS dg, m.a1 + m.a2 AS mg,
+        |    k.a1 <> k.a2 AS khet,
+        |    k.dp AS kdp, d.dp AS ddp, m.dp AS mdp
+        |  FROM (VALUES ('S1'), ('S4')) t(kid)
+        |  JOIN q k ON k.s = t.kid
+        |  JOIN q d ON d.s = 'S2' AND d.contig = k.contig
+        |    AND d.position = k.position
+        |  JOIN q m ON m.s = 'S3' AND m.contig = k.contig
+        |    AND m.position = k.position),
+        |calc AS (
+        |  SELECT g.*, 100.0 / 30000000.0 AS prior, 1 AS ac,
+        |    pow(10.0, -(25 + position % 10) / 10.0) AS eps,
+        |    CAST(floor(kdp * kg / 2.0) AS DOUBLE) / kdp AS kab,
+        |    CAST(floor(ddp * dg / 2.0) AS DOUBLE) / ddp AS dab,
+        |    CAST(floor(mdp * mg / 2.0) AS DOUBLE) / mdp AS mab,
+        |    CAST(kdp AS DOUBLE) / (ddp + mdp) AS dr
+        |  FROM g),
+        |dn AS (
+        |  SELECT *,
+        |    pow(1.0 / (1 + 2 * eps), 3) * (1.0 / 30000000.0) AS pdn,
+        |    2 * (eps / (1 + 2 * eps)) * pow(1.0 / (1 + 2 * eps), 2)
+        |      * (1.0 - pow(1.0 - prior, 4.0)) AS pmiss
+        |  FROM calc),
+        |sel AS (
+        |  SELECT contig, position, ref, id, prior, ac, kdp, kab, dr,
+        |    pdn / (pdn + pmiss) AS p
+        |  FROM dn
+        |  WHERE khet AND kg = 1 AND dg = 0 AND mg = 0
+        |    AND kab >= 0.2 AND dr >= 0.1
+        |    AND ddp > 0 AND mdp > 0
+        |    AND dab <= 0.05 AND mab <= 0.05
+        |    AND pdn + pmiss > 0),
+        |conf AS (
+        |  SELECT contig, position, ref, id, prior, p,
+        |    CASE WHEN (p > 0.99 AND kab > 0.3 AND dr > 0.2)
+        |           OR (p > 0.99 AND kab > 0.3 AND ac = 1)
+        |           OR (p > 0.5 AND kab > 0.3 AND ac < 10 AND kdp > 10)
+        |         THEN 'HIGH'
+        |         WHEN p > 0.5 AND (kab > 0.3 OR ac = 1) THEN 'MEDIUM'
+        |         WHEN kab > 0.2 THEN 'LOW' END AS confidence
+        |  FROM sel WHERE p >= 0.05)
+        |SELECT contig, position, ref, id, round(prior, 6) AS prior,
+        |  round(p, 6) AS p_de_novo, confidence
+        |FROM conf WHERE confidence IS NOT NULL""".stripMargin
+    },
+
+    // pc_relate with an intercept-only model: mu = mean(dose)/2 per
+    // variant; bad entries (non-integral imputed dose or out-of-range mu)
+    // contribute zero; phi/k2/k0 are the reference's gramian ratios
+    "geno_pc_relate" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, s, CAST(a1 + a2 AS DOUBLE) AS dose
+        |  FROM q),
+        |st AS (
+        |  SELECT contig, position, avg(dose) AS meang
+        |  FROM d GROUP BY 1, 2),
+        |c0 AS (
+        |  SELECT d.contig, d.position,
+        |    CAST(substr(d.s, 2, 10) AS INTEGER) - 1 AS idx,
+        |    coalesce(dose, meang) AS gv, meang / 2.0 AS mu
+        |  FROM d JOIN st USING (contig, position)),
+        |c1 AS (
+        |  SELECT *,
+        |    gv IS NULL OR gv NOT IN (0.0, 1.0, 2.0) OR mu IS NULL
+        |      OR mu <= 0.05 OR mu >= 0.95 OR mu <= 0.0 OR mu >= 1.0
+        |      AS bad
+        |  FROM c0),
+        |f AS (
+        |  SELECT contig, position, idx,
+        |    CASE WHEN bad THEN 0.0 ELSE gv / 2.0 - mu END AS a,
+        |    CASE WHEN bad THEN 0.0 ELSE sqrt(mu * (1.0 - mu)) END AS sd,
+        |    CASE WHEN bad OR gv <> 2.0 THEN 0.0 ELSE 1.0 END AS ha,
+        |    CASE WHEN bad OR gv <> 0.0 THEN 0.0 ELSE 1.0 END AS hr,
+        |    CASE WHEN bad THEN 0.0 ELSE mu * mu END AS mu2,
+        |    CASE WHEN bad THEN 0.0
+        |      ELSE (1.0 - mu) * (1.0 - mu) END AS om2,
+        |    CASE WHEN bad THEN 0.0
+        |      ELSE CASE WHEN gv = 0.0 THEN mu WHEN gv = 1.0 THEN 0.0
+        |        ELSE 1.0 - mu END END AS gd,
+        |    CASE WHEN bad THEN 0.0 ELSE mu * (1.0 - mu) END AS v
+        |  FROM c1),
+        |selfphi AS (
+        |  SELECT idx, 2.0 * (sum(a * a) / sum(sd * sd)) AS c
+        |  FROM f GROUP BY idx),
+        |pairs AS (
+        |  SELECT x.idx AS i, y.idx AS j,
+        |    sum(x.a * y.a) AS saa, sum(x.sd * y.sd) AS sss,
+        |    sum(x.gd * y.gd) AS sgg, sum(x.gd * y.v) AS sgv,
+        |    sum(x.v * y.gd) AS svg, sum(x.v * y.v) AS svv,
+        |    sum(x.ha * y.hr) + sum(x.hr * y.ha) AS ibs0,
+        |    sum(x.mu2 * y.om2) + sum(x.om2 * y.mu2) AS denom
+        |  FROM f x JOIN f y ON x.contig = y.contig
+        |    AND x.position = y.position AND x.idx < y.idx
+        |  GROUP BY 1, 2),
+        |k AS (
+        |  SELECT i, j, saa / sss AS phi,
+        |    (sgg - cj.c * sgv - ci.c * svg + ci.c * cj.c * svv) / svv
+        |      AS k2,
+        |    ibs0, denom
+        |  FROM pairs
+        |  JOIN selfphi ci ON ci.idx = pairs.i
+        |  JOIN selfphi cj ON cj.idx = pairs.j),
+        |kk AS (
+        |  SELECT i, j, phi, k2,
+        |    CASE WHEN phi <= pow(2.0, -2.5) THEN 1.0 - 4.0 * phi + k2
+        |         ELSE ibs0 / denom END AS k0
+        |  FROM k)
+        |SELECT i, j, round(phi, 6) + 0.0 AS kin,
+        |  round(k0, 6) + 0.0 AS ibd0,
+        |  round(1.0 - (k2 + k0), 6) + 0.0 AS ibd1,
+        |  round(k2, 6) + 0.0 AS ibd2
+        |FROM kk""".stripMargin
     },
 
     // linear SKAT q_stat is the closed quadratic form

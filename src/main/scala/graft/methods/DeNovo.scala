@@ -1,0 +1,180 @@
+package graft.methods
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{MatrixTable, Table}
+import graft.functions.{Calls, ReferenceGenome}
+
+/** de_novo (reference `python/hail/methods/family_methods.py:564`,
+  * replicating K. Samocha's caller): per (variant, trio) posterior
+  * probability that a proband het with hom-ref parents is a true de novo
+  * mutation rather than a missed parental het, plus hard-filter
+  * confidence tiers.
+  *
+  * Spark shape: rides on `Trios.trioMatrix` (a literal-index entry
+  * projection — no shuffle), so the whole caller is ONE narrow codegen'd
+  * pass over the rows; the per-trio posterior is a pure Column expression
+  * over the trio entry struct (PL-normalized genotype probabilities via
+  * `Calls.plToGp`). Requires entry fields GT, AD, DP, GQ, PL and
+  * biallelic rows. */
+object DeNovo {
+
+  private val DeNovoPrior = 1.0 / 30000000
+  private val MinPopPrior = 100.0 / 30000000
+
+  /** `trios`: (proband, father, mother, probandIsFemale). `priorCol` is a
+    * row-space population alt-frequency prior (may be null). Returns a
+    * Table keyed (rowKey, id) with prior/is_female/p_de_novo/confidence.
+    */
+  def deNovo(mt: MatrixTable,
+      trios: Seq[(String, String, String, Boolean)],
+      priorCol: Column = lit(null).cast("double"),
+      minGq: Int = 20, minP: Double = 0.05,
+      maxParentAb: Double = 0.05, minChildAb: Double = 0.2,
+      minDpRatio: Double = 0.1,
+      ignoreInSampleAlleleFrequency: Boolean = false)
+      (implicit rg: ReferenceGenome): Table = {
+    // row-space site frequency: max(in-sample AF (less the observed
+    // genotype), population prior, global minimum)
+    val nAlt = aggregate(mt.entries, lit(0L), (acc, e) =>
+      acc + coalesce(Calls.nNonRefAlleles(e("GT")).cast("long"), lit(0L)))
+    val tot = size(filter(mt.entries,
+      e => e.isNotNull && e("GT").isNotNull)).cast("long") * 2
+    val inSample = when(tot > 0,
+      (nAlt.cast("double") - 1.0) / tot.cast("double"))
+    val siteFreq =
+      if (ignoreInSampleAlleleFrequency)
+        greatest(coalesce(priorCol, lit(0.0)), lit(MinPopPrior))
+      else
+        greatest(coalesce(inSample, lit(0.0)),
+          coalesce(priorCol, lit(0.0)), lit(MinPopPrior))
+    // ignore mode treats each trio as the only one in the dataset: the
+    // reference also pins __alt_alleles to 1 there (family_methods.py)
+    val rows2 = mt.rows
+      .withColumn("__alt_alleles",
+        if (ignoreInSampleAlleleFrequency) lit(1L) else nAlt)
+      .withColumn("__site_freq", siteFreq)
+      .withColumn("__is_snp",
+        graft.functions.Alleles.isSnp(col("ref"), element_at(col("alt"), 1)))
+    val tm = Trios.trioMatrix(mt.copy(rows = rows2), trios)
+
+    val failure = lit(null)
+      .cast("struct<p_de_novo:double,confidence:string>")
+    def callOf(e: Column, femaleArr: Column, idx: Column): Column = {
+      val kid = e("proband_entry"); val dad = e("father_entry")
+      val mom = e("mother_entry")
+      val isFemale = element_at(femaleArr, idx + 1)
+      def pp(c: Column) = Calls.plToGp(transform(c("PL"),
+        p => p.cast("double")))
+      val kidPp = pp(kid); val dadPp = pp(dad); val momPp = pp(mom)
+      def adSum(c: Column) = aggregate(c("AD"), lit(0L),
+        (a, v) => a + v.cast("long"))
+      def abOf(c: Column) = when(adSum(c) > 0,
+        element_at(c("AD"), 2).cast("double") / adSum(c).cast("double"))
+      val kidAb = abOf(kid)
+      val prior = col("__site_freq")
+      val ac = col("__alt_alleles")
+      val isSnp = col("__is_snp")
+      val pHet = lit(1.0) - pow(lit(1.0) - prior, 4.0)
+      val parentDp = dad("DP") + mom("DP")
+      val dpRatio = when(parentDp > 0,
+        kid("DP").cast("double") / parentDp.cast("double"))
+
+      def conf(p: Column, lowCut: Double): Column =
+        when(!isSnp,
+          when(p > 0.99 && kidAb > 0.3 && ac === 1,
+            struct(p.as("p_de_novo"), lit("HIGH").as("confidence")))
+            .when(p > 0.5 && kidAb > 0.3 && ac <= 5,
+              struct(p.as("p_de_novo"), lit("MEDIUM").as("confidence")))
+            .when(kidAb > lowCut,
+              struct(p.as("p_de_novo"), lit("LOW").as("confidence")))
+            .otherwise(failure))
+          .otherwise(
+            when((p > 0.99 && kidAb > 0.3 && dpRatio > 0.2) ||
+              (p > 0.99 && kidAb > 0.3 && ac === 1) ||
+              (p > 0.5 && kidAb > 0.3 && ac < 10 && kid("DP") > 10),
+              struct(p.as("p_de_novo"), lit("HIGH").as("confidence")))
+              .when(p > 0.5 && (kidAb > 0.3 || ac === 1),
+                struct(p.as("p_de_novo"), lit("MEDIUM").as("confidence")))
+              .when(kidAb > 0.2,
+                struct(p.as("p_de_novo"), lit("LOW").as("confidence")))
+              .otherwise(failure))
+
+      // --- autosomal: both parents hom-ref, proband het ------------------
+      val pDnAuto = element_at(dadPp, 1) * element_at(momPp, 1) *
+        element_at(kidPp, 2) * DeNovoPrior
+      val pMissedAuto = (element_at(dadPp, 2) * element_at(momPp, 1) +
+        element_at(dadPp, 1) * element_at(momPp, 2)) *
+        element_at(kidPp, 2) * pHet
+      val pAuto = when(pDnAuto + pMissedAuto > 0,
+        pDnAuto / (pDnAuto + pMissedAuto))
+      val autoCall =
+        when(kid("GQ") < minGq, failure)
+          .when(dpRatio < minDpRatio || !(kidAb >= minChildAb), failure)
+          .when(adSum(mom) === 0 || adSum(dad) === 0, failure)
+          .when(abOf(mom) > maxParentAb || abOf(dad) > maxParentAb,
+            failure)
+          .when(pAuto < minP, failure)
+          .otherwise(conf(pAuto, lowCut = 0.2))
+
+      // --- hemizygous: single informative parent -------------------------
+      def hemiCall(par: Column, parPp: Column): Column = {
+        val pDn = element_at(parPp, 1) * element_at(kidPp, 2) * DeNovoPrior
+        val pMissed = (element_at(parPp, 2) + element_at(parPp, 3)) *
+          element_at(kidPp, 3) * pHet
+        val p = when(pDn + pMissed > 0, pDn / (pDn + pMissed))
+        val parRatio = when(par("DP") > 0,
+          kid("DP").cast("double") / par("DP").cast("double"))
+        when(kid("GQ") < minGq, failure)
+          .when(parRatio < minDpRatio || kidAb < minChildAb, failure)
+          .when(adSum(par) === 0, failure)
+          .when(abOf(par) > maxParentAb, failure)
+          .when(p < minP, failure)
+          .otherwise(conf(p, lowCut = 0.3))
+      }
+
+      val inPar = rg.par.map { case (c, s0, e0) =>
+        col("contig") === c && col("position") >= s0 &&
+          col("position") < e0
+      }.foldLeft(lit(false))(_ || _)
+      val inX = rg.xContigs.map(col("contig") === _)
+        .foldLeft(lit(false))(_ || _)
+      val inY = rg.yContigs.map(col("contig") === _)
+        .foldLeft(lit(false))(_ || _)
+      val inMt = rg.mtContigs.map(col("contig") === _)
+        .foldLeft(lit(false))(_ || _)
+      val autosomal = (!inX && !inY && !inMt) || inPar ||
+        (inX && !inPar && isFemale)
+      val hemiX = inX && !inPar && !isFemale
+      val hemiY = inY && !inPar && !isFemale
+      val hemiMito = inMt && isFemale
+
+      val hetHomHom = Calls.isHet(kid("GT")) &&
+        Calls.isHomRef(dad("GT")) && Calls.isHomRef(mom("GT"))
+      val kidAdFail = kidAb < minChildAb
+      // a missing gate is a failure (the reference's hl.case() without
+      // missing_false makes the whole call missing when any GT/AD in the
+      // gate is missing), so null must not fall through to the copy-state
+      // branches
+      when(hetHomHom.isNull || kidAdFail.isNull ||
+        !hetHomHom || kidAdFail, failure)
+        .when(autosomal, autoCall)
+        .when(hemiX || hemiMito, hemiCall(mom, momPp))
+        .when(hemiY, hemiCall(dad, dadPp))
+        .otherwise(failure)
+    }
+
+    val femaleArr = tm.colFieldArray("is_female")
+    val withCall = tm.mapEntries((e, i) =>
+      e.withField("__call", callOf(e, femaleArr, i)))
+    val entries = withCall.entriesTable.df
+      .filter(col("__call").isNotNull)
+    Table(entries.select(
+      (mt.rowKey.map(col) :+ col("id") :+
+        col("__site_freq").as("prior") :+ col("is_female") :+
+        col("__call")("p_de_novo").as("p_de_novo") :+
+        col("__call")("confidence").as("confidence")): _*),
+      mt.rowKey :+ "id", mt.globals)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Calls, ReferenceGenome}
+import graft.methods.{DeNovo, PcRelate}
+import graft.sources.Vcf
+
+class RelatednessSpec extends SparkSpec {
+
+  private val vcfText =
+    """##fileformat=VCFv4.2
+      |##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+      |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">
+      |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1	S2	S3	S4
+      |chr1	100	.	A	G	.	PASS	.	GT:DP	0/0:30	0/1:25	1/1:28	0/0:31
+      |chr1	200	.	C	T	.	PASS	.	GT:DP	0/1:22	0/0:27	0/1:24	1/1:30
+      |chr1	300	.	G	A	.	PASS	.	GT:DP	0/0:26	0/1:21	0/0:29	0/1:23
+      |chr1	400	.	T	C	.	PASS	.	GT:DP	0/1:33	1/1:30	0/0:26	0/1:28
+      |chr1	500	.	A	C	.	PASS	.	GT:DP	0/1:24	0/0:23	0/0:31	0/0:27
+      |chr2	100	.	G	T	.	PASS	.	GT:DP	1/1:28	0/1:30	0/1:22	0/0:26
+      |chr2	200	.	C	G	.	PASS	.	GT:DP	0/0:25	0/1:26	1/1:27	0/1:29
+      |chr2	300	.	A	T	.	PASS	.	GT:DP	0/1:30	0/0:28	0/1:25	1/1:24
+      |""".stripMargin
+
+  private def fixtureMt(): MatrixTable = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel")
+    val f = dir.resolve("rel.vcf")
+    java.nio.file.Files.writeString(f, vcfText)
+    Vcf.read(spark, f.toString)
+  }
+
+  test("pcRelate intercept-only: ibd components sum to 1, pairs complete") {
+    val mt = fixtureMt()
+    val rows = PcRelate.pcRelate(mt,
+      IndexedSeq.fill(mt.nCols)(Array.empty[Double]),
+      minIndividualMaf = 0.01).collect()
+    assert(rows.length == 6) // C(4,2)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("ibd0") + r.getAs[Double]("ibd1") +
+        r.getAs[Double]("ibd2")
+      assert(math.abs(s - 1.0) < 1e-9, s"ibd sum $s")
+    }
+  }
+
+  test("pcRelate self kinship is ~1/2 on Hardy-Weinberg-ish data") {
+    val mt = fixtureMt()
+    val rows = PcRelate.pcRelate(mt,
+      IndexedSeq.fill(mt.nCols)(Array.empty[Double]),
+      minIndividualMaf = 0.01, includeSelfKinship = true).collect()
+      .filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val kin = r.getAs[Double]("kin")
+      assert(kin > 0.2 && kin < 0.8, s"self kin $kin")
+    }
+  }
+
+  test("pcRelate with PCA scores runs end to end") {
+    val mt = fixtureMt()
+    val rows = PcRelate.pcRelate(mt, k = 2, minIndividualMaf = 0.01)
+      .collect()
+    assert(rows.length == 6)
+  }
+
+  test("deNovo calls a synthetic obvious de novo with high posterior") {
+    implicit val rg: ReferenceGenome = ReferenceGenome.GRCh38
+    val mt0 = fixtureMt()
+    // strong uniform PL model: correct class PL 0, others 40
+    val mt = mt0.mapEntries((e, _) => {
+      val d = Calls.nNonRefAlleles(e("GT"))
+      val gi = Calls.unphasedDiploidGtIndex(e("GT"))
+      val adAlt = floor(e("DP").cast("double") * d / 2.0).cast("int")
+      struct(
+        e("GT").as("GT"),
+        array(e("DP") - adAlt, adAlt).as("AD"),
+        e("DP").as("DP"),
+        lit(40).as("GQ"),
+        transform(sequence(lit(0), lit(2)), j =>
+          when(j === gi, 0).otherwise(40)).as("PL"))
+    })
+    // S1 is het at chr1:500 where S2 (dad) and S3 (mom) are hom-ref and
+    // no one else carries the alt -> singleton de novo candidate
+    val out = DeNovo.deNovo(mt, Seq(("S1", "S2", "S3", true))).df.collect()
+    val hit = out.find(r => r.getAs[String]("contig") == "chr1" &&
+      r.getAs[Int]("position") == 500)
+    assert(hit.isDefined, s"chr1:500 not called: ${out.mkString(";")}")
+    val p = hit.get.getAs[Double]("p_de_novo")
+    assert(p > 0.9, s"posterior $p")
+    assert(hit.get.getAs[String]("confidence") == "HIGH")
+    // closed form: eps = 1e-4; prior = max((1-1)/16, 1/3e7*100)
+    val eps = 1e-4
+    val ppm = 1.0 / (1 + 2 * eps)
+    val prior = 100.0 / 30000000.0
+    val pHet = 1 - math.pow(1 - prior, 4)
+    val pDn = ppm * ppm * ppm / 30000000.0
+    val pMiss = 2 * (eps / (1 + 2 * eps)) * ppm * ppm * pHet
+    assert(math.abs(p - pDn / (pDn + pMiss)) < 1e-9)
+  }
+}
