@@ -909,6 +909,50 @@ object SparkEntry {
           (round(col("r"), 6) + lit(0.0)).as("r"))
     }),
 
+    // --- liftover (LocusFunctions.scala liftoverLocus): UCSC-chain
+    // remap as a broadcast range join; synthetic chain with forward,
+    // reverse-strand and unmapped contigs ---------------------------------
+    "locus_liftover" -> ((s, dir) => {
+      import graft.functions.Liftover
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lift")
+      val chain = tmp.resolve("t.chain")
+      java.nio.file.Files.writeString(chain,
+        """chain 1 chr1 1000 + 0 500 chrA 3000 + 1000 1500 1
+          |500
+          |
+          |chain 1 chr2 1000 + 100 400 chrB 2000 - 50 350 2
+          |300
+          |""".stripMargin)
+      val df = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"),
+          concat(lit("chr"), pmod(col("o_orderkey"), lit(3)) + 1)
+            .as("contig"),
+          (pmod(col("o_custkey"), lit(600)) + 1).cast("int")
+            .as("position"))
+      Liftover.liftover(df, Liftover.readChain(s, chain.toString),
+        col("contig"), col("position"))
+        .select(col("o_orderkey"), col("contig"), col("position"),
+          col("target_contig"), col("target_position"),
+          col("is_negative_strand"))
+    }),
+
+    // --- stat distribution functions (MathFunctions.scala): dbeta /
+    // dnorm / dchisq / dpois / ppois over table-derived arguments --------
+    "stat_distributions" -> ((s, dir) => {
+      import graft.functions.StatTests
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 500)
+      val x = (pmod(col("o_orderkey"), lit(100)).cast("double") + 1) /
+        102.0
+      val k = pmod(col("o_orderkey"), lit(5)).cast("double")
+      o.select(col("o_orderkey"),
+        round(StatTests.dbeta(x, lit(2.0), lit(5.0)), 6).as("dbeta"),
+        round(StatTests.dnorm(x, lit(0.0), lit(1.0)), 6).as("dnorm"),
+        round(StatTests.dchisq(x * 3.0, lit(2.0)), 6).as("dchisq"),
+        round(StatTests.dpois(k, lit(2.0), lit(false)), 6).as("dpois"),
+        round(StatTests.ppois(k, lit(2.0), lit(true)), 6).as("ppois"))
+    }),
+
     // --- de_novo (family_methods.py:564): posterior de novo calls over
     // synthesized GATK-style AD/GQ/PL entry fields (deterministic from
     // GT/DP/position so the oracle reproduces the closed-form posterior)
@@ -2155,6 +2199,53 @@ object SparkEntry {
         |    AS chi_sq_stat
         |FROM f""".stripMargin
     },
+
+    // piecewise closed form of the synthetic chain: chr1 [0,500)->chrA
+    // +1000 forward; chr2 [100,400)->chrB size 2000 reverse; chr3 unmapped
+    "locus_liftover" ->
+      """WITH d AS (
+        |  SELECT o_orderkey,
+        |    'chr' || (o_orderkey % 3 + 1) AS contig,
+        |    CAST(o_custkey % 600 + 1 AS INTEGER) AS position,
+        |    CAST(o_custkey % 600 AS BIGINT) AS p0,
+        |    o_orderkey % 3 + 1 AS c
+        |  FROM orders WHERE o_orderkey < 5000)
+        |SELECT o_orderkey, contig, position,
+        |  CASE WHEN c = 1 AND p0 < 500 THEN 'chrA'
+        |       WHEN c = 2 AND p0 >= 100 AND p0 < 400 THEN 'chrB'
+        |       END AS target_contig,
+        |  CASE WHEN c = 1 AND p0 < 500
+        |         THEN CAST(p0 + 1001 AS INTEGER)
+        |       WHEN c = 2 AND p0 >= 100 AND p0 < 400
+        |         THEN CAST(2050 - p0 AS INTEGER)
+        |       END AS target_position,
+        |  CASE WHEN c = 1 AND p0 < 500 THEN false
+        |       WHEN c = 2 AND p0 >= 100 AND p0 < 400 THEN true
+        |       END AS is_negative_strand
+        |FROM d""".stripMargin,
+
+    // closed forms: dbeta(x,2,5)=30 x (1-x)^4 ; dnorm ; dchisq(y,2) =
+    // exp(-y/2)/2 ; Poisson pmf/cdf with k in 0..4
+    "stat_distributions" ->
+      """WITH d AS (
+        |  SELECT o_orderkey,
+        |    (CAST(o_orderkey % 100 AS DOUBLE) + 1) / 102.0 AS x,
+        |    o_orderkey % 5 AS k
+        |  FROM orders WHERE o_orderkey < 500),
+        |f AS (
+        |  SELECT *,
+        |    CASE k WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+        |      WHEN 3 THEN 6 ELSE 24 END AS kfact,
+        |    CASE k WHEN 0 THEN 1.0 WHEN 1 THEN 3.0 WHEN 2 THEN 5.0
+        |      WHEN 3 THEN 19.0/3 ELSE 7.0 END AS csum
+        |  FROM d)
+        |SELECT o_orderkey,
+        |  round(30.0 * x * pow(1.0 - x, 4.0), 6) AS dbeta,
+        |  round(exp(-x * x / 2.0) / sqrt(2 * pi()), 6) AS dnorm,
+        |  round(exp(-x * 3.0 / 2.0) / 2.0, 6) AS dchisq,
+        |  round(exp(-2.0) * pow(2.0, k) / kfact, 6) AS dpois,
+        |  round(exp(-2.0) * csum, 6) AS ppois
+        |FROM f""".stripMargin,
 
     // de novo posterior for the het-kid/hom-ref-parents config with the
     // synthesized PL model: eps = 10^(-(25+pos%10)/10), matching-class

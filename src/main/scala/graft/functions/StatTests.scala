@@ -154,6 +154,68 @@ object StatTests {
             .TWO_SIDED)
     }
 
+  // ---- density / quantile tail (reference functions/MathFunctions.scala:
+  // dbeta, dnorm, dchisq, dpois, ppois, qpois, qchisqtail, pgenchisq) ----
+
+  /** Beta(a, b) density at x. */
+  val dbeta: UserDefinedFunction = udf { (x: Double, a: Double, b: Double) =>
+    new org.apache.commons.math3.distribution.BetaDistribution(a, b)
+      .density(x)
+  }
+
+  /** Normal(mu, sigma) density at x. */
+  val dnorm: UserDefinedFunction =
+    udf { (x: Double, mu: Double, sigma: Double) =>
+      new org.apache.commons.math3.distribution
+        .NormalDistribution(mu, sigma).density(x)
+    }
+
+  /** Chi-squared(df) density at x. */
+  val dchisq: UserDefinedFunction = udf { (x: Double, df: Double) =>
+    new org.apache.commons.math3.distribution.ChiSquaredDistribution(df)
+      .density(x)
+  }
+
+  /** Poisson(lambda) pmf at k (logP selects log scale, like the
+    * reference's dpois). */
+  val dpois: UserDefinedFunction =
+    udf { (k: Double, lambda: Double, logP: Boolean) =>
+      val d = new org.apache.commons.math3.distribution
+        .PoissonDistribution(lambda)
+      if (logP) d.logProbability(k.toInt) else d.probability(k.toInt)
+    }
+
+  /** P(X <= k) (lowerTail) / P(X > k) for Poisson(lambda). */
+  val ppois: UserDefinedFunction =
+    udf { (k: Double, lambda: Double, lowerTail: Boolean) =>
+      val c = new org.apache.commons.math3.distribution
+        .PoissonDistribution(lambda).cumulativeProbability(k.toInt)
+      if (lowerTail) c else 1.0 - c
+    }
+
+  /** Smallest k with P(X <= k) >= p for Poisson(lambda). */
+  val qpois: UserDefinedFunction = udf { (p: Double, lambda: Double) =>
+    new org.apache.commons.math3.distribution.PoissonDistribution(lambda)
+      .inverseCumulativeProbability(p)
+  }
+
+  /** Inverse of the chi-squared upper tail: x with P(X > x) = p. */
+  val qchisqtail: UserDefinedFunction = udf { (p: Double, df: Double) =>
+    new org.apache.commons.math3.distribution.ChiSquaredDistribution(df)
+      .inverseCumulativeProbability(1.0 - p)
+  }
+
+  /** Upper tail of a weighted sum of independent chi-squared(1) variables
+    * (the reference's pgenchisq restricted to its dominant use — SKAT-
+    * style mixtures) via the Liu et al. moment-matching approximation
+    * (`graft.methods.Skat.liuPValue`; exact for one weight). Returns
+    * struct(value, converged). */
+  val pgenchisq: UserDefinedFunction =
+    udf { (x: Double, weights: Seq[Double]) =>
+      val (p, fault) = graft.methods.Skat.liuPValue(x, weights.toArray)
+      (p, fault == 0)
+    }
+
   /** Shannon entropy of a string's character distribution (reference
     * `entropy`, `functions/MathFunctions.scala`). Single O(n) pass per
     * string (the round-1 expression form was O(n·distinct) — quadratic on

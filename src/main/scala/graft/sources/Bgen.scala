@@ -44,6 +44,52 @@ object Bgen {
     new String(buf, "UTF-8")
   }
 
+  /** Offset index with a persisted sidecar (the reference's `.idx2`
+    * role): if `<path>.gidx` exists and matches the file length, the
+    * variant offsets load from it directly — no sequential pass over the
+    * data file. Otherwise the header walk runs once and (when
+    * `writeIndex`) persists the sidecar for every later import. */
+  def indexed(spark: SparkSession, path: String,
+      writeIndex: Boolean = true): BgenFile = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val idxP = new org.apache.hadoop.fs.Path(path + ".gidx")
+    val fileLen = fs.getFileStatus(p).getLen
+    if (fs.exists(idxP)) {
+      val src = scala.io.Source.fromInputStream(fs.open(idxP))
+      try {
+        val lines = src.getLines()
+        val Array(lenS, nS, compS, nIds) = lines.next().split("\t")
+        if (lenS.toLong == fileLen) {
+          val ids =
+            if (nIds.toInt < 0) None
+            else Some(IndexedSeq.fill(nIds.toInt)(lines.next()))
+          val variants = lines.map { l =>
+            val f = l.split("\t", -1)
+            VariantMeta(f(0), f(1), f(2).toInt,
+              f(3).split(",", -1).toIndexedSeq,
+              f(4).toLong, f(5).toInt, f(6).toInt)
+          }.toIndexedSeq
+          return BgenFile(nS.toInt, compS.toInt, ids, variants)
+        }
+      } finally src.close()
+    }
+    val meta = index(spark, path)
+    if (writeIndex) try {
+      val out = new java.io.PrintWriter(fs.create(idxP, true))
+      try {
+        out.println(Seq(fileLen, meta.nSamples, meta.compression,
+          meta.sampleIds.map(_.length).getOrElse(-1)).mkString("\t"))
+        meta.sampleIds.foreach(_.foreach(out.println))
+        meta.variants.foreach(v => out.println(Seq(v.rsid, v.chrom,
+          v.pos, v.alleles.mkString(","), v.dataOffset,
+          v.compressedSize, v.uncompressedSize).mkString("\t")))
+      } finally out.close()
+    } catch { case _: java.io.IOException => () } // read-only dir: skip
+    meta
+  }
+
   /** Driver-side header + variant-index scan. */
   def index(spark: SparkSession, path: String): BgenFile = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -154,9 +200,9 @@ object Bgen {
   /** Read a BGEN into a MatrixTable. Sample ids from the in-file block or
     * `samplePath` (.sample file). */
   def read(spark: SparkSession, path: String,
-      samplePath: Option[String] = None, nPartitions: Int = 0)
-      : MatrixTable = {
-    val meta = index(spark, path)
+      samplePath: Option[String] = None, nPartitions: Int = 0,
+      writeIndex: Boolean = false): MatrixTable = {
+    val meta = indexed(spark, path, writeIndex)
     val samples = meta.sampleIds
       .orElse(samplePath.map(Gen.readSampleFile(spark, _)))
       .getOrElse((0 until meta.nSamples).map(i => s"sample_$i"))
