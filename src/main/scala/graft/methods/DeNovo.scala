@@ -57,22 +57,38 @@ object DeNovo {
       .withColumn("__site_freq", siteFreq)
       .withColumn("__is_snp",
         graft.functions.Alleles.isSnp(col("ref"), element_at(col("alt"), 1)))
-    val tm = Trios.trioMatrix(mt.copy(rows = rows2), trios)
-
     val failure = lit(null)
       .cast("struct<p_de_novo:double,confidence:string>")
-    def callOf(e: Column, femaleArr: Column, idx: Column): Column = {
-      val kid = e("proband_entry"); val dad = e("father_entry")
-      val mom = e("mother_entry")
-      val isFemale = element_at(femaleArr, idx + 1)
-      def pp(c: Column) = Calls.plToGp(transform(c("PL"),
-        p => p.cast("double")))
-      val kidPp = pp(kid); val dadPp = pp(dad); val momPp = pp(mom)
-      def adSum(c: Column) = aggregate(c("AD"), lit(0L),
-        (a, v) => a + v.cast("long"))
-      def abOf(c: Column) = when(adSum(c) > 0,
-        element_at(c("AD"), 2).cast("double") / adSum(c).cast("double"))
-      val kidAb = abOf(kid)
+    // STAGED columns (not one giant entry expression): the genotype
+    // probabilities / AD sums are each referenced several times by the
+    // posterior and the confidence chains; naming them keeps
+    // CollapseProject from inlining the source parse tree into every
+    // reference (which blew codegen limits and fell back to interpreted
+    // evaluation).
+    val ent0 = Trios.trioMatrix(mt.copy(rows = rows2), trios)
+      .entriesTable.df
+    def ppOf(c: Column) = Calls.plToGp(transform(c("PL"),
+      p => p.cast("double")))
+    def adSumOf(c: Column) = aggregate(c("AD"), lit(0L),
+      (a, v) => a + v.cast("long"))
+    val staged = ent0
+      .withColumn("__kid_pp", ppOf(col("proband_entry")))
+      .withColumn("__dad_pp", ppOf(col("father_entry")))
+      .withColumn("__mom_pp", ppOf(col("mother_entry")))
+      .withColumn("__kid_adsum", adSumOf(col("proband_entry")))
+      .withColumn("__dad_adsum", adSumOf(col("father_entry")))
+      .withColumn("__mom_adsum", adSumOf(col("mother_entry")))
+    val call: Column = {
+      val kid = col("proband_entry"); val dad = col("father_entry")
+      val mom = col("mother_entry")
+      val isFemale = col("is_female")
+      val kidPp = col("__kid_pp"); val dadPp = col("__dad_pp")
+      val momPp = col("__mom_pp")
+      val kidSum = col("__kid_adsum"); val dadSum = col("__dad_adsum")
+      val momSum = col("__mom_adsum")
+      def abOf(c: Column, s: Column) = when(s > 0,
+        element_at(c("AD"), 2).cast("double") / s.cast("double"))
+      val kidAb = abOf(kid, kidSum)
       val prior = col("__site_freq")
       val ac = col("__alt_alleles")
       val isSnp = col("__is_snp")
@@ -112,14 +128,14 @@ object DeNovo {
       val autoCall =
         when(kid("GQ") < minGq, failure)
           .when(dpRatio < minDpRatio || !(kidAb >= minChildAb), failure)
-          .when(adSum(mom) === 0 || adSum(dad) === 0, failure)
-          .when(abOf(mom) > maxParentAb || abOf(dad) > maxParentAb,
-            failure)
+          .when(momSum === 0 || dadSum === 0, failure)
+          .when(abOf(mom, momSum) > maxParentAb ||
+            abOf(dad, dadSum) > maxParentAb, failure)
           .when(pAuto < minP, failure)
           .otherwise(conf(pAuto, lowCut = 0.2))
 
       // --- hemizygous: single informative parent -------------------------
-      def hemiCall(par: Column, parPp: Column): Column = {
+      def hemiCall(par: Column, parPp: Column, parSum: Column): Column = {
         val pDn = element_at(parPp, 1) * element_at(kidPp, 2) * DeNovoPrior
         val pMissed = (element_at(parPp, 2) + element_at(parPp, 3)) *
           element_at(kidPp, 3) * pHet
@@ -128,8 +144,8 @@ object DeNovo {
           kid("DP").cast("double") / par("DP").cast("double"))
         when(kid("GQ") < minGq, failure)
           .when(parRatio < minDpRatio || kidAb < minChildAb, failure)
-          .when(adSum(par) === 0, failure)
-          .when(abOf(par) > maxParentAb, failure)
+          .when(parSum === 0, failure)
+          .when(abOf(par, parSum) > maxParentAb, failure)
           .when(p < minP, failure)
           .otherwise(conf(p, lowCut = 0.3))
       }
@@ -160,17 +176,14 @@ object DeNovo {
       when(hetHomHom.isNull || kidAdFail.isNull ||
         !hetHomHom || kidAdFail, failure)
         .when(autosomal, autoCall)
-        .when(hemiX || hemiMito, hemiCall(mom, momPp))
-        .when(hemiY, hemiCall(dad, dadPp))
+        .when(hemiX || hemiMito, hemiCall(mom, momPp, momSum))
+        .when(hemiY, hemiCall(dad, dadPp, dadSum))
         .otherwise(failure)
     }
 
-    val femaleArr = tm.colFieldArray("is_female")
-    val withCall = tm.mapEntries((e, i) =>
-      e.withField("__call", callOf(e, femaleArr, i)))
-    val entries = withCall.entriesTable.df
+    val out = staged.withColumn("__call", call)
       .filter(col("__call").isNotNull)
-    Table(entries.select(
+    Table(out.select(
       (mt.rowKey.map(col) :+ col("id") :+
         col("__site_freq").as("prior") :+ col("is_female") :+
         col("__call")("p_de_novo").as("p_de_novo") :+

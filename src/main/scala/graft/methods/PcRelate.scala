@@ -51,22 +51,35 @@ object PcRelate {
 
     val doseArr = transform(mt.entries,
       e => Calls.nNonRefAlleles(e("GT")).cast("double"))
-    val called = filter(doseArr, v => v.isNotNull)
+    val called = filter(col("__d"), v => v.isNotNull)
     val meanG = when(size(called) > 0,
       aggregate(called, lit(0.0), (a, v) => a + v) /
         size(called).cast("double"))
-    val gImp = transform(doseArr, v => coalesce(v, meanG))
-    def dotRow(v: Seq[Column], row: Array[Double]): Column =
-      v.zip(row).map { case (c, w) => c * lit(w) }.reduce(_ + _)
-    val gCols = (0 until n).map(i => element_at(gImp, i + 1))
-    val hb = (0 to kPcs).map(j => dotRow(gCols, Array.tabulate(n)(
-      i => halfProj(j, i))))
-    // per-sample mu, bad mask, and the 8 stacked blocks
+    // STAGED projections: each expensive array becomes a named column
+    // referenced many times downstream — CollapseProject keeps
+    // multiply-referenced non-trivial aliases materialized, so the source
+    // parse / imputation expressions evaluate ONCE per row instead of
+    // being inlined into every one of the 8n block expressions (which
+    // blew the expression tree past codegen limits).
+    val d1 = mt.rows.select(doseArr.as("__d"))
+      .select(col("__d"), meanG.as("__mean")) // hoisted: once per row
+      .select(transform(col("__d"),
+        v => coalesce(v, col("__mean"))).as("__g"))
+    val hbArr = array((0 to kPcs).map { j =>
+      (0 until n).map(i =>
+        element_at(col("__g"), i + 1) * halfProj(j, i)).reduce(_ + _)
+    }: _*)
+    val d2 = d1.select(col("__g"), hbArr.as("__hb"))
+    val muArr = array((0 until n).map { s =>
+      (0 to kPcs).map(j =>
+        lit(x(s, j)) * element_at(col("__hb"), j + 1)).reduce(_ + _)
+    }: _*)
+    val d3 = d2.select(col("__g"), muArr.as("__mu"))
+    // per-sample blocks over cheap element_at references
     val blocks: Seq[Column] = {
       val perSample = (0 until n).map { s =>
-        val g = element_at(gImp, s + 1)
-        val mu = (0 to kPcs).map(j => lit(x(s, j)) * hb(j))
-          .reduce(_ + _)
+        val g = element_at(col("__g"), s + 1)
+        val mu = element_at(col("__mu"), s + 1)
         val badgt = g =!= 0.0 && g =!= 1.0 && g =!= 2.0
         val badmu = mu <= minIndividualMaf ||
           mu >= 1.0 - minIndividualMaf || mu <= 0.0 || mu >= 1.0
@@ -87,7 +100,7 @@ object PcRelate {
       (0 until 8).map(b => array(perSample.map(_(b)): _*))
     }
     val vec = concat(blocks: _*)
-    val vecRdd = mt.rows.select(vec.as("__v")).rdd
+    val vecRdd = d3.select(vec.as("__v")).rdd
       .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
     val g = new RowMatrix(vecRdd).computeGramianMatrix()
     // block b, sample s -> column b*n + s

@@ -20,8 +20,11 @@ object Trios {
     val keyIdx = mt.colSchema.fieldIndex(mt.colKey.head)
     val sIdx = mt.colValues.zipWithIndex
       .map { case (r, i) => r.get(keyIdx).toString -> i }.toMap
+    // try_element_at, not element_at: Catalyst can merge this projection
+    // ahead of an upstream row filter (e.g. the VCF header filter) where
+    // the entries array is empty — ANSI element_at would throw there
     def entryAt(id: String) =
-      element_at(col(MatrixTable.EntriesField), sIdx(id) + 1)
+      try_element_at(col(MatrixTable.EntriesField), lit(sIdx(id) + 1))
     val newEntries = array(trios.map { case (kid, dad, mom, _) =>
       struct(
         entryAt(kid).as("proband_entry"),
