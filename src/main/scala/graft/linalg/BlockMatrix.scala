@@ -1,0 +1,232 @@
+package graft.linalg
+
+import breeze.linalg.{DenseMatrix => BDM}
+import org.apache.spark.mllib.linalg.{DenseMatrix => MlDenseMatrix, Matrices}
+import org.apache.spark.mllib.linalg.distributed.{BlockMatrix => MlBlockMatrix, CoordinateMatrix, MatrixEntry}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed block matrix API (reference `linalg/BlockMatrix.scala`,
+  * IR ops `expr/ir/BlockMatrixIR.scala:265-916`): element-wise map/map2,
+  * matmul, transpose, scalar reductions, band/rectangle sparsification,
+  * and DataFrame interop.
+  *
+  * Spark-first: storage is MLlib's `BlockMatrix` grid
+  * (`RDD[((Int,Int), Matrix)]`, square blocks) — its `multiply` is the
+  * same block-cogroup matmul the reference hand-rolls; element-wise ops
+  * run as per-block Breeze kernels (one task per block, no shuffle;
+  * map2 co-partitions by block coordinate — a single zip-join shuffle
+  * when partitioners differ). Sparsification DROPS blocks wholly outside
+  * the kept region, so a banded 1M² matrix only materializes its
+  * diagonal strip — the reference's band-sparsify contract. */
+final case class BlockMatrix(m: MlBlockMatrix) {
+
+  def nRows: Long = m.numRows()
+  def nCols: Long = m.numCols()
+  def blockSize: Int = m.rowsPerBlock
+
+  private def bdm(x: org.apache.spark.mllib.linalg.Matrix): BDM[Double] =
+    new BDM(x.numRows, x.numCols, x.toArray)
+
+  /** Element-wise map over stored blocks (dropped blocks stay dropped —
+    * apply only zero-preserving fns to sparsified matrices, as in the
+    * reference). */
+  def map(f: Double => Double): BlockMatrix = {
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val nr = nRows; val nc = nCols
+    val blocks = m.blocks.mapValues { blk =>
+      Matrices.dense(blk.numRows, blk.numCols, blk.toArray.map(f))
+    }
+    BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
+  }
+
+  /** Element-wise combine with an identically-gridded matrix; blocks
+    * present on one side only are combined against zeros. */
+  def map2(other: BlockMatrix, f: (Double, Double) => Double)
+      : BlockMatrix = {
+    require(nRows == other.nRows && nCols == other.nCols &&
+      blockSize == other.blockSize, "grid mismatch")
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val nr = nRows; val nc = nCols
+    val blocks = m.blocks.fullOuterJoin(other.m.blocks).map {
+      case (coord, (la, lb)) =>
+        val a = la.map(_.toArray)
+        val b = lb.map(_.toArray)
+        val rows = la.map(_.numRows).orElse(lb.map(_.numRows)).get
+        val cols = la.map(_.numCols).orElse(lb.map(_.numCols)).get
+        val out = new Array[Double](rows * cols)
+        var i = 0
+        while (i < out.length) {
+          out(i) = f(a.map(_(i)).getOrElse(0.0), b.map(_(i)).getOrElse(0.0))
+          i += 1
+        }
+        coord -> Matrices.dense(rows, cols, out)
+    }
+    BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
+  }
+
+  def +(other: BlockMatrix): BlockMatrix = map2(other, _ + _)
+  def -(other: BlockMatrix): BlockMatrix = map2(other, _ - _)
+  def *(other: BlockMatrix): BlockMatrix = map2(other, _ * _)
+  def scale(s: Double): BlockMatrix = map(_ * s)
+
+  /** Matrix product via MLlib's block cogroup multiply. */
+  def dot(other: BlockMatrix): BlockMatrix =
+    BlockMatrix(m.multiply(other.m))
+
+  def transpose: BlockMatrix = BlockMatrix(m.transpose)
+
+  /** Sum of all stored entries (treeReduce over per-block sums). */
+  def sum(): Double =
+    m.blocks.map(_._2.toArray.sum).treeReduce(_ + _)
+
+  /** Per-row sums as (row, value) — one shuffle on row-block index. */
+  def rowSums(): DataFrame = {
+    val rpb = m.rowsPerBlock
+    val spark = SparkSession.active
+    val sums: RDD[(Long, Double)] = m.blocks.flatMap {
+      case ((bi, _), blk) =>
+        val acc = new Array[Double](blk.numRows)
+        val arr = blk.toArray // column-major
+        var j = 0
+        while (j < blk.numCols) {
+          var i = 0
+          while (i < blk.numRows) {
+            acc(i) += arr(j * blk.numRows + i); i += 1
+          }
+          j += 1
+        }
+        acc.iterator.zipWithIndex.map { case (v, i) =>
+          (bi.toLong * rpb + i, v) }
+    }.reduceByKey(_ + _)
+    spark.createDataFrame(sums).toDF("row", "value")
+  }
+
+  def diagonal(): Array[Double] = {
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val n = math.min(nRows, nCols).toInt
+    val parts = m.blocks.flatMap { case ((bi, bj), blk) =>
+      val out = Seq.newBuilder[(Int, Double)]
+      var i = 0
+      while (i < blk.numRows) {
+        val gRow = bi * rpb + i
+        val gCol = gRow // diagonal
+        if (gCol >= bj.toLong * cpb && gCol < bj.toLong * cpb + blk.numCols)
+          out += ((gRow, blk(i, (gCol - bj.toLong * cpb).toInt)))
+        i += 1
+      }
+      out.result()
+    }.collect()
+    val d = new Array[Double](n)
+    parts.foreach { case (i, v) => if (i < n) d(i) = v }
+    d
+  }
+
+  /** Keep only |row − col| <= width; blocks entirely outside the band are
+    * DROPPED (never materialized downstream). */
+  def sparsifyBand(width: Long): BlockMatrix = {
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val nr = nRows; val nc = nCols
+    val blocks = m.blocks.filter { case ((bi, bj), blk) =>
+      val rLo = bi.toLong * rpb; val rHi = rLo + blk.numRows - 1
+      val cLo = bj.toLong * cpb; val cHi = cLo + blk.numCols - 1
+      cHi - rLo >= -width && cLo - rHi <= width
+    }.map { case (coord @ (bi, bj), blk) =>
+      val rLo = bi.toLong * rpb; val cLo = bj.toLong * cpb
+      val out = blk.toArray.clone()
+      var j = 0
+      while (j < blk.numCols) {
+        var i = 0
+        while (i < blk.numRows) {
+          if (math.abs((cLo + j) - (rLo + i)) > width)
+            out(j * blk.numRows + i) = 0.0
+          i += 1
+        }
+        j += 1
+      }
+      coord -> Matrices.dense(blk.numRows, blk.numCols, out)
+    }
+    BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
+  }
+
+  /** Keep entries inside any [rStart, rEnd) × [cStart, cEnd) rectangle. */
+  def sparsifyRectangles(rects: Seq[(Long, Long, Long, Long)])
+      : BlockMatrix = {
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val nr = nRows; val nc = nCols
+    val blocks = m.blocks.filter { case ((bi, bj), blk) =>
+      val rLo = bi.toLong * rpb; val rHi = rLo + blk.numRows
+      val cLo = bj.toLong * cpb; val cHi = cLo + blk.numCols
+      rects.exists { case (r0, r1, c0, c1) =>
+        rLo < r1 && rHi > r0 && cLo < c1 && cHi > c0 }
+    }.map { case (coord @ (bi, bj), blk) =>
+      val rLo = bi.toLong * rpb; val cLo = bj.toLong * cpb
+      val out = blk.toArray.clone()
+      var j = 0
+      while (j < blk.numCols) {
+        var i = 0
+        while (i < blk.numRows) {
+          val r = rLo + i; val c = cLo + j
+          val keep = rects.exists { case (r0, r1, c0, c1) =>
+            r >= r0 && r < r1 && c >= c0 && c < c1 }
+          if (!keep) out(j * blk.numRows + i) = 0.0
+          i += 1
+        }
+        j += 1
+      }
+      coord -> Matrices.dense(blk.numRows, blk.numCols, out)
+    }
+    BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
+  }
+
+  /** Entries as a DataFrame (i, j, value) — stored blocks only. */
+  def entries: DataFrame = {
+    val spark = SparkSession.active
+    val rows = m.toCoordinateMatrix().entries
+      .map(e => (e.i, e.j, e.value))
+    spark.createDataFrame(rows).toDF("i", "j", "value")
+  }
+
+  /** Local Breeze materialization (driver-size matrices only). */
+  def toLocal: BDM[Double] = {
+    val l = m.toLocalMatrix()
+    new BDM(l.numRows, l.numCols, l.toArray)
+  }
+}
+
+object BlockMatrix {
+  val DefaultBlockSize = 1024
+
+  /** From an entries DataFrame (i, j, value). */
+  def fromEntries(df: DataFrame, nRows: Long, nCols: Long,
+      blockSize: Int = DefaultBlockSize): BlockMatrix = {
+    val rdd = df.select(col("i").cast("long"), col("j").cast("long"),
+      col("value").cast("double")).rdd
+      .map(r => MatrixEntry(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    BlockMatrix(new CoordinateMatrix(rdd, nRows, nCols)
+      .toBlockMatrix(blockSize, blockSize))
+  }
+
+  /** From per-row vector arrays: one matrix row per input row of
+    * `df(vecCol)`, row index = `idxCol`. */
+  def fromRowVectors(df: DataFrame, idxCol: String, vecCol: String,
+      nRows: Long, nCols: Long, blockSize: Int = DefaultBlockSize)
+      : BlockMatrix = {
+    val exploded = df.select(col(idxCol).cast("long").as("i"),
+      posexplode(col(vecCol)).as(Seq("j", "value")))
+    fromEntries(exploded, nRows, nCols, blockSize)
+  }
+
+  /** Local Breeze matrix distributed into blocks. */
+  def fromLocal(spark: SparkSession, a: BDM[Double],
+      blockSize: Int = DefaultBlockSize): BlockMatrix = {
+    val entries = for {
+      i <- 0 until a.rows
+      j <- 0 until a.cols
+    } yield MatrixEntry(i, j, a(i, j))
+    BlockMatrix(new CoordinateMatrix(
+      spark.sparkContext.parallelize(entries),
+      a.rows, a.cols).toBlockMatrix(blockSize, blockSize))
+  }
+}

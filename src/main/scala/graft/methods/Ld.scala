@@ -88,6 +88,40 @@ object Ld {
     * partition (cross-boundary pairs are not re-checked; the reference
     * follows with a global MIS step for those). Returns the kept
     * variant-key Table. */
+  /** Full two-stage ld_prune (reference `statgen.py:4708`): the local
+    * per-partition streaming pass, then the GLOBAL stage the reference
+    * runs afterwards — pairwise r² among the locally-kept variants via
+    * the banded `ldMatrix` join (catches cross-partition-boundary
+    * pairs), a maximal-independent-set over the above-threshold edges,
+    * and removal of the MIS-rejected variants. */
+  def ldPruneGlobal(mt: MatrixTable, r2Threshold: Double = 0.2,
+      window: Int = 1000000): Table = {
+    val local = ldPrune(mt, r2Threshold, window)
+    // semi-join (not a collected id list): the locally-kept set is large
+    val keptMt = mt.copy(rows = mt.rows.join(
+      local.df.select(mt.rowKey.map(col): _*), mt.rowKey, "left_semi"))
+    val edges = ldMatrix(keptMt, window)
+      .filter(col("r") * col("r") > r2Threshold)
+      .select(
+        concat_ws(":", col("contig"), col("pos_i"), col("vid_i")).as("i"),
+        concat_ws(":", col("contig"), col("pos_j"), col("vid_j")).as("j"))
+    edges.persist()
+    try {
+      val keep = Misc.maximalIndependentSet(edges)
+      val edgeVerts = edges.select(col("i")).union(edges.select(col("j")))
+        .distinct().collect().map(_.getString(0)).toSet
+      // rejected ⊆ edge vertices — few by construction (only correlated
+      // cross-boundary pairs survive the local pass), so a literal list
+      // filter is safe at any input size
+      val rejected = (edgeVerts -- keep).toSeq
+      val vidKey = concat_ws(":", col("contig"), col("position"),
+        concat_ws("_", col("ref"), concat_ws(",", col("alt"))))
+      Table(
+        if (rejected.isEmpty) local.df
+        else local.df.filter(!vidKey.isin(rejected: _*)), mt.rowKey)
+    } finally edges.unpersist(blocking = false)
+  }
+
   def ldPrune(mt: MatrixTable, r2Threshold: Double = 0.2,
       window: Int = 1000000): Table = {
     val sorted = normRows(mt)

@@ -41,8 +41,42 @@ object Multimodal {
       octet_length(col(payload)).cast("long").as("byte_len"),
       md5(col(payload)).as("content_md5")))
 
-  /** STUB decoder: deterministic fake features from payload bytes.
-    * Replace with a real codec; signature and batching stay identical. */
+  /** REAL image decoder: javax.imageio (JDK-bundled — PNG/JPEG/BMP/GIF),
+    * no external libraries. Returns null for undecodable payloads. */
+  private[pipeline] def imageDecode(bytes: Array[Byte]): Row = {
+    if (bytes == null) null
+    else {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) null
+        else {
+          val raster = img.getRaster
+          val channels = raster.getNumBands
+          var sum = 0.0
+          var n = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              var b = 0
+              while (b < channels) {
+                sum += raster.getSample(x, y, b); n += 1; b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(img.getWidth, img.getHeight, channels,
+            if (n > 0) sum / n else 0.0)
+        }
+      } catch { case _: java.io.IOException => null }
+    }
+  }
+
+  /** STUB decoder: deterministic fake features from payload bytes — the
+    * fallback for modalities with no JDK codec (audio/video), keeping
+    * the batch contract testable on synthetic payloads. */
   private def fakeDecode(bytes: Array[Byte]): Row = {
     if (bytes == null) Row(null, null, null, null)
     else {
@@ -58,8 +92,11 @@ object Multimodal {
   /** Batched decode over partitions: one decoder instance per partition
     * (the expensive init — codec context, model weights — amortizes over
     * the whole batch, exactly like arrow-batched `mapInPandas`). Appends a
-    * `decoded` struct column. */
-  def decodeBatched(df: DataFrame, payload: String): DataFrame = {
+    * `decoded` struct column. `real = true` routes through the
+    * javax.imageio image decoder (undecodable payloads fall back to the
+    * deterministic stub so the pipeline stays total). */
+  def decodeBatched(df: DataFrame, payload: String,
+      real: Boolean = false): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("decoded", decodedSchema))
     val payloadIdx = df.schema.fieldIndex(payload)
@@ -69,7 +106,10 @@ object Multimodal {
       it.map { r =>
         val bytes = if (r.isNullAt(payloadIdx)) null
           else r.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(r.toSeq :+ fakeDecode(bytes))
+        val decoded =
+          if (real) Option(imageDecode(bytes)).getOrElse(fakeDecode(bytes))
+          else fakeDecode(bytes)
+        Row.fromSeq(r.toSeq :+ decoded)
       }
     }(enc)
   }

@@ -1,0 +1,107 @@
+package graft
+
+import breeze.linalg.{DenseMatrix => BDM}
+import org.apache.spark.sql.functions._
+
+import graft.linalg.BlockMatrix
+import graft.methods.Ld
+import graft.pipeline.Multimodal
+import graft.sources.Vcf
+
+class BlockMatrixSpec extends SparkSpec {
+
+  private def local(rows: Int, cols: Int)(f: (Int, Int) => Double) =
+    BDM.tabulate(rows, cols)(f)
+
+  test("blockmatrix ops match Breeze with a tiny block size") {
+    val a = local(5, 4)((i, j) => i * 4.0 + j + 1)
+    val b = local(4, 3)((i, j) => if (i == j) 2.0 else -1.0)
+    val A = BlockMatrix.fromLocal(spark, a, blockSize = 2)
+    val B = BlockMatrix.fromLocal(spark, b, blockSize = 2)
+    assert(A.dot(B).toLocal == a * b)
+    assert(A.transpose.toLocal == a.t)
+    assert(A.map(x => x * x).toLocal == a.map(x => x * x))
+    val a2 = local(5, 4)((i, j) => i - j.toDouble)
+    val A2 = BlockMatrix.fromLocal(spark, a2, blockSize = 2)
+    assert(A.map2(A2, _ + _).toLocal == a + a2)
+    assert((A - A2).toLocal == a - a2)
+    assert((A * A2).toLocal == a *:* a2)
+    assert(math.abs(A.sum() - breeze.linalg.sum(a)) < 1e-12)
+    assert(A.scale(3.0).toLocal == a * 3.0)
+    val aat: BDM[Double] = a * a.t
+    val d = BlockMatrix.fromLocal(spark, aat, blockSize = 2)
+    assert(d.diagonal().toSeq == (0 until 5).map(i => aat(i, i)))
+  }
+
+  test("sparsifyBand drops out-of-band blocks and zeroes the fringe") {
+    val n = 6
+    val a = local(n, n)((_, _) => 1.0)
+    val A = BlockMatrix.fromLocal(spark, a, blockSize = 2)
+    val banded = A.sparsifyBand(1)
+    // far corner blocks are gone entirely
+    assert(banded.m.blocks.count() < A.m.blocks.count())
+    val got = banded.toLocal
+    for (i <- 0 until n; j <- 0 until n)
+      assert(got(i, j) == (if (math.abs(i - j) <= 1) 1.0 else 0.0),
+        s"($i,$j)")
+  }
+
+  test("sparsifyRectangles keeps only requested regions") {
+    val a = local(4, 4)((i, j) => i * 4.0 + j)
+    val A = BlockMatrix.fromLocal(spark, a, blockSize = 2)
+    val got = A.sparsifyRectangles(Seq((0L, 2L, 0L, 2L))).toLocal
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(got(i, j) == (if (i < 2 && j < 2) a(i, j) else 0.0))
+  }
+
+  test("rowSums and entries round-trip") {
+    val a = local(3, 3)((i, j) => i + j * 10.0)
+    val A = BlockMatrix.fromLocal(spark, a, blockSize = 2)
+    val rs = A.rowSums().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (i <- 0 until 3)
+      assert(math.abs(rs(i.toLong) - breeze.linalg.sum(a(i, ::))) < 1e-12)
+    val ents = A.entries.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ents((1L, 2L)) == 21.0)
+    val back = BlockMatrix.fromEntries(A.entries, 3, 3, 2).toLocal
+    assert(back == a)
+  }
+
+  test("ldPruneGlobal removes cross-boundary correlated survivors") {
+    val mt = Vcf.read(spark,
+      "/root/repo/src/test/resources/oracle_sample.vcf")
+    val global = Ld.ldPruneGlobal(mt, r2Threshold = 0.5, window = 1500)
+    val local = Ld.ldPrune(mt, r2Threshold = 0.5, window = 1500)
+    val g = global.df.count(); val l = local.df.count()
+    assert(g <= l && g > 0)
+    // invariant: no kept pair within the window has r^2 above threshold
+    val keptMt = mt.copy(rows = mt.rows.join(
+      global.df.select("contig", "position"),
+      Seq("contig", "position"), "left_semi"))
+    val viol = Ld.ldMatrix(keptMt, 1500)
+      .filter(col("r") * col("r") > 0.5).count()
+    assert(viol == 0, s"$viol correlated pairs survived")
+  }
+
+  test("real image decode extracts true dimensions from a PNG") {
+    val img = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 17; y <- 0 until 9)
+      img.setRGB(x, y, 0x808080) // gray: every band 0x80
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = spark.createDataFrame(Seq(
+      (1L, bos.toByteArray), (2L, Array[Byte](1, 2, 3))))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeBatched(df, "payload", real = true)
+      .select(col("id"), col("decoded")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val png = out(1L)
+    assert(png.getInt(0) == 17 && png.getInt(1) == 9)
+    assert(png.getInt(2) == 3)
+    assert(math.abs(png.getDouble(3) - 0x80) < 1e-9)
+    // undecodable bytes fall back to the deterministic stub
+    assert(out(2L).getInt(2) == 3)
+  }
+}
