@@ -58,6 +58,21 @@ final case class MatrixTable(
   def headRows(n: Int): MatrixTable =
     copy(rows = rows.sort(rowKey.map(col(_).asc_nulls_last): _*).limit(n))
 
+  /** MatrixRowsTail (`MatrixIR.scala:858`): last n rows in key order —
+    * reversed sort + limit, then restored order (the Table.tail plan). */
+  def tailRows(n: Int): MatrixTable =
+    copy(rows = rows.sort(rowKey.map(col(_).desc_nulls_first): _*)
+      .limit(n).sort(rowKey.map(col(_).asc_nulls_last): _*))
+
+  /** MatrixKeyRowsBy (`MatrixIR.scala:600`): re-key the row axis; the
+    * physical sort is deferred like TableKeyBy (our key invariant is
+    * lazy), so this validates and swaps metadata. */
+  def keyRowsBy(newKey: String*): MatrixTable = {
+    newKey.foreach(k => require(rows.columns.contains(k),
+      s"key field $k not in row schema"))
+    copy(rowKey = newKey)
+  }
+
   /** MatrixExplodeRows (`MatrixIR.scala:752`). */
   def explodeRows(field: String): MatrixTable =
     copy(rows = rows.withColumn(field, explode(col(field))))
@@ -167,6 +182,27 @@ final case class MatrixTable(
       rows.columns.filterNot(c => rowKey.contains(c) ||
         c == MatrixTable.EntriesField).map(col) ++ wide): _*),
       rowKey, globals)
+  }
+
+  /** MatrixMapCols with entry-scoped aggregation (`MatrixIR.scala:620`,
+    * the `annotate_cols(x = hl.agg...)` idiom): per-column aggregates
+    * over the entries become new col fields. One coordinate-space
+    * shuffle of (rows × cols) partial aggregates, then the per-column
+    * results (driver-size by the col contract) attach to colValues. */
+  def annotateColsAgg(aggs: (String, Column)*): MatrixTable = {
+    val aggedDf = rows
+      .select(posexplode(entries).as(Seq("__cidx", "__e")))
+      .groupBy(col("__cidx"))
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val newFields = aggedDf.schema.fields.tail // drop __cidx
+    val agged = aggedDf.collect()
+      .map(r => r.getInt(0) -> r.toSeq.tail).toMap
+    val nulls = aggs.map(_ => null)
+    copy(
+      colValues = colValues.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq ++ agged.getOrElse(i, nulls)) },
+      colSchema = StructType(colSchema.fields ++ newFields))
   }
 
   /** annotate_cols with driver-computed values. */

@@ -909,6 +909,11 @@ object SparkEntry {
           (round(col("r"), 6) + lit(0.0)).as("r"))
     }),
 
+    // --- TableTail (TableIR.scala:2167): last n in key order ---------------
+    "table_tail" -> ((s, dir) =>
+      Table(t(s, dir, "orders"), Seq("o_orderkey")).tail(100).df
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
     // --- liftover (LocusFunctions.scala liftoverLocus): UCSC-chain
     // remap as a broadcast range join; synthetic chain with forward,
     // reverse-strand and unmapped contigs ---------------------------------
@@ -2199,6 +2204,10 @@ object SparkEntry {
         |    AS chi_sq_stat
         |FROM f""".stripMargin
     },
+
+    "table_tail" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
 
     // piecewise closed form of the synthetic chain: chr1 [0,500)->chrA
     // +1000 forward; chr2 [100,400)->chrB size 2000 reverse; chr3 unmapped

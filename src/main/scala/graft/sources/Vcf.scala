@@ -231,6 +231,36 @@ object Vcf {
       colKey = Seq("s"))
   }
 
+  /** import_gvcf (reference `python/hail/vds/combiner` input stage):
+    * split a gVCF-shaped file into a VariantDataset — `<NON_REF>`-only
+    * rows become reference blocks (entry END from the INFO END field,
+    * per-entry DP carried when declared), variant rows keep their called
+    * alleles with the trailing `<NON_REF>` stripped. One scan, two
+    * filtered projections. */
+  def readGvcf(spark: SparkSession, path: String)
+      : graft.methods.VariantDataset = {
+    val mt = read(spark, path)
+    val entrySchema = mt.rows.schema(MatrixTable.EntriesField).dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    val hasDp = entrySchema.fieldNames.contains("DP")
+    val isRefBlock = size(col("alt")) === 1 &&
+      try_element_at(col("alt"), lit(1)) === "<NON_REF>"
+    val endCol = col("info")("END")
+    val refRows = mt.rows.filter(isRefBlock)
+      .withColumn(MatrixTable.EntriesField,
+        transform(col(MatrixTable.EntriesField), e =>
+          when(e.isNotNull, struct(
+            endCol.cast("int").as("END"),
+            (if (hasDp) e("DP") else lit(null).cast("int")).as("DP")))))
+      .drop("info", "rsid", "qual", "filters")
+      .withColumn("ref", col("ref"))
+    val varRows = mt.rows.filter(!isRefBlock)
+      .withColumn("alt", filter(col("alt"), a => a =!= "<NON_REF>"))
+    graft.methods.VariantDataset(
+      referenceData = mt.copy(rows = refRows),
+      variantData = mt.copy(rows = varRows))
+  }
+
   // ---- write --------------------------------------------------------------
 
   private def renderValue(c: Column, dt: DataType): Column = dt match {
