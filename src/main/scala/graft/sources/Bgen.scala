@@ -3,6 +3,7 @@ package graft.sources
 import java.io.DataInputStream
 
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types._
 
 import graft.MatrixTable
@@ -195,6 +196,115 @@ object Bgen {
         Row(gt, Seq(aa, ab, bb))
       }
     }
+  }
+
+  /** Export a MatrixTable (entry fields GT + optional GP) as a BGEN v1.2
+    * layout-2 zlib file with 8-bit probabilities and an in-file sample id
+    * block (the writer mirror of `read`; reference
+    * `io/bgen/ExportBGEN.scala`). Variant data is collected in key order
+    * through `toLocalIterator` — one pass, constant driver memory. */
+  def write(mt: MatrixTable, path: String): Unit = {
+    val spark = mt.spark
+    val n = mt.nCols
+    val sIdx = mt.colSchema.fieldIndex(mt.colKey.head)
+    val samples = mt.colValues.map(_.get(sIdx).toString)
+    val entrySchema = mt.rows.schema(MatrixTable.EntriesField).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val hasGp = entrySchema.fieldNames.contains("GP")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(path), true)))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = { out.write((v & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt) }
+    def str16(s: String): Unit = { val b = s.getBytes("UTF-8")
+      u16(b.length); out.write(b) }
+    val sampleBytes = samples.map(_.getBytes("UTF-8"))
+    val sampleBlockLen = 8 + sampleBytes.map(_.length + 2).sum
+    val rowCount = mt.rows.count()
+    // offset field = bytes from position 4 to the first variant block
+    u32(20L + sampleBlockLen)
+    u32(20L) // header length
+    u32(rowCount)
+    u32(n.toLong)
+    out.write("bgen".getBytes("UTF-8"))
+    u32((1L | (2L << 2) | (1L << 31)) & 0xffffffffL) // zlib, layout 2, ids
+    u32(sampleBlockLen.toLong); u32(n.toLong)
+    sampleBytes.foreach { b => u16(b.length); out.write(b) }
+    val sorted = mt.rows.sort(mt.rowKey.map(col): _*)
+      .select(col("contig"), col("position"),
+        coalesce(col("rsid"), lit(".")).as("rsid"), col("ref"),
+        col("alt"), col(MatrixTable.EntriesField))
+    val it = sorted.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val alleles = r.getString(3) +: r.getSeq[String](4)
+      require(alleles.length == 2, "BGEN export requires biallelic rows")
+      str16("") // variant id
+      str16(r.getString(2))
+      str16(r.getString(0))
+      u32(r.getInt(1).toLong)
+      u16(2)
+      alleles.foreach { a => val b = a.getBytes("UTF-8")
+        u32(b.length.toLong); out.write(b) }
+      // uncompressed layout-2 genotype block
+      val raw = new java.io.ByteArrayOutputStream()
+      def bu32(v: Long): Unit = { raw.write((v & 0xff).toInt)
+        raw.write(((v >> 8) & 0xff).toInt)
+        raw.write(((v >> 16) & 0xff).toInt)
+        raw.write(((v >> 24) & 0xff).toInt) }
+      bu32(n.toLong); raw.write(2); raw.write(0) // N, K(u16)
+      raw.write(2); raw.write(2) // min/max ploidy
+      val gtIdx = entrySchema.fieldIndex("GT")
+      val gpIdx = if (hasGp) entrySchema.fieldIndex("GP") else -1
+      val ents = r.getSeq[Row](5)
+      val probs = ents.map { e =>
+        if (e == null || e.isNullAt(gtIdx)) { raw.write(0x82); None }
+        else {
+          raw.write(2)
+          val (aa, ab) =
+            if (hasGp && !e.isNullAt(gpIdx)) {
+              val gp = e.getSeq[Double](gpIdx)
+              (gp(0), gp(1))
+            } else {
+              // hard call -> degenerate probabilities
+              val call = e.getInt(gtIdx)
+              val a1 = (call >> 1) & 0x7fff
+              val a2 = (call >> 16) & 0x7fff
+              val d = (if (a1 > 0) 1 else 0) + (if (a2 > 0) 1 else 0)
+              (if (d == 0) 1.0 else 0.0, if (d == 1) 1.0 else 0.0)
+            }
+          Some((aa, ab))
+        }
+      }
+      raw.write(0); raw.write(8) // unphased, 8-bit
+      probs.foreach {
+        case None => raw.write(0); raw.write(0)
+        case Some((aa, ab)) =>
+          // clamp each to the byte range but do NOT force a+b <= 255:
+          // round-tripping the source probabilities exactly matters more
+          // than repairing non-conformant inputs
+          val a = math.max(0, math.min(255, math.round(aa * 255).toInt))
+          val b = math.max(0, math.min(255, math.round(ab * 255).toInt))
+          raw.write(a); raw.write(b)
+      }
+      val plain = raw.toByteArray
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(plain); defl.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished())
+        comp.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val cb = comp.toByteArray
+      u32(cb.length + 4L) // C (includes the D field)
+      u32(plain.length.toLong) // D
+      out.write(cb)
+    }
+    out.close()
   }
 
   /** Read a BGEN into a MatrixTable. Sample ids from the in-file block or

@@ -159,4 +159,52 @@ class ExtrasSpec extends SparkSpec {
       .map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("fasta getReferenceSequence via fai index") {
+    import graft.functions.Fasta
+    val dir = java.nio.file.Files.createTempDirectory("graft_fa")
+    val fa = dir.resolve("t.fa")
+    java.nio.file.Files.writeString(fa,
+      """>chr1 some description
+        |ACGTACGTAC
+        |GTACGTACGT
+        |ACG
+        |>chr2
+        |TTTTCCCCGG
+        |""".stripMargin)
+    Fasta.buildIndex(spark, fa.toString)
+    val seq = Fasta.read(spark, fa.toString)
+    val df = spark.createDataFrame(Seq(
+      ("chr1", 1), ("chr1", 11), ("chr1", 23), ("chr2", 5),
+      ("chr3", 1))).toDF("contig", "position")
+    val out = df.select(col("contig"), col("position"),
+      seq.getReferenceSequence(col("contig"), col("position")).as("b"),
+      seq.getReferenceSequence(col("contig"), col("position"),
+        lit(2), lit(2)).as("win"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3)))).toMap
+    assert(out(("chr1", 1)) == (("A", "ACG"))) // clamped at contig start
+    assert(out(("chr1", 11)) == (("G", "ACGTA")))
+    assert(out(("chr1", 23)) == (("G", "ACG"))) // last base, clamped
+    assert(out(("chr2", 5)) == (("C", "TTCCC")))
+    assert(out(("chr3", 1)) == ((null, null)))
+  }
+
+  test("bgen write/read round-trips GT and 8-bit GP") {
+    import graft.functions.Calls
+    val src = Bgen.read(spark,
+      "/root/repo/src/test/resources/oracle_bgen.bgen",
+      Some("/root/repo/src/test/resources/oracle_bgen.sample"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bgw")
+    val out = dir.resolve("rt.bgen").toString
+    Bgen.write(src, out)
+    val back = Bgen.read(spark, out)
+    def dump(mt: MatrixTable) = mt.entriesTable.df
+      .select(col("contig"), col("position"), col("ref"), col("s"),
+        Calls.nNonRefAlleles(col("GT")).as("gt"),
+        round(element_at(col("GP"), 1), 6).as("paa"),
+        round(element_at(col("GP"), 2), 6).as("pab"))
+      .collect().map(_.toSeq).toSet
+    assert(dump(back) == dump(src))
+  }
 }
