@@ -756,6 +756,22 @@ object SparkEntry {
           round(col("t_stat"), 4).as("t_stat"))
     }),
 
+    // --- linear_mixed_regression_rows (statgen.py, FaST-LMM spectral):
+    // with identity kinship the REML model collapses to OLS, so beta and
+    // the Wald chi_sq (= t^2) have the linreg closed form; the structured-
+    // kinship path is spec-tested ------------------------------------------
+    "lmm_rows" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val pheno = mt.colsTable.df
+        .withColumn("y", substring(col("s"), 2, 10).cast("double"))
+      methods.Lmm.linearMixedRegressionRows(mt, pheno, "y",
+        kinship = Some(breeze.linalg.DenseMatrix.eye[Double](mt.nCols))).df
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"),
+          round(col("beta"), 6).as("beta"),
+          round(col("chi_sq"), 4).as("chi_sq"))
+    }),
+
     // --- GRM (statgen.py:3576): normalized Gramian — exact SQL oracle -----
     "linalg_grm" -> ((s, _) => {
       val mt = sources.Vcf.read(s, VcfFixture)
@@ -1876,6 +1892,36 @@ object SparkEntry {
         |    * n / (n * sxx - sx * sx)), 6) AS standard_error,
         |  round(beta / sqrt(greatest((syy - beta * sxy - alpha * sy)
         |      / (n - 2), 0) * n / (n * sxx - sx * sx)), 4) AS t_stat
+        |FROM f""".stripMargin
+    },
+
+    // identity-kinship LMM == OLS: same closed form as linreg_rows with
+    // chi_sq = t^2
+    "lmm_rows" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |imp AS (
+        |  SELECT contig, position, ref, alts,
+        |    coalesce(CAST(a1 + a2 AS DOUBLE),
+        |      avg(CAST(a1 + a2 AS DOUBLE))
+        |        OVER (PARTITION BY contig, position)) AS x,
+        |    CAST(substr(s, 2, 10) AS DOUBLE) AS y
+        |  FROM q),
+        |g AS (
+        |  SELECT contig, position, ref, alts,
+        |    count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM imp GROUP BY 1, 2, 3, 4),
+        |f AS (
+        |  SELECT *,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |      AS alpha
+        |  FROM g)
+        |SELECT contig, position, ref, alts,
+        |  round(beta, 6) AS beta,
+        |  round(beta * beta / (greatest((syy - beta * sxy - alpha * sy)
+        |      / (n - 2), 0) * n / (n * sxx - sx * sx)), 4) AS chi_sq
         |FROM f""".stripMargin
     },
 
