@@ -925,6 +925,16 @@ object SparkEntry {
           (round(col("r"), 6) + lit(0.0)).as("r"))
     }),
 
+    // --- Structured Streaming: the hourly windowed agg runs as a real
+    // readStream -> watermark -> window -> memory-sink query over the
+    // events files; the oracle computes the same thing in batch SQL, so
+    // the gate checks stream/batch parity exactly ---------------------------
+    "stream_hourly_agg" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      streaming.Events.runHourlyTypeAgg(s, s"$dir/events.parquet", schema,
+        s"graft_stream_sink_${System.nanoTime()}")
+    }),
+
     // --- TableTail (TableIR.scala:2167): last n in key order ---------------
     "table_tail" -> ((s, dir) =>
       Table(t(s, dir, "orders"), Seq("o_orderkey")).tail(100).df
@@ -2254,6 +2264,12 @@ object SparkEntry {
     "table_tail" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
+
+    "stream_hourly_agg" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // piecewise closed form of the synthetic chain: chr1 [0,500)->chrA
     // +1000 forward; chr2 [100,400)->chrB size 2000 reverse; chr3 unmapped

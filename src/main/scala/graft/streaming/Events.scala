@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Structured Streaming over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Spark-first: streams are `readStream` file sources with the SAME
+  * declarative transforms as batch — one definition of the windowed
+  * aggregation serves both, so batch backfill and live tailing cannot
+  * diverge (the parity the driver's oracle checks). Event-time windows
+  * carry watermarks for state eviction; sessionization is a
+  * `flatMapGroupsWithState` kernel with event-time timeout — bounded
+  * state per user at any stream length. */
+object Events {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, start_ts: Long, end_ts: Long,
+      n_events: Long, sum_value: Double)
+
+  // public: the state encoder's generated code must reach the fields
+  final case class SessionState(startTs: Long, endTs: Long,
+      cnt: Long, total: Double)
+
+  /** File-source stream with the batch schema (`ts` arrives as
+    * nanosecond longs under the nanosAsLong reader flag). */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: StructType, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Shared batch/stream transform: hourly tumbling windows per
+    * event_type with exact (decimal) value sums. `ts` is ns-since-epoch;
+    * the window column is the hour index so batch and stream (and the
+    * DuckDB oracle) agree bit-for-bit. */
+  def hourlyTypeAgg(events: DataFrame): DataFrame = {
+    val tsSec = (col("ts").cast("double") / 1e9).cast("timestamp")
+    events
+      .withColumn("__t", tsSec)
+      .withWatermark("__t", "1 hour")
+      .groupBy(
+        window(col("__t"), "1 hour").as("__w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_value"))
+      .select(
+        (unix_timestamp(col("__w")("start")) / 3600).cast("long")
+          .as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Run the streaming side to completion over a static directory and
+    * return the result (complete-mode memory sink) — used by the parity
+    * gate; a live deployment would use the same query with a real sink. */
+  def runHourlyTypeAgg(spark: SparkSession, path: String,
+      schema: StructType, sinkName: String): DataFrame = {
+    // the file source wants a directory: stage the parquet file(s)
+    // behind symlinks in a temp dir (no copy)
+    val streamDir =
+      if (new java.io.File(path).isDirectory) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(new java.io.File(path).getName),
+          java.nio.file.Path.of(path))
+        d.toString
+      }
+    val q = hourlyTypeAgg(readEventStream(spark, streamDir, schema,
+      maxFilesPerTrigger = 1))
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Gap-based sessionization: consecutive events of a user belong to
+    * one session while gaps stay under `gapNs`. Streaming kernel:
+    * flatMapGroupsWithState with event-time timeout — state is one
+    * (start, end, n, sum) tuple per live user. */
+  def sessionize(events: Dataset[Event], gapNs: Long)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event],
+            state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts)
+          val out = Seq.newBuilder[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts - s.endTs <= gapNs =>
+                cur = Some(SessionState(s.startTs, e.ts, s.cnt + 1,
+                  s.total + e.value))
+              case Some(s) =>
+                out += Session(user, s.startTs, s.endTs, s.cnt, s.total)
+                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Batch reference for `sessionize`: lag-based session ids over a
+    * window — one shuffle, closed form (used to check the streaming
+    * kernel and useful on its own for backfills). */
+  def sessionizeBatch(events: DataFrame, gapNs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new_session",
+        (col("__prev").isNull ||
+          (col("ts") - col("__prev") > gapNs)).cast("long"))
+      .withColumn("__sid", sum(col("__new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_value"))
+      .drop("__sid")
+  }
+}

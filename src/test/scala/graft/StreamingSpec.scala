@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Events
+import graft.streaming.Events.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg equals the batch transform") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    val streamed = Events.runHourlyTypeAgg(spark,
+      s"$dir/events.parquet", batchDf.schema, "spec_stream_sink")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.hourlyTypeAgg(batchDf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionize emits gap-separated sessions incrementally") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Events.sessionize(input.toDS(), gapNs = 100L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("spec_sessions").outputMode(OutputMode.Append()).start()
+    // user 1: two events 50ns apart (one session), then a 1000ns gap
+    // closes it when the third event arrives in a later batch
+    input.addData(
+      Event(1, 1000, 1, "a", 1.0), Event(2, 1050, 1, "a", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, 5000, 1, "a", 4.0))
+    q.processAllAvailable()
+    input.addData(Event(4, 9000, 1, "a", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("spec_sessions").as[Session].collect()
+    // two closed sessions: [1000,1050] and [5000,5000]
+    assert(emitted.toSet == Set(
+      Session(1, 1000, 1050, 2, 3.0), Session(1, 5000, 5000, 1, 4.0)))
+  }
+
+  test("batch sessionizer matches the streaming kernel on closed sessions") {
+    val ss = spark
+    import ss.implicits._
+    val events = Seq(
+      Event(1, 100, 7, "x", 1.0), Event(2, 150, 7, "x", 1.0),
+      Event(3, 400, 7, "x", 1.0), Event(4, 90, 8, "y", 2.0),
+      Event(5, 500, 8, "y", 3.0)).toDF()
+    val sessions = Events.sessionizeBatch(events, gapNs = 100L)
+      .select("user_id", "start_ts", "end_ts", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(sessions == Set(
+      Seq(7L, 100L, 150L, 2L, 2.0), Seq(7L, 400L, 400L, 1L, 1.0),
+      Seq(8L, 90L, 90L, 1L, 2.0), Seq(8L, 500L, 500L, 1L, 3.0)))
+  }
+}
