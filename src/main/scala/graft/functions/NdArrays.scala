@@ -73,4 +73,60 @@ object NdArrays {
   /** Sum over all elements / axis-0 column sums for 2-D. */
   def sumAll(nd: Column): Column =
     aggregate(nd("data"), lit(0.0), (a, v) => a + v)
+
+  // ---- per-row decompositions (reference `NDArrayFunctions.scala`
+  // qr / svd / eigh — local Breeze kernels per value, same as the
+  // reference's per-row execution) ----------------------------------------
+
+  /** Reduced QR of an (m×n) ndarray: struct(q (m×n), r (n×n)). */
+  val qrUdf: UserDefinedFunction =
+    udf { (s: Seq[Long], d: Seq[Double]) =>
+      val res = breeze.linalg.qr.reduced(toBreeze(s, d))
+      ((Seq(s(0), s(1)), res.q.t.toArray.toSeq),
+        (Seq(s(1), s(1)), res.r.t.toArray.toSeq))
+    }
+  def qrDecomp(a: Column): Column =
+    qrUdf(a("shape"), a("data")).cast(
+      "struct<q:struct<shape:array<bigint>,data:array<double>>," +
+        "r:struct<shape:array<bigint>,data:array<double>>>")
+
+  /** Full SVD A = U diag(s) Vᵀ: struct(u (m×m), s (k), vt (n×n)). */
+  val svdUdf: UserDefinedFunction =
+    udf { (s: Seq[Long], d: Seq[Double]) =>
+      val res = breeze.linalg.svd(toBreeze(s, d))
+      ((Seq(s(0), s(0)), res.U.t.toArray.toSeq),
+        res.S.toArray.toSeq,
+        (Seq(s(1), s(1)), res.Vt.t.toArray.toSeq))
+    }
+  def svdDecomp(a: Column): Column =
+    svdUdf(a("shape"), a("data")).cast(
+      "struct<u:struct<shape:array<bigint>,data:array<double>>," +
+        "s:array<double>," +
+        "vt:struct<shape:array<bigint>,data:array<double>>>")
+
+  /** Symmetric eigendecomposition: struct(eigenvalues (ascending),
+    * eigenvectors (n×n, columns)). */
+  val eighUdf: UserDefinedFunction =
+    udf { (s: Seq[Long], d: Seq[Double]) =>
+      val res = breeze.linalg.eigSym(toBreeze(s, d))
+      (res.eigenvalues.toArray.toSeq,
+        (Seq(s(0), s(1)), res.eigenvectors.t.toArray.toSeq))
+    }
+  def eigh(a: Column): Column =
+    eighUdf(a("shape"), a("data")).cast(
+      "struct<eigenvalues:array<double>," +
+        "eigenvectors:struct<shape:array<bigint>,data:array<double>>>")
+
+  /** Matrix inverse (reference `NDArrayInv`), null on singular. */
+  val invUdf: UserDefinedFunction =
+    udf { (s: Seq[Long], d: Seq[Double]) =>
+      try {
+        val m: breeze.linalg.DenseMatrix[Double] =
+          breeze.linalg.inv(toBreeze(s, d))
+        Some((s, m.t.toArray.toSeq))
+      } catch { case _: Exception => None }
+    }
+  def inverse(a: Column): Column =
+    invUdf(a("shape"), a("data"))
+      .cast("struct<shape:array<bigint>,data:array<double>>")
 }

@@ -189,4 +189,66 @@ class CoverageSpec extends SparkSpec {
       .head().getAs[scala.collection.Seq[Long]](0)
     assert(top.toSeq === Seq(4L, 2L, 3L)) // 30(v4 > v2 tie-desc), 30, 20
   }
+
+  test("Interval struct helpers: contains/overlaps/isEmpty") {
+    import graft.functions.Intervals._
+    val df = spark.range(1).toDF("i")
+    def b(c: org.apache.spark.sql.Column): Boolean =
+      df.select(c).head().getBoolean(0)
+    val closed = interval(lit(10), lit(20), lit(true), lit(true))
+    val halfOpen = interval(lit(10), lit(20))
+    assert(b(contains(closed, lit(10))) && b(contains(closed, lit(20))))
+    assert(b(contains(halfOpen, lit(10))) && !b(contains(halfOpen, lit(20))))
+    assert(!b(contains(halfOpen, lit(9))))
+    assert(b(isEmpty(interval(lit(5), lit(5)))))
+    assert(!b(isEmpty(interval(lit(5), lit(5), lit(true), lit(true)))))
+    assert(b(isEmpty(interval(lit(7), lit(3)))))
+    val a1 = interval(lit(0), lit(10))
+    val b1 = interval(lit(10), lit(20))
+    assert(!b(overlaps(a1, b1))) // [0,10) vs [10,20): disjoint
+    assert(b(overlaps(interval(lit(0), lit(10), lit(true), lit(true)),
+      b1))) // 10 shared
+    assert(b(overlaps(a1, interval(lit(5), lit(7)))))
+    assert(!b(overlaps(a1, interval(lit(9), lit(9))))) // empty other
+  }
+
+  test("NDArray per-row qr/svd/eigh/inverse match Breeze") {
+    import graft.functions.NdArrays
+    val data = Seq(4.0, 1.0, 1.0, 3.0) // symmetric 2x2, row-major
+    val df = spark.range(1).select(
+      NdArrays.make(Seq(2L, 2L), array(data.map(lit): _*)).as("a"))
+    val m = new breeze.linalg.DenseMatrix(2, 2, data.toArray, 0, 2, true)
+    // eigh
+    val eg = df.select(NdArrays.eigh(col("a"))).head().getStruct(0)
+    val evs = eg.getSeq[Double](0)
+    val bev = breeze.linalg.eigSym(m).eigenvalues
+    assert(evs.zip(bev.toArray).forall { case (x, y) =>
+      math.abs(x - y) < 1e-10 })
+    // svd singular values
+    val sv = df.select(NdArrays.svdDecomp(col("a"))).head().getStruct(0)
+      .getSeq[Double](1)
+    val bsv = breeze.linalg.svd(m).S.toArray
+    assert(sv.zip(bsv).forall { case (x, y) => math.abs(x - y) < 1e-10 })
+    // qr: q r == a
+    val qr = df.select(NdArrays.qrDecomp(col("a"))).head().getStruct(0)
+    val qd = qr.getStruct(0).getSeq[Double](1)
+    val rd = qr.getStruct(1).getSeq[Double](1)
+    val q = new breeze.linalg.DenseMatrix(2, 2, qd.toArray, 0, 2, true)
+    val r = new breeze.linalg.DenseMatrix(2, 2, rd.toArray, 0, 2, true)
+    val qrProd: breeze.linalg.DenseMatrix[Double] = q * r
+    val diff: breeze.linalg.DenseMatrix[Double] = qrProd - m
+    assert(diff.toArray.forall(v => math.abs(v) < 1e-10))
+    // inverse: a * inv(a) == I
+    val invd = df.select(NdArrays.inverse(col("a"))).head()
+      .getStruct(0).getSeq[Double](1)
+    val inv = new breeze.linalg.DenseMatrix(2, 2, invd.toArray, 0, 2, true)
+    val prod: breeze.linalg.DenseMatrix[Double] = m * inv
+    assert(math.abs(prod(0, 0) - 1) < 1e-10 &&
+      math.abs(prod(1, 1) - 1) < 1e-10 &&
+      math.abs(prod(0, 1)) < 1e-10)
+    // singular -> null
+    val sing = spark.range(1).select(NdArrays.make(Seq(2L, 2L),
+      array(Seq(1.0, 2.0, 2.0, 4.0).map(lit): _*)).as("a"))
+    assert(sing.select(NdArrays.inverse(col("a"))).head().isNullAt(0))
+  }
 }
