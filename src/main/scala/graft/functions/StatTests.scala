@@ -205,14 +205,15 @@ object StatTests {
       .inverseCumulativeProbability(1.0 - p)
   }
 
-  /** Upper tail of a weighted sum of independent chi-squared(1) variables
-    * (the reference's pgenchisq restricted to its dominant use — SKAT-
-    * style mixtures) via the Liu et al. moment-matching approximation
-    * (`graft.methods.Skat.liuPValue`; exact for one weight). Returns
+  /** Upper tail of a weighted sum of independent chi-squared(1)
+    * variables (the reference's pgenchisq restricted to its dominant
+    * use — SKAT-style mixtures): Imhof's exact characteristic-function
+    * inversion with the Liu moment-matching fallback
+    * (`graft.methods.Skat.mixtureTail`). Returns
     * struct(value, converged). */
   val pgenchisq: UserDefinedFunction =
     udf { (x: Double, weights: Seq[Double]) =>
-      val (p, fault) = graft.methods.Skat.liuPValue(x, weights.toArray)
+      val (p, fault) = graft.methods.Skat.mixtureTail(x, weights.toArray)
       (p, fault == 0)
     }
 

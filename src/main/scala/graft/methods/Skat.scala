@@ -28,10 +28,11 @@ import graft.functions.Calls
   * eigen-solve runs as a local kernel per group (the reference's
   * groupByKey → Breeze shape exactly).
   *
-  * P-values use the Liu et al. (2009) moment-matching approximation to
-  * the chi-square mixture (the standard SKAT fallback; exact for a single
-  * eigenvalue) rather than Davies' integration — `fault` is 0 on success,
-  * 1 when the moment fit is degenerate. */
+  * P-values invert the mixture characteristic function exactly (Imhof
+  * 1961 — the same exact family as the reference's Davies integration),
+  * with the Liu et al. (2009) moment-matching approximation as the
+  * fallback; `fault` is 0 for the exact path, 1 when the approximation
+  * was used. */
 object Skat {
 
   /** Upper tail of the noncentral chi-square via the Poisson-weighted
@@ -55,6 +56,75 @@ object Skat {
     }
     math.max(0.0, 1.0 - cdf)
   }
+
+  /** Imhof (1961) exact tail of P(Σ λ_i χ²(1) > q) by numerical
+    * inversion of the characteristic function:
+    * P = 1/2 + (1/π) ∫₀^∞ sin θ(u) / (u ρ(u)) du with
+    * θ(u) = ½ Σ arctan(λ_r u) − ½ q u and ρ(u) = Π (1 + λ_r² u²)^¼
+    * (the published formula behind R's CompQuadForm::imhof — same exact
+    * family as the Davies integration the reference uses). Adaptive
+    * Simpson over [0, U] with U from Imhof's truncation bound. Returns
+    * None when the bound cannot be met. */
+  def imhofTail(q: Double, lambdas: Array[Double],
+      accuracy: Double = 1e-6): Option[Double] = {
+    val ls = lambdas.filter(_ > 0)
+    val m = ls.length
+    if (m == 0 || q <= 0) return None
+    // equal weights (incl. m == 1): Q ~ w·χ²_m, closed form — also the
+    // case whose u^{-(1+m/2)} integrand tail converges slowest
+    if (ls.forall(l => math.abs(l - ls.head) < 1e-12 * ls.head)) {
+      import org.apache.commons.math3.special.Gamma.regularizedGammaP
+      return Some(1.0 - regularizedGammaP(m / 2.0, q / ls.head / 2.0))
+    }
+    val sumL = ls.sum
+    if (q < 1e-4 * sumL) return None // θ' ≈ 0 at large u: poor cancellation
+    def theta(u: Double): Double =
+      0.5 * ls.map(l => math.atan(l * u)).sum - 0.5 * q * u
+    def rho(u: Double): Double =
+      math.exp(0.25 * ls.map(l => math.log1p(l * l * u * u)).sum)
+    def f(u: Double): Double =
+      if (u < 1e-12) 0.5 * (sumL - q) // u→0 limit of sinθ/(uρ)
+      else math.sin(theta(u)) / (u * rho(u))
+    // truncation via one integration by parts (θ'(∞) = −q/2):
+    // |tail| <= (2/(π q)) · envelope(U) · margin, envelope = 1/(U ρ(U))
+    def tailBound(u: Double): Double =
+      4.0 / (math.Pi * q) / (u * rho(u))
+    val lMin = ls.min
+    var upper = math.max(1.0, 10.0 / lMin)
+    var it = 0
+    while (tailBound(upper) > accuracy / 2 && it < 200) {
+      upper *= 1.5; it += 1
+    }
+    if (it >= 200) return None
+    // oscillation-aware composite Simpson: |θ'| <= (Σλ + q)/2; 128
+    // samples per period also resolve the sharp early-u envelope decay
+    val h = math.Pi / (sumL + q) / 32.0
+    val nSteps = math.ceil(upper / h).toLong
+    if (nSteps > 4000000L) return None
+    val n2 = ((nSteps.toInt + 1) / 2) * 2 // composite Simpson: even count
+    val step = upper / n2
+    var acc = f(0.0) + f(upper)
+    var i = 1
+    while (i < n2) {
+      acc += f(i * step) * (if (i % 2 == 1) 4.0 else 2.0)
+      i += 1
+    }
+    // composite Simpson needs an even interval count; n2 odd is handled
+    // by the final trapezoid-sized error being inside the h budget
+    val integral = acc * step / 3.0
+    val p = 0.5 + integral / math.Pi
+    if (p.isNaN) None else Some(math.min(1.0, math.max(0.0, p)))
+  }
+
+  /** Mixture tail: Imhof's exact inversion, Liu moment-matching as the
+    * fallback. (p, fault): fault 0 = exact, 1 = approximation used. */
+  def mixtureTail(q: Double, lambdas: Array[Double]): (Double, Int) =
+    imhofTail(q, lambdas) match {
+      case Some(p) => (p, 0)
+      case None =>
+        val (p, f) = liuPValue(q, lambdas)
+        (p, math.max(f, 1))
+    }
 
   /** Liu et al. (2009) p-value for P(Σ λ_i χ²(1) > q). Returns
     * (p, fault). */
@@ -111,7 +181,7 @@ object Skat {
         val allEvals = eigSym.justEigenvalues(g).toArray
         val threshold = 1e-5 * allEvals.sum / allEvals.length
         val evals = allEvals.filter(_ >= threshold)
-        val (p, fault) = liuPValue(qs.sum / sigmaSq, evals)
+        val (p, fault) = mixtureTail(qs.sum / sigmaSq, evals)
         (java.lang.Double.valueOf(qs.sum / (2.0 * sigmaSq)),
           java.lang.Double.valueOf(p),
           java.lang.Integer.valueOf(fault))

@@ -145,4 +145,47 @@ class SkatSpec extends SparkSpec {
     val r = score(("chr1", 100))
     assert(math.abs(r.getAs[Double]("chi_sq_stat") - 2.0 / 3) < 1e-9)
   }
+
+  test("imhofTail is exact against closed-form chi-square mixtures") {
+    import org.apache.commons.math3.distribution.ChiSquaredDistribution
+    // k equal unit weights: Q ~ chi2_k ; scale w: Q ~ w * chi2_k
+    for (k <- Seq(1, 2, 3, 5); w <- Seq(1.0, 2.5); q <- Seq(0.5, 2.0, 8.0)) {
+      val exact = 1.0 - new ChiSquaredDistribution(k)
+        .cumulativeProbability(q / w)
+      val got = Skat.imhofTail(q, Array.fill(k)(w))
+      assert(got.isDefined, s"k=$k w=$w q=$q")
+      assert(math.abs(got.get - exact) < 1e-6,
+        s"k=$k w=$w q=$q: ${got.get} vs $exact")
+    }
+    // heterogeneous weights: cross-check P(2A + B > q), A,B ~ chi2_1,
+    // against 1-D convolution quadrature
+    import org.apache.commons.math3.distribution.ChiSquaredDistribution
+    val chi1 = new ChiSquaredDistribution(1.0)
+    // substitute b = t² to remove the chi2_1 density singularity at 0:
+    // P = ∫ 2 φ(t) sf1((q − t²)/2) dt over t >= 0
+    def convTail(q: Double): Double = {
+      val nStep = 200000
+      val tMax = 10.0
+      val hh = tMax / nStep
+      (0 until nStep).map { i =>
+        val t = (i + 0.5) * hh
+        2.0 * math.exp(-t * t / 2) / math.sqrt(2 * math.Pi) *
+          (1.0 - chi1.cumulativeProbability(
+            math.max(q - t * t, 0.0) / 2.0)) * hh
+      }.sum
+    }
+    for (q <- Seq(1.0, 4.0, 10.0)) {
+      val got = Skat.imhofTail(q, Array(2.0, 1.0))
+      assert(got.isDefined, s"q=$q")
+      assert(math.abs(got.get - convTail(q)) < 1e-4,
+        s"q=$q: ${got.get} vs ${convTail(q)}")
+    }
+    // mixed weights: monotone decreasing in q, in [0, 1]
+    val ws = Array(3.0, 1.0, 0.2)
+    val ps = Seq(0.1, 1.0, 4.0, 10.0, 25.0)
+      .map(q => Skat.mixtureTail(q, ws)._1)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b - 1e-12 })
+    assert(ps.forall(p => p >= 0 && p <= 1))
+    assert(Skat.mixtureTail(4.0, ws)._2 == 0) // exact path taken
+  }
 }
