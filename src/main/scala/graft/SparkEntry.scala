@@ -925,6 +925,37 @@ object SparkEntry {
           (round(col("r"), 6) + lit(0.0)).as("r"))
     }),
 
+    // --- VDS combiner + densify (vds/combiner, to_dense_mt): two
+    // single-sample gVCFs merge and densify; the expected grid is small
+    // enough to oracle as literal VALUES -----------------------------------
+    "vds_combine_densify" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vdsq")
+      def gvcf(name: String, body: String): String = {
+        val f = dir.resolve(s"$name.vcf")
+        java.nio.file.Files.writeString(f,
+          """##fileformat=VCFv4.2
+            |##INFO=<ID=END,Number=1,Type=Integer,Description="Block end">
+            |##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+            |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">
+            |""".stripMargin +
+            s"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t$name\n"
+            + body)
+        f.toString
+      }
+      val a = sources.Vcf.readGvcf(s, gvcf("VA",
+        "chr1\t1\t.\tA\t<NON_REF>\t.\t.\tEND=99\tGT:DP\t0/0:21\n" +
+        "chr1\t100\t.\tA\tG,<NON_REF>\t50\tPASS\t.\tGT:DP\t0/1:30\n" +
+        "chr1\t101\t.\tC\t<NON_REF>\t.\t.\tEND=900\tGT:DP\t0/0:24\n"))
+      val b = sources.Vcf.readGvcf(s, gvcf("VB",
+        "chr1\t1\t.\tA\t<NON_REF>\t.\t.\tEND=500\tGT:DP\t0/0:17\n" +
+        "chr1\t600\t.\tT\tC,<NON_REF>\t44\tPASS\t.\tGT:DP\t1/1:28\n"))
+      import graft.functions.Calls
+      methods.VdsCombiner.combine(Seq(a, b)).toDenseMt()
+        .entriesTable.df
+        .select(col("contig"), col("position"), col("s"),
+          Calls.nNonRefAlleles(col("GT")).as("n_alt"), col("DP"))
+    }),
+
     // --- Structured Streaming: the hourly windowed agg runs as a real
     // readStream -> watermark -> window -> memory-sink query over the
     // events files; the oracle computes the same thing in batch SQL, so
@@ -2264,6 +2295,16 @@ object SparkEntry {
     "table_tail" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
+
+    // densified grid of the two merged gVCFs: variant entries win (their
+    // DP is not backfilled), covered cells fill hom-ref with block DP
+    "vds_combine_densify" ->
+      """SELECT * FROM (VALUES
+        |  ('chr1', 100, 'VA', 1, CAST(NULL AS INTEGER)),
+        |  ('chr1', 100, 'VB', 0, 17),
+        |  ('chr1', 600, 'VA', 0, 24),
+        |  ('chr1', 600, 'VB', 2, CAST(NULL AS INTEGER)))
+        |AS t(contig, position, s, n_alt, DP)""".stripMargin,
 
     "stream_hourly_agg" ->
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,

@@ -44,18 +44,23 @@ final case class VariantDataset(
       .withColumn("__v_gt", col("__e")("GT"))
       .drop("__e")
       .join(broadcast(colsDf), Seq("col_idx"))
+    // the right side is renamed wholesale BEFORE the join: when both
+    // sides descend from the same parsed plan their attribute ids can
+    // coincide, and drop(refCoord("contig")) would remove the LEFT key
+    // (nulling it for unmatched rows)
     val refCoord = referenceData.entriesTable.df
-      .select(col("contig"), col("position").as("__r_start"),
-        col("s"), col("END").as("__r_end"),
+      .select(col("contig").as("__r_contig"),
+        col("position").as("__r_start"),
+        col("s").as("__r_s"), col("END").as("__r_end"),
         col("DP").as("__r_dp"))
     val filled = varCoord
       .join(refCoord,
-        varCoord("contig") === refCoord("contig") &&
-          varCoord("s") === refCoord("s") &&
+        col("contig") === col("__r_contig") &&
+          col("s") === col("__r_s") &&
           col("position") >= col("__r_start") &&
           col("position") <= col("__r_end"),
         "left")
-      .drop(refCoord("contig")).drop(refCoord("s"))
+      .drop("__r_contig", "__r_s")
       .withColumn("GT", coalesce(col("__v_gt"),
         when(col("__r_end").isNotNull, lit(0))))
       .withColumn("DP", when(col("__v_gt").isNull, col("__r_dp")))
