@@ -925,6 +925,27 @@ object SparkEntry {
           (round(col("r"), 6) + lit(0.0)).as("r"))
     }),
 
+    // --- TableRename (TableIR.scala:2570) ---------------------------------
+    "table_rename" -> ((s, dir) =>
+      Table(t(s, dir, "region"), Seq("r_regionkey"))
+        .rename("r_name" -> "region_name").df
+        .select(col("r_regionkey"), col("region_name"))),
+
+    // --- TableRepartition (TableIR.scala:2184): row set invariant ---------
+    "table_repartition" -> ((s, dir) =>
+      Table(t(s, dir, "orders"), Seq("o_orderkey"))
+        .repartitionTo(7, shuffle = true).df
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // --- agg: fixed-range histogram (hl.agg.hist) -------------------------
+    "agg_hist" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(operators.Aggs.hist(col("l_quantity").cast("double"),
+          0.0, 50.0, 10).as("h"))
+        .select(col("l_returnflag"),
+          posexplode(col("h")("bin_freq")).as(Seq("bin", "freq")))),
+
     // --- VDS combiner + densify (vds/combiner, to_dense_mt): two
     // single-sample gVCFs merge and densify; the expected grid is small
     // enough to oracle as literal VALUES -----------------------------------
@@ -2295,6 +2316,28 @@ object SparkEntry {
     "table_tail" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
+
+    "table_rename" ->
+      "SELECT r_regionkey, r_name AS region_name FROM region",
+
+    "table_repartition" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
+
+    // all-bins output (zero counts included), hi-edge value clamps into
+    // the last bin like the reference
+    "agg_hist" ->
+      """WITH b AS (SELECT unnest(range(0, 10)) AS bin),
+        |fl AS (SELECT DISTINCT l_returnflag FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag,
+        |    CAST(least(floor(l_quantity / 5.0), 9) AS INTEGER) AS bin,
+        |    count(*) AS freq
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT fl.l_returnflag, CAST(b.bin AS INTEGER) AS bin,
+        |  CAST(coalesce(c.freq, 0) AS BIGINT) AS freq
+        |FROM fl CROSS JOIN b
+        |LEFT JOIN c ON c.l_returnflag = fl.l_returnflag
+        |  AND c.bin = b.bin""".stripMargin,
 
     // densified grid of the two merged gVCFs: variant entries win (their
     // DP is not backfilled), covered cells fill hom-ref with block DP
