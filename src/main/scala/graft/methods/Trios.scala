@@ -13,6 +13,23 @@ import graft.MatrixTable
   * regrouped on the driver like every col-space op. */
 object Trios {
 
+  /** Complete trios from a pedigree (reference
+    * `genetics/pedigree.py` `Pedigree.complete_trios`): rows whose
+    * father and mother ids are both present as samples in the pedigree
+    * ("0" marks a missing parent). Returns
+    * (proband, father, mother, probandIsFemale) tuples — unknown-sex
+    * probands default female=false like the reference's trio matrix
+    * completion. */
+  def completeTrios(fam: Seq[graft.sources.Plink.FamRow])
+      : Seq[(String, String, String, Boolean)] = {
+    val ids = fam.map(_.id).toSet
+    fam.collect {
+      case r if r.patId != "0" && r.matId != "0" &&
+          ids.contains(r.patId) && ids.contains(r.matId) =>
+        (r.id, r.patId, r.matId, r.isFemale.getOrElse(false))
+    }
+  }
+
   /** `trios`: (proband, father, mother, probandIsFemale). Samples must
     * exist in the matrix col key (first col field). */
   def trioMatrix(mt: MatrixTable,

@@ -96,4 +96,53 @@ class RelatednessSpec extends SparkSpec {
     val pMiss = 2 * (eps / (1 + 2 * eps)) * ppm * ppm * pHet
     assert(math.abs(p - pDn / (pDn + pMiss)) < 1e-9)
   }
+
+  test("completeTrios keeps only trios with both parents present") {
+    import graft.sources.Plink.FamRow
+    val fam = Seq(
+      FamRow("f1", "kid1", "dad1", "mom1", Some(true), None),
+      FamRow("f1", "dad1", "0", "0", Some(false), None),
+      FamRow("f1", "mom1", "0", "0", Some(true), None),
+      FamRow("f2", "kid2", "dadX", "mom2", None, None), // dadX absent
+      FamRow("f2", "mom2", "0", "0", Some(true), None))
+    assert(graft.methods.Trios.completeTrios(fam) ==
+      Seq(("kid1", "dad1", "mom1", true)))
+  }
+
+  test("mendel hemi codes fire on X/Y non-PAR for male probands") {
+    implicit val rg: ReferenceGenome = ReferenceGenome.GRCh38
+    // chrX:5e6 (non-PAR), chrY:5e6 (non-PAR): male kid
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="G">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	K	D	M
+        |chrX	5000000	.	A	G	.	PASS	.	GT	0/0	0/0	1/1
+        |chrY	5000000	.	C	T	.	PASS	.	GT	1/1	0/0	0/0
+        |chr1	100	.	G	A	.	PASS	.	GT	1/1	0/0	0/0
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_hemi")
+    val f = dir.resolve("hemi.vcf")
+    java.nio.file.Files.writeString(f, vcf)
+    val mt = Vcf.read(spark, f.toString)
+    val male = methods.Genetics.mendelErrors(mt,
+      Seq(("K", "D", "M", false))).df.collect()
+      .map(r => r.getAs[String]("contig") -> r.getAs[Int]("mendel_code"))
+      .toMap
+    // X non-PAR male kid hom-ref with hom-var mother -> code 9
+    assert(male("chrX") == 9)
+    // Y non-PAR male kid with alt, hom-ref father -> code 12
+    assert(male("chrY") == 12)
+    // autosomal hom-var kid with two hom-ref parents -> code 5
+    assert(male("chr1") == 5)
+    // a female proband treats chrX as autosomal: hom-ref kid with
+    // hom-var mom and hom-ref dad is code 7
+    val female = methods.Genetics.mendelErrors(mt,
+      Seq(("K", "D", "M", true))).df.collect()
+      .map(r => r.getAs[String]("contig") -> r.getAs[Int]("mendel_code"))
+      .toMap
+    assert(female("chrX") == 7)
+    // the reference's copy-state gate is `in_autosome_or_par | is_female`
+    // — a female proband routes even chrY to the auto chain (code 5)
+    assert(female("chrY") == 5)
+  }
 }
