@@ -169,30 +169,58 @@ object Genetics {
     * obligately, so t = kidAltAlleles − #homVarParents and
     * u = #hetParents − t; Mendel-inconsistent triples are skipped.
     * Autosomes only (standard TDT). */
-  def tdt(mt: MatrixTable, trios: Seq[(String, String, String)])
+  def tdt(mt: MatrixTable, trios: Seq[(String, String, String)],
+      kidIsFemale: Map[String, Boolean] = Map.empty)
       (implicit rg: ReferenceGenome): Table = {
     val keyCols = mt.rowKey
     // one entries scan + broadcast role map (vs 3 scans per trio)
     val joined = trioPivot(mt,
-      trios.map { case (k, d, m) => (k, d, m, false) })
-    val autosomal = joined.filter(
-      !(rg.xContigs ++ rg.yContigs ++ rg.mtContigs)
-        .map(col("contig") === _).reduce(_ || _))
+      trios.map { case (k, d, m) =>
+        (k, d, m, kidIsFemale.getOrElse(k, false)) })
+    val inPar = rg.par.map { case (c, s0, e0) =>
+      col("contig") === c && col("position") >= s0 && col("position") < e0
+    }.foldLeft(lit(false))(_ || _)
+    val inX = rg.xContigs.map(col("contig") === _)
+      .foldLeft(lit(false))(_ || _)
+    val inY = rg.yContigs.map(col("contig") === _)
+      .foldLeft(lit(false))(_ || _)
+    val inMt = rg.mtContigs.map(col("contig") === _)
+      .foldLeft(lit(false))(_ || _)
+    // reference scope: autosome ∪ X-PAR ∪ X-non-PAR (Y/MT excluded)
+    val autoOrXPar = (!inX && !inY && !inMt) || (inX && inPar)
+    val scoped = joined.filter(autoOrXPar || (inX && !inPar))
       .filter(col("__gt_kid").isNotNull && col("__gt_dad").isNotNull &&
         col("__gt_mom").isNotNull)
     def nAlt(c: Column) = Calls.nNonRefAlleles(c)
     def isHet(c: Column) = Calls.isHet(c)
-    def isHomVar(c: Column) = Calls.isHomVar(c)
-    val hetP = isHet(col("__gt_dad")).cast("int") +
-      isHet(col("__gt_mom")).cast("int")
-    val homVarP = isHomVar(col("__gt_dad")).cast("int") +
-      isHomVar(col("__gt_mom")).cast("int")
-    val t = nAlt(col("__gt_kid")) - homVarP
-    val u = hetP - t
-    val counted = autosomal
-      .withColumn("__t", t).withColumn("__u", u)
-      .filter(col("__t") >= 0 && col("__u") >= 0 &&
-        (col("__t") + col("__u")) > 0) // consistent + informative
+    // reference gate: het father counts only on auto/X-PAR; otherwise a
+    // het mother with a non-het father
+    val dadHet = isHet(col("__gt_dad"))
+    val validHet = (dadHet && autoOrXPar) ||
+      (isHet(col("__gt_mom")) && !dadHet)
+    val copyState = when(autoOrXPar || col("__kid_female"), 2)
+      .otherwise(1)
+    // the reference's (kid, dad, mom, copy) -> (t, u) config table
+    // (family_methods.py:377)
+    val configs: Seq[(Int, Int, Int, Int, Int, Int)] = Seq(
+      (0, 1, 1, 2, 0, 2), (0, 0, 1, 2, 0, 1), (0, 1, 0, 2, 0, 1),
+      (1, 1, 1, 2, 1, 1), (1, 0, 1, 2, 1, 0), (1, 1, 0, 2, 1, 0),
+      (1, 2, 1, 2, 0, 1), (1, 1, 2, 2, 0, 1), (2, 1, 1, 2, 2, 0),
+      (2, 1, 2, 2, 1, 0), (2, 2, 1, 2, 1, 0),
+      (0, 0, 1, 1, 0, 1), (0, 2, 1, 1, 0, 1), (2, 0, 1, 1, 1, 0),
+      (2, 2, 1, 1, 1, 0))
+    val kn = nAlt(col("__gt_kid")); val dn = nAlt(col("__gt_dad"))
+    val mn = nAlt(col("__gt_mom"))
+    def lookup(sel: ((Int, Int, Int, Int, Int, Int)) => Int): Column =
+      configs.foldLeft(lit(null).cast("int")) {
+        case (acc, cfg @ (k, d, m, cs, _, _)) =>
+          when(kn === k && dn === d && mn === m && copyState === cs,
+            sel(cfg)).otherwise(acc)
+      }
+    val counted = scoped
+      .withColumn("__t", when(validHet, lookup(_._5)))
+      .withColumn("__u", when(validHet, lookup(_._6)))
+      .filter(col("__t").isNotNull) // unlisted config = uninformative
     val perVariant = counted.groupBy(keyCols.map(col): _*)
       .agg(sum(col("__t")).as("t"), sum(col("__u")).as("u"))
       .withColumn("chi_sq",

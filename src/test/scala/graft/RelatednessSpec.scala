@@ -145,4 +145,30 @@ class RelatednessSpec extends SparkSpec {
     // — a female proband routes even chrY to the auto chain (code 5)
     assert(female("chrY") == 5)
   }
+
+  test("tdt hemiX copy state counts only het-mother transmissions") {
+    implicit val rg: ReferenceGenome = ReferenceGenome.GRCh38
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="G">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	K	D	M
+        |chrX	5000000	.	A	G	.	PASS	.	GT	1/1	0/0	0/1
+        |chrY	5000000	.	C	T	.	PASS	.	GT	1/1	0/0	0/1
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_tdtx")
+    val f = dir.resolve("tdtx.vcf")
+    java.nio.file.Files.writeString(f, vcf)
+    val mt = Vcf.read(spark, f.toString)
+    // male proband: X non-PAR is HemiX -> (HomVar, HomRef, Het) = t 1 u 0
+    val male = methods.Genetics.tdt(mt, Seq(("K", "D", "M"))).df.collect()
+      .map(r => r.getAs[String]("contig") ->
+        ((r.getAs[Long]("t"), r.getAs[Long]("u")))).toMap
+    assert(male("chrX") == ((1L, 0L)))
+    assert(!male.contains("chrY")) // Y is out of the reference's scope
+    // female proband: X treated as Auto; (2,0,1) has no auto config ->
+    // uninformative, row absent
+    val female = methods.Genetics.tdt(mt, Seq(("K", "D", "M")),
+      kidIsFemale = Map("K" -> true)).df.collect()
+    assert(female.isEmpty)
+  }
 }
