@@ -46,6 +46,11 @@ final case class MatrixTable(
 
   // ---- row space ----------------------------------------------------------
 
+  /** MatrixMapGlobals (`MatrixIR.scala:...`): globals live in the
+    * driver map, like TableMapGlobals. */
+  def annotateGlobals(kvs: (String, Any)*): MatrixTable =
+    copy(globals = globals ++ kvs)
+
   /** MatrixFilterRows (`MatrixIR.scala:483`). */
   def filterRows(p: Column): MatrixTable = copy(rows = rows.filter(p))
 

@@ -412,4 +412,32 @@ object Aggs {
     }
   def hist(c: Column, lo: Double, hi: Double, bins: Int): Column =
     udaf(histAgg(lo, hi, bins)).apply(c)
+
+  // ---- ndarray element-wise sum (reference NDArraySum agg op) ------------
+
+  case class NdBuf(shape: Seq[Long], data: Seq[Double])
+
+  /** Element-wise sum of (shape, data) ndarrays across rows (reference
+    * `AggOp` NDArraySum): shapes must agree; null inputs are skipped.
+    * Constant-size buffer (one ndarray), map-side combine. */
+  val ndarraySumAgg: Aggregator[NdBuf, NdBuf, NdBuf] =
+    new Aggregator[NdBuf, NdBuf, NdBuf] {
+      def zero: NdBuf = NdBuf(null, null)
+      private def add(a: NdBuf, b: NdBuf): NdBuf =
+        if (b == null || b.data == null) a
+        else if (a.shape == null) b
+        else {
+          require(a.shape == b.shape,
+            s"ndarray_sum shape mismatch: ${a.shape} vs ${b.shape}")
+          NdBuf(a.shape, a.data.zip(b.data).map(t => t._1 + t._2))
+        }
+      def reduce(b: NdBuf, v: NdBuf): NdBuf = add(b, v)
+      def merge(a: NdBuf, b: NdBuf): NdBuf = add(a, b)
+      def finish(b: NdBuf): NdBuf = b
+      def bufferEncoder: Encoder[NdBuf] = Encoders.product
+      def outputEncoder: Encoder[NdBuf] = Encoders.product
+    }
+  def ndarraySum(nd: Column): Column =
+    udaf(ndarraySumAgg).apply(nd("shape"), nd("data"))
+      .cast("struct<shape:array<bigint>,data:array<double>>")
 }

@@ -251,4 +251,26 @@ class CoverageSpec extends SparkSpec {
       array(Seq(1.0, 2.0, 2.0, 4.0).map(lit): _*)).as("a"))
     assert(sing.select(NdArrays.inverse(col("a"))).head().isNullAt(0))
   }
+
+  test("ndarraySum aggregates element-wise with shape checking") {
+    import graft.functions.NdArrays
+    import graft.operators.Aggs
+    val df = spark.range(4).select(
+      NdArrays.make(Seq(2L, 2L),
+        array(col("id").cast("double"), lit(1.0),
+          lit(0.0), -col("id").cast("double"))).as("nd"))
+    val out = df.agg(Aggs.ndarraySum(col("nd"))).head().getStruct(0)
+    assert(out.getSeq[Long](0) == Seq(2L, 2L))
+    // sums: ids 0..3 -> 6; ones -> 4; zeros -> 0; -ids -> -6
+    assert(out.getSeq[Double](1) == Seq(6.0, 4.0, 0.0, -6.0))
+  }
+
+  test("matrix distinctByRow and annotateGlobals") {
+    val mt = graft.sources.Vcf.read(spark,
+      "/root/repo/src/test/resources/oracle_sample.vcf")
+    val doubled = mt.copy(rows = mt.rows.unionByName(mt.rows))
+    assert(doubled.distinctByRow().rows.count() == mt.rows.count())
+    assert(mt.annotateGlobals("build" -> "GRCh38")
+      .globals("build") == "GRCh38")
+  }
 }
