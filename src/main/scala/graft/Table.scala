@@ -98,6 +98,16 @@ final case class Table(
 
   // ---- globals ------------------------------------------------------------
 
+  /** RelationalLetTable (`TableIR.scala` RelationalLet*): name a shared
+    * intermediate so downstream consumers reuse ONE materialization
+    * instead of recomputing the subtree per reference — Spark-native CSE
+    * via persist; call `unpersist()` when the let scope ends. */
+  def cached(level: org.apache.spark.storage.StorageLevel =
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Table =
+    copy(df = df.persist(level))
+
+  def unpersist(): Table = copy(df = df.unpersist())
+
   /** TableMapGlobals (`TableIR.scala:2380`). */
   def annotateGlobals(kvs: (String, Any)*): Table =
     copy(globals = globals ++ kvs)

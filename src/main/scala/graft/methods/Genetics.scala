@@ -413,6 +413,23 @@ object Genetics {
       .groupBy(col("left_state"), col("right_state"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-sample 5x5 concordance counts (reference returns these as the
+    * cols table of `concordance`): one groupBy over the cells. */
+  def concordancePerSample(left: MatrixTable, right: MatrixTable)
+      : DataFrame =
+    concordanceCells(left, right)
+      .groupBy((left.colKey.map(col) :+ col("left_state") :+
+        col("right_state")): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-variant concordance counts (the reference's rows view). */
+  def concordancePerVariant(left: MatrixTable, right: MatrixTable)
+      : DataFrame =
+    concordanceCells(left, right)
+      .groupBy((left.rowKey.map(col) :+ col("left_state") :+
+        col("right_state")): _*)
+      .agg(count(lit(1)).as("n"))
+
   /** KING-robust kinship (reference `methods/relatedness/king.py:9`,
     * expressed there as BlockMatrix matmuls): for each sample pair over
     * their shared called sites,
