@@ -77,19 +77,31 @@ object Vcf {
   private val declRe =
     """##(INFO|FORMAT)=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+)""".r.unanchored
 
-  /** Driver-side header scan (header is KBs; data can be TBs). */
+  private[sources] def isVcfName(n: String): Boolean =
+    n.endsWith(".vcf") || n.endsWith(".vcf.gz") || n.endsWith(".vcf.bgz")
+
+  /** Driver-side header scan (header is KBs; data can be TBs). Gzip /
+    * bgzip files are decompressed through the Hadoop codec factory (bgzip
+    * is concatenated-gzip, which Hadoop's gzip decompressor accepts). */
   def readHeader(spark: SparkSession, path: String): Header = {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      new java.net.URI(path), conf)
     val status = fs.getFileStatus(new org.apache.hadoop.fs.Path(path))
     val files =
       if (status.isDirectory)
         fs.listStatus(new org.apache.hadoop.fs.Path(path))
-          .map(_.getPath).filter(_.getName.endsWith(".vcf")).sortBy(_.getName)
+          .map(_.getPath).filter(p => isVcfName(p.getName))
+          .sortBy(_.getName)
       else Array(status.getPath)
+    val rawIn: java.io.InputStream = fs.open(files.head)
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      conf).getCodec(files.head)
+    val decoded =
+      if (codec == null) rawIn else codec.createInputStream(rawIn)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(files.head)))
+      decoded))
     try {
       var l = in.readLine()
       while (l != null && l.startsWith("#")) {
@@ -180,7 +192,7 @@ object Vcf {
     val header = readHeader(spark, path)
     val n = header.samples.length
     val raw = spark.read.text(
-      if (path.endsWith(".vcf")) path else s"$path/*.vcf")
+      if (isVcfName(path)) path else s"$path/*.vcf*")
       .filter(!col("value").startsWith("#"))
     val f = split(col("value"), "\t")
     // try_element_at, not element_at: downstream filters (e.g. on contig)

@@ -88,4 +88,19 @@ class GvcfSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     assert(bySample == expect)
   }
+
+  test("gzipped VCF reads identically to plain text") {
+    val plain = "/root/repo/src/test/resources/oracle_sample.vcf"
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcfgz")
+    val gz = dir.resolve("s.vcf.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(plain)))
+    out.close()
+    def dump(path: String) = Vcf.read(spark, path).entriesTable.df
+      .select(col("contig"), col("position"), col("s"), col("GT"),
+        col("DP")).collect().map(_.toSeq).toSet
+    assert(dump(gz.toString) == dump(plain))
+  }
 }
