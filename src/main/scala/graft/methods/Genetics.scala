@@ -1,10 +1,11 @@
 package graft.methods
 
 import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
-import org.apache.spark.mllib.linalg.distributed.RowMatrix
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.mllib.linalg.distributed.{CoordinateMatrix, MatrixEntry, RowMatrix}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 import graft.{MatrixTable, Table}
 import graft.functions.{Calls, ReferenceGenome, StatTests}
@@ -242,9 +243,12 @@ object Genetics {
     * Spark shape: coefficients are one narrow row-space pass + a scalar
     * aggregate; IBS counts come from the stacked-indicator Gramian
     * (`classPairCounts`) — one distributed treeAggregate, no sample-pair
-    * shuffle (the reference's IBD.scala batches the same arithmetic). */
-  def identityByDescent(mt: MatrixTable, bounded: Boolean = true)
-      : DataFrame = {
+    * shuffle (the reference's IBD.scala batches the same arithmetic).
+    * Past `distributeOver` samples the Gramian itself goes distributed
+    * (`classPairCountsDF`) and the per-pair estimators run as a
+    * distributed map — nothing S²-sized ever lands on the driver. */
+  def identityByDescent(mt: MatrixTable, bounded: Boolean = true,
+      distributeOver: Int = PairCountDistributeOver): DataFrame = {
     // per-variant PLINK expectation coefficients from ref-allele counts
     val cs = Qc.callStatsFold(col(MatrixTable.EntriesField),
       size(col("alt")) + 1)
@@ -297,13 +301,31 @@ object Genetics {
         .when(Calls.isHet(gt), 3)
         .otherwise(4)
     })
-    val pairCounts = classPairCounts(biallelic, doseClass)
+    val pairCounts = classPairCountsDF(biallelic, doseClass, distributeOver)
     val idIdx = mt.colSchema.fieldIndex(mt.colKey.head)
-    def id(i: Int) = mt.colValues(i).get(idIdx)
+    val idsB = mt.spark.sparkContext.broadcast(
+      mt.colValues.map(_.get(idIdx)))
+    val idType = mt.colSchema.fields(idIdx).dataType
+    val outSchema = StructType(Seq(
+      StructField("s_i", idType), StructField("s_j", idType),
+      StructField("ibs0", LongType, false),
+      StructField("ibs1", LongType, false),
+      StructField("ibs2", LongType, false),
+      StructField("Z0", DoubleType, false),
+      StructField("Z1", DoubleType, false),
+      StructField("Z2", DoubleType, false),
+      StructField("PI_HAT", DoubleType, false)))
+    val boundedL = bounded
     // pairs sharing no called site produce no estimate (as the
-    // coordinate-join formulation's inner join implied)
-    val rows = pairCounts.filter(_._11 > 0).map { case (i0, j0,
-        h0h0, h0h1, h1h0, h1h1, h0c, ch0, h1c, ch1, cc) =>
+    // coordinate-join formulation's inner join implied); the estimator
+    // arithmetic is a distributed per-pair map, never a driver loop
+    pairCounts.filter(col("cc") > 0).map { r =>
+      def id(i: Int) = idsB.value(i)
+      val (i0, j0) = (r.getInt(0), r.getInt(1))
+      val (h0h0, h0h1, h1h0, h1h1, h0c, ch0, h1c, ch1, cc) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+          r.getLong(10))
       val (si, sj) =
         if (id(i0).toString <= id(j0).toString) (id(i0), id(j0))
         else (id(j0), id(i0))
@@ -317,7 +339,7 @@ object Genetics {
       val z1 = (ibs1 - z0 * e10m * n) / (e11m * n)
       val z2 = (ibs2 - z0 * e20m * n - z1 * e21m * n) / n
       val (b0, b1, b2) =
-        if (!bounded) (z0, z1, z2)
+        if (!boundedL) (z0, z1, z2)
         else {
           val c0 =
             if (z0 > 1) 1.0 else if (z1 > 1 || z2 > 1) 0.0
@@ -337,19 +359,7 @@ object Genetics {
           (c0, c1, c2)
         }
       Row(si, sj, ibs0, ibs1, ibs2, b0, b1, b2, b1 / 2 + b2)
-    }
-    val idType = mt.colSchema.fields(idIdx).dataType
-    mt.spark.createDataFrame(
-      mt.spark.sparkContext.parallelize(rows.toSeq, 1),
-      StructType(Seq(
-        StructField("s_i", idType), StructField("s_j", idType),
-        StructField("ibs0", LongType, false),
-        StructField("ibs1", LongType, false),
-        StructField("ibs2", LongType, false),
-        StructField("Z0", DoubleType, false),
-        StructField("Z1", DoubleType, false),
-        StructField("Z2", DoubleType, false),
-        StructField("PI_HAT", DoubleType, false))))
+    }(Encoders.row(outSchema)).toDF()
   }
 
   /** All pairwise genotype-class co-occurrence counts via ONE Gramian.
@@ -388,6 +398,100 @@ object Genetics {
       l(i, j), l(i, n + j), l(n + i, j), l(n + i, n + j),
       l(i, 2 * n + j), l(2 * n + i, j), l(n + i, 2 * n + j),
       l(2 * n + i, n + j), l(2 * n + i, 2 * n + j))
+  }
+
+  /** Samples above which `classPairCountsDF` switches from the
+    * driver-local Gramian (one treeAggregate, 3S×3S local result — fast
+    * and fine to ~5k samples ≈ 1.8 GB) to the fully distributed
+    * BlockMatrix product. */
+  val PairCountDistributeOver = 5000
+
+  private val pairCountsSchema = StructType(
+    StructField("i", IntegerType, false) ::
+    StructField("j", IntegerType, false) ::
+    List("h0h0", "h0h1", "h1h0", "h1h1", "h0c", "ch0", "h1c", "ch1",
+      "cc").map(StructField(_, LongType, false)))
+
+  /** `classPairCounts` as a DataFrame of (i, j (i<j), 9 block counts).
+    *
+    * Small S: the local-Gramian fast path. Large S (> `distributeOver`):
+    * the V×3S stacked indicator matrix becomes an MLlib BlockMatrix,
+    * G = MᵀM runs as the distributed block-cogroup multiply (the
+    * reference's `relatedness/king.py` BlockMatrix-matmul shape), and
+    * G's blocks are flat-mapped straight into per-pair slot records and
+    * combined by (i, j) — the 3S×3S Gramian and the S²/2 pair rows stay
+    * distributed end to end; driver memory is O(1). */
+  private[methods] def classPairCountsDF(mt: MatrixTable, classes: Column,
+      distributeOver: Int = PairCountDistributeOver,
+      blockSize: Int = 1024): DataFrame = {
+    val n = mt.nCols
+    if (n <= distributeOver) {
+      val rows = classPairCounts(mt, classes).map {
+        case (i, j, a, b, c, d, e, f, g, h, k) =>
+          Row(i, j, a, b, c, d, e, f, g, h, k)
+      }
+      mt.spark.createDataFrame(
+        mt.spark.sparkContext.parallelize(rows, 1), pairCountsSchema)
+    } else {
+      val spark = mt.spark
+      val vec = concat(
+        transform(classes, c => (c === 2).cast("double")),
+        transform(classes, c => (c === 3).cast("double")),
+        transform(classes, c => (c =!= 1).cast("double")))
+      val vecs = mt.rows.select(vec.as("__v")).rdd
+        .map(_.getSeq[Double](0).toArray)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nVariants = vecs.count()
+      val entriesRdd = vecs.zipWithIndex().flatMap { case (v, ri) =>
+        Iterator.range(0, v.length)
+          .filter(v(_) != 0.0)
+          .map(ci => MatrixEntry(ri, ci.toLong, v(ci)))
+      }
+      val m = new CoordinateMatrix(entriesRdd, nVariants, 3L * n)
+        .toBlockMatrix(blockSize, blockSize)
+      val g = m.transpose.multiply(m)
+      // slot layout of a global coordinate a: sample = a % n,
+      // indicator block = a / n (0 = hom-ref, 1 = het, 2 = called)
+      val slotOf = Array(
+        /* (sa,sb): 00 */ 0, /* 01 */ 1, /* 02 */ 4,
+        /* 10 */ 2, /* 11 */ 3, /* 12 */ 6,
+        /* 20 */ 5, /* 21 */ 7, /* 22 */ 8)
+      val bs = blockSize
+      val nL = n
+      val pairRows = g.blocks.flatMap { case ((bi, bj), blk) =>
+        val out = List.newBuilder[((Int, Int), (Int, Double))]
+        val arr = blk.toArray // column-major
+        var c = 0
+        while (c < blk.numCols) {
+          var r = 0
+          while (r < blk.numRows) {
+            val v = arr(c * blk.numRows + r)
+            if (v != 0.0) {
+              val a = bi * bs + r; val b = bj * bs + c
+              val i = a % nL; val j = b % nL
+              if (i < j)
+                out += (((i, j), (slotOf((a / nL) * 3 + (b / nL)), v)))
+            }
+            r += 1
+          }
+          c += 1
+        }
+        out.result()
+      }.aggregateByKey(new Array[Double](9))(
+        { (acc, sv) => acc(sv._1) += sv._2; acc },
+        { (x, y) => var k = 0; while (k < 9) { x(k) += y(k); k += 1 }; x })
+        .map { case ((i, j), acc) =>
+          Row(i, j, math.round(acc(0)), math.round(acc(1)),
+            math.round(acc(2)), math.round(acc(3)), math.round(acc(4)),
+            math.round(acc(5)), math.round(acc(6)), math.round(acc(7)),
+            math.round(acc(8)))
+        }
+      val out = spark.createDataFrame(pairRows, pairCountsSchema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // force, so the indicator RDD can be released
+      vecs.unpersist(blocking = false)
+      out
+    }
   }
 
   /** concordance (reference `qc.py:360`): full-outer join of two matrix
@@ -436,17 +540,34 @@ object Genetics {
     * phi = (N_AaAa - 2 N_opposing_hom) / (N_het_i + N_het_j).
     *
     * All pair counts come from the single stacked-indicator Gramian
-    * (`classPairCounts`) — one distributed pass over the entries, no
-    * sample-pair shuffle. */
-  def king(mt: MatrixTable): DataFrame = {
-    val spark = mt.spark
-    val counts = classPairCounts(mt,
-      transform(mt.entries, e => gtClass(e("GT"))))
+    * (`classPairCountsDF`) — one distributed pass over the entries, no
+    * sample-pair shuffle; past `distributeOver` samples the Gramian and
+    * the per-pair kinship map both run distributed (nothing S²-sized on
+    * the driver). */
+  def king(mt: MatrixTable,
+      distributeOver: Int = PairCountDistributeOver): DataFrame = {
+    val counts = classPairCountsDF(mt,
+      transform(mt.entries, e => gtClass(e("GT"))), distributeOver)
     val idIdx = mt.colSchema.fieldIndex(mt.colKey.head)
-    def id(i: Int) = mt.colValues(i).get(idIdx)
+    val idsB = mt.spark.sparkContext.broadcast(
+      mt.colValues.map(_.get(idIdx)))
+    val idType = mt.colSchema.fields(idIdx).dataType
+    val outSchema = StructType(Seq(
+      StructField("s_i", idType), StructField("s_j", idType),
+      StructField("n_shared", LongType, false),
+      StructField("n_het_i", LongType, false),
+      StructField("n_het_j", LongType, false),
+      StructField("n_het_het", LongType, false),
+      StructField("n_opp_hom", LongType, false),
+      StructField("phi", DoubleType)))
     // pairs sharing no called site are absent (inner-join semantics)
-    val rows = counts.filter(_._11 > 0).map { case (i0, j0,
-        h0h0, h0h1, h1h0, h1h1, h0c, ch0, h1c, ch1, cc) =>
+    counts.filter(col("cc") > 0).map { r =>
+      def id(i: Int) = idsB.value(i)
+      val (i0, j0) = (r.getInt(0), r.getInt(1))
+      val (h0h0, h0h1, h1h0, h1h1, h0c, ch0, h1c, ch1, cc) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+          r.getLong(10))
       // order the pair by sample id (the join formulation sorted on id);
       // swapping transposes the asymmetric blocks
       val swap = id(i0).toString > id(j0).toString
@@ -459,17 +580,6 @@ object Genetics {
         if (hetI + hetJ > 0)
           (hetHet.toDouble - 2.0 * oppHom) / (hetI + hetJ) else null
       Row(si, sj, cc, hetI, hetJ, hetHet, oppHom, phi)
-    }
-    val idType = mt.colSchema.fields(idIdx).dataType
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1),
-      StructType(Seq(
-        StructField("s_i", idType), StructField("s_j", idType),
-        StructField("n_shared", LongType, false),
-        StructField("n_het_i", LongType, false),
-        StructField("n_het_j", LongType, false),
-        StructField("n_het_het", LongType, false),
-        StructField("n_opp_hom", LongType, false),
-        StructField("phi", DoubleType))))
+    }(Encoders.row(outSchema)).toDF()
   }
 }

@@ -146,6 +146,45 @@ class RelatednessSpec extends SparkSpec {
     assert(female("chrY") == 5)
   }
 
+  test("king distributed BlockMatrix path matches the local Gramian") {
+    val mt = fixtureMt()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("s_i"), r.getAs[String]("s_j"))
+    val local = methods.Genetics.king(mt).collect().map(r => key(r) -> r)
+      .toMap
+    // distributeOver = 1 forces the distributed MᵀM + per-pair map path
+    val dist = methods.Genetics.king(mt, distributeOver = 1).collect()
+      .map(r => key(r) -> r).toMap
+    assert(local.keySet == dist.keySet && local.nonEmpty)
+    local.foreach { case (k, l) =>
+      val d = dist(k)
+      (2 to 6).foreach(i => assert(l.getLong(i) == d.getLong(i),
+        s"$k field $i: ${l.getLong(i)} vs ${d.getLong(i)}"))
+      assert(math.abs(l.getAs[Double]("phi") - d.getAs[Double]("phi"))
+        < 1e-12, s"$k phi")
+    }
+  }
+
+  test("identityByDescent distributed path matches the local Gramian") {
+    val mt = fixtureMt()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("s_i"), r.getAs[String]("s_j"))
+    val local = methods.Genetics.identityByDescent(mt).collect()
+      .map(r => key(r) -> r).toMap
+    val dist = methods.Genetics
+      .identityByDescent(mt, distributeOver = 1).collect()
+      .map(r => key(r) -> r).toMap
+    assert(local.keySet == dist.keySet && local.nonEmpty)
+    local.foreach { case (k, l) =>
+      val d = dist(k)
+      Seq("ibs0", "ibs1", "ibs2").foreach(f =>
+        assert(l.getAs[Long](f) == d.getAs[Long](f), s"$k $f"))
+      Seq("Z0", "Z1", "Z2", "PI_HAT").foreach(f =>
+        assert(math.abs(l.getAs[Double](f) - d.getAs[Double](f)) < 1e-12,
+          s"$k $f"))
+    }
+  }
+
   test("tdt hemiX copy state counts only het-mother transmissions") {
     implicit val rg: ReferenceGenome = ReferenceGenome.GRCh38
     val vcf =
