@@ -84,6 +84,7 @@ object Vcf {
     * bgzip files are decompressed through the Hadoop codec factory (bgzip
     * is concatenated-gzip, which Hadoop's gzip decompressor accepts). */
   def readHeader(spark: SparkSession, path: String): Header = {
+    BGzip.register(spark)
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -189,6 +190,7 @@ object Vcf {
     * field per non-GT FORMAT declaration. A bare "." sample entry is a
     * missing (null) entry struct. */
   def read(spark: SparkSession, path: String): MatrixTable = {
+    BGzip.register(spark) // .vcf.bgz files scan as parallel block splits
     val header = readHeader(spark, path)
     val n = header.samples.length
     val raw = spark.read.text(
@@ -287,8 +289,9 @@ object Vcf {
     * matching the reference's sharded export, `io/vcf/ExportVCF.scala`).
     * Renders GT plus every other entry field; INFO struct fields are emitted
     * by declaration (Flag → bare name, arrays comma-joined, nulls skipped). */
-  def write(mt: MatrixTable, path: String): Unit = {
+  def write(mt: MatrixTable, path: String, bgz: Boolean = false): Unit = {
     val spark = mt.rows.sparkSession
+    if (bgz) BGzip.register(spark)
     val entrySchema = mt.rows.schema(MatrixTable.EntriesField).dataType
       .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
     val fmtFields = entrySchema.fields.filterNot(f =>
@@ -333,8 +336,9 @@ object Vcf {
     val sorted = mt.rows
       .repartitionByRange(col("contig"), col("position"))
       .sortWithinPartitions(col("contig"), col("position"))
-    sorted.select(gtLine.as("value")).write.mode("overwrite")
-      .text(s"$path/parts")
+    val writer = sorted.select(gtLine.as("value")).write.mode("overwrite")
+    (if (bgz) writer.option("compression", classOf[BGzipCodec].getName)
+     else writer).text(s"$path/parts")
     // header (driver-side, tiny)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
