@@ -90,11 +90,66 @@ final case class Table(
   def explodeField(field: String): Table =
     copy(df = df.withColumn(field, explode(col(field))), keySorted = false)
 
+  /** TableExplode on a NESTED path (`TableIR.scala:2394` takes a full
+    * path, not just a top-level field): one output row per element of
+    * the array at `path`, with that array position replaced by the
+    * element and every enclosing struct preserved. `withField` rewrites
+    * the nested slot without reshaping the row. */
+  def explodePath(path: String*): Table = {
+    require(path.nonEmpty)
+    if (path.length == 1) explodeField(path.head)
+    else copy(df = df
+      .withColumn("__elt", explode(col(path.mkString("."))))
+      .withColumn(path.head,
+        col(path.head).withField(path.tail.mkString("."), col("__elt")))
+      .drop("__elt"), keySorted = false)
+  }
+
   /** TableMapPartitions (`TableIR.scala:2338`). */
   def mapPartitionsRows(f: Iterator[Row] => Iterator[Row],
       schema: org.apache.spark.sql.types.StructType): Table =
     copy(df = df.mapPartitions(f)(
       org.apache.spark.sql.Encoders.row(schema)).toDF(), keySorted = false)
+
+  // ---- external-process apply ---------------------------------------------
+
+  /** TableToTableApply via an external process (reference
+    * `expr/ir/functions/RelationalFunctions.scala` registry — the shape
+    * VEP/Nirvana annotators run as, `methods/qc.py` `vep`): every
+    * partition streams its rows to `cmd` as JSON lines on stdin and
+    * parses the process's stdout as JSON lines with `outSchema`. Built
+    * on `RDD.pipe`, which owns subprocess lifecycle and stderr pumping,
+    * so an annotator scales with partitions like any other map — no
+    * driver round-trip. Output cardinality is the process's business
+    * (filters and fan-out both work). */
+  def pipeJson(cmd: Seq[String],
+      outSchema: org.apache.spark.sql.types.StructType,
+      env: Map[String, String] = Map.empty): Table = {
+    val out = df.toJSON.rdd.pipe(cmd, env)
+    val ds = spark.createDataset(out)(
+      org.apache.spark.sql.Encoders.STRING)
+    copy(df = ds.select(from_json(col("value"), outSchema).as("__r"))
+      .select("__r.*"), keySorted = false)
+  }
+
+  /** `pipeJson` with TSV framing for line-oriented unix tools: rows go
+    * out via codegen'd `to_csv` (tab-separated, no header) and come back
+    * through `from_csv` with `outSchema` — both stay inside whole-stage
+    * codegen on either side of the subprocess hop. */
+  def pipeTsv(cmd: Seq[String],
+      outSchema: org.apache.spark.sql.types.StructType,
+      env: Map[String, String] = Map.empty): Table = {
+    import scala.jdk.CollectionConverters._
+    val opts = Map("sep" -> "\t")
+    val lines = df.select(to_csv(struct(df.columns.map(col): _*),
+      opts.asJava).as("value"))
+    val out = lines.as(org.apache.spark.sql.Encoders.STRING)
+      .rdd.pipe(cmd, env)
+    val ds = spark.createDataset(out)(
+      org.apache.spark.sql.Encoders.STRING)
+    copy(df = ds.select(from_csv(col("value"), outSchema, opts).as("__r"))
+      .select("__r.*"), keySorted = false)
+  }
 
   // ---- globals ------------------------------------------------------------
 
@@ -124,15 +179,15 @@ final case class Table(
   def orderBy(cols: Column*): Table =
     copy(df = df.orderBy(cols: _*), key = Nil, keySorted = false)
 
-  /** TableHead (`TableIR.scala:2156`) — first n rows in key order. Spark's
-    * CollectLimitExec probes partitions incrementally, same trick as the
-    * reference's progressive head. */
-  def head(n: Int): Table = {
-    val t = ensureKeyOrder()
+  /** TableHead (`TableIR.scala:2156`) — first n rows in key order.
+    * `sort(key).limit(n)` compiles to TakeOrderedAndProject: per-
+    * partition top-n merged on the driver, NO exchange — so head never
+    * pays the `ensureKeyOrder` range shuffle (which would sort ALL rows
+    * to keep n). */
+  def head(n: Int): Table =
     if (key.isEmpty) copy(df = df.limit(n))
-    else copy(df = t.df.sort(keyCols.map(_.asc_nulls_last): _*).limit(n),
+    else copy(df = df.sort(keyCols.map(_.asc_nulls_last): _*).limit(n),
       keySorted = false)
-  }
 
   /** TableTail (`TableIR.scala:2167`) — last n rows in key order. */
   def tail(n: Int): Table = {
@@ -328,12 +383,26 @@ final case class Table(
   // ---- native format ------------------------------------------------------
 
   /** Native write (reference `TableNativeWriter`, `TableWriter.scala:243`):
-    * key-sorted Parquet + a JSON manifest carrying key + globals. Parquet
-    * min/max stats replace the reference's per-partition B-tree index. */
+    * key-sorted Parquet + a JSON manifest carrying key + globals + the
+    * per-file [min, max] range of the leading key (the Spark-native form
+    * of the reference's per-partition index/partitioner metadata). The
+    * range census is one column-pruned scan of the files just written.
+    * `queryTable` prunes files against these ranges driver-side — at
+    * 100 TB that skips whole files without even opening their footers,
+    * on top of Parquet's own row-group stats inside surviving files. */
   def write(path: String): Unit = {
     val t = ensureKeyOrder()
     t.df.write.mode("overwrite").parquet(s"$path/rows")
-    val meta = NativeFormat.manifestJson(key, globals)
+    val fileRanges: Seq[(String, Any, Any)] =
+      if (key.isEmpty) Nil
+      else spark.read.parquet(s"$path/rows")
+        .groupBy(input_file_name().as("__f"))
+        .agg(min(col(key.head)).as("__lo"), max(col(key.head)).as("__hi"))
+        .collect()
+        .map(r => (r.getString(0).split("/").last, r.get(1), r.get(2)))
+        .sortBy(_._1)
+        .toSeq
+    val meta = NativeFormat.manifestJson(key, globals, fileRanges)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/metadata.json"))
@@ -356,14 +425,21 @@ object Table {
 
   /** query_table (reference `functions.py` `query_table`,
     * `StagedIndexReader`): point / range reads against a native-format
-    * table WITHOUT a full scan — the key predicate is applied directly to
-    * the parquet scan so row-group/file min-max stats skip non-matching
-    * files (the data was written key-sorted, so each file covers a tight
-    * key range; this is the Parquet replacement for the reference's
-    * per-partition B-tree index). */
+    * table WITHOUT a full scan. Two pruning layers: (1) the manifest's
+    * per-file key ranges select the candidate FILES driver-side — no
+    * footer read, no task, for files whose range misses the query; (2)
+    * the key predicate still reaches the parquet scan of surviving
+    * files, so row-group min/max stats skip within them. Together these
+    * are the Parquet-native replacement for the reference's
+    * per-partition B-tree index. */
   def queryTable(spark: SparkSession, path: String,
       lo: Any, hi: Any, inclusiveHi: Boolean = false): Table = {
-    val t = read(spark, path)
+    val t = readPruned(spark, path) { (flo, fhi) =>
+      // file range [flo, fhi] overlaps query [lo, hi) / [lo, hi]
+      NativeFormat.cmp(fhi, lo) >= 0 &&
+        (if (inclusiveHi) NativeFormat.cmp(flo, hi) <= 0
+         else NativeFormat.cmp(flo, hi) < 0)
+    }
     require(t.key.nonEmpty, s"$path has no key")
     val k = col(t.key.head)
     val hiPred = if (inclusiveHi) k <= lit(hi) else k < lit(hi)
@@ -373,9 +449,32 @@ object Table {
   /** Single-key point lookup. */
   def queryTablePoint(spark: SparkSession, path: String, key: Any)
       : Table = {
-    val t = read(spark, path)
+    val t = readPruned(spark, path) { (flo, fhi) =>
+      NativeFormat.cmp(flo, key) <= 0 && NativeFormat.cmp(fhi, key) >= 0
+    }
     require(t.key.nonEmpty, s"$path has no key")
     t.copy(df = t.df.filter(col(t.key.head) === lit(key)))
+  }
+
+  /** Native read keeping only files whose manifest key range passes
+    * `keep`. Falls back to the full directory when the manifest predates
+    * file ranges. If every file is pruned, reads the full schema with a
+    * false filter (schema must survive). */
+  private def readPruned(spark: SparkSession, path: String)(
+      keep: (Any, Any) => Boolean): Table = {
+    val (key, globals, files) = NativeFormat.readManifestFull(spark, path)
+    if (files.isEmpty) read(spark, path)
+    else {
+      val matching = files.collect {
+        case (f, lo, hi) if lo == null || hi == null || keep(lo, hi) =>
+          s"$path/rows/$f"
+      }
+      val df =
+        if (matching.isEmpty)
+          spark.read.parquet(s"$path/rows").filter(lit(false))
+        else spark.read.parquet(matching: _*)
+      Table(df, key, globals, keySorted = false)
+    }
   }
 
   /** TableRange (`TableIR.scala:2123`). */
@@ -390,6 +489,18 @@ object Table {
       schema: org.apache.spark.sql.types.StructType): Table =
     Table(spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq), schema))
+
+  /** TableLiteral (`TableIR.scala:133`): a driver-local literal table.
+    * Unlike `parallelize` this builds a Catalyst LocalRelation (no RDD):
+    * joins against it broadcast without a shuffle stage and filters on
+    * it constant-fold — the right shape for small lookup/config tables
+    * referenced inside big plans. */
+  def literal(spark: SparkSession, rows: Seq[Row],
+      schema: org.apache.spark.sql.types.StructType,
+      key: Seq[String] = Nil): Table = {
+    import scala.jdk.CollectionConverters._
+    Table(spark.createDataFrame(rows.asJava, schema), key)
+  }
 
   /** TableGen (`TableIR.scala:2094`): generate one partition per context
     * value with a user body — the escape hatch for custom sources. Each
@@ -408,29 +519,51 @@ object Table {
 }
 
 private[graft] object NativeFormat {
-  def manifestJson(key: Seq[String], globals: Map[String, Any]): String = {
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
-    def jval(v: Any): String = v match {
-      case null => "null"
-      case s: String => "\"" + esc(s) + "\""
-      case b: Boolean => b.toString
-      case n: Int => n.toString
-      case n: Long => n.toString
-      case n: Double => n.toString
-      case n: Float => n.toString
-      case other => "\"" + esc(other.toString) + "\""
-    }
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + esc(s) + "\""
+    case b: Boolean => b.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Double => n.toString
+    case n: Float => n.toString
+    case other => "\"" + esc(other.toString) + "\""
+  }
+
+  def manifestJson(key: Seq[String], globals: Map[String, Any],
+      fileRanges: Seq[(String, Any, Any)] = Nil): String = {
     val ks = key.map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")
     val gs = globals.map { case (k, v) => "\"" + esc(k) + "\":" + jval(v) }
       .mkString("{", ",", "}")
-    s"""{"format":"graft-native","version":1,"key":$ks,"globals":$gs}"""
+    val fr = fileRanges.map { case (f, lo, hi) =>
+      s"""{"file":${jval(f)},"lo":${jval(lo)},"hi":${jval(hi)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"format":"graft-native","version":1,"key":$ks,"globals":$gs,"files":$fr}"""
+  }
+
+  /** Order comparator across the scalar key types the manifest can
+    * carry (JSON read-back widens ints to Long, floats to Double). */
+  def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: Boolean, y: Boolean) => x.compareTo(y)
+    case _ => a.toString.compareTo(b.toString)
   }
 
   def readManifest(spark: SparkSession, path: String)
       : (Seq[String], Map[String, Any]) = {
+    val (k, g, _) = readManifestFull(spark, path)
+    (k, g)
+  }
+
+  def readManifestFull(spark: SparkSession, path: String)
+      : (Seq[String], Map[String, Any], Seq[(String, Any, Any)]) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/metadata.json"))
@@ -447,6 +580,13 @@ private[graft] object NativeFormat {
     val globals = gRow.map(g =>
       g.schema.fieldNames.map(f => f -> g.getAs[Any](f)).toMap)
       .getOrElse(Map.empty[String, Any])
-    (key, globals)
+    val files =
+      if (!row.schema.fieldNames.contains("files")) Nil
+      else Option(row.getAs[scala.collection.Seq[Row]]("files"))
+        .getOrElse(Nil).map { fr =>
+          (fr.getAs[String]("file"), fr.getAs[Any]("lo"),
+            fr.getAs[Any]("hi"))
+        }.toSeq
+    (key, globals, files)
   }
 }

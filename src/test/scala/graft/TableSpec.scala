@@ -101,4 +101,79 @@ class TableSpec extends SparkSpec {
     val got = t.orderBy(col("neg").asc).df.collect().map(_.getLong(0))
     assert(got.head === 99L && got.last === 0L)
   }
+
+  test("explodePath explodes a nested array keeping enclosing structs") {
+    val t = rangeTable(3).annotate("s" -> struct(
+      sequence(lit(0), col("idx")).as("a"), lit("tag").as("t")))
+    val got = t.explodePath("s", "a")
+    assert(got.count() === 6) // 1 + 2 + 3
+    val r = got.df.filter(col("idx") === 2).select(
+      col("s")("a").cast("long"), col("s")("t")).collect()
+    assert(r.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(r.forall(_.getString(1) == "tag"))
+  }
+
+  test("literal builds a LocalRelation (no RDD scan) and joins broadcast") {
+    val lt = Table.literal(spark, Seq(Row(1, "one"), Row(2, "two")),
+      StructType(Seq(StructField("k", IntegerType),
+        StructField("name", StringType))), Seq("k"))
+    assert(lt.df.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"))
+    val big = rangeTable(100).annotate("k" -> (col("idx") % 3 + 1)
+      .cast("int")).keyBy("k")
+    val joined = big.join(lt, "inner")
+    assert(joined.df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(joined.count() === 67) // idx%3 in {0,1} → k in {1,2}
+  }
+
+  test("pipeJson through cat is identity; pipeTsv through awk transforms") {
+    val t = rangeTable(50).annotate("v" -> (col("idx") * 2))
+    val schema = StructType(Seq(StructField("idx", LongType),
+      StructField("v", LongType)))
+    val back = t.pipeJson(Seq("/bin/cat"), schema)
+    assert(back.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === t.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // a jq-shaped transform: awk computes a derived third column
+    val outSchema = StructType(Seq(StructField("idx", LongType),
+      StructField("v", LongType), StructField("sum", LongType)))
+    val awk = t.pipeTsv(Seq("awk",
+      "-F\t", "{ OFS=\"\t\"; print $1, $2, $1 + $2 }"), outSchema)
+    val got = awk.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 50)
+    assert(got.forall { case (i, v, s) => v == 2 * i && s == i + v })
+  }
+
+  test("pipe filters and fans out by output cardinality") {
+    val t = rangeTable(10)
+    val schema = StructType(Seq(StructField("idx", LongType)))
+    // keep even rows only (annotator-as-filter)
+    val evens = t.pipeTsv(Seq("awk", "-F\t", "$1 % 2 == 0"), schema)
+    assert(evens.df.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("queryTable prunes files via manifest key ranges; head has no exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qt").toString
+    // 4 range partitions → 4 sorted parquet files with disjoint ranges
+    rangeTable(1000, 4).annotate("v" -> (col("idx") * 3)).write(s"$dir/t")
+    val (_, _, files) = NativeFormat.readManifestFull(spark, s"$dir/t")
+    assert(files.length >= 2, s"expected multiple files, got $files")
+    val q = Table.queryTable(spark, s"$dir/t", 10L, 20L)
+    // driver-side pruning: the scan reads fewer files than the table has
+    val scanned = q.df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned < files.length, s"scanned $scanned of ${files.length}")
+    assert(q.df.collect().map(_.getLong(0)).sorted.toSeq
+      === (10L until 20L))
+    // keyed head compiles to TakeOrderedAndProject — no range exchange
+    val headPlan = q.head(3).df.queryExecution.executedPlan.toString
+    assert(headPlan.contains("TakeOrderedAndProject"), headPlan.take(1500))
+    assert(!headPlan.contains("rangepartitioning"), headPlan.take(1500))
+    assert(q.head(3).df.collect().map(_.getLong(0)).toSeq
+      === Seq(10L, 11L, 12L))
+  }
 }
