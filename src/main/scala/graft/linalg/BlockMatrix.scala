@@ -193,6 +193,27 @@ final case class BlockMatrix(m: MlBlockMatrix) {
     val l = m.toLocalMatrix()
     new BDM(l.numRows, l.numCols, l.toArray)
   }
+
+  /** Native block-layout save (reference `BlockMatrixIR.scala:197`
+    * `BlockMatrixBinaryReader` / `linalg/BlockMatrix.scala` write): one
+    * parquet row per STORED block — (bi, bj, dims, column-major values)
+    * — plus a one-row geometry sidecar. Unlike the entries round-trip
+    * this preserves the grid on disk, so `load` is a partition-parallel
+    * scan with no re-gridding shuffle, and sparsified matrices persist
+    * only their stored blocks. */
+  def save(path: String): Unit = {
+    val spark = SparkSession.active
+    val rows = m.blocks.map { case ((bi, bj), blk) =>
+      (bi, bj, blk.numRows, blk.numCols, blk.toArray)
+    }
+    spark.createDataFrame(rows)
+      .toDF("bi", "bj", "nr", "nc", "values")
+      .write.mode("overwrite").parquet(s"$path/blocks")
+    spark.createDataFrame(Seq((nRows, nCols, m.rowsPerBlock,
+        m.colsPerBlock)))
+      .toDF("n_rows", "n_cols", "rows_per_block", "cols_per_block")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
 }
 
 object BlockMatrix {
@@ -216,6 +237,22 @@ object BlockMatrix {
     val exploded = df.select(col(idxCol).cast("long").as("i"),
       posexplode(col(vecCol)).as(Seq("j", "value")))
     fromEntries(exploded, nRows, nCols, blockSize)
+  }
+
+  /** Load a matrix written by `save`: the grid geometry comes from the
+    * sidecar and every stored block maps straight back into place —
+    * no shuffle, no entry explosion. */
+  def load(spark: SparkSession, path: String): BlockMatrix = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (nr, nc, rpb, cpb) = (meta.getLong(0), meta.getLong(1),
+      meta.getInt(2), meta.getInt(3))
+    val blocks = spark.read.parquet(s"$path/blocks").rdd.map { r =>
+      ((r.getInt(0), r.getInt(1)),
+        Matrices.dense(r.getInt(2), r.getInt(3),
+          r.getSeq[Double](4).toArray)
+          : org.apache.spark.mllib.linalg.Matrix)
+    }
+    BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
   }
 
   /** Local Breeze matrix distributed into blocks. */

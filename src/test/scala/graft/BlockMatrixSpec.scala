@@ -68,6 +68,24 @@ class BlockMatrixSpec extends SparkSpec {
     assert(back == a)
   }
 
+  test("save/load round-trips the block layout at non-default block size") {
+    val a = local(7, 5)((i, j) => math.sin(i * 5.0 + j) * 10)
+    val A = BlockMatrix.fromLocal(spark, a, blockSize = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm").toString
+    A.save(s"$dir/m")
+    val back = BlockMatrix.load(spark, s"$dir/m")
+    assert(back.nRows == 7 && back.nCols == 5 && back.blockSize == 3)
+    assert(back.toLocal == a)
+    // sparsified matrices persist only their stored blocks
+    val banded = BlockMatrix.fromLocal(spark,
+      local(9, 9)((i, j) => i * 9.0 + j), blockSize = 3).sparsifyBand(1)
+    banded.save(s"$dir/band")
+    val bandBack = BlockMatrix.load(spark, s"$dir/band")
+    assert(bandBack.toLocal == banded.toLocal)
+    val storedBlocks = spark.read.parquet(s"$dir/band/blocks").count()
+    assert(storedBlocks == 7) // 3x3 grid minus the two far corners
+  }
+
   test("ldPruneGlobal removes cross-boundary correlated survivors") {
     val mt = Vcf.read(spark,
       "/root/repo/src/test/resources/oracle_sample.vcf")
