@@ -76,7 +76,12 @@ object Bgen {
         }
       } finally src.close()
     }
-    val meta = index(spark, path)
+    // big unindexed file: distribute the first-pass walk (seam-verified;
+    // falls back to the sequential scan if stitching fails)
+    val meta =
+      if (fileLen >= ParallelIndexThreshold)
+        indexParallel(spark, path).getOrElse(index(spark, path))
+      else index(spark, path)
     if (writeIndex) try {
       val out = new java.io.PrintWriter(fs.create(idxP, true))
       try {
@@ -91,16 +96,17 @@ object Bgen {
     meta
   }
 
-  /** Driver-side header + variant-index scan. */
-  def index(spark: SparkSession, path: String): BgenFile = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val raw = fs.open(new org.apache.hadoop.fs.Path(path))
+  private case class HeaderMeta(firstVariantOffset: Long, m: Int, n: Int,
+      compression: Int, sampleIds: Option[IndexedSeq[String]])
+
+  /** Parse the fixed header (+ optional in-file sample block). Tiny
+    * driver-side read; leaves `raw` positioned arbitrarily. */
+  private def headerMeta(path: String, raw: org.apache.hadoop.fs
+      .FSDataInputStream): HeaderMeta = {
+    raw.seek(0)
     val in = new DataInputStream(new java.io.BufferedInputStream(raw))
-    var offset = 0L
     def skip(n: Long): Unit = { var left = n
-      while (left > 0) { val s = in.skip(left); left -= s }
-      offset += n }
+      while (left > 0) { val s = in.skip(left); left -= s } }
     val firstVariant = u32(in)
     val lh = u32(in)
     val m = u32(in).toInt
@@ -108,9 +114,8 @@ object Bgen {
     val magic = str(in, 4)
     require(magic == "bgen" || magic == "\u0000\u0000\u0000\u0000",
       s"$path: bad BGEN magic")
-    offset = 20
     skip(lh - 16 - 4) // free data area (flags are the last 4 header bytes)
-    val flags = u32(in); offset += 4
+    val flags = u32(in)
     val compression = (flags & 3).toInt
     val layout = ((flags >> 2) & 0xf).toInt
     val hasSampleIds = (flags >> 31) == 1
@@ -118,46 +123,201 @@ object Bgen {
     require(compression <= 1,
       s"$path: only zlib/uncompressed supported (compression=$compression)")
     val sampleIds = if (hasSampleIds) {
-      val blockLen = u32(in); val nIds = u32(in).toInt
-      offset += 8
+      u32(in); val nIds = u32(in).toInt
       require(nIds == n, s"$path: sample block count mismatch")
-      val ids = (0 until nIds).map { _ =>
-        val l = u16(in); offset += 2
-        val s = str(in, l); offset += l
-        s
-      }
-      Some(ids.toIndexedSeq)
+      Some((0 until nIds).map { _ => str(in, u16(in)) }.toIndexedSeq)
     } else None
-    // position now at first variant block
-    offset = firstVariant + 4
-    raw.seek(offset)
-    val in2 = new DataInputStream(new java.io.BufferedInputStream(raw))
-    var pos2 = offset
-    def r16(): Int = { pos2 += 2; u16(in2) }
-    def r32(): Long = { pos2 += 4; u32(in2) }
-    def rstr(l: Int): String = { pos2 += l; str(in2, l) }
-    def skip2(nb: Long): Unit = { var left = nb
-      while (left > 0) { val s = in2.skip(left); left -= s }
-      pos2 += nb }
-    val variants = (0 until m).map { _ =>
+    HeaderMeta(firstVariant, m, n, compression, sampleIds)
+  }
+
+  /** Walk variant records sequentially from `startOff`, stopping at the
+    * first record that STARTS at-or-after `until`. Returns the records
+    * and the exact offset where the walk stopped (= the next record's
+    * start, or EOF). Header-only reads — genotype payloads are skipped,
+    * never decompressed. */
+  private def walkVariants(raw: org.apache.hadoop.fs.FSDataInputStream,
+      startOff: Long, until: Long, fileLen: Long, compression: Int)
+      : (IndexedSeq[VariantMeta], Long) = {
+    raw.seek(startOff)
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(raw, 1 << 16))
+    var pos = startOff
+    def r16(): Int = { pos += 2; u16(in) }
+    def r32(): Long = { pos += 4; u32(in) }
+    def rstr(l: Int): String = { pos += l; str(in, l) }
+    def skipN(nb: Long): Unit = { var left = nb
+      while (left > 0) { val s = in.skip(left); left -= s }
+      pos += nb }
+    val out = IndexedSeq.newBuilder[VariantMeta]
+    while (pos < until && pos < fileLen) {
       val lid = r16(); rstr(lid)
       val lrs = r16(); val rsid = rstr(lrs)
       val lchr = r16(); val chrom = rstr(lchr)
-      val pos = r32().toInt
+      val vpos = r32().toInt
       val k = r16()
-      val alleles = (0 until k).map { _ =>
-        val la = r32().toInt; rstr(la)
-      }
+      val alleles = (0 until k).map { _ => rstr(r32().toInt) }
       val c = r32().toInt
-      val d = if (compression == 0) c else { val dd = r32().toInt; dd }
-      val dataOff = pos2
+      val d = if (compression == 0) c else r32().toInt
+      val dataOff = pos
       val compSize = if (compression == 0) c else c - 4
-      skip2(compSize)
-      VariantMeta(rsid, chrom, pos, alleles.toIndexedSeq, dataOff,
+      skipN(compSize)
+      out += VariantMeta(rsid, chrom, vpos, alleles.toIndexedSeq, dataOff,
         compSize, d)
     }
-    in2.close()
-    BgenFile(n, compression, sampleIds, variants.toIndexedSeq)
+    (out.result(), pos)
+  }
+
+  /** Driver-side sequential header + variant-index scan. */
+  def index(spark: SparkSession, path: String): BgenFile = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fileLen = fs.getFileStatus(p).getLen
+    val raw = fs.open(p)
+    try {
+      val h = headerMeta(path, raw)
+      val (variants, _) = walkVariants(raw, h.firstVariantOffset + 4,
+        fileLen, fileLen, h.compression)
+      require(variants.length == h.m,
+        s"$path: walked ${variants.length} variants, header says ${h.m}")
+      BgenFile(h.n, h.compression, h.sampleIds, variants)
+    } finally raw.close()
+  }
+
+  /** Scan forward from `from` for a byte offset that LOOKS like a
+    * variant-record boundary: the record parses under tight sanity
+    * bounds (K = 2, short id/chrom strings, uncompressed size consistent
+    * with the sample count) and so do up to 2 successors inside the
+    * probe window. Heuristic by design — `indexParallel`'s stitch step
+    * verifies every seam exactly and falls back if one lies. Returns -1
+    * when no candidate is found in the window. */
+  private def resyncVariant(raw: org.apache.hadoop.fs.FSDataInputStream,
+      from: Long, fileLen: Long, n: Int, compression: Int,
+      window: Int = 1 << 20): Long = {
+    val winLen = math.min(window.toLong, fileLen - from).toInt
+    if (winLen <= 0) return -1
+    val buf = new Array[Byte](winLen)
+    raw.readFully(from, buf, 0, winLen)
+    def u16At(o: Int): Int = (buf(o) & 0xff) | ((buf(o + 1) & 0xff) << 8)
+    def u32At(o: Int): Long = (buf(o) & 0xffL) |
+      ((buf(o + 1) & 0xffL) << 8) | ((buf(o + 2) & 0xffL) << 16) |
+      ((buf(o + 3) & 0xffL) << 24)
+    val maxD = 16L + 8L * n // layout-2 biallelic block is ~5N+10 bytes
+    // returns the buffer-relative end of a valid record at o, else -1
+    def validRecord(o: Int): Int = {
+      var p = o
+      if (p + 2 > winLen) return -1
+      val lid = u16At(p); p += 2 + lid
+      if (lid > 5000 || p + 2 > winLen) return -1
+      val lrs = u16At(p); p += 2 + lrs
+      if (lrs > 5000 || p + 2 > winLen) return -1
+      val lchr = u16At(p); p += 2 + lchr
+      if (lchr == 0 || lchr > 256 || p + 4 > winLen) return -1
+      p += 4 // position
+      if (p + 2 > winLen) return -1
+      if (u16At(p) != 2) return -1 // K: biallelic only
+      p += 2
+      var a = 0
+      while (a < 2) {
+        if (p + 4 > winLen) return -1
+        val la = u32At(p)
+        if (la == 0 || la > 100000) return -1
+        p += 4 + la.toInt
+        a += 1
+      }
+      if (p + 4 > winLen) return -1
+      val c = u32At(p); p += 4
+      val d =
+        if (compression == 0) c
+        else {
+          if (c < 4 || p + 4 > winLen) return -1
+          val dd = u32At(p); p += 4
+          if (c - 4 > dd + 16384) return -1 // deflate can't expand much
+          dd
+        }
+      if (d > maxD) return -1
+      val end = p.toLong + (if (compression == 0) c else c - 4)
+      if (end > Int.MaxValue) -1 else end.toInt
+    }
+    @annotation.tailrec
+    def validChain(o: Int, depth: Int): Boolean = {
+      val end = validRecord(o)
+      if (end < 0) false
+      else if (depth == 0) true
+      // chain ran off the window or the file: accept what we verified
+      else if (end >= winLen || from + end >= fileLen) true
+      else validChain(end, depth - 1)
+    }
+    var o = 0
+    while (o < winLen) {
+      if (validChain(o, 2)) return from + o
+      o += 1
+    }
+    -1L
+  }
+
+  /** File size beyond which `indexed` runs the first-pass walk as a
+    * Spark job instead of a single driver thread. */
+  val ParallelIndexThreshold: Long = 64L << 20
+
+  /** Distributed first-pass index (the fix for "a 200 GB BGEN's first
+    * import walks every block on one driver thread"): the file is cut at
+    * `splitBytes` boundaries, each task resyncs to a variant-record
+    * boundary (`resyncVariant`) and walks its range, and the driver
+    * stitches the pieces. Exactness comes from the stitch, not the
+    * heuristic: split 0 starts at the header-declared first record, and
+    * every other split's resync offset must equal its left neighbor's
+    * walk-end offset — an induction that proves every piece sits on the
+    * true record chain. Any seam mismatch (or an unfindable boundary)
+    * returns None and the caller falls back to the sequential walk. */
+  def indexParallel(spark: SparkSession, path: String,
+      splitBytes: Long = 32L << 20): Option[BgenFile] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fileLen = fs.getFileStatus(p).getLen
+    val raw = fs.open(p)
+    val h = try headerMeta(path, raw) finally raw.close()
+    val start0 = h.firstVariantOffset + 4
+    val span = fileLen - start0
+    val nSplits = math.min(math.max(1L, span / splitBytes), 10000L).toInt
+    if (nSplits <= 1) return None
+    val bounds = (0 to nSplits).map(i => start0 + span * i / nSplits)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val nL = h.n; val compL = h.compression
+    val pieces = spark.sparkContext
+      .parallelize(0 until nSplits, nSplits)
+      .map { i =>
+        val from = bounds(i); val until = bounds(i + 1)
+        val taskP = new org.apache.hadoop.fs.Path(path)
+        val in = taskP.getFileSystem(conf.value).open(taskP)
+        try {
+          val syncOff =
+            if (i == 0) from
+            else resyncVariant(in, from, fileLen, nL, compL)
+          if (syncOff < 0) (i, -1L, -1L, IndexedSeq.empty[VariantMeta])
+          else {
+            val (vs, end) =
+              walkVariants(in, syncOff, until, fileLen, compL)
+            (i, syncOff, end, vs)
+          }
+        } finally in.close()
+      }
+      .collect()
+      .sortBy(_._1)
+    // stitch: every seam must line up exactly with the neighbor's walk
+    val seamsOk = pieces.head._2 == start0 &&
+      pieces.forall(_._2 >= 0) &&
+      pieces.sliding(2).forall {
+        case Array(a, b) => b._2 == a._3
+        case _ => true
+      } &&
+      pieces.last._3 == fileLen
+    val variants = pieces.iterator.flatMap(_._4).toIndexedSeq
+    if (seamsOk && variants.length == h.m)
+      Some(BgenFile(h.n, h.compression, h.sampleIds, variants))
+    else None
   }
 
   /** Decode one uncompressed layout-2 genotype block into per-sample

@@ -183,6 +183,33 @@ class SourcesSpec extends SparkSpec {
       mt.colValues.map(_.getString(0)))
   }
 
+  test("parallel BGEN index stitches to the sequential walk exactly") {
+    // synthesize a several-hundred-variant BGEN via export
+    val n = 8
+    val lines = new StringBuilder
+    lines ++= "##fileformat=VCFv4.2\n"
+    lines ++= "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"\">\n"
+    lines ++= ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
+      (1 to n).map(i => s"S$i").mkString("\t") + "\n")
+    (1 to 400).foreach { v =>
+      val gts = (1 to n).map(i => s"${v % 2}/${(v + i) % 2}").mkString("\t")
+      lines ++= s"chr1\t${1000 + v}\trs$v\tA\tG\t.\t.\t.\tGT\t$gts\n"
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx")
+    val vcf = dir.resolve("in.vcf")
+    java.nio.file.Files.writeString(vcf, lines.toString)
+    val mt = sources.Vcf.read(spark, vcf.toString)
+    val bgen = s"$dir/out.bgen"
+    sources.Bgen.write(mt, bgen)
+    val seq = sources.Bgen.index(spark, bgen)
+    // small splitBytes → many byte-range tasks, every seam resynced
+    val par = sources.Bgen.indexParallel(spark, bgen, splitBytes = 2048)
+    assert(par.isDefined, "parallel index fell back")
+    assert(par.get.nSamples == seq.nSamples)
+    assert(par.get.variants == seq.variants)
+    assert(par.get.variants.length == 400)
+  }
+
   test("GEN export/import roundtrip preserves probabilities") {
     val mt = sources.Gen.read(spark,
       "/root/repo/src/test/resources/oracle_gen.gen",
