@@ -213,13 +213,24 @@ object Regression {
       info = X.t * Xw
       val resid = y - mu
       if (firth) {
-        val infoInv = inv(info)
-        var i = 0
-        while (i < n) {
-          val xi = X(i, ::).t
-          val h = w(i) * (xi dot (infoInv * xi))
-          resid(i) += h * (0.5 - mu(i))
-          i += 1
+        // singular information (collinear/constant design): no penalized
+        // fit exists — bail out as non-converged instead of throwing
+        // (the UDF must be total; Spark may evaluate it on rows a later
+        // filter would drop)
+        val infoInv =
+          try inv(info)
+          catch { case _: Exception => null }
+        if (infoInv == null) {
+          beta = DenseVector.fill(k)(Double.NaN)
+          iter = 100
+        } else {
+          var i = 0
+          while (i < n) {
+            val xi = X(i, ::).t
+            val h = w(i) * (xi dot (infoInv * xi))
+            resid(i) += h * (0.5 - mu(i))
+            i += 1
+          }
         }
       }
       val grad = X.t * resid
@@ -244,8 +255,10 @@ object Regression {
       val mu = eta.map(e => 1.0 / (1.0 + math.exp(-e)))
       val w = mu.map(m => m * (1.0 - m))
       info = X.t * (X(::, *) *:* w)
-      val c = cholesky(info)
-      ll += (0 until k).map(j => math.log(c(j, j))).sum
+      try {
+        val c = cholesky(info)
+        ll += (0 until k).map(j => math.log(c(j, j))).sum
+      } catch { case _: Exception => converged = false }
     }
     (beta, info, ll, converged)
   }

@@ -49,6 +49,91 @@ class LmmSpec extends SparkSpec {
     assert(f0.h2 < f.h2)
   }
 
+  test("distributed LMM matches a dense REML replay on non-trivial kinship") {
+    import breeze.linalg.{inv, logdet, DenseMatrix => M, DenseVector => V}
+    val mt = fixtureMt()
+    val n = mt.nCols
+    // Toeplitz kinship 0.5^|i-j|: positive definite, non-trivial spectrum
+    val kin = M.tabulate(n, n)((i, j) => math.pow(0.5, math.abs(i - j)))
+    val pheno = mt.colsTable.df
+      .withColumn("y", substring(col("s"), 2, 10).cast("double"))
+    val dist = Lmm.linearMixedRegressionRows(mt, pheno, "y",
+      kinship = Some(kin)).df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)) -> r).toMap
+
+    // independent replay: same REML criterion, NO spectral shortcut —
+    // dense V-inverse solves throughout, so the rotation/eigen machinery
+    // of the distributed path is checked against direct linear algebra
+    val y = V((1 to n).map(_.toDouble).toArray) // substring(s_i, 2) = i
+    def gls(x: M[Double], delta: Double)
+        : (V[Double], M[Double], Double) = {
+      val v = kin + M.eye[Double](n) * delta
+      val vi = inv(v)
+      val xtvx = x.t * vi * x
+      val beta = xtvx \ (x.t * (vi * y))
+      val res = y - x * beta
+      val rss = res dot (vi * res)
+      (beta, inv(xtvx), rss / (n - x.cols))
+    }
+    def negLL(x: M[Double], logDelta: Double): Double = {
+      val delta = math.exp(logDelta)
+      val v = kin + M.eye[Double](n) * delta
+      val vi = inv(v)
+      val xtvx = x.t * vi * x
+      val beta = xtvx \ (x.t * (vi * y))
+      val res = y - x * beta
+      val rss = res dot (vi * res)
+      0.5 * ((n - x.cols) * math.log(rss / (n - x.cols)) +
+        logdet(v)._2 + logdet(xtvx)._2)
+    }
+    // same optimization protocol as Lmm.fit (coarse grid + golden section)
+    val x0 = M.ones[Double](n, 1)
+    val grid = (-80 to 80).map(i => i / 10.0)
+    var (lo, hi) = { val b = grid.minBy(negLL(x0, _)); (b - 0.1, b + 0.1) }
+    val phi = (math.sqrt(5.0) - 1) / 2
+    var c = hi - phi * (hi - lo); var d = lo + phi * (hi - lo)
+    var fc = negLL(x0, c); var fd = negLL(x0, d)
+    while (hi - lo > 1e-6) {
+      if (fc < fd) { hi = d; d = c; fd = fc
+        c = hi - phi * (hi - lo); fc = negLL(x0, c) }
+      else { lo = c; c = d; fc = fd
+        d = lo + phi * (hi - lo); fd = negLL(x0, d) }
+    }
+    val delta = math.exp((lo + hi) / 2)
+
+    // per-variant dense GLS at the fitted delta
+    import graft.functions.Calls
+    val doseRows = mt.rows.select(col("contig"), col("position"),
+      col("ref"), transform(mt.entries,
+        e => Calls.nNonRefAlleles(e("GT")).cast("double")).as("d"))
+      .collect()
+    var checked = 0
+    doseRows.foreach { r =>
+      val raw = r.getSeq[Any](3)
+      val called = raw.collect { case dd: Double => dd }
+      val mean = if (called.nonEmpty) called.sum / called.length else 0.0
+      val g = raw.map { case dd: Double => dd; case _ => mean }.toArray
+      val key = (r.getString(0), r.getInt(1), r.getString(2))
+      val a = M.horzcat(x0, new M(n, 1, g))
+      val distRow = dist(key)
+      if (!distRow.isNullAt(distRow.fieldIndex("beta"))) {
+        val (beta, cov, sigma2) =
+          try gls(a, delta)
+          catch { case _: Exception => (null, null, 0.0) }
+        if (beta != null && cov(1, 1) > 1e-12) {
+          val b = beta(1)
+          val chi2 = b * b / (sigma2 * cov(1, 1))
+          assert(math.abs(distRow.getAs[Double]("beta") - b) < 1e-4,
+            s"$key beta ${distRow.getAs[Double]("beta")} vs $b")
+          assert(math.abs(distRow.getAs[Double]("chi_sq") - chi2) <
+            1e-3 * math.max(1.0, chi2), s"$key chi2")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 10, s"only $checked variants checked")
+  }
+
   test("default kinship path (GRM) runs end to end") {
     val mt = fixtureMt()
     val pheno = mt.colsTable.df
