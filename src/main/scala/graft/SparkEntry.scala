@@ -57,6 +57,57 @@ object SparkEntry {
   private val VcfFixture = "/root/repo/src/test/resources/oracle_sample.vcf"
   private val VcfMultiFixture = "/root/repo/src/test/resources/oracle_multi.vcf"
 
+  /** Literal k=2 PC scores for the `geno_pc_relate_pcs` gate, aligned
+    * with fixture samples S1..S5. Literal (not PCA-derived) so the
+    * oracle can embed the hat matrix X(XᵀX)⁻¹Xᵀ as constants. */
+  private val PcRelateScores: IndexedSeq[Array[Double]] = IndexedSeq(
+    Array(-2.0, 1.0), Array(-1.0, -1.0), Array(0.0, 1.0),
+    Array(1.0, -1.0), Array(2.0, 1.0))
+
+  /** Golden oracle for `lmm_kinship` (literal VALUES): regenerate with
+    * `tools/gen_goldens.py` after an intentional numeric change. The
+    * numbers are independently reproduced — dense non-spectral REML
+    * replay, 1e-4 agreement — by LmmSpec "dense REML replay". */
+  private val LmmKinshipGolden: String =
+    """SELECT contig, CAST(position AS INTEGER) AS position, ref,
+      |  CAST(beta AS DOUBLE) AS beta, CAST(chi_sq AS DOUBLE) AS chi_sq
+      |FROM (VALUES ('chr1', 215, 'C', 0.65158, 0.2149),
+      |  ('chr1', 333, 'G', 0.38904, 0.6565),
+      |  ('chr1', 612, 'G', -0.67751, 0.5559),
+      |  ('chr1', 993, 'T', 0.09222, 0.0215),
+      |  ('chr1', 1161, 'C', -0.10126, 0.0058),
+      |  ('chr1', 1436, 'C', 1.88496, 3.0917),
+      |  ('chr1', 1568, 'A', 0.6482, 0.4271),
+      |  ('chr1', 2022, 'G', -0.79061, 0.8113),
+      |  ('chr1', 2242, 'A', 0.0, 0.0),
+      |  ('chr1', 2548, 'C', -0.03153, 0.0018),
+      |  ('chr1', 2882, 'T', 0.63682, 0.1958),
+      |  ('chr1', 3093, 'A', 0.18443, 0.0215),
+      |  ('chr1', 3503, 'A', 0.20026, 0.047),
+      |  ('chr1', 3646, 'T', 0.18417, 0.0874),
+      |  ('chr1', 3787, 'G', -0.79061, 0.8113),
+      |  ('chr1', 4057, 'C', -1.88496, 3.0917),
+      |  ('chr1', 4153, 'G', 0.0, 0.0),
+      |  ('chr1', 4271, 'G', 0.21397, 0.0889),
+      |  ('chr2', 295, 'G', -0.29853, 0.1924),
+      |  ('chr2', 353, 'G', 0.22945, 0.1097),
+      |  ('chr2', 564, 'A', -0.20617, 0.024),
+      |  ('chr2', 628, 'T', 0.34989, 0.0829),
+      |  ('chr2', 1093, 'T', 0.79061, 0.8113),
+      |  ('chr2', 1465, 'C', -0.13479, 0.0315),
+      |  ('chr2', 1515, 'C', -0.67751, 0.5559),
+      |  ('chr2', 1593, 'A', -1.40006, 9.1919),
+      |  ('chr2', 2032, 'G', 0.18443, 0.0215),
+      |  ('chr2', 2453, 'T', 0.63682, 0.1958),
+      |  ('chr2', 2895, 'T', -0.53862, 0.5959),
+      |  ('chr2', 3188, 'T', -0.18443, 0.0215))
+      |  AS t(contig, position, ref, beta, chi_sq)""".stripMargin
+
+  /** Golden per-group SKAT p-values for `geno_skat_p` (see
+    * `tools/gen_goldens.py`; imhofTail exactness proven in SkatSpec). */
+  private val SkatPGolden: String =
+    "('chr1', 0.463908), ('chr2', 0.381543)"
+
   /** DuckDB CTE parsing a committed VCF fixture into one row per
     * (variant, sample) with gt/a1/a2/dp — shared by the genetics oracles. */
   private def vcfParseCte(path: String, skip: Int, samples: Seq[String])
@@ -136,6 +187,23 @@ object SparkEntry {
             (lit(1.0) - col("l_discount"))),
           "avg_qty" -> round(dsum(col("l_quantity")) / count(lit(1)), 6),
           "count_order" -> count(lit(1))).df),
+
+    // --- TableLiteral (`TableIR.scala:133`): a LocalRelation literal
+    // lookup table broadcast-joined onto a keyed aggregate -----------------
+    "table_literal_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val labels = Table.literal(s,
+        Seq(org.apache.spark.sql.Row("A", "accepted"),
+          org.apache.spark.sql.Row("N", "none"),
+          org.apache.spark.sql.Row("R", "returned")),
+        StructType(Seq(StructField("l_returnflag", StringType),
+          StructField("label", StringType))),
+        Seq("l_returnflag"))
+      Table(t(s, dir, "lineitem"), Seq("l_returnflag"))
+        .aggregateByKey("sum_qty" -> dsum(col("l_quantity")))
+        .join(labels, "inner").df
+        .select(col("l_returnflag"), col("label"), col("sum_qty"))
+    }),
 
     // --- TableKeyByAndAggregate (`TableIR.scala:2472`): new computed key ---
     "table_key_by_and_aggregate" -> ((s, dir) =>
@@ -1086,6 +1154,59 @@ object SparkEntry {
           (round(col("ibd2"), 6) + lit(0.0)).as("ibd2"))
     }),
 
+    // --- pc_relate with k=2 LITERAL PC scores (relatedness/pc_relate.py
+    // `scores_expr=` path): mu comes from regressing imputed dosage on
+    // [1|pc1|pc2]; with literal scores the hat matrix is a constant the
+    // oracle embeds, so the FULL PC-adjusted estimator is SQL-checked ------
+    "geno_pc_relate_pcs" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.PcRelate.pcRelate(mt, PcRelateScores.map(_.clone()),
+        minIndividualMaf = 0.05)
+        .select(col("i"), col("j"),
+          (round(col("kin"), 6) + lit(0.0)).as("kin"),
+          (round(col("ibd0"), 6) + lit(0.0)).as("ibd0"),
+          (round(col("ibd1"), 6) + lit(0.0)).as("ibd1"),
+          (round(col("ibd2"), 6) + lit(0.0)).as("ibd2"))
+    }),
+
+    // --- linear_mixed_regression_rows with NON-TRIVIAL kinship (the
+    // FaST-LMM spectral path end to end: eigendecomposition, REML delta,
+    // distributed rotation, per-variant weighted GLS). Oracle = literal
+    // golden values; provenance: LmmSpec's "dense REML replay" test
+    // recomputes these with direct V-inverse linear algebra (no spectral
+    // shortcut) and asserts agreement to 1e-4 ------------------------------
+    "lmm_kinship" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val n = mt.nCols
+      val kin = breeze.linalg.DenseMatrix.tabulate(n, n)((i, j) =>
+        math.pow(0.5, math.abs(i - j)))
+      val pheno = mt.colsTable.df
+        .withColumn("y", substring(col("s"), 2, 10).cast("double"))
+      methods.Lmm.linearMixedRegressionRows(mt, pheno, "y",
+        kinship = Some(kin)).df
+        .filter(col("beta").isNotNull)
+        .select(col("contig"), col("position"), col("ref"),
+          (round(col("beta"), 5) + lit(0.0)).as("beta"),
+          (round(col("chi_sq"), 4) + lit(0.0)).as("chi_sq"))
+    }),
+
+    // --- skat with the Imhof mixture p-value (statgen.py:2870 returns
+    // p_value; the q_stat column is the exact-SQL anchor and p is a
+    // literal golden; provenance: SkatSpec proves imhofTail exact against
+    // closed-form chi-square mixture tails) --------------------------------
+    "geno_skat_p" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val pheno = mt.colsTable.df
+        .withColumn("y", substring(col("s"), 2, 10).cast("double"))
+      methods.Skat.skat(mt, pheno, "y", Nil,
+        keyExpr = col("contig"),
+        weightExpr = lit(1.0) /
+          (pmod(col("position"), lit(7)) + 1).cast("double"))
+        .select(col("id"), col("size"),
+          round(col("q_stat"), 6).as("q_stat"),
+          round(col("p_value"), 6).as("p_value"))
+    }),
+
     // --- skat (statgen.py:2870, Skat.scala): linear variance-component
     // score per key group; q_stat is a closed quadratic form the oracle
     // reproduces exactly (p_value is spec-tested — mixture CDF) ----------
@@ -1155,6 +1276,39 @@ object SparkEntry {
           col("n11") + col("n10") > 0 &&
           col("n01") + col("n00") > 0)
         .select(col("contig"), col("position"), col("ref"), col("n"),
+          round(col("chi_sq_stat"), 6).as("chi_sq_stat"))
+    }),
+
+    // --- logistic_regression_rows test='firth' (statgen.py:731;
+    // LogisticRegression.scala firth kernel): with binary x the penalized
+    // (Jeffreys) fit is closed-form — the modified score equations reduce
+    // to the add-half rule mu1=(n11+.5)/(m1+1), mu0=(n01+.5)/(m0+1), and
+    // the null to mu=(k+.5)/(n+1), so beta, se, and the penalized
+    // deviance are all exact cell arithmetic the oracle can replay ---------
+    "logistic_firth" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val pheno = mt.colsTable.df.withColumn("y",
+        (substring(col("s"), 2, 10).cast("int") % 2).cast("double"))
+      val fit = methods.Regression.logisticRegressionRows(mt, pheno, "y",
+        xOf = gt => (Calls.nNonRefAlleles(gt) > 0).cast("double"),
+        test = "firth").df
+      val e = mt.entriesTable.df.join(broadcast(pheno), Seq("s"))
+        .filter(col("GT").isNotNull)
+        .withColumn("x", (Calls.nNonRefAlleles(col("GT")) > 0).cast("int"))
+      val cells = e.groupBy(col("contig"), col("position"), col("ref"))
+        .agg(
+          sum(col("x") * col("y")).cast("long").as("n11"),
+          sum(col("x") * (lit(1.0) - col("y"))).cast("long").as("n10"),
+          sum((lit(1) - col("x")) * col("y")).cast("long").as("n01"),
+          sum((lit(1) - col("x")) * (lit(1.0) - col("y"))).cast("long")
+            .as("n00"))
+      fit.join(cells, Seq("contig", "position", "ref"))
+        .filter(col("n11") > 0 && col("n10") > 0 && col("n01") > 0 &&
+          col("n00") > 0)
+        .select(col("contig"), col("position"), col("ref"), col("n"),
+          round(col("beta"), 6).as("beta"),
+          round(col("standard_error"), 6).as("standard_error"),
           round(col("chi_sq_stat"), 6).as("chi_sq_stat"))
     }),
 
@@ -1242,6 +1396,14 @@ object SparkEntry {
         |  round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
         |  l_returnflag = 'R' AS is_return
         |FROM lineitem""".stripMargin,
+
+    "table_literal_join" ->
+      """SELECT l_returnflag, label,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned'))
+        |  AS m(l_returnflag, label) USING (l_returnflag)
+        |GROUP BY l_returnflag, label""".stripMargin,
 
     "table_aggregate_by_key" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2313,6 +2475,47 @@ object SparkEntry {
         |FROM f""".stripMargin
     },
 
+    // firth penalized fit on the 2x2 cells: add-half group means, Wald
+    // se from the information at the penalized optimum, and the
+    // penalized-likelihood ratio incl. the 0.5*ln det I Jeffreys terms
+    "logistic_firth" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, ref,
+        |    CASE WHEN a1 + a2 > 0 THEN 1 ELSE 0 END AS x,
+        |    CAST(substr(s, 2, 10) AS INTEGER) % 2 AS y
+        |  FROM q WHERE a1 IS NOT NULL),
+        |c AS (
+        |  SELECT contig, position, ref,
+        |    sum(x * y) AS n11, sum(x * (1 - y)) AS n10,
+        |    sum((1 - x) * y) AS n01, sum((1 - x) * (1 - y)) AS n00
+        |  FROM d GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT contig, position, ref, n11, n10, n01, n00,
+        |    CAST(n11 + n10 + n01 + n00 AS BIGINT) AS n,
+        |    CAST(n11 + n10 AS DOUBLE) AS m1,
+        |    CAST(n01 + n00 AS DOUBLE) AS m0,
+        |    CAST(n11 + n01 AS DOUBLE) AS k,
+        |    (n11 + 0.5) / (n11 + n10 + 1.0) AS p1,
+        |    (n01 + 0.5) / (n01 + n00 + 1.0) AS p0
+        |  FROM c WHERE n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0),
+        |g AS (
+        |  SELECT contig, position, ref, n, p1, p0,
+        |    m1 * p1 * (1 - p1) AS w1, m0 * p0 * (1 - p0) AS w0,
+        |    n11 * ln(p1) + n10 * ln(1 - p1)
+        |      + n01 * ln(p0) + n00 * ln(1 - p0) AS llf,
+        |    (k + 0.5) / (n + 1.0) AS mu0, k
+        |  FROM f)
+        |SELECT contig, position, ref, n,
+        |  round(ln(p1 / (1 - p1)) - ln(p0 / (1 - p0)), 6) AS beta,
+        |  round(sqrt(1 / w1 + 1 / w0), 6) AS standard_error,
+        |  round(2 * (llf + 0.5 * ln(w1 * w0)
+        |    - (k * ln(mu0) + (n - k) * ln(1 - mu0)
+        |       + 0.5 * ln(n * mu0 * (1 - mu0)))), 6) AS chi_sq_stat
+        |FROM g""".stripMargin
+    },
+
     "table_tail" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
@@ -2525,6 +2728,127 @@ object SparkEntry {
         |  round(1.0 - (k2 + k0), 6) + 0.0 AS ibd1,
         |  round(k2, 6) + 0.0 AS ibd2
         |FROM kk""".stripMargin
+    },
+
+    // pc_relate with k=2 literal PCs: identical estimator SQL to
+    // geno_pc_relate except mu_s = (H g)_s / 2 with the hat matrix
+    // H = X(X'X)^-1 X' of the literal design X = [1|pc1|pc2], embedded
+    // below as 25 constants (computed from the same literals the Spark
+    // side passes — never from data)
+    "geno_pc_relate_pcs" -> {
+      val x = breeze.linalg.DenseMatrix.tabulate(5, 3)((i, j) =>
+        if (j == 0) 1.0 else PcRelateScores(i)(j - 1))
+      val h = x * breeze.linalg.inv(x.t * x) * x.t
+      val hatVals = (for { si <- 0 until 5; ti <- 0 until 5 }
+        yield s"($si, $ti, ${h(si, ti)})").mkString(", ")
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, s, CAST(a1 + a2 AS DOUBLE) AS dose
+        |  FROM q),
+        |st AS (
+        |  SELECT contig, position, avg(dose) AS meang
+        |  FROM d GROUP BY 1, 2),
+        |c0 AS (
+        |  SELECT d.contig, d.position,
+        |    CAST(substr(d.s, 2, 10) AS INTEGER) - 1 AS idx,
+        |    coalesce(dose, meang) AS gv
+        |  FROM d JOIN st USING (contig, position)),
+        |hm AS (SELECT * FROM (VALUES $hatVals) AS h(hs, ht, w)),
+        |mus AS (
+        |  SELECT g.contig, g.position, hm.hs AS idx,
+        |    sum(hm.w * g.gv) / 2.0 AS mu
+        |  FROM c0 g JOIN hm ON hm.ht = g.idx
+        |  GROUP BY 1, 2, 3),
+        |c1 AS (
+        |  SELECT c0.contig, c0.position, c0.idx, c0.gv, mus.mu,
+        |    gv IS NULL OR gv NOT IN (0.0, 1.0, 2.0) OR mu IS NULL
+        |      OR mu <= 0.05 OR mu >= 0.95 OR mu <= 0.0 OR mu >= 1.0
+        |      AS bad
+        |  FROM c0 JOIN mus ON mus.contig = c0.contig
+        |    AND mus.position = c0.position AND mus.idx = c0.idx),
+        |f AS (
+        |  SELECT contig, position, idx,
+        |    CASE WHEN bad THEN 0.0 ELSE gv / 2.0 - mu END AS a,
+        |    CASE WHEN bad THEN 0.0 ELSE sqrt(mu * (1.0 - mu)) END AS sd,
+        |    CASE WHEN bad OR gv <> 2.0 THEN 0.0 ELSE 1.0 END AS ha,
+        |    CASE WHEN bad OR gv <> 0.0 THEN 0.0 ELSE 1.0 END AS hr,
+        |    CASE WHEN bad THEN 0.0 ELSE mu * mu END AS mu2,
+        |    CASE WHEN bad THEN 0.0
+        |      ELSE (1.0 - mu) * (1.0 - mu) END AS om2,
+        |    CASE WHEN bad THEN 0.0
+        |      ELSE CASE WHEN gv = 0.0 THEN mu WHEN gv = 1.0 THEN 0.0
+        |        ELSE 1.0 - mu END END AS gd,
+        |    CASE WHEN bad THEN 0.0 ELSE mu * (1.0 - mu) END AS v
+        |  FROM c1),
+        |selfphi AS (
+        |  SELECT idx, 2.0 * (sum(a * a) / sum(sd * sd)) AS c
+        |  FROM f GROUP BY idx),
+        |pairs AS (
+        |  SELECT x.idx AS i, y.idx AS j,
+        |    sum(x.a * y.a) AS saa, sum(x.sd * y.sd) AS sss,
+        |    sum(x.gd * y.gd) AS sgg, sum(x.gd * y.v) AS sgv,
+        |    sum(x.v * y.gd) AS svg, sum(x.v * y.v) AS svv,
+        |    sum(x.ha * y.hr) + sum(x.hr * y.ha) AS ibs0,
+        |    sum(x.mu2 * y.om2) + sum(x.om2 * y.mu2) AS denom
+        |  FROM f x JOIN f y ON x.contig = y.contig
+        |    AND x.position = y.position AND x.idx < y.idx
+        |  GROUP BY 1, 2),
+        |k AS (
+        |  SELECT i, j, saa / sss AS phi,
+        |    (sgg - cj.c * sgv - ci.c * svg + ci.c * cj.c * svv) / svv
+        |      AS k2,
+        |    ibs0, denom
+        |  FROM pairs
+        |  JOIN selfphi ci ON ci.idx = pairs.i
+        |  JOIN selfphi cj ON cj.idx = pairs.j),
+        |kk AS (
+        |  SELECT i, j, phi, k2,
+        |    CASE WHEN phi <= pow(2.0, -2.5) THEN 1.0 - 4.0 * phi + k2
+        |         ELSE ibs0 / denom END AS k0
+        |  FROM k)
+        |SELECT i, j, round(phi, 6) + 0.0 AS kin,
+        |  round(k0, 6) + 0.0 AS ibd0,
+        |  round(1.0 - (k2 + k0), 6) + 0.0 AS ibd1,
+        |  round(k2, 6) + 0.0 AS ibd2
+        |FROM kk""".stripMargin
+    },
+
+    // golden literal oracle; values independently reproduced by LmmSpec's
+    // dense (non-spectral) REML replay — see the gate query comment
+    "lmm_kinship" -> LmmKinshipGolden,
+
+    // q_stat from the exact SQL quadratic form; p_value joined as a
+    // literal golden per group (imhofTail's exactness is spec-proven on
+    // closed-form mixtures, SkatSpec)
+    "geno_skat_p" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |yy AS (
+        |  SELECT DISTINCT s, CAST(substr(s, 2, 10) AS DOUBLE) AS yv
+        |  FROM q),
+        |st AS (SELECT avg(yv) AS ybar FROM yy),
+        |r AS (SELECT s, yv - ybar AS res FROM yy, st),
+        |ss AS (
+        |  SELECT sum(res * res) / (count(*) - 1) AS sigsq FROM r),
+        |mi AS (
+        |  SELECT contig, position, ref, alts, s,
+        |    coalesce(CAST(a1 + a2 AS DOUBLE),
+        |      avg(CAST(a1 + a2 AS DOUBLE))
+        |        OVER (PARTITION BY contig, position, ref, alts)) AS x
+        |  FROM q),
+        |qv AS (
+        |  SELECT contig, position, ref, alts,
+        |    pow(sum(r.res * mi.x), 2)
+        |      * (CAST(1.0 AS DOUBLE) / (position % 7 + 1)) AS qc
+        |  FROM mi JOIN r USING (s)
+        |  GROUP BY contig, position, ref, alts),
+        |qs AS (
+        |  SELECT contig AS id, CAST(count(*) AS INTEGER) AS size,
+        |    round(sum(qc) / (2 * ss.sigsq), 6) AS q_stat
+        |  FROM qv, ss GROUP BY contig, ss.sigsq)
+        |SELECT id, size, q_stat, p.p_value
+        |FROM qs JOIN (VALUES $SkatPGolden) AS p(id, p_value) USING (id)""".stripMargin
     },
 
     // linear SKAT q_stat is the closed quadratic form
