@@ -55,6 +55,29 @@ class RelatednessSpec extends SparkSpec {
     }
   }
 
+  test("pcRelate distributed BlockMatrix path equals the local Gramian") {
+    val mt = fixtureMt()
+    val scores = IndexedSeq(
+      Array(-1.5, 0.5), Array(-0.5, -0.5), Array(0.5, 0.5),
+      Array(1.5, -0.5))
+    def run(thresh: Int) = PcRelate.pcRelate(mt, scores,
+      minIndividualMaf = 0.01, includeSelfKinship = true,
+      distributeOver = thresh).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val local = run(1000) // n=4 <= 1000: local Gramian
+    val dist = run(2)     // n=4 > 2: BlockMatrix product
+    assert(local.keySet == dist.keySet && local.nonEmpty)
+    local.foreach { case (k, (a1, b1, c1, d1)) =>
+      val (a2, b2, c2, d2) = dist(k)
+      def eq(x: Double, y: Double) =
+        (x.isNaN && y.isNaN) || math.abs(x - y) < 1e-9
+      assert(eq(a1, a2) && eq(b1, b2) && eq(c1, c2) && eq(d1, d2),
+        s"$k: local ($a1,$b1,$c1,$d1) vs dist ($a2,$b2,$c2,$d2)")
+    }
+  }
+
   test("pcRelate with PCA scores runs end to end") {
     val mt = fixtureMt()
     val rows = PcRelate.pcRelate(mt, k = 2, minIndividualMaf = 0.01)
