@@ -204,6 +204,55 @@ object Dedup {
 
   /** n-gram Jaccard verification for an arbitrary candidate-pair set:
     * join shingle sets back and compute exact similarity. */
+  /** Connected components over near-dup pairs: every doc in a pair gets
+    * a `cluster` id = the minimum doc id reachable through the pair
+    * graph. Dedup policy is then "keep the canonical doc per cluster"
+    * (`dedupByClusters`).
+    *
+    * Distributed min-label propagation: each round joins the edge list
+    * against current labels and takes the per-node min — one
+    * hash-partitioned shuffle per round, rounds bounded by component
+    * diameter (near-dup clusters are shallow; `maxIter` caps
+    * pathological chains). Labels persist per round and the previous
+    * round unpersists, so lineage stays flat at 100 TB scale. */
+  def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().persist()
+    // localCheckpoint, not persist: each round must TRUNCATE the plan
+    // (a persisted-but-unbroken lineage doubles the analyzed tree per
+    // iteration — exponential driver memory by round ~12)
+    var labels = edges.select(col("a").as("node"))
+      .distinct().withColumn("cluster", col("node")).localCheckpoint()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), col("cluster"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "old"), "node")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Keep one representative per near-dup cluster: docs outside any
+    * cluster pass through; inside a cluster only the canonical (minimum
+    * id = the cluster id) survives. */
+  def dedupByClusters(docs: DataFrame, id: String, clusters: DataFrame)
+      : DataFrame =
+    docs.join(clusters.withColumnRenamed("node", id), Seq(id), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(id))
+      .drop("cluster")
+
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: String,
       text: String, shingleSize: Int = 3): DataFrame = {
     val sh = docs.select(col(id).as("doc"),

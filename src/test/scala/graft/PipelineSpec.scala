@@ -129,4 +129,31 @@ class PipelineSpec extends SparkSpec {
     assert(got(2L) === "de")
     assert(got(3L) === "zh")
   }
+
+  test("nearDupClusters finds components; dedupByClusters keeps canonicals") {
+    import graft.pipeline.Dedup
+    // chain 1-2-3, pair 10-11, isolated doc 99
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L))).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+    val got = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+    val docs = spark.createDataFrame(
+      Seq(1L, 2L, 3L, 10L, 11L, 99L).map(Tuple1(_))).toDF("doc_id")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", clusters)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 10L, 99L))
+  }
+
+  test("nearDupClusters converges on a long chain within maxIter") {
+    import graft.pipeline.Dedup
+    val pairs = spark.createDataFrame(
+      (0L until 12L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(0L))
+    assert(got.size === 13)
+  }
 }
