@@ -577,6 +577,15 @@ object SparkEntry {
     }),
 
     // --- pipeline: MinHash+LSH near-dup pairs (shingle→minhash→band→join) --
+    // --- near-dup clustering: connected components over the minhash
+    // pair graph (min-label propagation), one row per clustered doc ------
+    "pipe_neardup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = pipeline.Dedup.minhashPairs(docs, "doc_id", "text")
+      pipeline.Dedup.nearDupClusters(pairs)
+        .select(col("node").as("doc_id"), col("cluster"))
+    }),
+
     "pipe_minhash_pairs" -> ((s, dir) =>
       pipeline.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -1154,6 +1163,22 @@ object SparkEntry {
           (round(col("ibd2"), 6) + lit(0.0)).as("ibd2"))
     }),
 
+    // --- hl.agg.info_score (aggregators.py:1568, IMPUTE info measure)
+    // over the BGEN fixture's GP dosage triples ----------------------------
+    "geno_info_score" -> ((s, _) => {
+      import graft.operators.Aggs
+      val mt = sources.Bgen.read(s,
+        "/root/repo/src/test/resources/oracle_bgen.bgen",
+        Some("/root/repo/src/test/resources/oracle_bgen.sample"))
+      mt.rows.select(col("contig"), col("position"), col("ref"),
+        element_at(col("alt"), 1).as("alt"),
+        Aggs.infoScore(transform(col(MatrixTable.EntriesField),
+          e => e("GP"))).as("__is"))
+        .select(col("contig"), col("position"), col("ref"), col("alt"),
+          round(col("__is")("score"), 6).as("score"),
+          col("__is")("n_included").as("n_included"))
+    }),
+
     // --- pc_relate with k=2 LITERAL PC scores (relatedness/pc_relate.py
     // `scores_expr=` path): mu comes from regressing imputed dosage on
     // [1|pc1|pc2]; with literal scores the hat matrix is a constant the
@@ -1678,6 +1703,41 @@ object SparkEntry {
         |    / greatest(len(string_split_regex(trim(text), ' +')), 1), 6)
         |    AS mean_word_len
         |FROM documents""".stripMargin,
+
+    // connected components over the minhash candidate graph: recursive
+    // transitive closure, cluster id = min reachable doc id
+    "pipe_neardup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      j -> concat(w[j], ' ', w[j+1], ' ', w[j+2]))) AS shingles
+        |  FROM tok WHERE len(w) >= 3),
+        |mh AS (
+        |  SELECT doc_id, shingles,
+        |    list_transform(range(0, 8), i ->
+        |      list_min(list_transform(shingles,
+        |        s -> md5(concat(s, '|', i))))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.band,
+        |    md5(concat(sig[b.band*2+1], sig[b.band*2+2])) AS bsig
+        |  FROM mh, (SELECT unnest(range(0,4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM cand
+        |  UNION SELECT id_b, id_a FROM cand),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT node AS doc_id, min(r) AS cluster
+        |FROM reach GROUP BY node""".stripMargin,
 
     "pipe_minhash_pairs" ->
       """WITH tok AS (
@@ -2729,6 +2789,38 @@ object SparkEntry {
         |  round(k2, 6) + 0.0 AS ibd2
         |FROM kk""".stripMargin
     },
+
+    // IMPUTE info score replayed over the golden 8-bit GP dump
+    "geno_info_score" ->
+      """WITH g AS (
+        |  SELECT contig, position, ref, alt,
+        |    pab8 / 255.0 AS pab,
+        |    1.0 - paa8 / 255.0 - pab8 / 255.0 AS pbb
+        |  FROM read_csv(
+        |    '/root/repo/src/test/resources/oracle_bgen_expected.tsv',
+        |    delim='\t', header=true, nullstr='\N',
+        |    columns={'contig':'VARCHAR','position':'INTEGER',
+        |      'ref':'VARCHAR','alt':'VARCHAR','s':'VARCHAR',
+        |      'gt':'INTEGER','paa8':'INTEGER','pab8':'INTEGER'})
+        |  WHERE paa8 IS NOT NULL),
+        |ef AS (
+        |  SELECT contig, position, ref, alt,
+        |    pab + 2.0 * pbb AS e, pab + 4.0 * pbb AS f
+        |  FROM g),
+        |s AS (
+        |  SELECT contig, position, ref, alt,
+        |    CAST(count(*) AS INTEGER) AS n_included,
+        |    sum(e) AS se, sum(f - e * e) AS sfe,
+        |    sum(e) / (2.0 * count(*)) AS theta
+        |  FROM ef GROUP BY 1, 2, 3, 4)
+        |SELECT contig, position, ref, alt,
+        |  round(CASE
+        |    WHEN n_included = 0 THEN NULL
+        |    WHEN theta > 0.0 AND theta < 1.0
+        |      THEN 1.0 - sfe / (2.0 * n_included * theta * (1.0 - theta))
+        |    ELSE 1.0 END, 6) AS score,
+        |  n_included
+        |FROM s""".stripMargin,
 
     // pc_relate with k=2 literal PCs: identical estimator SQL to
     // geno_pc_relate except mu_s = (H g)_s / 2 with the hat matrix

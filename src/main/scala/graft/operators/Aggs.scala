@@ -440,4 +440,32 @@ object Aggs {
   def ndarraySum(nd: Column): Column =
     udaf(ndarraySumAgg).apply(nd("shape"), nd("data"))
       .cast("struct<shape:array<bigint>,data:array<double>>")
+
+  /** IMPUTE info score over a per-row array of GP triples (reference
+    * `aggregators.py:1568` `info_score`; Marchini & Howie 2010 suppl.):
+    * with e_i = p_i1 + 2 p_i2, f_i = p_i1 + 4 p_i2 and
+    * theta = sum(e)/(2N), score = 1 − sum(f − e²)/(2N·theta·(1−theta))
+    * for theta in (0,1), 1 at the boundary, null with no included
+    * samples. Pure codegen'd array expressions — one projection, no
+    * UDF, no shuffle beyond the caller's. */
+  def infoScore(gps: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val valid = filter(gps, g => g.isNotNull && size(g) === 3 &&
+      !exists(g, v => v.isNull))
+    val e = transform(valid, g =>
+      element_at(g, 2) + lit(2.0) * element_at(g, 3))
+    val f = transform(valid, g =>
+      element_at(g, 2) + lit(4.0) * element_at(g, 3))
+    val n = size(valid)
+    val nD = n.cast("double")
+    val theta = aggregate(e, lit(0.0), _ + _) / (lit(2.0) * nD)
+    val sumFe2 = aggregate(
+      zip_with(f, e, (fi, ei) => fi - ei * ei), lit(0.0), _ + _)
+    val score = when(n === 0, lit(null).cast("double"))
+      .when(theta > 0.0 && theta < 1.0,
+        lit(1.0) - sumFe2 /
+          (lit(2.0) * nD * theta * (lit(1.0) - theta)))
+      .otherwise(lit(1.0))
+    struct(score.as("score"), n.as("n_included"))
+  }
 }
