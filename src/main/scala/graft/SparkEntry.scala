@@ -1054,6 +1054,49 @@ object SparkEntry {
           Calls.nNonRefAlleles(col("GT")).as("n_alt"), col("DP"))
     }),
 
+    // --- VDS interval_coverage (vds/methods.py:759): per-(interval,
+    // sample) base coverage from reference blocks; oracle = hand-computed
+    // literals over the same tiny gVCF fixtures ----------------------------
+    "vds_interval_coverage" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vdsc")
+      def gvcf(name: String, body: String): String = {
+        val f = dir.resolve(s"$name.vcf")
+        java.nio.file.Files.writeString(f,
+          """##fileformat=VCFv4.2
+            |##INFO=<ID=END,Number=1,Type=Integer,Description="Block end">
+            |##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+            |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">
+            |""".stripMargin +
+            s"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t$name\n"
+            + body)
+        f.toString
+      }
+      val a = sources.Vcf.readGvcf(s, gvcf("VA",
+        "chr1\t1\t.\tA\t<NON_REF>\t.\t.\tEND=99\tGT:DP\t0/0:21\n" +
+        "chr1\t100\t.\tA\tG,<NON_REF>\t50\tPASS\t.\tGT:DP\t0/1:30\n" +
+        "chr1\t101\t.\tC\t<NON_REF>\t.\t.\tEND=900\tGT:DP\t0/0:24\n"))
+      val b = sources.Vcf.readGvcf(s, gvcf("VB",
+        "chr1\t1\t.\tA\t<NON_REF>\t.\t.\tEND=500\tGT:DP\t0/0:17\n" +
+        "chr1\t600\t.\tT\tC,<NON_REF>\t44\tPASS\t.\tGT:DP\t1/1:28\n"))
+      val thresholds = Seq(0, 10, 20, 30)
+      val cov = methods.VdsCombiner.combine(Seq(a, b))
+        .intervalCoverage(Seq(("chr1", 50, 150), ("chr1", 400, 1000)),
+          thresholds)
+      val tArr = array(thresholds.map(lit): _*)
+      cov.select(col("contig"), col("start"), col("end"),
+        col("interval_size"), col("s"), col("sum_dp"),
+        round(col("mean_dp"), 6).as("mean_dp"),
+        posexplode(arrays_zip(col("bases_over_dp_threshold"),
+          col("fraction_over_dp_threshold"))).as(Seq("__p", "__z")))
+        .select(col("contig"), col("start"), col("end"),
+          col("interval_size"), col("s"),
+          element_at(tArr, col("__p") + 1).as("dp_threshold"),
+          col("__z")("bases_over_dp_threshold").as("bases_over"),
+          round(col("__z")("fraction_over_dp_threshold"), 6)
+            .as("fraction_over"),
+          col("sum_dp"), col("mean_dp"))
+    }),
+
     // --- Structured Streaming: the hourly windowed agg runs as a real
     // readStream -> watermark -> window -> memory-sink query over the
     // events files; the oracle computes the same thing in batch SQL, so
@@ -2611,6 +2654,34 @@ object SparkEntry {
         |  ('chr1', 600, 'VA', 0, 24),
         |  ('chr1', 600, 'VB', 2, CAST(NULL AS INTEGER)))
         |AS t(contig, position, s, n_alt, DP)""".stripMargin,
+
+    // hand-computed over the fixture blocks: VA [1,99]@21 [101,900]@24,
+    // VB [1,500]@17; intervals [50,150) size 100 and [400,1000) size 600
+    "vds_interval_coverage" ->
+      """SELECT contig, start, "end", interval_size, s, dp_threshold,
+        |  CAST(bases_over AS BIGINT) AS bases_over,
+        |  CAST(fraction_over AS DOUBLE) AS fraction_over,
+        |  CAST(sum_dp AS BIGINT) AS sum_dp,
+        |  CAST(mean_dp AS DOUBLE) AS mean_dp
+        |FROM (VALUES
+        |  ('chr1', 50, 150, 100, 'VA', 0, 99, 0.99, 2226, 22.26),
+        |  ('chr1', 50, 150, 100, 'VA', 10, 99, 0.99, 2226, 22.26),
+        |  ('chr1', 50, 150, 100, 'VA', 20, 99, 0.99, 2226, 22.26),
+        |  ('chr1', 50, 150, 100, 'VA', 30, 0, 0.0, 2226, 22.26),
+        |  ('chr1', 50, 150, 100, 'VB', 0, 100, 1.0, 1700, 17.0),
+        |  ('chr1', 50, 150, 100, 'VB', 10, 100, 1.0, 1700, 17.0),
+        |  ('chr1', 50, 150, 100, 'VB', 20, 0, 0.0, 1700, 17.0),
+        |  ('chr1', 50, 150, 100, 'VB', 30, 0, 0.0, 1700, 17.0),
+        |  ('chr1', 400, 1000, 600, 'VA', 0, 501, 0.835, 12024, 20.04),
+        |  ('chr1', 400, 1000, 600, 'VA', 10, 501, 0.835, 12024, 20.04),
+        |  ('chr1', 400, 1000, 600, 'VA', 20, 501, 0.835, 12024, 20.04),
+        |  ('chr1', 400, 1000, 600, 'VA', 30, 0, 0.0, 12024, 20.04),
+        |  ('chr1', 400, 1000, 600, 'VB', 0, 101, 0.168333, 1717, 2.861667),
+        |  ('chr1', 400, 1000, 600, 'VB', 10, 101, 0.168333, 1717, 2.861667),
+        |  ('chr1', 400, 1000, 600, 'VB', 20, 0, 0.0, 1717, 2.861667),
+        |  ('chr1', 400, 1000, 600, 'VB', 30, 0, 0.0, 1717, 2.861667))
+        |AS t(contig, start, "end", interval_size, s, dp_threshold,
+        |  bases_over, fraction_over, sum_dp, mean_dp)""".stripMargin,
 
     "stream_hourly_agg" ->
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,

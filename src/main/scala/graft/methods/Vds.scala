@@ -74,4 +74,46 @@ final case class VariantDataset(
       colSchema = vd.colSchema,
       colKey = vd.colKey)
   }
+
+  /** interval_coverage (reference `vds/methods.py:759`): per
+    * (interval, sample) base-coverage statistics computed — like the
+    * reference — from REFERENCE BLOCKS only. Intervals are 1-based
+    * half-open (contig, start, end); a block [position, END] contributes
+    * `overlap = min(END+1, end) − max(position, start)` bases at its DP.
+    *
+    * Spark shape: the (small) interval list broadcasts; the join is a
+    * broadcast hash join on contig with the range condition as residual,
+    * then one hash aggregation on (interval, sample) — no sort, no
+    * range shuffle, scales with blocks × avg-overlapping-intervals.
+    * Samples with no covering block in an interval are absent (join
+    * semantics); the reference emits zeros there. */
+  def intervalCoverage(intervals: Seq[(String, Int, Int)],
+      dpThresholds: Seq[Int] = Seq(0, 1, 10, 20, 30))
+      : org.apache.spark.sql.DataFrame = {
+    val spark = referenceData.spark
+    val e = referenceData.entriesTable.df
+      .filter(col("END").isNotNull)
+      .select(col("contig"), col("position"), col("s"),
+        col("END"), col("DP"))
+    val iv = spark.createDataFrame(intervals)
+      .toDF("__ic", "__is", "__ie")
+    val j = e.join(broadcast(iv),
+      col("contig") === col("__ic") &&
+        col("position") < col("__ie") && col("END") >= col("__is"))
+    val ov = (least(col("END") + 1, col("__ie")) -
+      greatest(col("position"), col("__is"))).cast("long")
+    j.withColumn("__ov", ov)
+      .groupBy(col("__ic").as("contig"), col("__is").as("start"),
+        col("__ie").as("end"), col("s"))
+      .agg(
+        sum(col("__ov") * col("DP")).as("sum_dp"),
+        array(dpThresholds.map(t =>
+          coalesce(sum(when(col("DP") >= t, col("__ov"))), lit(0L))): _*)
+          .as("bases_over_dp_threshold"))
+      .withColumn("interval_size", col("end") - col("start"))
+      .withColumn("mean_dp", col("sum_dp") / col("interval_size"))
+      .withColumn("fraction_over_dp_threshold",
+        transform(col("bases_over_dp_threshold"),
+          b => b / col("interval_size")))
+  }
 }
