@@ -198,4 +198,21 @@ class FunctionsSpec extends SparkSpec {
     assert(s1 === s2)  // deterministic under partitioning
     assert(s1.size === 10)
   }
+
+  test("Util: triangle, format, valuesSimilar") {
+    import graft.functions.Util
+    val r = spark.range(1).select(
+      Util.triangle(lit(6L)).as("t"),
+      Util.format(lit("%s=%d"), lit("x"), lit(7)).as("f"),
+      Util.valuesSimilar(lit(1.0), lit(1.0 + 1e-9)).as("close"),
+      Util.valuesSimilar(lit(1.0), lit(1.5)).as("far"),
+      Util.valuesSimilar(lit(null).cast("double"),
+        lit(null).cast("double")).as("nulls"),
+      Util.valuesSimilar(lit(Double.NaN), lit(Double.NaN)).as("nans"))
+      .head()
+    assert(r.getLong(0) === 21L)
+    assert(r.getString(1) === "x=7")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getBoolean(4) && r.getBoolean(5))
+  }
 }
