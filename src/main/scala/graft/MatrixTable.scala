@@ -417,10 +417,59 @@ final case class MatrixTable(
           concat(entries, col("__e2"))).drop("__e2"),
       colValues = colValues ++ other.colValues)
   }
+
+  // ---- native format ------------------------------------------------------
+
+  /** Native MatrixTable write (reference `mt.write` /
+    * `MatrixNativeWriter`): rows (entries array included) persist as
+    * the native TABLE format — key-sorted parquet + key-range manifest,
+    * so reads get file pruning on the row key — and the driver-size col
+    * values persist as a small parquet with an explicit `__col_idx`
+    * (parquet read order is not positional), colKey in a sidecar
+    * manifest. */
+  def write(path: String): Unit = {
+    Table(rows, rowKey, globals).write(s"$path/rows")
+    val withIdx = colValues.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    val colsSchema = StructType(colSchema.fields :+
+      StructField("__col_idx", IntegerType, false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(withIdx, 1), colsSchema)
+      .write.mode("overwrite").parquet(s"$path/cols")
+    val meta = NativeFormat.manifestJson(colKey, Map.empty)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/colmeta/metadata.json"), true)
+    out.write(meta.getBytes("UTF-8")); out.close()
+  }
 }
 
 object MatrixTable {
   val EntriesField = "entries"
+
+  /** Native MatrixTable read (reference `hl.read_matrix_table`): the
+    * inverse of `MatrixTable.write`. Row data comes back through the
+    * native Table format (manifest key + file-range pruning); col
+    * values re-order by the persisted `__col_idx` so the entries array
+    * stays aligned. */
+  def read(spark: SparkSession, path: String): MatrixTable = {
+    val rowsT = Table.read(spark, s"$path/rows")
+    val (colKey, globals) = NativeFormat.readManifest(spark,
+      s"$path/colmeta")
+    val colsDf = spark.read.parquet(s"$path/cols")
+    val colRows = colsDf.collect()
+      .sortBy(_.getAs[Int]("__col_idx"))
+    val colSchema = StructType(
+      colsDf.schema.fields.filterNot(_.name == "__col_idx"))
+    val idxPos = colsDf.schema.fieldIndex("__col_idx")
+    val colValues = colRows.map { r =>
+      Row.fromSeq(r.toSeq.patch(idxPos, Nil, 1))
+    }.toIndexedSeq
+    MatrixTable(rowsT.df, rowsT.key, colValues, colSchema, colKey,
+      rowsT.globals ++ globals)
+  }
 
   /** Build a MatrixTable from a coordinate DataFrame (one row per
     * (rowKey, colIdx) observation) — the inverse of `entriesTable`.

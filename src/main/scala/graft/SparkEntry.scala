@@ -1447,6 +1447,46 @@ object SparkEntry {
           Calls.allele2(col("GT")).as("a2"),
           Calls.isPhased(col("GT")).as("phased"),
           col("DP").as("dp"))
+    }),
+
+    // --- import_matrix_table (impex.py / TextMatrixReader.scala):
+    // delimited numeric matrix -> MatrixTable (entry field x) --------------
+    "matrix_table_import" -> ((s, _) => {
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val dir = java.nio.file.Files.createTempDirectory("graft_tmx")
+      val f = dir.resolve("m.tsv")
+      java.nio.file.Files.writeString(f,
+        "id\tfoo\tc1\tc2\tc3\n" +
+        "1\ta\t0.5\tNA\t2.5\n" +
+        "2\tb\t1.0\t1.5\tNA\n")
+      val mt = sources.TextMatrix.read(s, f.toString,
+        Seq("id" -> LongType, "foo" -> StringType), rowKey = Seq("id"))
+      mt.entriesTable.df
+        .select(col("id"), col("foo"), col("col_id"), col("x"))
+    }),
+
+    // --- native MatrixTable write + read round-trip (hl.read_matrix_table):
+    // same projection and oracle as vcf_import, but through the on-disk
+    // native format (key-sorted rows + manifest, indexed cols) -------------
+    "matrix_write_read" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s,
+        "/root/repo/src/test/resources/oracle_sample.vcf")
+      val dir = java.nio.file.Files.createTempDirectory("graft_mtwr")
+      mt.write(s"$dir/mt")
+      val back = MatrixTable.read(s, s"$dir/mt")
+      back.entriesTable.df
+        .filter(col("GT").isNotNull)
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"),
+          col("qual"),
+          col("info")("DP").as("info_dp"),
+          element_at(col("info")("AC"), 1).as("info_ac"),
+          col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"),
+          Calls.isPhased(col("GT")).as("phased"),
+          col("DP").as("dp"))
     })
   )
 
@@ -3145,7 +3185,22 @@ object SparkEntry {
         |  columns={'contig':'VARCHAR','position':'INTEGER','ref':'VARCHAR',
         |    'alt':'VARCHAR','s':'VARCHAR','a1':'INTEGER','a2':'INTEGER'})""".stripMargin,
 
-    "vcf_import" ->
+    "matrix_table_import" ->
+      """SELECT CAST(id AS BIGINT) AS id, foo, col_id,
+        |  CAST(x AS DOUBLE) AS x
+        |FROM (VALUES
+        |  (1, 'a', 'c1', 0.5), (1, 'a', 'c2', NULL), (1, 'a', 'c3', 2.5),
+        |  (2, 'b', 'c1', 1.0), (2, 'b', 'c2', 1.5), (2, 'b', 'c3', NULL))
+        |AS t(id, foo, col_id, x)""".stripMargin,
+
+    "vcf_import" -> VcfImportOracleSql,
+
+    // identical semantics through the native on-disk round-trip
+    "matrix_write_read" -> VcfImportOracleSql
+  )
+
+  /** Shared oracle for `vcf_import` and `matrix_write_read`. */
+  private val VcfImportOracleSql: String =
       """WITH raw AS (
         |  SELECT * FROM read_csv(
         |    '/root/repo/src/test/resources/oracle_sample.vcf',
@@ -3181,5 +3236,4 @@ object SparkEntry {
         |  CAST(string_split_regex(gt, '[/|]')[2] AS INTEGER) AS a2,
         |  contains(gt, '|') AS phased, dp
         |FROM p WHERE gt NOT LIKE '.%'""".stripMargin
-  )
 }

@@ -95,4 +95,20 @@ class MatrixTableSpec extends SparkSpec {
       Set("s0", "s1", "s2"))
     assert(mt.rowsTable.df.columns.toSeq === Seq("r"))
   }
+
+  test("native write/read round-trips rows, cols, key, globals") {
+    val mt = toyMatrix().annotateGlobals("tag" -> "v1")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mtn")
+    mt.write(s"$dir/m")
+    val back = MatrixTable.read(spark, s"$dir/m")
+    assert(back.rowKey === Seq("r"))
+    assert(back.colKey === Seq("sample"))
+    assert(back.colValues === mt.colValues)
+    assert(back.colSchema === mt.colSchema)
+    assert(back.globals("tag") === "v1")
+    def cells(m: MatrixTable) = m.entriesTable.df
+      .select("r", "sample", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(cells(back) === cells(mt))
+  }
 }
