@@ -702,6 +702,14 @@ object SparkEntry {
         .agg(round(operators.Aggs.product(lit(1.0) + col("l_discount")), 6)
           .as("prod_disc"), count(lit(1)).as("n"))),
 
+    // --- hl.agg.corr (aggregators.py `corr`): Pearson correlation is a
+    // Spark built-in — codegen'd partial aggregation, zero custom code --
+    "agg_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("r"), count(lit(1)).as("n"))),
+
     // --- agg: exact interpolated percentiles ------------------------------
     "agg_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1465,6 +1473,56 @@ object SparkEntry {
         .select(col("id"), col("foo"), col("col_id"), col("x"))
     }),
 
+    // --- MatrixUnionRows (MatrixIR.scala:792): two disjoint row slices
+    // union back to the whole fixture — vcf_import oracle verbatim ---------
+    "matrix_union_rows" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val odd = mt.filterRows(col("position") % 2 === 1)
+      val even = mt.filterRows(col("position") % 2 === 0)
+      odd.unionRows(even).entriesTable.df
+        .filter(col("GT").isNotNull)
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"), col("qual"),
+          col("info")("DP").as("info_dp"),
+          element_at(col("info")("AC"), 1).as("info_ac"), col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"),
+          Calls.isPhased(col("GT")).as("phased"),
+          col("DP").as("dp"))
+    }),
+
+    // --- MatrixDistinctByRow (MatrixIR.scala): self-union deduped back
+    // to the fixture --------------------------------------------------------
+    "matrix_distinct_by_row" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      mt.unionRows(mt).distinctByRow().entriesTable.df
+        .filter(col("GT").isNotNull)
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"), col("qual"),
+          col("info")("DP").as("info_dp"),
+          element_at(col("info")("AC"), 1).as("info_ac"), col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"),
+          Calls.isPhased(col("GT")).as("phased"),
+          col("DP").as("dp"))
+    }),
+
+    // --- MatrixRowsHead (MatrixIR.scala): first 10 variants in key order --
+    "matrix_rows_head" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      mt.headRows(10).rowsTable.df
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"), col("qual"))
+    }),
+
+    // --- TableRange (TableIR.scala:2123) ----------------------------------
+    "table_range" -> ((s, _) =>
+      Table.range(s, 1000, 8)
+        .annotate("sq" -> (col("idx") * col("idx")))
+        .filter(col("idx") % 7 === 3).df),
+
     // --- native MatrixTable write + read round-trip (hl.read_matrix_table):
     // same projection and oracle as vcf_import, but through the on-disk
     // native format (key-sorted rows + manifest, indexed cols) -------------
@@ -1992,6 +2050,12 @@ object SparkEntry {
         |    AS prod_disc,
         |  count(*) AS n
         |FROM lineitem WHERE l_orderkey < 200 GROUP BY 1""".stripMargin,
+
+    "agg_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS r,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "agg_percentile" ->
       """SELECT l_returnflag,
@@ -3196,7 +3260,30 @@ object SparkEntry {
     "vcf_import" -> VcfImportOracleSql,
 
     // identical semantics through the native on-disk round-trip
-    "matrix_write_read" -> VcfImportOracleSql
+    "matrix_write_read" -> VcfImportOracleSql,
+
+    // disjoint-slice union and self-union-dedup both restore the fixture
+    "matrix_union_rows" -> VcfImportOracleSql,
+    "matrix_distinct_by_row" -> VcfImportOracleSql,
+
+    "matrix_rows_head" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_csv(
+        |    '/root/repo/src/test/resources/oracle_sample.vcf',
+        |    delim='\t', header=false, skip=7,
+        |    columns={'contig':'VARCHAR','position':'INTEGER',
+        |      'rsid':'VARCHAR','ref':'VARCHAR','alts':'VARCHAR',
+        |      'qual':'DOUBLE','filt':'VARCHAR','info':'VARCHAR',
+        |      'fmt':'VARCHAR','S1':'VARCHAR','S2':'VARCHAR','S3':'VARCHAR',
+        |      'S4':'VARCHAR','S5':'VARCHAR'}))
+        |SELECT contig, position, ref, alts, qual FROM raw
+        |ORDER BY contig, position LIMIT 10""".stripMargin,
+
+    "table_range" ->
+      """SELECT CAST(idx AS BIGINT) AS idx,
+        |  CAST(idx * idx AS BIGINT) AS sq
+        |FROM (SELECT unnest(range(0, 1000)) AS idx)
+        |WHERE idx % 7 = 3""".stripMargin
   )
 
   /** Shared oracle for `vcf_import` and `matrix_write_read`. */

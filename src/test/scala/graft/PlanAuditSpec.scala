@@ -72,4 +72,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(rMulti >= rOne, s"multi-probe recall $rMulti < $rOne")
     assert(rMulti >= 0.5, s"multi-probe recall too low: $rMulti")
   }
+
+  test("interval_coverage joins broadcast — no sort-merge, no cartesian") {
+    import graft.methods.VariantDataset
+    val gvcf = java.nio.file.Files.createTempDirectory("graft_pic")
+      .resolve("s.vcf")
+    java.nio.file.Files.writeString(gvcf,
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=END,Number=1,Type=Integer,Description="">
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="">
+        |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	SA
+        |chr1	1	.	A	<NON_REF>	.	.	END=1000	GT:DP	0/0:20
+        |""".stripMargin)
+    val vds = graft.sources.Vcf.readGvcf(spark, gvcf.toString)
+    val plan = vds.intervalCoverage(Seq(("chr1", 10, 200)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("tabix region read parallelizes by merged chunk, not whole file") {
+    // structural assertion on readRegions' partitioning: one task per
+    // merged chunk (see TabixSpec for value-level checks)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ptbx")
+    val f = dir.resolve("t.vcf.bgz")
+    val out = new graft.sources.BGzipOutputStream(
+      new java.io.FileOutputStream(f.toFile), 2048)
+    val sb = new StringBuilder
+    sb ++= "##fileformat=VCFv4.2\n"
+    sb ++= "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"\">\n"
+    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+    (1 to 3000).foreach(i =>
+      sb ++= s"chr1\t${i * 100}\t.\tA\tG\t.\t.\t.\tGT\t0/1\n")
+    out.write(sb.toString.getBytes("UTF-8")); out.close()
+    graft.sources.Tabix.write(spark, f.toString)
+    val mt = graft.sources.Vcf.readRegions(spark, f.toString,
+      Seq(("chr1", 10001, 15000)))
+    // handful of partitions — NOT one per file split of the whole file
+    assert(mt.rows.rdd.getNumPartitions <= 4)
+    assert(mt.rows.count() == 50)
+  }
 }
