@@ -95,4 +95,48 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside
+    * LSH: a seeded k-means over (a sample of) the vectors yields
+    * `nCells` centroids; every vector is assigned to its nearest cell
+    * by a codegen'd argmin over broadcast centroid literals, and a
+    * query scans only its `nProbe` nearest cells. At 100 TB the
+    * assignment is one narrow pass (and would be precomputed/persisted
+    * as a `cell` column); per-query cost drops by ~nCells/nProbe.
+    * `nProbe = nCells` degenerates to exact brute force — the spec's
+    * correctness anchor. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, trainSample: Double = 1.0): DataFrame = {
+    import org.apache.spark.mllib.clustering.KMeans
+    import org.apache.spark.mllib.linalg.Vectors
+    val train = (if (trainSample < 1.0)
+      df.sample(withReplacement = false, trainSample, seed) else df)
+      .select(col(vecCol)).rdd
+      .map(r => Vectors.dense(
+        r.getSeq[Float](0).map(_.toDouble).toArray))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setMaxIterations(10).run(train)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+    def sqDist(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val dists = array(centroids.map(c => sqDist(col(vecCol), c)): _*)
+    val cell = array_position(dists, array_min(dists))
+    // query's nProbe nearest cells, driver-side
+    val qd = centroids.map(c => c.zip(query).map { case (y, x) =>
+      val d = x.toDouble - y; d * d
+    }.sum)
+    val probeCells = qd.zipWithIndex.sortBy(_._1).take(nProbe)
+      .map(_._2 + 1L) // array_position is 1-based
+    val qVec = array(query.map(lit): _*)
+    df.withColumn("cell", cell)
+      .filter(col("cell").isin(probeCells: _*))
+      .withColumn("cos", cosine(col(vecCol), qVec))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

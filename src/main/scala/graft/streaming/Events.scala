@@ -86,6 +86,22 @@ object Events {
     spark.table(sinkName)
   }
 
+  /** Streaming exact dedup — the pipeline's `Dedup.exact` for live
+    * ingestion: `dropDuplicates` on the id columns under an event-time
+    * watermark, so Spark keeps one state entry per key and EVICTS it
+    * once the key is older than the lateness horizon — bounded state at
+    * any stream length (an unwatermarked dropDuplicates would grow
+    * forever). Emits each key's first arrival only. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      lateness: String = "1 hour"): DataFrame = {
+    val tsSec = (col("ts").cast("double") / 1e9).cast("timestamp")
+    events
+      .withColumn("__t", tsSec)
+      .withWatermark("__t", lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+      .drop("__t")
+  }
+
   /** Gap-based sessionization: consecutive events of a user belong to
     * one session while gaps stay under `gapNs`. Streaming kernel:
     * flatMapGroupsWithState with event-time timeout — state is one

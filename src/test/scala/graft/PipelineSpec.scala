@@ -130,6 +130,27 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) === "zh")
   }
 
+  test("ivfTopK: full probe equals brute force; partial probe recalls") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val data = e.filter(col("vec_id") =!= 0L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val truth = ids(Similarity.bruteForceTopK(data, "vec_id",
+      "embedding", q, 10))
+    // probing every cell scans everything: must equal brute force
+    val full = ids(Similarity.ivfTopK(data, "vec_id", "embedding", q,
+      10, nCells = 8, nProbe = 8))
+    assert(full == truth)
+    val part = ids(Similarity.ivfTopK(data, "vec_id", "embedding", q,
+      10, nCells = 8, nProbe = 3))
+    assert(part.size == 10)
+    assert((part & truth).nonEmpty,
+      s"partial-probe IVF recalled nothing of $truth")
+  }
+
   test("nearDupClusters finds components; dedupByClusters keeps canonicals") {
     import graft.pipeline.Dedup
     // chain 1-2-3, pair 10-11, isolated doc 99

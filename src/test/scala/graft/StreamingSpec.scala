@@ -59,4 +59,26 @@ class StreamingSpec extends SparkSpec {
       Seq(7L, 100L, 150L, 2L, 2.0), Seq(7L, 400L, 400L, 1L, 1.0),
       Seq(8L, 90L, 90L, 1L, 2.0), Seq(8L, 500L, 500L, 1L, 3.0)))
   }
+
+  test("streaming dedup drops repeats within the watermark, bounded state") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = Events.dedupStream(input.toDF(), Seq("event_id"),
+      lateness = "10 seconds")
+    val q = deduped.writeStream.format("memory")
+      .queryName("spec_dedup").outputMode(OutputMode.Append()).start()
+    val s = 1000000000L // ns per second
+    input.addData(
+      Event(1, 1 * s, 1, "a", 1.0), Event(2, 2 * s, 1, "a", 2.0),
+      Event(1, 3 * s, 1, "a", 9.9)) // duplicate id within watermark
+    q.processAllAvailable()
+    input.addData(Event(2, 4 * s, 1, "a", 7.7)) // dup, later batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spec_dedup").select("event_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0)) // first arrival wins
+  }
 }
