@@ -1523,6 +1523,28 @@ object SparkEntry {
         .annotate("sq" -> (col("idx") * col("idx")))
         .filter(col("idx") % 7 === 3).df),
 
+    // --- TableParallelize (TableIR.scala:2024) ----------------------------
+    "table_parallelize" -> ((s, _) => {
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      Table.parallelize(s,
+        Seq(org.apache.spark.sql.Row(1, "alpha"),
+          org.apache.spark.sql.Row(2, "beta"),
+          org.apache.spark.sql.Row(3, null)),
+        StructType(Seq(StructField("k", IntegerType),
+          StructField("name", StringType)))).df
+    }),
+
+    // --- TableMapGlobals (TableIR.scala:2380): globals surface in row
+    // expressions as broadcast literals ------------------------------------
+    "table_map_globals" -> ((s, dir) => {
+      val t0 = Table(t(s, dir, "region"), Seq("r_regionkey"))
+        .annotateGlobals("source" -> "tpch", "version" -> 4)
+      t0.annotate(
+        "src" -> t0.global("source"),
+        "ver" -> t0.global("version"))
+        .df.select(col("r_regionkey"), col("src"), col("ver"))
+    }),
+
     // --- native MatrixTable write + read round-trip (hl.read_matrix_table):
     // same projection and oracle as vcf_import, but through the on-disk
     // native format (key-sorted rows + manifest, indexed cols) -------------
@@ -3283,7 +3305,15 @@ object SparkEntry {
       """SELECT CAST(idx AS BIGINT) AS idx,
         |  CAST(idx * idx AS BIGINT) AS sq
         |FROM (SELECT unnest(range(0, 1000)) AS idx)
-        |WHERE idx % 7 = 3""".stripMargin
+        |WHERE idx % 7 = 3""".stripMargin,
+
+    "table_parallelize" ->
+      """SELECT CAST(k AS INTEGER) AS k, name
+        |FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, NULL))
+        |AS t(k, name)""".stripMargin,
+
+    "table_map_globals" ->
+      """SELECT r_regionkey, 'tpch' AS src, 4 AS ver FROM region"""
   )
 
   /** Shared oracle for `vcf_import` and `matrix_write_read`. */
