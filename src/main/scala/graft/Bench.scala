@@ -33,7 +33,11 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     queries.foreach { case (n, f) => runOnce(n, f) } // burn-in
     val results = queries.map { case (name, fn) =>
       val times = (1 to iters).map(_ => runOnce(name, fn)).sorted

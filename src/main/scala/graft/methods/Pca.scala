@@ -91,8 +91,8 @@ object Pca {
           // over the broadcast (small) V and S
           val proj = (0 until kk).map { i =>
             val vi = array((0 until mt.nCols).map(j => lit(v(j, i))): _*)
-            (aggregate(zip_with(col("__norm"), vi, (a, b) => a * b),
-              lit(0.0), (acc, x) => acc + x) / s(i)).as(s"__pc$i")
+            (graft.functions.VectorOps.dot(col("__norm"), vi) / s(i))
+              .as(s"__pc$i")
           }
           Some(normRows.select((mt.rowKey.map(col) :+
             array(proj: _*).as("loadings")): _*))

@@ -189,9 +189,8 @@ object Skat {
   }
 
   private def dotLit(v: Column, lits: Array[Double]): Column =
-    aggregate(
-      zip_with(v, array(lits.map(lit).toIndexedSeq: _*), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot(
+      v, array(lits.map(lit).toIndexedSeq: _*))
 
   /** SKAT over a MatrixTable. `keyExpr`/`weightExpr` are row-space
     * expressions (group id, non-negative weight; null-weight rows are

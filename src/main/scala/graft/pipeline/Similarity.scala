@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   * matched exactly by the SQL oracle). */
 object Similarity {
 
-  /** dot(a, b) in double, left fold (deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) in double, left fold (deterministic). Native codegen'd
+    * expression (`functions.VectorOps.dot`) — the `aggregate(zip_with(...))`
+    * HOF formulation is CodegenFallback (interpreted per element); the
+    * kernel is a fused primitive loop with identical numerics and null
+    * semantics, so the SQL oracles are unchanged. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
+
+  /** The HOF formulation the kernel replaced — kept as the parity anchor
+    * for `VectorOpsSpec` (bit-identical results by construction). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
 
@@ -119,10 +127,7 @@ object Similarity {
       .setMaxIterations(10).run(train)
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
     def sqDist(v: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => {
-        val d = x.cast("double") - y
-        d * d
-      }), lit(0.0), (acc, x) => acc + x)
+      graft.functions.VectorOps.squaredDistance(v, array(c.map(lit): _*))
     val dists = array(centroids.map(c => sqDist(col(vecCol), c)): _*)
     val cell = array_position(dists, array_min(dists))
     // query's nProbe nearest cells, driver-side
