@@ -43,10 +43,34 @@ object Bench {
       val times = (1 to iters).map(_ => runOnce(name, fn)).sorted
       name -> times(times.length / 2) // median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The one-line JSON contract: the harness captures only the tail of
+    // stdout, so the line must stay well under 2000 chars. `value`/`n`
+    // cover ALL queries; the per-query map is the headline subset (one
+    // per operator family + every historically-expensive query), values
+    // rounded to ms. The full map goes to stderr for human readers.
+    val headline = Set(
+      "table_join_inner", "table_order_by", "table_scan_sum",
+      "table_aggregate_by_key", "table_filter", "table_distinct",
+      "table_interval_join", "table_multi_way_zip_join", "query_table",
+      "vcf_import", "bgen_import", "plink_import", "split_multi",
+      "linreg_rows", "logistic_rows", "lmm_rows", "geno_ld_matrix",
+      "geno_king", "geno_ibd", "geno_mendel_errors", "geno_tdt",
+      "geno_de_novo", "geno_pc_relate", "geno_skat", "geno_concordance",
+      "qc_variant_qc", "qc_sample_qc", "linalg_pca", "linalg_grm",
+      "matrix_entries_table", "matrix_aggregate_rows_by_key",
+      "matrix_filter_entries_agg", "matrix_write_read",
+      "matrix_annotate_rows_table", "pipe_minhash_pairs",
+      "pipe_simhash_pairs", "pipe_embed_dedup", "pipe_neardup_clusters",
+      "pipe_ann_topk", "pipe_ann_lsh", "pipe_text_stats",
+      "pipe_dedup_exact", "stream_hourly_agg", "vds_combine_densify",
+      "rand_seeded")
+    def fmt(kvs: Seq[(String, Double)]): String = kvs
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    System.err.println("BENCH FULL " + fmt(results))
+    val qs = fmt(results.filter { case (k, _) => headline.contains(k) })
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.length},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1567,6 +1567,156 @@ object SparkEntry {
           Calls.allele2(col("GT")).as("a2"),
           Calls.isPhased(col("GT")).as("phased"),
           col("DP").as("dp"))
+    }),
+
+    // --- export_vcf → import_vcf roundtrip (io/vcf/ExportVCF.scala):
+    // the text writer must reproduce the import projection bit-for-bit ----
+    "vcf_write_roundtrip" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val dir = java.nio.file.Files.createTempDirectory("graft_vcf_rt")
+      sources.Vcf.write(mt, s"$dir/out")
+      val header = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/out/header.vcf"))
+      val parts = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/out/parts")).toArray.map(_.toString)
+        .filter(_.endsWith(".txt")).sorted
+        .map(p => java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p))).mkString
+      java.nio.file.Files.writeString(dir.resolve("all.vcf"),
+        header + parts)
+      val back = sources.Vcf.read(s, dir.resolve("all.vcf").toString)
+      back.entriesTable.df
+        .filter(col("GT").isNotNull)
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"),
+          col("qual"),
+          col("info")("DP").as("info_dp"),
+          element_at(col("info")("AC"), 1).as("info_ac"),
+          col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"),
+          Calls.isPhased(col("GT")).as("phased"),
+          col("DP").as("dp"))
+    }),
+
+    // --- export_plink → import_plink roundtrip (io/plink/) ----------------
+    "plink_write_roundtrip" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Plink.read(s,
+        "/root/repo/src/test/resources/oracle_plink")
+      val dir = java.nio.file.Files.createTempDirectory("graft_plink_rt")
+      sources.Plink.write(mt, s"$dir/out")
+      val back = sources.Plink.read(s, s"$dir/out")
+      back.entriesTable.df.select(
+        col("contig"), col("position"), col("ref"),
+        element_at(col("alt"), 1).as("alt"), col("s"),
+        Calls.allele1(col("GT")).as("a1"),
+        Calls.allele2(col("GT")).as("a2"))
+    }),
+
+    // --- export_bgen → import_bgen roundtrip (io/bgen/ExportBGEN.scala):
+    // 8-bit probability quantization is lossless through the round-trip ----
+    "bgen_export_roundtrip" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Bgen.read(s,
+        "/root/repo/src/test/resources/oracle_bgen.bgen",
+        Some("/root/repo/src/test/resources/oracle_bgen.sample"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_bgen_rt")
+      sources.Bgen.write(mt, s"$dir/out.bgen")
+      val back = sources.Bgen.read(s, s"$dir/out.bgen")
+      back.entriesTable.df.select(
+        col("contig"), col("position"), col("ref"),
+        element_at(col("alt"), 1).as("alt"), col("s"),
+        Calls.nNonRefAlleles(col("GT")).as("gt"),
+        round(element_at(col("GP"), 1), 6).as("paa"),
+        round(element_at(col("GP"), 2), 6).as("pab"),
+        round(element_at(col("GP"), 3), 6).as("pbb"))
+    }),
+
+    // --- export_gen → import_gen roundtrip (io/gen/): 3-decimal text
+    // probabilities survive the round-trip exactly -------------------------
+    "gen_write_roundtrip" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Gen.read(s,
+        "/root/repo/src/test/resources/oracle_gen.gen",
+        "/root/repo/src/test/resources/oracle_gen.sample")
+      val dir = java.nio.file.Files.createTempDirectory("graft_gen_rt")
+      sources.Gen.write(mt, s"$dir/gen", s"$dir/out.sample")
+      val back = sources.Gen.read(s, s"$dir/gen", s"$dir/out.sample")
+      back.entriesTable.df.select(
+        col("contig"), col("position"), col("ref"),
+        element_at(col("alt"), 1).as("alt"), col("s"),
+        Calls.nNonRefAlleles(col("GT")).as("gt"),
+        round(element_at(col("GP"), 1), 6).as("paa"))
+    }),
+
+    // --- external-process pipe (TableToTableApply / hail `pipe` idiom):
+    // rows → TSV → subprocess stdin → stdout → typed rows. `cat` is the
+    // identity annotator; the framing is what's under test ----------------
+    "table_pipe_cat" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      Table(t(s, dir, "region").select(col("r_regionkey"), col("r_name")),
+        Seq("r_regionkey"))
+        .pipeTsv(Seq("cat"), schema).df
+    }),
+
+    // --- MatrixExplodeRows (`MatrixIR.scala:1027`): a row field array
+    // fans the row out; entries are duplicated per element -----------------
+    "matrix_explode_rows" -> ((s, dir) => {
+      val mt = lineitemMatrix(s, dir)
+        .annotateRows("tag" ->
+          sequence(lit(1L), lit(1L) + pmod(col("l_orderkey"), lit(2L))))
+        .explodeRows("tag")
+      mt.rows.select(col("l_orderkey"), col("tag"),
+        size(mt.entries).as("n_cols"))
+    }),
+
+    // --- MatrixUnionCols (`MatrixIR.scala:569`): split col-space halves
+    // re-union to the original matrix ---------------------------------------
+    "matrix_union_cols" -> ((s, dir) => {
+      val mt = lineitemMatrix(s, dir)
+      mt.chooseCols(IndexedSeq(0, 1, 2))
+        .unionCols(mt.chooseCols(IndexedSeq(3, 4, 5, 6)))
+        .entriesTable.selectFields("line_no", "qty").df.drop("col_idx")
+    }),
+
+    // --- unfilter_entries: filtered-away cells become present-but-null
+    // entries (count(e) sees them, count(e.qty) does not) ------------------
+    "matrix_unfilter_entries" -> ((s, dir) =>
+      lineitemMatrix(s, dir)
+        .filterEntries(e => e("qty") >= 10.0)
+        .unfilterEntries()
+        .aggregateEntries(
+          "n_entries" -> (e => count(e)),
+          "n_qty" -> (e => count(e("qty"))),
+          "sum_qty" -> (e => dsum(e("qty"))))),
+
+    // --- trio_matrix (`family_methods.py:16`): cols become trios, entries
+    // carry (proband, father, mother) sub-entries --------------------------
+    "trio_matrix" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val tm = methods.Trios.trioMatrix(mt, Seq(
+        ("S1", "S2", "S3", true), ("S4", "S5", "S1", false)))
+      tm.entriesTable.df.select(
+        col("contig"), col("position"), col("id"),
+        Calls.allele1(col("proband_entry")("GT")).as("kid_a1"),
+        Calls.allele2(col("proband_entry")("GT")).as("kid_a2"),
+        Calls.allele1(col("father_entry")("GT")).as("dad_a1"),
+        Calls.allele2(col("father_entry")("GT")).as("dad_a2"),
+        Calls.allele1(col("mother_entry")("GT")).as("mom_a1"),
+        Calls.allele2(col("mother_entry")("GT")).as("mom_a2"))
+    }),
+
+    // --- realized_relationship_matrix (statgen.py:3656) -------------------
+    "linalg_rrm" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Pca.rrm(mt)
+        .select(col("i"), col("j"), round(col("rrm"), 6).as("rrm"))
     })
   )
 
@@ -3230,46 +3380,14 @@ object SparkEntry {
         |  b.position, b.ref, b.alts""".stripMargin
     },
 
-    "bgen_import" ->
-      """SELECT contig, position, ref, alt, s, gt,
-        |  round(paa8 / 255.0, 6) AS paa,
-        |  round(pab8 / 255.0, 6) AS pab,
-        |  round(1.0 - paa8 / 255.0 - pab8 / 255.0, 6) AS pbb
-        |FROM read_csv(
-        |  '/root/repo/src/test/resources/oracle_bgen_expected.tsv',
-        |  delim='\t', header=true, nullstr='\N',
-        |  columns={'contig':'VARCHAR','position':'INTEGER','ref':'VARCHAR',
-        |    'alt':'VARCHAR','s':'VARCHAR','gt':'INTEGER',
-        |    'paa8':'INTEGER','pab8':'INTEGER'})""".stripMargin,
+    "bgen_import" -> BgenImportOracleSql,
+    "bgen_export_roundtrip" -> BgenImportOracleSql,
 
-    "gen_import" ->
-      """WITH raw AS (
-        |  SELECT string_split_regex(trim(line), ' +') AS f
-        |  FROM read_csv('/root/repo/src/test/resources/oracle_gen.gen',
-        |    delim='~', header=false, columns={'line':'VARCHAR'})),
-        |samp AS (SELECT unnest(range(0, 6)) AS j),
-        |e AS (
-        |  SELECT f[1] AS contig, CAST(f[4] AS INTEGER) AS position,
-        |    f[5] AS ref, f[6] AS alt, 'G' || j AS s,
-        |    CAST(f[7 + j * 3] AS DOUBLE) AS paa,
-        |    CAST(f[8 + j * 3] AS DOUBLE) AS pab,
-        |    CAST(f[9 + j * 3] AS DOUBLE) AS pbb
-        |  FROM raw, samp)
-        |SELECT contig, position, ref, alt, s,
-        |  CASE WHEN greatest(paa, pab, pbb) < 0.9 THEN NULL
-        |       WHEN greatest(paa, pab, pbb) = paa THEN 0
-        |       WHEN greatest(paa, pab, pbb) = pab THEN 1
-        |       ELSE 2 END AS gt,
-        |  round(paa, 6) AS paa
-        |FROM e""".stripMargin,
+    "gen_import" -> GenImportOracleSql,
+    "gen_write_roundtrip" -> GenImportOracleSql,
 
-    "plink_import" ->
-      """SELECT contig, position, ref, alt, s, a1, a2
-        |FROM read_csv(
-        |  '/root/repo/src/test/resources/oracle_plink_expected.tsv',
-        |  delim='\t', header=true, nullstr='\N',
-        |  columns={'contig':'VARCHAR','position':'INTEGER','ref':'VARCHAR',
-        |    'alt':'VARCHAR','s':'VARCHAR','a1':'INTEGER','a2':'INTEGER'})""".stripMargin,
+    "plink_import" -> PlinkImportOracleSql,
+    "plink_write_roundtrip" -> PlinkImportOracleSql,
 
     "matrix_table_import" ->
       """SELECT CAST(id AS BIGINT) AS id, foo, col_id,
@@ -3280,6 +3398,78 @@ object SparkEntry {
         |AS t(id, foo, col_id, x)""".stripMargin,
 
     "vcf_import" -> VcfImportOracleSql,
+
+    // the text-writer round-trip restores the import projection exactly
+    "vcf_write_roundtrip" -> VcfImportOracleSql,
+
+    "table_pipe_cat" ->
+      "SELECT r_regionkey, r_name FROM region",
+
+    "matrix_explode_rows" ->
+      """SELECT l_orderkey,
+        |  unnest(range(1, 2 + l_orderkey % 2)) AS tag,
+        |  CAST(7 AS INTEGER) AS n_cols
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem)""".stripMargin,
+
+    "matrix_union_cols" ->
+      s"""SELECT l_orderkey, l_linenumber AS line_no, qty
+        |FROM $cellSql""".stripMargin,
+
+    "matrix_unfilter_entries" ->
+      s"""SELECT
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) * 7
+        |    AS n_entries,
+        |  count(*) FILTER (WHERE qty >= 10.0) AS n_qty,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,4)))
+        |    FILTER (WHERE qty >= 10.0) AS DOUBLE) AS sum_qty
+        |FROM $cellSql""".stripMargin,
+
+    "trio_matrix" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |trio(id, dad, mom) AS (
+        |  VALUES ('S1', 'S2', 'S3'), ('S4', 'S5', 'S1'))
+        |SELECT k.contig, k.position, trio.id,
+        |  k.a1 AS kid_a1, k.a2 AS kid_a2,
+        |  d.a1 AS dad_a1, d.a2 AS dad_a2,
+        |  m.a1 AS mom_a1, m.a2 AS mom_a2
+        |FROM trio
+        |JOIN q k ON k.s = trio.id
+        |JOIN q d ON d.s = trio.dad AND d.contig = k.contig
+        |  AND d.position = k.position AND d.ref = k.ref
+        |  AND d.alts = k.alts
+        |JOIN q m ON m.s = trio.mom AND m.contig = k.contig
+        |  AND m.position = k.position AND m.ref = k.ref
+        |  AND m.alts = k.alts""".stripMargin
+    },
+
+    "linalg_rrm" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (
+        |  SELECT contig, position, s, CAST(a1 + a2 AS DOUBLE) AS dose
+        |  FROM q),
+        |st AS (
+        |  SELECT contig, position, sum(dose) AS ac,
+        |    sum(dose * dose) AS acsq, count(dose) AS nc
+        |  FROM d GROUP BY 1, 2),
+        |ln AS (
+        |  SELECT *, sqrt(acsq - ac * ac / nc) AS len
+        |  FROM st WHERE nc > 0),
+        |f AS (
+        |  SELECT d.contig, d.position,
+        |    CAST(substr(d.s, 2, 10) AS INTEGER) - 1 AS idx,
+        |    coalesce((dose - ac / nc) / len, 0) AS nrm
+        |  FROM d JOIN ln USING (contig, position)
+        |  WHERE len > 0.1),
+        |mm AS (SELECT count(*) AS m FROM ln WHERE len > 0.1)
+        |SELECT a.idx AS i, b.idx AS j,
+        |  round(5.0 / mm.m * sum(a.nrm * b.nrm), 6) AS rrm
+        |FROM f a
+        |JOIN f b ON a.contig = b.contig AND a.position = b.position
+        |  AND a.idx <= b.idx, mm
+        |GROUP BY a.idx, b.idx, mm.m""".stripMargin
+    },
 
     // identical semantics through the native on-disk round-trip
     "matrix_write_read" -> VcfImportOracleSql,
@@ -3317,6 +3507,47 @@ object SparkEntry {
   )
 
   /** Shared oracle for `vcf_import` and `matrix_write_read`. */
+  private val PlinkImportOracleSql: String =
+    """SELECT contig, position, ref, alt, s, a1, a2
+      |FROM read_csv(
+      |  '/root/repo/src/test/resources/oracle_plink_expected.tsv',
+      |  delim='\t', header=true, nullstr='\N',
+      |  columns={'contig':'VARCHAR','position':'INTEGER','ref':'VARCHAR',
+      |    'alt':'VARCHAR','s':'VARCHAR','a1':'INTEGER','a2':'INTEGER'})""".stripMargin
+
+  private val BgenImportOracleSql: String =
+    """SELECT contig, position, ref, alt, s, gt,
+      |  round(paa8 / 255.0, 6) AS paa,
+      |  round(pab8 / 255.0, 6) AS pab,
+      |  round(1.0 - paa8 / 255.0 - pab8 / 255.0, 6) AS pbb
+      |FROM read_csv(
+      |  '/root/repo/src/test/resources/oracle_bgen_expected.tsv',
+      |  delim='\t', header=true, nullstr='\N',
+      |  columns={'contig':'VARCHAR','position':'INTEGER','ref':'VARCHAR',
+      |    'alt':'VARCHAR','s':'VARCHAR','gt':'INTEGER',
+      |    'paa8':'INTEGER','pab8':'INTEGER'})""".stripMargin
+
+  private val GenImportOracleSql: String =
+    """WITH raw AS (
+      |  SELECT string_split_regex(trim(line), ' +') AS f
+      |  FROM read_csv('/root/repo/src/test/resources/oracle_gen.gen',
+      |    delim='~', header=false, columns={'line':'VARCHAR'})),
+      |samp AS (SELECT unnest(range(0, 6)) AS j),
+      |e AS (
+      |  SELECT f[1] AS contig, CAST(f[4] AS INTEGER) AS position,
+      |    f[5] AS ref, f[6] AS alt, 'G' || j AS s,
+      |    CAST(f[7 + j * 3] AS DOUBLE) AS paa,
+      |    CAST(f[8 + j * 3] AS DOUBLE) AS pab,
+      |    CAST(f[9 + j * 3] AS DOUBLE) AS pbb
+      |  FROM raw, samp)
+      |SELECT contig, position, ref, alt, s,
+      |  CASE WHEN greatest(paa, pab, pbb) < 0.9 THEN NULL
+      |       WHEN greatest(paa, pab, pbb) = paa THEN 0
+      |       WHEN greatest(paa, pab, pbb) = pab THEN 1
+      |       ELSE 2 END AS gt,
+      |  round(paa, 6) AS paa
+      |FROM e""".stripMargin
+
   private val VcfImportOracleSql: String =
       """WITH raw AS (
         |  SELECT * FROM read_csv(

@@ -225,18 +225,29 @@ object Dedup {
     // iteration — exponential driver memory by round ~12)
     var labels = edges.select(col("a").as("node"))
       .distinct().withColumn("cluster", col("node")).localCheckpoint()
+    // Convergence test: labels only ever decrease (min-propagation), so
+    // the label set is unchanged iff its order-free 64-bit digest is —
+    // one cheap agg over `next` alone, instead of a join-against-previous
+    // count job (which doubled the per-round cost). bit_xor, not sum:
+    // ANSI mode makes a long sum overflow-throw; xor is closed over
+    // distinct (node, cluster) rows.
+    def digest(l: DataFrame): Long = l
+      .agg(bit_xor(xxhash64(col("node"), col("cluster")))).head().getLong(0)
     var it = 0
-    var changed = 1L
-    while (changed > 0 && it < maxIter) {
+    var prev = digest(labels)
+    var converged = false
+    while (!converged && it < maxIter) {
       val prop = edges
         .join(labels.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), col("cluster"))
+      // lazy checkpoint: the digest action below is what materializes it,
+      // so each round runs exactly ONE job
       val next = labels.union(prop)
         .groupBy("node").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "old"), "node")
-        .filter(col("cluster") =!= col("old")).count()
+        .localCheckpoint(false)
+      val d = digest(next)
+      converged = d == prev
+      prev = d
       labels = next
       it += 1
     }
