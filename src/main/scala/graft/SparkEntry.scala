@@ -2031,12 +2031,13 @@ object SparkEntry {
         |mh AS (
         |  SELECT doc_id, shingles,
         |    list_transform(range(0, 8), i ->
-        |      list_min(list_transform(shingles,
-        |        s -> md5(concat(s, '|', i))))) AS sig
+        |      list_min(list_transform(shingles, s ->
+        |        substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)))) AS sig
         |  FROM sh),
         |bands AS (
         |  SELECT doc_id, b.band,
-        |    md5(concat(sig[b.band*2+1], sig[b.band*2+2])) AS bsig
+        |    md5(concat(sig[b.band*2+1], '_', sig[b.band*2+2])) AS bsig
         |  FROM mh, (SELECT unnest(range(0,4)) AS band) b),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2064,12 +2065,13 @@ object SparkEntry {
         |mh AS (
         |  SELECT doc_id, shingles,
         |    list_transform(range(0, 8), i ->
-        |      list_min(list_transform(shingles,
-        |        s -> md5(concat(s, '|', i))))) AS sig
+        |      list_min(list_transform(shingles, s ->
+        |        substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)))) AS sig
         |  FROM sh),
         |bands AS (
         |  SELECT doc_id, b.band,
-        |    md5(concat(sig[b.band*2+1], sig[b.band*2+2])) AS bsig
+        |    md5(concat(sig[b.band*2+1], '_', sig[b.band*2+2])) AS bsig
         |  FROM mh, (SELECT unnest(range(0,4)) AS band) b),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -58,23 +58,37 @@ object Dedup {
       .repartition(col("doc"))
 
   /** (doc, band, bsig) band signatures — relational minhash: explode
-    * shingles and compute the hash family as plain codegen'd md5 columns +
+    * shingles and compute the hash family as plain codegen'd columns +
     * min() aggregates (md5 inside a higher-order transform lambda is
-    * interpreted — ~10x slower). */
+    * interpreted — ~10x slower).
+    *
+    * Hash family: each md5 yields FOUR independent 32-bit hex chunks, so
+    * numHashes hashes need only ceil(numHashes/4) md5 invocations per
+    * shingle (md5 dominates the minhash stage cost). The chunks are
+    * genuinely independent bits — a linear h1 + i*h2 family is NOT
+    * (its members share the same argmin shingle, collapsing a band of k
+    * rows to ~1 effective hash and exploding the candidate set ~15x).
+    * 32-bit minwise values make chance min-ties ~(m²/2^32) — negligible
+    * at any real shingle-set size. Chunks stay as fixed-width lowercase
+    * hex strings: their lexicographic order IS the numeric order, so no
+    * hex→int parsing is needed in either engine. */
   private def bandSignatures(sh: DataFrame, numHashes: Int, bands: Int)
       : DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    val nMd5 = (numHashes + 3) / 4
     val hashed = sh
       .select(col("doc"), explode(col("shingles")).as("s"))
-      .select(col("doc") +: (0 until numHashes).map(i =>
-        md5(concat(col("s"), lit(s"|$i"))).as(s"h$i")): _*)
+      .select(col("doc") +: (0 until nMd5).map(j =>
+        md5(concat(col("s"), lit(s"|$j"))).as(s"hex$j")): _*)
+    def chunk(i: Int): Column =
+      substring(col(s"hex${i / 4}"), 1 + 8 * (i % 4), 8)
     val sig = hashed.groupBy(col("doc")).agg(
-      min(col("h0")).as("mh0"),
-      (1 until numHashes).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
+      min(chunk(0)).as("mh0"),
+      (1 until numHashes).map(i => min(chunk(i)).as(s"mh$i")): _*)
     sig.select(col("doc"),
       posexplode(array((0 until bands).map(b =>
-        md5(concat_ws("", (0 until rowsPerBand).map(r =>
+        md5(concat_ws("_", (0 until rowsPerBand).map(r =>
           col(s"mh${b * rowsPerBand + r}")): _*))): _*))
         .as(Seq("band", "bsig")))
   }
@@ -240,11 +254,9 @@ object Dedup {
       val prop = edges
         .join(labels.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), col("cluster"))
-      // lazy checkpoint: the digest action below is what materializes it,
-      // so each round runs exactly ONE job
       val next = labels.union(prop)
         .groupBy("node").agg(min("cluster").as("cluster"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val d = digest(next)
       converged = d == prev
       prev = d
