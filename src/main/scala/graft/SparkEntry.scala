@@ -1717,6 +1717,77 @@ object SparkEntry {
       val mt = sources.Vcf.read(s, VcfFixture)
       methods.Pca.rrm(mt)
         .select(col("i"), col("j"), round(col("rrm"), 6).as("rrm"))
+    }),
+
+    // --- string function surface (reference StringFunctions.scala):
+    // built-ins + the graft extensions (hamming, firstMatchIn,
+    // strftime/strptime round-trip) ----------------------------------------
+    "fn_strings" -> ((s, dir) => {
+      import graft.functions.Strings
+      val secs = col("n_nationkey").cast("long") * 3600L + 7200L
+      t(s, dir, "nation").select(col("n_nationkey"),
+        length(col("n_name")).as("len"),
+        lower(col("n_name")).as("lo"),
+        substring(col("n_name"), 2, 3).as("sub"),
+        reverse(col("n_name")).as("rev"),
+        lpad(col("n_name"), 12, ".").as("pad"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("tr"),
+        levenshtein(col("n_name"), lit("UNITED STATES")).as("lev"),
+        Strings.hamming(substring(col("n_name"), 1, 4),
+          reverse(substring(col("n_name"), 1, 4))).as("ham"),
+        Strings.firstMatchIn(col("n_name"), "[AEIOU]+").as("vow"),
+        Strings.strftime(secs, "yyyy-MM-dd HH:mm:ss").as("ts"),
+        Strings.strptime(Strings.strftime(secs, "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("secs"))
+    }),
+
+    // --- set function surface (reference SetFunctions.scala): canonical
+    // sorted-array sets over the p_type token bag --------------------------
+    "fn_sets" -> ((s, dir) => {
+      import graft.functions.Sets
+      val a = Sets.toSet(split(col("p_type"), " "))
+      val b = array(lit("PLATED"), lit("BRUSHED"))
+      t(s, dir, "part").filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          a.as("set_a"),
+          Sets.union(a, b).as("u"),
+          Sets.intersection(a, b).as("i"),
+          Sets.difference(a, b).as("d"),
+          Sets.contains(a, lit("STEEL")).as("has_steel"),
+          Sets.isSubset(array(lit("STEEL"), lit("BRUSHED")), a)
+            .as("sub_ab"),
+          Sets.add(a, lit("zzz")).as("added"),
+          Sets.remove(a, element_at(a, 1)).as("removed"))
+    }),
+
+    // --- interval function surface (IntervalFunctions.scala): contains /
+    // overlaps / is_empty with open-closed endpoint semantics --------------
+    "fn_intervals" -> ((s, dir) => {
+      import graft.functions.Intervals
+      val i1 = Intervals.interval(pmod(col("o_custkey"), lit(100L)),
+        pmod(col("o_custkey"), lit(100L)) + 10L)
+      val i2 = Intervals.interval(lit(50L), lit(60L),
+        includesStart = lit(false), includesEnd = lit(true))
+      val p = pmod(col("o_orderkey"), lit(120L))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          Intervals.contains(i1, p).as("contains_p"),
+          Intervals.overlaps(i1, i2).as("overlaps_q"),
+          Intervals.isEmpty(Intervals.interval(
+            pmod(col("o_orderkey"), lit(3L)), lit(1L))).as("is_empty"))
+    }),
+
+    // --- util function surface (UtilFunctions.scala): triangle, dynamic
+    // printf, approximate similarity ---------------------------------------
+    "fn_util" -> ((s, dir) => {
+      import graft.functions.Util
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          Util.triangle(col("o_orderkey")).as("tri"),
+          Util.format(lit("%d:%s"), col("o_orderkey"),
+            col("o_orderstatus")).as("fmt"),
+          Util.valuesSimilar(col("o_totalprice"),
+            round(col("o_totalprice"), 0)).as("sim"))
     })
   )
 
@@ -3472,6 +3543,62 @@ object SparkEntry {
         |  AND a.idx <= b.idx, mm
         |GROUP BY a.idx, b.idx, mm.m""".stripMargin
     },
+
+    "fn_strings" ->
+      """SELECT n_nationkey,
+        |  CAST(length(n_name) AS INTEGER) AS len,
+        |  lower(n_name) AS lo,
+        |  substr(n_name, 2, 3) AS sub,
+        |  reverse(n_name) AS rev,
+        |  lpad(n_name, 12, '.') AS pad,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS tr,
+        |  CAST(levenshtein(n_name, 'UNITED STATES') AS INTEGER) AS lev,
+        |  CAST(hamming(substr(n_name, 1, 4),
+        |    reverse(substr(n_name, 1, 4))) AS INTEGER) AS ham,
+        |  NULLIF(regexp_extract(n_name, '[AEIOU]+'), '') AS vow,
+        |  strftime(make_timestamp(
+        |    (CAST(n_nationkey AS BIGINT) * 3600 + 7200) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CAST(n_nationkey AS BIGINT) * 3600 + 7200 AS secs
+        |FROM nation""".stripMargin,
+
+    "fn_sets" ->
+      """WITH t0 AS (
+        |  SELECT p_partkey,
+        |    list_sort(list_distinct(string_split(p_type, ' '))) AS a
+        |  FROM part WHERE p_partkey <= 500)
+        |SELECT p_partkey, a AS set_a,
+        |  list_sort(list_distinct(
+        |    list_concat(a, ['PLATED', 'BRUSHED']))) AS u,
+        |  list_sort(list_distinct(
+        |    list_intersect(a, ['PLATED', 'BRUSHED']))) AS i,
+        |  list_sort(list_filter(a,
+        |    x -> NOT list_contains(['PLATED', 'BRUSHED'], x))) AS d,
+        |  list_contains(a, 'STEEL') AS has_steel,
+        |  len(list_filter(['STEEL', 'BRUSHED'],
+        |    x -> NOT list_contains(a, x))) = 0 AS sub_ab,
+        |  list_sort(list_distinct(list_concat(a, ['zzz']))) AS added,
+        |  list_filter(a, x -> x != a[1]) AS removed
+        |FROM t0""".stripMargin,
+
+    "fn_intervals" ->
+      """SELECT o_orderkey,
+        |  (p >= s AND p < e) AS contains_p,
+        |  NOT (e <= 50 OR s > 60) AS overlaps_q,
+        |  (o_orderkey % 3) >= 1 AS is_empty
+        |FROM (
+        |  SELECT o_orderkey, o_custkey % 100 AS s,
+        |    o_custkey % 100 + 10 AS e, o_orderkey % 120 AS p
+        |  FROM orders WHERE o_orderkey <= 2000)""".stripMargin,
+
+    "fn_util" ->
+      """SELECT o_orderkey,
+        |  (o_orderkey * (o_orderkey + 1)) // 2 AS tri,
+        |  printf('%d:%s', o_orderkey, o_orderstatus) AS fmt,
+        |  abs(o_totalprice - round(o_totalprice, 0)) <= 1e-6 *
+        |    greatest(abs(o_totalprice),
+        |      abs(round(o_totalprice, 0)), 1.0) AS sim
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
 
     // identical semantics through the native on-disk round-trip
     "matrix_write_read" -> VcfImportOracleSql,
