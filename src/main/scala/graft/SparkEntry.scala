@@ -1788,6 +1788,61 @@ object SparkEntry {
             col("o_orderstatus")).as("fmt"),
           Util.valuesSimilar(col("o_totalprice"),
             round(col("o_totalprice"), 0)).as("sim"))
+    }),
+
+    // --- NDArray function surface (NDArrayFunctions.scala): per-row 2x2
+    // matmul / solve / ref / sum; the 2x2 solve has a closed form the
+    // oracle reproduces in plain arithmetic --------------------------------
+    "fn_ndarray" -> ((s, dir) => {
+      import graft.functions.NdArrays
+      val k = col("o_orderkey")
+      val a = NdArrays.make(Seq(2L, 2L), array(
+        lit(1.0) + pmod(k, lit(3L)).cast("double"), lit(1.0),
+        lit(1.0), lit(2.0) + pmod(k, lit(2L)).cast("double")))
+      val b = NdArrays.make(Seq(2L, 2L), array(
+        pmod(k, lit(5L)).cast("double"), lit(1.0),
+        lit(0.0), lit(1.0)))
+      val mm = NdArrays.matmul(a, b)
+      val sol = NdArrays.solve(a, NdArrays.make(Seq(2L, 1L),
+        array(lit(1.0), lit(2.0))))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"),
+          element_at(NdArrays.data(mm), 1).as("m11"),
+          element_at(NdArrays.data(mm), 2).as("m12"),
+          element_at(NdArrays.data(mm), 3).as("m21"),
+          element_at(NdArrays.data(mm), 4).as("m22"),
+          round(element_at(NdArrays.data(sol), 1), 6).as("x1"),
+          round(element_at(NdArrays.data(sol), 2), 6).as("x2"),
+          NdArrays.ref2(mm, lit(0L), lit(1L)).as("ref01"),
+          round(NdArrays.sumAll(sol), 6).as("ssum"))
+    }),
+
+    // --- TableGen (`TableIR.scala:2094`): one partition per context with
+    // a generator body ------------------------------------------------------
+    "table_gen" -> ((s, _) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      Table.gen(s, 0 until 8, StructType(Seq(
+        StructField("ctx", IntegerType, false),
+        StructField("idx", IntegerType, false),
+        StructField("v", LongType, false)))) { c =>
+        (0 until c).iterator.map(j => Row(c, j, c.toLong * 100 + j))
+      }.df
+    }),
+
+    // --- balding_nichols_model (statgen.py:2767): seeded generation is
+    // deterministic, so per-variant call summaries gate against literal
+    // goldens (provenance: BaldingNicholsSpec checks the af moments) -------
+    "balding_nichols" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = methods.BaldingNichols.baldingNicholsModel(s,
+        nPopulations = 3, nSamples = 20, nVariants = 50, seed = 7L)
+      mt.rows.select(col("position"),
+        round(col("ancestral_af"), 6).as("p0"),
+        aggregate(transform(mt.entries,
+          e => Calls.nNonRefAlleles(e("GT"))), lit(0), _ + _).as("n_alt"),
+        aggregate(transform(mt.entries,
+          e => Calls.isHet(e("GT")).cast("int")), lit(0), _ + _)
+          .as("n_het"))
     })
   )
 
@@ -3600,6 +3655,32 @@ object SparkEntry {
         |      abs(round(o_totalprice, 0)), 1.0) AS sim
         |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
 
+    "fn_ndarray" ->
+      """SELECT o_orderkey,
+        |  CAST((1 + o_orderkey % 3) * (o_orderkey % 5) AS DOUBLE) AS m11,
+        |  CAST(2 + o_orderkey % 3 AS DOUBLE) AS m12,
+        |  CAST(o_orderkey % 5 AS DOUBLE) AS m21,
+        |  CAST(3 + o_orderkey % 2 AS DOUBLE) AS m22,
+        |  round((o_orderkey % 2) / det, 6) AS x1,
+        |  round((2 * (1 + o_orderkey % 3) - 1) / det, 6) AS x2,
+        |  CAST(2 + o_orderkey % 3 AS DOUBLE) AS ref01,
+        |  round(((o_orderkey % 2) + 2 * (1 + o_orderkey % 3) - 1) / det, 6)
+        |    AS ssum
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CAST((1 + o_orderkey % 3) * (2 + o_orderkey % 2) - 1 AS DOUBLE)
+        |      AS det
+        |  FROM orders WHERE o_orderkey <= 200)""".stripMargin,
+
+    "table_gen" ->
+      """SELECT CAST(c AS INTEGER) AS ctx, CAST(j AS INTEGER) AS idx,
+        |  CAST(c * 100 + j AS BIGINT) AS v
+        |FROM (
+        |  SELECT c, unnest(range(0, c)) AS j
+        |  FROM (SELECT unnest(range(0, 8)) AS c))""".stripMargin,
+
+    "balding_nichols" -> BaldingNicholsGolden,
+
     // identical semantics through the native on-disk round-trip
     "matrix_write_read" -> VcfImportOracleSql,
 
@@ -3636,6 +3717,68 @@ object SparkEntry {
   )
 
   /** Shared oracle for `vcf_import` and `matrix_write_read`. */
+  private val BnGoldenRows: String =
+    """(1, 0.70206, 19, 9),
+      |  (2, 0.874371, 39, 1),
+      |  (3, 0.364526, 18, 10),
+      |  (4, 0.805059, 32, 4),
+      |  (5, 0.649762, 21, 13),
+      |  (6, 0.100537, 13, 9),
+      |  (7, 0.752459, 25, 9),
+      |  (8, 0.395083, 10, 6),
+      |  (9, 0.258523, 9, 5),
+      |  (10, 0.123087, 3, 3),
+      |  (11, 0.365555, 13, 9),
+      |  (12, 0.645052, 26, 10),
+      |  (13, 0.17503, 5, 3),
+      |  (14, 0.631162, 21, 11),
+      |  (15, 0.537754, 28, 10),
+      |  (16, 0.188068, 12, 8),
+      |  (17, 0.886929, 36, 4),
+      |  (18, 0.891458, 37, 3),
+      |  (19, 0.106864, 7, 5),
+      |  (20, 0.364489, 11, 7),
+      |  (21, 0.632131, 27, 7),
+      |  (22, 0.742858, 18, 8),
+      |  (23, 0.189731, 5, 3),
+      |  (24, 0.139151, 7, 7),
+      |  (25, 0.178125, 11, 3),
+      |  (26, 0.631584, 24, 10),
+      |  (27, 0.757228, 31, 3),
+      |  (28, 0.33785, 26, 6),
+      |  (29, 0.55049, 31, 9),
+      |  (30, 0.337063, 19, 7),
+      |  (31, 0.174254, 16, 8),
+      |  (32, 0.899804, 30, 8),
+      |  (33, 0.708788, 34, 6),
+      |  (34, 0.439174, 24, 8),
+      |  (35, 0.524017, 19, 13),
+      |  (36, 0.370485, 21, 9),
+      |  (37, 0.498467, 27, 5),
+      |  (38, 0.468305, 7, 5),
+      |  (39, 0.104863, 10, 4),
+      |  (40, 0.859772, 35, 5),
+      |  (41, 0.579329, 22, 10),
+      |  (42, 0.130784, 1, 1),
+      |  (43, 0.246984, 8, 6),
+      |  (44, 0.299591, 10, 6),
+      |  (45, 0.791501, 31, 7),
+      |  (46, 0.505725, 31, 7),
+      |  (47, 0.79711, 30, 6),
+      |  (48, 0.4409, 24, 12),
+      |  (49, 0.766609, 38, 2),
+      |  (50, 0.433178, 15, 11)""".stripMargin
+
+  /** Literal golden for `balding_nichols` (regenerate via
+    * tools/gen_goldens.py after an intentional generator change). */
+  private val BaldingNicholsGolden: String =
+    """SELECT CAST(position AS INTEGER) AS position,
+      |  CAST(p0 AS DOUBLE) AS p0, CAST(n_alt AS INTEGER) AS n_alt,
+      |  CAST(n_het AS INTEGER) AS n_het
+      |FROM (VALUES
+      |  __BN_GOLDEN__) t(position, p0, n_alt, n_het)""".stripMargin
+      .replace("__BN_GOLDEN__", BnGoldenRows)
+
   private val PlinkImportOracleSql: String =
     """SELECT contig, position, ref, alt, s, a1, a2
       |FROM read_csv(

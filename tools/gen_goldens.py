@@ -49,3 +49,8 @@ print()
 skat = rows("geno_skat_p", ["id", "p_value"])
 print("__SKAT_P_GOLDEN__ (paste into SkatPGolden):\n")
 print(", ".join(skat))
+print()
+
+bn = rows("balding_nichols", ["position", "p0", "n_alt", "n_het"])
+print("__BN_GOLDEN__ (paste into BnGoldenRows):\n")
+print(",\n      |  ".join(bn))
