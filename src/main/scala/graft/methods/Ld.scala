@@ -55,9 +55,17 @@ object Ld {
     * distinct pairs; same-position pairs are ordered by allele string. */
   def ldMatrix(mt: MatrixTable, window: Int): DataFrame = {
     val vid = concat_ws("_", col("ref"), concat_ws(",", col("alt")))
+    // Materialize the parsed+normalized coordinates before the self-join
+    // (lazy local checkpoint: first action computes it once). Without
+    // this the whole source subtree — for VCF input, the full typed
+    // parse — is duplicated under BOTH join sides: double codegen/
+    // planning cost and double execution. The reference's ld_matrix
+    // likewise materializes the standardized matrix (a BlockMatrix)
+    // before multiplying.
     val coords = normRows(mt)
       .select(col("contig"), col("position"), vid.as("__vid"),
         posexplode(col("__norm")).as(Seq("__cidx", "__n")))
+      .localCheckpoint(false)
     val l = coords.select(col("contig"), col("position").as("pos_i"),
         col("__vid").as("__vid_i"), col("__cidx"), col("__n").as("__ni"))
       .withColumn("__bin", explode(array(
