@@ -1829,6 +1829,55 @@ object SparkEntry {
       }.df
     }),
 
+    // --- Avro source (io/AvroTableReader.scala): distributed container
+    // read of a driver-written fixture carrying the nation table ----------
+    "avro_read" -> ((s, dir) => {
+      import org.apache.avro.SchemaBuilder
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect()
+      val schema = SchemaBuilder.record("nation").fields()
+        .requiredInt("n_nationkey").requiredString("n_name")
+        .requiredInt("n_regionkey").endRecord()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro_gate")
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](schema))
+        .create(schema, tmp.resolve("part-0.avro").toFile)
+      rows.foreach { r =>
+        val rec = new GenericData.Record(schema)
+        rec.put("n_nationkey", r.getInt(0))
+        rec.put("n_name", r.getString(1))
+        rec.put("n_regionkey", r.getInt(2))
+        w.append(rec)
+      }
+      w.close()
+      sources.Avro.read(s, tmp.resolve("part-0.avro").toString)
+    }),
+
+    // --- FASTA reference sequence (reference_genome.py add_sequence /
+    // getReferenceSequence): .fai-indexed lookup with contig clamping -----
+    "fasta_sequence" -> ((s, _) => {
+      import graft.functions.Fasta
+      val seq1 = "ACGT" * 25 // chr1: 100 bases
+      val seq2 = "TTGGCCAA" * 10 // chr2: 80 bases
+      val dir = java.nio.file.Files.createTempDirectory("graft_fa_gate")
+      val fa = dir.resolve("ref.fa")
+      java.nio.file.Files.writeString(fa,
+        ">chr1\n" + seq1.grouped(20).mkString("\n") + "\n" +
+          ">chr2\n" + seq2.grouped(25).mkString("\n") + "\n")
+      Fasta.buildIndex(s, fa.toString)
+      val fasta = Fasta.read(s, fa.toString)
+      s.range(1, 91).toDF("p").select(col("p"),
+        fasta.getReferenceSequence(lit("chr1"), col("p").cast("int"))
+          .as("base"),
+        fasta.getReferenceSequence(lit("chr1"), col("p").cast("int"),
+          lit(2), lit(3)).as("ctx"),
+        fasta.getReferenceSequence(lit("chr2"), col("p").cast("int"))
+          .as("b2"))
+    }),
+
     // --- balding_nichols_model (statgen.py:2767): seeded generation is
     // deterministic, so per-variant call summaries gate against literal
     // goldens (provenance: BaldingNicholsSpec checks the af moments) -------
@@ -3680,6 +3729,21 @@ object SparkEntry {
         |  FROM (SELECT unnest(range(0, 8)) AS c))""".stripMargin,
 
     "balding_nichols" -> BaldingNicholsGolden,
+
+    "avro_read" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "fasta_sequence" ->
+      """WITH s1 AS (SELECT repeat('ACGT', 25) AS seq),
+        |s2 AS (SELECT repeat('TTGGCCAA', 10) AS seq2),
+        |p AS (SELECT unnest(range(1, 91)) AS p)
+        |SELECT p,
+        |  substr(seq, CAST(p AS INTEGER), 1) AS base,
+        |  substr(seq, greatest(1, CAST(p AS INTEGER) - 2),
+        |    least(100, CAST(p AS INTEGER) + 3)
+        |      - greatest(1, CAST(p AS INTEGER) - 2) + 1) AS ctx,
+        |  substr(seq2, CAST(p AS INTEGER), 1) AS b2
+        |FROM p, s1, s2""".stripMargin,
 
     // identical semantics through the native on-disk round-trip
     "matrix_write_read" -> VcfImportOracleSql,

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * it — per-row scalar lookup, off the entry hot path. For a whole-genome
   * FASTA restrict `contigs` to the ones the query touches. */
 final class FastaSequence private[functions] (
-    bc: org.apache.spark.broadcast.Broadcast[Map[String, String]]) {
+    bc: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+    extends Serializable {
 
   /** Base(s) at [position − before, position + after] (1-based,
     * clamped to the contig like the reference; null for an unknown
