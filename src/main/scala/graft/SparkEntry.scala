@@ -1829,6 +1829,20 @@ object SparkEntry {
       }.df
     }),
 
+    // --- annotation imports (import_bed / import_fam /
+    // import_locus_intervals, reference methods/impex.py) ------------------
+    "bed_import" -> ((s, _) =>
+      sources.Annotations.importBed(s,
+        "/root/repo/src/test/resources/oracle_annotations.bed").df),
+
+    "fam_import" -> ((s, _) =>
+      sources.Annotations.importFam(s,
+        "/root/repo/src/test/resources/oracle_plink.fam").df),
+
+    "locus_intervals_import" -> ((s, _) =>
+      sources.Annotations.importLocusIntervals(s,
+        "/root/repo/src/test/resources/oracle_intervals.txt").df),
+
     // --- Avro source (io/AvroTableReader.scala): distributed container
     // read of a driver-written fixture carrying the nation table ----------
     "avro_read" -> ((s, dir) => {
@@ -3732,6 +3746,43 @@ object SparkEntry {
 
     "avro_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "bed_import" ->
+      """SELECT f[1] AS contig, CAST(f[2] AS INTEGER) + 1 AS start,
+        |  CAST(f[3] AS INTEGER) AS "end", f[4] AS target
+        |FROM (
+        |  SELECT string_split_regex(trim(line), '\s+') AS f
+        |  FROM read_csv(
+        |    '/root/repo/src/test/resources/oracle_annotations.bed',
+        |    delim='~', header=false, columns={'line':'VARCHAR'})
+        |  WHERE trim(line) != '' AND NOT starts_with(trim(line), '#')
+        |    AND NOT starts_with(trim(line), 'track')
+        |    AND NOT starts_with(trim(line), 'browser'))""".stripMargin,
+
+    "fam_import" ->
+      """SELECT f[2] AS s, f[1] AS fam_id, f[3] AS pat_id, f[4] AS mat_id,
+        |  CASE WHEN f[5] = '2' THEN true
+        |       WHEN f[5] = '1' THEN false END AS is_female,
+        |  CASE WHEN f[6] IN ('-9', '0') THEN NULL
+        |       ELSE TRY_CAST(f[6] AS DOUBLE) END AS quant_pheno
+        |FROM (
+        |  SELECT string_split_regex(trim(line), '\s+') AS f
+        |  FROM read_csv('/root/repo/src/test/resources/oracle_plink.fam',
+        |    delim='~', header=false, columns={'line':'VARCHAR'})
+        |  WHERE trim(line) != '')""".stripMargin,
+
+    "locus_intervals_import" ->
+      """SELECT regexp_extract(l, '^([^:]+):(\d+)-(\d+)$', 1) AS contig,
+        |  CAST(regexp_extract(l, '^([^:]+):(\d+)-(\d+)$', 2) AS INTEGER)
+        |    AS start,
+        |  CAST(regexp_extract(l, '^([^:]+):(\d+)-(\d+)$', 3) AS INTEGER)
+        |    AS "end"
+        |FROM (
+        |  SELECT trim(line) AS l
+        |  FROM read_csv('/root/repo/src/test/resources/oracle_intervals.txt',
+        |    delim='~', header=false, columns={'line':'VARCHAR'})
+        |  WHERE trim(line) != '' AND NOT starts_with(trim(line), '#'))
+        |WHERE regexp_extract(l, '^([^:]+):(\d+)-(\d+)$', 1) != ''""".stripMargin,
 
     "fasta_sequence" ->
       """WITH s1 AS (SELECT repeat('ACGT', 25) AS seq),
