@@ -1829,6 +1829,29 @@ object SparkEntry {
       }.df
     }),
 
+    // --- tabix-indexed region read (io/tabix/TabixReader.scala +
+    // LoadVCF partial reads): bgzip the fixture, index it, seek-read two
+    // regions; only in-region rows come back --------------------------------
+    "vcf_region_read" -> ((s, _) => {
+      import graft.functions.Calls
+      val dir = java.nio.file.Files.createTempDirectory("graft_tbx_gate")
+      val bgz = dir.resolve("f.vcf.bgz").toString
+      val out = new sources.BGzipOutputStream(
+        new java.io.FileOutputStream(bgz), 2048)
+      out.write(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(VcfFixture)))
+      out.close()
+      sources.Tabix.write(s, bgz)
+      val mt = sources.Vcf.readRegions(s, bgz,
+        Seq(("chr1", 300, 1200), ("chr2", 1, 700)))
+      mt.entriesTable.df
+        .filter(col("GT").isNotNull)
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"), col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"))
+    }),
+
     // --- annotation imports (import_bed / import_fam /
     // import_locus_intervals, reference methods/impex.py) ------------------
     "bed_import" -> ((s, _) =>
@@ -3746,6 +3769,16 @@ object SparkEntry {
 
     "avro_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "vcf_region_read" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base
+        |SELECT contig, position, ref, alts, s, a1, a2
+        |FROM q
+        |WHERE a1 IS NOT NULL AND (
+        |  (contig = 'chr1' AND position BETWEEN 300 AND 1200) OR
+        |  (contig = 'chr2' AND position BETWEEN 1 AND 700))""".stripMargin
+    },
 
     "bed_import" ->
       """SELECT f[1] AS contig, CAST(f[2] AS INTEGER) + 1 AS start,
