@@ -1757,7 +1757,8 @@ object SparkEntry {
           Sets.isSubset(array(lit("STEEL"), lit("BRUSHED")), a)
             .as("sub_ab"),
           Sets.add(a, lit("zzz")).as("added"),
-          Sets.remove(a, element_at(a, 1)).as("removed"))
+          Sets.remove(a, element_at(a, 1)).as("removed"),
+          Sets.lowerBound(a, lit("N")).as("lb"))
     }),
 
     // --- interval function surface (IntervalFunctions.scala): contains /
@@ -1827,6 +1828,32 @@ object SparkEntry {
         StructField("v", LongType, false)))) { c =>
         (0 until c).iterator.map(j => Row(c, j, c.toLong * 100 + j))
       }.df
+    }),
+
+    // --- UDF/UDAF surface (§2.10, reference define_function /
+    // register_ir_function): a named scalar UDF and a typed Aggregator
+    // UDAF, both registered and invoked through spark.sql ------------------
+    "udf_define_function" -> ((s, dir) => {
+      s.udf.register("graft_tri", (n: Long) => n * (n + 1) / 2)
+      val gm = new org.apache.spark.sql.expressions.Aggregator[
+          Double, (Double, Long), Double] {
+        def zero = (0.0, 0L)
+        def reduce(b: (Double, Long), x: Double) = (b._1 + math.log(x), b._2 + 1)
+        def merge(a: (Double, Long), b: (Double, Long)) =
+          (a._1 + b._1, a._2 + b._2)
+        def finish(b: (Double, Long)): Double =
+          if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+        def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong)
+        def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+      }
+      s.udf.register("graft_geomean", udaf(gm))
+      t(s, dir, "region").createOrReplaceTempView("udf_region_v")
+      s.sql("""SELECT r_regionkey,
+        graft_tri(CAST(r_regionkey AS BIGINT)) AS tri,
+        round(graft_geomean(CAST(r_regionkey AS DOUBLE) + 1.0), 6) AS gm
+        FROM udf_region_v GROUP BY r_regionkey""")
     }),
 
     // --- tabix-indexed region read (io/tabix/TabixReader.scala +
@@ -3719,7 +3746,8 @@ object SparkEntry {
         |  len(list_filter(['STEEL', 'BRUSHED'],
         |    x -> NOT list_contains(a, x))) = 0 AS sub_ab,
         |  list_sort(list_distinct(list_concat(a, ['zzz']))) AS added,
-        |  list_filter(a, x -> x != a[1]) AS removed
+        |  list_filter(a, x -> x != a[1]) AS removed,
+        |  CAST(len(list_filter(a, x -> x < 'N')) AS INTEGER) AS lb
         |FROM t0""".stripMargin,
 
     "fn_intervals" ->
@@ -3769,6 +3797,12 @@ object SparkEntry {
 
     "avro_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "udf_define_function" ->
+      """SELECT r_regionkey,
+        |  (CAST(r_regionkey AS BIGINT) * (r_regionkey + 1)) // 2 AS tri,
+        |  round(exp(ln(CAST(r_regionkey AS DOUBLE) + 1.0)), 6) AS gm
+        |FROM region""".stripMargin,
 
     "vcf_region_read" -> {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))

@@ -25,6 +25,13 @@ object Sets {
   def difference(a: Column, b: Column): Column = toSet(array_except(a, b))
   def isSubset(a: Column, b: Column): Column =
     size(array_except(a, b)) === 0
+
+  /** LowerBoundOnOrderedCollection (ir-gen `Main.scala:738`): index of
+    * the first element >= v in a sorted array (0-based; == size when all
+    * elements are smaller). Declarative linear-count form — stays in
+    * codegen, and per-row collections are small by contract. */
+  def lowerBound(arr: Column, v: Column): Column =
+    size(filter(arr, x => x < v))
 }
 
 /** Dict helpers over Spark MapType (reference `DictFunctions.scala`). */
@@ -37,6 +44,17 @@ object Dicts {
   def items(d: Column): Column = map_entries(d)
   def isEmpty(d: Column): Column = size(d) === 0
   def fromEntries(e: Column): Column = map_from_entries(e)
+
+  /** GroupByKey (ir-gen `Main.scala:725`): array of (key, value) structs
+    * → map key → array of values, duplicate keys grouped (unlike
+    * `fromEntries`, which throws on duplicates). Quadratic in the
+    * per-row entry count — per-row collections are small by contract. */
+  def groupByKey(entries: Column): Column =
+    map_from_entries(transform(
+      array_distinct(transform(entries, e => e("key"))),
+      k => struct(k.as("key"),
+        transform(filter(entries, e => e("key") === k),
+          e => e("value")).as("value"))))
 }
 
 /** String helpers the reference adds over SQL built-ins

@@ -215,4 +215,27 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getBoolean(2) && !r.getBoolean(3))
     assert(r.getBoolean(4) && r.getBoolean(5))
   }
+
+  test("Sets.lowerBound: first index >= v in a sorted array") {
+    import graft.functions.Sets
+    val df = spark.range(1).select(
+      Sets.lowerBound(array(lit(2), lit(4), lit(4), lit(9)), lit(4)),
+      Sets.lowerBound(array(lit(2), lit(4), lit(4), lit(9)), lit(1)),
+      Sets.lowerBound(array(lit(2), lit(4), lit(4), lit(9)), lit(10)))
+    assert(df.head().toSeq === Seq(1, 0, 4))
+  }
+
+  test("Dicts.groupByKey groups duplicate keys positionally") {
+    import graft.functions.Dicts
+    val entries = array(
+      struct(lit("a").as("key"), lit(1).as("value")),
+      struct(lit("b").as("key"), lit(2).as("value")),
+      struct(lit("a").as("key"), lit(3).as("value")))
+    val r = spark.range(1)
+      .select(Dicts.groupByKey(entries).as("m"))
+      .select(element_at(col("m"), "a"), element_at(col("m"), "b"))
+      .head()
+    assert(r.getSeq[Int](0) === Seq(1, 3))
+    assert(r.getSeq[Int](1) === Seq(2))
+  }
 }
