@@ -1830,6 +1830,27 @@ object SparkEntry {
       }.df
     }),
 
+    // --- BlockMatrix algebra (BlockMatrixIR): distributed matmul,
+    // transpose, and scalar map over a 2x2-block grid, checked cell-by-
+    // cell against SQL join-aggregation. Values are exact binary halves,
+    // so the compare needs no rounding ------------------------------------
+    "linalg_blockmatrix" -> ((s, _) => {
+      import graft.linalg.BlockMatrix
+      val ae = s.range(12).select(
+        floor(col("id") / 3).cast("long").as("i"),
+        pmod(col("id"), lit(3L)).as("j"),
+        (pmod(col("id"), lit(7L)).cast("double") + 0.5).as("value"))
+      val be = s.range(15).select(
+        floor(col("id") / 5).cast("long").as("i"),
+        pmod(col("id"), lit(5L)).as("j"),
+        (pmod(col("id"), lit(5L)).cast("double") + 0.5).as("value"))
+      val a = BlockMatrix.fromEntries(ae, 4, 3, blockSize = 2)
+      val b = BlockMatrix.fromEntries(be, 3, 5, blockSize = 2)
+      a.dot(b).entries.withColumn("tag", lit("ab"))
+        .unionByName(a.transpose.entries.withColumn("tag", lit("at")))
+        .unionByName(a.scale(3.0).entries.withColumn("tag", lit("a3")))
+    }),
+
     // --- UDF/UDAF surface (§2.10, reference define_function /
     // register_ir_function): a named scalar UDF and a typed Aggregator
     // UDAF, both registered and invoked through spark.sql ------------------
@@ -3797,6 +3818,22 @@ object SparkEntry {
 
     "avro_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "linalg_blockmatrix" ->
+      """WITH ae AS (
+        |  SELECT CAST(id // 3 AS BIGINT) AS i, CAST(id % 3 AS BIGINT) AS j,
+        |    CAST((id % 7) + 0.5 AS DOUBLE) AS v
+        |  FROM (SELECT unnest(range(0, 12)) AS id)),
+        |be AS (
+        |  SELECT CAST(id // 5 AS BIGINT) AS j, CAST(id % 5 AS BIGINT) AS k,
+        |    CAST((id % 5) + 0.5 AS DOUBLE) AS v
+        |  FROM (SELECT unnest(range(0, 15)) AS id))
+        |SELECT ae.i, be.k AS j, sum(ae.v * be.v) AS value, 'ab' AS tag
+        |FROM ae JOIN be ON ae.j = be.j GROUP BY ae.i, be.k
+        |UNION ALL
+        |SELECT j AS i, i AS j, v AS value, 'at' AS tag FROM ae
+        |UNION ALL
+        |SELECT i, j, v * 3.0 AS value, 'a3' AS tag FROM ae""".stripMargin,
 
     "udf_define_function" ->
       """SELECT r_regionkey,
