@@ -1830,6 +1830,27 @@ object SparkEntry {
       }.df
     }),
 
+    // --- MatrixExplodeCols (`MatrixIR.scala:778`): a col-field array
+    // fans the col space out; entries duplicate per element ----------------
+    "matrix_explode_cols" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{ArrayType, IntegerType}
+      lineitemMatrix(s, dir)
+        .annotateCols("tags", ArrayType(IntegerType),
+          r => Seq(r.getInt(0), r.getInt(0) * 10))
+        .explodeCols("tags")
+        .entriesTable.selectFields("line_no", "tags", "qty").df
+        .drop("col_idx")
+    }),
+
+    // --- MatrixMapGlobals (MatrixIR): globals flow to a projected col ----
+    "matrix_map_globals" -> ((s, dir) => {
+      val mt = lineitemMatrix(s, dir)
+        .annotateGlobals("build" -> "r5", "k" -> 3)
+      mt.rows.select(col("l_orderkey"),
+        lit(mt.globals("build")).as("build"),
+        lit(mt.globals("k")).as("k"))
+    }),
+
     // --- BlockMatrix algebra (BlockMatrixIR): distributed matmul,
     // transpose, and scalar map over a 2x2-block grid, checked cell-by-
     // cell against SQL join-aggregation. Values are exact binary halves,
@@ -3818,6 +3839,15 @@ object SparkEntry {
 
     "avro_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "matrix_explode_cols" ->
+      s"""SELECT l_orderkey, l_linenumber AS line_no,
+        |  unnest([l_linenumber, l_linenumber * 10]) AS tags, qty
+        |FROM $cellSql""".stripMargin,
+
+    "matrix_map_globals" ->
+      """SELECT l_orderkey, 'r5' AS build, 3 AS k
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem)""".stripMargin,
 
     "linalg_blockmatrix" ->
       """WITH ae AS (
