@@ -2313,12 +2313,13 @@ object SparkEntry {
         |  SELECT doc_id, shingles,
         |    list_transform(range(0, 8), i ->
         |      list_min(list_transform(shingles, s ->
-        |        substr(md5(concat(s, '|', i // 4)),
-        |          1 + 8 * (i % 4), 8)))) AS sig
+        |        CAST(('0x' || substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)) AS BIGINT)))) AS sig
         |  FROM sh),
         |bands AS (
         |  SELECT doc_id, b.band,
-        |    md5(concat(sig[b.band*2+1], '_', sig[b.band*2+2])) AS bsig
+        |    md5(concat(CAST(sig[b.band*2+1] AS VARCHAR), '_',
+        |      CAST(sig[b.band*2+2] AS VARCHAR))) AS bsig
         |  FROM mh, (SELECT unnest(range(0,4)) AS band) b),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2347,12 +2348,13 @@ object SparkEntry {
         |  SELECT doc_id, shingles,
         |    list_transform(range(0, 8), i ->
         |      list_min(list_transform(shingles, s ->
-        |        substr(md5(concat(s, '|', i // 4)),
-        |          1 + 8 * (i % 4), 8)))) AS sig
+        |        CAST(('0x' || substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)) AS BIGINT)))) AS sig
         |  FROM sh),
         |bands AS (
         |  SELECT doc_id, b.band,
-        |    md5(concat(sig[b.band*2+1], '_', sig[b.band*2+2])) AS bsig
+        |    md5(concat(CAST(sig[b.band*2+1] AS VARCHAR), '_',
+        |      CAST(sig[b.band*2+2] AS VARCHAR))) AS bsig
         |  FROM mh, (SELECT unnest(range(0,4)) AS band) b),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

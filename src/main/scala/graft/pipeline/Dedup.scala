@@ -56,6 +56,10 @@ object Dedup {
         .as("shingles"))
       .filter(size(col("shingles")) > 0)
       .repartition(col("doc"))
+      // lazy checkpoint: three consumers (band signatures + both verify
+      // joins) would otherwise each re-scan the corpus and re-shingle;
+      // the first action materializes the sets once, disk-backed
+      .localCheckpoint(false)
 
   /** (doc, band, bsig) band signatures — relational minhash: explode
     * shingles and compute the hash family as plain codegen'd columns +
@@ -69,9 +73,12 @@ object Dedup {
     * (its members share the same argmin shingle, collapsing a band of k
     * rows to ~1 effective hash and exploding the candidate set ~15x).
     * 32-bit minwise values make chance min-ties ~(m²/2^32) — negligible
-    * at any real shingle-set size. Chunks stay as fixed-width lowercase
-    * hex strings: their lexicographic order IS the numeric order, so no
-    * hex→int parsing is needed in either engine. */
+    * at any real shingle-set size. Chunks are parsed to LONGS (not kept
+    * as hex strings): min() over a string column cannot live in a
+    * mutable hash-agg buffer, so Spark plans it as Sort+SortAggregate —
+    * a full sort of the exploded shingle table. min(long) stays a
+    * HashAggregate with map-side partials. The DuckDB oracle mirrors
+    * the parse with CAST('0x…' AS BIGINT). */
   private def bandSignatures(sh: DataFrame, numHashes: Int, bands: Int)
       : DataFrame = {
     val rowsPerBand = numHashes / bands
@@ -82,14 +89,15 @@ object Dedup {
       .select(col("doc") +: (0 until nMd5).map(j =>
         md5(concat(col("s"), lit(s"|$j"))).as(s"hex$j")): _*)
     def chunk(i: Int): Column =
-      substring(col(s"hex${i / 4}"), 1 + 8 * (i % 4), 8)
+      conv(substring(col(s"hex${i / 4}"), 1 + 8 * (i % 4), 8), 16, 10)
+        .cast("long")
     val sig = hashed.groupBy(col("doc")).agg(
       min(chunk(0)).as("mh0"),
       (1 until numHashes).map(i => min(chunk(i)).as(s"mh$i")): _*)
     sig.select(col("doc"),
       posexplode(array((0 until bands).map(b =>
         md5(concat_ws("_", (0 until rowsPerBand).map(r =>
-          col(s"mh${b * rowsPerBand + r}")): _*))): _*))
+          col(s"mh${b * rowsPerBand + r}").cast("string")): _*))): _*))
         .as(Seq("band", "bsig")))
   }
 
@@ -112,7 +120,9 @@ object Dedup {
       numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
     val sh = shingleSets(df, id, text, shingleSize)
-    val banded = bandSignatures(sh, numHashes, bands)
+    // materialize signatures once: capBuckets consumes them twice
+    // (bucket count + join back) and the pair join twice more
+    val banded = bandSignatures(sh, numHashes, bands).localCheckpoint(false)
     val pruned = capBuckets(banded, Seq("band", "bsig"), maxBucketSize)
     val cand = pruned.select(col("band"), col("bsig"), col("doc").as("id_a"))
       .join(pruned.select(col("band"), col("bsig"), col("doc").as("id_b")),
@@ -159,13 +169,16 @@ object Dedup {
       count(lit(1)).as("n"),
       (0 until 60).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b")): _*)
-    // no persist: `sigs` descends from the groupBy(doc) exchange, which
-    // ReuseExchange shares between the self-join sides and the bucket count
+    // materialize signatures once: AQE reuses the groupBy(doc) shuffle
+    // across the four consumers (bucket count, its join-back, both
+    // self-join sides) but the post-shuffle 60-bit vote projection would
+    // still run four times without the checkpoint
     val sigs = votes.select(col("doc"),
       (0 until 60).map(b =>
         when(col(s"b$b") * 2 > col("n"), math.pow(2.0, b).toLong)
           .otherwise(0L)).reduce(_ + _).as("sig"))
       .withColumn("bucket", shiftright(col("sig"), 60 - prefixBits))
+      .localCheckpoint(false)
     val pruned = capBuckets(sigs, Seq("bucket"), maxBucketSize)
     val l = pruned.select(col("bucket"), col("doc").as("id_a"),
       col("sig").as("sig_a"))
@@ -205,6 +218,8 @@ object Dedup {
     val bucketed = df.select(col(id).as("doc"), col(vec).as("__v"))
       .withColumn("bucket", Similarity.lshBucket(col("__v"), planes))
       .repartition(col("doc"))
+      // one materialization for the four consumers (see simhashPairs)
+      .localCheckpoint(false)
     val pruned = capBuckets(bucketed, Seq("bucket"), maxBucketSize)
     val l = pruned.select(col("bucket"), col("doc").as("id_a"),
       col("__v").as("__va"))

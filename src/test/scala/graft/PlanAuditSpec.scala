@@ -115,4 +115,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(mt.rows.rdd.getNumPartitions <= 4)
     assert(mt.rows.count() == 50)
   }
+
+  test("minhash pairs scan the corpus once and hash-aggregate minima") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.pipeline.Dedup.minhashPairs(docs, "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    // the shingle sets and band signatures are checkpoint-materialized,
+    // so the downstream pair/verify pipeline never re-reads the corpus
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"$scans corpus scans\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // min() runs over longs: a hash aggregate with map-side partials —
+    // min(string) would silently fall back to Sort+SortAggregate
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
+  test("trio_matrix is a pure projection — no shuffle, no join") {
+    val tm = graft.methods.Trios.trioMatrix(fixtureMt(), Seq(
+      ("S1", "S2", "S3", true), ("S4", "S5", "S1", false)))
+    val plan = tm.rows.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }
