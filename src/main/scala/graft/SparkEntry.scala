@@ -599,6 +599,18 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    // --- pipeline: IVF ANN with every cell probed — must equal the exact
+    // brute-force top-k (the spec checks partial-probe recall) -------------
+    "pipe_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      pipeline.Similarity.ivfTopK(
+        e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10,
+        nCells = 8, nProbe = 8)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     // --- pipeline: multimodal metadata over binary payloads ----------------
     "pipe_multimodal_meta" -> ((s, dir) => {
       val bin = t(s, dir, "documents")
@@ -2369,22 +2381,9 @@ object SparkEntry {
         |JOIN sh sa ON cand.id_a = sa.doc_id
         |JOIN sh sb ON cand.id_b = sb.doc_id""".stripMargin,
 
-    "pipe_ann_topk" ->
-      """WITH q AS (
-        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |c AS (
-        |  SELECT vec_id,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
-        |      AS dp,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(embedding[i] AS DOUBLE)
-        |         * CAST(embedding[i] AS DOUBLE)))) AS na,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nb
-        |  FROM embeddings, q WHERE vec_id != 0)
-        |SELECT vec_id, round(dp / (na * nb), 6) AS cos
-        |FROM c ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""".stripMargin,
+    "pipe_ann_topk" -> AnnTopkOracleSql,
+    // full-probe IVF degenerates to exact brute force
+    "pipe_ann_ivf" -> AnnTopkOracleSql,
 
     // LSH ANN: the hyperplanes are seed-deterministic
     // (Similarity.hyperplanes(64, 4, 42)) so they are embedded as literal
@@ -3968,6 +3967,25 @@ object SparkEntry {
   )
 
   /** Shared oracle for `vcf_import` and `matrix_write_read`. */
+  /** Shared oracle for the exact ANN gates (`pipe_ann_topk` and the
+    * full-probe IVF path, which must reproduce it exactly). */
+  private val AnnTopkOracleSql: String =
+    """WITH q AS (
+      |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+      |      AS dp,
+      |    sqrt(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE)
+      |         * CAST(embedding[i] AS DOUBLE)))) AS na,
+      |    sqrt(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nb
+      |  FROM embeddings, q WHERE vec_id != 0)
+      |SELECT vec_id, round(dp / (na * nb), 6) AS cos
+      |FROM c ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""".stripMargin
+
   private val BnGoldenRows: String =
     """(1, 0.70206, 19, 9),
       |  (2, 0.874371, 39, 1),
