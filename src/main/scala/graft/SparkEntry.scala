@@ -1127,6 +1127,19 @@ object SparkEntry {
         s"graft_stream_sink_${System.nanoTime()}")
     }),
 
+    // --- gap sessionization, batch twin of the streaming kernel
+    // (StreamingSpec proves stream/batch parity; this oracles the batch
+    // closed form) ----------------------------------------------------------
+    "stream_sessionize_batch" -> ((s, dir) =>
+      streaming.Events.sessionizeBatch(
+        t(s, dir, "events"), gapNs = 1800000000000L)
+        // DuckDB reads the TIMESTAMP(NANOS) column at micro precision;
+        // truncate the ns bounds so both engines agree
+        .withColumn("start_ts",
+          col("start_ts") - pmod(col("start_ts"), lit(1000L)))
+        .withColumn("end_ts",
+          col("end_ts") - pmod(col("end_ts"), lit(1000L)))),
+
     // --- TableTail (TableIR.scala:2167): last n in key order ---------------
     "table_tail" -> ((s, dir) =>
       Table(t(s, dir, "orders"), Seq("o_orderkey")).tail(100).df
@@ -3242,6 +3255,24 @@ object SparkEntry {
         |  ('chr1', 400, 1000, 600, 'VB', 30, 0, 0.0, 1717, 2.861667))
         |AS t(contig, start, "end", interval_size, s, dp_threshold,
         |  bases_over, fraction_over, sum_dp, mean_dp)""".stripMargin,
+
+    "stream_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, value
+        |  FROM events),
+        |l AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > 1800000000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l)
+        |SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "stream_hourly_agg" ->
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
