@@ -30,7 +30,12 @@ object SparkEntry {
     * cells pre-aggregate; sums are decimal-cleaned for cross-engine
     * determinism (see `dsum`). */
   private def lineitemMatrix(s: SparkSession, dir: String): MatrixTable = {
+    // pre-partition by the row key alone: hash(l_orderkey) satisfies the
+    // clustering requirement of BOTH downstream groupBys (cell key is a
+    // superset), so the whole matrix assembly runs off ONE shuffle
+    // instead of raw-rows + cells
     val cell = t(s, dir, "lineitem")
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(
         sum(col("l_quantity")).cast(DecimalType(18, 4)).cast("double")

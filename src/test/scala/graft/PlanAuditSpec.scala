@@ -130,6 +130,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(2000))
   }
 
+  test("coordinate matrix assembly runs off one shuffle") {
+    // hash(rowKey) satisfies the clustering requirement of both the
+    // cell-level and the row-level groupBy (cell key is a superset), so
+    // pre-partitioning by the row key alone collapses the assembly to a
+    // single exchange
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cell = li.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val mt = MatrixTable.fromCoordinates(
+      coord = cell,
+      rowKey = Seq("l_orderkey"),
+      colIdx = col("l_linenumber") - 1,
+      entryFields = Seq("qty" -> col("qty")),
+      colValues = (1 to 7).map(i =>
+        org.apache.spark.sql.Row(i)).toIndexedSeq,
+      colSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("line_no",
+          org.apache.spark.sql.types.IntegerType, false))),
+      colKey = Seq("line_no"))
+    val plan = mt.rows.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges\n${plan.take(2500)}")
+  }
+
   test("trio_matrix is a pure projection — no shuffle, no join") {
     val tm = graft.methods.Trios.trioMatrix(fixtureMt(), Seq(
       ("S1", "S2", "S3", true), ("S4", "S5", "S1", false)))
