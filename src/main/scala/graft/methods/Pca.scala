@@ -105,8 +105,9 @@ object Pca {
     * GRM but variance-normalized empirically — per variant,
     * norm = (gt - mean) / sqrt(ACsq - AC²/n_called), rows with
     * centered length <= 0.1 dropped; RRM = MᵀM / (m/n). */
-  def rrm(mt: MatrixTable): DataFrame = {
-    val spark = mt.spark
+  def rrm(mt: MatrixTable,
+      distributeOver: Int = Genetics.PairCountDistributeOver)
+      : DataFrame = {
     val dose = transform(mt.entries, e =>
       Calls.nNonRefAlleles(e("GT")).cast("double"))
     val withStats = mt.rows.withColumn("__dose", dose)
@@ -124,45 +125,89 @@ object Pca {
     val norm = transform(col("__dose"), v =>
       coalesce(when(col("__len") > 0.1,
         (v - col("__ac") / col("__nc")) / col("__len")), lit(0.0)))
-    val vecRdd = withStats.withColumn("__norm", norm)
-      .select(col("__norm")).rdd
-      .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
-    val gram = new RowMatrix(vecRdd).computeGramianMatrix()
-    val scale = mt.nCols.toDouble / m
-    val rows = for {
-      i <- 0 until mt.nCols
-      j <- i until mt.nCols
-    } yield Row(i, j, gram(i, j) * scale)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("i", IntegerType, false),
-        StructField("j", IntegerType, false),
-        StructField("rrm", DoubleType, false))))
+    gramEntries(mt, withStats.withColumn("__norm", norm),
+      mt.nCols.toDouble / m, "rrm", distributeOver)
   }
 
   /** genetic_relatedness_matrix (reference `statgen.py:3576`):
     * GRM = MᵀM / (m/2) over (gt-mean)/sqrt(mean(2-mean))-normalized
-    * dosages; returns the dense sample×sample matrix as a DataFrame of
-    * (i, j, value) for i <= j (symmetric). Sample count is the driver-size
-    * dimension (matches the reference's BlockMatrix contract at our col
-    * scale; swap in MLlib BlockMatrix for >100k samples). */
-  def grm(mt: MatrixTable): DataFrame = {
-    val spark = mt.spark
+    * dosages; returns the sample×sample matrix as a DataFrame of
+    * (i, j, value) for i <= j (symmetric). Below `distributeOver`
+    * samples the Gramian is one treeAggregate with an S×S driver
+    * result; past it the product runs as a distributed BlockMatrix
+    * MᵀM and pair rows are emitted from the product's blocks — nothing
+    * S²-sized ever lands on the driver. */
+  def grm(mt: MatrixTable,
+      distributeOver: Int = Genetics.PairCountDistributeOver)
+      : DataFrame = {
     val (normRows, m) = hweNormalized(mt, scaleM = false)
-    val vecRdd = normRows.select(col("__norm")).rdd
-      .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
-    val gram = new RowMatrix(vecRdd).computeGramianMatrix() // samples²
-    val scale = 2.0 / m
-    val rows = for {
-      i <- 0 until mt.nCols
-      j <- i until mt.nCols
-    } yield Row(i, j, gram(i, j) * scale)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("i", IntegerType, false),
-        StructField("j", IntegerType, false),
-        StructField("grm", DoubleType, false))))
+    gramEntries(mt, normRows, 2.0 / m, "grm", distributeOver)
+  }
+
+  /** Shared Gramian → (i, j, value) emitter for GRM/RRM: driver-local
+    * treeAggregate result below `distributeOver` samples, BlockMatrix
+    * MᵀM with block-local pair emission above it. The distributed path
+    * omits pairs whose every product term is zero (their block is never
+    * materialized) — at the scales that need it, S² zero rows are
+    * noise. */
+  private def gramEntries(mt: MatrixTable, normRows: DataFrame,
+      scale: Double, valueName: String, distributeOver: Int)
+      : DataFrame = {
+    val spark = mt.spark
+    val n = mt.nCols
+    val schema = StructType(Seq(
+      StructField("i", IntegerType, false),
+      StructField("j", IntegerType, false),
+      StructField(valueName, DoubleType, false)))
+    if (n <= distributeOver) {
+      val vecRdd = normRows.select(col("__norm")).rdd
+        .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
+      val gram = new RowMatrix(vecRdd).computeGramianMatrix() // S×S
+      val rows = for {
+        i <- 0 until n
+        j <- i until n
+      } yield Row(i, j, gram(i, j) * scale)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    } else {
+      import org.apache.spark.mllib.linalg.distributed.{CoordinateMatrix, MatrixEntry}
+      import org.apache.spark.storage.StorageLevel
+      val blockSize = 1024
+      val vecs = normRows.select(col("__norm")).rdd
+        .map(_.getSeq[Double](0).toArray)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nVariants = vecs.count()
+      val entriesRdd = vecs.zipWithIndex().flatMap { case (v, ri) =>
+        Iterator.range(0, v.length)
+          .filter(v(_) != 0.0)
+          .map(ci => MatrixEntry(ri, ci.toLong, v(ci)))
+      }
+      val mMat = new CoordinateMatrix(entriesRdd, nVariants, n.toLong)
+        .toBlockMatrix(blockSize, blockSize)
+      val g = mMat.transpose.multiply(mMat)
+      val bs = blockSize
+      val pairRows = g.blocks.flatMap { case ((bi, bj), blk) =>
+        val out = List.newBuilder[Row]
+        val arr = blk.toArray // column-major
+        var cIdx = 0
+        while (cIdx < blk.numCols) {
+          var rIdx = 0
+          while (rIdx < blk.numRows) {
+            val i = bi * bs + rIdx
+            val j = bj * bs + cIdx
+            if (i <= j)
+              out += Row(i, j, arr(cIdx * blk.numRows + rIdx) * scale)
+            rIdx += 1
+          }
+          cIdx += 1
+        }
+        out.result()
+      }
+      val out = spark.createDataFrame(pairRows, schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // force, so the vector RDD can be released
+      vecs.unpersist(blocking = false)
+      out
+    }
   }
 }

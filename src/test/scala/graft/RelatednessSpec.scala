@@ -188,6 +188,27 @@ class RelatednessSpec extends SparkSpec {
     }
   }
 
+  test("grm/rrm distributed BlockMatrix path matches the local Gramian") {
+    val mt = fixtureMt()
+    def toMap(df: org.apache.spark.sql.DataFrame, v: String) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getInt(1)) -> r.getAs[Double](v)).toMap
+    val grmLocal = toMap(methods.Pca.grm(mt), "grm")
+    val grmDist = toMap(methods.Pca.grm(mt, distributeOver = 1), "grm")
+    // the distributed path omits never-materialized all-zero blocks;
+    // every pair it does emit must match, and all nonzero pairs appear
+    assert(grmDist.nonEmpty)
+    grmDist.foreach { case (k, d) =>
+      assert(math.abs(grmLocal(k) - d) < 1e-12, s"grm $k") }
+    grmLocal.filter(_._2 != 0.0).keySet.foreach(k =>
+      assert(grmDist.contains(k), s"missing grm pair $k"))
+    val rrmLocal = toMap(methods.Pca.rrm(mt), "rrm")
+    val rrmDist = toMap(methods.Pca.rrm(mt, distributeOver = 1), "rrm")
+    assert(rrmDist.nonEmpty)
+    rrmDist.foreach { case (k, d) =>
+      assert(math.abs(rrmLocal(k) - d) < 1e-12, s"rrm $k") }
+  }
+
   test("identityByDescent distributed path matches the local Gramian") {
     val mt = fixtureMt()
     def key(r: org.apache.spark.sql.Row) =
