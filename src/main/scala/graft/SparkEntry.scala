@@ -1132,6 +1132,18 @@ object SparkEntry {
         s"graft_stream_sink_${System.nanoTime()}")
     }),
 
+    // --- skew-salted equi-join: identical results to the plain join,
+    // with the hot keys fanned over deterministic salts -------------------
+    "table_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      operators.Skew.saltedJoin(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders, Seq("o_orderkey"), saltFactor = 8)
+    }),
+
     // --- gap sessionization, batch twin of the streaming kernel
     // (StreamingSpec proves stream/batch parity; this oracles the batch
     // closed form) ----------------------------------------------------------
@@ -3260,6 +3272,11 @@ object SparkEntry {
         |  ('chr1', 400, 1000, 600, 'VB', 30, 0, 0.0, 1717, 2.861667))
         |AS t(contig, start, "end", interval_size, s, dp_threshold,
         |  bases_over, fraction_over, sum_dp, mean_dp)""".stripMargin,
+
+    "table_salted_join" ->
+      """SELECT l.l_orderkey AS o_orderkey, l.l_partkey, l.l_quantity,
+        |  o.o_custkey
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
 
     "stream_sessionize_batch" ->
       """WITH e AS (

@@ -176,4 +176,28 @@ class TableSpec extends SparkSpec {
     assert(q.head(3).df.collect().map(_.getLong(0)).toSeq
       === Seq(10L, 11L, 12L))
   }
+
+  test("saltedJoin equals the plain equi-join and spreads the hot key") {
+    import graft.operators.Skew
+    // one pathological hot key (0) plus a uniform tail
+    val left = spark.range(10000)
+      .select(when(col("id") < 5000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = spark.range(200).select(col("id").as("k"),
+      (col("id") * 10).as("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val plain = left.join(right, Seq("k"))
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+    assert(canon(salted) === canon(plain))
+    val plainL = left.join(right, Seq("k"), "left")
+    val saltedL = Skew.saltedJoin(left, right, Seq("k"), 8, "left")
+    assert(canon(saltedL) === canon(plainL))
+    // the hot key's rows really do carry several distinct salts
+    val salts = left.filter(col("k") === 0)
+      .withColumn("__salt", pmod(xxhash64(left.columns.map(col): _*),
+        lit(8L)))
+      .select("__salt").distinct().count()
+    assert(salts > 1, s"hot key landed on $salts salt(s)")
+  }
 }
