@@ -390,6 +390,25 @@ final case class Table(
     * `queryTable` prunes files against these ranges driver-side — at
     * 100 TB that skips whole files without even opening their footers,
     * on top of Parquet's own row-group stats inside surviving files. */
+  /** Bucketed native write: hash-bucket + sort the table by its key
+    * into `nBuckets` files registered as catalog table `tableName`.
+    * Two tables bucketed the same way join WITHOUT a shuffle — the
+    * bucketed scan already satisfies the join's clustering requirement
+    * (the Spark-native form of pre-partitioned co-located joins; see
+    * PlanAuditSpec). Use for the big fact tables that are joined on
+    * the same key query after query — at 100 TB the one-time bucketed
+    * write amortizes the per-query exchange away. */
+  def writeBucketed(tableName: String, path: String,
+      nBuckets: Int): Unit = {
+    require(key.nonEmpty, "writeBucketed requires a keyed table")
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key.head, key.tail: _*)
+      .sortBy(key.head, key.tail: _*)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
   def write(path: String): Unit = {
     val t = ensureKeyOrder()
     t.df.write.mode("overwrite").parquet(s"$path/rows")

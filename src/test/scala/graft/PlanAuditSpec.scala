@@ -155,6 +155,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges exchanges\n${plan.take(2500)}")
   }
 
+  test("co-bucketed tables join without an exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt")
+    val li = Table(spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity")), Seq("l_orderkey"))
+    val ords = Table(spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+      Seq("l_orderkey"))
+    li.writeBucketed("bkt_li", s"$dir/li", 8)
+    ords.writeBucketed("bkt_ords", s"$dir/ords", 8)
+    // force the shuffle-join regime bucketing exists for (a broadcast
+    // would hide the exchange question entirely at this test size)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_li")
+        .join(spark.table("bkt_ords"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2500))
+      assert(plan.contains("SortMergeJoin"), plan.take(2500))
+      assert(joined.count() ==
+        li.df.join(ords.df, "l_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_li")
+      spark.sql("DROP TABLE IF EXISTS bkt_ords")
+    }
+  }
+
   test("trio_matrix is a pure projection — no shuffle, no join") {
     val tm = graft.methods.Trios.trioMatrix(fixtureMt(), Seq(
       ("S1", "S2", "S3", true), ("S4", "S5", "S1", false)))
