@@ -1017,6 +1017,16 @@ object SparkEntry {
           round(col("phi"), 6).as("phi"))
     }),
 
+    // --- ld_prune (statgen.py:4708): greedy windowed prune + global MIS;
+    // deterministic in key order, gated against the literal golden kept
+    // set (provenance: MethodsSpec checks the r² invariants) ---------------
+    "geno_ld_prune" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Ld.ldPruneGlobal(mt, r2Threshold = 0.2, window = 1500).df
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"))
+    }),
+
     // --- windowed ld_matrix (statgen.py:3836): pairwise Pearson r ---------
     "geno_ld_matrix" -> ((s, _) => {
       val mt = sources.Vcf.read(s, VcfFixture)
@@ -3688,6 +3698,24 @@ object SparkEntry {
         |  ON a.contig = b.contig AND a.position = b.position AND a.s < b.s
         |GROUP BY 1, 2""".stripMargin
     },
+
+    // golden kept-set (regenerate from a Verify dump after an intended
+    // pruning change; MethodsSpec proves the r² semantics)
+    "geno_ld_prune" ->
+      """SELECT contig, CAST(position AS INTEGER) AS position, ref, alts
+        |FROM (VALUES
+        |  ('chr1', 215, 'C', 'G'),
+        |  ('chr1', 333, 'G', 'C'),
+        |  ('chr1', 612, 'G', 'T'),
+        |  ('chr1', 2022, 'G', 'C'),
+        |  ('chr1', 2548, 'C', 'T'),
+        |  ('chr1', 3093, 'A', 'T'),
+        |  ('chr1', 4271, 'G', 'A'),
+        |  ('chr2', 295, 'G', 'A'),
+        |  ('chr2', 1093, 'T', 'G'),
+        |  ('chr2', 2032, 'G', 'A'),
+        |  ('chr2', 2895, 'T', 'A'),
+        |  ('chr2', 3188, 'T', 'C')) t(contig, position, ref, alts)""".stripMargin,
 
     "geno_ld_matrix" -> {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
