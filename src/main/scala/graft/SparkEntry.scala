@@ -1950,6 +1950,44 @@ object SparkEntry {
         FROM udf_region_v GROUP BY r_regionkey""")
     }),
 
+    // --- splittable bgzip VCF import (io/compress/BGzipCodec.scala):
+    // the BGZF-codec read must reproduce the plain-text import ------------
+    "vcf_bgz_import" -> ((s, _) => {
+      import graft.functions.Calls
+      val dir = java.nio.file.Files.createTempDirectory("graft_bgz_gate")
+      val bgz = dir.resolve("f.vcf.bgz").toString
+      val out = new sources.BGzipOutputStream(
+        new java.io.FileOutputStream(bgz), 2048)
+      out.write(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(VcfFixture)))
+      out.close()
+      sources.Vcf.read(s, bgz).entriesTable.df
+        .filter(col("GT").isNotNull)
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"), col("qual"),
+          col("info")("DP").as("info_dp"),
+          element_at(col("info")("AC"), 1).as("info_ac"), col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"),
+          Calls.isPhased(col("GT")).as("phased"),
+          col("DP").as("dp"))
+    }),
+
+    // --- RelationalLet / CSE (`cached`): naming a shared intermediate
+    // must not change results --------------------------------------------
+    "table_cached" -> ((s, dir) => {
+      val base = Table(t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 5000), Seq("o_orderkey")).cached()
+      val hi = base.df.filter(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"), lit("hi").as("band"))
+      val lo = base.df.filter(col("o_totalprice") <= 100000.0)
+        .select(col("o_orderkey"), lit("lo").as("band"))
+      val out = hi.unionByName(lo)
+      out.count() // materialize while cached
+      base.unpersist()
+      out
+    }),
+
     // --- tabix-indexed region read (io/tabix/TabixReader.scala +
     // LoadVCF partial reads): bgzip the fixture, index it, seek-read two
     // regions; only in-region rows come back --------------------------------
@@ -3952,6 +3990,14 @@ object SparkEntry {
         |  (CAST(r_regionkey AS BIGINT) * (r_regionkey + 1)) // 2 AS tri,
         |  round(exp(ln(CAST(r_regionkey AS DOUBLE) + 1.0)), 6) AS gm
         |FROM region""".stripMargin,
+
+    "vcf_bgz_import" -> VcfImportOracleSql,
+
+    "table_cached" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 100000.0 THEN 'hi' ELSE 'lo' END
+        |    AS band
+        |FROM orders WHERE o_orderkey <= 5000""".stripMargin,
 
     "vcf_region_read" -> {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
