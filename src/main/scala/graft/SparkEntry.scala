@@ -979,6 +979,26 @@ object SparkEntry {
       methods.Genetics.concordance(mt, right)
     }),
 
+    // --- concordance per-sample / per-variant views (the reference's
+    // cols/rows tables of `concordance`) -----------------------------------
+    "geno_concordance_per_sample" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val right = mt
+        .filterRows(pmod(col("position"), lit(2)) === 1)
+        .filterEntries(e => e("DP") >= 10)
+      methods.Genetics.concordancePerSample(mt, right)
+    }),
+
+    "geno_concordance_per_variant" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val right = mt
+        .filterRows(pmod(col("position"), lit(2)) === 1)
+        .filterEntries(e => e("DP") >= 10)
+      methods.Genetics.concordancePerVariant(mt, right)
+        .select(col("contig"), col("position"), col("ref"),
+          col("left_state"), col("right_state"), col("n"))
+    }),
+
     // --- BGEN v1.2 import (io/bgen/LoadBgen.scala): zlib layout-2 decode;
     // oracle = golden dump generated alongside the binary fixture ----------
     "bgen_import" -> ((s, _) => {
@@ -3131,6 +3151,50 @@ object SparkEntry {
         |  coalesce(r.rc, 0) AS right_state, count(*) AS n
         |FROM l FULL OUTER JOIN r USING (contig, position, ref, s)
         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "geno_concordance_per_sample" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |l AS (
+        |  SELECT contig, position, ref, s,
+        |    CASE WHEN a1 IS NULL THEN 1
+        |      WHEN a1 = 0 AND a2 = 0 THEN 2
+        |      WHEN a1 <> a2 THEN 3 ELSE 4 END AS lc
+        |  FROM q),
+        |r AS (
+        |  SELECT contig, position, ref, s,
+        |    CASE WHEN a1 IS NULL THEN 1
+        |      WHEN a1 = 0 AND a2 = 0 THEN 2
+        |      WHEN a1 <> a2 THEN 3 ELSE 4 END AS rc
+        |  FROM q WHERE position % 2 = 1 AND dp >= 10)
+        |SELECT s,
+        |  coalesce(l.lc, 0) AS left_state,
+        |  coalesce(r.rc, 0) AS right_state, count(*) AS n
+        |FROM l FULL OUTER JOIN r USING (contig, position, ref, s)
+        |GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "geno_concordance_per_variant" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |l AS (
+        |  SELECT contig, position, ref, s,
+        |    CASE WHEN a1 IS NULL THEN 1
+        |      WHEN a1 = 0 AND a2 = 0 THEN 2
+        |      WHEN a1 <> a2 THEN 3 ELSE 4 END AS lc
+        |  FROM q),
+        |r AS (
+        |  SELECT contig, position, ref, s,
+        |    CASE WHEN a1 IS NULL THEN 1
+        |      WHEN a1 = 0 AND a2 = 0 THEN 2
+        |      WHEN a1 <> a2 THEN 3 ELSE 4 END AS rc
+        |  FROM q WHERE position % 2 = 1 AND dp >= 10)
+        |SELECT contig, position, ref,
+        |  coalesce(l.lc, 0) AS left_state,
+        |  coalesce(r.rc, 0) AS right_state, count(*) AS n
+        |FROM l FULL OUTER JOIN r USING (contig, position, ref, s)
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin
     },
 
     "logistic_rows" -> {
