@@ -1042,7 +1042,8 @@ object SparkEntry {
     // set (provenance: MethodsSpec checks the r² invariants) ---------------
     "geno_ld_prune" -> ((s, _) => {
       val mt = sources.Vcf.read(s, VcfFixture)
-      methods.Ld.ldPruneGlobal(mt, r2Threshold = 0.2, window = 1500).df
+      methods.Ld.ldPruneGlobal(mt, r2Threshold = 0.2, window = 1500,
+        numPartitions = 2).df
         .select(col("contig"), col("position"), col("ref"),
           concat_ws(",", col("alt")).as("alts"))
     }),
@@ -3811,7 +3812,8 @@ object SparkEntry {
         |  ('chr1', 612, 'G', 'T'),
         |  ('chr1', 2022, 'G', 'C'),
         |  ('chr1', 2548, 'C', 'T'),
-        |  ('chr1', 3093, 'A', 'T'),
+        |  ('chr1', 4057, 'C', 'A'),
+        |  ('chr1', 4153, 'G', 'A'),
         |  ('chr1', 4271, 'G', 'A'),
         |  ('chr2', 295, 'G', 'A'),
         |  ('chr2', 1093, 'T', 'G'),

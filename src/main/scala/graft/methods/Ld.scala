@@ -103,8 +103,8 @@ object Ld {
     * pairs), a maximal-independent-set over the above-threshold edges,
     * and removal of the MIS-rejected variants. */
   def ldPruneGlobal(mt: MatrixTable, r2Threshold: Double = 0.2,
-      window: Int = 1000000): Table = {
-    val local = ldPrune(mt, r2Threshold, window)
+      window: Int = 1000000, numPartitions: Int = 0): Table = {
+    val local = ldPrune(mt, r2Threshold, window, numPartitions)
     // semi-join (not a collected id list): the locally-kept set is large
     val keptMt = mt.copy(rows = mt.rows.join(
       local.df.select(mt.rowKey.map(col): _*), mt.rowKey, "left_semi"))
@@ -130,12 +130,18 @@ object Ld {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** `numPartitions = 0` uses the session shuffle-partition default;
+    * pass an explicit count when the locally-pruned set must be
+    * reproducible across cluster sizes (partition boundaries are part
+    * of the local pass's semantics, as in the reference). */
   def ldPrune(mt: MatrixTable, r2Threshold: Double = 0.2,
-      window: Int = 1000000): Table = {
-    val sorted = normRows(mt)
+      window: Int = 1000000, numPartitions: Int = 0): Table = {
+    val base = normRows(mt)
       .select(col("contig"), col("position"), col("ref"), col("alt"),
         col("__norm"))
-      .repartitionByRange(col("contig"), col("position"))
+    val sorted = (if (numPartitions > 0)
+      base.repartitionByRange(numPartitions, col("contig"), col("position"))
+    else base.repartitionByRange(col("contig"), col("position")))
       .sortWithinPartitions(col("contig"), col("position"))
     val schema = sorted.drop("__norm").schema
     val kept = sorted.mapPartitions { it =>
