@@ -1945,6 +1945,35 @@ object SparkEntry {
         .unionByName(a.scale(3.0).entries.withColumn("tag", lit("a3")))
     }),
 
+    // --- BlockMatrix native save/load (BlockMatrixBinaryReader): the
+    // block-layout round-trip restores entries exactly ---------------------
+    "linalg_blockmatrix_io" -> ((s, _) => {
+      import graft.linalg.BlockMatrix
+      val ae = s.range(12).select(
+        floor(col("id") / 3).cast("long").as("i"),
+        pmod(col("id"), lit(3L)).as("j"),
+        (pmod(col("id"), lit(7L)).cast("double") + 0.5).as("value"))
+      val a = BlockMatrix.fromEntries(ae, 4, 3, blockSize = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm_io")
+      a.save(s"$dir/m")
+      BlockMatrix.load(s, s"$dir/m").entries
+    }),
+
+    // --- dict function surface (DictFunctions.scala) ----------------------
+    "fn_dicts" -> ((s, dir) => {
+      import graft.functions.{Dicts, Sets}
+      val toks = Sets.toSet(split(col("p_type"), " "))
+      val m = Dicts.fromEntries(transform(toks,
+        w => struct(w.as("key"), length(w).as("value"))))
+      t(s, dir, "part").filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          Dicts.keys(m).as("ks"),
+          Dicts.get(m, lit("STEEL")).as("steel_len"),
+          Dicts.contains(m, lit("BRUSHED")).as("has_brushed"),
+          Dicts.isEmpty(m).as("empty"),
+          size(Dicts.values(m)).as("n_vals"))
+    }),
+
     // --- UDF/UDAF surface (§2.10, reference define_function /
     // register_ir_function): a named scalar UDF and a typed Aggregator
     // UDAF, both registered and invoked through spark.sql ------------------
@@ -4050,6 +4079,24 @@ object SparkEntry {
         |SELECT j AS i, i AS j, v AS value, 'at' AS tag FROM ae
         |UNION ALL
         |SELECT i, j, v * 3.0 AS value, 'a3' AS tag FROM ae""".stripMargin,
+
+    "linalg_blockmatrix_io" ->
+      """SELECT CAST(id // 3 AS BIGINT) AS i, CAST(id % 3 AS BIGINT) AS j,
+        |  CAST((id % 7) + 0.5 AS DOUBLE) AS value
+        |FROM (SELECT unnest(range(0, 12)) AS id)""".stripMargin,
+
+    "fn_dicts" ->
+      """WITH t0 AS (
+        |  SELECT p_partkey,
+        |    list_sort(list_distinct(string_split(p_type, ' '))) AS a
+        |  FROM part WHERE p_partkey <= 500)
+        |SELECT p_partkey, a AS ks,
+        |  CASE WHEN list_contains(a, 'STEEL')
+        |    THEN CAST(5 AS INTEGER) END AS steel_len,
+        |  list_contains(a, 'BRUSHED') AS has_brushed,
+        |  len(a) = 0 AS empty,
+        |  CAST(len(a) AS INTEGER) AS n_vals
+        |FROM t0""".stripMargin,
 
     "udf_define_function" ->
       """SELECT r_regionkey,
