@@ -155,6 +155,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges exchanges\n${plan.take(2500)}")
   }
 
+  test("Table filter+select push down to the parquet scan") {
+    val t = Table(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+      Seq("l_orderkey", "l_linenumber"))
+      .filter(col("l_quantity") > 30.0)
+    val plan = t.df.select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    // the predicate must reach the scan as a pushed filter...
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,30.0)]"), plan.take(1500))
+    // ...and the scan must read ONLY the two projected columns
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("?")
+    assert(read == "l_orderkey:bigint,l_quantity:double",
+      s"scan reads $read")
+  }
+
   test("co-bucketed tables join without an exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bkt")
     val li = Table(spark.read.parquet(s"$sfDir/lineitem.parquet")
