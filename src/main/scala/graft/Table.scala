@@ -63,9 +63,11 @@ final case class Table(
   def filter(p: Column): Table = copy(df = df.filter(p))
 
   /** TableMapRows / annotate (`TableIR.scala:2367`): add or overwrite fields.
-    * Order-preserving (no shuffle). */
+    * Order-preserving (no shuffle) — but overwriting a KEY field changes
+    * the values the sort invariant is stated over, so that drops it. */
   def annotate(cols: (String, Column)*): Table =
-    copy(df = df.withColumns(cols.toMap))
+    copy(df = df.withColumns(cols.toMap),
+      keySorted = keySorted && !cols.exists(c => key.contains(c._1)))
 
   /** select a subset of fields (key fields are always retained). */
   def selectFields(fields: String*): Table = {
@@ -412,15 +414,21 @@ final case class Table(
   def write(path: String): Unit = {
     val t = ensureKeyOrder()
     t.df.write.mode("overwrite").parquet(s"$path/rows")
+    // per-file key ranges from the parquet FOOTER statistics — a
+    // driver-side metadata read per file, not a second full scan of the
+    // rows just written (which at 100 TB doubles every write). Falls
+    // back to the scan only for key types whose chunk statistics the
+    // footer can't carry.
     val fileRanges: Seq[(String, Any, Any)] =
       if (key.isEmpty) Nil
-      else spark.read.parquet(s"$path/rows")
-        .groupBy(input_file_name().as("__f"))
-        .agg(min(col(key.head)).as("__lo"), max(col(key.head)).as("__hi"))
-        .collect()
-        .map(r => (r.getString(0).split("/").last, r.get(1), r.get(2)))
-        .sortBy(_._1)
-        .toSeq
+      else NativeFormat.footerKeyRanges(spark, s"$path/rows", key.head)
+        .getOrElse(spark.read.parquet(s"$path/rows")
+          .groupBy(input_file_name().as("__f"))
+          .agg(min(col(key.head)).as("__lo"), max(col(key.head)).as("__hi"))
+          .collect()
+          .map(r => (r.getString(0).split("/").last, r.get(1), r.get(2)))
+          .sortBy(_._1)
+          .toSeq)
     val meta = NativeFormat.manifestJson(key, globals, fileRanges)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -430,16 +438,64 @@ final case class Table(
 }
 
 object Table {
+  /** Max file count for which `read` reconstructs global key order as an
+    * ordered per-file union (one scan per file, partitions in manifest
+    * order). Beyond this a union-of-scans costs more in planning than the
+    * one exchange it saves — a 100 TB table with thousands of files reads
+    * as a single scan and re-sorts where order matters. */
+  private val OrderedReadMaxFiles = 64
+
+  /** Reconstruct a key-ordered DataFrame from the manifest's per-file
+    * ranges: one single-file scan per file, unioned in key order. Sound
+    * only when every file has a recorded range, ranges are non-decreasing
+    * in file order (ties allowed: the writer's range partitioner splits
+    * on the full key, so equal first-key rows across a boundary are
+    * already full-key ordered), and no file can be SPLIT by the scan
+    * (splits re-pack by size, not offset — a multi-split file loses
+    * intra-file order). Returns None when any condition fails. */
+  private def orderedRead(spark: SparkSession, rowsDir: String,
+      files: Seq[(String, Any, Any)]): Option[DataFrame] = {
+    val rangesOk = files.nonEmpty &&
+      files.lengthCompare(OrderedReadMaxFiles) <= 0 &&
+      files.forall(f => f._2 != null && f._3 != null) &&
+      files.iterator.sliding(2).withPartial(false).forall { w =>
+        NativeFormat.cmp(w(0)._3, w(1)._2) <= 0
+      }
+    if (!rangesOk) None
+    else {
+      val dir = new org.apache.hadoop.fs.Path(rowsDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sizes = fs.listStatus(dir)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      val maxSplit = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      if (!files.forall(f => sizes.get(f._1).exists(_ <= maxSplit))) None
+      else Some(files.map(f => spark.read.parquet(s"$rowsDir/${f._1}"))
+        .reduce(_.unionByName(_)))
+    }
+  }
+
   /** TableRead of native format (`TableNativeReader`, `TableIR.scala:1651`).
-    * The manifest records that the data was WRITTEN key-sorted, but Spark's
-    * parquet scan gives no cross-file ordering guarantee, so `keySorted` is
-    * conservatively false — order-sensitive ops re-establish it with one
-    * exchange (and Parquet min/max stats still give key-range file skipping
-    * because each file covers a tight key range). */
+    * The manifest records that the data was written key-sorted; when the
+    * per-file ranges prove the files disjoint (and the table is small
+    * enough that a per-file ordered union beats an exchange —
+    * `OrderedReadMaxFiles`), the read comes back `keySorted = true` and
+    * order-sensitive ops (write-after-read, collect, head) skip the
+    * redundant range shuffle. Otherwise one plain scan, conservatively
+    * unsorted — parquet min/max stats still give key-range file skipping
+    * because each file covers a tight key range. */
   def read(spark: SparkSession, path: String): Table = {
-    val df = spark.read.parquet(s"$path/rows")
-    val (key, globals) = NativeFormat.readManifest(spark, path)
-    Table(df, key, globals, keySorted = false)
+    val (key, globals, files) = NativeFormat.readManifestFull(spark, path)
+    val ordered =
+      if (key.isEmpty) None
+      else orderedRead(spark, s"$path/rows", files)
+    ordered match {
+      case Some(df) => Table(df, key, globals, keySorted = true)
+      case None =>
+        Table(spark.read.parquet(s"$path/rows"), key, globals,
+          keySorted = false)
+    }
   }
 
   /** query_table (reference `functions.py` `query_table`,
@@ -484,15 +540,19 @@ object Table {
     val (key, globals, files) = NativeFormat.readManifestFull(spark, path)
     if (files.isEmpty) read(spark, path)
     else {
-      val matching = files.collect {
-        case (f, lo, hi) if lo == null || hi == null || keep(lo, hi) =>
-          s"$path/rows/$f"
+      val matching = files.filter {
+        case (_, lo, hi) => lo == null || hi == null || keep(lo, hi)
       }
-      val df =
-        if (matching.isEmpty)
-          spark.read.parquet(s"$path/rows").filter(lit(false))
-        else spark.read.parquet(matching: _*)
-      Table(df, key, globals, keySorted = false)
+      if (matching.isEmpty)
+        Table(spark.read.parquet(s"$path/rows").filter(lit(false)),
+          key, globals, keySorted = false)
+      else orderedRead(spark, s"$path/rows", matching) match {
+        case Some(df) => Table(df, key, globals, keySorted = true)
+        case None =>
+          Table(spark.read.parquet(
+              matching.map(f => s"$path/rows/${f._1}"): _*),
+            key, globals, keySorted = false)
+      }
     }
   }
 
@@ -552,6 +612,78 @@ private[graft] object NativeFormat {
     case n: Double => n.toString
     case n: Float => n.toString
     case other => "\"" + esc(other.toString) + "\""
+  }
+
+  /** Per-file (name, keyMin, keyMax) from the parquet FOOTERS of every
+    * file under `rowsPath` — pure driver-side metadata reads. Returns
+    * None when the key column's chunk statistics can't be decoded to a
+    * manifest-representable scalar (exotic logical types) so the caller
+    * can fall back to a scan. A file whose statistics are absent (e.g.
+    * all-null key) gets (null, null), which range pruning treats as
+    * always-matching — same contract as the scan path. Binary stats may
+    * be writer-truncated; truncation only ever WIDENS the range (lower
+    * lower-bound / higher upper-bound), so pruning stays sound. */
+  def footerKeyRanges(spark: org.apache.spark.sql.SparkSession,
+      rowsPath: String, keyCol: String): Option[Seq[(String, Any, Any)]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    import scala.util.Try
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(rowsPath)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    Try {
+      files.toSeq.map { st =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromStatus(st, conf))
+        try {
+          val md = reader.getFooter
+          val logical = md.getFileMetaData.getSchema.getColumns.asScala
+            .find(_.getPath.toList == List(keyCol))
+            .flatMap(c => Option(c.getPrimitiveType.getLogicalTypeAnnotation))
+          def decode(v: AnyRef): Any = v match {
+            case b: Binary => logical match {
+              case Some(_: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                b.toStringUsingUTF8
+              case _ => sys.error(s"undecodable binary key stats: $logical")
+            }
+            case n: java.lang.Integer
+                if logical.forall(_.isInstanceOf[
+                  LogicalTypeAnnotation.IntLogicalTypeAnnotation]) ||
+                  logical.isEmpty => n.intValue
+            case n: java.lang.Long
+                if logical.forall(_.isInstanceOf[
+                  LogicalTypeAnnotation.IntLogicalTypeAnnotation]) ||
+                  logical.isEmpty => n.longValue
+            case n: java.lang.Double => n.doubleValue
+            case n: java.lang.Float => n.floatValue
+            case b: java.lang.Boolean => b.booleanValue
+            case other => sys.error(s"undecodable key stats: $other")
+          }
+          var lo: Any = null
+          var hi: Any = null
+          md.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == keyCol)
+              .foreach { cc =>
+                val s = cc.getStatistics
+                if (s != null && s.hasNonNullValue) {
+                  val mn = decode(s.genericGetMin.asInstanceOf[AnyRef])
+                  val mx = decode(s.genericGetMax.asInstanceOf[AnyRef])
+                  if (lo == null || cmp(mn, lo) < 0) lo = mn
+                  if (hi == null || cmp(mx, hi) > 0) hi = mx
+                }
+              }
+          }
+          (st.getPath.getName, lo, hi)
+        } finally reader.close()
+      }
+    }.toOption
   }
 
   def manifestJson(key: Seq[String], globals: Map[String, Any],

@@ -200,4 +200,57 @@ class TableSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(salts > 1, s"hot key landed on $salts salt(s)")
   }
+
+  test("native write records exact per-file key ranges from footers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fkr").toString
+    rangeTable(1000, 4).annotate("v" -> (col("idx") * 3)).write(s"$dir/t")
+    val (_, _, files) = NativeFormat.readManifestFull(spark, s"$dir/t")
+    assert(files.length === 4)
+    // footer stats on int64 are exact: ranges tile 0..999 contiguously
+    val ranges = files.map(f =>
+      (f._2.asInstanceOf[Number].longValue,
+        f._3.asInstanceOf[Number].longValue))
+    assert(ranges.head._1 === 0L && ranges.last._2 === 999L)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, s"overlap in $ranges")
+      case _ =>
+    }
+  }
+
+  test("native write records string key ranges from binary footer stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fkrs").toString
+    val n = Table(Table.fromParquet(spark, s"$sfDir/nation.parquet").df,
+      Seq("n_name"))
+    n.write(s"$dir/t")
+    val (_, _, files) = NativeFormat.readManifestFull(spark, s"$dir/t")
+    assert(files.nonEmpty)
+    val names = n.df.select("n_name").collect().map(_.getString(0)).sorted
+    assert(NativeFormat.cmp(files.head._2, names.head) <= 0)
+    assert(NativeFormat.cmp(files.last._3, names.last) >= 0)
+  }
+
+  test("native read-back is key-sorted: no exchange on write-after-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srt").toString
+    rangeTable(1000, 4).annotate("v" -> (col("idx") * 3)).write(s"$dir/t")
+    val back = Table.read(spark, s"$dir/t")
+    assert(back.keySorted, "read-back of disjoint-range files not sorted")
+    // ensureKeyOrder is the write/collect entry point: it must be a no-op
+    assert(back.ensureKeyOrder() eq back)
+    // rows really do come back in global key order without a sort
+    assert(back.df.collect().map(_.getLong(0)).toSeq === (0L until 1000L))
+    // flag hygiene: overwriting a key field drops sortedness,
+    // non-key annotation keeps it
+    assert(!back.annotate("idx" -> -col("idx")).keySorted)
+    assert(back.annotate("w" -> (col("v") + 1)).keySorted)
+  }
+
+  test("read-back past the ordered-union file cap falls back unsorted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    rangeTable(200, 70).write(s"$dir/t")
+    val back = Table.read(spark, s"$dir/t")
+    assert(!back.keySorted)
+    assert(back.count() === 200)
+    // order-sensitive consumers still correct through ensureKeyOrder
+    assert(back.collect().map(_.getLong(0)).toSeq === (0L until 200L))
+  }
 }
