@@ -625,6 +625,48 @@ object SparkEntry {
           col("meta")("content_md5").as("content_md5"))
     }),
 
+    // --- pipeline: image near-dup via perceptual aHash over REAL decoded
+    // pixels. Payloads are synthetic block-pattern PNGs (doc_id % 7 + 1
+    // white column blocks), so expected pairs are exactly derivable:
+    // same pattern -> identical hash -> dist 0; different patterns are
+    // >= 8 bits apart and never pair at maxDist 6 ----------------------
+    "pipe_image_dedup" -> ((s, dir) => {
+      val png = udf((p: Int) => pipeline.Multimodal.syntheticPng(p))
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 70)
+        .withColumn("payload",
+          png((pmod(col("doc_id"), lit(7)) + 1).cast("int")))
+      pipeline.Multimodal.imagePairs(docs, "doc_id", "payload")
+    }),
+
+    // --- pipeline: image resize (real java.awt resample) + re-decode:
+    // the decoded dims of the resized payload prove the whole
+    // decode->resize->encode->decode loop end-to-end -------------------
+    "pipe_image_resize" -> ((s, dir) => {
+      val png = udf((p: Int) => pipeline.Multimodal.syntheticPng(p))
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 20)
+        .withColumn("payload",
+          png((pmod(col("doc_id"), lit(7)) + 1).cast("int")))
+      val rs = pipeline.Multimodal.resizeImages(docs, "payload", 16, 16)
+      pipeline.Multimodal.decodeBatched(rs, "resized", real = true)
+        .select(col("doc_id"), col("decoded")("width").as("width"),
+          col("decoded")("height").as("height"))
+    }),
+
+    // --- pipeline: image grid features (pixel-space embedding) — exact
+    // values derivable from the block pattern, and the vector plugs
+    // straight into the ANN / embedding-dedup operators ----------------
+    "pipe_image_features" -> ((s, dir) => {
+      val png = udf((p: Int) => pipeline.Multimodal.syntheticPng(p))
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 20)
+        .withColumn("payload",
+          png((pmod(col("doc_id"), lit(7)) + 1).cast("int")))
+      pipeline.Multimodal.imageFeatures(docs, "payload")
+        .select(col("doc_id"), col("features"))
+    }),
+
     // --- pipeline: language id + quality (rows-only: heuristic model) ------
     "pipe_langid_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -2554,6 +2596,30 @@ object SparkEntry {
         |    AS byte_len,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    // same-pattern docs pair at hamming distance 0; cross-pattern pairs
+    // are >= 8 bits apart and excluded by construction
+    "pipe_image_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 70)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS INTEGER) AS dist
+        |FROM d a JOIN d b
+        |  ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id"""
+        .stripMargin,
+
+    "pipe_image_resize" ->
+      """SELECT doc_id, CAST(16 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height
+        |FROM documents WHERE doc_id < 20""".stripMargin,
+
+    // block-aligned patterns: grid pixel (y,x) is white iff
+    // x < pattern, so feature i (row-major) is 1.0 iff i % 8 < pattern
+    "pipe_image_features" ->
+      """SELECT doc_id,
+        |  list_transform(range(0, 64), i ->
+        |    CAST(CASE WHEN i % 8 < doc_id % 7 + 1 THEN 1.0 ELSE 0.0 END
+        |      AS FLOAT)) AS features
+        |FROM documents WHERE doc_id < 20""".stripMargin,
 
     "query_table" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

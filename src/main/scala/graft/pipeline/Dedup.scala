@@ -169,15 +169,27 @@ object Dedup {
       count(lit(1)).as("n"),
       (0 until 60).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b")): _*)
-    // materialize signatures once: AQE reuses the groupBy(doc) shuffle
-    // across the four consumers (bucket count, its join-back, both
-    // self-join sides) but the post-shuffle 60-bit vote projection would
-    // still run four times without the checkpoint
+    // signature = the 60 bit votes folded to one long
     val sigs = votes.select(col("doc"),
       (0 until 60).map(b =>
         when(col(s"b$b") * 2 > col("n"), math.pow(2.0, b).toLong)
           .otherwise(0L)).reduce(_ + _).as("sig"))
-      .withColumn("bucket", shiftright(col("sig"), 60 - prefixBits))
+    signaturePairs(sigs, prefixBits, maxDist, maxBucketSize, sigBits = 60)
+  }
+
+  /** Prefix-bucket LSH + full hamming verification over (doc, sig) long
+    * signatures — the shared tail of text SimHash and image aHash
+    * (`Multimodal.imagePairs`). Candidates = equal top-`prefixBits`
+    * bucket; verified pairs keep hamming distance <= `maxDist`. */
+  def signaturePairs(sigDf: DataFrame, prefixBits: Int, maxDist: Int,
+      maxBucketSize: Int = 10000, sigBits: Int = 64): DataFrame = {
+    // materialize signatures once: AQE reuses the upstream shuffle across
+    // the four consumers (bucket count, its join-back, both self-join
+    // sides) but the signature projection would still run four times
+    // without the checkpoint
+    val sigs = sigDf
+      .withColumn("bucket",
+        shiftrightunsigned(col("sig"), sigBits - prefixBits))
       .localCheckpoint(false)
     val pruned = capBuckets(sigs, Seq("bucket"), maxBucketSize)
     val l = pruned.select(col("bucket"), col("doc").as("id_a"),
@@ -251,9 +263,17 @@ object Dedup {
       .distinct().persist()
     // localCheckpoint, not persist: each round must TRUNCATE the plan
     // (a persisted-but-unbroken lineage doubles the analyzed tree per
-    // iteration — exponential driver memory by round ~12)
-    var labels = edges.select(col("a").as("node"))
-      .distinct().withColumn("cluster", col("node")).localCheckpoint()
+    // iteration — exponential driver memory by round ~12). LAZY
+    // checkpoints throughout: the digest action below materializes each
+    // round's labels, so a round costs ONE job, not two.
+    // Seed with the 1-hop minimum min(node, min neighbor) — same
+    // aggregation shape as a propagation round but without the join, and
+    // clique-shaped clusters (LSH buckets emit all pairs) converge on
+    // the seed itself, so they pay a single confirmation round.
+    var labels = edges.groupBy(col("a"))
+      .agg(min(least(col("a"), col("b"))).as("cluster"))
+      .select(col("a").as("node"), col("cluster"))
+      .localCheckpoint(false)
     // Convergence test: labels only ever decrease (min-propagation), so
     // the label set is unchanged iff its order-free 64-bit digest is —
     // one cheap agg over `next` alone, instead of a join-against-previous
@@ -271,7 +291,7 @@ object Dedup {
         .select(col("b").as("node"), col("cluster"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val d = digest(next)
       converged = d == prev
       prev = d

@@ -177,4 +177,51 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.toSet === Set(0L))
     assert(got.size === 13)
   }
+
+  test("aHash64 of block patterns has exactly the white bits set") {
+    import graft.pipeline.Multimodal
+    // pattern p: bits y*8+x for x < p
+    for (p <- 1 to 7) {
+      val expected = (0 until 8).map(y =>
+        ((1L << p) - 1) << (8 * y)).reduce(_ | _)
+      val got = Multimodal.aHash64(Multimodal.syntheticPng(p))
+      assert(got === expected, s"pattern $p")
+    }
+    // degenerate uniform images hash to 0 (nothing above the mean)
+    assert(Multimodal.aHash64(Multimodal.syntheticPng(0)) === 0L)
+    assert(Multimodal.aHash64(Multimodal.syntheticPng(8)) === 0L)
+    assert(Multimodal.aHash64(null) === null)
+  }
+
+  test("imagePairs pairs same-pattern images at distance 0") {
+    import graft.pipeline.Multimodal
+    val png = udf((p: Int) => Multimodal.syntheticPng(p))
+    val docs = spark.range(14).select(col("id").as("doc_id"))
+      .withColumn("payload",
+        png((pmod(col("doc_id"), lit(7)) + 1).cast("int")))
+    val pairs = Multimodal.imagePairs(docs, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // ids i and i+7 share a pattern -> 7 pairs, all at dist 0
+    assert(pairs.sortBy(_._1).toSeq ===
+      (0L until 7L).map(i => (i, i + 7, 0)))
+  }
+
+  test("imageFeatures: grid intensities match the pattern; resize is " +
+      "hash-preserving and re-decodes at the target size") {
+    import graft.pipeline.Multimodal
+    val p3 = Multimodal.syntheticPng(3)
+    val docs = spark.createDataFrame(Seq((1L, p3))).toDF("doc_id", "payload")
+    val feats = Multimodal.imageFeatures(docs, "payload")
+      .head().getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length === 64)
+    for (i <- 0 until 64)
+      assert(feats(i) === (if (i % 8 < 3) 1.0f else 0.0f), s"pixel $i")
+    val rs = Multimodal.resizeImages(docs, "payload", 16, 16)
+    val bytes = rs.head().getAs[Array[Byte]]("resized")
+    // block-aligned downscale preserves the perceptual hash exactly
+    assert(Multimodal.aHash64(bytes) === Multimodal.aHash64(p3))
+    val dec = Multimodal.decodeBatched(rs, "resized", real = true)
+      .head().getAs[org.apache.spark.sql.Row]("decoded")
+    assert(dec.getInt(0) === 16 && dec.getInt(1) === 16)
+  }
 }
