@@ -113,21 +113,21 @@ object Ld {
       .select(
         concat_ws(":", col("contig"), col("pos_i"), col("vid_i")).as("i"),
         concat_ws(":", col("contig"), col("pos_j"), col("vid_j")).as("j"))
-    edges.persist()
-    try {
-      val keep = Misc.maximalIndependentSet(edges)
-      val edgeVerts = edges.select(col("i")).union(edges.select(col("j")))
-        .distinct().collect().map(_.getString(0)).toSet
-      // rejected ⊆ edge vertices — few by construction (only correlated
-      // cross-boundary pairs survive the local pass), so a literal list
-      // filter is safe at any input size
-      val rejected = (edgeVerts -- keep).toSeq
-      val vidKey = concat_ws(":", col("contig"), col("position"),
-        concat_ws("_", col("ref"), concat_ws(",", col("alt"))))
-      Table(
-        if (rejected.isEmpty) local.df
-        else local.df.filter(!vidKey.isin(rejected: _*)), mt.rowKey)
-    } finally edges.unpersist(blocking = false)
+    // ONE action: collect the (few, by construction) cross-boundary edge
+    // pairs and run MIS + vertex-set driver-side on the same list — no
+    // persist, no second distinct/collect job over the edge frame
+    val es = edges.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val keep = Misc.maximalIndependentSetLocal(es)
+    val edgeVerts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    // rejected ⊆ edge vertices — few by construction (only correlated
+    // cross-boundary pairs survive the local pass), so a literal list
+    // filter is safe at any input size
+    val rejected = (edgeVerts -- keep).toSeq
+    val vidKey = concat_ws(":", col("contig"), col("position"),
+      concat_ws("_", col("ref"), concat_ws(",", col("alt"))))
+    Table(
+      if (rejected.isEmpty) local.df
+      else local.df.filter(!vidKey.isin(rejected: _*)), mt.rowKey)
   }
 
   /** `numPartitions = 0` uses the session shuffle-partition default;

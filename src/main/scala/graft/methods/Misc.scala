@@ -15,9 +15,14 @@ object Misc {
     * use cases (the reference does exactly this, `misc.py:16`).
     * `edges` needs columns (i, j). Returns kept vertex ids. */
   def maximalIndependentSet(edges: DataFrame, iCol: String = "i",
-      jCol: String = "j"): Set[String] = {
-    val es = edges.select(iCol, jCol).collect()
-      .map(r => (r.get(0).toString, r.get(1).toString))
+      jCol: String = "j"): Set[String] =
+    maximalIndependentSetLocal(edges.select(iCol, jCol).collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).toSeq)
+
+  /** Driver-local MIS over an already-collected edge list — callers that
+    * also need the edge list itself (e.g. `ldPruneGlobal`) collect once
+    * and share. */
+  def maximalIndependentSetLocal(es: Seq[(String, String)]): Set[String] = {
     val adj = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Set[String]]
     es.foreach { case (a, b) =>
