@@ -326,6 +326,12 @@ object SparkEntry {
         outName = "running_total")
         .withColumn("running_total", round(col("running_total"), 4))),
 
+    // --- add_index (table.py add_index): global contiguous 0-based row
+    // index in key order via the two-phase scan -----------------------------
+    "table_add_index" -> ((s, dir) =>
+      Table(t(s, dir, "orders"), Seq("o_orderkey")).addIndex("idx")
+        .df.select(col("o_orderkey"), col("idx"))),
+
     // --- TableIntervalJoin (`TableIR.scala:2264`): point-in-interval -------
     "table_interval_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2288,6 +2294,11 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE), 4) AS running_total
         |FROM orders WHERE o_custkey < 100""".stripMargin,
+
+    "table_add_index" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+        |FROM orders""".stripMargin,
 
     "table_interval_join" ->
       """SELECT r.r_name, count(*) AS n,

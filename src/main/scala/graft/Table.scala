@@ -56,6 +56,26 @@ final case class Table(
 
   def unkey: Table = copy(key = Nil, keySorted = false)
 
+  /** add_index (reference `table.py` `add_index` — a scan count over key
+    * order): global 0-based contiguous row index. Two-phase distributed
+    * scan (per-partition partials + broadcast prefix offsets, one lazy
+    * DAG via `Scans.runningAgg`) — NOT `monotonically_increasing_id`,
+    * which is neither contiguous nor key-ordered. */
+  def addIndex(name: String = "idx"): Table = {
+    require(key.nonEmpty, "addIndex requires a key")
+    copy(df = operators.Scans.runningCount(df, key, name,
+      inclusive = false), keySorted = false)
+  }
+
+  /** Seeded row sample (reference `table.py` `sample`): keeps each row
+    * with probability `p`, deterministically per (seed, key) — rerunning
+    * the query or re-reading the table samples the SAME rows, unlike
+    * `df.sample` whose per-partition RNG changes with partitioning. */
+  def sample(p: Double, seed: Long = 0L): Table = {
+    require(key.nonEmpty, "sample requires a key for determinism")
+    filter(functions.Rand.runif(seed, keyCols: _*) < lit(p))
+  }
+
   // ---- row transforms -----------------------------------------------------
 
   /** TableFilter (`TableIR.scala:2143`) → `df.filter`; predicate pushdown is

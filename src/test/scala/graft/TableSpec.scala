@@ -201,6 +201,28 @@ class TableSpec extends SparkSpec {
     assert(salts > 1, s"hot key landed on $salts salt(s)")
   }
 
+  test("addIndex is contiguous 0-based in key order, any partitioning") {
+    val t = Table(rangeTable(500).df.repartition(7), Seq("idx"))
+    val got = t.addIndex("ri").df.orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === (0L until 500L).map(i => (i, i)))
+  }
+
+  test("sample is deterministic per (seed, key) and partition-stable") {
+    val t = rangeTable(1000)
+    val a = t.sample(0.3, seed = 7).df.collect().map(_.getLong(0)).sorted
+    val b = t.sample(0.3, seed = 7).df.collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+    // stable under physical repartitioning (unlike df.sample)
+    val c = Table(t.df.repartition(13), Seq("idx"))
+      .sample(0.3, seed = 7).df.collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === c.toSeq)
+    assert(a.length > 200 && a.length < 400, s"got ${a.length} of 1000")
+    // a different seed samples a different set
+    val d = t.sample(0.3, seed = 8).df.collect().map(_.getLong(0)).sorted
+    assert(d.toSeq !== a.toSeq)
+  }
+
   test("native write records exact per-file key ranges from footers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fkr").toString
     rangeTable(1000, 4).annotate("v" -> (col("idx") * 3)).write(s"$dir/t")
