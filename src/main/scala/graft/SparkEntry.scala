@@ -673,6 +673,14 @@ object SparkEntry {
         .select(col("doc_id"), col("features"))
     }),
 
+    // --- pipeline: all-pairs k-NN join (exact baseline; the LSH scale
+    // path is recall-spec'd against this in PipelineSpec) ------------------
+    "pipe_knn_join" -> ((s, dir) =>
+      pipeline.Similarity.knnJoinExact(
+        t(s, dir, "embeddings").filter(col("vec_id") < 150),
+        "vec_id", "embedding", 3)
+        .withColumn("cos", round(col("cos"), 6))),
+
     // --- pipeline: language id + quality (rows-only: heuristic model) ------
     "pipe_langid_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -2607,6 +2615,28 @@ object SparkEntry {
         |    AS byte_len,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    "pipe_knn_join" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+        |p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nbr,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(a.embedding[i] AS DOUBLE)
+        |        * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        CAST(a.embedding[i] AS DOUBLE)
+        |          * CAST(a.embedding[i] AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        CAST(b.embedding[i] AS DOUBLE)
+        |          * CAST(b.embedding[i] AS DOUBLE))))) AS cosx
+        |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+        |r AS (
+        |  SELECT id, nbr, cosx, row_number() OVER (
+        |    PARTITION BY id ORDER BY cosx DESC, nbr) AS rk
+        |  FROM p)
+        |SELECT id, nbr, round(cosx, 6) AS cos, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
 
     // same-pattern docs pair at hamming distance 0; cross-pattern pairs
     // are >= 8 bits apart and excluded by construction

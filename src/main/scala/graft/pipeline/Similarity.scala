@@ -104,6 +104,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** All-pairs k-NN join, exact: for every row, its `k` nearest
+    * neighbors by cosine. O(n²) — the verification baseline for
+    * `knnJoinLsh`; cap the input (same convention as
+    * `Dedup.embeddingPairsExact`). */
+  def knnJoinExact(df: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val r = df.select(col(idCol).as("nbr"), col(vecCol).as("__w"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("nbr").asc)
+    l.join(r, col("id") =!= col("nbr"))
+      .withColumn("cos", cosine(col("__v"), col("__w")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("id"), col("nbr"), col("cos"), col("rk"))
+  }
+
+  /** All-pairs k-NN join at scale: candidates restricted to shared LSH
+    * buckets, with multi-probe on the LEFT side (each row also probes
+    * every bucket one sign-bit away, the standard recall booster), then
+    * per-row top-k by exact cosine. One equi-join shuffled on the bucket
+    * id — no cross product — at a recall < 1 by design (the spec
+    * measures it against `knnJoinExact`). Oversized buckets are capped
+    * like the dedup pipelines. */
+  def knnJoinLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, seed: Long = 42L, maxBucketSize: Int = 10000,
+      dim: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = if (dim > 0) dim
+      else df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(d, nPlanes, seed)
+    val bucketed = df
+      .select(col(idCol).as("id"), col(vecCol).as("__v"),
+        lshBucket(col(vecCol), planes).as("bucket"))
+      .localCheckpoint(false)
+    // cap on the RIGHT side: a degenerate bucket stops fanning out
+    val counts = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize).select(col("bucket"))
+    val r = bucketed.join(counts, Seq("bucket"))
+      .select(col("bucket"), col("id").as("nbr"), col("__v").as("__w"))
+    val probes = bucketed.select(col("id"), col("__v"),
+      explode(array((col("bucket") +: (0 until nPlanes).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("nbr").asc)
+    probes.join(r, Seq("bucket")).filter(col("id") =!= col("nbr"))
+      .withColumn("cos", cosine(col("__v"), col("__w")))
+      // a pair can meet in several probed buckets — dedup before ranking
+      .dropDuplicates("id", "nbr")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("id"), col("nbr"), col("cos"), col("rk"))
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside
     * LSH: a seeded k-means over (a sample of) the vectors yields
     * `nCells` centroids; every vector is assigned to its nearest cell

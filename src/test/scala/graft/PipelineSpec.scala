@@ -178,6 +178,29 @@ class PipelineSpec extends SparkSpec {
     assert(got.size === 13)
   }
 
+  test("knnJoinLsh recalls most exact neighbors; no self, no dup") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    val exact = Similarity.knnJoinExact(e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // synthetic embeddings are near-orthogonal (weak neighbor structure,
+    // the hard case for LSH) — at 2 planes + H1 probes the candidate set
+    // covers 3 of 4 buckets, so recall must clear a solid majority
+    val lsh = Similarity.knnJoinLsh(e, "vec_id", "embedding", 3,
+      nPlanes = 2)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "duplicate (id, nbr) rows")
+    assert(!got.exists(p => p._1 == p._2), "self-pair")
+    val recall = got.toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.6, s"recall $recall")
+    // every id's neighbor list is ranked 1..k without gaps
+    val ranks = lsh.groupBy("id")
+      .agg(sort_array(collect_list(col("rk"))).as("rs"))
+      .collect().map(_.getAs[scala.collection.Seq[Int]]("rs"))
+    assert(ranks.forall(rs => rs == (1 to rs.length)))
+  }
+
   test("aHash64 of block patterns has exactly the white bits set") {
     import graft.pipeline.Multimodal
     // pattern p: bits y*8+x for x < p
