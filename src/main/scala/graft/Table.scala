@@ -235,12 +235,25 @@ final case class Table(
       .filter(col("__rn") === 1).drop("__rn"))
   }
 
-  /** TableRepartition (`TableIR.scala:2184`). */
+  /** TableRepartition (`TableIR.scala:2184`). The shuffle-free branch
+    * (hail's `naive_coalesce`) merges partitions whose grouping Spark
+    * does not promise to be adjacent, so it conservatively drops the
+    * sort invariant too. */
   def repartitionTo(n: Int, shuffle: Boolean = false): Table =
-    if (!shuffle) copy(df = df.coalesce(n))
+    if (!shuffle) copy(df = df.coalesce(n), keySorted = false)
     else if (key.nonEmpty)
       copy(df = df.repartitionByRange(n, keyCols: _*), keySorted = false)
     else copy(df = df.repartition(n), keySorted = false)
+
+  /** checkpoint (reference `table.py` `checkpoint`): write to the native
+    * format and immediately read back — truncates lineage and pins the
+    * result on disk. The read-back comes back `keySorted` when the
+    * written file ranges verify disjoint (`Table.read`), so downstream
+    * order-sensitive ops pay no re-sort. */
+  def checkpoint(path: String): Table = {
+    write(path)
+    Table.read(spark, path)
+  }
 
   // ---- joins --------------------------------------------------------------
 

@@ -223,6 +223,15 @@ class TableSpec extends SparkSpec {
     assert(d.toSeq !== a.toSeq)
   }
 
+  test("checkpoint pins data and reads back key-sorted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val t = rangeTable(100).annotate("v" -> (col("idx") * 2))
+      .checkpoint(s"$dir/t")
+    assert(t.keySorted)
+    assert(t.count() === 100)
+    assert(t.df.collect().map(_.getLong(0)).toSeq === (0L until 100L))
+  }
+
   test("native write records exact per-file key ranges from footers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fkr").toString
     rangeTable(1000, 4).annotate("v" -> (col("idx") * 3)).write(s"$dir/t")
