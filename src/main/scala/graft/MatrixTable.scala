@@ -444,6 +444,14 @@ final case class MatrixTable(
       new org.apache.hadoop.fs.Path(s"$path/colmeta/metadata.json"), true)
     out.write(meta.getBytes("UTF-8")); out.close()
   }
+
+  /** checkpoint (reference `matrixtable.py` `checkpoint`): write the
+    * native format and read back — lineage truncation + disk pin, rows
+    * key-sorted on the way back when the file ranges verify. */
+  def checkpoint(path: String): MatrixTable = {
+    write(path)
+    MatrixTable.read(spark, path)
+  }
 }
 
 object MatrixTable {

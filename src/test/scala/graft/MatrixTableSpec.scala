@@ -110,5 +110,10 @@ class MatrixTableSpec extends SparkSpec {
       .select("r", "sample", "v").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(cells(back) === cells(mt))
+    // checkpoint = write + sorted read-back in one call
+    val ck = mt.checkpoint(s"$dir/ck")
+    assert(cells(ck) === cells(mt))
+    assert(Table(ck.rows, ck.rowKey).count() ===
+      Table(mt.rows, mt.rowKey).count())
   }
 }
