@@ -206,4 +206,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
     assert(!plan.contains("Join"), plan.take(2000))
   }
+
+  test("knnJoinLsh is a bucket equi-join — no cross product") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = graft.pipeline.Similarity
+      .knnJoinLsh(e, "vec_id", "embedding", 3, nPlanes = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("native write-after-read plans no range exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pa_srt")
+      .toString
+    Table.range(spark, 1000, 4).annotate("v" -> (col("idx") * 3))
+      .write(s"$dir/t")
+    val back = Table.read(spark, s"$dir/t")
+    // ensureKeyOrder is write/collect's sort entry point: with the
+    // manifest-verified ordered read it must be the identity, and the
+    // physical plan of the read-back contains no exchange at all
+    assert(back.ensureKeyOrder() eq back)
+    val plan = back.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }
