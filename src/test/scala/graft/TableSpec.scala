@@ -201,6 +201,29 @@ class TableSpec extends SparkSpec {
     assert(salts > 1, s"hot key landed on $salts salt(s)")
   }
 
+  test("multiWayZipJoin zips duplicate keys positionally") {
+    val a = Table(spark.createDataFrame(
+      Seq((1, "a1"), (1, "a2"), (2, "b1"))).toDF("k", "v"), Seq("k"))
+    val b = Table(spark.createDataFrame(
+      Seq((1, "x1"), (1, "x2"), (1, "x3"), (3, "y1"))).toDF("k", "v"),
+      Seq("k"))
+    val z = a.multiWayZipJoin(Seq(b))
+    val rows = z.df.collect().map { r =>
+      val arr = r.getSeq[org.apache.spark.sql.Row](1)
+      (r.getInt(0), arr.map(Option(_).map(_.getString(0))))
+    }
+    // key 1: 3 rows (max dup count) — a exhausts after 2, padded null;
+    // key 2 and 3: one row each with the absent table null
+    assert(rows.count(_._1 == 1) === 3)
+    val k1 = rows.filter(_._1 == 1)
+    assert(k1.count(_._2(0).isDefined) === 2, "a contributes 2 rows")
+    assert(k1.count(_._2(1).isDefined) === 3, "b contributes 3 rows")
+    assert(rows.filter(_._1 == 2).toSeq ===
+      Seq((2, Seq(Some("b1"), None))))
+    assert(rows.filter(_._1 == 3).toSeq ===
+      Seq((3, Seq(None, Some("y1")))))
+  }
+
   test("addIndex is contiguous 0-based in key order, any partitioning") {
     val t = Table(rangeTable(500).df.repartition(7), Seq("idx"))
     val got = t.addIndex("ri").df.orderBy("idx").collect()
