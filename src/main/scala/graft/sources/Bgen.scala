@@ -467,73 +467,198 @@ object Bgen {
     out.close()
   }
 
-  /** Read a BGEN into a MatrixTable. Sample ids from the in-file block or
-    * `samplePath` (.sample file). */
-  def read(spark: SparkSession, path: String,
-      samplePath: Option[String] = None, nPartitions: Int = 0,
-      writeIndex: Boolean = false): MatrixTable = {
-    val meta = indexed(spark, path, writeIndex)
-    val samples = meta.sampleIds
-      .orElse(samplePath.map(Gen.readSampleFile(spark, _)))
-      .getOrElse((0 until meta.nSamples).map(i => s"sample_$i"))
-    val n = meta.nSamples
-    val compression = meta.compression
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val parts = if (nPartitions > 0) nPartitions
-      else math.min(spark.sparkContext.defaultParallelism,
-        math.max(1, meta.variants.length / 16))
-    val rdd = spark.sparkContext
-      .parallelize(meta.variants, parts)
-      .mapPartitions { it =>
-        var stream: org.apache.hadoop.fs.FSDataInputStream = null
-        val iter = it.map { v =>
-          if (stream == null) {
-            val p = new org.apache.hadoop.fs.Path(path)
-            stream = p.getFileSystem(conf.value).open(p)
-          }
-          val comp = new Array[Byte](v.compressedSize)
-          stream.readFully(v.dataOffset, comp)
-          val raw =
-            if (compression == 0) comp
-            else {
-              val out = new Array[Byte](v.uncompressedSize)
-              val inf = new java.util.zip.Inflater()
-              inf.setInput(comp)
-              var filled = 0
-              while (filled < out.length && !inf.finished())
-                filled += inf.inflate(out, filled, out.length - filled)
-              inf.end()
-              out
-            }
-          val entries = decodeBlock(raw, n)
-          Row(v.chrom, v.pos,
-            if (v.rsid.isEmpty || v.rsid == ".") null else v.rsid,
-            v.alleles.head, v.alleles.tail.toSeq, entries)
-        }
-        new Iterator[Row] {
-          def hasNext: Boolean = {
-            val h = iter.hasNext
-            if (!h && stream != null) { stream.close(); stream = null }
-            h
-          }
-          def next(): Row = iter.next()
-        }
+  /** Decode one variant's genotype payload (seek-read + inflate) into
+    * the row the MatrixTable carries. */
+  private def decodeOne(stream: org.apache.hadoop.fs.FSDataInputStream,
+      v: VariantMeta, compression: Int, n: Int): Row = {
+    val comp = new Array[Byte](v.compressedSize)
+    stream.readFully(v.dataOffset, comp)
+    val raw =
+      if (compression == 0) comp
+      else {
+        val out = new Array[Byte](v.uncompressedSize)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(comp)
+        var filled = 0
+        while (filled < out.length && !inf.finished())
+          filled += inf.inflate(out, filled, out.length - filled)
+        inf.end()
+        out
       }
-    val schema = StructType(Seq(
-      StructField("contig", StringType),
-      StructField("position", IntegerType),
-      StructField("rsid", StringType),
-      StructField("ref", StringType),
-      StructField("alt", ArrayType(StringType)),
-      StructField(MatrixTable.EntriesField, ArrayType(StructType(Seq(
-        StructField("GT", IntegerType),
-        StructField("GP", ArrayType(DoubleType))))))))
+    Row(v.chrom, v.pos,
+      if (v.rsid.isEmpty || v.rsid == ".") null else v.rsid,
+      v.alleles.head, v.alleles.tail.toSeq, decodeBlock(raw, n))
+  }
+
+  private val RowSchema = StructType(Seq(
+    StructField("contig", StringType),
+    StructField("position", IntegerType),
+    StructField("rsid", StringType),
+    StructField("ref", StringType),
+    StructField("alt", ArrayType(StringType)),
+    StructField(MatrixTable.EntriesField, ArrayType(StructType(Seq(
+      StructField("GT", IntegerType),
+      StructField("GP", ArrayType(DoubleType))))))))
+
+  private def matrixOf(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[Row],
+      samples: IndexedSeq[String]): MatrixTable =
     MatrixTable(
-      rows = spark.createDataFrame(rdd, schema),
+      rows = spark.createDataFrame(rdd, RowSchema),
       rowKey = Seq("contig", "position", "ref", "alt"),
       colValues = samples.map(s => Row(s)),
       colSchema = StructType(Seq(StructField("s", StringType))),
       colKey = Seq("s"))
+
+  /** Seam-verified byte-range plan for the streamed bulk read: split at
+    * `splitBytes`, resync each split to a record boundary, walk record
+    * HEADERS only, and require every seam to line up exactly and the
+    * total count to match the file header — the same induction as
+    * `indexParallel`, but the driver retains only O(splits) state (two
+    * offsets + a count per split), never the variant list. None on any
+    * mismatch. */
+  private def streamPlan(spark: SparkSession, path: String,
+      splitBytes: Long): Option[(HeaderMeta, Seq[(Long, Long)])] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fileLen = fs.getFileStatus(p).getLen
+    val raw = fs.open(p)
+    val h = try headerMeta(path, raw) finally raw.close()
+    val start0 = h.firstVariantOffset + 4
+    val span = fileLen - start0
+    val nSplits = math.min(math.max(1L, span / splitBytes), 10000L).toInt
+    if (nSplits <= 1) return None
+    val bounds = (0 to nSplits).map(i => start0 + span * i / nSplits)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val nL = h.n; val compL = h.compression
+    val pieces = spark.sparkContext
+      .parallelize(0 until nSplits, nSplits)
+      .map { i =>
+        val from = bounds(i); val until = bounds(i + 1)
+        val taskP = new org.apache.hadoop.fs.Path(path)
+        val in = taskP.getFileSystem(conf.value).open(taskP)
+        try {
+          val syncOff =
+            if (i == 0) from
+            else resyncVariant(in, from, fileLen, nL, compL)
+          if (syncOff < 0) (i, -1L, -1L, 0)
+          else {
+            val (vs, end) = walkVariants(in, syncOff, until, fileLen, compL)
+            (i, syncOff, end, vs.length)
+          }
+        } finally in.close()
+      }
+      .collect()
+      .sortBy(_._1)
+    val seamsOk = pieces.head._2 == start0 &&
+      pieces.forall(_._2 >= 0) &&
+      pieces.sliding(2).forall {
+        case Array(a, b) => b._2 == a._3
+        case _ => true
+      } &&
+      pieces.last._3 == fileLen &&
+      pieces.map(_._4.toLong).sum == h.m
+    if (seamsOk) Some((h, pieces.map(pc => (pc._2, pc._3)).toSeq))
+    else None
+  }
+
+  /** File size above which `read` switches to the streamed byte-range
+    * plan (no driver-side variant list at all). */
+  val StreamReadThreshold: Long = ParallelIndexThreshold
+
+  /** Read a BGEN into a MatrixTable. Sample ids from the in-file block or
+    * `samplePath` (.sample file).
+    *
+    * Files at or above `streamThreshold` read through the seam-verified
+    * STREAMED plan: each task re-walks its verified byte range for
+    * headers and seek-reads the payloads — the driver never materializes
+    * the variant list, so import memory is O(splits) at any file size
+    * (a 100 TB-scale concern: the indexed path holds every VariantMeta
+    * on the driver). Smaller files (and `writeIndex = true`, which
+    * needs the full list to persist the `.gidx` sidecar) take the
+    * indexed path. */
+  def read(spark: SparkSession, path: String,
+      samplePath: Option[String] = None, nPartitions: Int = 0,
+      writeIndex: Boolean = false,
+      streamThreshold: Long = StreamReadThreshold,
+      streamSplitBytes: Long = 32L << 20): MatrixTable = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val fileLen = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(path)).getLen
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val streamed =
+      if (fileLen >= streamThreshold && !writeIndex)
+        streamPlan(spark, path, streamSplitBytes)
+      else None
+    streamed match {
+      case Some((h, ranges)) =>
+        val samples = h.sampleIds
+          .orElse(samplePath.map(Gen.readSampleFile(spark, _)))
+          .getOrElse((0 until h.n).map(i => s"sample_$i"))
+        val n = h.n; val compression = h.compression
+        val rdd = spark.sparkContext
+          .parallelize(ranges, ranges.length)
+          .mapPartitions { it =>
+            it.flatMap { case (from, until) =>
+              val p = new org.apache.hadoop.fs.Path(path)
+              val fsx = p.getFileSystem(conf.value)
+              val walkIn = fsx.open(p)
+              val vs =
+                try walkVariants(walkIn, from, until, until, compression)._1
+                finally walkIn.close()
+              var stream: org.apache.hadoop.fs.FSDataInputStream = null
+              val decoded = vs.iterator.map { v =>
+                if (stream == null) stream = fsx.open(p)
+                decodeOne(stream, v, compression, n)
+              }
+              new Iterator[Row] {
+                def hasNext: Boolean = {
+                  val more = decoded.hasNext
+                  if (!more && stream != null) {
+                    stream.close(); stream = null
+                  }
+                  more
+                }
+                def next(): Row = decoded.next()
+              }
+            }
+          }
+        matrixOf(spark, rdd, samples)
+      case None =>
+        val meta = indexed(spark, path, writeIndex)
+        val samples = meta.sampleIds
+          .orElse(samplePath.map(Gen.readSampleFile(spark, _)))
+          .getOrElse((0 until meta.nSamples).map(i => s"sample_$i"))
+        val n = meta.nSamples
+        val compression = meta.compression
+        val parts = if (nPartitions > 0) nPartitions
+          else math.min(spark.sparkContext.defaultParallelism,
+            math.max(1, meta.variants.length / 16))
+        val rdd = spark.sparkContext
+          .parallelize(meta.variants, parts)
+          .mapPartitions { it =>
+            var stream: org.apache.hadoop.fs.FSDataInputStream = null
+            val iter = it.map { v =>
+              if (stream == null) {
+                val p = new org.apache.hadoop.fs.Path(path)
+                stream = p.getFileSystem(conf.value).open(p)
+              }
+              decodeOne(stream, v, compression, n)
+            }
+            new Iterator[Row] {
+              def hasNext: Boolean = {
+                val h = iter.hasNext
+                if (!h && stream != null) { stream.close(); stream = null }
+                h
+              }
+              def next(): Row = iter.next()
+            }
+          }
+        matrixOf(spark, rdd, samples)
+    }
   }
 }
