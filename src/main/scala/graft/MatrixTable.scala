@@ -462,8 +462,21 @@ object MatrixTable {
     * native Table format (manifest key + file-range pruning); col
     * values re-order by the persisted `__col_idx` so the entries array
     * stays aligned. */
-  def read(spark: SparkSession, path: String): MatrixTable = {
-    val rowsT = Table.read(spark, s"$path/rows")
+  def read(spark: SparkSession, path: String): MatrixTable =
+    withCols(spark, path, Table.read(spark, s"$path/rows"))
+
+  /** Keyed row-range read of the native MatrixTable format: the rows
+    * come through `Table.queryTable`, so the manifest's per-file key
+    * ranges prune FILES driver-side and the key predicate still reaches
+    * the surviving parquet scans (row-group stats) — a 100 TB matrix
+    * answers a locus-range query without touching the rest. */
+  def readRange(spark: SparkSession, path: String, lo: Any, hi: Any,
+      inclusiveHi: Boolean = false): MatrixTable =
+    withCols(spark, path,
+      Table.queryTable(spark, s"$path/rows", lo, hi, inclusiveHi))
+
+  private def withCols(spark: SparkSession, path: String, rowsT: Table)
+      : MatrixTable = {
     val (colKey, globals) = NativeFormat.readManifest(spark,
       s"$path/colmeta")
     val colsDf = spark.read.parquet(s"$path/cols")

@@ -115,5 +115,9 @@ class MatrixTableSpec extends SparkSpec {
     assert(cells(ck) === cells(mt))
     assert(Table(ck.rows, ck.rowKey).count() ===
       Table(mt.rows, mt.rowKey).count())
+    // keyed row-range read prunes to the requested window
+    val rng = MatrixTable.readRange(spark, s"$dir/ck", 1L, 3L)
+    assert(cells(rng) === cells(mt).filter(c => c._1 >= 1L && c._1 < 3L))
+    assert(rng.colValues === mt.colValues)
   }
 }
