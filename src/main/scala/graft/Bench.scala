@@ -65,7 +65,7 @@ object Bench {
       "pipe_ann_topk", "pipe_ann_lsh", "pipe_text_stats",
       "pipe_dedup_exact", "stream_hourly_agg", "vds_combine_densify",
       "rand_seeded", "pipe_knn_join", "pipe_image_dedup", "geno_ld_prune",
-      "table_add_index")
+      "table_add_index", "pipe_minhash_fast")
     def fmt(kvs: Seq[(String, Double)]): String = kvs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -600,6 +600,13 @@ object SparkEntry {
     "pipe_minhash_pairs" -> ((s, dir) =>
       pipeline.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // --- the xxhash64 production minhash family (rows-only: the hash
+    // exists only inside Spark; PipelineSpec pins exact-dup parity with
+    // the oracle-checked md5 family) ---------------------------------------
+    "pipe_minhash_fast" -> ((s, dir) =>
+      pipeline.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        family = "xxhash64")),
+
     // --- pipeline: brute-force cosine top-k ANN ----------------------------
     "pipe_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

@@ -582,4 +582,28 @@ object Genetics {
       Row(si, sj, cc, hetI, hetJ, hetHet, oppHom, phi)
     }(Encoders.row(outSchema)).toDF()
   }
+
+  /** Median of the null chi²(1) distribution — qchisqtail(0.5, 1). */
+  private val NullMedianChisq = 0.45493642311957283
+
+  /** lambda_gc (reference `statgen.py:3097`): genomic-control inflation
+    * factor of a p-value column — median of the implied chi²(1)
+    * statistics over the null median. `approximate = true` mirrors the
+    * reference default (approx_percentile, a bounded-memory sketch with
+    * map-side combine — the scale path); `false` computes the exact
+    * median. NaN p-values are excluded like the reference. */
+  def lambdaGc(df: DataFrame, p: Column,
+      approximate: Boolean = true): Double = {
+    val chisq = graft.functions.StatTests.qchisqtail(p, lit(1.0))
+    val filtered = df.filter(p.isNotNull && !isnan(p)).select(
+      chisq.as("__chisq"))
+    val med =
+      if (approximate)
+        filtered.agg(approx_percentile(col("__chisq"), lit(0.5),
+          lit(10000))).head().getDouble(0)
+      else
+        filtered.agg(percentile(col("__chisq"), lit(0.5)))
+          .head().getDouble(0)
+    med / NullMedianChisq
+  }
 }

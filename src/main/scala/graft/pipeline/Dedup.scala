@@ -79,25 +79,43 @@ object Dedup {
     * a full sort of the exploded shingle table. min(long) stays a
     * HashAggregate with map-side partials. The DuckDB oracle mirrors
     * the parse with CAST('0x…' AS BIGINT). */
-  private def bandSignatures(sh: DataFrame, numHashes: Int, bands: Int)
-      : DataFrame = {
+  private def bandSignatures(sh: DataFrame, numHashes: Int, bands: Int,
+      family: String = "md5"): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
-    val nMd5 = (numHashes + 3) / 4
-    val hashed = sh
-      .select(col("doc"), explode(col("shingles")).as("s"))
-      .select(col("doc") +: (0 until nMd5).map(j =>
-        md5(concat(col("s"), lit(s"|$j"))).as(s"hex$j")): _*)
-    def chunk(i: Int): Column =
-      conv(substring(col(s"hex${i / 4}"), 1 + 8 * (i % 4), 8), 16, 10)
-        .cast("long")
-    val sig = hashed.groupBy(col("doc")).agg(
-      min(chunk(0)).as("mh0"),
-      (1 until numHashes).map(i => min(chunk(i)).as(s"mh$i")): _*)
+    val sig = family match {
+      case "md5" =>
+        val nMd5 = (numHashes + 3) / 4
+        val hashed = sh
+          .select(col("doc"), explode(col("shingles")).as("s"))
+          .select(col("doc") +: (0 until nMd5).map(j =>
+            md5(concat(col("s"), lit(s"|$j"))).as(s"hex$j")): _*)
+        def chunk(i: Int): Column =
+          conv(substring(col(s"hex${i / 4}"), 1 + 8 * (i % 4), 8), 16, 10)
+            .cast("long")
+        hashed.groupBy(col("doc")).agg(
+          min(chunk(0)).as("mh0"),
+          (1 until numHashes).map(i => min(chunk(i)).as(s"mh$i")): _*)
+      case "xxhash64" =>
+        // the production family: one native 64-bit hash per (seed,
+        // shingle) — no hex strings, no conv/substring — an equally
+        // valid independent minwise family at a fraction of the md5
+        // path's cost. md5 stays the default because the DuckDB oracle
+        // reproduces it bit-for-bit; xxhash64 exists only inside Spark.
+        val hashed = sh.select(col("doc"), explode(col("shingles")).as("s"))
+        hashed.groupBy(col("doc")).agg(
+          min(xxhash64(lit(0), col("s"))).as("mh0"),
+          (1 until numHashes).map(i =>
+            min(xxhash64(lit(i), col("s"))).as(s"mh$i")): _*)
+      case other => sys.error(s"unknown minhash family: $other")
+    }
+    val bsigOf: Seq[Column] => Column =
+      if (family == "md5") cs => md5(concat_ws("_", cs.map(_.cast("string")): _*))
+      else cs => xxhash64(cs: _*).cast("string")
     sig.select(col("doc"),
       posexplode(array((0 until bands).map(b =>
-        md5(concat_ws("_", (0 until rowsPerBand).map(r =>
-          col(s"mh${b * rowsPerBand + r}").cast("string")): _*))): _*))
+        bsigOf((0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}")))): _*))
         .as(Seq("band", "bsig")))
   }
 
@@ -118,11 +136,12 @@ object Dedup {
 
   def minhashPairs(df: DataFrame, id: String, text: String,
       numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000, family: String = "md5"): DataFrame = {
     val sh = shingleSets(df, id, text, shingleSize)
     // materialize signatures once: capBuckets consumes them twice
     // (bucket count + join back) and the pair join twice more
-    val banded = bandSignatures(sh, numHashes, bands).localCheckpoint(false)
+    val banded = bandSignatures(sh, numHashes, bands, family)
+      .localCheckpoint(false)
     val pruned = capBuckets(banded, Seq("band", "bsig"), maxBucketSize)
     val cand = pruned.select(col("band"), col("bsig"), col("doc").as("id_a"))
       .join(pruned.select(col("band"), col("bsig"), col("doc").as("id_b")),

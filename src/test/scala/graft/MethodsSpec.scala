@@ -231,6 +231,32 @@ class MethodsSpec extends SparkSpec {
     assert(kept === expected.toSet)
   }
 
+  test("lambdaGc recovers known inflation factors") {
+    import org.apache.spark.sql.functions._
+    // symmetric uniform p grid: median p = 0.5 → chi² median = null
+    // median → λ = 1 exactly
+    val uniform = spark.range(1, 100)
+      .select((col("id").cast("double") / 100.0).as("p"))
+    val l1 = methods.Genetics.lambdaGc(uniform, col("p"),
+      approximate = false)
+    assert(math.abs(l1 - 1.0) < 1e-9, s"λ=$l1")
+    // constant p = 0.25: λ = qchisqtail(0.25,1)/qchisqtail(0.5,1)
+    // = 1.3233036969314664 / 0.45493642311957283 (R: qchisq(.75,1)/qchisq(.5,1))
+    val const = spark.range(50).select(lit(0.25).as("p"))
+    val l2 = methods.Genetics.lambdaGc(const, col("p"),
+      approximate = false)
+    assert(math.abs(l2 - 1.3233036969314664 / 0.45493642311957283) < 1e-9,
+      s"λ=$l2")
+    // the approximate (sketch) path agrees on the uniform grid
+    val la = methods.Genetics.lambdaGc(uniform, col("p"))
+    assert(math.abs(la - 1.0) < 0.05, s"approx λ=$la")
+    // NaNs are excluded, not propagated
+    val withNan = uniform.union(
+      spark.range(5).select(lit(Double.NaN).as("p")))
+    assert(math.abs(methods.Genetics.lambdaGc(withNan, col("p"),
+      approximate = false) - 1.0) < 1e-9)
+  }
+
   test("trioMatrix reshapes samples into trio-indexed entries") {
     val mt = fixtureMt()
     val tm = methods.Trios.trioMatrix(mt,

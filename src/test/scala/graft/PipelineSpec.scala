@@ -178,6 +178,25 @@ class PipelineSpec extends SparkSpec {
     assert(got.size === 13)
   }
 
+  test("xxhash64 minhash family finds the same exact-dup pairs as md5") {
+    import graft.pipeline.Dedup
+    // plant exact duplicates: identical shingle sets collide on EVERY
+    // band in ANY valid minwise family, so the J=1 pair set is
+    // family-independent by construction
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    val docs = base.union(
+      base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    def dups(family: String) =
+      Dedup.minhashPairs(docs, "doc_id", "text", family = family)
+        .filter(col("jaccard") === 1.0)
+        .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    val md5Pairs = dups("md5")
+    val xxPairs = dups("xxhash64")
+    assert(md5Pairs.size >= 50, s"only ${md5Pairs.size} exact-dup pairs")
+    assert(xxPairs === md5Pairs)
+  }
+
   test("knnJoinLsh recalls most exact neighbors; no self, no dup") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
