@@ -1226,6 +1226,18 @@ object SparkEntry {
         s"graft_stream_sink_${System.nanoTime()}")
     }),
 
+    // --- streaming minhash near-dup: a REAL readStream over the
+    // documents table (one file per trigger) through the stateful
+    // bucket kernel; output = distinct candidate pairs, oracled against
+    // the SAME md5 band-bucket math in DuckDB --------------------------
+    "stream_minhash_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      streaming.StreamDedup.runMinhashPairs(s, s"$dir/documents.parquet",
+        docs.schema, "doc_id", "text",
+        s"graft_stream_mh_${System.nanoTime()}")
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- skew-salted equi-join: identical results to the plain join,
     // with the hot keys fanned over deterministic salts -------------------
     "table_salted_join" -> ((s, dir) => {
@@ -2576,6 +2588,34 @@ object SparkEntry {
         |FROM cand
         |JOIN sh sa ON cand.id_a = sa.doc_id
         |JOIN sh sb ON cand.id_b = sb.doc_id""".stripMargin,
+
+    // the streaming kernel must surface exactly the batch band-bucket
+    // candidates (the md5 family is bit-reproducible in DuckDB)
+    "stream_minhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      j -> concat(w[j], ' ', w[j+1], ' ', w[j+2]))) AS shingles
+        |  FROM tok WHERE len(w) >= 3),
+        |mh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), i ->
+        |      list_min(list_transform(shingles, s ->
+        |        CAST(('0x' || substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)) AS BIGINT)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.band,
+        |    md5(concat(CAST(sig[b.band*2+1] AS VARCHAR), '_',
+        |      CAST(sig[b.band*2+2] AS VARCHAR))) AS bsig
+        |  FROM mh, (SELECT unnest(range(0,4)) AS band) b)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bsig = b.bsig
+        |  AND a.doc_id < b.doc_id""".stripMargin,
 
     "pipe_ann_topk" -> AnnTopkOracleSql,
     // full-probe IVF degenerates to exact brute force

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the live-ingestion form of
+  * `pipeline.Dedup.minhashPairs`: documents arrive on a stream, band
+  * signatures are computed per micro-batch, and a per-bucket state of
+  * previously seen doc ids emits (id_a, id_b) candidate pairs the moment
+  * a new member lands in a bucket — including pairs whose two sides
+  * arrived in different micro-batches.
+  *
+  * Scale shape: ONE stateful operator (`flatMapGroupsWithState` keyed by
+  * (band, bucket signature)); state per bucket is the member id list,
+  * capped at `maxBucketSize` — a degenerate boilerplate bucket saturates
+  * and stops emitting instead of going quadratic. The batch pipeline
+  * DROPS oversized buckets outright; a stream cannot retract, so
+  * saturation (emit-then-stop) is the streaming analogue — the two agree
+  * exactly on every bucket that stays under the cap. */
+object StreamDedup {
+
+  final case class Banded(doc: Long, band: Int, bsig: String)
+  final case class CandidatePair(id_a: Long, id_b: Long)
+  // public: the state encoder's generated code must reach the fields
+  final case class BucketState(ids: Array[Long])
+
+  /** Per-row (aggregation-free) minhash band signatures. The batch
+    * pipeline computes minima via an exploded hash-aggregate — faster at
+    * rest — but a streaming query gets only one stateful operator, which
+    * must be the bucket state, so the signature here is a plain
+    * projection with higher-order array minima. Families match the batch
+    * pipeline bit-for-bit: "md5" (DuckDB-reproducible — the oracle path)
+    * and "xxhash64" (the fast production family). */
+  def bandedSignatures(docs: DataFrame, id: String, text: String,
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      family: String = "md5"): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    def mh(i: Int): Column = family match {
+      case "md5" =>
+        // md5 yields four independent 32-bit chunks (same family as
+        // Dedup.bandSignatures): hash j = i/4, hex chunk i%4
+        array_min(transform(col("__sh"), s =>
+          conv(substring(md5(concat(s, lit(s"|${i / 4}"))),
+            1 + 8 * (i % 4), 8), 16, 10).cast("long")))
+      case "xxhash64" =>
+        array_min(transform(col("__sh"), s => xxhash64(lit(i), s)))
+      case other => sys.error(s"unknown minhash family: $other")
+    }
+    val bsigOf: Seq[Column] => Column =
+      if (family == "md5")
+        cs => md5(concat_ws("_", cs.map(_.cast("string")): _*))
+      else cs => xxhash64(cs: _*).cast("string")
+    docs
+      .select(col(id).cast("long").as("doc"),
+        graft.pipeline.Text.shingles(col(text), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc") +:
+        (0 until numHashes).map(i => mh(i).as(s"__mh$i")): _*)
+      .select(col("doc"),
+        posexplode(array((0 until bands).map(b =>
+          bsigOf((0 until rowsPerBand).map(r =>
+            col(s"__mh${b * rowsPerBand + r}")))): _*))
+          .as(Seq("band", "bsig")))
+  }
+
+  /** Streaming candidate pairs. Output may contain a pair once per
+    * shared band (like the batch pipeline before its dropDuplicates) —
+    * dedup downstream (the sink table, or `.distinct()` on a static
+    * read-back). Pairs are normalized id_a < id_b. */
+  def minhashPairsStream(docs: DataFrame, id: String, text: String,
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      maxBucketSize: Int = 10000, family: String = "md5")
+      : Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = bandedSignatures(docs, id, text, numHashes, bands,
+      shingleSize, family).as[Banded]
+    banded.groupByKey(b => (b.band, b.bsig))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), it: Iterator[Banded],
+            state: GroupState[BucketState]) =>
+          val seen = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+          if (seen.length > maxBucketSize) Iterator.empty // saturated
+          else {
+            val seenSet = seen.toSet
+            val fresh = it.map(_.doc).toSeq.distinct
+              .filterNot(seenSet.contains)
+            val out = Seq.newBuilder[CandidatePair]
+            var members = seen.length
+            fresh.zipWithIndex.foreach { case (d, i) =>
+              members += 1
+              if (members <= maxBucketSize) {
+                (seen.iterator ++ fresh.iterator.take(i)).foreach { p =>
+                  out += (if (p < d) CandidatePair(p, d)
+                          else CandidatePair(d, p))
+                }
+              }
+            }
+            // keep one past the cap so saturation survives restarts
+            state.update(BucketState(
+              (seen ++ fresh).take(maxBucketSize + 1)))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Run the stream to completion over a static directory (memory sink,
+    * one file per trigger → real cross-batch state) and return the
+    * DISTINCT candidate pairs — the parity surface the oracle checks
+    * against the batch band-bucket join. */
+  def runMinhashPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      id: String, text: String, sinkName: String,
+      family: String = "md5"): DataFrame = {
+    // the file source wants a directory: stage a single file behind a
+    // symlink (no copy), same convention as Events.runHourlyTypeAgg
+    val dir =
+      if (new java.io.File(path).isDirectory) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_smh")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(new java.io.File(path).getName),
+          java.nio.file.Path.of(path))
+        d.toString
+      }
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = minhashPairsStream(stream, id, text, family = family)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName).distinct()
+  }
+}

@@ -81,4 +81,39 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == Map(1L -> 1.0, 2L -> 2.0)) // first arrival wins
   }
+
+  test("streaming minhash pairs match batch candidates across batches") {
+    import graft.streaming.StreamDedup
+    import graft.pipeline.Dedup
+    // two files → two triggers: the duplicate of every base doc arrives
+    // in a LATER micro-batch, so every planted pair must cross bucket
+    // state, not just a within-batch join
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    val dupes = base.select((col("doc_id") + 1000).as("doc_id"),
+      col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_smh")
+    base.coalesce(1).write.parquet(s"$dir/f1")
+    dupes.coalesce(1).write.parquet(s"$dir/f2")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_smh2")
+    def link(sub: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(s"$sub.parquet"), f.toPath)
+    }
+    link("f1"); link("f2")
+    val all = base.union(dupes)
+    val got = StreamDedup.runMinhashPairs(spark, streamDir.toString,
+      all.schema, "doc_id", "text", "spec_stream_mh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.minhashPairs(all, "doc_id", "text")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // and the planted cross-batch duplicates are all found
+    val planted = base.collect().map(_.getLong(0))
+      .map(i => (i, i + 1000)).toSet
+    assert(planted.subsetOf(got))
+  }
 }
