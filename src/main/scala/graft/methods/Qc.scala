@@ -32,28 +32,13 @@ object Qc {
 
   /** Fold over the entries array accumulating callStats-shaped counts:
     * struct(called, ac[nAlleles], hom[nAlleles]). Null entries / null GTs
-    * contribute nothing. */
-  private[graft] def callStatsFold(entries: Column, nAlleles: Column): Column = {
-    val zero = struct(
-      lit(0L).as("called"),
-      array_repeat(lit(0L), nAlleles.cast("int")).as("ac"),
-      array_repeat(lit(0L), nAlleles.cast("int")).as("hom"))
-    aggregate(entries, zero, (acc, e) => {
-      val gt = e("GT")
-      val a1 = Calls.allele1(gt)
-      val a2 = Calls.allele2(gt)
-      val dip = Calls.ploidy(gt) === 2
-      val skip = e.isNull || gt.isNull
-      when(skip, acc).otherwise(struct(
-        (acc("called") + 1L).as("called"),
-        zip_with(acc("ac"), sequence(lit(0), nAlleles.cast("int") - 1),
-          (c, j) => c + (a1 === j).cast("long") +
-            (dip && a2 === j).cast("long")).as("ac"),
-        zip_with(acc("hom"), sequence(lit(0), nAlleles.cast("int") - 1),
-          (c, j) => c + (dip && a1 === j && a2 === j).cast("long"))
-          .as("hom")))
-    })
-  }
+    * contribute nothing. One fused codegen'd loop
+    * (`CallStatsFoldExpr`) — the `aggregate`+`zip_with` HOF chain it
+    * replaces was interpreted and rebuilt both counter arrays per
+    * entry. */
+  private[graft] def callStatsFold(entries: Column, nAlleles: Column)
+      : Column =
+    graft.functions.GenotypeFolds.callStats(entries, nAlleles)
 
   private def divideNull(num: Column, den: Column): Column =
     when(den =!= 0, num.cast("double") / den)

@@ -238,4 +238,32 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](0) === Seq(1, 3))
     assert(r.getSeq[Int](1) === Seq(2))
   }
+
+  test("GenotypeFolds.callStats: diploid, haploid, null, out-of-range") {
+    import graft.functions.{Calls, GenotypeFolds}
+    def e(gt: org.apache.spark.sql.Column) = struct(gt.as("GT"))
+    val entries = array(
+      e(Calls.diploid(lit(0), lit(1))), // het: ac0+1, ac1+1
+      e(Calls.diploid(lit(1), lit(1))), // hom alt: ac1+2, hom1+1
+      e(Calls.haploid(lit(0))),         // haploid ref: ac0+1 only
+      e(Calls.haploid(lit(1))),         // haploid alt: ac1+1, no hom
+      e(lit(null).cast("int")),         // null GT: skipped
+      e(Calls.diploid(lit(5), lit(5)))) // out-of-range: called only
+    val got = spark.range(1)
+      .select(GenotypeFolds.callStats(entries, lit(2)).as("cs"))
+      .select(col("cs")("called"), col("cs")("ac"), col("cs")("hom"))
+      .head()
+    assert(got.getLong(0) === 5L) // 6 entries, 1 null GT
+    assert(got.getSeq[Long](1) === Seq(2L, 4L)) // ac
+    assert(got.getSeq[Long](2) === Seq(0L, 1L)) // hom
+    // null entries array → null; empty array → zeros
+    val nulls = spark.range(1).select(
+      GenotypeFolds.callStats(lit(null).cast(
+        "array<struct<GT:int>>"), lit(2)).as("a"),
+      GenotypeFolds.callStats(
+        array().cast("array<struct<GT:int>>"), lit(2)).as("b"))
+      .head()
+    assert(nulls.isNullAt(0))
+    assert(nulls.getStruct(1).getLong(0) === 0L)
+  }
 }
