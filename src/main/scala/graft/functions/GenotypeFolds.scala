@@ -118,10 +118,199 @@ case class CallStatsFoldExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dosage statistics over the entries array in one fused loop:
+  * struct(nc: called count, ac: Σ dose, acsq: Σ dose²) where dose =
+  * n_alt_alleles(GT) — the shared first pass of every dosage
+  * normalization (PCA / GRM / RRM / LD). Replaces three separate
+  * interpreted HOF passes (`aggregate` ×2 + `size(filter(...))`). */
+case class DoseStatsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_dose_stats"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private lazy val elemStruct = child.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType]
+  private lazy val gtOrd = elemStruct.fieldIndex("GT")
+  private lazy val numFields = elemStruct.length
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nc", LongType, nullable = false),
+    StructField("ac", DoubleType, nullable = false),
+    StructField("acsq", DoubleType, nullable = false)))
+
+  private def doseOf(gt: Int): Int = {
+    val a1 = (gt >> 1) & 0x7fff
+    val a2 = (gt >> 16) & 0x7fff
+    (if (a1 > 0) 1 else 0) +
+      (if (a2 != 0x7fff && a2 > 0) 1 else 0)
+  }
+
+  override def nullSafeEval(entriesAny: Any): Any = {
+    val arr = entriesAny.asInstanceOf[ArrayData]
+    var nc = 0L
+    var ac = 0.0
+    var acsq = 0.0
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val e = arr.getStruct(i, numFields)
+        if (!e.isNullAt(gtOrd)) {
+          val d = doseOf(e.getInt(gtOrd)).toDouble
+          nc += 1L; ac += d; acsq += d * d
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nc, ac, acsq))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val m = ctx.freshName("m")
+      val nc = ctx.freshName("nc"); val ac = ctx.freshName("ac")
+      val acsq = ctx.freshName("acsq"); val e = ctx.freshName("e")
+      val gt = ctx.freshName("gt"); val d = ctx.freshName("d")
+      val gir = classOf[GenericInternalRow].getName
+      s"""
+         |long $nc = 0L; double $ac = 0.0; double $acsq = 0.0;
+         |int $m = $arr.numElements();
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    InternalRow $e = $arr.getStruct($i, $numFields);
+         |    if (!$e.isNullAt($gtOrd)) {
+         |      int $gt = $e.getInt($gtOrd);
+         |      double $d = (((($gt >> 1) & 0x7fff) > 0) ? 1 : 0)
+         |        + (((($gt >> 16) & 0x7fff) != 0x7fff
+         |            && (($gt >> 16) & 0x7fff) > 0) ? 1 : 0);
+         |      $nc += 1L; $ac += $d; $acsq += $d * $d;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gir(new Object[] {
+         |  java.lang.Long.valueOf($nc), java.lang.Double.valueOf($ac),
+         |  java.lang.Double.valueOf($acsq)});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : Expression = copy(child = c)
+}
+
+/** Centered/scaled dosage vector in one fused loop:
+  * out[i] = (dose_i - mean) / denom, 0.0 when the entry/GT is missing
+  * or denom is null/non-positive — exactly the
+  * `coalesce(when(denom > 0, ...), 0.0)` HOF formulation all the
+  * normalizations share. */
+case class DoseNormExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "graft_dose_norm"
+  override def nullable: Boolean = true
+
+  private lazy val elemStruct = first.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType]
+  private lazy val gtOrd = elemStruct.fieldIndex("GT")
+  private lazy val numFields = elemStruct.length
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val entriesAny = first.eval(input)
+    if (entriesAny == null) return null
+    val meanAny = second.eval(input)
+    val denomAny = third.eval(input)
+    val arr = entriesAny.asInstanceOf[ArrayData]
+    val ok = meanAny != null && denomAny != null &&
+      denomAny.asInstanceOf[Double] > 0.0
+    val mean = if (ok) meanAny.asInstanceOf[Double] else 0.0
+    val denom = if (ok) denomAny.asInstanceOf[Double] else 1.0
+    val m = arr.numElements()
+    val out = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      if (ok && !arr.isNullAt(i)) {
+        val e = arr.getStruct(i, numFields)
+        if (!e.isNullAt(gtOrd)) {
+          val gt = e.getInt(gtOrd)
+          val a1 = (gt >> 1) & 0x7fff
+          val a2 = (gt >> 16) & 0x7fff
+          val d = (if (a1 > 0) 1 else 0) +
+            (if (a2 != 0x7fff && a2 > 0) 1 else 0)
+          out(i) = (d - mean) / denom
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val entriesGen = first.genCode(ctx)
+    val meanGen = second.genCode(ctx)
+    val denomGen = third.genCode(ctx)
+    val i = ctx.freshName("i"); val m = ctx.freshName("m")
+    val out = ctx.freshName("out"); val e = ctx.freshName("e")
+    val gt = ctx.freshName("gt"); val d = ctx.freshName("d")
+    val ok = ctx.freshName("ok")
+    val gad = classOf[GenericArrayData].getName
+    val code =
+      s"""
+         |${entriesGen.code}
+         |boolean ${ev.isNull} = ${entriesGen.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${meanGen.code}
+         |  ${denomGen.code}
+         |  boolean $ok = !${meanGen.isNull} && !${denomGen.isNull}
+         |    && ${denomGen.value} > 0.0;
+         |  int $m = ${entriesGen.value}.numElements();
+         |  double[] $out = new double[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    if ($ok && !${entriesGen.value}.isNullAt($i)) {
+         |      InternalRow $e = ${entriesGen.value}.getStruct($i, $numFields);
+         |      if (!$e.isNullAt($gtOrd)) {
+         |        int $gt = $e.getInt($gtOrd);
+         |        double $d = (((($gt >> 1) & 0x7fff) > 0) ? 1 : 0)
+         |          + (((($gt >> 16) & 0x7fff) != 0x7fff
+         |              && (($gt >> 16) & 0x7fff) > 0) ? 1 : 0);
+         |        $out[$i] = ($d - ${meanGen.value}) / ${denomGen.value};
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    ev.copy(code =
+      org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code())
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object GenotypeFolds {
   /** struct(called, ac[n], hom[n]) over a GT-bearing entries array. */
   def callStats(entries: Column, nAlleles: Column): Column =
     GraftBridge.column(CallStatsFoldExpr(
       GraftBridge.expression(entries),
       GraftBridge.expression(nAlleles.cast("int"))))
+
+  /** struct(nc, ac, acsq) dosage statistics over the entries array. */
+  def doseStats(entries: Column): Column =
+    GraftBridge.column(DoseStatsExpr(GraftBridge.expression(entries)))
+
+  /** (dose - mean) / denom per entry, 0.0 for missing / bad denom. */
+  def doseNorm(entries: Column, mean: Column, denom: Column): Column =
+    GraftBridge.column(DoseNormExpr(
+      GraftBridge.expression(entries),
+      GraftBridge.expression(mean.cast("double")),
+      GraftBridge.expression(denom.cast("double"))))
 }

@@ -15,26 +15,24 @@ object Ld {
     * (`__norm` array; the reference's `ld_matrix` normalization). Rows
     * with near-zero variance dropped. */
   private def normRows(mt: MatrixTable): DataFrame = {
-    val dose = transform(mt.entries, e =>
-      Calls.nNonRefAlleles(e("GT")).cast("double"))
-    mt.rows.withColumn("__dose", dose)
-      .withColumn("__ac", aggregate(col("__dose"), lit(0.0),
-        (a, v) => a + coalesce(v, lit(0.0))))
-      .withColumn("__acsq", aggregate(col("__dose"), lit(0.0),
-        (a, v) => a + coalesce(v * v, lit(0.0))))
-      .withColumn("__nc",
-        size(filter(col("__dose"), v => v.isNotNull)).cast("double"))
+    // one fused codegen'd pass for the dose statistics and one for the
+    // normalized vector (GenotypeFolds) — the HOF formulation ran three
+    // interpreted folds plus a per-element transform
+    val st = graft.functions.GenotypeFolds.doseStats(mt.entries)
+    mt.rows.withColumn("__st", st)
+      .withColumn("__ac", col("__st")("ac"))
+      .withColumn("__acsq", col("__st")("acsq"))
+      .withColumn("__nc", col("__st")("nc").cast("double"))
       .filter(col("__nc") > 0)
       // divisions guarded by when(): ANSI throws on double /0 and merged
       // projections can evaluate past the nc>0 filter speculatively
       .withColumn("__len", when(col("__nc") > 0,
         sqrt(col("__acsq") - col("__ac") * col("__ac") / col("__nc"))))
       .filter(col("__len") > 1e-6)
-      .withColumn("__norm", when(col("__len") > 1e-6,
-        transform(col("__dose"), v =>
-          coalesce((v - col("__ac") / col("__nc")) / col("__len"),
-            lit(0.0)))))
-      .drop("__dose", "__ac", "__acsq", "__nc", "__len")
+      .withColumn("__norm", graft.functions.GenotypeFolds.doseNorm(
+        mt.entries,
+        when(col("__nc") > 0, col("__ac") / col("__nc")), col("__len")))
+      .drop("__st", "__ac", "__acsq", "__nc", "__len")
   }
 
   /** Windowed LD matrix: Pearson r between all variant pairs within

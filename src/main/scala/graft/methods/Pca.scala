@@ -37,13 +37,10 @@ object Pca {
     * (present for PCA, absent for GRM whose Gramian is divided by m/2). */
   private[graft] def hweNormalized(mt: MatrixTable, scaleM: Boolean)
       : (DataFrame, Long) = {
-    val dose = transform(mt.entries, e =>
-      Calls.nNonRefAlleles(e("GT")).cast("double"))
-    val withDose = mt.rows.withColumn("__dose", dose)
-      .withColumn("__ac",
-        aggregate(col("__dose"), lit(0.0), (a, v) => a + coalesce(v, lit(0.0))))
-      .withColumn("__nc",
-        size(filter(col("__dose"), v => v.isNotNull)).cast("double"))
+    val st = graft.functions.GenotypeFolds.doseStats(mt.entries)
+    val withDose = mt.rows.withColumn("__st", st)
+      .withColumn("__ac", col("__st")("ac"))
+      .withColumn("__nc", col("__st")("nc").cast("double"))
       .filter(col("__ac") > 0 && col("__ac") < col("__nc") * 2)
     val m = withDose.count()
     // nc>0 is implied by the monomorphic filter, but ANSI double-division
@@ -53,10 +50,10 @@ object Pca {
       sqrt(mean * (lit(2.0) - mean) * (m / 2.0))
     else
       sqrt(mean * (lit(2.0) - mean))
-    val norm = transform(col("__dose"), v =>
-      coalesce(when(denom > 0, (v - mean) / denom), lit(0.0)))
+    val norm = graft.functions.GenotypeFolds.doseNorm(
+      mt.entries, mean, denom)
     (withDose.withColumn("__norm", norm)
-      .drop("__dose", "__ac", "__nc", MatrixTable.EntriesField), m)
+      .drop("__st", "__ac", "__nc", MatrixTable.EntriesField), m)
   }
 
   /** hwe_normalized_pca (reference `pca.py:35`): top-k eigenvalues,
@@ -108,23 +105,18 @@ object Pca {
   def rrm(mt: MatrixTable,
       distributeOver: Int = Genetics.PairCountDistributeOver)
       : DataFrame = {
-    val dose = transform(mt.entries, e =>
-      Calls.nNonRefAlleles(e("GT")).cast("double"))
-    val withStats = mt.rows.withColumn("__dose", dose)
-      .withColumn("__ac", aggregate(col("__dose"), lit(0.0),
-        (a, v) => a + coalesce(v, lit(0.0))))
-      .withColumn("__acsq", aggregate(col("__dose"), lit(0.0),
-        (a, v) => a + coalesce(v * v, lit(0.0))))
-      .withColumn("__nc",
-        size(filter(col("__dose"), v => v.isNotNull)).cast("double"))
+    val st = graft.functions.GenotypeFolds.doseStats(mt.entries)
+    val withStats = mt.rows.withColumn("__st", st)
+      .withColumn("__ac", col("__st")("ac"))
+      .withColumn("__acsq", col("__st")("acsq"))
+      .withColumn("__nc", col("__st")("nc").cast("double"))
       .filter(col("__nc") > 0)
       .withColumn("__len", when(col("__nc") > 0,
         sqrt(col("__acsq") - col("__ac") * col("__ac") / col("__nc"))))
       .filter(col("__len") > 0.1)
     val m = withStats.count()
-    val norm = transform(col("__dose"), v =>
-      coalesce(when(col("__len") > 0.1,
-        (v - col("__ac") / col("__nc")) / col("__len")), lit(0.0)))
+    val norm = graft.functions.GenotypeFolds.doseNorm(mt.entries,
+      when(col("__nc") > 0, col("__ac") / col("__nc")), col("__len"))
     gramEntries(mt, withStats.withColumn("__norm", norm),
       mt.nCols.toDouble / m, "rrm", distributeOver)
   }

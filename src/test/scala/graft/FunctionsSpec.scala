@@ -266,4 +266,33 @@ class FunctionsSpec extends SparkSpec {
     assert(nulls.isNullAt(0))
     assert(nulls.getStruct(1).getLong(0) === 0L)
   }
+
+  test("GenotypeFolds.doseStats/doseNorm match the HOF formulation") {
+    import graft.functions.{Calls, GenotypeFolds}
+    def e(gt: org.apache.spark.sql.Column) = struct(gt.as("GT"))
+    val entries = array(
+      e(Calls.diploid(lit(0), lit(1))), // dose 1
+      e(Calls.diploid(lit(1), lit(1))), // dose 2
+      e(Calls.haploid(lit(1))),         // dose 1
+      e(Calls.haploid(lit(0))),         // dose 0
+      e(lit(null).cast("int")))         // missing
+    val st = spark.range(1)
+      .select(GenotypeFolds.doseStats(entries).as("s"))
+      .select(col("s")("nc"), col("s")("ac"), col("s")("acsq")).head()
+    assert(st.getLong(0) === 4L)
+    assert(st.getDouble(1) === 4.0)
+    assert(st.getDouble(2) === 6.0)
+    // norm: mean 1.0, denom 2.0 → (d-1)/2; missing → 0.0
+    val nm = spark.range(1)
+      .select(GenotypeFolds.doseNorm(entries, lit(1.0), lit(2.0)).as("n"))
+      .head().getSeq[Double](0)
+    assert(nm === Seq(0.0, 0.5, 0.0, -0.5, 0.0))
+    // non-positive denom zeroes everything; null entries → null
+    val z = spark.range(1).select(
+      GenotypeFolds.doseNorm(entries, lit(1.0), lit(0.0)).as("a"),
+      GenotypeFolds.doseNorm(lit(null).cast("array<struct<GT:int>>"),
+        lit(1.0), lit(2.0)).as("b")).head()
+    assert(z.getSeq[Double](0) === Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(z.isNullAt(1))
+  }
 }
