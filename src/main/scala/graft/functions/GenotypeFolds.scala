@@ -296,6 +296,88 @@ case class DoseNormExpr(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** Statistics of one INTEGER entry field (DP / GQ) in one fused loop:
+  * struct(n, sum, sumsq, min, max); min/max null when no non-null
+  * values. Same left-to-right double accumulation as the HOF chain it
+  * replaces, so downstream mean/stdev algebra is bit-identical. */
+case class IntFieldStatsExpr(child: Expression, field: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_field_stats"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private lazy val elemStruct = child.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType]
+  private lazy val fOrd = elemStruct.fieldIndex(field)
+  private lazy val numFields = elemStruct.length
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("sumsq", DoubleType, nullable = false),
+    StructField("min", IntegerType, nullable = true),
+    StructField("max", IntegerType, nullable = true)))
+
+  override def nullSafeEval(entriesAny: Any): Any = {
+    val arr = entriesAny.asInstanceOf[ArrayData]
+    var n = 0L; var sum = 0.0; var sumsq = 0.0
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val e = arr.getStruct(i, numFields)
+        if (!e.isNullAt(fOrd)) {
+          val v = e.getInt(fOrd)
+          n += 1L; sum += v.toDouble; sumsq += v.toDouble * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, sum, sumsq,
+      if (n == 0) null else mn, if (n == 0) null else mx))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val m = ctx.freshName("m")
+      val n = ctx.freshName("n"); val sum = ctx.freshName("sum")
+      val sumsq = ctx.freshName("sumsq"); val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx"); val e = ctx.freshName("e")
+      val v = ctx.freshName("v")
+      val gir = classOf[GenericInternalRow].getName
+      s"""
+         |long $n = 0L; double $sum = 0.0; double $sumsq = 0.0;
+         |int $mn = Integer.MAX_VALUE; int $mx = Integer.MIN_VALUE;
+         |int $m = $arr.numElements();
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    InternalRow $e = $arr.getStruct($i, $numFields);
+         |    if (!$e.isNullAt($fOrd)) {
+         |      int $v = $e.getInt($fOrd);
+         |      $n += 1L; $sum += (double) $v;
+         |      $sumsq += (double) $v * $v;
+         |      if ($v < $mn) $mn = $v;
+         |      if ($v > $mx) $mx = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gir(new Object[] {
+         |  java.lang.Long.valueOf($n), java.lang.Double.valueOf($sum),
+         |  java.lang.Double.valueOf($sumsq),
+         |  ($n == 0L) ? null : java.lang.Integer.valueOf($mn),
+         |  ($n == 0L) ? null : java.lang.Integer.valueOf($mx)});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object GenotypeFolds {
   /** struct(called, ac[n], hom[n]) over a GT-bearing entries array. */
   def callStats(entries: Column, nAlleles: Column): Column =
@@ -313,4 +395,9 @@ object GenotypeFolds {
       GraftBridge.expression(entries),
       GraftBridge.expression(mean.cast("double")),
       GraftBridge.expression(denom.cast("double"))))
+
+  /** struct(n, sum, sumsq, min, max) of an int entry field (DP/GQ). */
+  def intFieldStats(entries: Column, field: String): Column =
+    GraftBridge.column(IntFieldStatsExpr(
+      GraftBridge.expression(entries), field))
 }

@@ -36,11 +36,11 @@ object DeNovo {
       ignoreInSampleAlleleFrequency: Boolean = false)
       (implicit rg: ReferenceGenome): Table = {
     // row-space site frequency: max(in-sample AF (less the observed
-    // genotype), population prior, global minimum)
-    val nAlt = aggregate(mt.entries, lit(0L), (acc, e) =>
-      acc + coalesce(Calls.nNonRefAlleles(e("GT")).cast("long"), lit(0L)))
-    val tot = size(filter(mt.entries,
-      e => e.isNotNull && e("GT").isNotNull)).cast("long") * 2
+    // genotype), population prior, global minimum). One fused
+    // codegen'd pass (doseStats) instead of two interpreted HOF folds.
+    val doseSt = graft.functions.GenotypeFolds.doseStats(mt.entries)
+    val nAlt = doseSt("ac").cast("long")
+    val tot = doseSt("nc") * 2L
     val inSample = when(tot > 0,
       (nAlt.cast("double") - 1.0) / tot.cast("double"))
     val siteFreq =

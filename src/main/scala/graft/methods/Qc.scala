@@ -70,19 +70,19 @@ object Qc {
         element_at(hom, 2), lit(true)))
     val dpGq: Seq[(String, Column)] =
       es.fieldNames.filter(f => f == "DP" || f == "GQ").toSeq.flatMap { f =>
-        val vals = transform(
-          filter(col(MatrixTable.EntriesField),
-            e => e.isNotNull && e(f).isNotNull),
-          e => e(f).cast("double"))
-        val n = size(vals).cast("double")
-        val mean = aggregate(vals, lit(0.0), (a, v) => a + v) / n
-        val meanSq = aggregate(vals, lit(0.0), (a, v) => a + v * v) / n
+        // one fused codegen'd pass per field (IntFieldStatsExpr) — the
+        // HOF chain filtered + transformed + folded the entries twice
+        val st = graft.functions.GenotypeFolds.intFieldStats(
+          col(MatrixTable.EntriesField), f)
+        val n = st("n").cast("double")
+        val mean = st("sum") / n
+        val meanSq = st("sumsq") / n
         val p = f.toLowerCase
         Seq(
           s"${p}_mean" -> when(n > 0, mean),
           s"${p}_stdev" -> when(n > 0, sqrt(meanSq - mean * mean)),
-          s"${p}_min" -> array_min(vals).cast("int"),
-          s"${p}_max" -> array_max(vals).cast("int"))
+          s"${p}_min" -> st("min"),
+          s"${p}_max" -> st("max"))
       }
     val annotated = withCs.withColumns(Map(
       "AC" -> ac, "AN" -> an,
