@@ -17,20 +17,14 @@ object Text {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesOfTokens(tokens(text), n)
 
-  /** n-word shingles built by zipping the token array against its own
-    * shifted slices. `element_at(w, j+o)` inside a transform lambda would
-    * re-evaluate the tokenizing `split` for EVERY element (interpreted
-    * higher-order eval) — this form references the token array only at top
-    * level, so it is computed once per row. */
-  def shinglesOfTokens(w: Column, n: Int): Column = {
-    val zipped = (2 to n).foldLeft(w) { (acc, k) =>
-      // concat (not concat_ws): null-pads beyond the end become null
-      // shingles, filtered below — exactly dropping the trailing <n-grams
-      zip_with(acc, slice(w, lit(k), greatest(size(w) - (k - 1), lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(filter(zipped, s => s.isNotNull))
-  }
+  /** n-word shingles in one fused codegen'd loop
+    * (`functions.ShinglesExpr`): position-ordered first-occurrence
+    * distinct n-grams, trailing partials dropped — bit-identical to the
+    * zip_with-chain formulation it replaces (which ran n-1 interpreted
+    * element-wise passes, each allocating intermediate strings). The
+    * tokenizer stays on the native `split`/`lower` builtins. */
+  def shinglesOfTokens(w: Column, n: Int): Column =
+    graft.functions.TextKernels.shinglesOfTokens(w, n)
 
   /** Stable 128-bit content fingerprint of the exact text. */
   def contentHash(text: Column): Column = md5(text)
