@@ -378,6 +378,95 @@ case class IntFieldStatsExpr(child: Expression, field: String)
     copy(child = c)
 }
 
+/** Stacked genotype-class indicator vector in one fused loop: for S
+  * entries, a 3S double array — [hom-ref block][het block][called
+  * block] — the Gramian input of KING/IBD relatedness. Replaces a
+  * classes `transform` + three indicator `transform`s + `concat`, all
+  * interpreted. `diploidOnly = true` treats haploid calls as no-calls
+  * (IBD's dose classes); `false` classes haploid ref/alt as
+  * hom-ref/hom-var (KING's gtClass). */
+case class ClassIndicatorsExpr(child: Expression, diploidOnly: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_class_indicators"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private lazy val elemStruct = child.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType]
+  private lazy val gtOrd = elemStruct.fieldIndex("GT")
+  private lazy val numFields = elemStruct.length
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(entriesAny: Any): Any = {
+    val arr = entriesAny.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val out = new Array[Double](3 * m)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val e = arr.getStruct(i, numFields)
+        if (!e.isNullAt(gtOrd)) {
+          val gt = e.getInt(gtOrd)
+          val a1 = (gt >> 1) & 0x7fff
+          val a2 = (gt >> 16) & 0x7fff
+          val cls =
+            if (a2 == 0x7fff) {
+              if (diploidOnly) 1 else if (a1 == 0) 2 else 4
+            } else if (a1 == 0 && a2 == 0) 2
+            else if (a1 != a2) 3
+            else 4
+          if (cls == 2) out(i) = 1.0
+          if (cls == 3) out(m + i) = 1.0
+          if (cls != 1) out(2 * m + i) = 1.0
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val m = ctx.freshName("m")
+      val out = ctx.freshName("out"); val e = ctx.freshName("e")
+      val gt = ctx.freshName("gt"); val a1 = ctx.freshName("a1")
+      val a2 = ctx.freshName("a2"); val cls = ctx.freshName("cls")
+      val gad = classOf[GenericArrayData].getName
+      val dip = if (diploidOnly) "true" else "false"
+      s"""
+         |int $m = $arr.numElements();
+         |double[] $out = new double[3 * $m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    InternalRow $e = $arr.getStruct($i, $numFields);
+         |    if (!$e.isNullAt($gtOrd)) {
+         |      int $gt = $e.getInt($gtOrd);
+         |      int $a1 = ($gt >> 1) & 0x7fff;
+         |      int $a2 = ($gt >> 16) & 0x7fff;
+         |      int $cls;
+         |      if ($a2 == 0x7fff) {
+         |        $cls = $dip ? 1 : ($a1 == 0 ? 2 : 4);
+         |      } else if ($a1 == 0 && $a2 == 0) { $cls = 2; }
+         |      else if ($a1 != $a2) { $cls = 3; }
+         |      else { $cls = 4; }
+         |      if ($cls == 2) $out[$i] = 1.0;
+         |      if ($cls == 3) $out[$m + $i] = 1.0;
+         |      if ($cls != 1) $out[2 * $m + $i] = 1.0;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object GenotypeFolds {
   /** struct(called, ac[n], hom[n]) over a GT-bearing entries array. */
   def callStats(entries: Column, nAlleles: Column): Column =
@@ -400,4 +489,9 @@ object GenotypeFolds {
   def intFieldStats(entries: Column, field: String): Column =
     GraftBridge.column(IntFieldStatsExpr(
       GraftBridge.expression(entries), field))
+
+  /** 3S stacked class-indicator vector for relatedness Gramians. */
+  def classIndicators(entries: Column, diploidOnly: Boolean): Column =
+    GraftBridge.column(ClassIndicatorsExpr(
+      GraftBridge.expression(entries), diploidOnly))
 }

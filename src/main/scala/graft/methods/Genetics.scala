@@ -294,14 +294,11 @@ object Genetics {
     // classes on biallelic rows (diploid called entries only);
     // IBS0 = opposing homs, IBS2 = same-class, IBS1 = remainder
     val biallelic = mt.copy(rows = mt.rows.filter(size(col("alt")) === 1))
-    val doseClass = transform(biallelic.entries, e => {
-      val gt = e("GT")
-      when(gt.isNull || Calls.ploidy(gt) =!= 2, 1)
-        .when(Calls.isHomRef(gt), 2)
-        .when(Calls.isHet(gt), 3)
-        .otherwise(4)
-    })
-    val pairCounts = classPairCountsDF(biallelic, doseClass, distributeOver)
+    // fused indicator kernel; diploidOnly mirrors the dose classes
+    // (haploid = no-call) the transform-chain formulation used
+    val pairCounts = classPairCountsDF(biallelic,
+      graft.functions.GenotypeFolds.classIndicators(biallelic.entries,
+        diploidOnly = true), distributeOver)
     val idIdx = mt.colSchema.fieldIndex(mt.colKey.head)
     val idsB = mt.spark.sparkContext.broadcast(
       mt.colValues.map(_.get(idIdx)))
@@ -379,15 +376,11 @@ object Genetics {
     * Returns per ordered pair (i < j by column index):
     * (i, j, h0h0, h0h1, h1h0, h1h1, h0c, ch0, h1c, ch1, cc) as exact
     * longs (indicator dot products are integer-valued). */
-  private def classPairCounts(mt: MatrixTable, classes: Column)
+  private def classPairCounts(mt: MatrixTable, indicators: Column)
       : IndexedSeq[(Int, Int, Long, Long, Long, Long, Long, Long, Long,
         Long, Long)] = {
     val n = mt.nCols
-    val vec = concat(
-      transform(classes, c => (c === 2).cast("double")),
-      transform(classes, c => (c === 3).cast("double")),
-      transform(classes, c => (c =!= 1).cast("double")))
-    val vecRdd = mt.rows.select(vec.as("__v")).rdd
+    val vecRdd = mt.rows.select(indicators.as("__v")).rdd
       .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
     val g = new RowMatrix(vecRdd).computeGramianMatrix()
     def l(a: Int, b: Int): Long = math.round(g(a, b))
@@ -421,12 +414,13 @@ object Genetics {
     * G's blocks are flat-mapped straight into per-pair slot records and
     * combined by (i, j) — the 3S×3S Gramian and the S²/2 pair rows stay
     * distributed end to end; driver memory is O(1). */
-  private[methods] def classPairCountsDF(mt: MatrixTable, classes: Column,
+  private[methods] def classPairCountsDF(mt: MatrixTable,
+      indicators: Column,
       distributeOver: Int = PairCountDistributeOver,
       blockSize: Int = 1024): DataFrame = {
     val n = mt.nCols
     if (n <= distributeOver) {
-      val rows = classPairCounts(mt, classes).map {
+      val rows = classPairCounts(mt, indicators).map {
         case (i, j, a, b, c, d, e, f, g, h, k) =>
           Row(i, j, a, b, c, d, e, f, g, h, k)
       }
@@ -434,11 +428,7 @@ object Genetics {
         mt.spark.sparkContext.parallelize(rows, 1), pairCountsSchema)
     } else {
       val spark = mt.spark
-      val vec = concat(
-        transform(classes, c => (c === 2).cast("double")),
-        transform(classes, c => (c === 3).cast("double")),
-        transform(classes, c => (c =!= 1).cast("double")))
-      val vecs = mt.rows.select(vec.as("__v")).rdd
+      val vecs = mt.rows.select(indicators.as("__v")).rdd
         .map(_.getSeq[Double](0).toArray)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nVariants = vecs.count()
@@ -547,7 +537,8 @@ object Genetics {
   def king(mt: MatrixTable,
       distributeOver: Int = PairCountDistributeOver): DataFrame = {
     val counts = classPairCountsDF(mt,
-      transform(mt.entries, e => gtClass(e("GT"))), distributeOver)
+      graft.functions.GenotypeFolds.classIndicators(mt.entries,
+        diploidOnly = false), distributeOver)
     val idIdx = mt.colSchema.fieldIndex(mt.colKey.head)
     val idsB = mt.spark.sparkContext.broadcast(
       mt.colValues.map(_.get(idIdx)))
