@@ -96,6 +96,27 @@ final case class MatrixTable(
     chooseCols(keep.map(_._2))
   }
 
+  /** sample_rows (reference `matrixtable.py` `sample_rows`): keep each
+    * row with probability `p`, deterministically per (seed, row key) —
+    * same per-row hash contract as `Table.sample`. */
+  def sampleRows(p: Double, seed: Long = 0L): MatrixTable =
+    copy(rows = rows.filter(
+      graft.functions.Rand.runif(seed, rowKey.map(col): _*) < lit(p)))
+
+  /** sample_cols: seeded deterministic column subset (col values are
+    * driver-resident by contract, so the hash runs driver-side; the
+    * entry projection is the literal-index `chooseCols`). */
+  def sampleCols(p: Double, seed: Long = 0L): MatrixTable = {
+    val keyIdx = colSchema.fieldIndex(colKey.head)
+    chooseCols(colValues.zipWithIndex.collect {
+      case (r, i) if {
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(s"$seed|${r.get(keyIdx)}")
+        ((h & 0x7fffffff).toDouble / Int.MaxValue) < p
+      } => i
+    })
+  }
+
   /** MatrixChooseCols (`MatrixIR.scala:498`). The index list is always a
     * literal, so emit a plain `array(element_at(…), …)` projection — fully
     * codegen'd, unlike `transform` over a literal array (higher-order

@@ -96,6 +96,18 @@ class MatrixTableSpec extends SparkSpec {
     assert(mt.rowsTable.df.columns.toSeq === Seq("r"))
   }
 
+  test("sampleRows/sampleCols are deterministic per seed") {
+    val mt = toyMatrix()
+    val a = mt.sampleRows(0.5, seed = 3).rows.collect().map(_.toSeq)
+    val b = mt.sampleRows(0.5, seed = 3).rows.collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    val c1 = mt.sampleCols(0.5, seed = 3).colValues
+    val c2 = mt.sampleCols(0.5, seed = 3).colValues
+    assert(c1 === c2)
+    assert(mt.sampleCols(1.0).colValues === mt.colValues)
+    assert(mt.sampleRows(1.0).rows.count() === mt.rows.count())
+  }
+
   test("native write/read round-trips rows, cols, key, globals") {
     val mt = toyMatrix().annotateGlobals("tag" -> "v1")
     val dir = java.nio.file.Files.createTempDirectory("graft_mtn")
