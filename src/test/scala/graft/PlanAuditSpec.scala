@@ -207,6 +207,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("fused kernels are in the plans, not HOF fallbacks") {
+    // a refactor that silently reverts a kernel to the interpreted
+    // higher-order formulation changes no query result — only the plan.
+    // (ldMatrix/minhash checkpoint their normalized inputs, so the
+    // kernels are asserted on the pre-checkpoint surfaces.)
+    val norm = graft.methods.Pca.hweNormalized(fixtureMt(),
+      scaleM = false)._1.queryExecution.optimizedPlan.toString
+    assert(norm.contains("graft_dose_stats") &&
+      norm.contains("graft_dose_norm"), norm.take(1200))
+    val vq = graft.methods.Qc.variantQc(fixtureMt()).df
+      .queryExecution.optimizedPlan.toString
+    assert(vq.contains("graft_call_stats") &&
+      vq.contains("graft_field_stats"), vq.take(1200))
+    // (KING/IBD run the indicator kernel inside an internal Gramian
+    // job, invisible to the output plan — their wiring is pinned by the
+    // oracle gates and the distributed-equality specs instead.)
+    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.pipeline.Text.shingles(col("text"), 3))
+      .queryExecution.optimizedPlan.toString
+    assert(sh.contains("graft_shingles"), sh.take(1200))
+  }
+
   test("knnJoinLsh is a bucket equi-join — no cross product") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = graft.pipeline.Similarity
