@@ -182,6 +182,126 @@ object Vcf {
     c.as(d.id)
   }
 
+  /** Fused per-row VCF entries parser: one imperative pass over the
+    * sample strings (eval-based — string parsing gains nothing from
+    * Janino, but losing the per-sample interpreted expression TREES
+    * does: the higher-order formulation re-evaluated `array_position`
+    * over the FORMAT keys and a try_element_at/scalarCast chain per
+    * declaration per sample; here key positions hoist to once per row
+    * and each sample is a tight Scala loop). Semantics are the
+    * formatField/parseGt/scalarCast columns verbatim: "."/"" samples →
+    * null entry; non-numeric → null; second GT allele absent or
+    * non-numeric → haploid; per-field "." → null; short sample strings
+    * null-pad; array fields split on "," with per-element casts. */
+  private case class VcfEntriesExpr(
+      left: org.apache.spark.sql.catalyst.expressions.Expression,
+      right: org.apache.spark.sql.catalyst.expressions.Expression,
+      decls: Seq[FieldDecl])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen
+        .CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def prettyName: String = "graft_vcf_entries"
+    override def nullable: Boolean = true
+
+    private def scalarType(typ: String): DataType = typ match {
+      case "Integer" => IntegerType
+      case "Float"   => DoubleType
+      case _         => StringType
+    }
+    override def dataType: DataType = ArrayType(StructType(
+      StructField("GT", IntegerType) +: decls.map(d =>
+        StructField(d.id,
+          if (d.isScalar || d.isFlag) scalarType(d.typ)
+          else ArrayType(scalarType(d.typ))))), containsNull = true)
+
+    @transient private lazy val intRe =
+      java.util.regex.Pattern.compile("[+-]?\\d+")
+    @transient private lazy val floatRe = java.util.regex.Pattern
+      .compile("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?")
+
+    private def castScalar(raw: String, typ: String): Any = typ match {
+      case "Integer" =>
+        if (raw != null && intRe.matcher(raw).matches())
+          java.lang.Integer.valueOf(raw) else null
+      case "Float" =>
+        if (raw != null && floatRe.matcher(raw).matches())
+          java.lang.Double.valueOf(raw) else null
+      case _ =>
+        if (raw != null && raw != "." && raw != "")
+          UTF8String.fromString(raw) else null
+    }
+
+    private def parseGtLocal(gtStr: String): Any = {
+      if (gtStr == null) return null
+      val parts = gtStr.split("[/|]", -1)
+      val a1 = if (parts.nonEmpty && intRe.matcher(parts(0)).matches())
+        parts(0).toInt else return null
+      val a2ok = parts.length > 1 && intRe.matcher(parts(1)).matches()
+      if (!a2ok) java.lang.Integer.valueOf((0x7fff << 16) | (a1 << 1))
+      else {
+        val phased = if (gtStr.indexOf('|') >= 0) 1 else 0
+        java.lang.Integer.valueOf(
+          (parts(1).toInt << 16) | (a1 << 1) | phased)
+      }
+    }
+
+    override def eval(input: InternalRow): Any = {
+      val entriesAny = left.eval(input)
+      if (entriesAny == null) return null
+      val keysAny = right.eval(input)
+      val keys: Array[String] =
+        if (keysAny == null) Array.empty
+        else {
+          val ka = keysAny.asInstanceOf[ArrayData]
+          Array.tabulate(ka.numElements())(i =>
+            if (ka.isNullAt(i)) null else ka.getUTF8String(i).toString)
+        }
+      val gtPos = keys.indexOf("GT")
+      val declPos = decls.map(d => keys.indexOf(d.id)).toArray
+      val arr = entriesAny.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i).toString
+          if (s != "." && s != "") {
+            val vals = s.split(":", -1)
+            def rawAt(pos: Int): String =
+              if (pos >= 0 && pos < vals.length) vals(pos) else null
+            val fields = new Array[Any](1 + decls.length)
+            fields(0) = parseGtLocal(rawAt(gtPos))
+            var di = 0
+            while (di < decls.length) {
+              val d = decls(di)
+              val raw = rawAt(declPos(di))
+              fields(1 + di) =
+                if (d.isScalar || d.isFlag) castScalar(raw, d.typ)
+                else if (raw == null || raw == ".") null
+                else new GenericArrayData(raw.split(",", -1)
+                  .map(v => castScalar(v, d.typ)))
+              di += 1
+            }
+            out(i) = new GenericInternalRow(fields)
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(
+        l: org.apache.spark.sql.catalyst.expressions.Expression,
+        r: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      copy(left = l, right = r)
+  }
+
   /** Read a VCF (or directory of VCFs) into a MatrixTable.
     *
     * Row schema: contig, position, rsid, ref, alt, qual, filters,
@@ -279,20 +399,25 @@ object Vcf {
         struct(header.info.map(d => infoField(infoMap, d)): _*)
       else infoMap
     val fmtDecls = header.format.filterNot(_.id == "GT")
-    val entryCol = transform(entryStrs, e => {
-      val vals = split(e, ":")
-      val gtPos = array_position(formatKeys, "GT")
-      val gt = parseGt(try_element_at(vals, when(gtPos > 0, gtPos.cast("int"))))
-      val entry =
-        if (fmtDecls.nonEmpty)
-          struct((gt.as("GT") +: fmtDecls.map(d =>
-            formatField(vals, formatKeys, d))): _*)
-        else
-          struct(gt.as("GT"),
-            map_from_arrays(formatKeys, transform(formatKeys, (k, i) =>
-              try_element_at(vals, i + 1))).as("fields"))
-      when(e =!= "." && e =!= "", entry) // fully-missing sample → null entry
-    })
+    val entryCol =
+      if (fmtDecls.nonEmpty)
+        // declared FORMAT: the fused imperative parser
+        org.apache.spark.sql.GraftBridge.column(VcfEntriesExpr(
+          org.apache.spark.sql.GraftBridge.expression(entryStrs),
+          org.apache.spark.sql.GraftBridge.expression(formatKeys),
+          fmtDecls))
+      else
+        // undeclared FORMAT: generic (key -> raw string) map entries
+        transform(entryStrs, e => {
+          val vals = split(e, ":")
+          val gtPos = array_position(formatKeys, "GT")
+          val gt = parseGt(
+            try_element_at(vals, when(gtPos > 0, gtPos.cast("int"))))
+          when(e =!= "." && e =!= "",
+            struct(gt.as("GT"),
+              map_from_arrays(formatKeys, transform(formatKeys, (k, i) =>
+                try_element_at(vals, i + 1))).as("fields")))
+        })
     val parsed = raw.select(
       fieldAt(0).as("contig"),
       safeInt(fieldAt(1)).as("position"),
