@@ -71,6 +71,19 @@ object DeNovo {
       p => p.cast("double")))
     def adSumOf(c: Column) = aggregate(c("AD"), lit(0L),
       (a, v) => a + v.cast("long"))
+    // staged SCALARS, one projection layer: every value the CASE chains
+    // reference more than once becomes an attribute — an inlined tree
+    // (pAuto appeared six times inside conf alone) made ANALYSIS and
+    // optimization of the call expression the dominant cost
+    def hemiP(parPp: Column): Column = {
+      val pDn = element_at(parPp, 1) * element_at(col("__kid_pp"), 2) *
+        DeNovoPrior
+      val pMissed = (element_at(parPp, 2) + element_at(parPp, 3)) *
+        element_at(col("__kid_pp"), 3) * col("__p_het")
+      when(pDn + pMissed > 0, pDn / (pDn + pMissed))
+    }
+    def abOfE(c: Column, s: Column) = when(s > 0,
+      element_at(c("AD"), 2).cast("double") / s.cast("double"))
     val staged = ent0
       .withColumn("__kid_pp", ppOf(col("proband_entry")))
       .withColumn("__dad_pp", ppOf(col("father_entry")))
@@ -78,6 +91,28 @@ object DeNovo {
       .withColumn("__kid_adsum", adSumOf(col("proband_entry")))
       .withColumn("__dad_adsum", adSumOf(col("father_entry")))
       .withColumn("__mom_adsum", adSumOf(col("mother_entry")))
+      .withColumn("__kid_ab",
+        abOfE(col("proband_entry"), col("__kid_adsum")))
+      .withColumn("__dp_ratio",
+        when(col("father_entry")("DP") + col("mother_entry")("DP") > 0,
+          col("proband_entry")("DP").cast("double") /
+            (col("father_entry")("DP") + col("mother_entry")("DP"))
+              .cast("double")))
+      .withColumn("__p_het",
+        lit(1.0) - pow(lit(1.0) - col("__site_freq"), 4.0))
+      .withColumn("__p_auto", {
+        val pDn = element_at(col("__dad_pp"), 1) *
+          element_at(col("__mom_pp"), 1) *
+          element_at(col("__kid_pp"), 2) * DeNovoPrior
+        val pMissed = (element_at(col("__dad_pp"), 2) *
+          element_at(col("__mom_pp"), 1) +
+          element_at(col("__dad_pp"), 1) *
+            element_at(col("__mom_pp"), 2)) *
+          element_at(col("__kid_pp"), 2) * col("__p_het")
+        when(pDn + pMissed > 0, pDn / (pDn + pMissed))
+      })
+      .withColumn("__p_hemi_mom", hemiP(col("__mom_pp")))
+      .withColumn("__p_hemi_dad", hemiP(col("__dad_pp")))
     val call: Column = {
       val kid = col("proband_entry"); val dad = col("father_entry")
       val mom = col("mother_entry")
@@ -86,16 +121,12 @@ object DeNovo {
       val momPp = col("__mom_pp")
       val kidSum = col("__kid_adsum"); val dadSum = col("__dad_adsum")
       val momSum = col("__mom_adsum")
-      def abOf(c: Column, s: Column) = when(s > 0,
-        element_at(c("AD"), 2).cast("double") / s.cast("double"))
-      val kidAb = abOf(kid, kidSum)
-      val prior = col("__site_freq")
+      def abOf(c: Column, s: Column) = abOfE(c, s)
+      val kidAb = col("__kid_ab")
       val ac = col("__alt_alleles")
       val isSnp = col("__is_snp")
-      val pHet = lit(1.0) - pow(lit(1.0) - prior, 4.0)
-      val parentDp = dad("DP") + mom("DP")
-      val dpRatio = when(parentDp > 0,
-        kid("DP").cast("double") / parentDp.cast("double"))
+      val pHet = col("__p_het")
+      val dpRatio = col("__dp_ratio")
 
       def conf(p: Column, lowCut: Double): Column =
         when(!isSnp,
@@ -118,13 +149,7 @@ object DeNovo {
               .otherwise(failure))
 
       // --- autosomal: both parents hom-ref, proband het ------------------
-      val pDnAuto = element_at(dadPp, 1) * element_at(momPp, 1) *
-        element_at(kidPp, 2) * DeNovoPrior
-      val pMissedAuto = (element_at(dadPp, 2) * element_at(momPp, 1) +
-        element_at(dadPp, 1) * element_at(momPp, 2)) *
-        element_at(kidPp, 2) * pHet
-      val pAuto = when(pDnAuto + pMissedAuto > 0,
-        pDnAuto / (pDnAuto + pMissedAuto))
+      val pAuto = col("__p_auto")
       val autoCall =
         when(kid("GQ") < minGq, failure)
           .when(dpRatio < minDpRatio || !(kidAb >= minChildAb), failure)
@@ -135,11 +160,7 @@ object DeNovo {
           .otherwise(conf(pAuto, lowCut = 0.2))
 
       // --- hemizygous: single informative parent -------------------------
-      def hemiCall(par: Column, parPp: Column, parSum: Column): Column = {
-        val pDn = element_at(parPp, 1) * element_at(kidPp, 2) * DeNovoPrior
-        val pMissed = (element_at(parPp, 2) + element_at(parPp, 3)) *
-          element_at(kidPp, 3) * pHet
-        val p = when(pDn + pMissed > 0, pDn / (pDn + pMissed))
+      def hemiCall(par: Column, p: Column, parSum: Column): Column = {
         val parRatio = when(par("DP") > 0,
           kid("DP").cast("double") / par("DP").cast("double"))
         when(kid("GQ") < minGq, failure)
@@ -176,8 +197,8 @@ object DeNovo {
       when(hetHomHom.isNull || kidAdFail.isNull ||
         !hetHomHom || kidAdFail, failure)
         .when(autosomal, autoCall)
-        .when(hemiX || hemiMito, hemiCall(mom, momPp, momSum))
-        .when(hemiY, hemiCall(dad, dadPp, dadSum))
+        .when(hemiX || hemiMito, hemiCall(mom, col("__p_hemi_mom"), momSum))
+        .when(hemiY, hemiCall(dad, col("__p_hemi_dad"), dadSum))
         .otherwise(failure)
     }
 
