@@ -726,6 +726,18 @@ object SparkEntry {
         "vec_id", "embedding", 0.2)
         .withColumn("cos", round(col("cos"), 6))),
 
+    // --- lambda_gc (statgen.py:3097): genomic-control inflation on a
+    // symmetric uniform p grid — median p = 0.5 makes the implied chi²
+    // median the null median, so λ = 1 in closed form --------------------
+    "geno_lambda_gc" -> ((s, _) => {
+      import s.implicits._
+      val uniform = s.range(1, 100)
+        .select((col("id").cast("double") / 100.0).as("p"))
+      val l = methods.Genetics.lambdaGc(uniform, col("p"),
+        approximate = false)
+      Seq(math.rint(l * 1e6) / 1e6).toDF("lambda_gc")
+    }),
+
     // --- genetics: packed-call accessors (Calls: pure bit arithmetic) ------
     "geno_call_functions" -> ((s, dir) => {
       import graft.functions.Calls
@@ -2759,6 +2771,11 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_custkey % 2 = 1
         |    THEN 1 ELSE 0 END) AS BIGINT) AS hom_alt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // symmetric grid → λ = 1 in closed form (rounded to absorb the
+    // chi²-quantile implementation's last-ulp wiggle)
+    "geno_lambda_gc" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS lambda_gc",
 
     "geno_hwe" ->
       """WITH c AS (SELECT
