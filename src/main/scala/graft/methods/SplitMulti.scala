@@ -43,6 +43,30 @@ object SplitMulti {
       .withColumn(MatrixTable.EntriesField,
         transform(col(MatrixTable.EntriesField), e => {
           val gt = Calls.downcode(e("GT"), col("a_index"))
+          // PL downcode (split_multi_hts `statgen.py:3312`): the new
+          // biallelic PL[k] is the minimum over all original diploid
+          // genotypes carrying k copies of this alt; GQ re-derives from
+          // the recoded PL. Linear PL index idx = j(j+1)/2 + i (i<=j);
+          // j recovers by inverting the triangular number (exact in
+          // double for any real allele count).
+          val newPl: Option[org.apache.spark.sql.Column] =
+            if (!es.fieldNames.contains("PL")) None
+            else Some {
+              val pl = e("PL")
+              val withIdx = zip_with(pl,
+                sequence(lit(0), size(pl) - 1),
+                (v, i) => struct(v.as("v"), i.as("i")))
+              def cnt(idx: org.apache.spark.sql.Column) = {
+                val j = floor((sqrt(idx.cast("double") * 8 + 1) - 1) / 2)
+                  .cast("int")
+                val ii = idx - j * (j + 1) / 2
+                (ii === col("a_index")).cast("int") +
+                  (j === col("a_index")).cast("int")
+              }
+              def minAt(k: Int) = array_min(transform(
+                filter(withIdx, p => cnt(p("i")) === k), p => p("v")))
+              when(pl.isNotNull, array(minAt(0), minAt(1), minAt(2)))
+            }
           val fields = otherEntryFields.map {
             case "AD" =>
               val adTot = aggregate(e("AD"), lit(0),
@@ -50,6 +74,9 @@ object SplitMulti {
               val adAlt = element_at(e("AD"), col("a_index") + 1)
               when(e("AD").isNotNull,
                 array(adTot - adAlt, adAlt)).as("AD")
+            case "PL" => newPl.get.as("PL")
+            case "GQ" if newPl.isDefined =>
+              coalesce(Calls.gqFromPl(newPl.get), e("GQ")).as("GQ")
             case f => e(f).as(f)
           }
           when(e.isNotNull, struct((gt.as("GT") +: fields): _*))

@@ -340,4 +340,38 @@ class MethodsSpec extends SparkSpec {
     assert(mr.getInt(0) === 501 && mr.getString(1) === "A" &&
       mr.getString(2) === "T")
   }
+
+  test("splitMulti recodes PL by genotype-class minima and re-derives GQ") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // one triallelic site (ref A, alts T,C), sample GT 1/2 with
+    // PL [50,40,30,20,10,0] over 0/0,0/1,1/1,0/2,1/2,2/2
+    val entrySchema = ArrayType(StructType(Seq(
+      StructField("GT", IntegerType),
+      StructField("PL", ArrayType(IntegerType)),
+      StructField("GQ", IntegerType))))
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(
+        "1", 100, "A", Seq("T", "C"),
+        Seq(Row((2 << 16) | (1 << 1), Seq(50, 40, 30, 20, 10, 0),
+          99))))),
+      StructType(Seq(
+        StructField("contig", StringType),
+        StructField("position", IntegerType),
+        StructField("ref", StringType),
+        StructField("alt", ArrayType(StringType)),
+        StructField("entries", entrySchema))))
+    val mt = MatrixTable(rows, Seq("contig", "position", "ref", "alt"),
+      IndexedSeq(Row("S1")),
+      StructType(Seq(StructField("s", StringType))), Seq("s"))
+    val got = SplitMulti(mt).entriesTable.df
+      .orderBy("a_index")
+      .select(col("a_index"), col("PL"), col("GQ"))
+      .collect().map(r =>
+        (r.getInt(0), r.getSeq[Int](1), r.getInt(2)))
+    // allele T: classes {0:idx 0,3,5 -> min 0; 1:idx 1,4 -> 10; 2:idx 2}
+    assert(got(0) === ((1, Seq(0, 10, 30), 10)))
+    // allele C: classes {0:idx 0,1,2 -> 30; 1:idx 3,4 -> 10; 2:idx 5}
+    assert(got(1) === ((2, Seq(30, 10, 0), 10)))
+  }
 }
