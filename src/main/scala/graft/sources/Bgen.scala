@@ -374,8 +374,23 @@ object Bgen {
     val hasGp = entrySchema.fieldNames.contains("GP")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      fs.create(new org.apache.hadoop.fs.Path(path), true)))
+    // byte counter BETWEEN the data stream and the buffer: every logical
+    // write counts immediately, so per-variant offsets are exact and the
+    // `.gidx` sidecar can be emitted at export time — a fresh import
+    // never pays the first-pass walk (round-3 advice)
+    val buffered = new java.io.BufferedOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(path), true))
+    var written = 0L
+    val counting = new java.io.OutputStream {
+      override def write(b: Int): Unit = { written += 1; buffered.write(b) }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        written += len; buffered.write(b, off, len)
+      }
+      override def flush(): Unit = buffered.flush()
+      override def close(): Unit = buffered.close()
+    }
+    val out = new java.io.DataOutputStream(counting)
+    val metas = IndexedSeq.newBuilder[VariantMeta]
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def u32(v: Long): Unit = { out.write((v & 0xff).toInt)
       out.write(((v >> 8) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -462,9 +477,23 @@ object Bgen {
       val cb = comp.toByteArray
       u32(cb.length + 4L) // C (includes the D field)
       u32(plain.length.toLong) // D
+      metas += VariantMeta(r.getString(2), r.getString(0), r.getInt(1),
+        alleles.toIndexedSeq, written, cb.length, plain.length)
       out.write(cb)
     }
     out.close()
+    // sidecar index, same format `indexed` persists and reads back
+    try {
+      val idx = new java.io.PrintWriter(
+        fs.create(new org.apache.hadoop.fs.Path(path + ".gidx"), true))
+      try {
+        idx.println(Seq(written, n, 1, samples.length).mkString("\t"))
+        samples.foreach(idx.println)
+        metas.result().foreach(v => idx.println(Seq(v.rsid, v.chrom,
+          v.pos, v.alleles.mkString(","), v.dataOffset,
+          v.compressedSize, v.uncompressedSize).mkString("\t")))
+      } finally idx.close()
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Decode one variant's genotype payload (seek-read + inflate) into

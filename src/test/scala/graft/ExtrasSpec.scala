@@ -214,6 +214,12 @@ class ExtrasSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_bgw")
     val out = dir.resolve("rt.bgen").toString
     Bgen.write(src, out)
+    // export emits the .gidx sidecar; it must agree with a fresh walk
+    assert(java.nio.file.Files.exists(java.nio.file.Path.of(s"$out.gidx")))
+    val fromSidecar = Bgen.indexed(spark, out, writeIndex = false)
+    val walked = Bgen.index(spark, out)
+    assert(fromSidecar.variants === walked.variants)
+    assert(fromSidecar.sampleIds === walked.sampleIds)
     val back = Bgen.read(spark, out)
     def dump(mt: MatrixTable) = mt.entriesTable.df
       .select(col("contig"), col("position"), col("ref"), col("s"),
