@@ -2,7 +2,7 @@ package graft.methods
 
 import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
 import org.apache.spark.mllib.linalg.distributed.RowMatrix
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,8 +60,28 @@ object Pca {
     * per-sample score table, optional per-variant loadings. */
   def hweNormalizedPca(mt: MatrixTable, k: Int = 10,
       computeLoadings: Boolean = false): PcaResult = {
-    val spark = mt.spark
     val (normRows, _) = hweNormalized(mt, scaleM = true)
+    svdOf(mt, normRows, k, computeLoadings)
+  }
+
+  /** Generic PCA (reference `pca.py` `hl.pca`): principal components of
+    * an arbitrary per-entry numeric expression, with NO normalization.
+    * The reference requires non-missing entries; here a missing value
+    * surfaces as NaN in the factorization (loud, like the reference's
+    * error) rather than being silently imputed. */
+  def pca(mt: MatrixTable, entry: Column => Column, k: Int = 10,
+      computeLoadings: Boolean = false): PcaResult = {
+    val vec = transform(mt.entries,
+      e => coalesce(entry(e).cast("double"), lit(Double.NaN)))
+    svdOf(mt, mt.rows.withColumn("__norm", vec), k, computeLoadings)
+  }
+
+  /** Shared tail of `pca`/`hweNormalizedPca`: top-k SVD of the row
+    * vectors in `__norm`, eigenvalues + sample scores + optional
+    * per-row loadings. */
+  private def svdOf(mt: MatrixTable, normRows: DataFrame, k: Int,
+      computeLoadings: Boolean): PcaResult = {
+    val spark = mt.spark
     val kk = math.min(k, mt.nCols)
     val vecRdd = normRows.select(col("__norm")).rdd
       .map(r => MlVectors.dense(

@@ -231,6 +231,33 @@ class MethodsSpec extends SparkSpec {
     assert(kept === expected.toSet)
   }
 
+  test("generic pca on a raw entry expression matches Breeze") {
+    val mt = fixtureMt()
+    val raw = mt.rows
+      .select(org.apache.spark.sql.functions.transform(mt.entries, e =>
+        coalesce(graft.functions.Calls.nNonRefAlleles(e("GT"))
+          .cast("double"), lit(0.0))).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val bm = breeze.linalg.DenseMatrix(raw.toIndexedSeq: _*)
+    val breezeSvd = breeze.linalg.svd.reduced(bm)
+    val res = methods.Pca.pca(mt,
+      e => coalesce(graft.functions.Calls.nNonRefAlleles(e("GT"))
+        .cast("double"), lit(0.0)), k = 3)
+    val expected = breezeSvd.S.toArray.map(x => x * x)
+      .sorted.reverse.take(3)
+    res.eigenvalues.zip(expected).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 1e-6, s"$got vs $exp")
+    }
+    val scores = res.scores.orderBy("s").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val expScores = (0 until mt.nCols).map(j =>
+      (0 until 3).map(i => breezeSvd.Vt(i, j) * breezeSvd.S(i)).toArray)
+    scores.zip(expScores).foreach { case (got, exp) =>
+      got.zip(exp).foreach { case (g, e) =>
+        assert(math.abs(math.abs(g) - math.abs(e)) < 1e-6) }
+    }
+  }
+
   test("lambdaGc recovers known inflation factors") {
     import org.apache.spark.sql.functions._
     // symmetric uniform p grid: median p = 0.5 → chi² median = null
