@@ -933,6 +933,26 @@ object SparkEntry {
           round(col("t_stat"), 4).as("t_stat"))
     }),
 
+    // --- multi-phenotype linear_regression_rows (list-of-y mode): one
+    // scan fits every phenotype; exploded per (variant, y index) -------
+    "linreg_rows_multi" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val y1 = substring(col("s"), 2, 10).cast("double")
+      val pheno = mt.colsTable.df
+        .withColumn("y1", y1).withColumn("y2", y1 * y1)
+      methods.Regression
+        .linearRegressionRowsMulti(mt, pheno, Seq("y1", "y2")).df
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"), col("n"),
+          posexplode(arrays_zip(col("beta"), col("standard_error"),
+            col("t_stat"))).as(Seq("y_idx", "__z")))
+        .select(col("contig"), col("position"), col("ref"), col("alts"),
+          col("n"), col("y_idx"),
+          round(col("__z")("beta"), 6).as("beta"),
+          round(col("__z")("standard_error"), 6).as("standard_error"),
+          round(col("__z")("t_stat"), 4).as("t_stat"))
+    }),
+
     // --- linear_mixed_regression_rows (statgen.py, FaST-LMM spectral):
     // with identity kinship the REML model collapses to OLS, so beta and
     // the Wald chi_sq (= t^2) have the linreg closed form; the structured-
@@ -3073,6 +3093,44 @@ object SparkEntry {
         |      AS alpha
         |  FROM g)
         |SELECT contig, position, ref, alts, n,
+        |  round(beta, 6) AS beta,
+        |  round(sqrt(greatest((syy - beta * sxy - alpha * sy) / (n - 2), 0)
+        |    * n / (n * sxx - sx * sx)), 6) AS standard_error,
+        |  round(beta / sqrt(greatest((syy - beta * sxy - alpha * sy)
+        |      / (n - 2), 0) * n / (n * sxx - sx * sx)), 4) AS t_stat
+        |FROM f""".stripMargin
+    },
+
+    // each y fits independently with the shared x — the same simple-
+    // regression closed form per (variant, y index)
+    "linreg_rows_multi" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |imp AS (
+        |  SELECT contig, position, ref, alts,
+        |    coalesce(CAST(a1 + a2 AS DOUBLE),
+        |      avg(CAST(a1 + a2 AS DOUBLE))
+        |        OVER (PARTITION BY contig, position)) AS x,
+        |    CAST(substr(s, 2, 10) AS DOUBLE) AS y1
+        |  FROM q),
+        |ys AS (
+        |  SELECT contig, position, ref, alts, x,
+        |    CAST(0 AS INTEGER) AS y_idx, y1 AS y FROM imp
+        |  UNION ALL
+        |  SELECT contig, position, ref, alts, x,
+        |    CAST(1 AS INTEGER), y1 * y1 FROM imp),
+        |g AS (
+        |  SELECT contig, position, ref, alts, y_idx,
+        |    count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM ys GROUP BY 1, 2, 3, 4, 5),
+        |f AS (
+        |  SELECT *,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |      AS alpha
+        |  FROM g)
+        |SELECT contig, position, ref, alts, n, y_idx,
         |  round(beta, 6) AS beta,
         |  round(sqrt(greatest((syy - beta * sxy - alpha * sy) / (n - 2), 0)
         |    * n / (n * sxx - sx * sx)), 6) AS standard_error,

@@ -59,6 +59,52 @@ object Regression {
     Table(out, mt.rowKey, mt.globals)
   }
 
+  /** Multi-phenotype linear_regression_rows (the reference's list-of-y
+    * mode, `statgen.py linear_regression_rows` with `y=[..]`): one scan
+    * and one shuffle fit ALL phenotypes — the per-variant design matrix
+    * is shared, each y adds only an extra aggregation buffer. Mirrors
+    * the reference's complete-case rule for the multi-y mode: samples
+    * missing ANY phenotype are dropped for all of them, so `n` is one
+    * number per variant. Returns arrays indexed like `yCols` for
+    * beta / standard_error / t_stat / p_value. */
+  def linearRegressionRowsMulti(mt: MatrixTable, pheno: DataFrame,
+      yCols: Seq[String], covCols: Seq[String] = Nil): Table = {
+    require(yCols.nonEmpty)
+    val k = 2 + covCols.length
+    val completeCase = yCols.map(c => col(c).isNotNull)
+      .reduce(_ && _)
+    val e = mt.entriesTable.df
+      .join(broadcast(pheno.filter(completeCase)), mt.colKey, "inner")
+    val keyCols = mt.rowKey.map(col)
+    val w = Window.partitionBy(keyCols: _*)
+    val rawX = Calls.nNonRefAlleles(col("GT")).cast("double")
+    val x = coalesce(rawX, avg(rawX).over(w))
+    val xs = array((lit(1.0) +: x +: covCols.map(c =>
+      col(c).cast("double"))): _*)
+    val fits = yCols.zipWithIndex.map { case (y, i) =>
+      Aggs.linreg(col(y).cast("double"), col("__xs"), k).as(s"__fit$i")
+    }
+    val fit = e.withColumn("__xs", xs)
+      .groupBy(keyCols: _*)
+      .agg(fits.head, fits.tail: _*)
+    def over(f: Column => Column): Column =
+      array(yCols.indices.map(i => f(col(s"__fit$i"))): _*)
+    val beta = over(f => element_at(f("beta"), 2))
+    val se = over(f => element_at(f("standard_error"), 2))
+    val n = col("__fit0")("n")
+    val out = fit
+      .withColumn("n", n)
+      .withColumn("beta", beta)
+      .withColumn("standard_error", se)
+      .withColumn("t_stat",
+        zip_with(beta, se, (b, s) => b / s))
+      .withColumn("p_value", transform(
+        zip_with(beta, se, (b, s) => b / s),
+        t => StatTests.pT(t, (n - k).cast("double"))))
+      .drop(yCols.indices.map(i => s"__fit$i"): _*)
+    Table(out, mt.rowKey, mt.globals)
+  }
+
   /** Newton-Raphson logistic fit on one variant's collected design matrix
     * (samples per variant — thousands — fit locally per group, exactly the
     * reference's per-variant kernel shape,
