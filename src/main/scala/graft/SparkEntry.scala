@@ -726,6 +726,13 @@ object SparkEntry {
         "vec_id", "embedding", 0.2)
         .withColumn("cos", round(col("cos"), 6))),
 
+    // --- summarize_variants (qc.py): per-contig counts, allele-type
+    // counts, allele-number histogram in long format -----------------------
+    "geno_summarize_variants" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Genetics.summarizeVariants(mt).df
+    }),
+
     // --- lambda_gc (statgen.py:3097): genomic-control inflation on a
     // symmetric uniform p grid — median p = 0.5 makes the implied chi²
     // median the null median, so λ = 1 in closed form --------------------
@@ -2796,6 +2803,46 @@ object SparkEntry {
     // chi²-quantile implementation's last-ulp wiggle)
     "geno_lambda_gc" ->
       "SELECT CAST(1.0 AS DOUBLE) AS lambda_gc",
+
+    // mirrors Alleles.alleleType's predicate order exactly (base-regex
+    // gate, equal-length SNP/MNP via hamming, prefix/suffix indels)
+    "geno_summarize_variants" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |v AS (SELECT DISTINCT contig, position, ref, alts FROM q),
+        |ex AS (SELECT contig, ref,
+        |  unnest(string_split(alts, ',')) AS a FROM v),
+        |typ AS (SELECT
+        |  CASE
+        |    WHEN NOT regexp_matches(ref, '^[ACGTNM]+$$') THEN 'Unknown'
+        |    WHEN regexp_matches(a, '^[ACGTNM]+$$') THEN
+        |      CASE
+        |        WHEN len(ref) = len(a) THEN
+        |          CASE WHEN len(ref) = 1 THEN
+        |            (CASE WHEN ref != a THEN 'SNP' ELSE 'Unknown' END)
+        |          ELSE (CASE WHEN len(list_filter(range(1, len(ref) + 1),
+        |              i -> substr(ref, CAST(i AS INTEGER), 1)
+        |                != substr(a, CAST(i AS INTEGER), 1))) = 1
+        |            THEN 'SNP' ELSE 'MNP' END) END
+        |        WHEN len(ref) < len(a) AND substr(ref, 1, 1) = substr(a, 1, 1)
+        |          AND ends_with(a, substr(ref, 2)) THEN 'Insertion'
+        |        WHEN substr(ref, 1, 1) = substr(a, 1, 1)
+        |          AND ends_with(ref, substr(a, 2)) THEN 'Deletion'
+        |        ELSE 'Complex' END
+        |    WHEN a = '*' THEN 'Star'
+        |    WHEN regexp_matches(a,
+        |      '(^\\.)|(\\.$$)|(^<)|(>$$)|(\\[)|(\\])') THEN 'Symbolic'
+        |    ELSE 'Unknown' END AS key
+        |  FROM ex)
+        |SELECT 'contigs' AS stat, contig AS key, count(*) AS n
+        |FROM v GROUP BY contig
+        |UNION ALL
+        |SELECT 'allele_types', key, count(*) FROM typ GROUP BY key
+        |UNION ALL
+        |SELECT 'n_alleles',
+        |  CAST(len(string_split(alts, ',')) + 1 AS VARCHAR), count(*)
+        |FROM v GROUP BY 2""".stripMargin
+    },
 
     "geno_hwe" ->
       """WITH c AS (SELECT

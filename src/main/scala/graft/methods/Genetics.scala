@@ -574,6 +574,38 @@ object Genetics {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  /** summarize_variants (reference `methods/qc.py` `summarize_variants`):
+    * per-contig variant counts, per-type alt-allele counts, and the
+    * allele-number histogram, in one long-format table
+    * (stat, key, n) — three cheap row-space aggregations, no entries
+    * scan. */
+  def summarizeVariants(mt: MatrixTable): Table = {
+    val typeName = {
+      import graft.functions.Alleles._
+      val at = alleleType(col("ref"), col("__a"))
+      when(at === Snp, "SNP").when(at === Mnp, "MNP")
+        .when(at === Insertion, "Insertion")
+        .when(at === Deletion, "Deletion")
+        .when(at === Complex, "Complex")
+        .when(at === Star, "Star")
+        .when(at === Symbolic, "Symbolic")
+        .otherwise("Unknown")
+    }
+    val contigs = mt.rows.groupBy(col("contig").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("contigs").as("stat"), col("key"), col("n"))
+    val types = mt.rows
+      .select(col("ref"), explode(col("alt")).as("__a"))
+      .groupBy(typeName.as("key")).agg(count(lit(1)).as("n"))
+      .select(lit("allele_types").as("stat"), col("key"), col("n"))
+    val nAlleles = mt.rows
+      .groupBy((size(col("alt")) + 1).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("n_alleles").as("stat"), col("key"), col("n"))
+    Table(contigs.unionByName(types).unionByName(nAlleles),
+      Seq("stat", "key"), mt.globals)
+  }
+
   /** Median of the null chi²(1) distribution — qchisqtail(0.5, 1). */
   private val NullMedianChisq = 0.45493642311957283
 
