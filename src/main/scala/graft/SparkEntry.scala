@@ -1072,6 +1072,26 @@ object SparkEntry {
           col("mendel_code"))
     }),
 
+    // --- mendel_errors summary views (family_methods.py tables 2-4) -------
+    "geno_mendel_per_variant" -> ((s, _) => {
+      implicit val rg: graft.functions.ReferenceGenome =
+        graft.functions.ReferenceGenome.GRCh38
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Genetics.mendelPerVariant(mt, Seq(
+        ("S1", "S2", "S3", true), ("S4", "S2", "S3", false))).df
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"), col("errors"))
+    }),
+
+    "geno_mendel_per_sample" -> ((s, _) => {
+      implicit val rg: graft.functions.ReferenceGenome =
+        graft.functions.ReferenceGenome.GRCh38
+      val mt = sources.Vcf.read(s, VcfFixture)
+      methods.Genetics.mendelPerSample(mt, Seq(
+        ("S1", "S2", "S3", true), ("S4", "S2", "S3", false))).df
+        .select(col("s"), col("errors"), col("snp_errors"))
+    }),
+
     // --- concordance (qc.py:360): 5-state cross-tab of two matrices -------
     "geno_concordance" -> ((s, _) => {
       val mt = sources.Vcf.read(s, VcfFixture)
@@ -3436,6 +3456,93 @@ object SparkEntry {
         |  FROM g)
         |SELECT contig, position, ref, s, mendel_code
         |FROM c WHERE mendel_code IS NOT NULL""".stripMargin
+    },
+
+    "geno_mendel_per_variant" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |g AS (
+        |  SELECT k.contig, k.position, k.ref, k.alts, t.kid AS s,
+        |    d.a1 + d.a2 AS fn, m.a1 + m.a2 AS mn, k.a1 + k.a2 AS cn
+        |  FROM (VALUES ('S1'), ('S4')) t(kid)
+        |  JOIN q k ON k.s = t.kid
+        |  JOIN q d ON d.s = 'S2' AND d.contig = k.contig
+        |    AND d.position = k.position
+        |  JOIN q m ON m.s = 'S3' AND m.contig = k.contig
+        |    AND m.position = k.position),
+        |c AS (
+        |  SELECT contig, position, ref, alts,
+        |    CASE WHEN fn = 2 AND mn = 2 AND cn = 1 THEN 1
+        |         WHEN fn = 0 AND mn = 0 AND cn = 1 THEN 2
+        |         WHEN fn = 0 AND mn = 0 AND cn = 2 THEN 5
+        |         WHEN fn = 2 AND mn = 2 AND cn = 0 THEN 8
+        |         WHEN fn = 0 AND cn = 2 THEN 3
+        |         WHEN mn = 0 AND cn = 2 THEN 4
+        |         WHEN fn = 2 AND cn = 0 THEN 6
+        |         WHEN mn = 2 AND cn = 0 THEN 7
+        |         END AS mendel_code
+        |  FROM g),
+        |e AS (SELECT contig, position, ref, alts, count(*) AS n
+        |  FROM c WHERE mendel_code IS NOT NULL GROUP BY 1, 2, 3, 4)
+        |SELECT v.contig, v.position, v.ref, v.alts,
+        |  coalesce(e.n, 0) AS errors
+        |FROM (SELECT DISTINCT contig, position, ref, alts FROM q) v
+        |LEFT JOIN e USING (contig, position, ref, alts)""".stripMargin
+    },
+
+    "geno_mendel_per_sample" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |g AS (
+        |  SELECT k.contig, k.position, k.ref, k.alts, t.kid AS s,
+        |    d.a1 + d.a2 AS fn, m.a1 + m.a2 AS mn, k.a1 + k.a2 AS cn
+        |  FROM (VALUES ('S1'), ('S4')) t(kid)
+        |  JOIN q k ON k.s = t.kid
+        |  JOIN q d ON d.s = 'S2' AND d.contig = k.contig
+        |    AND d.position = k.position
+        |  JOIN q m ON m.s = 'S3' AND m.contig = k.contig
+        |    AND m.position = k.position),
+        |c AS (
+        |  SELECT s, ref, string_split(alts, ',')[1] AS a,
+        |    CASE WHEN fn = 2 AND mn = 2 AND cn = 1 THEN 1
+        |         WHEN fn = 0 AND mn = 0 AND cn = 1 THEN 2
+        |         WHEN fn = 0 AND mn = 0 AND cn = 2 THEN 5
+        |         WHEN fn = 2 AND mn = 2 AND cn = 0 THEN 8
+        |         WHEN fn = 0 AND cn = 2 THEN 3
+        |         WHEN mn = 0 AND cn = 2 THEN 4
+        |         WHEN fn = 2 AND cn = 0 THEN 6
+        |         WHEN mn = 2 AND cn = 0 THEN 7
+        |         END AS code
+        |  FROM g),
+        |impl(code, w0, w1, w2) AS (VALUES
+        |  (1,1,1,1),(2,1,1,1),(3,1,0,1),(4,0,1,1),(5,0,0,1),(6,1,0,1),
+        |  (7,0,1,1),(8,0,0,1),(9,0,1,1),(10,0,1,1),(11,1,0,1),(12,1,0,1)),
+        |roles(kid, member, role) AS (VALUES
+        |  ('S1','S2',0),('S1','S3',1),('S1','S1',2),
+        |  ('S4','S2',0),('S4','S3',1),('S4','S4',2)),
+        |attr AS (
+        |  SELECT r.member,
+        |    CAST(CASE r.role WHEN 0 THEN i.w0 WHEN 1 THEN i.w1
+        |      ELSE i.w2 END AS BIGINT) AS w,
+        |    (regexp_matches(c.ref, '^[ACGTNM]+$$')
+        |      AND regexp_matches(c.a, '^[ACGTNM]+$$')
+        |      AND len(c.ref) = len(c.a)
+        |      AND ((len(c.ref) = 1 AND c.ref != c.a)
+        |        OR (len(c.ref) > 1 AND len(list_filter(
+        |          range(1, len(c.ref) + 1),
+        |          i2 -> substr(c.ref, CAST(i2 AS INTEGER), 1)
+        |            != substr(c.a, CAST(i2 AS INTEGER), 1))) = 1)))
+        |      AS is_snp
+        |  FROM c JOIN roles r ON c.s = r.kid
+        |  JOIN impl i ON i.code = c.code
+        |  WHERE c.code IS NOT NULL)
+        |SELECT m.member AS s,
+        |  CAST(coalesce(sum(w), 0) AS BIGINT) AS errors,
+        |  CAST(coalesce(sum(CASE WHEN is_snp THEN w ELSE 0 END), 0)
+        |    AS BIGINT) AS snp_errors
+        |FROM (VALUES ('S1'),('S2'),('S3'),('S4')) m(member)
+        |LEFT JOIN attr ON attr.member = m.member
+        |GROUP BY 1""".stripMargin
     },
 
     "geno_concordance" -> {

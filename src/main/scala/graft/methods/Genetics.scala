@@ -574,6 +574,86 @@ object Genetics {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  /** The reference's mendel_errors attribution table
+    * (`family_methods.py:309`): code → (dad, mom, kid) implication
+    * weights, dummy row at index 0. */
+  private val MendelImplicated: Seq[Seq[Int]] = Seq(
+    Seq(0, 0, 0),
+    Seq(1, 1, 1), Seq(1, 1, 1), Seq(1, 0, 1), Seq(0, 1, 1),
+    Seq(0, 0, 1), Seq(1, 0, 1), Seq(0, 1, 1), Seq(0, 0, 1),
+    Seq(0, 1, 1), Seq(0, 1, 1), Seq(1, 0, 1), Seq(1, 0, 1))
+
+  /** mendel_errors per-variant view (reference table4): error count per
+    * row, zero-filled for clean variants. */
+  def mendelPerVariant(mt: MatrixTable,
+      trios: Seq[(String, String, String, Boolean)])
+      (implicit rg: ReferenceGenome): Table = {
+    val me = mendelErrors(mt, trios).df
+      .groupBy(mt.rowKey.map(col): _*).agg(count(lit(1)).as("__e"))
+    val out = mt.rows.select(mt.rowKey.map(col): _*)
+      .join(me, mt.rowKey, "left")
+      .withColumn("errors", coalesce(col("__e"), lit(0L))).drop("__e")
+    Table(out, mt.rowKey, mt.globals)
+  }
+
+  /** mendel_errors per-sample view (reference table3): every trio
+    * member's implicated error count (and the SNP-only subset), zero
+    * rows included. */
+  def mendelPerSample(mt: MatrixTable,
+      trios: Seq[(String, String, String, Boolean)])
+      (implicit rg: ReferenceGenome): Table = {
+    val me = mendelErrors(mt, trios).df
+    // (kid, member, roleIdx): dad 0, mom 1, kid 2 — the implicated order
+    val roleRows = trios.flatMap { case (kid, dad, mom, _) =>
+      Seq((kid, dad, 0), (kid, mom, 1), (kid, kid, 2))
+    }
+    val roles = mt.spark.createDataFrame(roleRows)
+      .toDF("s", "__member", "__role")
+    val impl = array(MendelImplicated.map(r =>
+      array(r.map(w => lit(w.toLong)): _*)): _*)
+    val w = element_at(element_at(impl, col("mendel_code") + 1),
+      col("__role") + 1)
+    val isSnp = graft.functions.Alleles
+      .isSnp(col("ref"), element_at(col("alt"), 1))
+    val counts = me.join(broadcast(roles), Seq("s"))
+      .groupBy(col("__member").as("s"))
+      .agg(sum(w).as("__errors"),
+        sum(when(isSnp, w).otherwise(0L)).as("__snp"))
+    val members = mt.spark.createDataFrame(
+      roleRows.map(_._2).distinct.map(Tuple1(_))).toDF("s")
+    val out = members.join(counts, Seq("s"), "left")
+      .withColumn("errors", coalesce(col("__errors"), lit(0L)))
+      .withColumn("snp_errors", coalesce(col("__snp"), lit(0L)))
+      .drop("__errors", "__snp")
+    Table(out, Seq("s"), mt.globals)
+  }
+
+  /** mendel_errors per-family view (reference table2): per (pat, mat)
+    * parent pair — child count and total (+SNP-only) errors. */
+  def mendelPerFamily(mt: MatrixTable,
+      trios: Seq[(String, String, String, Boolean)])
+      (implicit rg: ReferenceGenome): Table = {
+    val me = mendelErrors(mt, trios).df
+    val kidParents = mt.spark.createDataFrame(
+      trios.map(t => (t._1, t._2, t._3)))
+      .toDF("s", "pat_id", "mat_id")
+    val children = trios.groupBy(t => (t._2, t._3))
+      .map { case ((d, m), ts) => (d, m, ts.length) }.toSeq
+    val famDf = mt.spark.createDataFrame(children)
+      .toDF("pat_id", "mat_id", "children")
+    val isSnp = graft.functions.Alleles
+      .isSnp(col("ref"), element_at(col("alt"), 1))
+    val counts = me.join(broadcast(kidParents), Seq("s"))
+      .groupBy(col("pat_id"), col("mat_id"))
+      .agg(count(lit(1)).as("__errors"),
+        sum(when(isSnp, 1L).otherwise(0L)).as("__snp"))
+    val out = famDf.join(counts, Seq("pat_id", "mat_id"), "left")
+      .withColumn("errors", coalesce(col("__errors"), lit(0L)))
+      .withColumn("snp_errors", coalesce(col("__snp"), lit(0L)))
+      .drop("__errors", "__snp")
+    Table(out, Seq("pat_id", "mat_id"), mt.globals)
+  }
+
   /** summarize_variants (reference `methods/qc.py` `summarize_variants`):
     * per-contig variant counts, per-type alt-allele counts, and the
     * allele-number histogram, in one long-format table

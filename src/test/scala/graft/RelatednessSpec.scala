@@ -169,6 +169,41 @@ class RelatednessSpec extends SparkSpec {
     assert(female("chrY") == 5)
   }
 
+  test("mendel summary views attribute errors by the implicated table") {
+    implicit val rg: ReferenceGenome = ReferenceGenome.GRCh38
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="G">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	K	D	M
+        |chrX	5000000	.	A	G	.	PASS	.	GT	0/0	0/0	1/1
+        |chrY	5000000	.	C	T	.	PASS	.	GT	1/1	0/0	0/0
+        |chr1	100	.	G	A	.	PASS	.	GT	1/1	0/0	0/0
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_msum")
+    val f = dir.resolve("m.vcf")
+    java.nio.file.Files.writeString(f, vcf)
+    val mt = Vcf.read(spark, f.toString)
+    val trios = Seq(("K", "D", "M", false))
+    // codes: chrX 9 (mom implicated), chrY 12 (dad), chr1 5 (kid only)
+    val perVariant = methods.Genetics.mendelPerVariant(mt, trios).df
+      .collect().map(r =>
+        r.getAs[String]("contig") -> r.getAs[Long]("errors")).toMap
+    assert(perVariant == Map("chrX" -> 1L, "chrY" -> 1L, "chr1" -> 1L))
+    val perSample = methods.Genetics.mendelPerSample(mt, trios).df
+      .collect().map(r => (r.getAs[String]("s"),
+        r.getAs[Long]("errors"), r.getAs[Long]("snp_errors"))).toSet
+    assert(perSample == Set(("K", 3L, 3L), ("D", 1L, 1L), ("M", 1L, 1L)))
+    val perFamily = methods.Genetics.mendelPerFamily(mt, trios).df
+      .collect()
+    assert(perFamily.length == 1)
+    val fam = perFamily.head
+    assert(fam.getAs[String]("pat_id") == "D" &&
+      fam.getAs[String]("mat_id") == "M" &&
+      fam.getAs[Int]("children") == 1 &&
+      fam.getAs[Long]("errors") == 3L &&
+      fam.getAs[Long]("snp_errors") == 3L)
+  }
+
   test("king distributed BlockMatrix path matches the local Gramian") {
     val mt = fixtureMt()
     def key(r: org.apache.spark.sql.Row) =
