@@ -2093,6 +2093,29 @@ object SparkEntry {
       BlockMatrix.load(s, s"$dir/m").entries
     }),
 
+    // --- BlockMatrix structural ops (BlockMatrixIR Slice/Filter/
+    // Broadcast/row-interval sparsify/axis Agg), entry-checked against
+    // SQL index arithmetic on the same exact-binary values ----------------
+    "linalg_blockmatrix_ops" -> ((s, _) => {
+      import graft.linalg.BlockMatrix
+      val ae = s.range(12).select(
+        floor(col("id") / 3).cast("long").as("i"),
+        pmod(col("id"), lit(3L)).as("j"),
+        (pmod(col("id"), lit(7L)).cast("double") + 0.5).as("value"))
+      val a = BlockMatrix.fromEntries(ae, 4, 3, blockSize = 2)
+      a.slice(1, 4, 0, 2).entries.withColumn("tag", lit("sl"))
+        .unionByName(a.filter(Seq(2L, 0L), Seq(2L, 1L)).entries
+          .withColumn("tag", lit("fl")))
+        .unionByName(a.addRowVector(Array(10.0, 20.0, 30.0)).entries
+          .withColumn("tag", lit("rv")))
+        .unionByName(a.sparsifyRowIntervals(
+            Seq(0L, 1L, 2L, 0L), Seq(1L, 2L, 3L, 3L)).entries
+          .withColumn("tag", lit("ri")))
+        .unionByName(a.colSums()
+          .select(lit(0L).as("i"), col("col").as("j"), col("value"))
+          .withColumn("tag", lit("cs")))
+    }),
+
     // --- dict function surface (DictFunctions.scala) ----------------------
     "fn_dicts" -> ((s, dir) => {
       import graft.functions.{Dicts, Sets}
@@ -4467,6 +4490,32 @@ object SparkEntry {
       """SELECT CAST(id // 3 AS BIGINT) AS i, CAST(id % 3 AS BIGINT) AS j,
         |  CAST((id % 7) + 0.5 AS DOUBLE) AS value
         |FROM (SELECT unnest(range(0, 12)) AS id)""".stripMargin,
+
+    "linalg_blockmatrix_ops" ->
+      """WITH ae AS (
+        |  SELECT CAST(id // 3 AS BIGINT) AS i, CAST(id % 3 AS BIGINT) AS j,
+        |    CAST((id % 7) + 0.5 AS DOUBLE) AS v
+        |  FROM (SELECT unnest(range(0, 12)) AS id))
+        |SELECT i - 1 AS i, j, v AS value, 'sl' AS tag
+        |FROM ae WHERE i >= 1 AND j < 2
+        |UNION ALL
+        |SELECT CAST(nr.n AS BIGINT) AS i, CAST(ncl.n AS BIGINT) AS j,
+        |  v AS value, 'fl' AS tag
+        |FROM ae
+        |JOIN (VALUES (2, 0), (0, 1)) nr(old, n) ON ae.i = nr.old
+        |JOIN (VALUES (2, 0), (1, 1)) ncl(old, n) ON ae.j = ncl.old
+        |UNION ALL
+        |SELECT i, j,
+        |  v + CASE j WHEN 0 THEN 10.0 WHEN 1 THEN 20.0 ELSE 30.0 END
+        |    AS value, 'rv' AS tag
+        |FROM ae
+        |UNION ALL
+        |SELECT i, j, v AS value, 'ri' AS tag
+        |FROM ae JOIN (VALUES (0, 0, 1), (1, 1, 2), (2, 2, 3), (3, 0, 3))
+        |  iv(r, s0, s1) ON ae.i = iv.r AND ae.j >= iv.s0 AND ae.j < iv.s1
+        |UNION ALL
+        |SELECT CAST(0 AS BIGINT) AS i, j, sum(v) AS value, 'cs' AS tag
+        |FROM ae GROUP BY j""".stripMargin,
 
     "fn_dicts" ->
       """WITH t0 AS (

@@ -180,6 +180,226 @@ final case class BlockMatrix(m: MlBlockMatrix) {
     BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
   }
 
+  /** Row/col subset-and-reorder (reference `BlockMatrixIR.scala:728`
+    * BlockMatrixFilter): output row r is input row `keepRows(r)` (same
+    * for cols); `null` keeps an axis whole. Blocks containing no kept
+    * index are dropped BEFORE decomposition, then kept entries remap
+    * and regrid in one shuffle. */
+  def filter(keepRows: Seq[Long], keepCols: Seq[Long]): BlockMatrix = {
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val rowMap = Option(keepRows)
+      .map(_.zipWithIndex.map { case (o, n) => o -> n.toLong }.toMap)
+    val colMap = Option(keepCols)
+      .map(_.zipWithIndex.map { case (o, n) => o -> n.toLong }.toMap)
+    val rowBlocks = rowMap.map(_.keySet.map(i => (i / rpb).toInt))
+    val colBlocks = colMap.map(_.keySet.map(j => (j / cpb).toInt))
+    val nr = rowMap.map(_.size.toLong).getOrElse(nRows)
+    val nc = colMap.map(_.size.toLong).getOrElse(nCols)
+    val entries = m.blocks
+      .filter { case ((bi, bj), _) =>
+        rowBlocks.forall(_.contains(bi)) && colBlocks.forall(_.contains(bj))
+      }
+      .flatMap { case ((bi, bj), blk) =>
+        val rLo = bi.toLong * rpb; val cLo = bj.toLong * cpb
+        val out = Seq.newBuilder[MatrixEntry]
+        var j = 0
+        while (j < blk.numCols) {
+          val cNew = colMap.fold(Option(cLo + j))(_.get(cLo + j))
+          if (cNew.isDefined) {
+            var i = 0
+            while (i < blk.numRows) {
+              val rNew = rowMap.fold(Option(rLo + i))(_.get(rLo + i))
+              if (rNew.isDefined)
+                out += MatrixEntry(rNew.get, cNew.get, blk(i, j))
+              i += 1
+            }
+          }
+          j += 1
+        }
+        out.result()
+      }
+    BlockMatrix(new CoordinateMatrix(entries, nr, nc)
+      .toBlockMatrix(rpb, cpb))
+  }
+
+  def filterRows(keep: Seq[Long]): BlockMatrix = filter(keep, null)
+  def filterCols(keep: Seq[Long]): BlockMatrix = filter(null, keep)
+
+  /** Contiguous submatrix [r0,r1) × [c0,c1) (reference
+    * `BlockMatrixIR.scala:916` BlockMatrixSlice). Only blocks
+    * intersecting the window decompose; indices shift then regrid. */
+  def slice(r0: Long, r1: Long, c0: Long, c1: Long): BlockMatrix = {
+    require(0 <= r0 && r0 <= r1 && r1 <= nRows &&
+      0 <= c0 && c0 <= c1 && c1 <= nCols, "slice out of bounds")
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val entries = m.blocks
+      .filter { case ((bi, bj), blk) =>
+        val rLo = bi.toLong * rpb; val cLo = bj.toLong * cpb
+        rLo < r1 && rLo + blk.numRows > r0 &&
+          cLo < c1 && cLo + blk.numCols > c0
+      }
+      .flatMap { case ((bi, bj), blk) =>
+        val rLo = bi.toLong * rpb; val cLo = bj.toLong * cpb
+        val out = Seq.newBuilder[MatrixEntry]
+        var j = math.max(0, (c0 - cLo).toInt)
+        val jHi = math.min(blk.numCols.toLong, c1 - cLo).toInt
+        while (j < jHi) {
+          var i = math.max(0, (r0 - rLo).toInt)
+          val iHi = math.min(blk.numRows.toLong, r1 - rLo).toInt
+          while (i < iHi) {
+            out += MatrixEntry(rLo + i - r0, cLo + j - c0, blk(i, j))
+            i += 1
+          }
+          j += 1
+        }
+        out.result()
+      }
+    BlockMatrix(new CoordinateMatrix(entries, r1 - r0, c1 - c0)
+      .toBlockMatrix(rpb, cpb))
+  }
+
+  /** Per-row kept column interval [starts(i), stops(i)) (reference
+    * `BlockMatrixIR.scala:826` row-interval sparsifier). Blocks whose
+    * every row interval misses the block's column range are DROPPED. */
+  def sparsifyRowIntervals(starts: Seq[Long], stops: Seq[Long])
+      : BlockMatrix = {
+    require(starts.length == nRows && stops.length == nRows,
+      "starts/stops must have one entry per row")
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val nr = nRows; val nc = nCols
+    val sc = m.blocks.sparkContext
+    val bStarts = sc.broadcast(starts.toArray)
+    val bStops = sc.broadcast(stops.toArray)
+    val blocks = m.blocks.filter { case ((bi, bj), blk) =>
+      val rLo = bi.toLong * rpb; val cLo = bj.toLong * cpb
+      val cHi = cLo + blk.numCols
+      (0 until blk.numRows).exists { i =>
+        val r = (rLo + i).toInt
+        bStarts.value(r) < cHi && bStops.value(r) > cLo
+      }
+    }.map { case (coord @ (bi, bj), blk) =>
+      val rLo = bi.toLong * rpb; val cLo = bj.toLong * cpb
+      val out = blk.toArray.clone()
+      var j = 0
+      while (j < blk.numCols) {
+        val c = cLo + j
+        var i = 0
+        while (i < blk.numRows) {
+          val r = (rLo + i).toInt
+          if (c < bStarts.value(r) || c >= bStops.value(r))
+            out(j * blk.numRows + i) = 0.0
+          i += 1
+        }
+        j += 1
+      }
+      coord -> Matrices.dense(blk.numRows, blk.numCols, out)
+    }
+    BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
+  }
+
+  /** Per-column sums as (col, value) — the axis-0 BlockMatrixAgg. */
+  def colSums(): DataFrame = {
+    val cpb = m.colsPerBlock
+    val spark = SparkSession.active
+    val sums: RDD[(Long, Double)] = m.blocks.flatMap {
+      case ((_, bj), blk) =>
+        val arr = blk.toArray // column-major
+        (0 until blk.numCols).iterator.map { j =>
+          var acc = 0.0
+          var i = 0
+          while (i < blk.numRows) { acc += arr(j * blk.numRows + i); i += 1 }
+          (bj.toLong * cpb + j, acc)
+        }
+    }.reduceByKey(_ + _)
+    spark.createDataFrame(sums).toDF("col", "value")
+  }
+
+  /** Broadcast combine with a length-nCols vector applied along every
+    * row (reference `BlockMatrixIR.scala:585` BlockMatrixBroadcast).
+    * Stored blocks only — densify first if the matrix was sparsified
+    * and `f` is not zero-preserving in its first argument. */
+  def mapWithRowVector(v: Array[Double], f: (Double, Double) => Double)
+      : BlockMatrix = {
+    require(v.length == nCols, s"vector length ${v.length} != $nCols cols")
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val nr = nRows; val nc = nCols
+    val bv = m.blocks.sparkContext.broadcast(v)
+    val blocks = m.blocks.map { case (coord @ (_, bj), blk) =>
+      val cLo = bj.toLong * cpb
+      val out = blk.toArray.clone()
+      var j = 0
+      while (j < blk.numCols) {
+        val x = bv.value((cLo + j).toInt)
+        var i = 0
+        while (i < blk.numRows) {
+          out(j * blk.numRows + i) = f(out(j * blk.numRows + i), x)
+          i += 1
+        }
+        j += 1
+      }
+      coord -> (Matrices.dense(blk.numRows, blk.numCols, out)
+        : org.apache.spark.mllib.linalg.Matrix)
+    }
+    BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
+  }
+
+  /** Broadcast combine with a length-nRows vector applied down every
+    * column. */
+  def mapWithColVector(v: Array[Double], f: (Double, Double) => Double)
+      : BlockMatrix = {
+    require(v.length == nRows, s"vector length ${v.length} != $nRows rows")
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val nr = nRows; val nc = nCols
+    val bv = m.blocks.sparkContext.broadcast(v)
+    val blocks = m.blocks.map { case (coord @ (bi, _), blk) =>
+      val rLo = bi.toLong * rpb
+      val out = blk.toArray.clone()
+      var j = 0
+      while (j < blk.numCols) {
+        var i = 0
+        while (i < blk.numRows) {
+          out(j * blk.numRows + i) =
+            f(out(j * blk.numRows + i), bv.value((rLo + i).toInt))
+          i += 1
+        }
+        j += 1
+      }
+      coord -> (Matrices.dense(blk.numRows, blk.numCols, out)
+        : org.apache.spark.mllib.linalg.Matrix)
+    }
+    BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
+  }
+
+  def addRowVector(v: Array[Double]): BlockMatrix =
+    mapWithRowVector(v, _ + _)
+  def mulRowVector(v: Array[Double]): BlockMatrix =
+    mapWithRowVector(v, _ * _)
+  def addColVector(v: Array[Double]): BlockMatrix =
+    mapWithColVector(v, _ + _)
+  def mulColVector(v: Array[Double]): BlockMatrix =
+    mapWithColVector(v, _ * _)
+
+  /** Materialize every dropped block as explicit zeros (reference
+    * `BlockMatrixIR.scala:774` BlockMatrixDensify) — after this,
+    * non-zero-preserving maps and broadcasts are safe. */
+  def densify(): BlockMatrix = {
+    val rpb = m.rowsPerBlock; val cpb = m.colsPerBlock
+    val nr = nRows; val nc = nCols
+    val nbr = ((nr + rpb - 1) / rpb).toInt
+    val nbc = ((nc + cpb - 1) / cpb).toInt
+    val sc = m.blocks.sparkContext
+    val allCoords = sc.parallelize(
+      for { bi <- 0 until nbr; bj <- 0 until nbc } yield (bi, bj),
+      math.max(1, math.min(nbr * nbc, m.blocks.getNumPartitions)))
+    val missing = allCoords.subtract(m.blocks.keys).map { case (bi, bj) =>
+      val rows = (math.min(nr, (bi + 1).toLong * rpb) - bi.toLong * rpb).toInt
+      val cols = (math.min(nc, (bj + 1).toLong * cpb) - bj.toLong * cpb).toInt
+      (bi, bj) -> (Matrices.zeros(rows, cols)
+        : org.apache.spark.mllib.linalg.Matrix)
+    }
+    BlockMatrix(new MlBlockMatrix(m.blocks.union(missing), rpb, cpb, nr, nc))
+  }
+
   /** Entries as a DataFrame (i, j, value) — stored blocks only. */
   def entries: DataFrame = {
     val spark = SparkSession.active
@@ -253,6 +473,22 @@ object BlockMatrix {
           : org.apache.spark.mllib.linalg.Matrix)
     }
     BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
+  }
+
+  /** Seeded random matrix (reference `BlockMatrixIR.scala:1038`
+    * BlockMatrixRandom): entry (i,j) is a pure function of
+    * (seed, i, j) via the engine's counter-based RNG (`functions/Rand`)
+    * — identical across partitionings, re-runs, and cluster sizes. */
+  def random(spark: SparkSession, nRows: Long, nCols: Long, seed: Long,
+      gaussian: Boolean = true, blockSize: Int = DefaultBlockSize)
+      : BlockMatrix = {
+    val df = spark.range(nRows * nCols).select(
+      floor(col("id") / nCols).cast("long").as("i"),
+      pmod(col("id"), lit(nCols)).as("j"))
+    val v =
+      if (gaussian) graft.functions.Rand.rnorm(seed, col("i"), col("j"))
+      else graft.functions.Rand.runif(seed, col("i"), col("j"))
+    fromEntries(df.withColumn("value", v), nRows, nCols, blockSize)
   }
 
   /** Local Breeze matrix distributed into blocks. */

@@ -68,6 +68,80 @@ class BlockMatrixSpec extends SparkSpec {
     assert(back == a)
   }
 
+  test("filter/slice subset and reorder like local indexing") {
+    val a = local(5, 4)((i, j) => i * 4.0 + j + 1)
+    val A = BlockMatrix.fromLocal(spark, a, blockSize = 2)
+    // filterRows reorders: row0=old3, row1=old1
+    val fr = A.filterRows(Seq(3L, 1L))
+    assert(fr.nRows == 2 && fr.nCols == 4)
+    assert(fr.toLocal == BDM.tabulate(2, 4)((i, j) => a(Seq(3, 1)(i), j)))
+    val fc = A.filterCols(Seq(2L, 0L, 3L))
+    assert(fc.toLocal ==
+      BDM.tabulate(5, 3)((i, j) => a(i, Seq(2, 0, 3)(j))))
+    val both = A.filter(Seq(4L, 0L), Seq(1L, 2L))
+    assert(both.toLocal ==
+      BDM.tabulate(2, 2)((i, j) => a(Seq(4, 0)(i), Seq(1, 2)(j))))
+    val sl = A.slice(1, 4, 1, 3)
+    assert(sl.nRows == 3 && sl.nCols == 2)
+    assert(sl.toLocal == BDM.tabulate(3, 2)((i, j) => a(i + 1, j + 1)))
+    // slicing away a block-aligned corner never decomposes far blocks
+    val corner = A.slice(0, 2, 0, 2)
+    assert(corner.toLocal == BDM.tabulate(2, 2)((i, j) => a(i, j)))
+  }
+
+  test("sparsifyRowIntervals zeroes outside each row's window") {
+    val n = 6
+    val a = local(n, n)((_, _) => 1.0)
+    val A = BlockMatrix.fromLocal(spark, a, blockSize = 2)
+    val starts = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    val stops = Seq(2L, 3L, 4L, 5L, 6L, 6L)
+    val got = A.sparsifyRowIntervals(starts, stops)
+    // the lower-left corner block (rows 4-5 x cols 0-1) has no kept
+    // entry -> dropped outright
+    assert(got.m.blocks.count() < A.m.blocks.count())
+    val g = got.toLocal
+    for (i <- 0 until n; j <- 0 until n)
+      assert(g(i, j) ==
+        (if (j >= starts(i) && j < stops(i)) 1.0 else 0.0), s"($i,$j)")
+  }
+
+  test("broadcast vector ops, colSums, densify match Breeze") {
+    val a = local(5, 4)((i, j) => i * 4.0 + j + 1)
+    val A = BlockMatrix.fromLocal(spark, a, blockSize = 2)
+    val rv = Array(10.0, 20.0, 30.0, 40.0)
+    val cv = Array(1.0, 2.0, 3.0, 4.0, 5.0)
+    assert(A.addRowVector(rv).toLocal ==
+      BDM.tabulate(5, 4)((i, j) => a(i, j) + rv(j)))
+    assert(A.mulRowVector(rv).toLocal ==
+      BDM.tabulate(5, 4)((i, j) => a(i, j) * rv(j)))
+    assert(A.addColVector(cv).toLocal ==
+      BDM.tabulate(5, 4)((i, j) => a(i, j) + cv(i)))
+    assert(A.mulColVector(cv).toLocal ==
+      BDM.tabulate(5, 4)((i, j) => a(i, j) * cv(i)))
+    val cs = A.colSums().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (j <- 0 until 4)
+      assert(math.abs(cs(j.toLong) - (0 until 5).map(a(_, j)).sum) < 1e-12)
+    // densify restores dropped blocks as zeros: a band-sparsified
+    // all-ones matrix plus a row vector of ones is exact everywhere
+    val banded = A.sparsifyBand(0).densify()
+    assert(banded.m.blocks.count() == A.m.blocks.count())
+    val shifted = banded.addRowVector(Array(1.0, 1.0, 1.0, 1.0)).toLocal
+    for (i <- 0 until 5; j <- 0 until 4)
+      assert(shifted(i, j) == (if (i == j) a(i, j) else 0.0) + 1.0)
+  }
+
+  test("random is seed-deterministic and partitioning-invariant") {
+    val r1 = BlockMatrix.random(spark, 8, 6, seed = 42, blockSize = 2)
+    val r2 = BlockMatrix.random(spark, 8, 6, seed = 42, blockSize = 4)
+    assert(r1.toLocal == r2.toLocal) // grid doesn't change values
+    val r3 = BlockMatrix.random(spark, 8, 6, seed = 43, blockSize = 2)
+    assert(r1.toLocal != r3.toLocal)
+    val u = BlockMatrix.random(spark, 10, 10, seed = 7, gaussian = false)
+      .toLocal
+    assert(u.toArray.forall(x => x >= 0.0 && x < 1.0))
+  }
+
   test("save/load round-trips the block layout at non-default block size") {
     val a = local(7, 5)((i, j) => math.sin(i * 5.0 + j) * 10)
     val A = BlockMatrix.fromLocal(spark, a, blockSize = 3)
