@@ -2058,6 +2058,20 @@ object SparkEntry {
         lit(mt.globals("k")).as("k"))
     }),
 
+    // --- row_correlation (statgen.py:3730): Pearson correlation between
+    // row dosage vectors, missing mean-imputed per row; row index is
+    // key order. NaN rows (zero variance) drop on both sides ---------------
+    "linalg_row_correlation" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val r = methods.Pca.rowCorrelation(mt,
+        e => Calls.nNonRefAlleles(e("GT")))
+      r.entries
+        .filter(col("i") <= col("j") && !isnan(col("value")))
+        .withColumn("value", round(col("value"), 6) + lit(0.0))
+        .filter(col("value") =!= 0.0)
+    }),
+
     // --- BlockMatrix algebra (BlockMatrixIR): distributed matmul,
     // transpose, and scalar map over a 2x2-block grid, checked cell-by-
     // cell against SQL join-aggregation. Values are exact binary halves,
@@ -4469,6 +4483,34 @@ object SparkEntry {
     "matrix_map_globals" ->
       """SELECT l_orderkey, 'r5' AS build, 3 AS k
         |FROM (SELECT DISTINCT l_orderkey FROM lineitem)""".stripMargin,
+
+    "linalg_row_correlation" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (SELECT contig, position, s, CAST(a1 + a2 AS DOUBLE) AS dose
+        |  FROM q),
+        |mu AS (SELECT contig, position, avg(dose) AS mu FROM d
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT d.contig, d.position, d.s,
+        |    coalesce(d.dose, mu.mu) - mu.mu AS xc
+        |  FROM d JOIN mu USING (contig, position)),
+        |nr AS (SELECT contig, position, sqrt(sum(xc * xc)) AS nrm FROM c
+        |  GROUP BY 1, 2),
+        |v AS (SELECT c.contig, c.position, c.s, c.xc / nr.nrm AS v
+        |  FROM c JOIN nr USING (contig, position)),
+        |ri AS (SELECT contig, position,
+        |    row_number() OVER (ORDER BY contig, position) - 1 AS idx
+        |  FROM (SELECT DISTINCT contig, position FROM d)),
+        |p AS (
+        |  SELECT a.idx AS i, b.idx AS j, sum(va.v * vb.v) AS r
+        |  FROM v va JOIN v vb ON va.s = vb.s
+        |  JOIN ri a ON va.contig = a.contig AND va.position = a.position
+        |  JOIN ri b ON vb.contig = b.contig AND vb.position = b.position
+        |  WHERE a.idx <= b.idx GROUP BY 1, 2)
+        |SELECT i, j, round(r, 6) + 0.0 AS value FROM p
+        |WHERE r IS NOT NULL AND round(r, 6) + 0.0 <> 0.0""".stripMargin
+    },
 
     "linalg_blockmatrix" ->
       """WITH ae AS (

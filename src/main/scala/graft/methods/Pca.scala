@@ -222,4 +222,42 @@ object Pca {
       out
     }
   }
+
+  /** row_correlation (reference `statgen.py:3730`): Pearson correlation
+    * between all pairs of rows of `entryExpr`, missing entries
+    * mean-imputed per row. Rows index 0..n-1 in row-key order (the
+    * reference's `add_row_index`). Returns the n×n `X·Xᵀ` BlockMatrix
+    * over unit-normalized centered row vectors — n² entries, so
+    * band-sparsify before materializing at scale (as `ld_matrix` does).
+    * Constant rows (zero variance) yield NaN, as in the reference. */
+  def rowCorrelation(mt: MatrixTable, entryExpr: Column => Column,
+      blockSize: Int = graft.linalg.BlockMatrix.DefaultBlockSize)
+      : graft.linalg.BlockMatrix = {
+    val idx = graft.Table(mt.rows, mt.rowKey).addIndex("__ri").df
+    val norm = idx
+      .withColumn("__x",
+        transform(mt.entries, e => entryExpr(e).cast("double")))
+      .withColumn("__sn", aggregate(col("__x"),
+        struct(lit(0.0).as("s"), lit(0L).as("n")),
+        (acc, v) => when(v.isNotNull,
+          struct((acc("s") + v).as("s"), (acc("n") + 1L).as("n")))
+          .otherwise(acc)))
+      .withColumn("__mean", col("__sn")("s") / col("__sn")("n"))
+      .withColumn("__c", transform(col("__x"),
+        v => coalesce(v, col("__mean")) - col("__mean")))
+      .withColumn("__nrm",
+        sqrt(aggregate(col("__c"), lit(0.0), (a, v) => a + v * v)))
+      .withColumn("__v", transform(col("__c"), v => v / col("__nrm")))
+      .select(col("__ri"), col("__v"))
+      // consumed by count() AND fromRowVectors — materialize the
+      // normalized vectors once instead of re-running the scan
+      .localCheckpoint(false)
+    val nRows = norm.count()
+    val bm = graft.linalg.BlockMatrix.fromRowVectors(
+      norm, "__ri", "__v", nRows, mt.nCols.toLong, blockSize)
+    // X and Xᵀ both pull the gridded blocks; cache so the grid builds
+    // once (the reference writes X to a temp file for the same reason)
+    bm.m.blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bm.dot(bm.transpose)
+  }
 }

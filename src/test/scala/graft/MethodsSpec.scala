@@ -166,6 +166,32 @@ class MethodsSpec extends SparkSpec {
     }
   }
 
+  test("rowCorrelation matches the reference's documented example") {
+    // statgen.py:3730 docstring: 3 variants x 4 samples, last entry
+    // missing (mean-imputed); expected correlations given to 8 dp
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="G">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	a	b	c	d
+        |chr1	1	.	A	C	.	PASS	.	GT	0/0	0/0	0/1	1/1
+        |chr1	2	.	G	T	.	PASS	.	GT	0/1	1/1	0/1	0/0
+        |chr1	3	.	C	G	.	PASS	.	GT	0/1	0/0	1/1	./.
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_rowcorr")
+    val f = dir.resolve("rc.vcf")
+    java.nio.file.Files.writeString(f, vcf)
+    val mt = graft.sources.Vcf.read(spark, f.toString)
+    val got = methods.Pca.rowCorrelation(mt,
+        e => graft.functions.Calls.nNonRefAlleles(e("GT")), blockSize = 2)
+      .toLocal
+    val want = Array(
+      Array(1.0, -0.85280287, 0.42640143),
+      Array(-0.85280287, 1.0, -0.5),
+      Array(0.42640143, -0.5, 1.0))
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(got(i, j) - want(i)(j)) < 1e-7, s"($i,$j) ${got(i, j)}")
+  }
+
   test("rrm matches hand-computed variance-normalized Gramian") {
     val mt = fixtureMt()
     // recompute locally: dose rows, mean-center, variance-normalize
