@@ -911,6 +911,63 @@ object SparkEntry {
         col("n_het"), col("n_non_ref"))
     }),
 
+    // --- filter_alleles (statgen.py:4295): drop alts by predicate (keep
+    // SNPs), rebuild index maps, min-rep the key; entries untouched -------
+    "geno_filter_alleles" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfMultiFixture)
+      val out = methods.FilterAlleles(mt,
+        (a, _) => graft.functions.Alleles.isSnp(col("ref"), a))
+      out.rows.select(
+        col("contig"), col("position"), col("ref"),
+        concat_ws(",", col("alt")).as("alts"),
+        col("old_position"),
+        concat_ws(",", col("old_alt")).as("old_alts"),
+        concat_ws(",", transform(col("old_to_new"),
+          x => coalesce(x.cast("string"), lit(".")))).as("o2n"),
+        concat_ws(",", transform(col("new_to_old"),
+          x => x.cast("string"))).as("n2o"))
+    }),
+
+    // --- filter_alleles_hts (statgen.py:4405): downcode AND subset entry
+    // recodes over deterministic synthesized AD/GQ/PL (pure functions of
+    // DP and GT, so the oracle rebuilds them exactly) ----------------------
+    "geno_filter_alleles_hts" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt0 = sources.Vcf.read(s, VcfMultiFixture)
+      val nAll = size(col("alt")) + 1
+      val tAll = (nAll * (nAll + 1) / 2).cast("int")
+      val mt = mt0.mapEntries((e, _) => {
+        val gi = Calls.unphasedDiploidGtIndex(e("GT"))
+        val pl = transform(sequence(lit(0), tAll - 1), g =>
+          when(g === gi, 0).otherwise((e("DP") * 7 + g * 13) % 50 + 10))
+        val ad = transform(sequence(lit(0), nAll - 1),
+          i => (e("DP") * 3 + i * 5) % 40)
+        struct(
+          e("GT").as("GT"),
+          when(e("GT").isNotNull, ad).as("AD"),
+          e("DP").as("DP"),
+          when(e("GT").isNotNull, Calls.gqFromPl(pl)).as("GQ"),
+          when(e("GT").isNotNull, pl).as("PL"))
+      })
+      val pred = (a: org.apache.spark.sql.Column,
+          i: org.apache.spark.sql.Column) =>
+        graft.functions.Alleles.isSnp(col("ref"), a)
+      def dump(m: graft.MatrixTable, tag: String) = m.entriesTable.df.select(
+        col("contig"), col("position"), col("ref"),
+        concat_ws(",", col("alt")).as("alts"), col("s"),
+        Calls.allele1(col("GT")).as("a1"),
+        Calls.allele2(col("GT")).as("a2"),
+        when(col("AD").isNotNull, concat_ws(",",
+          transform(col("AD"), x => x.cast("string")))).as("ad"),
+        col("DP").as("dp"), col("GQ").as("gq"),
+        when(col("PL").isNotNull, concat_ws(",",
+          transform(col("PL"), x => x.cast("string")))).as("pl"),
+        lit(tag).as("tag"))
+      dump(methods.FilterAlleles.hts(mt, pred, subset = false), "down")
+        .unionByName(
+          dump(methods.FilterAlleles.hts(mt, pred, subset = true), "sub"))
+    }),
+
     // --- split_multi (reference statgen.py:3132/3312): explode alts,
     // downcode GT, min-rep — on a committed multiallelic fixture -----------
     "split_multi" -> ((s, _) => {
@@ -3154,6 +3211,154 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN a1 <> a2 OR (a1 = 1 AND a2 = 1)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ref
         |FROM q GROUP BY 1, 2, 3, 4""".stripMargin
+    },
+
+    "geno_filter_alleles" -> {
+      val base = vcfParseCte(VcfMultiFixture, 4, (1 to 4).map(i => s"T$i"))
+      s"""WITH $base,
+        |va AS (SELECT contig, position, ref, string_split(alts, ',') AS al
+        |  FROM raw),
+        |k AS (SELECT contig, position, ref, al,
+        |    list_filter(range(1, len(al) + 1),
+        |      i -> len(al[i]) = 1 AND len(ref) = 1 AND al[i] <> ref) AS kept
+        |  FROM va)
+        |SELECT contig, position, ref,
+        |  array_to_string(list_transform(kept, i -> al[i]), ',') AS alts,
+        |  position AS old_position,
+        |  array_to_string(al, ',') AS old_alts,
+        |  '0,' || array_to_string(list_transform(range(1, len(al) + 1),
+        |    i -> CASE WHEN len(al[i]) = 1 AND len(ref) = 1 AND al[i] <> ref
+        |      THEN CAST(len(list_filter(kept, k2 -> k2 <= i)) AS VARCHAR)
+        |      ELSE '.' END), ',') AS o2n,
+        |  '0,' || array_to_string(kept, ',') AS n2o
+        |FROM k WHERE len(kept) > 0""".stripMargin
+    },
+
+    "geno_filter_alleles_hts" -> {
+      val base = vcfParseCte(VcfMultiFixture, 4, (1 to 4).map(i => s"T$i"))
+      s"""WITH $base,
+        |va AS (SELECT contig, position, ref, string_split(alts, ',') AS al
+        |  FROM raw),
+        |vr AS (SELECT contig, position, ref, al,
+        |    list_filter(range(1, len(al) + 1),
+        |      i -> len(al[i]) = 1 AND len(ref) = 1 AND al[i] <> ref)
+        |      AS kept,
+        |    len(al) + 1 AS n_old,
+        |    ((len(al) + 1) * (len(al) + 2)) // 2 AS t_old
+        |  FROM va),
+        |vr2 AS (SELECT contig, position, ref, al, kept, n_old, t_old,
+        |    len(kept) + 1 AS n_new,
+        |    ((len(kept) + 1) * (len(kept) + 2)) // 2 AS t_new,
+        |    list_prepend(CAST(0 AS BIGINT), kept) AS n2o,
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(al) + 1),
+        |        i -> CASE WHEN len(al[i]) = 1 AND len(ref) = 1
+        |            AND al[i] <> ref
+        |          THEN len(list_filter(kept, k2 -> k2 <= i))
+        |          ELSE 0 END)) AS o2n,
+        |    array_to_string(list_transform(kept, i -> al[i]), ',')
+        |      AS new_alts
+        |  FROM vr WHERE len(kept) > 0),
+        |gp(g, pi, pj) AS (VALUES (0,0,0),(1,0,1),(2,1,1),(3,0,2),(4,1,2),
+        |  (5,2,2),(6,0,3),(7,1,3),(8,2,3),(9,3,3)),
+        |gtm AS (
+        |  SELECT vr2.contig, vr2.position, gp.g AS og,
+        |    greatest(o2n[gp.pi+1], o2n[gp.pj+1])
+        |      * (greatest(o2n[gp.pi+1], o2n[gp.pj+1]) + 1) // 2
+        |      + least(o2n[gp.pi+1], o2n[gp.pj+1]) AS ng
+        |  FROM vr2 JOIN gp ON gp.g < vr2.t_old),
+        |gtmapl AS (SELECT contig, position, list(ng ORDER BY og) AS gtmap
+        |  FROM gtm GROUP BY 1, 2),
+        |subm AS (
+        |  SELECT vr2.contig, vr2.position, gp.g AS ng,
+        |    n2o[gp.pj+1] * (n2o[gp.pj+1] + 1) // 2 + n2o[gp.pi+1] AS og
+        |  FROM vr2 JOIN gp ON gp.g < vr2.t_new),
+        |subml AS (SELECT contig, position, list(og ORDER BY ng) AS smap
+        |  FROM subm GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT vr2.*, gtmapl.gtmap, subml.smap, q.s, q.a1, q.a2, q.dp,
+        |    CASE WHEN q.a1 IS NULL THEN NULL
+        |      ELSE greatest(q.a1, q.a2) * (greatest(q.a1, q.a2) + 1) // 2
+        |        + least(q.a1, q.a2) END AS gi
+        |  FROM vr2
+        |  JOIN gtmapl USING (contig, position)
+        |  JOIN subml USING (contig, position)
+        |  JOIN q ON vr2.contig = q.contig AND vr2.position = q.position),
+        |e1 AS (
+        |  SELECT *,
+        |    CASE WHEN gi IS NULL THEN NULL ELSE
+        |      list_transform(range(0, t_old), g -> CASE WHEN g = gi THEN 0
+        |        ELSE (dp * 7 + g * 13) % 50 + 10 END) END AS pl0,
+        |    CASE WHEN gi IS NULL THEN NULL ELSE
+        |      list_transform(range(0, n_old), i -> (dp * 3 + i * 5) % 40)
+        |      END AS ad0
+        |  FROM e0),
+        |down AS (
+        |  SELECT contig, position, ref, new_alts AS alts, s,
+        |    CASE WHEN a1 IS NULL THEN NULL
+        |      ELSE CAST(least(o2n[a1+1], o2n[a2+1]) AS INTEGER) END AS a1,
+        |    CASE WHEN a1 IS NULL THEN NULL
+        |      ELSE CAST(greatest(o2n[a1+1], o2n[a2+1]) AS INTEGER)
+        |      END AS a2,
+        |    CASE WHEN ad0 IS NULL THEN NULL ELSE
+        |      array_to_string(list_transform(range(0, n_new), newi ->
+        |        list_sum(list_transform(
+        |          list_filter(range(0, n_old), oldi -> o2n[oldi+1] = newi),
+        |          oldi -> ad0[oldi+1]))), ',') END AS ad,
+        |    dp,
+        |    CASE WHEN pl0 IS NULL THEN NULL ELSE
+        |      list_transform(range(0, t_new), g ->
+        |        list_min(list_transform(
+        |          list_filter(range(0, t_old), og -> gtmap[og+1] = g),
+        |          og -> pl0[og+1]))) END AS plx,
+        |    'down' AS tag
+        |  FROM e1),
+        |sub0 AS (
+        |  SELECT contig, position, ref, new_alts AS alts, s, dp, n2o,
+        |    n_new, t_new, ad0, smap, pl0,
+        |    CASE WHEN pl0 IS NULL THEN NULL ELSE
+        |      list_transform(range(0, t_new), g -> pl0[smap[g+1]+1])
+        |      END AS plu
+        |  FROM e1),
+        |sub1 AS (
+        |  SELECT contig, position, ref, alts, s, dp, n2o, n_new, t_new,
+        |    ad0,
+        |    CASE WHEN plu IS NULL THEN NULL ELSE
+        |      list_transform(plu, x -> x - list_min(plu)) END AS plx
+        |  FROM sub0),
+        |sub2 AS (
+        |  SELECT *, CASE WHEN plx IS NULL THEN NULL ELSE
+        |      list_filter(range(0, t_new), g -> plx[g+1] = 0) END AS zeros
+        |  FROM sub1),
+        |sub AS (
+        |  SELECT sub2.contig, sub2.position, sub2.ref, sub2.alts, sub2.s,
+        |    CASE WHEN zeros IS NULL OR len(zeros) <> 1 THEN NULL
+        |      ELSE CAST(gp.pi AS INTEGER) END AS a1,
+        |    CASE WHEN zeros IS NULL OR len(zeros) <> 1 THEN NULL
+        |      ELSE CAST(gp.pj AS INTEGER) END AS a2,
+        |    CASE WHEN ad0 IS NULL THEN NULL ELSE
+        |      array_to_string(list_transform(range(0, n_new),
+        |        i -> ad0[n2o[i+1]+1]), ',') END AS ad,
+        |    dp, plx, 'sub' AS tag
+        |  FROM sub2 LEFT JOIN gp
+        |    ON len(sub2.zeros) = 1 AND gp.g = sub2.zeros[1])
+        |SELECT contig, position, ref, alts, s, a1, a2, ad, dp,
+        |  CASE WHEN plx IS NULL THEN NULL ELSE
+        |    CAST(list_sort(plx)[2] - list_sort(plx)[1] AS INTEGER)
+        |    END AS gq,
+        |  CASE WHEN plx IS NULL THEN NULL
+        |    ELSE array_to_string(plx, ',') END AS pl,
+        |  tag
+        |FROM down
+        |UNION ALL
+        |SELECT contig, position, ref, alts, s, a1, a2, ad, dp,
+        |  CASE WHEN plx IS NULL THEN NULL ELSE
+        |    CAST(list_sort(plx)[2] - list_sort(plx)[1] AS INTEGER)
+        |    END AS gq,
+        |  CASE WHEN plx IS NULL THEN NULL
+        |    ELSE array_to_string(plx, ',') END AS pl,
+        |  tag
+        |FROM sub""".stripMargin
     },
 
     "split_multi" -> {

@@ -87,4 +87,36 @@ object Alleles {
   def minRep(position: Column, ref: Column, alt: Column): Column =
     minRepUdf(position, ref, alt).cast(
       "struct<position:int,ref:string,alt:string>")
+
+  /** Multi-allele minimal representation (reference `hl.min_rep` over a
+    * full alleles array, `functions/LocusFunctions.scala`): trim the
+    * suffix shared by ref AND every alt, then the shared prefix,
+    * adjusting position. Star alleles (length 1) stop trimming, as in
+    * the reference. Per-variant UDF — row space, off the entry path. */
+  val minRepMultiUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (position: Int, ref: String, alts: Seq[String]) =>
+      var pos = position
+      var r = ref
+      var as = alts.toArray
+      @inline def trimmable(last: Boolean): Boolean = {
+        // empty alts (a discarded all-filtered row evaluated early by
+        // pushdown) must be identity, not ref-trimming
+        if (as.isEmpty || r.length <= 1 || as.exists(_.length <= 1)) false
+        else {
+          val c = if (last) r.last else r.head
+          as.forall(a => (if (last) a.last else a.head) == c)
+        }
+      }
+      while (trimmable(last = true)) {
+        r = r.init; as = as.map(_.init)
+      }
+      while (trimmable(last = false)) {
+        r = r.tail; as = as.map(_.tail); pos += 1
+      }
+      (pos, r, as.toSeq)
+    }
+
+  def minRepMulti(position: Column, ref: Column, alts: Column): Column =
+    minRepMultiUdf(position, ref, alts).cast(
+      "struct<position:int,ref:string,alt:array<string>>")
 }

@@ -106,9 +106,12 @@ object Calls {
     transform(lin, v => v / tot)
   }
 
-  /** GQ from PL: second-smallest PL minus smallest. */
+  /** GQ from PL: second-smallest PL minus smallest. Total function
+    * (null under 2 entries, via try_element_at) — filter pushdown can
+    * evaluate entry recodes on rows a later filter discards, so ANSI
+    * index errors here would fail whole queries over discarded rows. */
   def gqFromPl(pl: Column): Column = {
     val sorted = array_sort(pl)
-    element_at(sorted, 2) - element_at(sorted, 1)
+    try_element_at(sorted, lit(2)) - try_element_at(sorted, lit(1))
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{Calls, StatTests}
-import graft.methods.{Qc, SplitMulti}
+import graft.methods.{FilterAlleles, Qc, SplitMulti}
 import graft.sources.Vcf
 
 class MethodsSpec extends SparkSpec {
@@ -362,6 +362,89 @@ class MethodsSpec extends SparkSpec {
     assert(cells((100, "X2")) === ((0, 7)))  // filled hom-ref from block
     assert(cells((500, "X1")) === ((0, 9)))
     assert(!cells.contains((500, "X2")))     // no covering block -> missing
+  }
+
+  test("filterAlleles builds index maps and min-reps the new key") {
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="G">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	X
+        |chr1	100	.	T	G,TT	.	PASS	.	GT	1/2
+        |chr1	200	.	A	AT	.	PASS	.	GT	0/1
+        |chr1	300	.	TCA	TGA,TCT	.	PASS	.	GT	1/2
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_fa")
+    val f = dir.resolve("fa.vcf")
+    java.nio.file.Files.writeString(f, vcf)
+    val mt = Vcf.read(spark, f.toString)
+    // keep alleles that keep their first base equal to ref's first base?
+    // no — keep SNPs, like the reference's canonical example
+    val out = FilterAlleles(mt,
+      (a, _) => graft.functions.Alleles.isSnp(col("ref"), a))
+    val rows = out.rows.orderBy("old_position").collect()
+    // 100: G kept (SNP), TT dropped; 200: no SNP -> row gone;
+    // 300: TGA kept (hamming-1 same length = SNP by hail), TCT kept too
+    assert(rows.length === 2)
+    val r100 = rows(0)
+    assert(r100.getAs[Int]("position") === 100 &&
+      r100.getAs[String]("ref") === "T" &&
+      r100.getAs[Seq[String]]("alt") === Seq("G"))
+    assert(r100.getAs[Seq[Int]]("new_to_old") === Seq(0, 1))
+    assert(r100.getAs[Seq[Any]]("old_to_new") === Seq(0, 1, null))
+    // 300: both alts kept, shared suffix/prefix trims under min_rep?
+    // TCA->[TGA,TCT]: no common suffix (A,T) and common prefix T trims
+    // one base -> position 301, ref CA, alts [GA, CT]
+    val r300 = rows(1)
+    assert(r300.getAs[Int]("old_position") === 300)
+    assert(r300.getAs[Int]("position") === 301 &&
+      r300.getAs[String]("ref") === "CA" &&
+      r300.getAs[Seq[String]]("alt") === Seq("GA", "CT"))
+    assert(r300.getAs[String]("old_ref") === "TCA")
+  }
+
+  test("filterAllelesHts matches the reference downcode/subset algebra") {
+    // the reference docstring's worked genotype: alleles [A,G,T],
+    // GT 1/2, AD [0,50,35], DP 85, GQ 10, PL [1000,1000,10,1000,0,20];
+    // filter allele 1 (keep allele 2 only)
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="G">
+        |##FORMAT=<ID=AD,Number=R,Type=Integer,Description="AD">
+        |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="DP">
+        |##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="GQ">
+        |##FORMAT=<ID=PL,Number=G,Type=Integer,Description="PL">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	X	Y
+        |chr1	100	.	A	G,T	.	PASS	.	GT:AD:DP:GQ:PL	1/2:0,50,35:85:10:1000,1000,10,1000,0,20	./.:.:12:.:.
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_fah")
+    val f = dir.resolve("fah.vcf")
+    java.nio.file.Files.writeString(f, vcf)
+    val mt = Vcf.read(spark, f.toString)
+    val keep2 = (a: org.apache.spark.sql.Column,
+        i: org.apache.spark.sql.Column) => i === 2
+    def entryOf(m: MatrixTable, s: String) = m.entriesTable.df
+      .filter(col("s") === s).collect().head
+    val down = entryOf(FilterAlleles.hts(mt, keep2, subset = false), "X")
+    // downcode: GT 0/1, AD [50,35], PL [10,0,20], GQ 10
+    val dGt = down.getAs[Int]("GT")
+    assert((dGt >> 1 & 0x7fff, dGt >> 16 & 0x7fff) === ((0, 1)))
+    assert(down.getAs[Seq[Int]]("AD") === Seq(50, 35))
+    assert(down.getAs[Seq[Int]]("PL") === Seq(10, 0, 20))
+    assert(down.getAs[Int]("GQ") === 10)
+    assert(down.getAs[Int]("DP") === 85)
+    val sub = entryOf(FilterAlleles.hts(mt, keep2, subset = true), "X")
+    // subset: PL [980,980,0] -> GT 1/1, AD [0,35], GQ 980
+    val sGt = sub.getAs[Int]("GT")
+    assert((sGt >> 1 & 0x7fff, sGt >> 16 & 0x7fff) === ((1, 1)))
+    assert(sub.getAs[Seq[Int]]("AD") === Seq(0, 35))
+    assert(sub.getAs[Seq[Int]]("PL") === Seq(980, 980, 0))
+    assert(sub.getAs[Int]("GQ") === 980)
+    // missing-GT sample passes nulls through, DP survives
+    val miss = entryOf(FilterAlleles.hts(mt, keep2, subset = false), "Y")
+    assert(miss.isNullAt(miss.fieldIndex("GT")) &&
+      miss.isNullAt(miss.fieldIndex("PL")) &&
+      miss.isNullAt(miss.fieldIndex("GQ")) &&
+      miss.getAs[Int]("DP") === 12)
   }
 
   test("splitMulti splits rows, downcodes GT, min-reps alleles") {
