@@ -2115,6 +2115,23 @@ object SparkEntry {
         lit(mt.globals("k")).as("k"))
     }),
 
+    // --- ld_score (experimental/ldscore.py): windowed sums of adjusted
+    // r² for the univariate and one partitioned annotation, via the
+    // radius-binned banded self-join (nothing n² materialized) -------------
+    "geno_ld_score" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt0 = sources.Vcf.read(s, VcfFixture)
+      val mt = mt0.copy(rows = mt0.rows
+        .withColumn("ann1",
+          (pmod(col("position"), lit(5)) + 1).cast("double")))
+      methods.LdScore.ldScore(mt, e => Calls.nNonRefAlleles(e("GT")),
+        radius = 1000.0, annotations = Seq("ann1"))
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"),
+          round(col("ann1"), 6).as("ann1"),
+          round(col("univariate"), 6).as("univariate"))
+    }),
+
     // --- row_correlation (statgen.py:3730): Pearson correlation between
     // row dosage vectors, missing mean-imputed per row; row index is
     // key order. NaN rows (zero variance) drop on both sides ---------------
@@ -4688,6 +4705,52 @@ object SparkEntry {
     "matrix_map_globals" ->
       """SELECT l_orderkey, 'r5' AS build, 3 AS k
         |FROM (SELECT DISTINCT l_orderkey FROM lineitem)""".stripMargin,
+
+    "geno_ld_score" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |d AS (SELECT contig, position, s, CAST(a1 + a2 AS DOUBLE) AS dose
+        |  FROM q),
+        |mu AS (SELECT contig, position, avg(dose) AS mu FROM d
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT d.contig, d.position, d.s,
+        |    coalesce(d.dose, mu.mu) - mu.mu AS xc
+        |  FROM d JOIN mu USING (contig, position)),
+        |nr AS (SELECT contig, position, sqrt(sum(xc * xc)) AS nrm FROM c
+        |  GROUP BY 1, 2),
+        |v AS (SELECT c.contig, c.position, c.s, c.xc / nr.nrm AS v
+        |  FROM c JOIN nr USING (contig, position)),
+        |meta AS (SELECT DISTINCT contig, position, ref, alts FROM raw),
+        |padj AS (
+        |  SELECT va.contig, va.position AS pi, vb.position AS pj,
+        |    (4.0 / 3.0) * sum(va.v * vb.v) * sum(va.v * vb.v)
+        |      - 1.0 / 3.0 AS adj
+        |  FROM v va JOIN v vb
+        |    ON va.s = vb.s AND va.contig = vb.contig
+        |  WHERE va.position < vb.position
+        |    AND vb.position <= va.position + 1000
+        |  GROUP BY 1, 2, 3),
+        |contrib AS (
+        |  SELECT contig, pi AS position, pj AS other, adj FROM padj
+        |  UNION ALL
+        |  SELECT contig, pj AS position, pi AS other, adj FROM padj),
+        |ann AS (SELECT contig, position,
+        |    CAST(position % 5 + 1 AS DOUBLE) AS a
+        |  FROM meta),
+        |sc AS (
+        |  SELECT c.contig, c.position,
+        |    sum(c.adj) AS l2o, sum(c.adj * ao.a) AS so
+        |  FROM contrib c JOIN ann ao
+        |    ON c.contig = ao.contig AND c.other = ao.position
+        |  GROUP BY 1, 2)
+        |SELECT m.contig, m.position, m.ref, m.alts,
+        |  round(an.a + coalesce(sc.so, 0), 6) AS ann1,
+        |  round(1.0 + coalesce(sc.l2o, 0), 6) AS univariate
+        |FROM meta m
+        |JOIN ann an USING (contig, position)
+        |LEFT JOIN sc USING (contig, position)""".stripMargin
+    },
 
     "linalg_row_correlation" -> {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))

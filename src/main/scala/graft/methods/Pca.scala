@@ -230,24 +230,31 @@ object Pca {
     * over unit-normalized centered row vectors — n² entries, so
     * band-sparsify before materializing at scale (as `ld_matrix` does).
     * Constant rows (zero variance) yield NaN, as in the reference. */
+  /** Per-row mean-imputed, centered, unit-L2-normalized entry vector
+    * (`__v`), the reference `BlockMatrix.from_entry_expr(mean_impute=
+    * center=normalize=True)` normalization shared by row_correlation
+    * and ld_score. Zero-variance rows yield NaN vectors, as there. */
+  private[methods] def unitNormalized(df: DataFrame,
+      entries: Column, entryExpr: Column => Column): DataFrame = df
+    .withColumn("__x", transform(entries, e => entryExpr(e).cast("double")))
+    .withColumn("__sn", aggregate(col("__x"),
+      struct(lit(0.0).as("s"), lit(0L).as("n")),
+      (acc, v) => when(v.isNotNull,
+        struct((acc("s") + v).as("s"), (acc("n") + 1L).as("n")))
+        .otherwise(acc)))
+    .withColumn("__mean", col("__sn")("s") / col("__sn")("n"))
+    .withColumn("__c", transform(col("__x"),
+      v => coalesce(v, col("__mean")) - col("__mean")))
+    .withColumn("__nrm",
+      sqrt(aggregate(col("__c"), lit(0.0), (a, v) => a + v * v)))
+    .withColumn("__v", transform(col("__c"), v => v / col("__nrm")))
+    .drop("__x", "__sn", "__mean", "__c", "__nrm")
+
   def rowCorrelation(mt: MatrixTable, entryExpr: Column => Column,
       blockSize: Int = graft.linalg.BlockMatrix.DefaultBlockSize)
       : graft.linalg.BlockMatrix = {
     val idx = graft.Table(mt.rows, mt.rowKey).addIndex("__ri").df
-    val norm = idx
-      .withColumn("__x",
-        transform(mt.entries, e => entryExpr(e).cast("double")))
-      .withColumn("__sn", aggregate(col("__x"),
-        struct(lit(0.0).as("s"), lit(0L).as("n")),
-        (acc, v) => when(v.isNotNull,
-          struct((acc("s") + v).as("s"), (acc("n") + 1L).as("n")))
-          .otherwise(acc)))
-      .withColumn("__mean", col("__sn")("s") / col("__sn")("n"))
-      .withColumn("__c", transform(col("__x"),
-        v => coalesce(v, col("__mean")) - col("__mean")))
-      .withColumn("__nrm",
-        sqrt(aggregate(col("__c"), lit(0.0), (a, v) => a + v * v)))
-      .withColumn("__v", transform(col("__c"), v => v / col("__nrm")))
+    val norm = unitNormalized(idx, mt.entries, entryExpr)
       .select(col("__ri"), col("__v"))
       // consumed by count() AND fromRowVectors — materialize the
       // normalized vectors once instead of re-running the scan

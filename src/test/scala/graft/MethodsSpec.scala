@@ -192,6 +192,41 @@ class MethodsSpec extends SparkSpec {
       assert(math.abs(got(i, j) - want(i)(j)) < 1e-7, s"($i,$j) ${got(i, j)}")
   }
 
+  test("ldScore windows and adjusts the documented correlation example") {
+    // same 3x4 dataset as the rowCorrelation spec; radius 1.5 keeps
+    // pairs (1,2) and (2,3) only. n=4 -> adj(x) = 1.5x - 0.5:
+    //   adj(r12²) = 1.5·0.727272.. - 0.5 = 0.590909..
+    //   adj(r23²) = 1.5·0.25 - 0.5 = -0.125
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="G">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	a	b	c	d
+        |chr1	1	.	A	C	.	PASS	.	GT	0/0	0/0	0/1	1/1
+        |chr1	2	.	G	T	.	PASS	.	GT	0/1	1/1	0/1	0/0
+        |chr1	3	.	C	G	.	PASS	.	GT	0/1	0/0	1/1	./.
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_ldsc")
+    val f = dir.resolve("ls.vcf")
+    java.nio.file.Files.writeString(f, vcf)
+    val mt0 = graft.sources.Vcf.read(spark, f.toString)
+    val mt = mt0.copy(rows = mt0.rows
+      .withColumn("w", col("position").cast("double") * 10))
+    val got = methods.LdScore.ldScore(mt,
+        e => Calls.nNonRefAlleles(e("GT")), radius = 1.5,
+        annotations = Seq("w")).collect()
+      .map(r => r.getAs[Int]("position") ->
+        ((r.getAs[Double]("univariate"), r.getAs[Double]("w")))).toMap
+    val a12 = 1.5 * (8.0 / 11.0) - 0.5
+    val a23 = 1.5 * 0.25 - 0.5
+    assert(math.abs(got(1)._1 - (1 + a12)) < 1e-9)
+    assert(math.abs(got(2)._1 - (1 + a12 + a23)) < 1e-9)
+    assert(math.abs(got(3)._1 - (1 + a23)) < 1e-9)
+    // annotation-partitioned: own value + adj-weighted neighbors'
+    assert(math.abs(got(1)._2 - (10 + a12 * 20)) < 1e-9)
+    assert(math.abs(got(2)._2 - (20 + a12 * 10 + a23 * 30)) < 1e-9)
+    assert(math.abs(got(3)._2 - (30 + a23 * 20)) < 1e-9)
+  }
+
   test("rrm matches hand-computed variance-normalized Gramian") {
     val mt = fixtureMt()
     // recompute locally: dose rows, mean-center, variance-normalize
