@@ -2132,6 +2132,29 @@ object SparkEntry {
           round(col("univariate"), 6).as("univariate"))
     }),
 
+    // --- ld_score_regression (experimental/ld_score_regression.py):
+    // two-step LDSC with block jackknife on deterministic synthetic
+    // summary stats; golden values from an independent NumPy replica of
+    // the reference algorithm (tools/gen_goldens.py notes) ------------------
+    "geno_ldsc" -> ((s, _) => {
+      val df = s.range(1, 201).select(
+        lit("gwas1").as("pheno"), col("id").as("v"),
+        (lit(1.0) + pmod(col("id"), lit(13)).cast("double")).as("x"),
+        (lit(0.5) + pmod(col("id"), lit(50)).cast("double") * 1.3)
+          .as("chisq"),
+        (lit(10000) + pmod(col("id"), lit(3)) * 100).cast("double")
+          .as("n"))
+        .withColumn("w", col("x"))
+      methods.LdScoreRegression.ldScoreRegression(df, Seq("v"), "pheno",
+        "chisq", "n", "w", "x", nBlocks = 8, twoStepThreshold = 30.0)
+        .select(col("phenotype"),
+          round(col("mean_chi_sq"), 6).as("mean_chi_sq"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("intercept_standard_error"), 6).as("intercept_se"),
+          round(col("snp_heritability"), 6).as("snp_h2"),
+          round(col("snp_heritability_standard_error"), 6).as("snp_h2_se"))
+    }),
+
     // --- row_correlation (statgen.py:3730): Pearson correlation between
     // row dosage vectors, missing mean-imputed per row; row index is
     // key order. NaN rows (zero variance) drop on both sides ---------------
@@ -4705,6 +4728,11 @@ object SparkEntry {
     "matrix_map_globals" ->
       """SELECT l_orderkey, 'r5' AS build, 3 AS k
         |FROM (SELECT DISTINCT l_orderkey FROM lineitem)""".stripMargin,
+
+    "geno_ldsc" ->
+      """SELECT 'gwas1' AS phenotype, 32.35 AS mean_chi_sq,
+        |  15.121377 AS intercept, 3.433036 AS intercept_se,
+        |  0.085999 AS snp_h2, 0.010263 AS snp_h2_se""".stripMargin,
 
     "geno_ld_score" -> {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))

@@ -227,6 +227,45 @@ class MethodsSpec extends SparkSpec {
     assert(math.abs(got(3)._2 - (30 + a23 * 20)) < 1e-9)
   }
 
+  test("ldScoreRegression recovers exact linear chi-sq relationships") {
+    import org.apache.spark.sql.functions.{col => c}
+    // y = 1 + 0.2x exactly: any weighting recovers intercept 1 and
+    // slope 0.2; jackknife pseudo-values all agree -> zero variance.
+    // Second phenotype is pure null (y = 1): slope 0, h2 0.
+    val rows = (1 to 100).flatMap { i =>
+      val x = 1.0 + (i % 10)
+      Seq(("p1", i, x, 1.0 + 0.2 * x, 100.0, x),
+        ("p0", i, x, 1.0, 100.0, x))
+    }
+    val df = spark.createDataFrame(rows)
+      .toDF("pheno", "v", "x", "chisq", "n", "w")
+    val out = methods.LdScoreRegression.ldScoreRegression(
+      df, Seq("v"), "pheno", "chisq", "n", "w", "x",
+      nBlocks = 5, twoStepThreshold = 1e9).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val p1 = out("p1")
+    assert(math.abs(p1.getDouble(2) - 1.0) < 1e-9) // intercept
+    assert(p1.getDouble(3) < 1e-6)                  // intercept se
+    assert(math.abs(p1.getDouble(4) - 0.2) < 1e-9)  // h2 = (M/n)*slope
+    assert(p1.getDouble(5) < 1e-6)
+    val meanX = (1 to 100).map(i => 1.0 + (i % 10)).sum / 100
+    assert(math.abs(p1.getDouble(1) - (1.0 + 0.2 * meanX)) < 1e-12)
+    val p0 = out("p0")
+    assert(math.abs(p0.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(p0.getDouble(4) - 0.0) < 1e-12)
+    // h2 clamps to [0, 1]: a steep exact slope saturates at 1
+    val steep = (1 to 100).map { i =>
+      val x = 1.0 + (i % 10)
+      ("ps", i, x, 1.0 + 3.0 * x, 100.0, x)
+    }
+    val sOut = methods.LdScoreRegression.ldScoreRegression(
+      spark.createDataFrame(steep).toDF("pheno", "v", "x", "chisq", "n",
+        "w"),
+      Seq("v"), "pheno", "chisq", "n", "w", "x",
+      nBlocks = 5, twoStepThreshold = 1e9).collect().head
+    assert(math.abs(sOut.getDouble(4) - 1.0) < 1e-9)
+  }
+
   test("rrm matches hand-computed variance-normalized Gramian") {
     val mt = fixtureMt()
     // recompute locally: dose rows, mean-center, variance-normalize
