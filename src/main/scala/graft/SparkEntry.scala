@@ -2132,6 +2132,44 @@ object SparkEntry {
           round(col("univariate"), 6).as("univariate"))
     }),
 
+    // --- filtering_allele_frequency (experimental, Whiffin 2017): FAF
+    // per fixture variant at 95%/99% CI; goldens from an independent
+    // Poisson-quantile replica ---------------------------------------------
+    "fn_faf" -> ((s, _) => {
+      import graft.functions.{Calls, Experimental}
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val st = graft.functions.GenotypeFolds.doseStats(mt.entries)
+      mt.rows
+        .withColumn("__ac", st("ac").cast("int"))
+        .withColumn("__an", (st("nc") * 2).cast("int"))
+        .select(col("contig"), col("position"),
+          col("__ac").as("ac"), col("__an").as("an"),
+          round(Experimental.filteringAlleleFrequency(
+            col("__ac"), col("__an"), lit(0.95)), 6).as("faf95"),
+          round(Experimental.filteringAlleleFrequency(
+            col("__ac"), col("__an"), lit(0.99)), 6).as("faf99"))
+    }),
+
+    // --- haplotype_freq_em (experimental): two-locus EM haplotype
+    // counts from the 9 genotype-combination counts -------------------------
+    "fn_haplotype_em" -> ((s, _) => {
+      import graft.functions.Experimental
+      val vecs = Seq(
+        (1, Seq(10, 0, 0, 0, 0, 0, 0, 0, 0)),
+        (2, Seq(4, 2, 0, 1, 1, 0, 0, 1, 1)),
+        (3, Seq(0, 0, 5, 0, 0, 0, 5, 0, 0)),
+        (4, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9)),
+        (5, Seq(2, 1, 1, 1, 4, 1, 1, 1, 2)))
+      s.createDataFrame(vecs).toDF("id", "g")
+        .select(col("id"),
+          Experimental.haplotypeFreqEm(col("g")).as("h"))
+        .select(col("id"),
+          round(element_at(col("h"), 1), 6).as("h_ab"),
+          round(element_at(col("h"), 2), 6).as("h_a_b"),
+          round(element_at(col("h"), 3), 6).as("h_b_a"),
+          round(element_at(col("h"), 4), 6).as("h_ab_low"))
+    }),
+
     // --- ld_score_regression (experimental/ld_score_regression.py):
     // two-step LDSC with block jackknife on deterministic synthetic
     // summary stats; golden values from an independent NumPy replica of
@@ -4728,6 +4766,49 @@ object SparkEntry {
     "matrix_map_globals" ->
       """SELECT l_orderkey, 'r5' AS build, 3 AS k
         |FROM (SELECT DISTINCT l_orderkey FROM lineitem)""".stripMargin,
+
+    "fn_faf" ->
+      """SELECT * FROM (VALUES
+        |  ('chr1', 215, 1, 6, 0.0, 0.0),
+        |  ('chr1', 333, 4, 10, 0.136631, 0.082325),
+        |  ('chr1', 612, 4, 8, 0.170789, 0.102906),
+        |  ('chr1', 993, 4, 10, 0.136631, 0.082325),
+        |  ('chr1', 1161, 5, 8, 0.246268, 0.159888),
+        |  ('chr1', 1436, 7, 10, 0.328531, 0.23302),
+        |  ('chr1', 1568, 7, 10, 0.328531, 0.23302),
+        |  ('chr1', 2022, 5, 10, 0.197015, 0.12791),
+        |  ('chr1', 2242, 2, 10, 0.035535, 0.014855),
+        |  ('chr1', 2548, 3, 8, 0.102211, 0.054505),
+        |  ('chr1', 2882, 3, 8, 0.102211, 0.054505),
+        |  ('chr1', 3093, 3, 10, 0.081769, 0.043604),
+        |  ('chr1', 3503, 4, 8, 0.170789, 0.102906),
+        |  ('chr1', 3646, 3, 10, 0.081769, 0.043604),
+        |  ('chr1', 3787, 5, 10, 0.197015, 0.12791),
+        |  ('chr1', 4057, 3, 10, 0.081769, 0.043604),
+        |  ('chr1', 4153, 3, 10, 0.081769, 0.043604),
+        |  ('chr1', 4271, 5, 8, 0.246268, 0.159888),
+        |  ('chr2', 295, 5, 8, 0.246268, 0.159888),
+        |  ('chr2', 353, 4, 10, 0.136631, 0.082325),
+        |  ('chr2', 564, 4, 10, 0.136631, 0.082325),
+        |  ('chr2', 628, 6, 8, 0.326627, 0.22316),
+        |  ('chr2', 1093, 5, 10, 0.197015, 0.12791),
+        |  ('chr2', 1465, 6, 10, 0.261301, 0.178528),
+        |  ('chr2', 1515, 5, 10, 0.197015, 0.12791),
+        |  ('chr2', 1593, 4, 8, 0.170789, 0.102906),
+        |  ('chr2', 2032, 3, 10, 0.081769, 0.043604),
+        |  ('chr2', 2453, 3, 8, 0.102211, 0.054505),
+        |  ('chr2', 2895, 4, 6, 0.227719, 0.137207),
+        |  ('chr2', 3188, 3, 10, 0.081769, 0.043604))
+        |v(contig, position, ac, an, faf95, faf99)""".stripMargin,
+
+    "fn_haplotype_em" ->
+      """SELECT * FROM (VALUES
+        |  (1, 10.0, 0.0, 0.0, 0.0),
+        |  (2, 11.914723, 2.085277, 2.085277, 3.914723),
+        |  (3, 0.0, 10.0, 10.0, 0.0),
+        |  (4, 10.055847, 28.944153, 16.944153, 34.055847),
+        |  (5, 9.10163, 4.89837, 4.89837, 9.10163))
+        |v(id, h_ab, h_a_b, h_b_a, h_ab_low)""".stripMargin,
 
     "geno_ldsc" ->
       """SELECT 'gwas1' AS phenotype, 32.35 AS mean_chi_sq,

@@ -295,4 +295,30 @@ class FunctionsSpec extends SparkSpec {
     assert(z.getSeq[Double](0) === Seq(0.0, 0.0, 0.0, 0.0, 0.0))
     assert(z.isNullAt(1))
   }
+
+  test("filteringAlleleFrequency edge cases and monotonicity") {
+    import graft.functions.Experimental
+    assert(Experimental.calcFilterAlleleFreq(0, 100) === 0.0)
+    assert(Experimental.calcFilterAlleleFreq(1, 100) === 0.0) // singleton
+    assert(Experimental.calcFilterAlleleFreq(5, 0) === 0.0)
+    val f5 = Experimental.calcFilterAlleleFreq(5, 1000)
+    val f50 = Experimental.calcFilterAlleleFreq(50, 1000)
+    assert(f5 > 0 && f50 > f5 && f50 < 50.0 / 1000)
+    // the defining property: FAF is the largest lattice AF whose 95%
+    // upper AC bound stays below the observed AC
+    assert(Experimental.findMaxAC(f50, 1000) < 50)
+    assert(Experimental.findMaxAC(f50 + 1e-6, 1000) >= 50)
+  }
+
+  test("haplotypeFreqEm conserves haplotype mass and detects coupling") {
+    import graft.functions.Experimental
+    val df = spark.createDataFrame(Seq(
+      (1, Seq(2, 1, 1, 1, 4, 1, 1, 1, 2)))).toDF("id", "g")
+    val h = df.select(Experimental.haplotypeFreqEm(col("g")).as("h"))
+      .head().getSeq[Double](0)
+    assert(math.abs(h.sum - 28.0) < 1e-6) // 2 * 14 samples
+    // symmetric input: AB==ab and Ab==aB; double-hets favor coupling
+    assert(math.abs(h(0) - h(3)) < 1e-9 && math.abs(h(1) - h(2)) < 1e-9)
+    assert(h(0) > h(1))
+  }
 }
