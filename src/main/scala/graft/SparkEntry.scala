@@ -1149,6 +1149,26 @@ object SparkEntry {
         .select(col("s"), col("errors"), col("snp_errors"))
     }),
 
+    // --- phase_by_transmission (experimental): trio phasing by allele
+    // transmission; the 2x2 candidate-combination search replayed
+    // relationally in the oracle ------------------------------------------
+    "geno_phase_by_transmission" -> ((s, _) => {
+      import graft.functions.Calls
+      implicit val rg: graft.functions.ReferenceGenome =
+        graft.functions.ReferenceGenome.GRCh38
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val tm = methods.Trios.trioMatrix(mt,
+        Seq(("S1", "S2", "S3", true), ("S4", "S2", "S3", false)))
+      methods.PhaseByTransmission.phaseTrioMatrix(tm).entriesTable.df
+        .select(col("contig"), col("position"), col("id").as("s"),
+          Calls.allele1(col("proband_entry")("PBT_GT")).as("k_a1"),
+          Calls.allele2(col("proband_entry")("PBT_GT")).as("k_a2"),
+          Calls.allele1(col("father_entry")("PBT_GT")).as("f_a1"),
+          Calls.allele2(col("father_entry")("PBT_GT")).as("f_a2"),
+          Calls.allele1(col("mother_entry")("PBT_GT")).as("m_a1"),
+          Calls.allele2(col("mother_entry")("PBT_GT")).as("m_a2"))
+    }),
+
     // --- concordance (qc.py:360): 5-state cross-tab of two matrices -------
     "geno_concordance" -> ((s, _) => {
       val mt = sources.Vcf.read(s, VcfFixture)
@@ -3863,6 +3883,52 @@ object SparkEntry {
         |FROM (VALUES ('S1'),('S2'),('S3'),('S4')) m(member)
         |LEFT JOIN attr ON attr.member = m.member
         |GROUP BY 1""".stripMargin
+    },
+
+    "geno_phase_by_transmission" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |t AS (SELECT k.contig, k.position, tr.kid AS s,
+        |    k.a1 AS ka1, k.a2 AS ka2, d.a1 AS da1, d.a2 AS da2,
+        |    m.a1 AS ma1, m.a2 AS ma2
+        |  FROM (VALUES ('S1'), ('S4')) tr(kid)
+        |  JOIN q k ON k.s = tr.kid
+        |  JOIN q d ON d.s = 'S2' AND d.contig = k.contig
+        |    AND d.position = k.position
+        |  JOIN q m ON m.s = 'S3' AND m.contig = k.contig
+        |    AND m.position = k.position),
+        |c AS (SELECT t.*, v.fi, v.mi,
+        |    CASE v.fi WHEN 0 THEN da1 ELSE da2 END AS fa,
+        |    CASE v.mi WHEN 0 THEN ma1 ELSE ma2 END AS ma
+        |  FROM t CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1))
+        |    v(fi, mi)
+        |  WHERE (v.fi = 0 OR da1 <> da2) AND (v.mi = 0 OR ma1 <> ma2)),
+        |g AS (SELECT contig, position, s,
+        |    sum(CASE WHEN ok THEN 1 ELSE 0 END) AS cnt,
+        |    min(CASE WHEN ok THEN fi END) AS fi,
+        |    min(CASE WHEN ok THEN mi END) AS mi
+        |  FROM (SELECT c.*,
+        |      -- explicit null guards: DuckDB least/greatest SKIP nulls,
+        |      -- so a missing member would otherwise fake a match
+        |      fa IS NOT NULL AND ma IS NOT NULL AND ka1 IS NOT NULL
+        |        AND ka2 IS NOT NULL
+        |        AND least(fa, ma) = least(ka1, ka2)
+        |        AND greatest(fa, ma) = greatest(ka1, ka2) AS ok
+        |    FROM c) c2 GROUP BY 1, 2, 3)
+        |SELECT t.contig, t.position, t.s,
+        |  CASE WHEN g.cnt = 1
+        |    THEN (CASE g.fi WHEN 0 THEN t.da1 ELSE t.da2 END) END AS k_a1,
+        |  CASE WHEN g.cnt = 1
+        |    THEN (CASE g.mi WHEN 0 THEN t.ma1 ELSE t.ma2 END) END AS k_a2,
+        |  CASE WHEN g.cnt = 1
+        |    THEN (CASE g.fi WHEN 0 THEN t.da1 ELSE t.da2 END) END AS f_a1,
+        |  CASE WHEN g.cnt = 1
+        |    THEN (CASE g.fi WHEN 0 THEN t.da2 ELSE t.da1 END) END AS f_a2,
+        |  CASE WHEN g.cnt = 1
+        |    THEN (CASE g.mi WHEN 0 THEN t.ma1 ELSE t.ma2 END) END AS m_a1,
+        |  CASE WHEN g.cnt = 1
+        |    THEN (CASE g.mi WHEN 0 THEN t.ma2 ELSE t.ma1 END) END AS m_a2
+        |FROM t JOIN g USING (contig, position, s)""".stripMargin
     },
 
     "geno_concordance" -> {

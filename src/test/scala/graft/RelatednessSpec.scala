@@ -204,6 +204,60 @@ class RelatednessSpec extends SparkSpec {
       fam.getAs[Long]("snp_errors") == 3L)
   }
 
+  test("phaseByTransmission phases trios per the reference's rules") {
+    implicit val rg: ReferenceGenome = ReferenceGenome.GRCh38
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="G">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	K	D	M
+        |chr1	100	.	A	G	.	PASS	.	GT	0/1	0/0	1/1
+        |chr1	200	.	A	G	.	PASS	.	GT	0/1	0/1	0/1
+        |chr1	300	.	A	G	.	PASS	.	GT	1/1	0/0	0/1
+        |chr1	400	.	A	G	.	PASS	.	GT	0/1	./.	1/1
+        |chr1	500	.	A	G	.	PASS	.	GT	1/0	1/1	0/1
+        |chrX	5000000	.	A	G	.	PASS	.	GT	1	0	0/1
+        |chrX	5000100	.	A	G	.	PASS	.	GT	1	0/0	0/1
+        |chrY	5000000	.	C	T	.	PASS	.	GT	1	1	0/0
+        |chrY	5000100	.	C	T	.	PASS	.	GT	1	0	0/0
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbt")
+    val f = dir.resolve("p.vcf")
+    java.nio.file.Files.writeString(f, vcf)
+    val mt = Vcf.read(spark, f.toString)
+    val tm = methods.Trios.trioMatrix(mt, Seq(("K", "D", "M", false)))
+    val out = methods.PhaseByTransmission.phaseTrioMatrix(tm)
+      .entriesTable.df
+      .select(col("position"), col("contig"),
+        col("proband_entry")("PBT_GT").as("k"),
+        col("father_entry")("PBT_GT").as("f"),
+        col("mother_entry")("PBT_GT").as("m"))
+      .collect()
+      .map(r => (r.getString(1), r.getInt(0)) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    def dip(a1: Int, a2: Int) = Some((a2 << 16) | (a1 << 1) | 1)
+    def hap(a: Int) = Some((0x7fff << 16) | (a << 1) | 1)
+    // autosome het kid, hom parents: kid = father|mother = 0|1
+    assert(out(("chr1", 100)) === ((dip(0, 1), dip(0, 0), dip(1, 1))))
+    // triple-het: unphasable
+    assert(out(("chr1", 200)) === ((None, None, None)))
+    // mendel violation: unphasable
+    assert(out(("chr1", 300)) === ((None, None, None)))
+    // missing father: unphasable
+    assert(out(("chr1", 400)) === ((None, None, None)))
+    // het kid stored 1/0, dad hom-var, mom het: father transmits 1,
+    // mother transmits 0 (untransmitted 1): kid 1|0
+    assert(out(("chr1", 500)) === ((dip(1, 0), dip(1, 1), dip(0, 1))))
+    // X non-PAR haploid kid: mother's first matching allele transmits
+    assert(out(("chrX", 5000000)) ===
+      ((hap(1), hap(0), dip(1, 0))))
+    // X non-PAR diploid father: father slot missing, rest phased
+    assert(out(("chrX", 5000100)) === ((hap(1), None, dip(1, 0))))
+    // Y non-PAR: father==kid haploid -> phased, mother always missing
+    assert(out(("chrY", 5000000)) === ((hap(1), hap(1), None)))
+    // Y non-PAR transmission mismatch: unphasable
+    assert(out(("chrY", 5000100)) === ((None, None, None)))
+  }
+
   test("king distributed BlockMatrix path matches the local Gramian") {
     val mt = fixtureMt()
     def key(r: org.apache.spark.sql.Row) =
