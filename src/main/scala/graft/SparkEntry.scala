@@ -1149,6 +1149,34 @@ object SparkEntry {
         .select(col("s"), col("errors"), col("snp_errors"))
     }),
 
+    // --- full_outer_join_mt (experimental): outer join on rows AND
+    // columns; entries become struct(left_entry, right_entry) -------------
+    "matrix_full_outer_join" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val l = mt.chooseCols(IndexedSeq(0, 1)).filterRows(col("position") < 2000)
+      val r = mt.chooseCols(IndexedSeq(1, 2)).filterRows(col("position") >= 1000)
+      methods.MtJoins.fullOuterJoinMt(l, r).entriesTable.df
+        .select(col("contig"), col("position"), col("s"),
+          Calls.allele1(col("left_entry")("GT")).as("l_a1"),
+          Calls.allele2(col("left_entry")("GT")).as("l_a2"),
+          Calls.allele1(col("right_entry")("GT")).as("r_a1"),
+          Calls.allele2(col("right_entry")("GT")).as("r_a2"))
+    }),
+
+    // --- explode_trio_matrix (experimental): trio matrix back to a
+    // sample matrix, three columns per trio ---------------------------------
+    "matrix_explode_trio" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val tm = methods.Trios.trioMatrix(mt,
+        Seq(("S1", "S2", "S3", true), ("S4", "S2", "S3", false)))
+      methods.MtJoins.explodeTrioMatrix(tm).entriesTable.df
+        .select(col("contig"), col("position"), col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"), col("DP").as("dp"))
+    }),
+
     // --- phase_by_transmission (experimental): trio phasing by allele
     // transmission; the 2x2 candidate-combination search replayed
     // relationally in the oracle ------------------------------------------
@@ -3883,6 +3911,37 @@ object SparkEntry {
         |FROM (VALUES ('S1'),('S2'),('S3'),('S4')) m(member)
         |LEFT JOIN attr ON attr.member = m.member
         |GROUP BY 1""".stripMargin
+    },
+
+    "matrix_full_outer_join" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |lv AS (SELECT DISTINCT contig, position FROM q
+        |  WHERE position < 2000),
+        |rv AS (SELECT DISTINCT contig, position FROM q
+        |  WHERE position >= 1000),
+        |av AS (SELECT * FROM lv UNION SELECT * FROM rv),
+        |sm(s) AS (VALUES ('S1'), ('S2'), ('S3')),
+        |le AS (SELECT contig, position, s, a1, a2 FROM q
+        |  WHERE position < 2000 AND s IN ('S1', 'S2')),
+        |re AS (SELECT contig, position, s, a1, a2 FROM q
+        |  WHERE position >= 1000 AND s IN ('S2', 'S3')),
+        |x AS (SELECT av.contig, av.position, sm.s
+        |  FROM av CROSS JOIN sm)
+        |SELECT x.contig, x.position, x.s,
+        |  le.a1 AS l_a1, le.a2 AS l_a2, re.a1 AS r_a1, re.a2 AS r_a2
+        |FROM x
+        |LEFT JOIN le USING (contig, position, s)
+        |LEFT JOIN re USING (contig, position, s)""".stripMargin
+    },
+
+    "matrix_explode_trio" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base
+        |SELECT q.contig, q.position, r.s, q.a1, q.a2, q.dp
+        |FROM (VALUES ('S1'), ('S2'), ('S3'), ('S4'), ('S2'), ('S3'))
+        |  r(s)
+        |JOIN q ON q.s = r.s""".stripMargin
     },
 
     "geno_phase_by_transmission" -> {

@@ -132,4 +132,33 @@ class MatrixTableSpec extends SparkSpec {
     assert(cells(rng) === cells(mt).filter(c => c._1 >= 1L && c._1 < 3L))
     assert(rng.colValues === mt.colValues)
   }
+
+  test("fullOuterJoinMt aligns columns by key with cross-product dups") {
+    val mt = toyMatrix()
+    // left has s0 twice (duplicate col key) and s1; right has s1, s2
+    val l = mt.chooseCols(IndexedSeq(0, 0, 1))
+      .filterRows(col("r") < 2L)
+    val r = mt.chooseCols(IndexedSeq(1, 2))
+      .filterRows(col("r") >= 1L)
+    val j = graft.methods.MtJoins.fullOuterJoinMt(l, r)
+    val keys = j.colValues.map(_.getString(0))
+    assert(keys.sorted === Seq("s0", "s0", "s1", "s2"))
+    // colValues rows are schemaless: fields are (sample, left_col,
+    // right_col) positionally
+    val s1row = j.colValues(keys.indexOf("s1"))
+    assert(s1row.get(1) != null && s1row.get(2) != null)
+    assert(j.colValues(keys.indexOf("s0")).get(2) == null)
+    assert(j.colValues(keys.indexOf("s2")).get(1) == null)
+    // row union: 0 (left only), 1 (both), 2 (right only); where both
+    // sides carry an entry the values agree
+    val cells = j.entriesTable.df
+      .select(col("r"), col("sample"),
+        col("left_entry")("v"), col("right_entry")("v")).collect()
+      .map(x => (x.getLong(0), x.getString(1)) ->
+        ((Option(x.get(2)), Option(x.get(3))))).toMap
+    assert(cells.keys.map(_._1).toSet === Set(0L, 1L, 2L))
+    assert(cells((1L, "s1")) === ((Some(11.0), Some(11.0))))
+    assert(cells((0L, "s1")) === ((Some(1.0), None)))
+    assert(cells((2L, "s2")) === ((None, Some(22.0))))
+  }
 }
