@@ -1149,6 +1149,22 @@ object SparkEntry {
         .select(col("s"), col("errors"), col("snp_errors"))
     }),
 
+    // --- import_gtf (experimental/import_gtf.py): GTF/GFF2 import with
+    // attribute-tag widening, contig normalization, invalid-contig skip --
+    "table_gtf_import" -> ((s, _) => {
+      val ht = sources.Gtf.read(s,
+        "/root/repo/src/test/resources/oracle_annotations.gtf",
+        Some(graft.functions.ReferenceGenome.GRCh38),
+        skipInvalidContigs = true).df
+      ht.select(
+        col("interval")("contig").as("contig"),
+        col("interval")("start").as("start"),
+        col("interval")("end").as("end"),
+        col("source"), col("feature"), col("score"), col("strand"),
+        col("frame"), col("gene_id"), col("gene_name"),
+        col("transcript_id"), col("exon_number"), col("level"))
+    }),
+
     // --- full_outer_join_mt (experimental): outer join on rows AND
     // columns; entries become struct(left_entry, right_entry) -------------
     "matrix_full_outer_join" -> ((s, _) => {
@@ -3912,6 +3928,25 @@ object SparkEntry {
         |LEFT JOIN attr ON attr.member = m.member
         |GROUP BY 1""".stripMargin
     },
+
+    "table_gtf_import" ->
+      """SELECT * FROM (VALUES
+        |  ('chr1', 100, 200, 'HAVANA', 'gene', CAST(NULL AS DOUBLE),
+        |    '+', CAST(NULL AS INTEGER), 'G1', 'ALPHA',
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '2'),
+        |  ('chr1', 100, 150, 'HAVANA', 'transcript', 9.5, '+', 0,
+        |    'G1', 'ALPHA', 'T1', CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR)),
+        |  ('chr2', 300, 400, 'ENSEMBL', 'gene', CAST(NULL AS DOUBLE),
+        |    '-', CAST(NULL AS INTEGER), 'G2', 'BETA',
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR)),
+        |  ('chr2', 310, 350, 'ENSEMBL', 'exon', CAST(NULL AS DOUBLE),
+        |    '-', 1, 'G2', CAST(NULL AS VARCHAR), 'T2', '1',
+        |    CAST(NULL AS VARCHAR)))
+        |v(contig, start, "end", source, feature, score, strand, frame,
+        |  gene_id, gene_name, transcript_id, exon_number, level)
+        |""".stripMargin,
 
     "matrix_full_outer_join" -> {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))

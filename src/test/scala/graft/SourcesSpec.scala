@@ -248,4 +248,20 @@ class SourcesSpec extends SparkSpec {
     assert(back.df.count() === 10)
     assert(back.df.agg(sum("v")).head().getLong(0) === 90L)
   }
+
+  test("gtf geneIntervals filters by symbol and version-stripped ids") {
+    val path = "/root/repo/src/test/resources/oracle_annotations.gtf"
+    val rg = Some(graft.functions.ReferenceGenome.GRCh38)
+    assert(graft.sources.Gtf.geneIntervals(spark, path,
+      geneSymbols = Seq("BETA"), referenceGenome = rg) ===
+      Seq(("chr2", 300, 400)))
+    // transcript id versions are stripped before matching
+    assert(graft.sources.Gtf.geneIntervals(spark, path,
+      transcriptIds = Seq("T1.2"), referenceGenome = rg) ===
+      Seq(("chr1", 100, 150)))
+    assert(graft.sources.Gtf.geneIntervals(spark, path,
+      geneIds = Seq("G1.5"), geneSymbols = Seq("BETA"),
+      referenceGenome = rg).toSet ===
+      Set(("chr1", 100, 200), ("chr2", 300, 400)))
+  }
 }
