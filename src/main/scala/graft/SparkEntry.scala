@@ -1149,6 +1149,24 @@ object SparkEntry {
         .select(col("s"), col("errors"), col("snp_errors"))
     }),
 
+    // --- pc_project (experimental/pca.py): genotype projection onto
+    // row loadings; synthetic deterministic loadings so the oracle
+    // replays the whole projection ----------------------------------------
+    "geno_pc_project" -> ((s, _) => {
+      val mt0 = sources.Vcf.read(s, VcfFixture)
+      val st = graft.functions.GenotypeFolds.doseStats(mt0.entries)
+      val mt = mt0.copy(rows = mt0.rows
+        .withColumn("af", when(st("nc") > 0,
+          st("ac").cast("double") / (st("nc") * 2).cast("double")))
+        .withColumn("ldg", array(
+          (pmod(col("position"), lit(7)) + 1).cast("double"),
+          (pmod(col("position"), lit(5)) + 1).cast("double"))))
+      methods.Pca.pcProject(mt, "ldg", "af").df
+        .select(col("s"),
+          round(element_at(col("scores"), 1), 6).as("pc1"),
+          round(element_at(col("scores"), 2), 6).as("pc2"))
+    }),
+
     // --- import_gtf (experimental/import_gtf.py): GTF/GFF2 import with
     // attribute-tag widening, contig normalization, invalid-contig skip --
     "table_gtf_import" -> ((s, _) => {
@@ -3927,6 +3945,23 @@ object SparkEntry {
         |FROM (VALUES ('S1'),('S2'),('S3'),('S4')) m(member)
         |LEFT JOIN attr ON attr.member = m.member
         |GROUP BY 1""".stripMargin
+    },
+
+    "geno_pc_project" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |af AS (SELECT contig, position,
+        |    sum(a1 + a2) * 1.0 / (2 * count(a1)) AS af
+        |  FROM q WHERE a1 IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT q.contig, q.position, q.s,
+        |    (q.a1 + q.a2 - 2 * af.af)
+        |      / sqrt(60 * af.af * (1 - af.af)) AS gtn,
+        |    (q.position % 7 + 1) AS l1, (q.position % 5 + 1) AS l2
+        |  FROM q JOIN af USING (contig, position)
+        |  WHERE q.a1 IS NOT NULL AND af.af > 0 AND af.af < 1)
+        |SELECT s, round(sum(l1 * gtn), 6) AS pc1,
+        |  round(sum(l2 * gtn), 6) AS pc2
+        |FROM g GROUP BY s""".stripMargin
     },
 
     "table_gtf_import" ->

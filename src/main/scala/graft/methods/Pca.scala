@@ -250,6 +250,50 @@ object Pca {
     .withColumn("__v", transform(col("__c"), v => v / col("__nrm")))
     .drop("__x", "__sn", "__mean", "__c", "__nrm")
 
+  /** pc_project (reference `experimental/pca.py:13`): project genotypes
+    * onto precomputed PC loadings. `loadingsCol`/`afCol` are row fields
+    * (array<double> loadings and reference allele frequency, e.g.
+    * joined from a loadings table); rows with missing loadings/af or
+    * af outside (0,1) are skipped, and n_variants counts the rows that
+    * CARRY loadings (the reference's loadings-table count). Returns the
+    * col-keyed score table.
+    *
+    * Spark shape: explode entries with the row's loadings, one
+    * per-(column, component) partial-sum groupBy — no driver-side
+    * matrix, any number of variants. */
+  def pcProject(mt: MatrixTable, loadingsCol: String, afCol: String,
+      callField: String = "GT"): graft.Table = {
+    val nVariants = mt.rows.filter(col(loadingsCol).isNotNull).count()
+    val filtered = mt.rows.filter(col(loadingsCol).isNotNull &&
+      col(afCol).isNotNull && col(afCol) > 0 && col(afCol) < 1)
+    val e = filtered.select(col(loadingsCol).as("__l"),
+      col(afCol).as("__af"),
+      posexplode(col(MatrixTable.EntriesField)).as(Seq("__cidx", "__e")))
+    // when()-guarded: merged projections can evaluate past the af
+    // filter speculatively, and ANSI throws on double division by zero
+    val gtn = when(col("__af") > 0 && col("__af") < 1,
+      (Calls.nNonRefAlleles(col("__e")(callField)).cast("double")
+        - lit(2.0) * col("__af")) /
+        sqrt(lit(2.0 * nVariants) * col("__af") * (lit(1.0) - col("__af"))))
+    val perK = e.withColumn("__gtn", gtn)
+      .filter(col("__gtn").isNotNull)
+      .select(col("__cidx"), col("__gtn"),
+        posexplode(col("__l")).as(Seq("__k", "__lv")))
+      .groupBy(col("__cidx"), col("__k"))
+      .agg(sum(col("__lv") * col("__gtn")).as("__s"))
+      .collect().groupBy(_.getInt(0))
+    val k = perK.values.headOption.map(_.length).getOrElse(0)
+    val out = mt.colValues.zipWithIndex.map { case (cv, i) =>
+      val scores = perK.get(i).map(_.sortBy(_.getInt(1))
+        .map(_.getDouble(2)).toSeq).getOrElse(Seq.fill(k)(0.0))
+      Row.fromSeq(cv.toSeq :+ scores)
+    }
+    val schema = StructType(mt.colSchema.fields :+
+      StructField("scores", ArrayType(DoubleType)))
+    graft.Table(mt.spark.createDataFrame(
+      mt.spark.sparkContext.parallelize(out.toSeq, 1), schema), mt.colKey)
+  }
+
   def rowCorrelation(mt: MatrixTable, entryExpr: Column => Column,
       blockSize: Int = graft.linalg.BlockMatrix.DefaultBlockSize)
       : graft.linalg.BlockMatrix = {

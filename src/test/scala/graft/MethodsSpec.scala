@@ -166,6 +166,29 @@ class MethodsSpec extends SparkSpec {
     }
   }
 
+  test("pcProject reproduces PCA scores when projecting the source") {
+    val mt = fixtureMt()
+    val res = methods.Pca.hweNormalizedPca(mt, k = 2,
+      computeLoadings = true)
+    // pc_project's (gt - 2af)/sqrt(2m·af(1-af)) equals the PCA's
+    // hwe normalization, so projecting the SOURCE data onto its own
+    // loadings must return the score matrix V·S exactly
+    val st = graft.functions.GenotypeFolds.doseStats(mt.entries)
+    val af = when(st("nc") > 0,
+      st("ac").cast("double") / (st("nc") * 2).cast("double"))
+    val annotated = mt.copy(rows = mt.rows.withColumn("af", af)
+      .join(res.loadings.get, mt.rowKey, "left"))
+    val proj = methods.Pca.pcProject(annotated, "loadings", "af").df
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](r.fieldIndex("scores"))).toMap
+    val pca = res.scores.collect().map(r => r.getString(0) ->
+      r.getSeq[Double](r.fieldIndex("scores"))).toMap
+    assert(proj.keySet === pca.keySet)
+    for (s <- pca.keys; k <- 0 until 2)
+      assert(math.abs(proj(s)(k) - pca(s)(k)) < 1e-8,
+        s"$s pc$k: ${proj(s)(k)} vs ${pca(s)(k)}")
+  }
+
   test("rowCorrelation matches the reference's documented example") {
     // statgen.py:3730 docstring: 3 variants x 4 samples, last entry
     // missing (mean-imputed); expected correlations given to 8 dp
