@@ -66,12 +66,16 @@ object Bench {
       "pipe_dedup_exact", "stream_hourly_agg", "vds_combine_densify",
       "rand_seeded", "pipe_knn_join", "pipe_image_dedup", "geno_ld_prune",
       "table_add_index", "pipe_minhash_fast")
+    // Locale.ROOT: the one-line JSON contract must not pick up a
+    // comma decimal separator from the JVM default locale.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(kvs: Seq[(String, Double)]): String = kvs
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     System.err.println("BENCH FULL " + fmt(results))
     val qs = fmt(results.filter { case (k, _) => headline.contains(k) })
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.length},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.length},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

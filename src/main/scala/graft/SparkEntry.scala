@@ -600,12 +600,20 @@ object SparkEntry {
     "pipe_minhash_pairs" -> ((s, dir) =>
       pipeline.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
-    // --- the xxhash64 production minhash family (rows-only: the hash
-    // exists only inside Spark; PipelineSpec pins exact-dup parity with
-    // the oracle-checked md5 family) ---------------------------------------
-    "pipe_minhash_fast" -> ((s, dir) =>
-      pipeline.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        family = "xxhash64")),
+    // --- the xxhash64 production minhash family, gated on its family-
+    // invariant subset: identical shingle sets hash to identical
+    // signatures under ANY family, so the exact-dup pairs are DuckDB-
+    // derivable without reproducing xxhash64; near-dup recall for this
+    // family stays in PipelineSpec ------------------------------------------
+    // (every 25th doc is re-labeled +100000 and unioned back, so the
+    // gate has guaranteed exact-dup pairs at any SF)
+    "pipe_minhash_fast" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = base.filter(pmod(col("doc_id"), lit(25L)) === 0L)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      pipeline.Dedup.minhashExactPairs(base.unionByName(dup), "doc_id",
+        "text", family = "xxhash64")
+    }),
 
     // --- pipeline: brute-force cosine top-k ANN ----------------------------
     "pipe_ann_topk" -> ((s, dir) => {
@@ -676,8 +684,12 @@ object SparkEntry {
         .filter(col("doc_id") < 20)
         .withColumn("payload",
           png((pmod(col("doc_id"), lit(7)) + 1).cast("int")))
+      // Feature vector joined to a flat string (one decimal per cell)
+      // so the driver's pandas comparator can sort the column.
       pipeline.Multimodal.imageFeatures(docs, "payload")
-        .select(col("doc_id"), col("features"))
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("features"),
+            x => format_string("%.1f", x.cast("double")))).as("features"))
     }),
 
     // --- pipeline: all-pairs k-NN join (exact baseline; the LSH scale
@@ -2093,17 +2105,19 @@ object SparkEntry {
       import graft.functions.Sets
       val a = Sets.toSet(split(col("p_type"), " "))
       val b = array(lit("PLATED"), lit("BRUSHED"))
+      // Array outputs are joined to flat strings so the driver's
+      // pandas comparator can sort them (ndarray cells are unhashable).
       t(s, dir, "part").filter(col("p_partkey") <= 500)
         .select(col("p_partkey"),
-          a.as("set_a"),
-          Sets.union(a, b).as("u"),
-          Sets.intersection(a, b).as("i"),
-          Sets.difference(a, b).as("d"),
+          concat_ws(",", a).as("set_a"),
+          concat_ws(",", Sets.union(a, b)).as("u"),
+          concat_ws(",", Sets.intersection(a, b)).as("i"),
+          concat_ws(",", Sets.difference(a, b)).as("d"),
           Sets.contains(a, lit("STEEL")).as("has_steel"),
           Sets.isSubset(array(lit("STEEL"), lit("BRUSHED")), a)
             .as("sub_ab"),
-          Sets.add(a, lit("zzz")).as("added"),
-          Sets.remove(a, element_at(a, 1)).as("removed"),
+          concat_ws(",", Sets.add(a, lit("zzz"))).as("added"),
+          concat_ws(",", Sets.remove(a, element_at(a, 1))).as("removed"),
           Sets.lowerBound(a, lit("N")).as("lb"))
     }),
 
@@ -2353,9 +2367,10 @@ object SparkEntry {
       val toks = Sets.toSet(split(col("p_type"), " "))
       val m = Dicts.fromEntries(transform(toks,
         w => struct(w.as("key"), length(w).as("value"))))
+      // Key list joined to a flat string for the driver's pandas sort.
       t(s, dir, "part").filter(col("p_partkey") <= 500)
         .select(col("p_partkey"),
-          Dicts.keys(m).as("ks"),
+          concat_ws(",", Dicts.keys(m)).as("ks"),
           Dicts.get(m, lit("STEEL")).as("steel_len"),
           Dicts.contains(m, lit("BRUSHED")).as("has_brushed"),
           Dicts.isEmpty(m).as("empty"),
@@ -2902,6 +2917,27 @@ object SparkEntry {
         |JOIN sh sa ON cand.id_a = sa.doc_id
         |JOIN sh sb ON cand.id_b = sb.doc_id""".stripMargin,
 
+    // family-invariant: pairs with identical distinct-shingle sets are
+    // LSH candidates under any hash family, so no xxhash64 in DuckDB
+    "pipe_minhash_fast" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 25 = 0),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(1, len(w)-1),
+        |      j -> concat(w[j], ' ', w[j+1], ' ', w[j+2])))) AS shingles
+        |  FROM tok WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.shingles = b.shingles AND a.doc_id < b.doc_id""".stripMargin,
+
     // the streaming kernel must surface exactly the batch band-bucket
     // candidates (the md5 family is bit-reproducible in DuckDB)
     "stream_minhash_pairs" ->
@@ -3017,9 +3053,10 @@ object SparkEntry {
     // x < pattern, so feature i (row-major) is 1.0 iff i % 8 < pattern
     "pipe_image_features" ->
       """SELECT doc_id,
-        |  list_transform(range(0, 64), i ->
-        |    CAST(CASE WHEN i % 8 < doc_id % 7 + 1 THEN 1.0 ELSE 0.0 END
-        |      AS FLOAT)) AS features
+        |  array_to_string(list_transform(range(0, 64), i ->
+        |    printf('%.1f',
+        |      CASE WHEN i % 8 < doc_id % 7 + 1 THEN 1.0 ELSE 0.0 END)),
+        |    ',') AS features
         |FROM documents WHERE doc_id < 20""".stripMargin,
 
     "query_table" ->
@@ -4890,18 +4927,21 @@ object SparkEntry {
         |  SELECT p_partkey,
         |    list_sort(list_distinct(string_split(p_type, ' '))) AS a
         |  FROM part WHERE p_partkey <= 500)
-        |SELECT p_partkey, a AS set_a,
-        |  list_sort(list_distinct(
-        |    list_concat(a, ['PLATED', 'BRUSHED']))) AS u,
-        |  list_sort(list_distinct(
-        |    list_intersect(a, ['PLATED', 'BRUSHED']))) AS i,
-        |  list_sort(list_filter(a,
-        |    x -> NOT list_contains(['PLATED', 'BRUSHED'], x))) AS d,
+        |SELECT p_partkey, array_to_string(a, ',') AS set_a,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_concat(a, ['PLATED', 'BRUSHED']))), ',') AS u,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_intersect(a, ['PLATED', 'BRUSHED']))), ','), '') AS i,
+        |  coalesce(array_to_string(list_sort(list_filter(a,
+        |    x -> NOT list_contains(['PLATED', 'BRUSHED'], x))), ','), '')
+        |    AS d,
         |  list_contains(a, 'STEEL') AS has_steel,
         |  len(list_filter(['STEEL', 'BRUSHED'],
         |    x -> NOT list_contains(a, x))) = 0 AS sub_ab,
-        |  list_sort(list_distinct(list_concat(a, ['zzz']))) AS added,
-        |  list_filter(a, x -> x != a[1]) AS removed,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_concat(a, ['zzz']))), ',') AS added,
+        |  coalesce(array_to_string(list_filter(a, x -> x != a[1]), ','),
+        |    '') AS removed,
         |  CAST(len(list_filter(a, x -> x < 'N')) AS INTEGER) AS lb
         |FROM t0""".stripMargin,
 
@@ -5136,7 +5176,7 @@ object SparkEntry {
         |  SELECT p_partkey,
         |    list_sort(list_distinct(string_split(p_type, ' '))) AS a
         |  FROM part WHERE p_partkey <= 500)
-        |SELECT p_partkey, a AS ks,
+        |SELECT p_partkey, array_to_string(a, ',') AS ks,
         |  CASE WHEN list_contains(a, 'STEEL')
         |    THEN CAST(5 AS INTEGER) END AS steel_len,
         |  list_contains(a, 'BRUSHED') AS has_brushed,

@@ -84,14 +84,18 @@ object Experimental {
           2.0 * g(2) + g(1) + g(5), // n.aB
           2.0 * g(8) + g(5) + g(7)) // n.ab
         var p = const.map(c => (c + g(4) / 2.0) / nH)
-        var done = false
-        while (!done) {
+        // Exit semantics mirror the reference: loop only while some
+        // delta EXCEEDS tol, so a NaN delta (cis+trans == 0, e.g. the
+        // double-het count paired with monomorphic margins) terminates
+        // and propagates NaN instead of spinning forever.
+        var continue = true
+        while (continue) {
           val cis = p(0) * p(3) // coupling (AB/ab)
           val trans = p(1) * p(2) // repulsion (Ab/aB)
           val num = Array(cis, trans, trans, cis)
           val next = Array.tabulate(4)(i =>
             (const(i) + num(i) * g(4) / (cis + trans)) / nH)
-          done = (0 until 4).forall(i => math.abs(next(i) - p(i)) <= 1e-7)
+          continue = (0 until 4).exists(i => math.abs(next(i) - p(i)) > 1e-7)
           p = next
         }
         p.map(_ * nH).toSeq

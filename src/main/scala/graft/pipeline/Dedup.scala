@@ -162,6 +162,30 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Family-invariant subset of `minhashPairs`: only pairs whose distinct
+    * shingle sets are IDENTICAL. Identical sets hash to identical minhash
+    * signatures under any hash family, so these pairs are guaranteed LSH
+    * candidates whether the family is md5 or xxhash64 — which makes this
+    * output DuckDB-oracle-able even for hash families that exist only
+    * inside Spark. Near-dup (jaccard < 1) recall for the xxhash64 family
+    * stays in PipelineSpec. */
+  def minhashExactPairs(df: DataFrame, id: String, text: String,
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      maxBucketSize: Int = 10000, family: String = "md5"): DataFrame = {
+    val pairs = minhashPairs(df, id, text, numHashes, bands, shingleSize,
+      maxBucketSize, family)
+    val sh = shingleSets(df, id, text, shingleSize)
+    pairs
+      .join(sh.select(col("doc").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .filter(size(col("sh_a")) === size(col("sh_b")) &&
+        size(array_intersect(col("sh_a"), col("sh_b"))) ===
+          size(col("sh_a")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Diagnostic: LSH band buckets larger than `maxBucketSize` (dropped by
     * `minhashPairs`); returns (band, bsig, n) for cap tuning. */
   def oversizedBuckets(df: DataFrame, id: String, text: String,
