@@ -1,7 +1,7 @@
 package graft.methods
 
-import breeze.linalg.{diag, eigSym, DenseMatrix => BDM, DenseVector => BDV}
-import org.apache.spark.mllib.linalg.{DenseMatrix => MlDenseMatrix, Vectors => MlVectors}
+import breeze.linalg.{eigSym, inv, logdet, DenseMatrix => BDM, DenseVector => BDV}
+import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
 import org.apache.spark.mllib.linalg.distributed.RowMatrix
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -13,48 +13,82 @@ import graft.functions.Calls
 /** Linear mixed model (reference `statgen.py` `linear_mixed_model` /
   * `linear_mixed_regression_rows`, `stats/LinearMixedModel.py`; the
   * FaST-LMM spectral trick): y = Xβ + g + ε with g ~ N(0, σ²g K),
-  * ε ~ N(0, σ²g δ I). Eigendecomposing K = U S Uᵀ rotates the model to
-  * independent errors with per-component variance (S_i + δ), so the REML
-  * fit is a 1-D optimization over δ and every per-variant test is a
-  * weighted OLS in the rotated basis.
+  * ε ~ N(0, σ²g δ I). With K = V S Vᵀ (rank r ≤ n), the inverse of
+  * K + δI is V(diag(1/(S+δ)) − 1/δ)Vᵀ + (1/δ)I, so every weighted
+  * inner product ⟨a,b⟩_W needs only the raw dot aᵀb and the r-dim
+  * projections Vᵀa, Vᵀb — the REML fit is a 1-D optimization over δ on
+  * O(k²+rk) precomputed blocks and each per-variant test is a
+  * (k+1)×(k+1) solve. This handles the low-rank case (fewer variants
+  * than samples, or a truncated basis) exactly: the orthogonal
+  * complement of V contributes eigenvalue 0, i.e. weight 1/δ, without
+  * ever materializing a basis for it.
   *
-  * Spark shape: K is sample×sample (the driver-size dimension, like
-  * `Pca.grm`); the eigendecomposition and δ-optimization are driver-side
-  * Breeze. The genotype rotation G·U — the data-size work — is ONE
-  * distributed `RowMatrix.multiply` against the broadcast local U
-  * (order-preserving, no shuffle), and the per-variant weighted
-  * regression is a local kernel over each rotated row with broadcast
-  * ỹ/X̃/weights. */
+  * Spark shape: the basis V is n×r on the driver (it IS the rotation
+  * operator, the same contract as the reference's
+  * `LinearMixedModel.py`); the DEFAULT kinship path derives (V, S)
+  * directly from a distributed thin SVD of the HWE-normalized genotype
+  * `RowMatrix` (reference `methods/pca.py:100` blanczos /
+  * `is/hail/methods/PCA.scala`) — the S×S GRM is never assembled,
+  * no S²-row collect happens. A user-supplied K goes through a
+  * driver-side `eigSym` into the same kernel. The per-variant pass is
+  * one `mapPartitions` over the dosage rows with the broadcast basis —
+  * no shuffle, no RDD zip. */
 object Lmm {
 
-  final case class LmmFit(delta: Double, sigmaG2: Double, h2: Double,
-      logReml: Double, u: BDM[Double], s: BDV[Double],
-      yRot: BDV[Double], xRot: BDM[Double])
+  /** Spectral kinship basis: K = v·diag(s)·vᵀ with orthonormal columns;
+    * v is n×r, s the r (non-negative) eigenvalues. */
+  final case class SpectralKinship(v: BDM[Double], s: BDV[Double]) {
+    require(v.cols == s.length)
+    def n: Int = v.rows
+    def r: Int = s.length
+  }
 
-  /** REML fit of the variance-ratio δ by golden-section over log δ. */
+  final case class LmmFit(delta: Double, sigmaG2: Double, h2: Double,
+      logReml: Double, basis: SpectralKinship,
+      vy: BDV[Double], vx: BDM[Double], // Vᵀy (r), VᵀX (r×k)
+      yy: Double, xy: BDV[Double], xx: BDM[Double]) // raw Gram blocks
+
+  /** REML fit from an explicit kinship matrix: driver-side eigSym into
+    * the spectral kernel (full rank, r = n). */
   def fit(kinship: BDM[Double], y: BDV[Double], x: BDM[Double]): LmmFit = {
     val es = eigSym(kinship)
-    val u = es.eigenvectors
-    val s = es.eigenvalues.map(v => math.max(v, 0.0))
-    val yr = u.t * y
-    val xr = u.t * x
-    val n = y.length; val k = x.cols
+    fitSpectral(SpectralKinship(es.eigenvectors,
+      es.eigenvalues.map(v => math.max(v, 0.0))), y, x)
+  }
+
+  /** REML fit of the variance-ratio δ by golden-section over log δ,
+    * entirely on the O(rk) projected + O(k²) raw blocks. */
+  def fitSpectral(basis: SpectralKinship, y: BDV[Double], x: BDM[Double])
+      : LmmFit = {
+    val n = y.length; val k = x.cols; val r = basis.r
+    val vy = basis.v.t * y
+    val vx = basis.v.t * x
+    val yy = y dot y
+    val xy = x.t * y
+    val xx = x.t * x
+    // weighted blocks at δ; w_i = 1/(s_i+δ) − 1/δ on the basis,
+    // plus the isotropic 1/δ on the raw blocks
+    def weighted(delta: Double): (BDM[Double], BDV[Double], Double, Double) = {
+      val w = basis.s.map(si => 1.0 / (si + delta) - 1.0 / delta)
+      val vxw = vx.copy
+      var i = 0
+      while (i < r) { vxw(i, ::) :*= w(i); i += 1 }
+      val xwx = (xx * (1.0 / delta)) + (vx.t * vxw)
+      val xwy = (xy * (1.0 / delta)) + (vx.t * (vy *:* w))
+      val ywy = yy / delta + (vy dot (vy *:* w))
+      var ld = (n - r) * math.log(delta)
+      i = 0
+      while (i < r) { ld += math.log(basis.s(i) + delta); i += 1 }
+      (xwx, xwy, ywy, ld)
+    }
     def remlNegLL(logDelta: Double): Double = {
       val delta = math.exp(logDelta)
-      val w = s.map(_ + delta)
-      val winv = w.map(1.0 / _)
-      val xtw = xr.t * diag(winv)
-      val xtwx = xtw * xr
-      val beta = xtwx \ (xtw * yr)
-      val res = yr - xr * beta
-      var rss = 0.0
-      var logw = 0.0
-      var i = 0
-      while (i < n) { rss += res(i) * res(i) * winv(i)
-        logw += math.log(w(i)); i += 1 }
+      val (xwx, xwy, ywy, ld) = weighted(delta)
+      val beta = xwx \ xwy
+      val rss = ywy - (beta dot xwy)
       val sigma2 = rss / (n - k)
-      val (_, ldXtwx) = breeze.linalg.logdet(xtwx)
-      0.5 * ((n - k) * math.log(sigma2) + logw + ldXtwx)
+      val (_, ldXwx) = logdet(xwx)
+      0.5 * ((n - k) * math.log(sigma2) + ld + ldXwx)
     }
     // golden-section on log δ ∈ [-8, 8] seeded by a coarse grid
     val grid = (-80 to 80).map(i => i / 10.0)
@@ -75,26 +109,51 @@ object Lmm {
     }
     val logDelta = (lo + hi) / 2
     val delta = math.exp(logDelta)
-    val w = s.map(_ + delta)
-    val winv = w.map(1.0 / _)
-    val xtw = xr.t * diag(winv)
-    val beta = (xtw * xr) \ (xtw * yr)
-    val res = yr - xr * beta
-    val rss = (0 until n).map(i => res(i) * res(i) * winv(i)).sum
+    val (xwx, xwy, ywy, _) = weighted(delta)
+    val beta = xwx \ xwy
+    val rss = ywy - (beta dot xwy)
     val sigmaG2 = rss / (n - k)
     LmmFit(delta, sigmaG2, 1.0 / (1.0 + delta), -remlNegLL(logDelta),
-      u, s, yr, xr)
+      basis, vy, vx, yy, xy, xx)
   }
 
-  /** Per-variant association under the fitted LMM: rotate the
-    * mean-imputed dosage matrix by U (one distributed multiply), then a
-    * weighted OLS of ỹ on [X̃, x̃] per variant; reports the genotype
-    * beta, chi_sq (Wald) and p_value. `pheno` keyed by the col key
-    * supplies y and covariates (intercept added). */
+  /** Default kinship basis (V, S) for the GRM K = MᵀM·(2/m) of the
+    * HWE-normalized genotype matrix, via distributed thin SVD of the
+    * variant-major `RowMatrix` — right singular vectors ARE the GRM
+    * eigenvectors, squared singular values scale to its eigenvalues, so
+    * the S×S matrix itself is never formed. `maxRank` truncates the
+    * basis (FaST-LMM low-rank); default keeps every rank-revealing
+    * component min(m, n). */
+  def spectralGrm(mt: MatrixTable, maxRank: Option[Int] = None)
+      : SpectralKinship = {
+    val n = mt.nCols
+    val (normRows, m) = Pca.hweNormalized(mt, scaleM = false)
+    val vecRdd = normRows.select(col("__norm")).rdd
+      .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
+    vecRdd.cache() // computeSVD makes multiple passes
+    try {
+      val k = math.max(1, math.min(maxRank.getOrElse(n),
+        math.min(n.toLong, m).toInt))
+      val svd = new RowMatrix(vecRdd, m, n).computeSVD(k, computeU = false)
+      val r = svd.s.size // values below rCond·σ₁ are dropped
+      val scale = 2.0 / m
+      val s = BDV.tabulate(r)(i => svd.s(i) * svd.s(i) * scale)
+      val v = BDM.tabulate(n, r)((i, j) => svd.V(i, j))
+      SpectralKinship(v, s)
+    } finally vecRdd.unpersist(blocking = false)
+  }
+
+  /** Per-variant association under the fitted LMM: each mean-imputed
+    * dosage vector g is projected onto the broadcast basis (Vᵀg) and the
+    * augmented weighted normal equations [X̃ | g̃] are solved locally —
+    * one narrow `mapPartitions`, no shuffle. Reports the genotype beta,
+    * chi_sq (Wald) and p_value. `pheno` keyed by the col key supplies y
+    * and covariates (intercept added). */
   def linearMixedRegressionRows(mt: MatrixTable,
       pheno: org.apache.spark.sql.DataFrame, yCol: String,
       covCols: Seq[String] = Nil,
-      kinship: Option[BDM[Double]] = None): Table = {
+      kinship: Option[BDM[Double]] = None,
+      maxRank: Option[Int] = None): Table = {
     val n = mt.nCols
     val phenoSchema = pheno.schema
     val keyIdx = mt.colKey.map(phenoSchema.fieldIndex)
@@ -113,19 +172,11 @@ object Lmm {
     val y = BDV(ordered.map(num(_, yCol)).toArray)
     val x = BDM.tabulate(n, covCols.length + 1)((i, j) =>
       if (j == 0) 1.0 else num(ordered(i), covCols(j - 1)))
-    val kin = kinship.getOrElse {
-      // default: RRM-style kinship from the genotypes themselves
-      val grmRows = Pca.grm(mt).collect()
-      val m = BDM.zeros[Double](n, n)
-      grmRows.foreach { r =>
-        val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(2)
-        m(i, j) = v; m(j, i) = v
-      }
-      m
+    val f = kinship match {
+      case Some(kin) => fit(kin, y, x) // explicit K: eigSym path
+      case None => fitSpectral(spectralGrm(mt, maxRank), y, x)
     }
-    val f = fit(kin, y, x)
     val spark = mt.spark
-    // rotated dosages: one order-preserving distributed multiply
     val dose = transform(mt.entries,
       e => Calls.nNonRefAlleles(e("GT")).cast("double"))
     val withDose = mt.rows.select(struct(mt.rowKey.map(col): _*)
@@ -137,27 +188,67 @@ object Lmm {
             .cast("double")).as("__mean"))
       .select(col("__k"),
         transform(col("__d"), v => coalesce(v, col("__mean"))).as("__g"))
-    withDose.persist()
-    try {
-      val keys = withDose.select(col("__k")).rdd.map(_.getStruct(0))
-      val vecs = withDose.select(col("__g")).rdd
-        .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
-      val uMl = new MlDenseMatrix(n, n, f.u.toArray)
-      val rotated = new RowMatrix(vecs, -1L, n).multiply(uMl).rows
-      val bcFit = spark.sparkContext.broadcast(
-        (f.yRot.toArray, f.xRot.toArray, f.s.toArray, f.delta))
-      val k = covCols.length + 1
-      val outRdd = keys.zip(rotated).map { case (key, xt) =>
-        val (yrA, xrA, sA, delta) = bcFit.value
-        val yr = new BDV(yrA)
-        val xr = new BDM(n, k, xrA)
-        val winv = sA.map(sv => 1.0 / (sv + delta))
-        // augmented design [X̃ | x̃] weighted normal equations
-        val a = BDM.horzcat(xr,
-          new BDM(n, 1, xt.toArray))
-        val atw = a.t * diag(new BDV(winv))
-        val atwa = atw * a
-        val rhs = atw * yr
+    val k = covCols.length + 1
+    val r = f.basis.r
+    // fitted-δ weighted blocks, fixed across variants
+    val delta = f.delta
+    val w = f.basis.s.map(si => 1.0 / (si + delta) - 1.0 / delta)
+    val vxw = f.vx.copy
+    locally { var i = 0; while (i < r) { vxw(i, ::) :*= w(i); i += 1 } }
+    val xwx = (f.xx * (1.0 / delta)) + (f.vx.t * vxw)
+    val xwy = (f.xy * (1.0 / delta)) + (f.vx.t * (f.vy *:* w))
+    val ywy = f.yy / delta + (f.vy dot (f.vy *:* w))
+    val bc = spark.sparkContext.broadcast((
+      f.basis.v.toArray, w.toArray, delta, // basis (n×r col-major)
+      x.toArray, y.toArray, // raw design/pheno (n×k col-major, n)
+      f.vx.toArray, f.vy.toArray, // projections (r×k col-major, r)
+      xwx.toArray, xwy.toArray, ywy))
+    val outRdd = withDose.rdd.mapPartitions { it =>
+      val (vA, wA, dlt, xA, yA, vxA, vyA, xwxA, xwyA, ywyL) = bc.value
+      it.map { row =>
+        val key = row.getStruct(0)
+        val g = row.getSeq[Double](1).toArray
+        // projections and raw products of g in one pass each
+        val vg = new Array[Double](r)
+        var j = 0
+        while (j < r) {
+          var acc = 0.0; var i = 0; val off = j * n
+          while (i < n) { acc += vA(off + i) * g(i); i += 1 }
+          vg(j) = acc; j += 1
+        }
+        val gx = new Array[Double](k)
+        var cIdx = 0
+        while (cIdx < k) {
+          var acc = 0.0; var i = 0; val off = cIdx * n
+          while (i < n) { acc += xA(off + i) * g(i); i += 1 }
+          gx(cIdx) = acc; cIdx += 1
+        }
+        var gy = 0.0; var gg = 0.0
+        locally { var i = 0
+          while (i < n) { gy += yA(i) * g(i); gg += g(i) * g(i); i += 1 } }
+        // weighted blocks involving g
+        var gWg = gg / dlt; var gWy = gy / dlt
+        val gWX = Array.tabulate(k)(c => gx(c) / dlt)
+        locally { var i = 0
+          while (i < r) {
+            val wv = wA(i) * vg(i)
+            gWg += wv * vg(i)
+            gWy += wv * vyA(i)
+            var c = 0
+            while (c < k) { gWX(c) += wv * vxA(c * r + i); c += 1 }
+            i += 1
+          } }
+        // augmented (k+1)×(k+1) weighted normal equations
+        val atwa = BDM.zeros[Double](k + 1, k + 1)
+        locally { var a = 0
+          while (a < k) {
+            var b = 0
+            while (b < k) { atwa(a, b) = xwxA(b * k + a); b += 1 }
+            atwa(a, k) = gWX(a); atwa(k, a) = gWX(a)
+            a += 1
+          } }
+        atwa(k, k) = gWg
+        val rhs = BDV(xwyA :+ gWy)
         val sol =
           try Some(atwa \ rhs)
           catch { case _: Exception => None }
@@ -165,13 +256,10 @@ object Lmm {
           case None => Row.fromSeq(key.toSeq ++
             Seq(null, null, null, null))
           case Some(beta) =>
-            val res = yr - a * beta
-            var rss = 0.0
-            var i = 0
-            while (i < n) { rss += res(i) * res(i) * winv(i); i += 1 }
+            val rss = ywyL - (beta dot rhs)
             val sigma2 = rss / (n - k - 1)
             val cov =
-              try breeze.linalg.inv(atwa)
+              try inv(atwa)
               catch { case _: Exception => null }
             if (cov == null)
               Row.fromSeq(key.toSeq ++ Seq(null, null, null, null))
@@ -185,15 +273,15 @@ object Lmm {
             }
         }
       }
-      val keySchema = mt.rows.schema.fields
-        .filter(fld => mt.rowKey.contains(fld.name))
-      val schema = StructType(
-        mt.rowKey.map(kn => keySchema.find(_.name == kn).get) ++ Seq(
-          StructField("beta", DoubleType),
-          StructField("standard_error", DoubleType),
-          StructField("chi_sq", DoubleType),
-          StructField("p_value", DoubleType)))
-      Table(spark.createDataFrame(outRdd, schema), mt.rowKey, mt.globals)
-    } finally withDose.unpersist(blocking = false)
+    }
+    val keySchema = mt.rows.schema.fields
+      .filter(fld => mt.rowKey.contains(fld.name))
+    val schema = StructType(
+      mt.rowKey.map(kn => keySchema.find(_.name == kn).get) ++ Seq(
+        StructField("beta", DoubleType),
+        StructField("standard_error", DoubleType),
+        StructField("chi_sq", DoubleType),
+        StructField("p_value", DoubleType)))
+    Table(spark.createDataFrame(outRdd, schema), mt.rowKey, mt.globals)
   }
 }

@@ -134,6 +134,62 @@ class LmmSpec extends SparkSpec {
     assert(checked > 10, s"only $checked variants checked")
   }
 
+  test("default spectral path matches explicit-GRM eigSym path, incl low rank") {
+    import breeze.linalg.diag
+    import graft.methods.{Lmm, Pca}
+    val mt = fixtureMt()
+    val n = mt.nCols
+    val pheno = mt.colsTable.df
+      .withColumn("y", substring(col("s"), 2, 10).cast("double"))
+    def run(kin: Option[BDM[Double]], maxRank: Option[Int] = None) =
+      Lmm.linearMixedRegressionRows(mt, pheno, "y", kinship = kin,
+        maxRank = maxRank).df.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2)) -> r).toMap
+    // explicit K assembled test-side from the GRM pair frame (small
+    // fixture only — the default path must NOT do this)
+    val kin = BDM.zeros[Double](n, n)
+    Pca.grm(mt).collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(2)
+      kin(i, j) = v; kin(j, i) = v
+    }
+    val exp = run(Some(kin))
+    val dflt = run(None)
+    assert(dflt.keySet == exp.keySet)
+    var checked = 0
+    for ((k, dr) <- dflt; er = exp(k)
+         if !dr.isNullAt(dr.fieldIndex("beta")) &&
+           !er.isNullAt(er.fieldIndex("beta"))) {
+      assert(math.abs(dr.getAs[Double]("beta") - er.getAs[Double]("beta"))
+        < 1e-6 * math.max(1.0, math.abs(er.getAs[Double]("beta"))), s"$k beta")
+      assert(math.abs(dr.getAs[Double]("chi_sq") -
+        er.getAs[Double]("chi_sq")) <
+        1e-5 * math.max(1.0, er.getAs[Double]("chi_sq")), s"$k chi_sq")
+      checked += 1
+    }
+    assert(checked > 10, s"only $checked variants compared")
+    // the spectral basis is rank-bounded — nothing S×S is assembled
+    val basis = Lmm.spectralGrm(mt)
+    assert(basis.r <= n && basis.v.rows == n)
+    // FaST-LMM low-rank: a truncated basis must agree with an explicit
+    // kinship built from the SAME truncation (exercises the r < n
+    // complement weighting 1/delta)
+    val b3 = Lmm.spectralGrm(mt, maxRank = Some(3))
+    assert(b3.r == 3 && b3.r < n)
+    val kTrunc = b3.v * diag(b3.s) * b3.v.t
+    val expT = run(Some(kTrunc))
+    val dfltT = run(None, maxRank = Some(3))
+    var checkedT = 0
+    for ((k, dr) <- dfltT; er = expT(k)
+         if !dr.isNullAt(dr.fieldIndex("beta")) &&
+           !er.isNullAt(er.fieldIndex("beta"))) {
+      assert(math.abs(dr.getAs[Double]("beta") - er.getAs[Double]("beta"))
+        < 1e-6 * math.max(1.0, math.abs(er.getAs[Double]("beta"))),
+        s"$k low-rank beta")
+      checkedT += 1
+    }
+    assert(checkedT > 10, s"only $checkedT low-rank variants compared")
+  }
+
   test("default kinship path (GRM) runs end to end") {
     val mt = fixtureMt()
     val pheno = mt.colsTable.df
