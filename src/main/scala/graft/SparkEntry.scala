@@ -60,6 +60,18 @@ object SparkEntry {
       | FROM lineitem GROUP BY 1, 2) cell""".stripMargin
 
   private val VcfFixture = "/root/repo/src/test/resources/oracle_sample.vcf"
+
+  /** Deterministic VEP stand-in for the `vep_annotate` gate: emits one
+    * VEP --json object per VCF input line with closed-form annotations
+    * the DuckDB oracle recomputes from the fixture. */
+  private val VepStandInCmd = Seq("awk", "-F", "\t",
+    """{
+      |  line=$0; gsub(/\t/,"\\t",line);
+      |  if (length($4)==1 && length($5)==1) msc="missense_variant";
+      |  else msc="indel";
+      |  printf("{\"input\":\"%s\",\"assembly_name\":\"GRCh38\",\"seq_region_name\":\"%s\",\"start\":%d,\"end\":%d,\"allele_string\":\"%s/%s\",\"strand\":1,\"most_severe_consequence\":\"%s\",\"transcript_consequences\":[{\"allele_num\":1,\"gene_id\":\"GENE%d\",\"canonical\":1,\"consequence_terms\":[\"%s\"]}]}\n",
+      |    line, $1, $2, $2+length($4)-1, $4, $5, msc, $2%5, msc);
+      |}""".stripMargin)
   private val VcfMultiFixture = "/root/repo/src/test/resources/oracle_multi.vcf"
 
   /** Literal k=2 PC scores for the `geno_pc_relate_pcs` gate, aligned
@@ -1813,6 +1825,29 @@ object SparkEntry {
           Calls.allele2(col("GT")).as("a2"),
           Calls.isPhased(col("GT")).as("phased"),
           col("DP").as("dp"))
+    }),
+
+    // --- vep (qc.py:1104, runner contract is/hail/methods/VEP.scala):
+    // a deterministic awk stand-in plays the annotator binary — one VEP
+    // --json object per VCF input line, `input` echoing the line; the
+    // engine joins annotations back by the re-parsed variant key. The
+    // oracle recomputes the stand-in's closed-form annotations from the
+    // same fixture ---------------------------------------------------------
+    "vep_annotate" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val t = Table(
+        mt.rowsTable.df.select("contig", "position", "ref", "alt"),
+        Seq("contig", "position"))
+      methods.Vep.vep(t, VepStandInCmd).df
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"),
+          col("vep.assembly_name").as("assembly_name"),
+          col("vep.allele_string").as("allele_string"),
+          col("vep.start").as("vstart"),
+          col("vep.end").as("vend"),
+          col("vep.most_severe_consequence").as("msc"),
+          element_at(col("vep.transcript_consequences"), 1)("gene_id")
+            .as("gene_id"))
     }),
 
     // --- import_matrix_table (impex.py / TextMatrixReader.scala):
@@ -4831,6 +4866,27 @@ object SparkEntry {
         |AS t(id, foo, col_id, x)""".stripMargin,
 
     "vcf_import" -> VcfImportOracleSql,
+
+    // the awk stand-in's annotations are closed-form in the fixture row
+    "vep_annotate" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_csv(
+        |    '/root/repo/src/test/resources/oracle_sample.vcf',
+        |    delim='\t', header=false, skip=7,
+        |    columns={'contig':'VARCHAR','position':'INTEGER',
+        |      'rsid':'VARCHAR','ref':'VARCHAR','alts':'VARCHAR',
+        |      'qual':'DOUBLE','filt':'VARCHAR','info':'VARCHAR',
+        |      'fmt':'VARCHAR','S1':'VARCHAR','S2':'VARCHAR','S3':'VARCHAR',
+        |      'S4':'VARCHAR','S5':'VARCHAR'}))
+        |SELECT contig, position, ref, alts,
+        |  'GRCh38' AS assembly_name,
+        |  ref || '/' || alts AS allele_string,
+        |  position AS vstart,
+        |  CAST(position + length(ref) - 1 AS INTEGER) AS vend,
+        |  CASE WHEN length(ref) = 1 AND length(alts) = 1
+        |    THEN 'missense_variant' ELSE 'indel' END AS msc,
+        |  'GENE' || (position % 5) AS gene_id
+        |FROM raw""".stripMargin,
 
     // the text-writer round-trip restores the import projection exactly
     "vcf_write_roundtrip" -> VcfImportOracleSql,
