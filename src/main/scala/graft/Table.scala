@@ -500,10 +500,26 @@ object Table {
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val sizes = fs.listStatus(dir)
         .map(st => st.getPath.getName -> st.getLen).toMap
-      val maxSplit = org.apache.spark.network.util.JavaUtils
-        .byteStringAsBytes(
-          spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-      if (!files.forall(f => sizes.get(f._1).exists(_ <= maxSplit))) None
+      // Spark's effective split size for a single-file scan is
+      // min(maxPartitionBytes, max(openCostInBytes,
+      //     (fileBytes + openCost) / defaultParallelism)) — mirroring
+      // FilePartition.maxSplitBytes. Guarding on maxPartitionBytes alone
+      // is NOT enough: the parallelism term can shrink splits far below
+      // it and a split file loses intra-file order.
+      def bytesConf(key: String, dflt: String): Long =
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get(key, dflt))
+      val maxPartitionBytes =
+        bytesConf("spark.sql.files.maxPartitionBytes", "128MB")
+      val openCost = bytesConf("spark.sql.files.openCostInBytes", "4MB")
+      val parallelism =
+        math.max(1, spark.sparkContext.defaultParallelism)
+      def unsplit(size: Long): Boolean = {
+        val bytesPerCore = (size + openCost) / parallelism
+        size <= math.min(maxPartitionBytes,
+          math.max(openCost, bytesPerCore))
+      }
+      if (!files.forall(f => sizes.get(f._1).exists(unsplit))) None
       else Some(files.map(f => spark.read.parquet(s"$rowsDir/${f._1}"))
         .reduce(_.unionByName(_)))
     }

@@ -215,8 +215,12 @@ object Pca {
         }
         out.result()
       }
+      // localCheckpoint, not persist: same materialize-once semantics,
+      // but the blocks are released by the ContextCleaner when the
+      // returned frame is dropped — a CacheManager persist would pin
+      // them for the life of the session unless the caller unpersists
       val out = spark.createDataFrame(pairRows, schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       out.count() // force, so the vector RDD can be released
       vecs.unpersist(blocking = false)
       out

@@ -39,6 +39,11 @@ object Tidyr {
   def spread(t: Table, field: String, value: String,
       extraKey: Seq[String] = Nil): Table = {
     val groupCols = t.key ++ extraKey
+    // Driver-bounded by contract: the pivoted levels BECOME output
+    // columns, so their cardinality is bounded by schema width (a few
+    // thousand at most) — same driver-local contract as the reference's
+    // to_spark pivoting and Spark's own Dataset.groupBy().pivot(), which
+    // also collects distinct levels to plan the schema.
     val levels = t.df.select(field).distinct().collect()
       .map(_.get(0)).filter(_ != null).map(_.toString).sorted.toSeq
     val passThrough = t.df.columns.toSeq

@@ -7,7 +7,14 @@ import org.apache.spark.sql.functions._
   * All stages are DataFrame-declarative: the heavy lifting (hash groupBys,
   * band-bucket equi-joins) shuffles on high-cardinality keys Catalyst can
   * hash-partition, so every stage scales horizontally; no driver-side state.
-  */
+  *
+  * Storage contract: multi-consumer intermediates (shingle sets, band /
+  * simhash signatures, embedding buckets) are materialized once via
+  * `localCheckpoint(false)` at the fan-out point. Their blocks are NOT
+  * pinned in the CacheManager — the ContextCleaner releases them once the
+  * returned frame (and its lineage) is no longer referenced, so a
+  * long-lived session that drops its result frames reclaims the space
+  * without explicit unpersist calls. */
 object Dedup {
 
   /** Exact dedup: keep the row with the smallest `id` per identical content
@@ -301,9 +308,15 @@ object Dedup {
     * round unpersists, so lineage stays flat at 100 TB scale. */
   def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // No distinct: min-propagation is idempotent to duplicate edges and
+    // the dedup cost a whole extra shuffle per build. Repartition on the
+    // propagation key instead — the persisted layout is already
+    // co-partitioned for every round's join AND the seed's groupBy, so a
+    // round pays one exchange (the union-agg), not three.
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
-      .distinct().persist()
+      .repartition(col("a"))
+      .persist()
     // localCheckpoint, not persist: each round must TRUNCATE the plan
     // (a persisted-but-unbroken lineage doubles the analyzed tree per
     // iteration — exponential driver memory by round ~12). LAZY
