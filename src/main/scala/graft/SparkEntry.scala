@@ -2213,6 +2213,106 @@ object SparkEntry {
           round(NdArrays.sumAll(sol), 6).as("ssum"))
     }),
 
+    // --- ndarray QR (NDArrayFunctions.scala qr): decomposition factors
+    // aren't sign-unique, so the gate pins |R| entries (closed-form via
+    // Gram identities: |r11| = |col1|, |r12| = col1.col2/|col1|,
+    // |r22| = sqrt(det Gram)/|col1|) plus max|QR - A| = 0, which together
+    // determine the factorization up to the sign convention -----------------
+    "ndarray_qr" -> ((s, dir) => {
+      import graft.functions.NdArrays
+      val k = col("p_partkey")
+      def e(m: Int, o: Int) = (pmod(k, lit(m)) + o).cast("double")
+      val a = NdArrays.make(Seq(3L, 2L), array(
+        e(7, 1), e(5, 2), e(3, 3), e(11, 1), e(13, 2), e(2, 4)))
+      val qr = NdArrays.qrDecomp(a)
+      val recon = NdArrays.matmul(qr("q"), qr("r"))
+      val err = aggregate(
+        zip_with(recon("data"), a("data"), (x, y) => abs(x - y)),
+        lit(0.0), (acc, v) => greatest(acc, v))
+      t(s, dir, "part").filter(k <= 20)
+        .select(k.as("p_partkey"),
+          round(abs(element_at(qr("r")("data"), 1)), 6).as("r11"),
+          round(abs(element_at(qr("r")("data"), 2)), 6).as("r12"),
+          round(abs(element_at(qr("r")("data"), 4)), 6).as("r22"),
+          (round(err, 6) + lit(0.0)).as("recon_err"))
+    }),
+
+    // --- ndarray SVD: singular values of a 2x2 are closed-form
+    // (sqrt of eigenvalues of M'M via the quadratic formula) ----------------
+    "ndarray_svd" -> ((s, dir) => {
+      import graft.functions.NdArrays
+      val k = col("p_partkey")
+      def e(m: Int, o: Int) = (pmod(k, lit(m)) + o).cast("double")
+      val a = NdArrays.make(Seq(2L, 2L), array(
+        e(7, 1), e(5, 0), e(3, 2), e(11, 1)))
+      val sv = NdArrays.svdDecomp(a)
+      t(s, dir, "part").filter(k <= 20)
+        .select(k.as("p_partkey"),
+          round(element_at(sv("s"), 1), 6).as("s1"),
+          round(element_at(sv("s"), 2), 6).as("s2"))
+    }),
+
+    // --- ndarray eigh: eigenvalues of a symmetric 2x2 are closed-form
+    // ((a+c)/2 -+ sqrt(((a-c)/2)^2 + b^2), ascending like Breeze) -----------
+    "ndarray_eigh" -> ((s, dir) => {
+      import graft.functions.NdArrays
+      val k = col("p_partkey")
+      def e(m: Int, o: Int) = (pmod(k, lit(m)) + o).cast("double")
+      val a = NdArrays.make(Seq(2L, 2L), array(
+        e(7, 2), e(4, 0), e(4, 0), e(5, 5)))
+      val eg = NdArrays.eigh(a)
+      t(s, dir, "part").filter(k <= 20)
+        .select(k.as("p_partkey"),
+          round(element_at(eg("eigenvalues"), 1), 6).as("ev1"),
+          round(element_at(eg("eigenvalues"), 2), 6).as("ev2"))
+    }),
+
+    // --- MatrixKeyRowsBy (MatrixIR.scala:600): re-key the row axis; the
+    // new key steers every key-dependent op — here headRows picks the 5
+    // smallest (qual, position) rows instead of (contig, position) ----------
+    "matrix_key_rows_by" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      mt.keyRowsBy("qual", "position").headRows(5).rowsTable.df
+        .select(col("qual"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"))
+    }),
+
+    // --- sample_rows / sample_cols (matrixtable.py): seeded deterministic
+    // subsets (xxhash64 rows, MurmurHash3 cols) — golden VALUES oracle,
+    // the same trick as rand_seeded -----------------------------------------
+    "matrix_sample" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val sampled = mt.sampleRows(0.5, 7L).sampleCols(0.6, 3L)
+      val keyIdx = sampled.colSchema.fieldIndex("s")
+      sampled.rowsTable.df
+        .select(col("contig"), col("position"), col("ref"))
+        .withColumn("kept_cols", lit(sampled.nCols))
+        .withColumn("kept_samples",
+          lit(sampled.colValues.map(_.getString(keyIdx)).mkString(",")))
+    }),
+
+    // --- tidyr spread (experimental/tidyr.py): long -> wide pivot; the
+    // linestatus levels become columns ---------------------------------------
+    "tidyr_spread" -> ((s, dir) => {
+      val long = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity"))
+          .cast("decimal(18,4)").cast("double").as("v"))
+        .select("l_returnflag", "l_linestatus", "v")
+      operators.Tidyr.spread(Table(long, Seq("l_returnflag")),
+        "l_linestatus", "v").df
+    }),
+
+    // --- tidyr gather (experimental/tidyr.py): wide -> long ----------------
+    "tidyr_gather" -> ((s, dir) => {
+      val wide = t(s, dir, "part").filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retail"))
+      operators.Tidyr.gather(Table(wide, Seq("p_partkey")),
+        "field", "value", "size", "retail").df
+    }),
+
     // --- TableGen (`TableIR.scala:2094`): one partition per context with
     // a generator body ------------------------------------------------------
     "table_gen" -> ((s, _) => {
@@ -5036,6 +5136,108 @@ object SparkEntry {
         |    CAST((1 + o_orderkey % 3) * (2 + o_orderkey % 2) - 1 AS DOUBLE)
         |      AS det
         |  FROM orders WHERE o_orderkey <= 200)""".stripMargin,
+
+    // |R| entries from the Gram identities of A's columns; QR recon
+    // error is exactly 0 at 6 decimals
+    "ndarray_qr" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 7 + 1 AS DOUBLE) AS a11,
+        |    CAST(p_partkey % 5 + 2 AS DOUBLE) AS a12,
+        |    CAST(p_partkey % 3 + 3 AS DOUBLE) AS a21,
+        |    CAST(p_partkey % 11 + 1 AS DOUBLE) AS a22,
+        |    CAST(p_partkey % 13 + 2 AS DOUBLE) AS a31,
+        |    CAST(p_partkey % 2 + 4 AS DOUBLE) AS a32
+        |  FROM part WHERE p_partkey <= 20),
+        |g AS (
+        |  SELECT p_partkey,
+        |    a11*a11 + a21*a21 + a31*a31 AS g11,
+        |    a12*a12 + a22*a22 + a32*a32 AS g22,
+        |    a11*a12 + a21*a22 + a31*a32 AS g12
+        |  FROM b)
+        |SELECT p_partkey,
+        |  round(sqrt(g11), 6) AS r11,
+        |  round(abs(g12) / sqrt(g11), 6) AS r12,
+        |  round(sqrt(g11*g22 - g12*g12) / sqrt(g11), 6) AS r22,
+        |  0.0 AS recon_err
+        |FROM g""".stripMargin,
+
+    // singular values of a 2x2 via the quadratic formula on M'M
+    "ndarray_svd" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 7 + 1 AS DOUBLE) AS a,
+        |    CAST(p_partkey % 5 AS DOUBLE) AS bb,
+        |    CAST(p_partkey % 3 + 2 AS DOUBLE) AS c,
+        |    CAST(p_partkey % 11 + 1 AS DOUBLE) AS d
+        |  FROM part WHERE p_partkey <= 20),
+        |g AS (
+        |  SELECT p_partkey,
+        |    a*a + c*c AS p, bb*bb + d*d AS q, a*bb + c*d AS r
+        |  FROM b)
+        |SELECT p_partkey,
+        |  round(sqrt((p + q + sqrt((p-q)*(p-q) + 4*r*r)) / 2), 6) AS s1,
+        |  round(sqrt(greatest(p + q - sqrt((p-q)*(p-q) + 4*r*r), 0)
+        |    / 2), 6) AS s2
+        |FROM g""".stripMargin,
+
+    // symmetric 2x2 eigenvalues, ascending like Breeze eigSym
+    "ndarray_eigh" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 7 + 2 AS DOUBLE) AS a,
+        |    CAST(p_partkey % 4 AS DOUBLE) AS bb,
+        |    CAST(p_partkey % 5 + 5 AS DOUBLE) AS c
+        |  FROM part WHERE p_partkey <= 20)
+        |SELECT p_partkey,
+        |  round((a + c) / 2 - sqrt((a-c)*(a-c)/4 + bb*bb), 6) AS ev1,
+        |  round((a + c) / 2 + sqrt((a-c)*(a-c)/4 + bb*bb), 6) AS ev2
+        |FROM b""".stripMargin,
+
+    "matrix_key_rows_by" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_csv(
+        |    '/root/repo/src/test/resources/oracle_sample.vcf',
+        |    delim='\t', header=false, skip=7,
+        |    columns={'contig':'VARCHAR','position':'INTEGER',
+        |      'rsid':'VARCHAR','ref':'VARCHAR','alts':'VARCHAR',
+        |      'qual':'DOUBLE','filt':'VARCHAR','info':'VARCHAR',
+        |      'fmt':'VARCHAR','S1':'VARCHAR','S2':'VARCHAR','S3':'VARCHAR',
+        |      'S4':'VARCHAR','S5':'VARCHAR'}))
+        |SELECT qual, position, ref, alts
+        |FROM raw ORDER BY qual, position LIMIT 5""".stripMargin,
+
+    // golden VALUES: seeded xxhash64 row / MurmurHash3 col subsets are
+    // deterministic but not DuckDB-reproducible (same trick as
+    // rand_seeded); regenerate by re-dumping matrix_sample after an
+    // intentional change to the hash contract
+    "matrix_sample" ->
+      """SELECT contig, CAST(position AS INTEGER) AS position, ref,
+        |  CAST(kept_cols AS INTEGER) AS kept_cols, kept_samples
+        |FROM (VALUES
+        |  ('chr2', 564, 'A'), ('chr1', 612, 'G'), ('chr2', 628, 'T'),
+        |  ('chr2', 1093, 'T'), ('chr1', 1436, 'C'), ('chr1', 2022, 'G'),
+        |  ('chr2', 2032, 'G'), ('chr2', 2453, 'T'), ('chr2', 2895, 'T'),
+        |  ('chr2', 3188, 'T'), ('chr1', 3503, 'A'), ('chr1', 3646, 'T'))
+        |  t(contig, position, ref),
+        |  (VALUES (3, 'S1,S2,S3')) c(kept_cols, kept_samples)""".stripMargin,
+
+    "tidyr_spread" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS F,
+        |  CAST(CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "tidyr_gather" ->
+      """SELECT p_partkey, 'size' AS field,
+        |  CAST(p_size AS DOUBLE) AS value
+        |FROM part WHERE p_partkey <= 100
+        |UNION ALL
+        |SELECT p_partkey, 'retail' AS field,
+        |  CAST(p_retailprice AS DOUBLE) AS value
+        |FROM part WHERE p_partkey <= 100""".stripMargin,
 
     "table_gen" ->
       """SELECT CAST(c AS INTEGER) AS ctx, CAST(j AS INTEGER) AS idx,
