@@ -1827,6 +1827,39 @@ object SparkEntry {
           col("DP").as("dp"))
     }),
 
+    // --- native-format .ht import (AbstractTableSpec.scala /
+    // AbstractRVDSpec.scala / types/encoded): the committed fixture is
+    // written by an INDEPENDENT stdlib-python encoder
+    // (tools/make_ht_fixture.py) following the same public format docs,
+    // so reader and fixture share no code; values are closed-form
+    // constants the oracle lists ------------------------------------------
+    "ht_import" -> ((s, _) => {
+      val t = sources.HailNative.readTable(s,
+        "/root/repo/src/test/resources/sample.ht")
+      t.df.select(col("id"), col("name"), col("score"),
+        concat_ws(",", col("tags")).as("tags"),
+        col("info")("a").as("info_a"), col("info")("b").as("info_b"),
+        col("maybe"),
+        lit(t.globals("pop").toString).as("g_pop"))
+    }),
+
+    // --- native-format .mt import: rows zip entries per partition;
+    // entry-level aggregation over the imported matrix ----------------------
+    "mt_import" -> ((s, _) => {
+      val mt = sources.HailNative.readMatrixTable(s,
+        "/root/repo/src/test/resources/sample.mt")
+      mt.rows.select(
+        col("locus")("contig").as("contig"),
+        col("locus")("position").as("position"),
+        col("ref"),
+        size(filter(mt.entries, e => e.isNotNull && e("gt").isNotNull))
+          .as("n_called"),
+        aggregate(mt.entries, lit(0),
+          (a, e) => a + coalesce(e("dp"), lit(0))).as("dp_sum"),
+        lit(mt.nCols).as("n_cols"),
+        lit(mt.globals("note").toString).as("g_note"))
+    }),
+
     // --- vep (qc.py:1104, runner contract is/hail/methods/VEP.scala):
     // a deterministic awk stand-in plays the annotator binary — one VEP
     // --json object per VCF input line, `input` echoing the line; the
@@ -4966,6 +4999,31 @@ object SparkEntry {
         |AS t(id, foo, col_id, x)""".stripMargin,
 
     "vcf_import" -> VcfImportOracleSql,
+
+    // fixture constants (tools/make_ht_fixture.py writes them literally)
+    "ht_import" ->
+      """SELECT CAST(id AS INTEGER) AS id, name, CAST(score AS DOUBLE)
+        |    AS score, tags,
+        |  CAST(info_a AS INTEGER) AS info_a, info_b,
+        |  CAST(maybe AS DOUBLE) AS maybe, 'EUR' AS g_pop
+        |FROM (VALUES
+        |  (1, 'alpha', 1.5, 'x,y', 10, true, 2.25),
+        |  (2, 'beta', -3.0, '', NULL, false, NULL),
+        |  (3, 'gamma', 0.125, 'z,w', 7, true, -1.0),
+        |  (4, 'delta', 4.5, 'q', 0, false, 0.5),
+        |  (5, 'epsilon', 9.0, '', 128, true, NULL))
+        |  t(id, name, score, tags, info_a, info_b, maybe)""".stripMargin,
+
+    "mt_import" ->
+      """SELECT contig, CAST(position AS INTEGER) AS position, ref,
+        |  CAST(n_called AS INTEGER) AS n_called,
+        |  CAST(dp_sum AS INTEGER) AS dp_sum,
+        |  CAST(2 AS INTEGER) AS n_cols, 'fixture' AS g_note
+        |FROM (VALUES
+        |  ('chr1', 100, 'A', 2, 10),
+        |  ('chr1', 200, 'C', 1, 25),
+        |  ('chr2', 300, 'G', 2, 15))
+        |  t(contig, position, ref, n_called, dp_sum)""".stripMargin,
 
     // the awk stand-in's annotations are closed-form in the fixture row
     "vep_annotate" ->
