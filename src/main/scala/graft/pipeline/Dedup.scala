@@ -141,9 +141,11 @@ object Dedup {
     banded.join(buckets, byCols)
   }
 
-  def minhashPairs(df: DataFrame, id: String, text: String,
-      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
-      maxBucketSize: Int = 10000, family: String = "md5"): DataFrame = {
+  /** LSH candidate pairs joined back to both shingle sets (the shared
+    * tail of `minhashPairs` / `minhashExactPairs`). */
+  private def candidatesWithShingles(df: DataFrame, id: String,
+      text: String, numHashes: Int, bands: Int, shingleSize: Int,
+      maxBucketSize: Int, family: String): DataFrame = {
     val sh = shingleSets(df, id, text, shingleSize)
     // materialize signatures once: capBuckets consumes them twice
     // (bucket count + join back) and the pair join twice more
@@ -156,18 +158,24 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val withSh = cand
+    cand
       .join(sh.select(col("doc").as("id_a"), col("shingles").as("sh_a")),
         "id_a")
       .join(sh.select(col("doc").as("id_b"), col("shingles").as("sh_b")),
         "id_b")
-    withSh.withColumn("jaccard", round(
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) -
-          size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"),
-      4))
-      .select("id_a", "id_b", "jaccard")
   }
+
+  def minhashPairs(df: DataFrame, id: String, text: String,
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      maxBucketSize: Int = 10000, family: String = "md5"): DataFrame =
+    candidatesWithShingles(df, id, text, numHashes, bands, shingleSize,
+      maxBucketSize, family)
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"),
+        4))
+      .select("id_a", "id_b", "jaccard")
 
   /** Family-invariant subset of `minhashPairs`: only pairs whose distinct
     * shingle sets are IDENTICAL. Identical sets hash to identical minhash
@@ -179,17 +187,15 @@ object Dedup {
   def minhashExactPairs(df: DataFrame, id: String, text: String,
       numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
       maxBucketSize: Int = 10000, family: String = "md5"): DataFrame = {
-    val pairs = minhashPairs(df, id, text, numHashes, bands, shingleSize,
+    // exactness piggybacks on the candidate verify join minhashPairs
+    // already pays — no extra scan, no extra joins; the predicate is the
+    // un-rounded set identity, not jaccard == 1.0 after rounding
+    candidatesWithShingles(df, id, text, numHashes, bands, shingleSize,
       maxBucketSize, family)
-    val sh = shingleSets(df, id, text, shingleSize)
-    pairs
-      .join(sh.select(col("doc").as("id_a"), col("shingles").as("sh_a")),
-        "id_a")
-      .join(sh.select(col("doc").as("id_b"), col("shingles").as("sh_b")),
-        "id_b")
       .filter(size(col("sh_a")) === size(col("sh_b")) &&
         size(array_intersect(col("sh_a"), col("sh_b"))) ===
           size(col("sh_a")))
+      .withColumn("jaccard", lit(1.0))
       .select("id_a", "id_b", "jaccard")
   }
 
