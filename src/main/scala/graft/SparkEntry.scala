@@ -1827,6 +1827,24 @@ object SparkEntry {
           col("DP").as("dp"))
     }),
 
+    // --- TailLoop/Recur (ir-gen Main.scala:647,660): per-row bounded
+    // iteration to a fixpoint; the gate drives Babylonian sqrt and
+    // Newton cube root, whose limits are the closed forms the oracle
+    // computes directly --------------------------------------------------
+    "fn_tail_loop" -> ((s, dir) => {
+      import graft.functions.Iterate
+      val sqrtF = Iterate.fixpoint(
+        p => Array((p(0) + p(1) / p(0)) / 2.0, p(1)), tol = 1e-13)
+      val cbrtF = Iterate.fixpoint(
+        p => Array((2 * p(0) + p(1) / (p(0) * p(0))) / 3.0, p(1)),
+        tol = 1e-13)
+      val x = col("p_partkey").cast("double")
+      t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          round(element_at(sqrtF(array(lit(1.0), x)), 1), 8).as("sqrt_k"),
+          round(element_at(cbrtF(array(lit(1.0), x)), 1), 8).as("cbrt_k"))
+    }),
+
     // --- native-format .ht import (AbstractTableSpec.scala /
     // AbstractRVDSpec.scala / types/encoded): the committed fixture is
     // written by an INDEPENDENT stdlib-python encoder
@@ -4999,6 +5017,13 @@ object SparkEntry {
         |AS t(id, foo, col_id, x)""".stripMargin,
 
     "vcf_import" -> VcfImportOracleSql,
+
+    // the iterated kernels converge to closed forms
+    "fn_tail_loop" ->
+      """SELECT p_partkey,
+        |  round(sqrt(CAST(p_partkey AS DOUBLE)), 8) AS sqrt_k,
+        |  round(cbrt(CAST(p_partkey AS DOUBLE)), 8) AS cbrt_k
+        |FROM part WHERE p_partkey <= 200""".stripMargin,
 
     // fixture constants (tools/make_ht_fixture.py writes them literally)
     "ht_import" ->
