@@ -407,8 +407,12 @@ final case class MatrixTable(
       rows.columns.filterNot(_ == MatrixTable.EntriesField).map(col) :+
         posexplode(entries).as(Seq("col_idx", "__e")): _*)
       .filter(col("__e").isNotNull)
-    val withEntry = entrySchema.fieldNames.foldLeft(exploded)(
-      (d, f) => d.withColumn(f, col("__e")(f))).drop("__e")
+    // one select, not a per-field withColumn fold: each withColumn
+    // re-analyzes the whole plan, which is quadratic driver time when
+    // the entries expression tree is large
+    val withEntry = exploded.select(
+      exploded.columns.filterNot(_ == "__e").map(col) ++
+        entrySchema.fieldNames.map(f => col("__e")(f).as(f)): _*)
     val colsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         colValues.zipWithIndex.map { case (r, i) =>
