@@ -59,74 +59,29 @@ object DeNovo {
         graft.functions.Alleles.isSnp(col("ref"), element_at(col("alt"), 1)))
     val failure = lit(null)
       .cast("struct<p_de_novo:double,confidence:string>")
-    // STAGED columns (not one giant entry expression): the genotype
-    // probabilities / AD sums are each referenced several times by the
-    // posterior and the confidence chains; naming them keeps
-    // CollapseProject from inlining the source parse tree into every
-    // reference (which blew codegen limits and fell back to interpreted
-    // evaluation).
+    // ONE fused kernel for the arithmetic stages (pp arrays, AD sums,
+    // allele balances, depth ratio, posteriors): Column-level staging is
+    // re-inlined by the optimizer's extract-value simplification into
+    // every CASE-chain reference (optimized plan grew 12x; analysis +
+    // codegen dominated). The kernel's output struct is opaque, so each
+    // downstream reference is a cheap field extract; the three-valued
+    // missing-gate logic stays in Column land below, unchanged.
     val ent0 = Trios.trioMatrix(mt.copy(rows = rows2), trios)
       .entriesTable.df
-    def ppOf(c: Column) = Calls.plToGp(transform(c("PL"),
-      p => p.cast("double")))
-    def adSumOf(c: Column) = aggregate(c("AD"), lit(0L),
-      (a, v) => a + v.cast("long"))
-    // staged SCALARS, one projection layer: every value the CASE chains
-    // reference more than once becomes an attribute — an inlined tree
-    // (pAuto appeared six times inside conf alone) made ANALYSIS and
-    // optimization of the call expression the dominant cost
-    def hemiP(parPp: Column): Column = {
-      val pDn = element_at(parPp, 1) * element_at(col("__kid_pp"), 2) *
-        DeNovoPrior
-      val pMissed = (element_at(parPp, 2) + element_at(parPp, 3)) *
-        element_at(col("__kid_pp"), 3) * col("__p_het")
-      when(pDn + pMissed > 0, pDn / (pDn + pMissed))
-    }
-    def abOfE(c: Column, s: Column) = when(s > 0,
-      element_at(c("AD"), 2).cast("double") / s.cast("double"))
-    val staged = ent0
-      .withColumn("__kid_pp", ppOf(col("proband_entry")))
-      .withColumn("__dad_pp", ppOf(col("father_entry")))
-      .withColumn("__mom_pp", ppOf(col("mother_entry")))
-      .withColumn("__kid_adsum", adSumOf(col("proband_entry")))
-      .withColumn("__dad_adsum", adSumOf(col("father_entry")))
-      .withColumn("__mom_adsum", adSumOf(col("mother_entry")))
-      .withColumn("__kid_ab",
-        abOfE(col("proband_entry"), col("__kid_adsum")))
-      .withColumn("__dp_ratio",
-        when(col("father_entry")("DP") + col("mother_entry")("DP") > 0,
-          col("proband_entry")("DP").cast("double") /
-            (col("father_entry")("DP") + col("mother_entry")("DP"))
-              .cast("double")))
-      .withColumn("__p_het",
-        lit(1.0) - pow(lit(1.0) - col("__site_freq"), 4.0))
-      .withColumn("__p_auto", {
-        val pDn = element_at(col("__dad_pp"), 1) *
-          element_at(col("__mom_pp"), 1) *
-          element_at(col("__kid_pp"), 2) * DeNovoPrior
-        val pMissed = (element_at(col("__dad_pp"), 2) *
-          element_at(col("__mom_pp"), 1) +
-          element_at(col("__dad_pp"), 1) *
-            element_at(col("__mom_pp"), 2)) *
-          element_at(col("__kid_pp"), 2) * col("__p_het")
-        when(pDn + pMissed > 0, pDn / (pDn + pMissed))
-      })
-      .withColumn("__p_hemi_mom", hemiP(col("__mom_pp")))
-      .withColumn("__p_hemi_dad", hemiP(col("__dad_pp")))
+    val staged = ent0.withColumn("__st", graft.functions.DeNovoStats(
+      col("proband_entry"), col("father_entry"), col("mother_entry"),
+      col("__site_freq")))
     val call: Column = {
       val kid = col("proband_entry"); val dad = col("father_entry")
       val mom = col("mother_entry")
       val isFemale = col("is_female")
-      val kidPp = col("__kid_pp"); val dadPp = col("__dad_pp")
-      val momPp = col("__mom_pp")
-      val kidSum = col("__kid_adsum"); val dadSum = col("__dad_adsum")
-      val momSum = col("__mom_adsum")
-      def abOf(c: Column, s: Column) = abOfE(c, s)
-      val kidAb = col("__kid_ab")
+      val st = col("__st")
+      val kidSum = st("kid_adsum"); val dadSum = st("dad_adsum")
+      val momSum = st("mom_adsum")
+      val kidAb = st("kid_ab")
       val ac = col("__alt_alleles")
       val isSnp = col("__is_snp")
-      val pHet = col("__p_het")
-      val dpRatio = col("__dp_ratio")
+      val dpRatio = st("dp_ratio")
 
       def conf(p: Column, lowCut: Double): Column =
         when(!isSnp,
@@ -149,24 +104,25 @@ object DeNovo {
               .otherwise(failure))
 
       // --- autosomal: both parents hom-ref, proband het ------------------
-      val pAuto = col("__p_auto")
+      val pAuto = st("p_auto")
       val autoCall =
         when(kid("GQ") < minGq, failure)
           .when(dpRatio < minDpRatio || !(kidAb >= minChildAb), failure)
           .when(momSum === 0 || dadSum === 0, failure)
-          .when(abOf(mom, momSum) > maxParentAb ||
-            abOf(dad, dadSum) > maxParentAb, failure)
+          .when(st("mom_ab") > maxParentAb ||
+            st("dad_ab") > maxParentAb, failure)
           .when(pAuto < minP, failure)
           .otherwise(conf(pAuto, lowCut = 0.2))
 
       // --- hemizygous: single informative parent -------------------------
-      def hemiCall(par: Column, p: Column, parSum: Column): Column = {
+      def hemiCall(par: Column, p: Column, parSum: Column,
+          parAb: Column): Column = {
         val parRatio = when(par("DP") > 0,
           kid("DP").cast("double") / par("DP").cast("double"))
         when(kid("GQ") < minGq, failure)
           .when(parRatio < minDpRatio || kidAb < minChildAb, failure)
           .when(parSum === 0, failure)
-          .when(abOf(par, parSum) > maxParentAb, failure)
+          .when(parAb > maxParentAb, failure)
           .when(p < minP, failure)
           .otherwise(conf(p, lowCut = 0.3))
       }
@@ -197,8 +153,10 @@ object DeNovo {
       when(hetHomHom.isNull || kidAdFail.isNull ||
         !hetHomHom || kidAdFail, failure)
         .when(autosomal, autoCall)
-        .when(hemiX || hemiMito, hemiCall(mom, col("__p_hemi_mom"), momSum))
-        .when(hemiY, hemiCall(dad, col("__p_hemi_dad"), dadSum))
+        .when(hemiX || hemiMito,
+          hemiCall(mom, st("p_hemi_mom"), momSum, st("mom_ab")))
+        .when(hemiY, hemiCall(dad, st("p_hemi_dad"), dadSum,
+          st("dad_ab")))
         .otherwise(failure)
     }
 
