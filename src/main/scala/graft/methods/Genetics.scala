@@ -210,17 +210,29 @@ object Genetics {
       (2, 1, 2, 2, 1, 0), (2, 2, 1, 2, 1, 0),
       (0, 0, 1, 1, 0, 1), (0, 2, 1, 1, 0, 1), (2, 0, 1, 1, 1, 0),
       (2, 2, 1, 1, 1, 0))
-    val kn = nAlt(col("__gt_kid")); val dn = nAlt(col("__gt_dad"))
-    val mn = nAlt(col("__gt_mom"))
-    def lookup(sel: ((Int, Int, Int, Int, Int, Int)) => Int): Column =
+    // stage the genotype counts + copy state as attributes BEFORE the
+    // 15-branch config CASE: inlined, each branch re-evaluated the
+    // nNonRefAlleles trees (x15 configs x2 lookups), and the analyzed
+    // plan carried ~8k expression nodes for a 15-row decision table
+    def lookup(kn: Column, dn: Column, mn: Column, cs: Column,
+        sel: ((Int, Int, Int, Int, Int, Int)) => Int): Column =
       configs.foldLeft(lit(null).cast("int")) {
-        case (acc, cfg @ (k, d, m, cs, _, _)) =>
-          when(kn === k && dn === d && mn === m && copyState === cs,
+        case (acc, cfg @ (k, d, m, c, _, _)) =>
+          when(kn === k && dn === d && mn === m && cs === c,
             sel(cfg)).otherwise(acc)
       }
     val counted = scoped
-      .withColumn("__t", when(validHet, lookup(_._5)))
-      .withColumn("__u", when(validHet, lookup(_._6)))
+      .withColumns(Map(
+        "__kn" -> nAlt(col("__gt_kid")),
+        "__dn" -> nAlt(col("__gt_dad")),
+        "__mn" -> nAlt(col("__gt_mom")),
+        "__cs" -> copyState,
+        "__vh" -> validHet))
+      .withColumns(Map(
+        "__t" -> when(col("__vh"), lookup(col("__kn"), col("__dn"),
+          col("__mn"), col("__cs"), _._5)),
+        "__u" -> when(col("__vh"), lookup(col("__kn"), col("__dn"),
+          col("__mn"), col("__cs"), _._6))))
       .filter(col("__t").isNotNull) // unlisted config = uninformative
     val perVariant = counted.groupBy(keyCols.map(col): _*)
       .agg(sum(col("__t")).as("t"), sum(col("__u")).as("u"))
