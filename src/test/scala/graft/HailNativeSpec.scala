@@ -57,6 +57,25 @@ class HailNativeSpec extends SparkSpec {
     assert(nCalled == Seq(2, 1, 2))
   }
 
+  test("reads a legacy-encoding .ht: LEB128 + fixed-length framing") {
+    // v1-style file: LEB128 wrapper (fixed-width ints become varints),
+    // legacy EArray/EBinary lengths, EInt32/EInt64 scalars (negative
+    // values included — two's-complement varints), 4-byte block frames
+    val t = HailNative.readTable(spark,
+      "/root/repo/src/test/resources/sample_legacy.ht")
+    assert(t.globals == Map("tag" -> "legacy"))
+    val rows = t.df.orderBy("id").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getInt(0) == -7 && r0.getString(1) == "neg" &&
+      r0.getDouble(2) == -0.5)
+    assert(r0.getSeq[String](3) == Seq("a", null))
+    assert(r0.getLong(4) == -1234567890123L)
+    val r1 = rows(1)
+    assert(r1.getInt(0) == 300 && r1.getSeq[String](3).isEmpty)
+    assert(r1.getLong(4) == (1L << 40))
+  }
+
   test("zstd and lz4 block codecs decode the documented frame layout") {
     import HailNative._
     val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)

@@ -238,6 +238,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("fused entry kernels keep the optimized plan bounded") {
+    // filter_alleles_hts and de_novo both route their recode arithmetic
+    // through opaque kernel expressions (HtsRecodeExpr, DeNovoStatsExpr)
+    // because the optimizer's extract-value simplification re-inlines
+    // any Column-staged intermediate into every consumer: before the
+    // kernels the optimized plans carried 49k / 31k expression nodes
+    // (analysis + codegen ~8-24 s at ANY data size). Pin both the
+    // kernel's presence and a hard node budget.
+    def exprCount(df: org.apache.spark.sql.DataFrame): Long = {
+      var n = 0L
+      df.queryExecution.optimizedPlan.foreach(node =>
+        node.expressions.foreach(e => e.foreach(_ => n += 1)))
+      n
+    }
+    val fa = SparkEntry.queries("geno_filter_alleles_hts")(spark, sfDir)
+    val faPlan = fa.queryExecution.optimizedPlan.toString
+    assert(faPlan.contains("graft_hts_recode"), faPlan.take(2000))
+    val faN = exprCount(fa)
+    assert(faN < 8000, s"filter_alleles_hts optimized plan has $faN nodes")
+    val dn = SparkEntry.queries("geno_de_novo")(spark, sfDir)
+    val dnPlan = dn.queryExecution.optimizedPlan.toString
+    assert(dnPlan.contains("graft_de_novo_stats"), dnPlan.take(2000))
+    val dnN = exprCount(dn)
+    assert(dnN < 10000, s"de_novo optimized plan has $dnN nodes")
+  }
+
   test("native write-after-read plans no range exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pa_srt")
       .toString

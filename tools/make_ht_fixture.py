@@ -188,6 +188,116 @@ def write_table(path):
         json.dump(meta, f)
 
 
+def frame_blocks_v1(payload, block_size=32768):
+    """StreamBlockBufferSpec (v1) framing: 4-byte LE length per block."""
+    out = bytearray()
+    for off in range(0, len(payload), block_size):
+        chunk = payload[off:off + block_size]
+        out += struct.pack("<i", len(chunk))
+        out += chunk
+    if not payload:
+        out += struct.pack("<i", 0)
+    return bytes(out)
+
+
+def write_table_legacy(path):
+    """v1-style encodings: LEB128 buffer wrapper (fixed-width int reads
+    become varints), legacy EArray/EBinary (readInt lengths -> varint
+    under LEB128), EInt32/EInt64 (-> varint under LEB128), 4-byte block
+    framing. Exercises the compatibility matrix the default fixture
+    doesn't."""
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    row_v = ("Struct{id:Int32,name:String,score:Float64,"
+             "tags:Array[String],big:Int64}")
+    row_e = ("+EBaseStruct{id:+EInt32,name:+EBinary,score:+EFloat64,"
+             "tags:+EArray[EBinary],big:EInt64}")
+    glob_v = "Struct{tag:String}"
+    glob_e = "+EBaseStruct{tag:+EBinary}"
+    buffer_spec = {
+        "name": "LEB128BufferSpec",
+        "child": {
+            "name": "BlockingBufferSpec",
+            "blockSize": 32768,
+            "child": {"name": "StreamBlockBufferSpec"},
+        },
+    }
+
+    def vint32(e, n):
+        e.buf += varint(n & 0xFFFFFFFF)
+
+    def vint64(e, n):
+        e.buf += varint(n & 0xFFFFFFFFFFFFFFFF)
+
+    def row(e, rid, name, score, tags, big):
+        e.byte(1)
+        e.missing_bits([big is None])
+        vint32(e, rid)
+        vint32(e, len(name.encode()))
+        e.buf += name.encode()
+        e.f64(score)
+        vint32(e, len(tags))
+        e.missing_bits([t is None for t in tags])
+        for t in tags:
+            if t is not None:
+                vint32(e, len(t.encode()))
+                e.buf += t.encode()
+        if big is not None:
+            vint64(e, big)
+
+    def part0(e):
+        row(e, -7, "neg", -0.5, ["a", None], -1234567890123)
+        row(e, 300, "big", 2.0, [], 2 ** 40)
+
+    def globals_part(e):
+        e.byte(1)
+        e.missing_bits([])
+        vint32(e, len(b"legacy"))
+        e.buf += b"legacy"
+
+    # inline write_rvd with the legacy framing + buffer spec
+    for sub, etype, vtype, key, enc in [
+            ("rows", row_e, row_v, ["id"], part0),
+            ("globals", glob_e, glob_v, [], globals_part)]:
+        d = os.path.join(path, sub)
+        os.makedirs(os.path.join(d, "parts"), exist_ok=True)
+        e = Enc()
+        enc(e)
+        e.byte(0)
+        with open(os.path.join(d, "parts", "part-0"), "wb") as f:
+            f.write(frame_blocks_v1(bytes(e.buf)))
+        meta = {
+            "name": "OrderedRVDSpec2",
+            "_key": key,
+            "_codecSpec": {
+                "name": "TypedCodecSpec",
+                "_eType": etype,
+                "_vType": vtype,
+                "_bufferSpec": buffer_spec,
+            },
+            "_partFiles": ["part-0"],
+            "_jRangeBounds": [None],
+            "_attrs": {},
+        }
+        with gzip.open(os.path.join(d, "metadata.json.gz"), "wt") as f:
+            json.dump(meta, f)
+    meta = {
+        "name": "TableSpec",
+        "file_version": 1,
+        "hail_version": "0.2-fixture-legacy",
+        "references_rel_path": "references",
+        "table_type": f"Table{{global:{glob_v},key:[id],row:{row_v}}}",
+        "components": {
+            "globals": {"name": "RVDComponentSpec", "rel_path": "globals"},
+            "rows": {"name": "RVDComponentSpec", "rel_path": "rows"},
+            "partition_counts": {"name": "PartitionCountsComponentSpec",
+                                 "counts": [2]},
+        },
+    }
+    with gzip.open(os.path.join(path, "metadata.json.gz"), "wt") as f:
+        json.dump(meta, f)
+
+
 ENTRIES_FIELD = "the entries! [877f12a8827e18f61222c6c8c5fb04a8]"
 
 
@@ -283,5 +393,7 @@ if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else \
         "/root/repo/src/test/resources"
     write_table(os.path.join(base, "sample.ht"))
+    write_table_legacy(os.path.join(base, "sample_legacy.ht"))
     write_matrix(os.path.join(base, "sample.mt"))
-    print("wrote", os.path.join(base, "sample.ht"), "and sample.mt")
+    print("wrote", os.path.join(base, "sample.ht"),
+          "sample_legacy.ht and sample.mt")
