@@ -38,9 +38,8 @@ import graft.{MatrixTable, Table}
   * prefix (`io/InputBuffers.scala:486-663`).
   *
   * Spark shape: the driver reads only metadata; each part file decodes
-  * in its own task (`spark.range` over part indices → `mapPartitions`-
-  * style flatMap), so the read scales with partition count like any
-  * other source. Virtual types map to Spark SQL types (Locus/Interval →
+  * in its own task (one RDD partition per part file), so the read
+  * scales with partition count like any other source. Virtual types map to Spark SQL types (Locus/Interval →
   * structs, Set → sorted array, Dict → array<struct<key,value>>, Call →
   * int), which is exactly the layout the rest of the engine uses. */
 object HailNative {

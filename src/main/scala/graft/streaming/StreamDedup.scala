@@ -37,31 +37,27 @@ object StreamDedup {
       family: String = "md5"): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
-    def mh(i: Int): Column = family match {
-      case "md5" =>
-        // md5 yields four independent 32-bit chunks (same family as
-        // Dedup.bandSignatures): hash j = i/4, hex chunk i%4
-        array_min(transform(col("__sh"), s =>
-          conv(substring(md5(concat(s, lit(s"|${i / 4}"))),
-            1 + 8 * (i % 4), 8), 16, 10).cast("long")))
-      case "xxhash64" =>
-        array_min(transform(col("__sh"), s => xxhash64(lit(i), s)))
-      case other => sys.error(s"unknown minhash family: $other")
-    }
+    require(family == "md5" || family == "xxhash64",
+      s"unknown minhash family: $family")
     val bsigOf: Seq[Column] => Column =
       if (family == "md5")
         cs => md5(concat_ws("_", cs.map(_.cast("string")): _*))
       else cs => xxhash64(cs: _*).cast("string")
+    // ALL minima in one fused kernel pass (MinhashSigsExpr): the HOF
+    // formulation ran md5/conv inside 8 interpreted transform lambdas —
+    // the dominant cost of the stream gate. Staged as a multi-referenced
+    // attribute so the kernel evaluates once per row; the band bucket
+    // hash stays a codegen'd scalar md5/xxhash64.
     docs
       .select(col(id).cast("long").as("doc"),
         graft.pipeline.Text.shingles(col(text), shingleSize).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .select(col("doc") +:
-        (0 until numHashes).map(i => mh(i).as(s"__mh$i")): _*)
+      .select(col("doc"), graft.functions.TextKernels
+        .minhashSigs(col("__sh"), numHashes, family).as("__mh"))
       .select(col("doc"),
         posexplode(array((0 until bands).map(b =>
           bsigOf((0 until rowsPerBand).map(r =>
-            col(s"__mh${b * rowsPerBand + r}")))): _*))
+            element_at(col("__mh"), b * rowsPerBand + r + 1)))): _*))
           .as(Seq("band", "bsig")))
   }
 
