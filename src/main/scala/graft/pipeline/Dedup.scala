@@ -90,40 +90,25 @@ object Dedup {
       family: String = "md5"): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
-    val sig = family match {
-      case "md5" =>
-        val nMd5 = (numHashes + 3) / 4
-        val hashed = sh
-          .select(col("doc"), explode(col("shingles")).as("s"))
-          .select(col("doc") +: (0 until nMd5).map(j =>
-            md5(concat(col("s"), lit(s"|$j"))).as(s"hex$j")): _*)
-        def chunk(i: Int): Column =
-          conv(substring(col(s"hex${i / 4}"), 1 + 8 * (i % 4), 8), 16, 10)
-            .cast("long")
-        hashed.groupBy(col("doc")).agg(
-          min(chunk(0)).as("mh0"),
-          (1 until numHashes).map(i => min(chunk(i)).as(s"mh$i")): _*)
-      case "xxhash64" =>
-        // the production family: one native 64-bit hash per (seed,
-        // shingle) — no hex strings, no conv/substring — an equally
-        // valid independent minwise family at a fraction of the md5
-        // path's cost. md5 stays the default because the DuckDB oracle
-        // reproduces it bit-for-bit; xxhash64 exists only inside Spark.
-        val hashed = sh.select(col("doc"), explode(col("shingles")).as("s"))
-        hashed.groupBy(col("doc")).agg(
-          min(xxhash64(lit(0), col("s"))).as("mh0"),
-          (1 until numHashes).map(i =>
-            min(xxhash64(lit(i), col("s"))).as(s"mh$i")): _*)
-      case other => sys.error(s"unknown minhash family: $other")
-    }
+    require(family == "md5" || family == "xxhash64",
+      s"unknown minhash family: $family")
     val bsigOf: Seq[Column] => Column =
       if (family == "md5") cs => md5(concat_ws("_", cs.map(_.cast("string")): _*))
       else cs => xxhash64(cs: _*).cast("string")
-    sig.select(col("doc"),
-      posexplode(array((0 until bands).map(b =>
-        bsigOf((0 until rowsPerBand).map(r =>
-          col(s"mh${b * rowsPerBand + r}")))): _*))
-        .as(Seq("band", "bsig")))
+    // ALL minima in one fused per-row kernel pass (MinhashSigsExpr,
+    // bit-identical in both families): replaces the explode +
+    // hash-aggregate formulation — which was itself the fix for
+    // interpreted md5-in-lambda HOFs — and with it the ENTIRE
+    // explode-shuffle of the shingle table. Staged as a
+    // multi-referenced attribute so the kernel evaluates once per row;
+    // the band bucket hash stays a codegen'd scalar.
+    sh.select(col("doc"), graft.functions.TextKernels
+        .minhashSigs(col("shingles"), numHashes, family).as("__mh"))
+      .select(col("doc"),
+        posexplode(array((0 until bands).map(b =>
+          bsigOf((0 until rowsPerBand).map(r =>
+            element_at(col("__mh"), b * rowsPerBand + r + 1)))): _*))
+          .as(Seq("band", "bsig")))
   }
 
   /** Keep only buckets with 2..maxBucketSize members: singletons produce no
