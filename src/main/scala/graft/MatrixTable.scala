@@ -342,14 +342,9 @@ final case class MatrixTable(
       (newKey.map(n => col(n._1)) :+ col("__cidx")): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
     val entryStruct = struct(entryAggs.map(n => col(n._1)): _*)
-    val reassembled = grouped
-      .groupBy(newKey.map(n => col(n._1)): _*)
-      .agg(map_from_entries(collect_list(struct(col("__cidx"),
-        entryStruct))).as("__m"))
-      .withColumn(MatrixTable.EntriesField,
-        transform(sequence(lit(0), lit(nCols - 1)),
-          i => element_at(col("__m"), i)))
-      .drop("__m")
+    val reassembled = MatrixTable.denseEntriesAgg(grouped,
+      newKey.map(n => col(n._1)), col("__cidx"), entryStruct,
+      nCols, entryAggs.length)
     copy(rows = reassembled, rowKey = newKey.map(_._1))
   }
 
@@ -541,28 +536,37 @@ object MatrixTable {
       colSchema: StructType,
       colKey: Seq[String],
       rowFields: Seq[(String, Column)] = Nil): MatrixTable = {
-    val n = colValues.length
     val entryStruct = struct(
       entryFields.map { case (f, c) => c.as(f) }: _*)
-    val base =
-      if (n.toLong * math.max(1, entryFields.length) <= 1024) {
-        val idx = colIdx.cast("int")
-        coord.groupBy(rowKey.map(col): _*)
-          .agg(
-            array((0 until n).map(i =>
-              first(when(idx === i, entryStruct),
-                ignoreNulls = true)): _*).as(EntriesField),
-            rowFields.map { case (f, c) => first(c).as(f) }: _*)
-      } else
-        coord.groupBy(rowKey.map(col): _*)
-          .agg(
-            map_from_entries(collect_list(struct(colIdx.cast("int"),
-              entryStruct))).as("__m"),
-            rowFields.map { case (f, c) => first(c).as(f) }: _*)
-          .withColumn(EntriesField,
-            transform(sequence(lit(0), lit(n - 1)),
-              i => element_at(col("__m"), i)))
-          .drop("__m")
+    val base = denseEntriesAgg(coord, rowKey.map(col), colIdx, entryStruct,
+      colValues.length, entryFields.length, rowFields)
     MatrixTable(base, rowKey, colValues, colSchema, colKey)
+  }
+
+  /** Shared cell → dense-entries-array aggregation (see `fromCoordinates`
+    * scaladoc for the two physical strategies). Groups `df` by `keyCols`
+    * and emits `EntriesField`: an n-slot array with `entryStruct` at
+    * position `colIdx` and null for absent cells. */
+  private[graft] def denseEntriesAgg(df: DataFrame, keyCols: Seq[Column],
+      colIdx: Column, entryStruct: Column, n: Int, nEntryFields: Int,
+      rowFields: Seq[(String, Column)] = Nil): DataFrame = {
+    val idx = colIdx.cast("int")
+    if (n.toLong * math.max(1, nEntryFields) <= 1024)
+      df.groupBy(keyCols: _*)
+        .agg(
+          array((0 until n).map(i =>
+            first(when(idx === i, entryStruct),
+              ignoreNulls = true)): _*).as(EntriesField),
+          rowFields.map { case (f, c) => first(c).as(f) }: _*)
+    else
+      df.groupBy(keyCols: _*)
+        .agg(
+          map_from_entries(collect_list(struct(idx, entryStruct)))
+            .as("__m"),
+          rowFields.map { case (f, c) => first(c).as(f) }: _*)
+        .withColumn(EntriesField,
+          transform(sequence(lit(0), lit(n - 1)),
+            i => element_at(col("__m"), i)))
+        .drop("__m")
   }
 }
