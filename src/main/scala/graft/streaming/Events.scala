@@ -62,7 +62,8 @@ object Events {
     * return the result (complete-mode memory sink) — used by the parity
     * gate; a live deployment would use the same query with a real sink. */
   def runHourlyTypeAgg(spark: SparkSession, path: String,
-      schema: StructType, sinkName: String): DataFrame = {
+      schema: StructType, sinkName: String,
+      numStatePartitions: Int = 8): DataFrame = {
     // the file source wants a directory: stage the parquet file(s)
     // behind symlinks in a temp dir (no copy)
     val streamDir =
@@ -74,16 +75,34 @@ object Events {
           java.nio.file.Path.of(path))
         d.toString
       }
-    val q = hourlyTypeAgg(readEventStream(spark, streamDir, schema,
-      maxFilesPerTrigger = 1))
-      .writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(OutputMode.Complete())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, numStatePartitions) {
+      val q = hourlyTypeAgg(readEventStream(spark, streamDir, schema,
+        maxFilesPerTrigger = 1))
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(sinkName)
+  }
+
+  /** Stateful-query partition sizing: `spark.sql.shuffle.partitions` at
+    * FIRST micro-batch fixes the state-store partition count for the
+    * checkpoint's lifetime, and every micro-batch pays an open+commit
+    * per state partition. Size it to expected STATE volume (keys ×
+    * state bytes), not input cores — a windowed agg with thousands of
+    * keys wants far fewer state stores than a 100 TB scan wants input
+    * splits. Restores the session conf afterwards; the streaming query
+    * keeps its planned value for its whole lifetime. */
+  private[streaming] def withStatePartitions[A](spark: SparkSession,
+      n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Streaming exact dedup — the pipeline's `Dedup.exact` for live

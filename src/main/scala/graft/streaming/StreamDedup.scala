@@ -110,7 +110,7 @@ object StreamDedup {
   def runMinhashPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: org.apache.spark.sql.types.StructType,
       id: String, text: String, sinkName: String,
-      family: String = "md5"): DataFrame = {
+      family: String = "md5", numStatePartitions: Int = 8): DataFrame = {
     // the file source wants a directory: stage a single file behind a
     // symlink (no copy), same convention as Events.runHourlyTypeAgg
     val dir =
@@ -126,14 +126,18 @@ object StreamDedup {
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-    val q = minhashPairsStream(stream, id, text, family = family)
-      .writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(OutputMode.Append())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // state partitions sized to state volume, not cores — see
+    // Events.withStatePartitions
+    Events.withStatePartitions(spark, numStatePartitions) {
+      val q = minhashPairsStream(stream, id, text, family = family)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(sinkName).distinct()
   }
 }
