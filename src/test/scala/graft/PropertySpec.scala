@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.functions.{Calls, Intervals, Loci, TextKernels}
+
+/** Randomized law tests: each law evaluates the Spark kernel over a
+  * few hundred generated inputs in ONE job and compares against an
+  * independent naive Scala model written here (not a second Spark
+  * formulation — the model is the spec). Generation is scalacheck with
+  * a fixed seed, so failures reproduce. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate((rng.Seed(seed), Option.empty[A])) { case (s, _) =>
+      (s.next, g.apply(params, s))
+    }.map(_._2).flatten.take(n).toSeq
+  }
+
+  // ---- minRep -------------------------------------------------------------
+
+  /** The reference semantics (`is/hail/variant/package` min_rep): trim
+    * the longest shared suffix keeping >=1 base, then the longest
+    * shared prefix keeping >=1 base, advancing pos by the prefix. */
+  private def naiveMinRep(pos: Int, ref: String, alt: String)
+      : (Int, String, String) = {
+    var suf = 0
+    while (suf < math.min(ref.length, alt.length) - 1 &&
+        ref(ref.length - 1 - suf) == alt(alt.length - 1 - suf)) suf += 1
+    val r1 = ref.substring(0, ref.length - suf)
+    val a1 = alt.substring(0, alt.length - suf)
+    var pre = 0
+    while (pre < math.min(r1.length, a1.length) - 1 &&
+        r1(pre) == a1(pre)) pre += 1
+    (pos + pre, r1.substring(pre), a1.substring(pre))
+  }
+
+  test("minRep matches the naive model and is idempotent (random alleles)") {
+    val base = Gen.oneOf("A", "C", "G", "T")
+    val seqG = for {
+      n <- Gen.choose(1, 6)
+      s <- Gen.listOfN(n, base)
+    } yield s.mkString
+    // bias toward shared prefixes/suffixes: wrap both alleles in a
+    // common context so trimming actually triggers
+    val g = for {
+      ctxL <- seqG; ctxR <- seqG; r <- seqG; a <- seqG
+      pos <- Gen.choose(1, 1000000)
+    } yield (pos, ctxL + r + ctxR, ctxL + a + ctxR)
+    val cases = samples(g, 300, seed = 7L)
+    val df = spark.createDataFrame(cases).toDF("pos", "ref", "alt")
+    val got = df.select(
+        col("pos"), col("ref"), col("alt"),
+        Loci.minRep(col("pos"), col("ref"), col("alt")).as("mr"))
+      .collect()
+    got.foreach { row =>
+      val (pos, ref, alt) =
+        (row.getInt(0), row.getString(1), row.getString(2))
+      val mr = row.getStruct(3)
+      val exp = naiveMinRep(pos, ref, alt)
+      assert((mr.getInt(0), mr.getString(1), mr.getString(2)) === exp,
+        s"minRep($pos, $ref, $alt)")
+      // idempotence
+      assert(naiveMinRep(exp._1, exp._2, exp._3) === exp,
+        s"minRep not a fixpoint on ($pos, $ref, $alt)")
+    }
+  }
+
+  // ---- packed calls -------------------------------------------------------
+
+  test("diploid call packing laws (exhaustive alleles 0..7, both phasings)") {
+    val cases = for {
+      a1 <- 0 to 7; a2 <- 0 to 7; ph <- Seq(false, true)
+    } yield (a1, a2, ph)
+    val df = spark.createDataFrame(cases).toDF("a1", "a2", "ph")
+      .withColumn("c", Calls.diploid(col("a1"), col("a2"), col("ph")))
+    val got = df.select(
+        col("a1"), col("a2"), col("ph"),
+        Calls.allele1(col("c")), Calls.allele2(col("c")),
+        Calls.isPhased(col("c")), Calls.ploidy(col("c")),
+        Calls.isHet(col("c")), Calls.nNonRefAlleles(col("c")),
+        Calls.unphasedDiploidGtIndex(col("c")))
+      .collect()
+    got.foreach { r =>
+      val (a1, a2, ph) = (r.getInt(0), r.getInt(1), r.getBoolean(2))
+      assert(r.getInt(3) === a1, s"allele1($a1|$a2)")
+      assert(r.getInt(4) === a2, s"allele2($a1|$a2)")
+      assert(r.getBoolean(5) === ph, s"isPhased($a1|$a2|$ph)")
+      assert(r.getInt(6) === 2)
+      assert(r.getBoolean(7) === (a1 != a2), s"isHet($a1|$a2)")
+      assert(r.getInt(8) === Seq(a1, a2).count(_ != 0))
+      val (lo, hi) = (math.min(a1, a2), math.max(a1, a2))
+      assert(r.getInt(9) === hi * (hi + 1) / 2 + lo, s"gtIndex($a1|$a2)")
+    }
+  }
+
+  // ---- intervals ----------------------------------------------------------
+
+  test("interval overlaps/contains laws (random endpoints)") {
+    val g = for {
+      s1 <- Gen.choose(0, 50); l1 <- Gen.choose(1, 30)
+      s2 <- Gen.choose(0, 50); l2 <- Gen.choose(1, 30)
+      p <- Gen.choose(0, 90)
+    } yield (s1, s1 + l1, s2, s2 + l2, p)
+    val cases = samples(g, 300, seed = 11L)
+    val df = spark.createDataFrame(cases).toDF("s1", "e1", "s2", "e2", "p")
+      .withColumn("i1", Intervals.interval(col("s1"), col("e1")))
+      .withColumn("i2", Intervals.interval(col("s2"), col("e2")))
+    val got = df.select(
+        col("s1"), col("e1"), col("s2"), col("e2"), col("p"),
+        Intervals.overlaps(col("i1"), col("i2")),
+        Intervals.contains(col("i1"), col("p")))
+      .collect()
+    got.foreach { r =>
+      val (s1, e1, s2, e2, p) =
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      // half-open [start, end): overlap iff each starts before the
+      // other ends
+      assert(r.getBoolean(5) === (s1 < e2 && s2 < e1),
+        s"overlaps([$s1,$e1), [$s2,$e2))")
+      assert(r.getBoolean(6) === (p >= s1 && p < e1),
+        s"contains([$s1,$e1), $p)")
+    }
+  }
+
+  // ---- minhash signature kernel ------------------------------------------
+
+  /** Independent md5 model: unsigned big-endian 32-bit chunks of
+    * md5(shingle + "|j"), minimum per hash index over the shingle set —
+    * the contract the DuckDB oracle reproduces. */
+  private def naiveMd5Sigs(shingles: Seq[String], numHashes: Int)
+      : Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val minima = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { sh =>
+      var j = 0
+      while (j * 4 < numHashes) {
+        md.reset()
+        val dig = md.digest(
+          (sh + "|" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var k = 0
+        while (k < 4 && j * 4 + k < numHashes) {
+          val off = k * 4
+          val v = ((dig(off) & 0xffL) << 24) | ((dig(off + 1) & 0xffL) << 16) |
+            ((dig(off + 2) & 0xffL) << 8) | (dig(off + 3) & 0xffL)
+          val i = j * 4 + k
+          if (v < minima(i)) minima(i) = v
+          k += 1
+        }
+        j += 1
+      }
+    }
+    minima.toSeq
+  }
+
+  test("minhashSigs md5 kernel matches an independent JVM model") {
+    val word = Gen.oneOf("lorem", "ipsum", "dolor", "sit", "amet", "processo",
+      "naturale", "linguaggio", "ueber", "daten", "文書")
+    val g = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val docs = samples(g, 200, seed = 13L).distinct
+    val df = spark.createDataFrame(docs.map(Tuple1(_))).toDF("text")
+      .withColumn("sh", TextKernels.shinglesOfTokens(
+        split(lower(col("text")), "\\s+"), 2))
+      .filter(size(col("sh")) > 0)
+    val got = df.select(col("sh"),
+        TextKernels.minhashSigs(col("sh"), 8, "md5").as("sig"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val shingles = r.getSeq[String](0)
+      val sig = r.getSeq[Long](1)
+      assert(sig === naiveMd5Sigs(shingles, 8), s"sigs of $shingles")
+    }
+  }
+}
