@@ -521,12 +521,14 @@ object MatrixTable {
     * Two physical strategies behind one contract: for small column
     * counts the entries array is assembled directly in the aggregation
     * as one `first(entry WHERE idx = i)` slot per column — a single
-    * declarative aggregate, no per-row map allocation and no
-    * interpreted higher-order densify (~20% faster at n = 7). Wide
-    * matrices (VCF-scale cols) would explode that into thousands of
-    * planner expressions, so they keep the collect_list → map →
-    * positional-lookup path, whose ObjectHashAggregate buffers one
-    * row's cells — O(n) per group — regardless of n. */
+    * declarative aggregate (struct buffers plan it sort-based, but the
+    * sort is partition-local under the one hash exchange), no per-row
+    * map allocation and no interpreted higher-order densify (~20%
+    * faster at n = 7). Wide matrices (VCF-scale cols) would explode
+    * that into thousands of planner expressions, so they keep the
+    * collect_list → map → positional-lookup path, whose
+    * ObjectHashAggregate buffers one row's cells — O(n) per group —
+    * regardless of n. */
   def fromCoordinates(
       coord: DataFrame,
       rowKey: Seq[String],

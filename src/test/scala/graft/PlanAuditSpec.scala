@@ -153,6 +153,10 @@ class PlanAuditSpec extends SparkSpec {
     val plan = mt.rows.queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges == 1, s"$exchanges exchanges\n${plan.take(2500)}")
+    // small-n assembly must stay on the declarative first-slot path:
+    // ObjectHashAggregate here means the collect_list -> map fallback
+    // silently took over
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(2500))
   }
 
   test("Table filter+select push down to the parquet scan") {
