@@ -231,6 +231,30 @@ final case class MatrixTable(
       colSchema = StructType(colSchema.fields ++ newFields))
   }
 
+  /** rename_duplicates (reference `misc.py:280`): add a col field
+    * holding the string col key made unique by appending `_N` to the
+    * 2nd+ occurrence (first keeps the bare name — the reference's
+    * exact scheme, including skipping suffixed forms that already
+    * exist). Col values are driver-side by design. */
+  def renameDuplicates(name: String = "unique_id"): MatrixTable = {
+    val keyIdx = colSchema.fieldIndex(colKey.head)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val uniques = colValues.map { r =>
+      val s = String.valueOf(r.get(keyIdx))
+      val u =
+        if (!seen.contains(s)) s
+        else Iterator.from(1).map(i => s"${s}_$i")
+          .find(!seen.contains(_)).get
+      seen += u
+      u
+    }
+    copy(
+      colValues = colValues.zip(uniques).map { case (r, u) =>
+        Row.fromSeq(r.toSeq :+ u) },
+      colSchema = StructType(colSchema.fields :+
+        StructField(name, StringType)))
+  }
+
   /** annotate_cols with driver-computed values. */
   def annotateCols(field: String, dt: DataType, f: Row => Any): MatrixTable = {
     val newSchema = StructType(colSchema.fields :+ StructField(field, dt))

@@ -917,6 +917,65 @@ object SparkEntry {
         col("dp_min"), col("dp_max"))
     }),
 
+    // --- compute_charr (reference qc.py:1822): contamination estimate
+    // over the VCF fixture with deterministic synthesized AD/GQ and a
+    // position-derived reference AF the oracle recomputes ------------------
+    "qc_compute_charr" -> ((s, _) => {
+      import graft.functions.Calls
+      implicit val rg: graft.functions.ReferenceGenome =
+        graft.functions.ReferenceGenome.GRCh38
+      val mt0 = sources.Vcf.read(s, VcfFixture)
+      // non-degenerate AD split: hom-var keeps DP - floor(2DP/3) ref reads
+      val mt = mt0.mapEntries((e, _) => {
+        val d = Calls.nNonRefAlleles(e("GT"))
+        val adAlt = floor(e("DP").cast("double") * d / 3.0).cast("int")
+        struct(
+          e("GT").as("GT"),
+          array(e("DP") - adAlt, adAlt).as("AD"),
+          e("DP").as("DP"),
+          (lit(15) + pmod(col("position"), lit(10))).as("GQ"))
+      })
+      val refAf = pmod(col("position"), lit(100)).cast("double") / 100.0
+      methods.Qc.computeCharr(mt, refAf).df
+        .select(col("s"), round(col("charr"), 6).as("charr"))
+    }),
+
+    // --- rename_duplicates (reference misc.py:280): unique col ids ---------
+    "matrix_rename_duplicates" -> ((s, dir) => {
+      import org.apache.spark.sql.types.StringType
+      val names = IndexedSeq("A", "B", "A", "B", "A", "C", "A")
+      lineitemMatrix(s, dir)
+        .copy(
+          colValues = names.map(n => org.apache.spark.sql.Row(n)),
+          colSchema = StructType(Seq(StructField("s", StringType, false))),
+          colKey = Seq("s"))
+        .renameDuplicates()
+        .colsTable.df.select("s", "unique_id")
+    }),
+
+    // --- segment_intervals (reference misc.py:425): split interval keys
+    // at a broadcast point grid; codegen'd per-row segmentation + explode --
+    "table_segment_intervals" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select(pmod(col("o_custkey"), lit(50)).cast("int").as("k"))
+        .distinct()
+        .withColumn("interval", graft.functions.Intervals.interval(
+          col("k") * 97,
+          col("k") * 97 + (pmod(col("k"), lit(11)) + 1) * 40))
+      methods.Misc.segmentIntervals(
+        Table(iv, Seq("k")), points = (0 to 83).map(_ * 60))
+        .df.select(col("k"),
+          col("interval")("start").as("st"),
+          col("interval")("end").as("en"))
+    }),
+
+    // --- get_vcf_metadata (reference impex.py): header declarations -------
+    "vcf_metadata" -> ((s, _) => sources.Vcf.metadata(s, VcfFixture)),
+
+    // --- import_lines (reference impex.py:1898) ---------------------------
+    "table_import_lines" -> ((s, _) =>
+      sources.TextTable.importLines(s, VcfFixture).df.select(col("text"))),
+
     // --- variant_qc (reference qc.py:219); HWE fields are spec-tested
     // against hail's documented goldens (no closed SQL form) ---------------
     "qc_variant_qc" -> ((s, _) => {
@@ -3515,6 +3574,84 @@ object SparkEntry {
         |      CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS y
         |    FROM orders))
         |WHERE rn = 1""".stripMargin,
+
+    "matrix_rename_duplicates" ->
+      """SELECT * FROM (VALUES ('A','A'),('B','B'),('A','A_1'),
+        |  ('B','B_1'),('A','A_2'),('C','C'),('A','A_3'))
+        |  AS t(s, unique_id)""".stripMargin,
+
+    "table_segment_intervals" ->
+      // the reference algorithm in SQL: lower/higher bounds against the
+      // numbered point grid, then first/middle/last sub-intervals
+      """WITH b AS (
+        |  SELECT DISTINCT CAST(o_custkey % 50 AS INTEGER) AS k FROM orders),
+        |iv AS (SELECT k, k*97 AS s, k*97 + (k%11+1)*40 AS e FROM b),
+        |np AS (SELECT CAST(60*g AS INTEGER) AS p, CAST(g AS INTEGER) AS rn
+        |  FROM generate_series(0, 83) t(g)),
+        |bounds AS (
+        |  SELECT k, s, e,
+        |    (SELECT count(*) FROM np WHERE p < s)
+        |      + (CASE WHEN EXISTS (SELECT 1 FROM np WHERE p = s)
+        |          THEN 1 ELSE 0 END) AS lo,
+        |    (SELECT count(*) FROM np WHERE p < e)
+        |      - (CASE WHEN EXISTS (SELECT 1 FROM np WHERE p = e)
+        |          THEN 1 ELSE 0 END) AS hi
+        |  FROM iv),
+        |cut AS (SELECT * FROM bounds WHERE lo < hi)
+        |SELECT k, s AS st, e AS en FROM bounds WHERE lo >= hi
+        |UNION ALL
+        |SELECT k, s AS st,
+        |  (SELECT p FROM np WHERE rn = cut.lo) AS en FROM cut
+        |UNION ALL
+        |SELECT c.k, n1.p AS st, n2.p AS en FROM cut c
+        |  JOIN np n1 ON n1.rn >= c.lo AND n1.rn <= c.hi - 2
+        |  JOIN np n2 ON n2.rn = n1.rn + 1
+        |UNION ALL
+        |SELECT k,
+        |  (SELECT p FROM np WHERE rn = cut.hi - 1) AS st, e AS en
+        |FROM cut""".stripMargin,
+
+    "vcf_metadata" ->
+      s"""SELECT
+        |  regexp_extract(line,
+        |    '##(INFO|FORMAT|FILTER)=<ID=([^,>]+)', 1) AS section,
+        |  regexp_extract(line,
+        |    '##(INFO|FORMAT|FILTER)=<ID=([^,>]+)', 2) AS id,
+        |  NULLIF(regexp_extract(line, ',Number=([^,>]+)', 1), '')
+        |    AS number,
+        |  NULLIF(regexp_extract(line, ',Type=([^,>]+)', 1), '') AS type,
+        |  NULLIF(regexp_extract(line, ',Description="([^"]*)"', 1), '')
+        |    AS description
+        |FROM read_csv('$VcfFixture', delim='', header=false, quote='',
+        |  columns={'line':'VARCHAR'})
+        |WHERE line LIKE '##INFO=%' OR line LIKE '##FORMAT=%'
+        |  OR line LIKE '##FILTER=%'""".stripMargin,
+
+    "table_import_lines" ->
+      s"""SELECT line AS text
+        |FROM read_csv('$VcfFixture', delim='', header=false, quote='',
+        |  columns={'line':'VARCHAR'})""".stripMargin,
+
+    "qc_compute_charr" -> {
+      val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))
+      s"""WITH $base,
+        |kept AS (
+        |  SELECT s,
+        |    ((dp - CAST(floor(dp * 2 / 3.0) AS INTEGER))
+        |       / CAST(dp AS DOUBLE))
+        |      / (CAST(position % 100 AS DOUBLE) / 100.0) AS ratio
+        |  FROM q
+        |  WHERE a1 = a2 AND a1 > 0
+        |    AND (15 + position % 10) >= 20
+        |    AND dp BETWEEN 10 AND 100
+        |    AND length(ref) = 1 AND length(alts) = 1
+        |    AND CAST(position % 100 AS DOUBLE) / 100.0 > 0.05
+        |    AND CAST(position % 100 AS DOUBLE) / 100.0 < 0.95),
+        |ids AS (SELECT DISTINCT s FROM q)
+        |SELECT ids.s, round(avg(kept.ratio), 6) AS charr
+        |FROM ids LEFT JOIN kept ON ids.s = kept.s
+        |GROUP BY ids.s""".stripMargin
+    },
 
     "qc_sample_qc" -> {
       val base = vcfParseCte(VcfFixture, 7, (1 to 5).map(i => s"S$i"))

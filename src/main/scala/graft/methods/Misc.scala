@@ -45,4 +45,51 @@ object Misc {
     }
     adj.keySet.toSet -- removed
   }
+
+  /** segment_intervals (reference `misc.py:425`): split a table's
+    * interval key at a sorted set of points. Each interval whose span
+    * strictly contains points becomes [start, p_lower), [p_x, p_x+1)
+    * ..., [p_higher-1, end] sub-intervals (bounds' inclusivity follows
+    * the reference exactly: the cut edges are [inclusive, exclusive)).
+    *
+    * Spark shape: the points are a broadcast literal (driver-sized by
+    * contract — the reference also localizes them into a global), the
+    * per-row segmentation is one codegen'd expression, then an explode.
+    * No shuffle. `intervalField` must be an `Intervals.interval` struct
+    * column. */
+  def segmentIntervals(t: graft.Table, points: Seq[Any],
+      intervalField: String = "interval"): graft.Table = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Intervals, Sets}
+    val ptsSorted = array_sort(array(points.distinct.map(lit): _*))
+    val iv = col(intervalField)
+    val n = size(ptsSorted)
+    // 0-based, total under ANSI (guarded branches may still evaluate)
+    def at(i: org.apache.spark.sql.Column) =
+      try_element_at(ptsSorted, i + 1)
+    val lower0 = Sets.lowerBound(ptsSorted, iv("start"))
+    val lower = when(lower0 < n && at(lower0) === iv("start"), lower0 + 1)
+      .otherwise(lower0)
+    val higher0 = Sets.lowerBound(ptsSorted, iv("end"))
+    val higher = when(higher0 < n && at(higher0) === iv("end"), higher0 - 1)
+      .otherwise(higher0)
+    // ascending-safe sequence (memory: sequence(a, b) with b < a
+    // DESCENDS in Spark), null-marked extras filtered out
+    val middle = filter(
+      transform(sequence(lower, greatest(higher - 2, lower)), x =>
+        when(x <= higher - 2,
+          Intervals.interval(at(x), at(x + 1), lit(true), lit(false)))),
+      s => s.isNotNull)
+    val segs = when(lower >= higher, array(iv)).otherwise(concat(
+      array(Intervals.interval(iv("start"), at(lower),
+        iv("includes_start"), lit(false))),
+      middle,
+      array(Intervals.interval(at(higher - 1), iv("end"),
+        lit(true), iv("includes_end")))))
+    graft.Table(
+      t.df.withColumn("__segs", segs)
+        .withColumn(intervalField, explode(col("__segs")))
+        .drop("__segs"),
+      t.key, t.globals)
+  }
 }

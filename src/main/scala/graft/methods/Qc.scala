@@ -182,4 +182,60 @@ object Qc {
       .drop("__present", "__n_rows")
     Table(full, mt.colKey, mt.globals)
   }
+
+  /** compute_charr (reference `qc.py:1822`): the CHARR DNA sample
+    * contamination estimator. Restricts to autosomal biallelic SNVs
+    * whose reference allele frequency `refAf` (a row expression; the
+    * reference derives it from in-sample AC only above 10k samples,
+    * otherwise requires an external AF source) lies in (minAf, maxAf),
+    * keeps hom-var calls with `GQ >= minGq` and DP (or AD sum) within
+    * [minDp, maxDp], and per sample averages
+    * `(AD_ref / (AD_ref + AD_alt)) / refAf`.
+    *
+    * Spark shape: row filters prune first (predicate on the row side —
+    * no entries touched for excluded variants), then ONE entries pass in
+    * the coordinate form and a single hash aggregation by sample. */
+  def computeCharr(mt: MatrixTable, refAf: Column,
+      minAf: Double = 0.05, maxAf: Double = 0.95,
+      minDp: Int = 10, maxDp: Int = 100, minGq: Int = 20)
+      (implicit rg: graft.functions.ReferenceGenome): Table = {
+    val es = entrySchema(mt)
+    val locus = graft.functions.Loci.locus(col("contig"), col("position"))
+    val filtered = mt.rows
+      .withColumn("__raf", refAf)
+      .filter(graft.functions.Loci.isAutosomal(locus) &&
+        size(col("alt")) === 1 &&
+        Alleles.isSnp(col("ref"), element_at(col("alt"), 1)) &&
+        col("__raf") > minAf && col("__raf") < maxAf)
+    val e = filtered.select(col("__raf"),
+      posexplode(col(MatrixTable.EntriesField)).as(Seq("__cidx", "__e")))
+    val ent = col("__e")
+    val ad = ent("AD")
+    val adDp =
+      if (es.fieldNames.contains("DP")) ent("DP")
+      else aggregate(ad, lit(0), (acc, x) => acc + x)
+    val kept = e.filter(ent.isNotNull && Calls.isHomVar(ent("GT")) &&
+      ent("GQ") >= minGq && adDp >= minDp && adDp <= maxDp)
+    val perSample = kept.groupBy(col("__cidx"))
+      .agg(avg(element_at(ad, 1).cast("double") /
+        (element_at(ad, 1) + element_at(ad, 2)) / col("__raf"))
+        .as("charr"))
+    // sample ids are driver-side col values: broadcast-join them back
+    val spark = mt.rows.sparkSession
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        mt.colValues.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(i +: mt.colKey.map(k =>
+            r.get(mt.colSchema.fieldIndex(k))))
+        }),
+      StructType(
+        org.apache.spark.sql.types.StructField("__cidx",
+          org.apache.spark.sql.types.IntegerType, false) +:
+          mt.colKey.map(k =>
+            mt.colSchema(mt.colSchema.fieldIndex(k))).toArray))
+    val out = broadcast(ids).join(perSample, Seq("__cidx"), "left")
+      .drop("__cidx")
+      .select(mt.colKey.map(col) :+ col("charr"): _*)
+    Table(out, mt.colKey, mt.globals)
+  }
 }

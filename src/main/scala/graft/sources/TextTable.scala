@@ -17,6 +17,20 @@ import graft.operators.Aggs
   * matches the reference's narrower int64/float64/boolean/string lattice. */
 object TextTable {
 
+  /** import_lines (reference `impex.py:1898`): file(s) as a Table of
+    * raw lines with their source file — `spark.read.text` IS the
+    * reference's semantics (splittable, any size). */
+  def importLines(spark: SparkSession, path: String): Table =
+    Table(spark.read.text(path)
+      .select(input_file_name().as("file"), col("value").as("text")))
+
+  /** hl.grep (reference `impex.py` grep): regex-filter lines across
+    * file(s). The reference prints matches driver-side; returning the
+    * matching (file, text) rows is the same scan as a DataFrame —
+    * callers `.show()` for the reference's behavior. */
+  def grep(spark: SparkSession, regex: String, path: String): DataFrame =
+    importLines(spark, path).df.filter(col("text").rlike(regex))
+
   def importTable(spark: SparkSession, path: String, sep: String = "\t",
       impute: Boolean = false, noHeader: Boolean = false): Table = {
     val base = spark.read

@@ -122,6 +122,23 @@ object Vcf {
       decls.collect { case ("FORMAT", d) => d }.toSeq)
   }
 
+  /** get_vcf_metadata / get_vcf_header_info (reference `impex.py`):
+    * the header's INFO/FORMAT/FILTER declarations as a small DataFrame
+    * (section, id, number, type, description) — header-only driver
+    * scan, same as `readHeader`. */
+  def metadata(spark: SparkSession, path: String): DataFrame = {
+    val metaRe = ("""##(INFO|FORMAT|FILTER)=<ID=([^,>]+)""" +
+      """(?:,Number=([^,>]+))?(?:,Type=([^,>]+))?""" +
+      """(?:,Description="([^"]*)")?""").r.unanchored
+    val rows = readHeader(spark, path).lines.collect {
+      case metaRe(section, id, num, typ, desc) =>
+        (section, id, Option(num).orNull, Option(typ).orNull,
+          Option(desc).orNull)
+    }
+    spark.createDataFrame(rows)
+      .toDF("section", "id", "number", "type", "description")
+  }
+
   // ---- GT codec -----------------------------------------------------------
 
   /** Parse "0/1", "0|1", ".", "./." into our packed call int (see

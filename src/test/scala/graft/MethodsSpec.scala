@@ -607,4 +607,35 @@ class MethodsSpec extends SparkSpec {
     // allele C: classes {0:idx 0,1,2 -> 30; 1:idx 3,4 -> 10; 2:idx 5}
     assert(got(1) === ((2, Seq(30, 10, 0), 10)))
   }
+
+  test("segmentIntervals reproduces the reference's documented case") {
+    // reference test_misc.py:246 — intervals [0,10) [20,50) [52,52),
+    // points [-1,5,30,40,52,53]
+    import graft.functions.Intervals
+    val ivs = spark.createDataFrame(Seq(
+      (0, 10), (20, 50), (52, 52))).toDF("s", "e")
+      .select(Intervals.interval(col("s"), col("e")).as("interval"))
+    val got = methods.Misc.segmentIntervals(
+      Table(ivs), points = Seq(-1, 5, 30, 40, 52, 53))
+      .df.select(col("interval")("start"), col("interval")("end"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got === Seq(
+      (0, 5), (5, 10), (20, 30), (30, 40), (40, 50), (52, 52)))
+  }
+
+  test("renameDuplicates mirrors deduplicate: taken suffixes are skipped") {
+    // reference deduplicate(['a','a_1','a']) == ['a','a_1','a_2']
+    import org.apache.spark.sql.Row
+    val base = spark.createDataFrame(Seq((1L, 1, 1.0))).toDF("r", "c", "v")
+    val mt = MatrixTable.fromCoordinates(
+      base, Seq("r"), col("c") - 1,
+      entryFields = Seq("v" -> col("v")),
+      colValues = IndexedSeq(Row("a"), Row("a_1"), Row("a")),
+      colSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))),
+      colKey = Seq("s"))
+    val got = mt.renameDuplicates().colValues.map(_.getString(1))
+    assert(got === Seq("a", "a_1", "a_2"))
+  }
 }
