@@ -969,6 +969,23 @@ object SparkEntry {
           col("interval")("end").as("en"))
     }),
 
+    // --- simulate_random_mating (reference mating_simulation.py):
+    // deterministic (seeded pedigree + counter-based per-row transmission);
+    // oracle is a golden per-sample summary of the fixture simulation ------
+    "geno_simulate_mating" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val sim = methods.MatingSimulation.simulateRandomMating(
+        mt, nRounds = 1, generationSizeMultiplier = 1.0,
+        keepFounders = true, seed = 5L)
+      import graft.functions.Calls
+      sim.entriesTable.df
+        .groupBy(col("s"), col("original"), col("mother"), col("father"))
+        .agg(
+          count(when(col("GT").isNotNull, 1)).as("n_called"),
+          sum(Calls.nNonRefAlleles(col("GT")).cast("long")).as("ac"))
+        .drop("col_idx")
+    }),
+
     // --- get_vcf_metadata (reference impex.py): header declarations -------
     "vcf_metadata" -> ((s, _) => sources.Vcf.metadata(s, VcfFixture)),
 
@@ -3574,6 +3591,28 @@ object SparkEntry {
         |      CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS y
         |    FROM orders))
         |WHERE rn = 1""".stripMargin,
+
+    "geno_simulate_mating" ->
+      // golden: deterministic seeded pedigree + counter-based
+      // transmission (regenerate by re-running the gate and pasting —
+      // see verify skill notes)
+      """SELECT t.s, t.original,
+        |  CAST(t.mother AS INTEGER) AS mother,
+        |  CAST(t.father AS INTEGER) AS father,
+        |  CAST(t.n_called AS BIGINT) AS n_called,
+        |  CAST(t.ac AS BIGINT) AS ac
+        |FROM (VALUES
+        |  ('generation_0_idx_0', 'S1', NULL, NULL, 23, 19),
+        |  ('generation_0_idx_1', 'S2', NULL, NULL, 27, 30),
+        |  ('generation_0_idx_2', 'S3', NULL, NULL, 28, 23),
+        |  ('generation_0_idx_3', 'S4', NULL, NULL, 30, 27),
+        |  ('generation_0_idx_4', 'S5', NULL, NULL, 28, 24),
+        |  ('generation_1_idx_0', NULL, 2, 2, 28, 20),
+        |  ('generation_1_idx_1', NULL, 4, 4, 28, 28),
+        |  ('generation_1_idx_2', NULL, 1, 0, 20, 15),
+        |  ('generation_1_idx_3', NULL, 4, 1, 26, 27),
+        |  ('generation_1_idx_4', NULL, 2, 1, 25, 27))
+        |  AS t(s, original, mother, father, n_called, ac)""".stripMargin,
 
     "matrix_rename_duplicates" ->
       """SELECT * FROM (VALUES ('A','A'),('B','B'),('A','A_1'),

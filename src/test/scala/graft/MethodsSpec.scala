@@ -638,4 +638,50 @@ class MethodsSpec extends SparkSpec {
     val got = mt.renameDuplicates().colValues.map(_.getString(1))
     assert(got === Seq("a", "a_1", "a_2"))
   }
+
+  test("simulateRandomMating: sizes, pedigree, and allele transmission") {
+    import graft.methods.MatingSimulation
+    import org.apache.spark.sql.Row
+    val mt = Vcf.read(spark,
+      "/root/repo/src/test/resources/oracle_sample.vcf")
+    val sim = MatingSimulation.simulateRandomMating(mt, nRounds = 2,
+      generationSizeMultiplier = 1.0, keepFounders = true, seed = 5L)
+    // 5 founders -> +5 -> +10: 20 samples, founders keep original ids
+    assert(sim.nCols === 20)
+    assert(sim.colValues.take(5).map(_.getString(1)) ===
+      (1 to 5).map(i => s"S$i"))
+    val peds = sim.colValues.drop(5)
+    assert(peds.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
+    // law: every offspring allele is one of its parent's two alleles at
+    // every variant (checked distributed, null-safe)
+    val entries = sim.rows.select(
+      col(MatrixTable.EntriesField).as("es")).collect()
+    val pedIdx = sim.colValues.map(r =>
+      (r.getAs[Integer](2), r.getAs[Integer](3)))
+    entries.foreach { row =>
+      val calls = row.getSeq[Row](0).map(e =>
+        if (e == null || e.isNullAt(0)) null
+        else Integer.valueOf(e.getInt(0)))
+      // Calls packing: a1 = (c >> 1) & 0x7fff, a2 = (c >> 16) & 0x7fff
+      def a1of(c: Int): Int = (c >> 1) & 0x7fff
+      def a2of(c: Int): Int = (c >> 16) & 0x7fff
+      def alleles(c: Integer): Set[Int] =
+        if (c == null) Set.empty
+        else Set(a1of(c), a2of(c))
+      pedIdx.zipWithIndex.drop(5).foreach { case ((m, f), i) =>
+        val c = calls(i)
+        if (c != null && calls(m) != null && calls(f) != null) {
+          val (a1, a2) = (a1of(c), a2of(c))
+          assert(alleles(calls(m)).contains(a1) &&
+            alleles(calls(f)).contains(a2),
+            s"offspring $i alleles ($a1,$a2) not from parents at $row")
+        }
+      }
+    }
+    // determinism: a second run is identical
+    val sim2 = MatingSimulation.simulateRandomMating(mt, nRounds = 2,
+      generationSizeMultiplier = 1.0, keepFounders = true, seed = 5L)
+    assert(sim2.rows.select(col(MatrixTable.EntriesField).as("es"))
+      .collect().toSeq === entries.toSeq)
+  }
 }
