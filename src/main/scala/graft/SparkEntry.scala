@@ -599,6 +599,36 @@ object SparkEntry {
           .as("mean_word_len"))
     }),
 
+    // --- Gopher/C4 repetition + structure filters over synthetic
+    // multi-line docs (corpus lines grouped by doc_id % 50, both engines
+    // build the identical documents) ---------------------------------------
+    "pipe_quality_filters" -> ((s, dir) => {
+      val docs2 = t(s, dir, "documents")
+        .groupBy(pmod(col("doc_id"), lit(50L)).as("gid"))
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("doc_id"),
+            col("text")))), x => x("text"))).as("text"))
+      docs2.select(col("gid"),
+        round(pipeline.Text.duplicateLineFraction(col("text")), 6)
+          .as("dup_line_frac"),
+        round(pipeline.Text.topNgramFraction(col("text"), 2), 6)
+          .as("top_2gram_frac"),
+        round(pipeline.Text.symbolToWordRatio(col("text")), 6)
+          .as("symbol_word_ratio"))
+    }),
+
+    // --- paragraph-level exact dedup (boilerplate removal): line-as-
+    // paragraph over the same synthetic multi-line docs --------------------
+    "pipe_dedup_paragraphs" -> ((s, dir) => {
+      val docs2 = t(s, dir, "documents")
+        .groupBy(pmod(col("doc_id"), lit(50L)).as("gid"))
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("doc_id"),
+            col("text")))), x => x("text"))).as("text"))
+      pipeline.Dedup.dedupParagraphs(docs2, "gid", "text",
+        sep = "\n", joinSep = "\n")
+    }),
+
     // --- pipeline: MinHash+LSH near-dup pairs (shingle→minhash→band→join) --
     // --- near-dup clustering: connected components over the minhash
     // pair graph (min-label propagation), one row per clustered doc ------
@@ -3097,6 +3127,54 @@ object SparkEntry {
         |      list_distinct(string_split_regex(lower(text), ' +'))), ' '))
         |      ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "pipe_quality_filters" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id % 50 AS gid,
+        |    string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1),
+        |feats AS (
+        |  SELECT gid, text,
+        |    string_split(text, chr(10)) AS ls,
+        |    string_split_regex(lower(text), ' +') AS w,
+        |    string_split_regex(trim(text), ' +') AS tw
+        |  FROM docs2),
+        |grams AS (
+        |  SELECT gid,
+        |    list_extract(w, i) || ' ' || list_extract(w, i + 1) AS g
+        |  FROM feats, unnest(range(1, len(w))) AS t(i)),
+        |modal AS (
+        |  SELECT gid, max(c) AS top FROM (
+        |    SELECT gid, g, count(*) AS c FROM grams GROUP BY gid, g)
+        |  GROUP BY gid)
+        |SELECT f.gid,
+        |  round((len(ls) - len(list_distinct(ls)))
+        |    / CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS dup_line_frac,
+        |  round(CASE WHEN len(w) >= 2
+        |    THEN least(m.top * 2 / CAST(len(w) AS DOUBLE), 1.0)
+        |    ELSE 0.0 END, 6) AS top_2gram_frac,
+        |  round(length(regexp_replace(f.text, '[a-zA-Z0-9\s]', '', 'g'))
+        |    / CAST(greatest(len(tw), 1) AS DOUBLE), 6)
+        |    AS symbol_word_ratio
+        |FROM feats f LEFT JOIN modal m USING (gid)""".stripMargin,
+
+    "pipe_dedup_paragraphs" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id % 50 AS gid,
+        |    string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1),
+        |paras AS (
+        |  SELECT gid, i - 1 AS pos, list_extract(ls, i) AS para
+        |  FROM (SELECT gid, string_split(text, chr(10)) AS ls FROM docs2),
+        |    unnest(range(1, len(ls) + 1)) AS t(i)
+        |  WHERE length(trim(list_extract(ls, i))) > 0),
+        |kept AS (
+        |  SELECT gid, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para)
+        |      ORDER BY gid, pos) AS rn
+        |  FROM paras)
+        |SELECT gid, string_agg(para, chr(10) ORDER BY pos) AS text
+        |FROM kept WHERE rn = 1 GROUP BY gid""".stripMargin,
 
     "pipe_text_stats" ->
       """SELECT doc_id,

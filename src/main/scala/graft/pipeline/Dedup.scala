@@ -38,6 +38,33 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Paragraph-level exact dedup across the corpus (the boilerplate
+    * remover: headers, footers, license blocks repeat across documents
+    * while the documents differ). Each distinct paragraph survives only
+    * at its FIRST occurrence (min (id, position)); documents are
+    * reassembled from their surviving paragraphs in order. Documents
+    * left with no paragraphs drop out.
+    *
+    * Scale shape: explode → one hash-partitioned shuffle on the
+    * paragraph hash (uniform — no hot keys) → window-keep-first →
+    * regroup by doc. Two shuffles total, both on uniform keys. */
+  def dedupParagraphs(df: DataFrame, id: String, text: String,
+      sep: String = "\n{2,}", joinSep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df
+      .select(col(id), posexplode(split(col(text), sep))
+        .as(Seq("__pos", "__para")))
+      .filter(length(trim(col("__para"))) > 0)
+    val w = Window.partitionBy(md5(col("__para")))
+      .orderBy(col(id).asc, col("__pos").asc)
+    val kept = paras.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    kept.groupBy(col(id))
+      .agg(concat_ws(joinSep,
+        transform(array_sort(collect_list(struct(col("__pos"),
+          col("__para")))), s => s("__para"))).as(text))
+  }
+
   /** MinHash + LSH candidate pairs (the standard shingle → minhash → band →
     * bucket-join pipeline). `numHashes` minhashes in `bands` bands of
     * `numHashes / bands` rows; a pair is a candidate iff it agrees on at

@@ -72,6 +72,63 @@ object Text {
     round(lenScore * 0.4 + punctOk * 0.3 + wordOk * 0.3, 4)
   }
 
+  // ---- Gopher/C4-style repetition and structure filters -------------------
+  // (the standard corpus-filter features beyond the scalar quality score:
+  // repeated-line fraction, repeated top n-gram fraction, symbol/word
+  // ratio, bullet- and ellipsis-line fractions — each a pure codegen'd
+  // Column so a 100 TB filter pass stays one narrow scan)
+
+  private def lines(text: Column): Column = split(text, "\n")
+
+  /** Fraction of lines that are duplicates of an earlier line. */
+  def duplicateLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    (size(ls) - size(array_distinct(ls))).cast("double") /
+      greatest(size(ls), lit(1)).cast("double")
+  }
+
+  /** Fraction of (whitespace) words inside the single most-repeated
+    * word n-gram (Gopher's "top n-gram fraction"): modal n-gram count ×
+    * n / word count. Modal count = longest equal run of the SORTED
+    * n-gram stream — O(w log w) per row, no quadratic per-gram recount. */
+  def topNgramFraction(text: Column, n: Int = 2): Column = {
+    val w = tokens(text)
+    val total = size(w)
+    val starts = sequence(lit(0), greatest(total - n, lit(0)))
+    val sortedGrams = array_sort(transform(starts, i =>
+      concat_ws(" ", slice(w, i + 1, lit(n)))))
+    val best = aggregate(sortedGrams,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(1)
+        struct(x.as("prev"), run.as("run"),
+          greatest(run, acc("best")).as("best"))
+      })("best")
+    when(total >= n,
+      least(best * n / total.cast("double"), lit(1.0)))
+      .otherwise(0.0)
+  }
+
+  /** Non-alphanumeric, non-space symbols per word (Gopher's
+    * symbol-to-word ratio; '#' and ellipsis dominate machine text). */
+  def symbolToWordRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Fraction of lines starting with a bullet marker. */
+  def bulletLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    size(filter(ls, l => trim(l).rlike("^[-*•]"))).cast("double") /
+      greatest(size(ls), lit(1)).cast("double")
+  }
+
+  /** Fraction of lines ending in an ellipsis. */
+  def ellipsisLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    size(filter(ls, l => trim(l).endsWith("..."))).cast("double") /
+      greatest(size(ls), lit(1)).cast("double")
+  }
+
   /** Language id: CJK codepoint detection + per-language stopword voting —
     * the classic cheap n-gram-free heuristic. Returns a language code. */
   def langId(text: Column): Column = {

@@ -25,6 +25,18 @@ class PipelineSpec extends SparkSpec {
     assert(fp(0) !== fp(2))
   }
 
+  test("dedupParagraphs removes boilerplate at all but its first site") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "LICENSE HEADER\n\nunique one\n\nfooter"),
+      (2L, "LICENSE HEADER\n\nunique two\n\nfooter"),
+      (3L, "LICENSE HEADER\n\nunique three"))).toDF("id", "text")
+    val got = pipeline.Dedup.dedupParagraphs(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "LICENSE HEADER\n\nunique one\n\nfooter")
+    assert(got(2L) === "unique two")
+    assert(got(3L) === "unique three")
+  }
+
   test("exact dedup keeps min id per identical text") {
     val got = Dedup.exact(
       docs((5L, "same text here"), (2L, "same text here"),
