@@ -68,11 +68,16 @@ object Misc {
     def at(i: org.apache.spark.sql.Column) =
       try_element_at(ptsSorted, i + 1)
     val lower0 = Sets.lowerBound(ptsSorted, iv("start"))
-    val lower = when(lower0 < n && at(lower0) === iv("start"), lower0 + 1)
+    val lowerE = when(lower0 < n && at(lower0) === iv("start"), lower0 + 1)
       .otherwise(lower0)
     val higher0 = Sets.lowerBound(ptsSorted, iv("end"))
-    val higher = when(higher0 < n && at(higher0) === iv("end"), higher0 - 1)
+    val higherE = when(higher0 < n && at(higher0) === iv("end"), higher0 - 1)
       .otherwise(higher0)
+    // stage the two bound searches as columns: they are referenced many
+    // times inside the segment expression, and inlined copies would
+    // re-scan the point array per reference per row
+    val lower = col("__seg_lo")
+    val higher = col("__seg_hi")
     // ascending-safe sequence (memory: sequence(a, b) with b < a
     // DESCENDS in Spark), null-marked extras filtered out
     val middle = filter(
@@ -86,10 +91,17 @@ object Misc {
       middle,
       array(Intervals.interval(at(higher - 1), iv("end"),
         lit(true), iv("includes_end")))))
+    // explode_outer, NOT explode: segmentation always yields >= 1
+    // sub-interval, and an inner explode makes Catalyst infer a
+    // `size(segs) > 0` filter that — referencing only grouping keys —
+    // can be pushed below an upstream aggregate and evaluate the whole
+    // segmentation expression once per SOURCE row (measured 45 s on a
+    // 1.5M-row source for a 50-interval table) instead of per interval
     graft.Table(
-      t.df.withColumn("__segs", segs)
-        .withColumn(intervalField, explode(col("__segs")))
-        .drop("__segs"),
+      t.df.withColumn("__seg_lo", lowerE)
+        .withColumn("__seg_hi", higherE)
+        .withColumn(intervalField, explode_outer(segs))
+        .drop("__seg_lo", "__seg_hi"),
       t.key, t.globals)
   }
 }

@@ -268,6 +268,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(dnN < 10000, s"de_novo optimized plan has $dnN nodes")
   }
 
+  test("dedupParagraphs plans two uniform-key exchanges and one scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = pipeline.Dedup.dedupParagraphs(docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"$scans corpus scans\n${plan.take(2000)}")
+    // window shuffle on md5(paragraph) + regroup shuffle on doc id —
+    // both uniform hash keys; anything more means a lost optimization
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"$exchanges exchanges\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("quality filters are one narrow pass — no shuffle, no generator") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = docs.select(col("doc_id"),
+      pipeline.Text.duplicateLineFraction(col("text")),
+      pipeline.Text.topNgramFraction(col("text"), 2),
+      pipeline.Text.symbolToWordRatio(col("text")),
+      pipeline.Text.bulletLineFraction(col("text")),
+      pipeline.Text.ellipsisLineFraction(col("text")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Generate"), plan.take(2000))
+  }
+
   test("native write-after-read plans no range exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pa_srt")
       .toString
