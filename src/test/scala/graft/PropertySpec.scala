@@ -156,6 +156,62 @@ class PropertySpec extends SparkSpec {
     minima.toSeq
   }
 
+  // ---- VCF write/read roundtrip ------------------------------------------
+
+  test("VCF roundtrip law: write(read(v)) re-reads identically (random VCFs)") {
+    val base = Gen.oneOf("A", "C", "G", "T")
+    val allele = for {
+      n <- Gen.frequency(4 -> Gen.const(1), 1 -> Gen.choose(2, 4))
+      s <- Gen.listOfN(n, base)
+    } yield s.mkString
+    val gtG: Gen[String] = for {
+      nAlt <- Gen.const(2) // up to 2 alts; allele indices 0..2
+      a1 <- Gen.choose(0, nAlt)
+      a2 <- Gen.choose(0, nAlt)
+      sep <- Gen.oneOf("/", "|")
+      missing <- Gen.frequency(5 -> Gen.const(false), 1 -> Gen.const(true))
+    } yield if (missing) "./." else s"$a1$sep$a2"
+    val rowG = for {
+      ref <- allele
+      alt1 <- allele.suchThat(_ != ref)
+      alt2 <- allele.suchThat(a => a != ref && a != alt1)
+      gts <- Gen.listOfN(3, gtG)
+      dps <- Gen.listOfN(3, Gen.choose(1, 99))
+    } yield (ref, s"$alt1,$alt2", gts, dps)
+    val rows = samples(rowG, 25, seed = 17L)
+    val body = rows.zipWithIndex.map { case ((ref, alts, gts, dps), i) =>
+      val cells = gts.zip(dps).map { case (g, d) => s"$g:$d" }
+      (Seq(s"chr${1 + i % 2}", s"${100 + i * 37}", ".", ref, alts, "50",
+        "PASS", s"DP=${dps.sum}", "GT:DP") ++ cells).mkString("\t")
+    }.mkString("\n")
+    val header =
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+        |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	P1	P2	P3""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcf_prop")
+    java.nio.file.Files.writeString(dir.resolve("in.vcf"),
+      header + "\n" + body + "\n")
+    val mt1 = sources.Vcf.read(spark, s"$dir/in.vcf")
+    sources.Vcf.write(mt1, s"$dir/out")
+    // reassemble the written header+parts into one importable file
+    val h = java.nio.file.Files.readString(dir.resolve("out/header.vcf"))
+    val parts = java.nio.file.Files.list(dir.resolve("out/parts"))
+      .toArray.map(_.toString).filter(_.endsWith(".txt")).sorted
+      .map(p => java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p))).mkString
+    java.nio.file.Files.writeString(dir.resolve("rt.vcf"), h + parts)
+    val mt2 = sources.Vcf.read(spark, s"$dir/rt.vcf")
+    def dump(mt: MatrixTable) = mt.entriesTable.df
+      .select(col("contig"), col("position"), col("ref"),
+        concat_ws(",", col("alt")).as("alts"), col("s"),
+        col("GT"), col("DP"))
+      .collect().map(_.toSeq).toSet
+    assert(mt2.colValues === mt1.colValues)
+    assert(dump(mt2) === dump(mt1))
+  }
+
   test("minhashSigs md5 kernel matches an independent JVM model") {
     val word = Gen.oneOf("lorem", "ipsum", "dolor", "sit", "amet", "processo",
       "naturale", "linguaggio", "ueber", "daten", "文書")
