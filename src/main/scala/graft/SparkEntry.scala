@@ -1016,6 +1016,33 @@ object SparkEntry {
         .drop("col_idx")
     }),
 
+    // --- contingency_table_test (reference stats/package.scala:148):
+    // chi-sq above min_cell_count, Fisher + conditional-MLE OR below;
+    // golden oracle (no chi-sq/hypergeometric tails in DuckDB) -------------
+    "fn_contingency" -> ((s, _) => {
+      import graft.functions.StatTests
+      val df = s.range(20).select(col("id").cast("int").as("k"))
+        .withColumn("a", pmod(col("k"), lit(7)).cast("int"))
+        .withColumn("b", (pmod(col("k"), lit(5)) + 1).cast("int"))
+        .withColumn("c", (pmod(col("k"), lit(3)) + 1).cast("int"))
+        .withColumn("d", pmod(col("k") * 3, lit(11)).cast("int"))
+      val ct = StatTests.contingencyTableTest(col("a"), col("b"),
+        col("c"), col("d"), minCellCount = 3)
+      df.select(col("k"), col("a"), col("b"), col("c"), col("d"),
+        round(ct("p_value"), 6).as("p_value"),
+        round(ct("odds_ratio"), 6).as("odds_ratio"))
+    }),
+
+    // --- reverse_complement (reference functions.py:6254) -----------------
+    "fn_revcomp" -> ((s, dir) => {
+      import graft.functions.Alleles
+      t(s, dir, "part").filter(col("p_partkey") < 50)
+        .select(col("p_partkey"),
+          Alleles.reverseComplement(upper(col("p_name"))).as("rc_dna"),
+          Alleles.reverseComplement(col("p_name"), rna = true)
+            .as("rc_rna"))
+    }),
+
     // --- get_vcf_metadata (reference impex.py): header declarations -------
     "vcf_metadata" -> ((s, _) => sources.Vcf.metadata(s, VcfFixture)),
 
@@ -3727,6 +3754,45 @@ object SparkEntry {
         |SELECT k,
         |  (SELECT p FROM np WHERE rn = cut.hi - 1) AS st, e AS en
         |FROM cut""".stripMargin,
+
+    "fn_contingency" ->
+      // golden (DuckDB lacks chi-sq/hypergeometric tails); Fisher p for
+      // (6,2,1,7) cross-checked against R fisher.test = 0.040559
+      """SELECT CAST(t.k AS INTEGER) AS k, CAST(t.a AS INTEGER) AS a,
+        |  CAST(t.b AS INTEGER) AS b, CAST(t.c AS INTEGER) AS c,
+        |  CAST(t.d AS INTEGER) AS d,
+        |  CAST(t.p_value AS DOUBLE) AS p_value,
+        |  CAST(t.odds_ratio AS DOUBLE) AS odds_ratio
+        |FROM (VALUES
+        |  (0, 0, 1, 1, 0, 1.0, 0.0),
+        |  (1, 1, 2, 2, 3, 1.0, 0.777218),
+        |  (2, 2, 3, 3, 6, 1.0, 1.305821),
+        |  (3, 3, 4, 1, 9, 0.25, 5.962888),
+        |  (4, 4, 5, 2, 1, 1.0, 0.43179),
+        |  (5, 5, 1, 3, 4, 0.265734, 5.69964),
+        |  (6, 6, 2, 1, 7, 0.040559, 16.195701),
+        |  (7, 0, 3, 2, 10, 1.0, 0.0),
+        |  (8, 1, 4, 3, 2, 0.52381, 0.203319),
+        |  (9, 2, 5, 1, 5, 1.0, 1.897935),
+        |  (10, 3, 1, 2, 8, 0.094905, 9.512917),
+        |  (11, 4, 2, 3, 0, 0.5, 0.0),
+        |  (12, 5, 3, 1, 3, 0.545455, 4.341073),
+        |  (13, 6, 4, 2, 6, 0.187988, 4.11458),
+        |  (14, 0, 5, 3, 9, 0.514706, 0.0),
+        |  (15, 1, 1, 1, 1, 1.0, 1.0),
+        |  (16, 2, 2, 2, 4, 1.0, 1.861927),
+        |  (17, 3, 3, 3, 7, 0.423711, 2.333333),
+        |  (18, 4, 4, 1, 10, 0.110767, 8.709692),
+        |  (19, 5, 5, 2, 2, 1.0, 1.0))
+        |  AS t(k, a, b, c, d, p_value, odds_ratio)""".stripMargin,
+
+    "fn_revcomp" ->
+      """SELECT p_partkey,
+        |  reverse(translate(upper(p_name), 'ATGCatgc', 'TACGtacg'))
+        |    AS rc_dna,
+        |  reverse(translate(p_name, 'AUTGCautgc', 'UAACGuaacg'))
+        |    AS rc_rna
+        |FROM part WHERE p_partkey < 50""".stripMargin,
 
     "vcf_metadata" ->
       s"""SELECT

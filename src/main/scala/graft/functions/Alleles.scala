@@ -22,6 +22,13 @@ object Alleles {
   private val BaseRe = "^[ACGTNM]+$"
   private val SymbolicRe = "(^\\.)|(\\.$)|(^<)|(>$)|(\\[)|(\\])"
 
+  /** reverse_complement (reference `expr/functions.py:6254`): reverse
+    * the sequence and complement the bases, case-preserving; non-base
+    * characters pass through. Pure `reverse(translate(...))` — codegen'd. */
+  def reverseComplement(s: Column, rna: Boolean = false): Column =
+    if (rna) reverse(translate(s, "AUTGCautgc", "UAACGuaacg"))
+    else reverse(translate(s, "ATGCatgc", "TACGtacg"))
+
   /** Number of differing positions between two same-length strings. */
   def hammingSameLen(a: Column, b: Column): Column =
     size(filter(

@@ -77,6 +77,64 @@ object StatTests {
       math.min(p, 1.0)
     }
 
+  /** Conditional-MLE odds ratio for a 2x2 table (what R's fisher.test
+    * reports; reference `stats/package.scala:168`): the psi maximizing
+    * the noncentral hypergeometric likelihood, found by bisection on
+    * E_psi[X] = a (monotone in psi). 0 / Inf at the support edges. */
+  val fisherMleOddsRatio: UserDefinedFunction =
+    udf { (a: Int, b: Int, c: Int, d: Int) =>
+      val m1 = a + b; val m2 = c + d; val k = a + c
+      val lo = math.max(0, k - m2); val hi = math.min(k, m1)
+      def logw(x: Int): Double =
+        logBinom(m1, x) + logBinom(m2, k - x)
+      // E_psi[X] over the conditional distribution
+      def mean(logPsi: Double): Double = {
+        var num = 0.0; var den = 0.0
+        val mx = (lo to hi).map(x => logw(x) + x * logPsi).max
+        var x = lo
+        while (x <= hi) {
+          val w = math.exp(logw(x) + x * logPsi - mx)
+          num += x * w; den += w; x += 1
+        }
+        num / den
+      }
+      if (lo == hi) Double.NaN
+      else if (a == lo) 0.0
+      else if (a == hi) Double.PositiveInfinity
+      else {
+        var l = -50.0; var r = 50.0
+        var it = 0
+        while (r - l > 1e-10 && it < 200) {
+          val m = (l + r) / 2
+          if (mean(m) < a) l = m else r = m
+          it += 1
+        }
+        math.exp((l + r) / 2)
+      }
+    }
+
+  private def logBinom(n: Int, k: Int): Double =
+    org.apache.commons.math3.special.Gamma.logGamma(n + 1) -
+      org.apache.commons.math3.special.Gamma.logGamma(k + 1) -
+      org.apache.commons.math3.special.Gamma.logGamma(n - k + 1)
+
+  /** contingency_table_test (reference `stats/package.scala:148`):
+    * chi-squared when every cell >= minCellCount, else Fisher exact
+    * (with the conditional-MLE odds ratio, matching R). Returns
+    * struct(p_value, odds_ratio). */
+  def contingencyTableTest(a: Column, b: Column, c: Column, d: Column,
+      minCellCount: Int): Column = {
+    val allBig = a >= minCellCount && b >= minCellCount &&
+      c >= minCellCount && d >= minCellCount
+    val chi = chiSquaredTest(a, b, c, d)
+    when(allBig,
+      struct(chi("p_value").as("p_value"),
+        ((a * d).cast("double") / (b * c)).as("odds_ratio")))
+      .otherwise(
+        struct(fisherExact(a, b, c, d).as("p_value"),
+          fisherMleOddsRatio(a, b, c, d).as("odds_ratio")))
+  }
+
   /** Hardy–Weinberg equilibrium: expected het freq + exact-test-style
     * chi-squared p (reference `hardy_weinberg_test`). Takes genotype
     * counts. */

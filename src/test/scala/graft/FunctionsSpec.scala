@@ -140,6 +140,33 @@ class FunctionsSpec extends SparkSpec {
     assert(hwe.getDouble(2) > 0.999)                 // p ~ 1
   }
 
+  test("StatTests: contingencyTableTest matches hail's documented values") {
+    // reference functions.py:786 doc: (51,43,22,92) above min ->
+    // chi-sq p 1.4626e-07, OR 4.95983; below min -> fisher
+    // p 2.1565e-07, conditional-MLE OR 4.91806
+    val df = spark.range(1)
+    val chi = df.select(StatTests.contingencyTableTest(
+      lit(51), lit(43), lit(22), lit(92), 22)).head().getStruct(0)
+    assert(math.abs(chi.getDouble(0) - 1.4626257805267089e-7) < 1e-12)
+    assert(math.abs(chi.getDouble(1) - 4.959830866807611) < 1e-9)
+    val fe = df.select(StatTests.contingencyTableTest(
+      lit(51), lit(43), lit(22), lit(92), 23)).head().getStruct(0)
+    assert(math.abs(fe.getDouble(0) - 2.1564999740157304e-7) < 1e-10)
+    // R's fisher.test (whose value hail documents) finds the MLE with
+    // uniroot at tol ~1.2e-4; our bisection is tighter — compare at
+    // the reference's own tolerance
+    assert(math.abs(fe.getDouble(1) - 4.918058171469967) < 5e-4)
+  }
+
+  test("Alleles: reverseComplement dna and rna") {
+    import graft.functions.Alleles
+    val r = spark.range(1).select(
+      Alleles.reverseComplement(lit("GATTaca x")),
+      Alleles.reverseComplement(lit("GAUUaca"), rna = true)).head()
+    assert(r.getString(0) === "x tgtAATC")
+    assert(r.getString(1) === "uguAAUC")
+  }
+
   test("StatTests: fisher exact matches R value for (3,1,1,3)") {
     val p = spark.range(1).select(
       StatTests.fisherExact(lit(3), lit(1), lit(1), lit(3)))
