@@ -70,4 +70,31 @@ object TextTable {
     t.ensureKeyOrder().df.write
       .option("sep", sep).option("header", header)
       .mode("overwrite").csv(path)
+
+  /** export_entries_by_col (reference
+    * `experimental/export_entries_by_col.py`): one delimited file tree
+    * per column (sample) holding that column's entries with the row
+    * fields. The reference hand-schedules a per-column parallel export;
+    * Spark's `partitionBy` IS that operator — one shuffle-free write,
+    * `path/<colKey>=<value>/part-*.csv` per sample, any number of
+    * columns. */
+  def exportEntriesByCol(mt: graft.MatrixTable, path: String,
+      sep: String = "\t", header: Boolean = true): Unit = {
+    val df = mt.entriesTable.df.drop("col_idx")
+    // CSV cannot carry complex types: JSON-encode them (the reference's
+    // export stringifies too)
+    val flat = df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+    flat.write
+      .partitionBy(mt.colKey: _*)
+      .option("sep", sep).option("header", header)
+      .mode("overwrite").csv(path)
+  }
 }

@@ -104,6 +104,19 @@ class SourcesSpec extends SparkSpec {
     assert(gts(back) === gts(mt))
   }
 
+  test("exportEntriesByCol writes one partition dir per sample") {
+    val mt = Vcf.read(spark,
+      "/root/repo/src/test/resources/oracle_sample.vcf")
+    val dir = java.nio.file.Files.createTempDirectory("graft_eebc")
+    TextTable.exportEntriesByCol(mt, s"$dir/out")
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.toSeq === (1 to 5).map(i => s"s=S$i"))
+    val s3 = spark.read.option("header", true).option("sep", "\t")
+      .csv(s"$dir/out/s=S3")
+    assert(s3.count() > 0 && s3.columns.contains("GT"))
+  }
+
   test("PLINK read decodes 2-bit genotypes against the golden dump") {
     import graft.functions.Calls
     val mt = sources.Plink.read(spark,
