@@ -65,7 +65,10 @@ object Bench {
       "pipe_ann_topk", "pipe_ann_lsh", "pipe_text_stats",
       "pipe_dedup_exact", "stream_hourly_agg", "vds_combine_densify",
       "rand_seeded", "pipe_knn_join", "pipe_image_dedup", "geno_ld_prune",
-      "table_add_index", "pipe_minhash_fast")
+      "table_add_index", "pipe_minhash_fast",
+      "table_segment_intervals", "qc_compute_charr",
+      "pipe_dedup_paragraphs", "pipe_quality_filters",
+      "geno_simulate_mating")
     // Locale.ROOT: the one-line JSON contract must not pick up a
     // comma decimal separator from the JVM default locale.
     def num(v: Double): String =
