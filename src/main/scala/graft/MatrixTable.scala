@@ -124,7 +124,7 @@ final case class MatrixTable(
   def chooseCols(indices: IndexedSeq[Int]): MatrixTable =
     copy(
       rows = rows.withColumn(MatrixTable.EntriesField,
-        array(indices.map(i => element_at(entries, i + 1)): _*)),
+        array(indices.map(i => try_element_at(entries, lit(i + 1))): _*)),
       colValues = indices.map(colValues))
 
   /** MatrixColsHead / MatrixColsTail (`MatrixIR.scala:830,858`). */
@@ -149,7 +149,7 @@ final case class MatrixTable(
     val ef = entrySchema.fieldNames.toSeq
     val newEntries = array(groups.map { case (_, idxs) =>
       struct(ef.map(f =>
-        array(idxs.map(i => element_at(entries, i + 1)(f)): _*).as(f)): _*)
+        array(idxs.map(i => try_element_at(entries, lit(i + 1))(f)): _*).as(f)): _*)
     }: _*)
     val newColSchema = StructType(
       keyIdx.map(colSchema.fields).toArray ++
@@ -181,7 +181,7 @@ final case class MatrixTable(
     val idxArr = expanded.map(_._2)
     copy(
       rows = rows.withColumn(MatrixTable.EntriesField,
-        array(idxArr.map(i => element_at(entries, i + 1)): _*)),
+        array(idxArr.map(i => try_element_at(entries, lit(i + 1))): _*)),
       colValues = expanded.map(_._1),
       colSchema = StructType(colSchema.fields.updated(fi,
         StructField(field, elemType))))
@@ -202,7 +202,7 @@ final case class MatrixTable(
     val ef = entrySchema.fieldNames.toSeq
     val wide = colValues.zipWithIndex.flatMap { case (cv, j) =>
       val sid = keyIdx.map(cv.get).mkString("_")
-      ef.map(f => element_at(entries, j + 1)(f).as(s"$sid.$f"))
+      ef.map(f => try_element_at(entries, lit(j + 1))(f).as(s"$sid.$f"))
     }
     Table(rows.select((rowKey.map(col) ++
       rows.columns.filterNot(c => rowKey.contains(c) ||
@@ -387,7 +387,7 @@ final case class MatrixTable(
       val idxArr = array(idxs.map(i => lit(i)): _*)
       struct(entryAggs.map { case (n, seqOp, zero) =>
         aggregate(idxArr, zero,
-          (acc, i) => seqOp(acc, element_at(entries, i + 1))).as(n)
+          (acc, i) => seqOp(acc, try_element_at(entries, i + 1))).as(n)
       }: _*)
     }: _*)
     val newColSchema = StructType(keyIdx.map(colSchema.fields).toArray)

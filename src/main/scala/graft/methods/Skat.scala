@@ -267,7 +267,7 @@ object Skat {
       }
     // ---- per-variant q/a/b as codegen'd expressions --------------------
     val gtOf = (i: Int) => Calls.nNonRefAlleles(
-      element_at(mt.entries, i + 1)("GT")).cast("double")
+      try_element_at(mt.entries, lit(i + 1))("GT")).cast("double")
     val doses = array(complete.map(c => gtOf(c._1)): _*)
     val called = filter(doses, v => v.isNotNull)
     val mean = when(size(called) > 0,
