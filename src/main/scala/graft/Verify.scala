@@ -12,7 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
+      // legacy events data carried TIMESTAMP(NANOS) (read as long ns
+      // under this flag); current data is TIMESTAMP(MICROS) → NTZ, and
+      // Events.tsNanos adapts to either — the flag stays for old files
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

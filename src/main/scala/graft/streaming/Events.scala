@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DecimalType, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, LongType,
+  StructType, TimestampNTZType, TimestampType}
 
 /** Structured Streaming over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -27,8 +28,52 @@ object Events {
   final case class SessionState(startTs: Long, endTs: Long,
       cnt: Long, total: Double)
 
-  /** File-source stream with the batch schema (`ts` arrives as
-    * nanosecond longs under the nanosAsLong reader flag). */
+  /** Normalize an event-time column to nanoseconds-since-epoch (LONG),
+    * whatever dtype the source delivered. Real event data arrives any of
+    * three ways — int64 ns (legacy parquet under the nanosAsLong reader
+    * flag), TIMESTAMP (instant, µs), or TIMESTAMP_NTZ (naive, µs, what
+    * pandas/pyarrow `timestamp[us]` becomes under Spark's NTZ inference).
+    * The NTZ arm measures the microsecond delta from the naive epoch with
+    * `timestampdiff`, which never consults the session timezone — the
+    * naive value is treated as UTC, exactly how DuckDB's `epoch_ns` reads
+    * a naive TIMESTAMP, so engine and oracle agree in any session TZ.
+    * Unsupported dtypes fail loudly at plan time, not mid-query. */
+  def tsNanos(c: Column, dt: DataType): Column = dt match {
+    case LongType      => c
+    case TimestampType => unix_micros(c) * lit(1000L)
+    case TimestampNTZType =>
+      timestamp_diff("MICROSECOND",
+        lit(java.time.LocalDateTime.ofEpochSecond(0, 0,
+          java.time.ZoneOffset.UTC)), c) * lit(1000L)
+    case other => throw new IllegalArgumentException(
+      s"event-time column must be LONG (ns-since-epoch), TIMESTAMP or " +
+        s"TIMESTAMP_NTZ; got ${other.sql}")
+  }
+
+  /** Event-time column as a TimestampType suitable for
+    * `withWatermark`/`window`. Exact integer µs math on the long-ns arm
+    * (decimal floor-div, not double division — ns epochs ~1.7e18 exceed
+    * double's 2^53 integer range). */
+  def tsTimestamp(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => c
+    case _ => timestamp_micros(
+      floor(tsNanos(c, dt).cast(DecimalType(38, 0)) / lit(1000L))
+        .cast(LongType))
+  }
+
+  /** Typed ingestion for the sessionize kernel: project any events-shaped
+    * frame (ts as LONG ns / TIMESTAMP / TIMESTAMP_NTZ) to `Dataset[Event]`
+    * with ns-normalized `ts`. */
+  def toEvents(df: DataFrame): Dataset[Event] = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    df.select(col("event_id"),
+      tsNanos(col("ts"), df.schema("ts").dataType).as("ts"),
+      col("user_id"), col("event_type"), col("value")).as[Event]
+  }
+
+  /** File-source stream with the batch schema (`ts` in any dtype
+    * `tsNanos` accepts). */
   def readEventStream(spark: SparkSession, dir: String,
       schema: StructType, maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
@@ -37,13 +82,14 @@ object Events {
       .parquet(dir)
 
   /** Shared batch/stream transform: hourly tumbling windows per
-    * event_type with exact (decimal) value sums. `ts` is ns-since-epoch;
-    * the window column is the hour index so batch and stream (and the
-    * DuckDB oracle) agree bit-for-bit. */
+    * event_type with exact (decimal) value sums. `ts` may be ns longs or
+    * either timestamp flavor (`tsTimestamp`); the output window column is
+    * the epoch-hour index so batch and stream (and the DuckDB oracle)
+    * agree bit-for-bit. */
   def hourlyTypeAgg(events: DataFrame): DataFrame = {
-    val tsSec = (col("ts").cast("double") / 1e9).cast("timestamp")
     events
-      .withColumn("__t", tsSec)
+      .withColumn("__t",
+        tsTimestamp(col("ts"), events.schema("ts").dataType))
       .withWatermark("__t", "1 hour")
       .groupBy(
         window(col("__t"), "1 hour").as("__w"),
@@ -113,9 +159,9 @@ object Events {
     * forever). Emits each key's first arrival only. */
   def dedupStream(events: DataFrame, idCols: Seq[String],
       lateness: String = "1 hour"): DataFrame = {
-    val tsSec = (col("ts").cast("double") / 1e9).cast("timestamp")
     events
-      .withColumn("__t", tsSec)
+      .withColumn("__t",
+        tsTimestamp(col("ts"), events.schema("ts").dataType))
       .withWatermark("__t", lateness)
       .dropDuplicatesWithinWatermark(idCols)
       .drop("__t")
@@ -160,6 +206,7 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     events
+      .withColumn("ts", tsNanos(col("ts"), events.schema("ts").dataType))
       .withColumn("__prev", lag(col("ts"), 1).over(w))
       .withColumn("__new_session",
         (col("__prev").isNull ||

@@ -82,6 +82,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> 1.0, 2L -> 2.0)) // first arrival wins
   }
 
+  test("event-time kernels accept long-ns, TIMESTAMP and TIMESTAMP_NTZ alike") {
+    val ss = spark
+    import ss.implicits._
+    // same instants three ways: ns longs, instant timestamps, naive NTZ
+    val ns = Seq(
+      (1L, 3600000000000L, 7L, "x", 1.5),
+      (2L, 3605000000000L, 7L, "x", 2.5),
+      (3L, 7201000000000L, 8L, "y", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val asTs = ns.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+    val asNtz = asTs.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(asTs.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(asNtz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    def hourly(df: org.apache.spark.sql.DataFrame) =
+      Events.hourlyTypeAgg(df).collect().map(_.toSeq).toSet
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      Events.sessionizeBatch(df, gapNs = 10000000000L)
+        .collect().map(_.toSeq).toSet
+    assert(hourly(ns) == hourly(asTs) && hourly(ns) == hourly(asNtz))
+    assert(sess(ns) == sess(asTs) && sess(ns) == sess(asNtz))
+    assert(hourly(ns).map(_.head) == Set(1L, 2L)) // epoch hours 1 and 2
+    // typed ingestion path normalizes any dtype to ns longs
+    assert(Events.toEvents(asNtz).collect().map(_.ts).sorted.toSeq ==
+      Seq(3600000000000L, 3605000000000L, 7201000000000L))
+    // unsupported dtype fails loudly at plan time
+    intercept[IllegalArgumentException] {
+      Events.hourlyTypeAgg(ns.withColumn("ts", col("ts").cast("string")))
+    }
+  }
+
   test("streaming minhash pairs match batch candidates across batches") {
     import graft.streaming.StreamDedup
     import graft.pipeline.Dedup
