@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] single-JVM runs the whole 194-query gate fleet in one
+  // heap: at 8g the old gen fills over the run and late/allocation-heavy
+  // queries degrade 3-5x from GC churn (the container has 128 GiB).
+  // A larger code cache keeps the JIT from deoptimizing the hundreds of
+  // large whole-stage-codegen classes the fleet compiles.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

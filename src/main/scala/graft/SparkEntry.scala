@@ -2397,6 +2397,54 @@ object SparkEntry {
           round(NdArrays.sumAll(sol), 6).as("ssum"))
     }),
 
+    // --- NDArraySum + NDArrayMultiplyAdd aggregators (reference
+    // agg/NDArraySumAggregator.scala, NDArrayMultiplyAddAggregator.scala):
+    // element-wise ndarray sum across rows, and the multiply-add pattern
+    // (accumulate per-row matrix products A@B). With A = [[x,1],[0,y]],
+    // B = [[1,2],[y,0]], A@B = [[x+y, 2x],[y^2, 0]] — every output cell
+    // has a closed form the oracle computes in plain SQL --------------------
+    "agg_ndarray_sum" -> ((s, dir) => {
+      import graft.functions.NdArrays
+      import graft.operators.Aggs
+      val x = pmod(col("o_orderkey"), lit(5L)).cast("double")
+      val y = pmod(col("o_custkey"), lit(7L)).cast("double")
+      val a = NdArrays.make(Seq(2L, 2L), array(x, lit(1.0), lit(0.0), y))
+      val b = NdArrays.make(Seq(2L, 2L),
+        array(lit(1.0), lit(2.0), y, lit(0.0)))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(a.as("a"), NdArrays.matmul(a, b).as("ab"))
+        .agg(
+          Aggs.ndarraySum(col("a")).as("sa"),
+          Aggs.ndarraySum(col("ab")).as("ma"))
+        .select(
+          element_at(col("sa")("shape"), 1).as("shape_r"),
+          element_at(col("sa")("shape"), 2).as("shape_c"),
+          element_at(col("sa")("data"), 1).as("sum11"),
+          element_at(col("sa")("data"), 2).as("sum12"),
+          element_at(col("sa")("data"), 3).as("sum21"),
+          element_at(col("sa")("data"), 4).as("sum22"),
+          element_at(col("ma")("data"), 1).as("ma11"),
+          element_at(col("ma")("data"), 2).as("ma12"),
+          element_at(col("ma")("data"), 3).as("ma21"),
+          element_at(col("ma")("data"), 4).as("ma22"))
+    }),
+
+    // --- export_entries_by_col (experimental/export_entries_by_col.py):
+    // the partitionBy csv write IS the reference's per-column parallel
+    // export; the gate reads the per-sample file tree back and must
+    // restore the exact cell relation ---------------------------------------
+    "export_entries_by_col" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_eebc")
+      sources.TextTable.exportEntriesByCol(
+        lineitemMatrix(s, dir), s"$out/by_col")
+      s.read.option("header", "true").option("sep", "\t")
+        .csv(s"$out/by_col")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("line_no").cast("int").as("line_no"),
+          col("qty").cast("double").as("qty"),
+          col("price").cast("double").as("price"))
+    }),
+
     // --- ndarray QR (NDArrayFunctions.scala qr): decomposition factors
     // aren't sign-unique, so the gate pins |R| entries (closed-form via
     // Gram identities: |r11| = |col1|, |r12| = col1.col2/|col1|,
@@ -5539,6 +5587,23 @@ object SparkEntry {
         |    CAST((1 + o_orderkey % 3) * (2 + o_orderkey % 2) - 1 AS DOUBLE)
         |      AS det
         |  FROM orders WHERE o_orderkey <= 200)""".stripMargin,
+
+    // closed forms of the accumulated A and A@B cells (see the gate)
+    "agg_ndarray_sum" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey % 5 AS DOUBLE) AS x,
+        |    CAST(o_custkey % 7 AS DOUBLE) AS y
+        |  FROM orders WHERE o_orderkey <= 1000)
+        |SELECT CAST(2 AS BIGINT) AS shape_r, CAST(2 AS BIGINT) AS shape_c,
+        |  sum(x) AS sum11, CAST(count(*) AS DOUBLE) AS sum12,
+        |  CAST(0 AS DOUBLE) AS sum21, sum(y) AS sum22,
+        |  sum(x + y) AS ma11, sum(2 * x) AS ma12,
+        |  sum(y * y) AS ma21, CAST(0 AS DOUBLE) AS ma22
+        |FROM o""".stripMargin,
+
+    "export_entries_by_col" ->
+      s"""SELECT l_orderkey, l_linenumber AS line_no, qty, price
+        |FROM $cellSql""".stripMargin,
 
     // |R| entries from the Gram identities of A's columns; QR recon
     // error is exactly 0 at 6 decimals

@@ -703,6 +703,32 @@ object HailNative {
     case x => throw new IllegalArgumentException(s"expected string: $x")
   }
 
+  /** Spec-version allowlist (reference `AbstractMatrixTableSpec.scala:57-74`,
+    * `utils/SemanticVersion.scala`): `file_version` packs
+    * (major<<16)|(minor<<8)|patch; the current writer is 1.8.0 and the
+    * format is back- but not forward-compatible, so we accept major 1 up
+    * to minor 8 — the range the decoder's fixtures cover — and refuse
+    * anything else loudly rather than risk a silent mis-decode. */
+  private[sources] val MaxSupported: (Int, Int) = (1, 8)
+  private[sources] def checkFileVersion(meta: JValue, path: String): Unit = {
+    val rep = meta \ "file_version" match {
+      case JInt(v) => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"cannot read $path: metadata has no file_version — not a " +
+          "Hail 0.2+ native file (0.1 VariantDataset/KeyTable formats " +
+          "are not supported)")
+    }
+    val (major, minor, patch) = ((rep >> 16) & 0xff, (rep >> 8) & 0xff,
+      rep & 0xff)
+    if (major != MaxSupported._1 || minor > MaxSupported._2)
+      throw new IllegalArgumentException(
+        s"cannot read $path: file format version $major.$minor.$patch " +
+          s"is outside the tested range (supported: ${MaxSupported._1}.0 " +
+          s"through ${MaxSupported._1}.${MaxSupported._2}.x). Newer files " +
+          "need a newer importer; re-export the dataset or extend the " +
+          "decoder's fixture coverage before trusting the result.")
+  }
+
   final case class RvdSpec(key: Seq[String], eType: ETyp, vType: VType,
       bufferSpec: BufSpec, partFiles: IndexedSeq[String])
 
@@ -761,6 +787,7 @@ object HailNative {
   def readTable(spark: SparkSession, path: String): Table = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = readJsonGz(conf, s"$path/metadata.json.gz")
+    checkFileVersion(meta, path)
     require(jStr(meta \ "name").contains("TableSpec"),
       s"not a table: ${meta \ "name"}")
     val (rowSpec, rowsDf) = readRvdDistributed(spark, s"$path/rows")
@@ -779,6 +806,7 @@ object HailNative {
   def readMatrixTable(spark: SparkSession, path: String): MatrixTable = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = readJsonGz(conf, s"$path/metadata.json.gz")
+    checkFileVersion(meta, path)
     require(jStr(meta \ "name").contains("MatrixTableSpec"),
       s"not a matrix table: ${meta \ "name"}")
     // matrix_type: Matrix{global:...,col_key:[...],col:...,row_key:[[..],[..]],row:...,entry:...}

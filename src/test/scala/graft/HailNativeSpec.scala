@@ -132,4 +132,43 @@ class HailNativeSpec extends SparkSpec {
     assert(parseEType("ENDArrayColumnMajor[+EFloat64,2]") ==
       ENd(EF64(true), 2, false))
   }
+
+  test("file_version outside the tested range is refused loudly") {
+    import java.nio.file.Files
+    def htWithVersion(rep: Any): String = {
+      val src = new java.io.File("src/test/resources/sample.ht")
+      val dst = Files.createTempDirectory("graft_ver").resolve("v.ht")
+      org.apache.commons.io.FileUtils.copyDirectory(src, dst.toFile)
+      val metaPath = dst.resolve("metadata.json.gz")
+      val in = new java.util.zip.GZIPInputStream(
+        Files.newInputStream(metaPath))
+      val txt = new String(in.readAllBytes(), "UTF-8"); in.close()
+      val patched = rep match {
+        case i: Int => txt.replaceAll(
+          "\"file_version\":\\s*\\d+", s""""file_version": $i""")
+        case _ => txt.replaceAll(
+          "\"file_version\":\\s*\\d+,", "") // drop the field entirely
+      }
+      val out = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(metaPath))
+      out.write(patched.getBytes("UTF-8")); out.close()
+      dst.toString
+    }
+    // 1.6.0 (back-compat range) loads; the committed legacy fixture
+    // already proves 1.6-era encodings decode
+    assert(HailNative.readTable(spark,
+      htWithVersion((1 << 16) | (6 << 8))).df.count() == 5)
+    // 1.9.0 (newer minor) and 2.0.0 (newer major) refuse with the
+    // actionable message; a missing field refuses as a 0.1-era file
+    for (rep <- Seq((1 << 16) | (9 << 8), 2 << 16)) {
+      val e = intercept[IllegalArgumentException] {
+        HailNative.readTable(spark, htWithVersion(rep))
+      }
+      assert(e.getMessage.contains("outside the tested range"))
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      HailNative.readTable(spark, htWithVersion("missing"))
+    }
+    assert(e2.getMessage.contains("no file_version"))
+  }
 }

@@ -173,7 +173,7 @@ def write_table(path):
     table_type = (f"Table{{global:{glob_v},key:[id],row:{row_v}}}")
     meta = {
         "name": "TableSpec",
-        "file_version": 1,
+        "file_version": (1 << 16) | (8 << 8),  # 1.8.0
         "hail_version": "0.2-fixture",
         "references_rel_path": "references",
         "table_type": table_type,
@@ -283,7 +283,7 @@ def write_table_legacy(path):
             json.dump(meta, f)
     meta = {
         "name": "TableSpec",
-        "file_version": 1,
+        "file_version": (1 << 16) | (6 << 8),  # 1.6.0
         "hail_version": "0.2-fixture-legacy",
         "references_rel_path": "references",
         "table_type": f"Table{{global:{glob_v},key:[id],row:{row_v}}}",
@@ -370,7 +370,7 @@ def write_matrix(path):
                    "entry:Struct{gt:Int32,dp:Int32}}")
     meta = {
         "name": "MatrixTableSpec",
-        "file_version": 1,
+        "file_version": (1 << 16) | (8 << 8),  # 1.8.0
         "hail_version": "0.2-fixture",
         "references_rel_path": "references",
         "matrix_type": matrix_type,
