@@ -76,12 +76,16 @@ object Bgen {
         }
       } finally src.close()
     }
-    // big unindexed file: distribute the first-pass walk (seam-verified;
-    // falls back to the sequential scan if stitching fails)
-    val meta =
-      if (fileLen >= ParallelIndexThreshold)
-        indexParallel(spark, path).getOrElse(index(spark, path))
-      else index(spark, path)
+    // a reference `.idx2` sidecar shortcuts the first pass to an
+    // offset-exact header walk; otherwise big unindexed files distribute
+    // the walk (seam-verified; sequential-scan fallback)
+    val meta = BgenIdx2.locate(fs, path)
+      .flatMap(idx2 => indexFromIdx2(spark, path, idx2, fileLen))
+      .getOrElse {
+        if (fileLen >= ParallelIndexThreshold)
+          indexParallel(spark, path).getOrElse(index(spark, path))
+        else index(spark, path)
+      }
     if (writeIndex) try {
       val out = new java.io.PrintWriter(fs.create(idxP, true))
       try {
@@ -98,6 +102,46 @@ object Bgen {
 
   private case class HeaderMeta(firstVariantOffset: Long, m: Int, n: Int,
       compression: Int, sampleIds: Option[IndexedSeq[String]])
+
+  /** First-pass variant index driven by a reference `.idx2`: the sidecar
+    * yields every record's exact start offset, so the header walk
+    * distributes over contiguous offset ranges with no resync heuristic
+    * and no seam induction — correctness is by construction, the only
+    * check is the total count. None if the sidecar disagrees with the
+    * file (falls back to the self-reliant paths). */
+  private def indexFromIdx2(spark: SparkSession, path: String,
+      idx2: String, fileLen: Long): Option[BgenFile] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    try {
+      val offsets = BgenIdx2.readOffsets(fs, idx2)
+      val raw = fs.open(new org.apache.hadoop.fs.Path(path))
+      val h = try headerMeta(path, raw) finally raw.close()
+      if (offsets.length != h.m) return None
+      val nRanges = math.min(spark.sparkContext.defaultParallelism,
+        math.max(1, offsets.length / 16))
+      val ranges = BgenIdx2.ranges(offsets, fileLen, nRanges)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val compL = h.compression
+      val variants = spark.sparkContext
+        .parallelize(ranges.zipWithIndex.map(_.swap), ranges.length)
+        .map { case (i, (from, until)) =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val in = p.getFileSystem(conf.value).open(p)
+          try (i, walkVariants(in, from, until, until, compL)._1)
+          finally in.close()
+        }
+        .collect().sortBy(_._1).iterator.flatMap(_._2).toIndexedSeq
+      if (variants.length == h.m)
+        Some(BgenFile(h.n, h.compression, h.sampleIds, variants))
+      else None
+    } catch { case e: Exception =>
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"ignoring unreadable $idx2: ${e.getMessage}")
+      None
+    }
+  }
 
   /** Parse the fixed header (+ optional in-file sample block). Tiny
     * driver-side read; leaves `raw` positioned arbitrarily. */
@@ -619,10 +663,35 @@ object Bgen {
       new org.apache.hadoop.fs.Path(path)).getLen
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val streamed =
+    // a reference-written `.idx2` sidecar gives exact record offsets from
+    // metadata-scale I/O: the read plans straight off it — no first-pass
+    // job, no resync heuristic, at any file size
+    val fromIdx2 =
+      if (writeIndex) None // .gidx persist needs the full VariantMeta list
+      else BgenIdx2.locate(fs, path).flatMap { idx2 =>
+        try {
+          val offsets = BgenIdx2.readOffsets(fs, idx2)
+          val raw = fs.open(new org.apache.hadoop.fs.Path(path))
+          val h = try headerMeta(path, raw) finally raw.close()
+          if (offsets.length != h.m) None
+          else {
+            val nRanges =
+              if (nPartitions > 0) nPartitions
+              else math.min(spark.sparkContext.defaultParallelism,
+                math.max(1, offsets.length / 16))
+            Some((h, BgenIdx2.ranges(offsets, fileLen, nRanges)))
+          }
+        } catch { case e: Exception =>
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"ignoring unreadable $idx2: ${e.getMessage}")
+          None
+        }
+      }
+    val streamed = fromIdx2.orElse {
       if (fileLen >= streamThreshold && !writeIndex)
         streamPlan(spark, path, streamSplitBytes)
       else None
+    }
     streamed match {
       case Some((h, ranges)) =>
         val samples = h.sampleIds

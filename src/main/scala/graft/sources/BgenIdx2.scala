@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.io.InputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path => HPath}
+import org.apache.spark.sql.Row
+import org.json4s._
+
+/** Reader for the reference engine's BGEN `.idx2` index sidecar
+  * (`io/bgen/BgenSettings.scala getIndexSpec`, `io/index/IndexReader
+  * .scala`, `LoadBgen.scala:277`), so a dataset indexed once with the
+  * reference's `index_bgen` imports here without any re-index pass.
+  *
+  * Layout: either a DIRECTORY (`x.bgen.idx2/{index, metadata.json.gz}`)
+  * or, for newer writers, a single FILE whose metadata JSON sits at the
+  * tail behind a trailing little-endian offset long. The `index` payload
+  * is a B-tree of nodes, each flushed as its own buffer frame at a
+  * recorded byte offset: a tag byte (1 = internal, 0 = leaf) followed by
+  * one encoded row in the engine's native value encoding — the same
+  * encoding `HailNative` already decodes, so this reader is just the two
+  * node schemas plus a root-to-leaf walk. Leaf entries carry
+  * (key{locus{contig, position}, alleles}, offset) where `offset` is the
+  * byte position of the variant's record in the `.bgen` — exact split
+  * points for a distributed read, no resync heuristic needed.
+  *
+  * Buffer/encoded specs follow the index version
+  * (`BgenSettings.specFromVersion`): >= 1.3 blocked-zstd with varint
+  * ints; >= 1.2 LEB128 zstd; older LEB128 lz4(HC). */
+object BgenIdx2 {
+
+  import HailNative._
+
+  final case class Idx2Meta(fileVersion: Int, branchingFactor: Int,
+      height: Int, nKeys: Long, rootOffset: Long)
+
+  /** The `.idx2` path for a `.bgen`, if present in either layout. */
+  def locate(fs: FileSystem, bgenPath: String): Option[String] = {
+    val p = new HPath(bgenPath + ".idx2")
+    if (!fs.exists(p)) None
+    else if (fs.getFileStatus(p).isDirectory) {
+      if (fs.exists(new HPath(p, "index")) &&
+        fs.exists(new HPath(p, "metadata.json.gz"))) Some(p.toString)
+      else None
+    } else Some(p.toString)
+  }
+
+  private def jInt(j: JValue, f: String): Long = (j \ f) match {
+    case JInt(v) => v.toLong
+    case JLong(v) => v
+    case x => throw new IllegalArgumentException(s"idx2 metadata $f: $x")
+  }
+
+  /** Metadata from either layout. File form: trailing 8-byte LE long
+    * points at the JSON tail (reference `IndexReader
+    * .readInlineMetadataRaw`). */
+  private def readMeta(fs: FileSystem, idx2: String)
+      : (Idx2Meta, String /* index payload path */, Long /* payload end */) = {
+    val p = new HPath(idx2)
+    val jv =
+      if (fs.getFileStatus(p).isDirectory)
+        readJsonGz(fs.getConf, s"$idx2/metadata.json.gz")
+      else {
+        val len = fs.getFileStatus(p).getLen
+        val in = fs.open(p)
+        try {
+          in.seek(len - 8)
+          val b = new Array[Byte](8)
+          in.readFully(b)
+          val mdOff = (0 until 8).map(i => (b(i) & 0xffL) << (8 * i)).sum
+          val jsonBytes = new Array[Byte]((len - mdOff - 8).toInt)
+          in.seek(mdOff)
+          in.readFully(jsonBytes)
+          org.json4s.jackson.JsonMethods.parse(
+            new String(jsonBytes, "UTF-8"))
+        } finally in.close()
+      }
+    val meta = Idx2Meta(
+      jInt(jv, "fileVersion").toInt,
+      jInt(jv, "branchingFactor").toInt,
+      jInt(jv, "height").toInt,
+      jInt(jv, "nKeys"),
+      jInt(jv, "rootOffset"))
+    val payload =
+      if (fs.getFileStatus(p).isDirectory) s"$idx2/index" else idx2
+    (meta, payload, meta.rootOffset)
+  }
+
+  // ---- node schemas (BgenSettings.getIndexSpec, version-dependent) -------
+
+  private def keyE(v13: Boolean): String = {
+    val bin = if (v13) "EBinary2" else "EBinary"
+    val i32 = if (v13) "EVarint" else "EInt32"
+    val arr = if (v13) "EArray2" else "EArray"
+    s"EBaseStruct{locus:+EBaseStruct{contig:+$bin,position:+$i32}," +
+      s"alleles:$arr[$bin]}"
+  }
+  private val KeyV =
+    "Struct{locus:Struct{contig:String,position:Int32},alleles:Array[String]}"
+
+  private def leafTypes(v13: Boolean): (ETyp, VType) = {
+    val i64 = if (v13) "EVarint" else "EInt64"
+    val arr = if (v13) "EArray2" else "EArray"
+    (parseEType(
+      s"+EBaseStruct{first_idx:+$i64,keys:+$arr[+EBaseStruct{" +
+        s"key:${keyE(v13)},offset:+$i64,annotation:+EBaseStruct{}}]}"),
+      parseVType(
+        s"Struct{first_idx:Int64,keys:Array[Struct{key:$KeyV," +
+          "offset:Int64,annotation:Struct{}}]}"))
+  }
+
+  private def internalTypes(v13: Boolean): (ETyp, VType) = {
+    val i64 = if (v13) "EVarint" else "EInt64"
+    val arr = if (v13) "EArray2" else "EArray"
+    (parseEType(
+      s"+EBaseStruct{children:+$arr[+EBaseStruct{" +
+        s"index_file_offset:+$i64,first_idx:+$i64,first_key:${keyE(v13)}," +
+        s"first_record_offset:+$i64,first_annotation:+EBaseStruct{}}]}"),
+      parseVType(
+        s"Struct{children:Array[Struct{index_file_offset:Int64," +
+          s"first_idx:Int64,first_key:$KeyV,first_record_offset:Int64," +
+          "first_annotation:Struct{}}]}"))
+  }
+
+  private def bufSpec(fileVersion: Int): BufSpec = {
+    val (maj, min) = ((fileVersion >> 16) & 0xff, (fileVersion >> 8) & 0xff)
+    if (maj > 1 || (maj == 1 && min >= 3))
+      Blocking(65536, ZstdBlock(65536, StreamBlock2))
+    else if (maj == 1 && min >= 2)
+      Leb128(Blocking(65536, ZstdBlock(65536, StreamBlock)))
+    else
+      Leb128(Blocking(32768, Lz4Block(32768, StreamBlock)))
+  }
+
+  /** Every leaf entry's `.bgen` record-start offset, ascending. Each node
+    * sits in its own flushed frame, so a seek + fresh buffer per node
+    * decodes it independently; the walk touches each node exactly once
+    * (metadata-scale I/O — no genotype bytes). */
+  def readOffsets(fs: FileSystem, idx2: String): IndexedSeq[Long] = {
+    val (meta, payload, _) = readMeta(fs, idx2)
+    val v13 = {
+      val (maj, min) = ((meta.fileVersion >> 16) & 0xff,
+        (meta.fileVersion >> 8) & 0xff)
+      maj > 1 || (maj == 1 && min >= 3)
+    }
+    val spec = bufSpec(meta.fileVersion)
+    val (leafE, leafV) = leafTypes(v13)
+    val (intE, intV) = internalTypes(v13)
+    val in = fs.open(new HPath(payload))
+    val out = IndexedSeq.newBuilder[Long]
+    try {
+      def nodeAt(off: Long): Unit = {
+        in.seek(off)
+        val ib = buildInBuf(spec, unclosable(in))
+        ib.readByte() match {
+          case 1 =>
+            val row = decode(intE, intV, ib).asInstanceOf[Row]
+            row.getSeq[Row](0).foreach(c => nodeAt(c.getLong(0)))
+          case 0 =>
+            val row = decode(leafE, leafV, ib).asInstanceOf[Row]
+            row.getSeq[Row](1).foreach(k => out += k.getLong(1))
+          case t => throw new IllegalArgumentException(
+            s"$idx2: bad node tag $t at offset $off")
+        }
+      }
+      nodeAt(meta.rootOffset)
+    } finally in.close()
+    val offsets = out.result()
+    require(offsets.length.toLong == meta.nKeys,
+      s"$idx2: walked ${offsets.length} keys, metadata says ${meta.nKeys}")
+    offsets.sorted
+  }
+
+  /** Shield the shared seekable stream from per-node buffer close. */
+  private def unclosable(in: FSDataInputStream): InputStream =
+    new InputStream {
+      def read(): Int = in.read()
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        in.read(b, off, len)
+      override def close(): Unit = ()
+    }
+
+  /** Contiguous byte ranges covering all variant records, cut at record
+    * starts into ~`nRanges` pieces — drop-in for the streamed read's
+    * seam-verified plan, but exact by construction. */
+  def ranges(offsets: IndexedSeq[Long], fileLen: Long, nRanges: Int)
+      : Seq[(Long, Long)] = {
+    val n = math.max(1, math.min(nRanges, offsets.length))
+    val cuts = (0 until n).map(i =>
+      offsets((offsets.length.toLong * i / n).toInt))
+    cuts.zipWithIndex.map { case (from, i) =>
+      (from, if (i == n - 1) fileLen else cuts(i + 1))
+    }
+  }
+}

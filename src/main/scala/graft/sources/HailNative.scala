@@ -690,7 +690,7 @@ object HailNative {
 
   // ---- metadata -----------------------------------------------------------
 
-  private def readJsonGz(conf: Configuration, path: String): JValue = {
+  private[sources] def readJsonGz(conf: Configuration, path: String): JValue = {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val in = new GZIPInputStream(new BufferedInputStream(fs.open(p)))

@@ -157,6 +157,22 @@ class PlanAuditSpec extends SparkSpec {
     // ObjectHashAggregate here means the collect_list -> map fallback
     // silently took over
     assert(!plan.contains("ObjectHashAggregate"), plan.take(2500))
+
+    // filterEntries -> aggregateEntries on top of the assembly must add
+    // NO further exchange before the final single-partition gather: the
+    // entry transform and the posexplode fold partition-locally, and the
+    // global agg's partial runs map-side (r6 watched this query regress;
+    // pin the shape so a revert cannot be silent)
+    val agged = mt
+      .filterEntries(e => e("qty") >= 10.0)
+      .aggregateEntries(
+        "n" -> (e => count(e)),
+        "sum_qty" -> (e => sum(e("qty"))))
+    val aplan = agged.queryExecution.executedPlan.toString
+    val aex = "Exchange hashpartitioning".r.findAllIn(aplan).length
+    assert(aex == 1, s"$aex hash exchanges\n${aplan.take(2500)}")
+    assert(!aplan.contains("CartesianProduct") &&
+      !aplan.contains("ObjectHashAggregate"), aplan.take(2500))
   }
 
   test("Table filter+select push down to the parquet scan") {

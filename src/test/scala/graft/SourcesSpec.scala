@@ -158,6 +158,48 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("reference .idx2 sidecar plans the BGEN read, both layouts") {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val res = Path.of("/root/repo/src/test/resources")
+    val bgen = res.resolve("oracle_bgen.bgen")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+    // dir-form sidecar sits next to the committed fixture
+    assert(sources.BgenIdx2.locate(fs, bgen.toString).isDefined)
+    val offsets = sources.BgenIdx2.readOffsets(fs, bgen.toString + ".idx2")
+    assert(offsets.length == 18)
+    assert(offsets == offsets.sorted && offsets.distinct == offsets)
+
+    // decode parity: sidecar-planned read == self-reliant read (a copy
+    // with no sidecar), via the b-tree's exact record offsets
+    def rows(p: String, sample: String) = sources.Bgen
+      .read(spark, p, Some(sample))
+      .entriesTable.df.select("contig", "position", "ref", "s", "GT")
+      .collect().map(_.toSeq).toSet
+    val tmp = Files.createTempDirectory("graft_idx2")
+    Files.copy(bgen, tmp.resolve("plain.bgen"))
+    val sample = res.resolve("oracle_bgen.sample").toString
+    val withIdx2 = rows(bgen.toString, sample)
+    assert(withIdx2 == rows(tmp.resolve("plain.bgen").toString, sample))
+    assert(withIdx2.nonEmpty)
+
+    // file-form: single idx2 file with the inline json tail
+    Files.copy(bgen, tmp.resolve("ff.bgen"))
+    Files.copy(res.resolve("idx2_fileform.bin"),
+      tmp.resolve("ff.bgen.idx2"), StandardCopyOption.REPLACE_EXISTING)
+    assert(sources.BgenIdx2.locate(fs,
+      tmp.resolve("ff.bgen").toString).isDefined)
+    val ffOffsets = sources.BgenIdx2.readOffsets(fs,
+      tmp.resolve("ff.bgen.idx2").toString)
+    assert(ffOffsets == offsets)
+    assert(rows(tmp.resolve("ff.bgen").toString, sample) == withIdx2)
+
+    // corrupt sidecar falls back to the self-reliant read, not a crash
+    Files.writeString(tmp.resolve("ff.bgen.idx2"), "not an index")
+    assert(rows(tmp.resolve("ff.bgen").toString, sample) == withIdx2)
+  }
+
   test("locus-interval and BED importers parse and convert coordinates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_iv")
     java.nio.file.Files.writeString(dir.resolve("iv.interval_list"),
