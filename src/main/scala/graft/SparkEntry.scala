@@ -72,6 +72,20 @@ object SparkEntry {
       |  printf("{\"input\":\"%s\",\"assembly_name\":\"GRCh38\",\"seq_region_name\":\"%s\",\"start\":%d,\"end\":%d,\"allele_string\":\"%s/%s\",\"strand\":1,\"most_severe_consequence\":\"%s\",\"transcript_consequences\":[{\"allele_num\":1,\"gene_id\":\"GENE%d\",\"canonical\":1,\"consequence_terms\":[\"%s\"]}]}\n",
       |    line, $1, $2, $2+length($4)-1, $4, $5, msc, $2%5, msc);
       |}""".stripMargin)
+  /** Deterministic Nirvana stand-in: one positions-JSON object per VCF
+    * input line (Nirvana does NOT echo the input; the key comes from the
+    * JSON's own chromosome/position/refAllele/altAlleles), closed-form
+    * annotations the DuckDB oracle recomputes from the fixture. */
+  private val NirvanaStandInCmd = Seq("awk", "-F", "\t",
+    """{
+      |  n=split($5,a,","); alts="";
+      |  for(i=1;i<=n;i++){alts=alts "\"" a[i] "\""; if(i<n) alts=alts ","}
+      |  if (length($4)==1 && length($5)==1) vt="SNV"; else vt="indel";
+      |  printf("{\"chromosome\":\"%s\",\"refAllele\":\"%s\",\"position\":%d,\"altAlleles\":[%s],\"cytogeneticBand\":\"%sq%d\",\"variants\":[{\"altAllele\":\"%s\",\"refAllele\":\"%s\",\"chromosome\":\"%s\",\"begin\":%d,\"end\":%d,\"phylopScore\":%d.5,\"variantType\":\"%s\",\"vid\":\"%s:%d:%s:%s\",\"transcripts\":[{\"transcript\":\"TX%d\",\"source\":\"Ensembl\",\"geneId\":\"GENE%d\",\"isCanonical\":true,\"consequence\":[\"%s\"]}]}]}\n",
+      |    $1, $4, $2, alts, $1, $2%30, a[1], $4, $1, $2,
+      |    $2+length($4)-1, $2%7, vt, $1, $2, $4, $5, $2%3, $2%5, vt);
+      |}""".stripMargin)
+
   private val VcfMultiFixture = "/root/repo/src/test/resources/oracle_multi.vcf"
 
   /** Literal k=2 PC scores for the `geno_pc_relate_pcs` gate, aligned
@@ -2032,6 +2046,28 @@ object SparkEntry {
           col("vep.most_severe_consequence").as("msc"),
           element_at(col("vep.transcript_consequences"), 1)("gene_id")
             .as("gene_id"))
+    }),
+
+    // --- Nirvana annotator (methods/Nirvana.scala registry entry): same
+    // pipe contract as vep, Nirvana positions-JSON shape, key re-derived
+    // from the annotation itself -------------------------------------------
+    "nirvana_annotate" -> ((s, _) => {
+      val mt = sources.Vcf.read(s, VcfFixture)
+      val t = Table(
+        mt.rowsTable.df.select("contig", "position", "ref", "alt"),
+        Seq("contig", "position"))
+      methods.Nirvana.nirvana(t, NirvanaStandInCmd).df
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"),
+          col("nirvana.cytogeneticBand").as("band"),
+          element_at(col("nirvana.variants"), 1)("phylopScore")
+            .as("phylop"),
+          element_at(col("nirvana.variants"), 1)("variantType")
+            .as("vtype"),
+          element_at(col("nirvana.variants"), 1)("vid").as("vid"),
+          element_at(element_at(col("nirvana.variants"), 1)("transcripts"),
+            1)("geneId").as("gene_id"),
+          element_at(col("nirvana.variants"), 1)("end").as("vend"))
     }),
 
     // --- import_matrix_table (impex.py / TextMatrixReader.scala):
@@ -5419,6 +5455,27 @@ object SparkEntry {
         |  t(contig, position, ref, n_called, dp_sum)""".stripMargin,
 
     // the awk stand-in's annotations are closed-form in the fixture row
+    "nirvana_annotate" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_csv(
+        |    '/root/repo/src/test/resources/oracle_sample.vcf',
+        |    delim='\t', header=false, skip=7,
+        |    columns={'contig':'VARCHAR','position':'INTEGER',
+        |      'rsid':'VARCHAR','ref':'VARCHAR','alts':'VARCHAR',
+        |      'qual':'DOUBLE','filt':'VARCHAR','info':'VARCHAR',
+        |      'fmt':'VARCHAR','S1':'VARCHAR','S2':'VARCHAR','S3':'VARCHAR',
+        |      'S4':'VARCHAR','S5':'VARCHAR'}))
+        |SELECT contig, position, ref, alts,
+        |  contig || 'q' || CAST(position % 30 AS VARCHAR) AS band,
+        |  CAST(position % 7 + 0.5 AS DOUBLE) AS phylop,
+        |  CASE WHEN length(ref) = 1 AND length(alts) = 1
+        |    THEN 'SNV' ELSE 'indel' END AS vtype,
+        |  contig || ':' || CAST(position AS VARCHAR) || ':' || ref
+        |    || ':' || alts AS vid,
+        |  'GENE' || CAST(position % 5 AS VARCHAR) AS gene_id,
+        |  CAST(position + length(ref) - 1 AS INTEGER) AS vend
+        |FROM raw""".stripMargin,
+
     "vep_annotate" ->
       """WITH raw AS (
         |  SELECT * FROM read_csv(
