@@ -1607,6 +1607,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- streaming exact dedup: a REAL readStream through
+    // dropDuplicatesWithinWatermark; the key SET is order-independent,
+    // so the oracle is a plain DISTINCT ------------------------------------
+    "stream_dedup" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      streaming.Events.runDedupStream(s, s"$dir/events.parquet", schema,
+        Seq("user_id", "event_type"),
+        s"graft_stream_dd_${System.nanoTime()}")
+        .select(col("user_id"), col("event_type"))
+    }),
+
     // --- skew-salted equi-join: identical results to the plain join,
     // with the hot keys fanned over deterministic salts -------------------
     "table_salted_join" -> ((s, dir) => {
@@ -4962,6 +4973,9 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "stream_hourly_agg" ->
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,

@@ -670,17 +670,19 @@ object Bgen {
       if (writeIndex) None // .gidx persist needs the full VariantMeta list
       else BgenIdx2.locate(fs, path).flatMap { idx2 =>
         try {
-          val offsets = BgenIdx2.readOffsets(fs, idx2)
           val raw = fs.open(new org.apache.hadoop.fs.Path(path))
           val h = try headerMeta(path, raw) finally raw.close()
-          if (offsets.length != h.m) None
-          else {
-            val nRanges =
-              if (nPartitions > 0) nPartitions
-              else math.min(spark.sparkContext.defaultParallelism,
-                math.max(1, offsets.length / 16))
-            Some((h, BgenIdx2.ranges(offsets, fileLen, nRanges)))
-          }
+          val nRanges =
+            if (nPartitions > 0) nPartitions
+            else math.min(spark.sparkContext.defaultParallelism,
+              math.max(1, h.m / 16))
+          // boundary offsets only: O(nRanges) driver state at any size
+          val (nKeys, bounds) =
+            BgenIdx2.readRangeBounds(fs, idx2, nRanges)
+          if (nKeys != h.m) None
+          else Some((h, bounds.zipWithIndex.map { case (from, i) =>
+            (from, if (i == bounds.length - 1) fileLen else bounds(i + 1))
+          }))
         } catch { case e: Exception =>
           org.apache.log4j.Logger.getLogger(getClass)
             .warn(s"ignoring unreadable $idx2: ${e.getMessage}")

@@ -135,8 +135,41 @@ object BgenIdx2 {
   /** Every leaf entry's `.bgen` record-start offset, ascending. Each node
     * sits in its own flushed frame, so a seek + fresh buffer per node
     * decodes it independently; the walk touches each node exactly once
-    * (metadata-scale I/O — no genotype bytes). */
+    * (metadata-scale I/O — no genotype bytes). O(nKeys) driver memory —
+    * for planning a huge read use `readRangeBounds`, which keeps
+    * O(nRanges). */
   def readOffsets(fs: FileSystem, idx2: String): IndexedSeq[Long] = {
+    val out = IndexedSeq.newBuilder[Long]
+    val n = walkLeaves(fs, idx2)((_, off) => out += off)
+    val offsets = out.result()
+    require(offsets.length.toLong == n,
+      s"$idx2: walked ${offsets.length} keys, metadata says $n")
+    offsets.sorted
+  }
+
+  /** Range-boundary offsets only — every ceil(nKeys/nRanges)-th key's
+    * offset — with O(nRanges) driver state at any index size (the
+    * 100 TB-import concern: a 10⁸-variant index must not materialize
+    * 10⁸ longs on the driver just to cut ~10⁴ splits). Returns
+    * (nKeys, ascending bounds); bounds.head is the first record. */
+  def readRangeBounds(fs: FileSystem, idx2: String, nRanges: Int)
+      : (Long, IndexedSeq[Long]) = {
+    val (meta0, _, _) = readMeta(fs, idx2)
+    val stride = math.max(1L, (meta0.nKeys + nRanges - 1) / nRanges)
+    val out = IndexedSeq.newBuilder[Long]
+    var i = 0L
+    val n = walkLeaves(fs, idx2) { (_, off) =>
+      if (i % stride == 0) out += off
+      i += 1
+    }
+    require(i == n, s"$idx2: walked $i keys, metadata says $n")
+    (n, out.result().sorted)
+  }
+
+  /** Root-to-leaf walk invoking `onKey(first_idx + k, offset)` per leaf
+    * entry in index order; returns metadata nKeys. */
+  private def walkLeaves(fs: FileSystem, idx2: String)(
+      onKey: (Long, Long) => Unit): Long = {
     val (meta, payload, _) = readMeta(fs, idx2)
     val v13 = {
       val (maj, min) = ((meta.fileVersion >> 16) & 0xff,
@@ -147,7 +180,6 @@ object BgenIdx2 {
     val (leafE, leafV) = leafTypes(v13)
     val (intE, intV) = internalTypes(v13)
     val in = fs.open(new HPath(payload))
-    val out = IndexedSeq.newBuilder[Long]
     try {
       def nodeAt(off: Long): Unit = {
         in.seek(off)
@@ -158,17 +190,17 @@ object BgenIdx2 {
             row.getSeq[Row](0).foreach(c => nodeAt(c.getLong(0)))
           case 0 =>
             val row = decode(leafE, leafV, ib).asInstanceOf[Row]
-            row.getSeq[Row](1).foreach(k => out += k.getLong(1))
+            val firstIdx = row.getLong(0)
+            row.getSeq[Row](1).zipWithIndex.foreach { case (k, j) =>
+              onKey(firstIdx + j, k.getLong(1))
+            }
           case t => throw new IllegalArgumentException(
             s"$idx2: bad node tag $t at offset $off")
         }
       }
       nodeAt(meta.rootOffset)
     } finally in.close()
-    val offsets = out.result()
-    require(offsets.length.toLong == meta.nKeys,
-      s"$idx2: walked ${offsets.length} keys, metadata says ${meta.nKeys}")
-    offsets.sorted
+    meta.nKeys
   }
 
   /** Shield the shared seekable stream from per-node buffer close. */

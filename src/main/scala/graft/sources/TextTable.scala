@@ -92,7 +92,14 @@ object TextTable {
         case _ => col(f.name)
       }
     }: _*)
-    flat.write
+    // cluster each column's rows before the partitioned write: without
+    // this every input partition opens a file per column value (input
+    // partitions × columns small files — the classic partitionBy
+    // explosion); clustered, file count is one per column task — the
+    // reference's one-export-task-per-column schedule
+    // (export_entries_by_col.py), expressed as a shuffle
+    flat.repartition(mt.colKey.map(col): _*)
+      .write
       .partitionBy(mt.colKey: _*)
       .option("sep", sep).option("header", header)
       .mode("overwrite").csv(path)

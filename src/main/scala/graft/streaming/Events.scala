@@ -167,6 +167,36 @@ object Events {
       .drop("__t")
   }
 
+  /** Run `dedupStream` to completion over a static directory (append
+    * mode — each key's first arrival emits exactly once) and return the
+    * sink table; the oracle checks the key set, which is deterministic
+    * regardless of intra-batch arrival order. */
+  def runDedupStream(spark: SparkSession, path: String,
+      schema: StructType, idCols: Seq[String], sinkName: String,
+      numStatePartitions: Int = 8): DataFrame = {
+    val streamDir =
+      if (new java.io.File(path).isDirectory) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_dd")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(new java.io.File(path).getName),
+          java.nio.file.Path.of(path))
+        d.toString
+      }
+    withStatePartitions(spark, numStatePartitions) {
+      val q = dedupStream(readEventStream(spark, streamDir, schema,
+        maxFilesPerTrigger = 1), idCols)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Gap-based sessionization: consecutive events of a user belong to
     * one session while gaps stay under `gapNs`. Streaming kernel:
     * flatMapGroupsWithState with event-time timeout — state is one

@@ -115,6 +115,13 @@ class SourcesSpec extends SparkSpec {
     val s3 = spark.read.option("header", true).option("sep", "\t")
       .csv(s"$dir/out/s=S3")
     assert(s3.count() > 0 && s3.columns.contains("GT"))
+    // clustered write: one file per column, not one per input partition
+    // per column (the partitionBy small-files explosion)
+    parts.foreach { p =>
+      val files = new java.io.File(s"$dir/out/$p").listFiles()
+        .filter(_.getName.endsWith(".csv"))
+      assert(files.length == 1, s"$p has ${files.length} csv files")
+    }
   }
 
   test("PLINK read decodes 2-bit genotypes against the golden dump") {
