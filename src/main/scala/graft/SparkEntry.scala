@@ -2444,6 +2444,42 @@ object SparkEntry {
           round(NdArrays.sumAll(sol), 6).as("ssum"))
     }),
 
+    // --- ndarray band/interval zeroing + triangular solve
+    // (NDArrayFunctions.scala zero_band:312, zero_row_intervals:393,
+    // linear_triangular_solve:283 — the BlockMatrix sparsify kernels).
+    // The solve's A carries junk (99.0) in the untouched triangle to
+    // prove the dtrtrs never-reads-the-other-triangle contract ------------
+    "fn_ndarray_band" -> ((s, dir) => {
+      import graft.functions.NdArrays
+      val k = col("o_orderkey")
+      def base(i: Int, j: Int) =
+        lit((4 * i + j + 1).toDouble) + pmod(k, lit(3L)).cast("double")
+      val a34 = NdArrays.make(Seq(3L, 4L), array(
+        (for (i <- 0 until 3; j <- 0 until 4) yield base(i, j)): _*))
+      val banded = NdArrays.zeroBand(a34, lit(-1L), lit(1L))
+      val zr = NdArrays.zeroRowIntervals(a34,
+        array(lit(1L), lit(0L), lit(2L)),
+        array(lit(3L), lit(1L), lit(4L)))
+      val tA = NdArrays.make(Seq(2L, 2L), array(
+        pmod(k, lit(5L)).cast("double") + 1.0, lit(99.0),
+        pmod(k, lit(3L)).cast("double") + 1.0,
+        pmod(k, lit(2L)).cast("double") + 1.0))
+      val tb = NdArrays.make(Seq(2L, 1L), array(lit(1.0), lit(2.0)))
+      val sol = NdArrays.triangularSolve(tA, tb, lit(true))
+      t(s, dir, "orders").filter(k <= 200)
+        .select(k.as("o_orderkey"),
+          element_at(banded("data"), 1).as("b00"),
+          element_at(banded("data"), 3).as("b02"),
+          element_at(banded("data"), 5).as("b10"),
+          element_at(banded("data"), 9).as("b20"),
+          element_at(zr("data"), 1).as("r00"),
+          element_at(zr("data"), 2).as("r01"),
+          element_at(zr("data"), 8).as("r13"),
+          element_at(zr("data"), 12).as("r23"),
+          round(element_at(sol("data"), 1), 6).as("x1"),
+          round(element_at(sol("data"), 2), 6).as("x2"))
+    }),
+
     // --- NDArraySum + NDArrayMultiplyAdd aggregators (reference
     // agg/NDArraySumAggregator.scala, NDArrayMultiplyAddAggregator.scala):
     // element-wise ndarray sum across rows, and the multiply-add pattern
@@ -5658,6 +5694,24 @@ object SparkEntry {
         |    CAST((1 + o_orderkey % 3) * (2 + o_orderkey % 2) - 1 AS DOUBLE)
         |      AS det
         |  FROM orders WHERE o_orderkey <= 200)""".stripMargin,
+
+    // closed forms per element: band keeps |col-row| diagonals in
+    // [-1,1]; row intervals keep [start_i, stop_i); lower-triangular
+    // substitution x1 = 1/a, x2 = (2 - c*x1)/d
+    "fn_ndarray_band" ->
+      """SELECT o_orderkey,
+        |  CAST(1 + o_orderkey % 3 AS DOUBLE) AS b00,
+        |  CAST(0 AS DOUBLE) AS b02,
+        |  CAST(5 + o_orderkey % 3 AS DOUBLE) AS b10,
+        |  CAST(0 AS DOUBLE) AS b20,
+        |  CAST(0 AS DOUBLE) AS r00,
+        |  CAST(2 + o_orderkey % 3 AS DOUBLE) AS r01,
+        |  CAST(0 AS DOUBLE) AS r13,
+        |  CAST(12 + o_orderkey % 3 AS DOUBLE) AS r23,
+        |  round(1.0 / (o_orderkey % 5 + 1), 6) AS x1,
+        |  round((2 - (o_orderkey % 3 + 1) * (1.0 / (o_orderkey % 5 + 1)))
+        |    / (o_orderkey % 2 + 1), 6) AS x2
+        |FROM orders WHERE o_orderkey <= 200""".stripMargin,
 
     // closed forms of the accumulated A and A@B cells (see the gate)
     "agg_ndarray_sum" ->

@@ -74,6 +74,73 @@ object NdArrays {
   def sumAll(nd: Column): Column =
     aggregate(nd("data"), lit(0.0), (a, v) => a + v)
 
+  // ---- banded / interval zeroing (reference `NDArrayFunctions.scala`
+  // zero_band:312, zero_row_intervals:393 — used by BlockMatrix sparsify
+  // lowering). Pure codegen'd Columns: a `transform` with row-major index
+  // math, no UDF, no data copy beyond the new array ------------------------
+
+  private def rowColOf(idx: Column, nCols: Column): (Column, Column) = {
+    val j = pmod(idx.cast("long"), nCols)
+    val i = ((idx.cast("long") - j) / nCols).cast("long")
+    (i, j)
+  }
+
+  /** Keep elements on diagonals `lower <= (col - row) <= upper`, zero the
+    * rest (diagonal index convention of the reference's zero_band). */
+  def zeroBand(nd: Column, lower: Column, upper: Column): Column = {
+    val nC = element_at(nd("shape"), 2)
+    struct(nd("shape").as("shape"),
+      zip_with(nd("data"),
+        sequence(lit(0L), size(nd("data")).cast("long") - 1L),
+        (v, idx) => {
+          val (i, j) = rowColOf(idx, nC)
+          when(j - i >= lower && j - i <= upper, v).otherwise(0.0)
+        }).as("data"))
+  }
+
+  /** Zero row `i` outside its `[starts(i), stops(i))` column interval. */
+  def zeroRowIntervals(nd: Column, starts: Column, stops: Column): Column = {
+    val nC = element_at(nd("shape"), 2)
+    struct(nd("shape").as("shape"),
+      zip_with(nd("data"),
+        sequence(lit(0L), size(nd("data")).cast("long") - 1L),
+        (v, idx) => {
+          val (i, j) = rowColOf(idx, nC)
+          when(j >= element_at(starts, (i + 1).cast("int")) &&
+            j < element_at(stops, (i + 1).cast("int")), v)
+            .otherwise(0.0)
+        }).as("data"))
+  }
+
+  /** Triangular solve Ax = b (reference `linear_triangular_solve`, LAPACK
+    * dtrtrs contract): forward/back substitution reading ONLY the
+    * `lower`-selected triangle of A — entries in the opposite triangle
+    * are never touched, exactly like dtrtrs. Null on a zero diagonal
+    * (the `_no_crash` variant's failure case). */
+  val triangularSolveUdf: UserDefinedFunction =
+    udf { (sa: Seq[Long], da: Seq[Double], sb: Seq[Long], db: Seq[Double],
+        lower: Boolean) =>
+      val n = sa(0).toInt; val k = sb(1).toInt
+      require(sa(1).toInt == n && sb(0).toInt == n,
+        s"triangular_solve dimensions: A ${sa.mkString("x")}, " +
+          s"b ${sb.mkString("x")}")
+      if ((0 until n).exists(i => da(i * n + i) == 0.0)) None
+      else {
+        val x = Array.ofDim[Double](n * k)
+        val rows = if (lower) 0 until n else (n - 1) to 0 by -1
+        for (c <- 0 until k; i <- rows) {
+          var s = db(i * k + c)
+          val deps = if (lower) 0 until i else (i + 1) until n
+          for (m <- deps) s -= da(i * n + m) * x(m * k + c)
+          x(i * k + c) = s / da(i * n + i)
+        }
+        Some((Seq(n.toLong, k.toLong), x.toSeq))
+      }
+    }
+  def triangularSolve(a: Column, b: Column, lower: Column): Column =
+    triangularSolveUdf(a("shape"), a("data"), b("shape"), b("data"), lower)
+      .cast("struct<shape:array<bigint>,data:array<double>>")
+
   // ---- per-row decompositions (reference `NDArrayFunctions.scala`
   // qr / svd / eigh — local Breeze kernels per value, same as the
   // reference's per-row execution) ----------------------------------------

@@ -252,6 +252,38 @@ class CoverageSpec extends SparkSpec {
     assert(sing.select(NdArrays.inverse(col("a"))).head().isNullAt(0))
   }
 
+  test("triangularSolve: upper substitution, junk triangle ignored, singular null") {
+    import graft.functions.NdArrays
+    // upper solve reads only the upper triangle: A = [[2, 1], [JUNK, 4]]
+    // x2 = 8/4 = 2; x1 = (5 - 1*2)/2 = 1.5
+    val df = spark.range(1).select(
+      NdArrays.make(Seq(2L, 2L),
+        array(Seq(2.0, 1.0, -77.0, 4.0).map(lit): _*)).as("a"),
+      NdArrays.make(Seq(2L, 1L),
+        array(Seq(5.0, 8.0).map(lit): _*)).as("b"))
+    val x = df.select(NdArrays.triangularSolve(col("a"), col("b"),
+      lit(false))).head().getStruct(0).getSeq[Double](1)
+    assert(x == Seq(1.5, 2.0))
+    // multi-column b, lower: A = [[2, JUNK], [1, 4]]
+    val dfm = spark.range(1).select(
+      NdArrays.make(Seq(2L, 2L),
+        array(Seq(2.0, 99.0, 1.0, 4.0).map(lit): _*)).as("a"),
+      NdArrays.make(Seq(2L, 2L),
+        array(Seq(2.0, 4.0, 5.0, 10.0).map(lit): _*)).as("b"))
+    val xm = dfm.select(NdArrays.triangularSolve(col("a"), col("b"),
+      lit(true))).head().getStruct(0).getSeq[Double](1)
+    // col0: x1 = 1, x2 = (5-1)/4 = 1; col1: x1 = 2, x2 = (10-2)/4 = 2
+    assert(xm == Seq(1.0, 2.0, 1.0, 2.0))
+    // zero diagonal -> null (the _no_crash contract)
+    val zd = spark.range(1).select(
+      NdArrays.make(Seq(2L, 2L),
+        array(Seq(0.0, 0.0, 1.0, 4.0).map(lit): _*)).as("a"),
+      NdArrays.make(Seq(2L, 1L),
+        array(Seq(1.0, 1.0).map(lit): _*)).as("b"))
+    assert(zd.select(NdArrays.triangularSolve(col("a"), col("b"),
+      lit(true))).head().isNullAt(0))
+  }
+
   test("ndarraySum aggregates element-wise with shape checking") {
     import graft.functions.NdArrays
     import graft.operators.Aggs
