@@ -2444,6 +2444,36 @@ object SparkEntry {
           round(NdArrays.sumAll(sol), 6).as("ssum"))
     }),
 
+    // --- ndarray structural nodes (ir-gen Main.scala NDArrayConcat:931,
+    // NDArraySlice:933, NDArrayFilter:934, NDArrayReindex:947 (transpose),
+    // NDArrayAgg:949): each output element has a closed form ---------------
+    "fn_ndarray_ops" -> ((s, dir) => {
+      import graft.functions.NdArrays
+      val k = col("o_orderkey")
+      def base(i: Int, j: Int) =
+        lit((3 * i + j + 1).toDouble) + pmod(k, lit(3L)).cast("double")
+      val a = NdArrays.make(Seq(2L, 3L), array(
+        (for (i <- 0 until 2; j <- 0 until 3) yield base(i, j)): _*))
+      val t2 = NdArrays.transpose2(a)
+      val sl = NdArrays.slice2(a, lit(0L), lit(2L), lit(1L), lit(3L))
+      val c1 = NdArrays.concat2(a, a, axis = 1)
+      val c0 = NdArrays.concat2(a, a, axis = 0)
+      val fl = NdArrays.filter2(a, array(lit(1L)),
+        array(lit(0L), lit(2L)))
+      val s0 = NdArrays.sumAxis(a, 0)
+      val s1 = NdArrays.sumAxis(a, 1)
+      t(s, dir, "orders").filter(k <= 200)
+        .select(k.as("o_orderkey"),
+          element_at(t2("data"), 3).as("t10"),
+          element_at(t2("data"), 6).as("t21"),
+          element_at(sl("data"), 4).as("s11"),
+          element_at(c1("data"), 11).as("c14"),
+          element_at(c0("data"), 12).as("c32"),
+          element_at(fl("data"), 2).as("f01"),
+          element_at(s0("data"), 2).as("sa0"),
+          element_at(s1("data"), 1).as("sa1"))
+    }),
+
     // --- ndarray band/interval zeroing + triangular solve
     // (NDArrayFunctions.scala zero_band:312, zero_row_intervals:393,
     // linear_triangular_solve:283 — the BlockMatrix sparsify kernels).
@@ -5694,6 +5724,19 @@ object SparkEntry {
         |    CAST((1 + o_orderkey % 3) * (2 + o_orderkey % 2) - 1 AS DOUBLE)
         |      AS det
         |  FROM orders WHERE o_orderkey <= 200)""".stripMargin,
+
+    // closed forms: base(i,j) = 3i+j+1 + k%3 on the 2x3 source
+    "fn_ndarray_ops" ->
+      """SELECT o_orderkey,
+        |  CAST(2 + o_orderkey % 3 AS DOUBLE) AS t10,
+        |  CAST(6 + o_orderkey % 3 AS DOUBLE) AS t21,
+        |  CAST(6 + o_orderkey % 3 AS DOUBLE) AS s11,
+        |  CAST(5 + o_orderkey % 3 AS DOUBLE) AS c14,
+        |  CAST(6 + o_orderkey % 3 AS DOUBLE) AS c32,
+        |  CAST(6 + o_orderkey % 3 AS DOUBLE) AS f01,
+        |  CAST(7 + 2 * (o_orderkey % 3) AS DOUBLE) AS sa0,
+        |  CAST(6 + 3 * (o_orderkey % 3) AS DOUBLE) AS sa1
+        |FROM orders WHERE o_orderkey <= 200""".stripMargin,
 
     // closed forms per element: band keeps |col-row| diagonals in
     // [-1,1]; row intervals keep [start_i, stop_i); lower-triangular

@@ -74,6 +74,86 @@ object NdArrays {
   def sumAll(nd: Column): Column =
     aggregate(nd("data"), lit(0.0), (a, v) => a + v)
 
+  // ---- 2-D structural ops (value-IR nodes NDArrayConcat:931,
+  // NDArraySlice:933, NDArrayFilter:934, NDArrayReindex:947,
+  // NDArrayAgg:949 — ir-gen `Main.scala`). Pure Column expressions over
+  // row-major index math: codegen'd, no UDF ------------------------------
+
+  /** Exact integer division for non-negative longs (a Column `/` is a
+    * double divide; subtracting the remainder first keeps it exact). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  private def at(nd: Column, flatIdx: Column): Column =
+    element_at(nd("data"), (flatIdx + 1L).cast("int"))
+
+  /** NDArrayReindex with permutation (1,0): 2-D transpose. */
+  def transpose2(nd: Column): Column = {
+    val r = element_at(nd("shape"), 1)
+    val c = element_at(nd("shape"), 2)
+    struct(array(c, r).as("shape"),
+      transform(sequence(lit(0L), r * c - 1L),
+        k => at(nd, pmod(k, r) * c + idiv(k, r))).as("data"))
+  }
+
+  /** NDArraySlice: rows [r0, r1) × cols [c0, c1). */
+  def slice2(nd: Column, r0: Column, r1: Column, c0: Column, c1: Column)
+      : Column = {
+    val c = element_at(nd("shape"), 2)
+    val nc = c1 - c0
+    struct(array(r1 - r0, nc).as("shape"),
+      transform(sequence(lit(0L), (r1 - r0) * nc - 1L),
+        k => at(nd, (r0 + idiv(k, nc)) * c + c0 + pmod(k, nc))).as("data"))
+  }
+
+  /** NDArrayConcat along axis 0 (stack rows; col counts must match) or
+    * axis 1 (side by side; row counts must match). */
+  def concat2(a: Column, b: Column, axis: Int): Column = {
+    val (ra, ca) = (element_at(a("shape"), 1), element_at(a("shape"), 2))
+    val (rb, cb) = (element_at(b("shape"), 1), element_at(b("shape"), 2))
+    if (axis == 0)
+      struct(array(ra + rb, ca).as("shape"),
+        concat(a("data"), b("data")).as("data"))
+    else {
+      val nc = ca + cb
+      struct(array(ra, nc).as("shape"),
+        transform(sequence(lit(0L), ra * nc - 1L), k => {
+          val i = idiv(k, nc); val j = pmod(k, nc)
+          when(j < ca, at(a, i * ca + j))
+            .otherwise(at(b, i * cb + (j - ca)))
+        }).as("data"))
+    }
+  }
+
+  /** NDArrayFilter: keep the given row/col indices (order preserved). */
+  def filter2(nd: Column, rows: Column, cols: Column): Column = {
+    val c = element_at(nd("shape"), 2)
+    val nc = size(cols).cast("long")
+    struct(array(size(rows).cast("long"), nc).as("shape"),
+      transform(sequence(lit(0L), size(rows) * size(cols) - 1L), k => {
+        val i = element_at(rows, (idiv(k, nc) + 1).cast("int"))
+        val j = element_at(cols, (pmod(k, nc) + 1).cast("int"))
+        at(nd, i * c + j)
+      }).as("data"))
+  }
+
+  /** NDArrayAgg: element sums along one axis of a 2-D ndarray
+    * (axis 0 → per-column sums, shape (c); axis 1 → per-row sums). */
+  def sumAxis(nd: Column, axis: Int): Column = {
+    val r = element_at(nd("shape"), 1)
+    val c = element_at(nd("shape"), 2)
+    if (axis == 0)
+      struct(array(c).as("shape"),
+        transform(sequence(lit(0L), c - 1L), j =>
+          aggregate(sequence(lit(0L), r - 1L), lit(0.0),
+            (acc, i) => acc + at(nd, i * c + j))).as("data"))
+    else
+      struct(array(r).as("shape"),
+        transform(sequence(lit(0L), r - 1L), i =>
+          aggregate(sequence(lit(0L), c - 1L), lit(0.0),
+            (acc, j) => acc + at(nd, i * c + j))).as("data"))
+  }
+
   // ---- banded / interval zeroing (reference `NDArrayFunctions.scala`
   // zero_band:312, zero_row_intervals:393 — used by BlockMatrix sparsify
   // lowering). Pure codegen'd Columns: a `transform` with row-major index
