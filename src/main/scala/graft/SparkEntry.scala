@@ -674,7 +674,10 @@ object SparkEntry {
     // --- pipeline: brute-force cosine top-k ANN ----------------------------
     "pipe_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // cast-first collect: dtype-proof if the testdata regenerates the
+      // embedding column as double (the events.ts lesson)
       val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<float>").as("embedding"))
         .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
       pipeline.Similarity.bruteForceTopK(
         e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10)
@@ -685,7 +688,10 @@ object SparkEntry {
     // brute-force top-k (the spec checks partial-probe recall) -------------
     "pipe_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // cast-first collect: dtype-proof if the testdata regenerates the
+      // embedding column as double (the events.ts lesson)
       val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<float>").as("embedding"))
         .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
       pipeline.Similarity.ivfTopK(
         e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10,
@@ -771,7 +777,10 @@ object SparkEntry {
     // --- pipeline: LSH-bucketed ANN (rows-only: recall<1 by design) --------
     "pipe_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // cast-first collect: dtype-proof if the testdata regenerates the
+      // embedding column as double (the events.ts lesson)
       val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<float>").as("embedding"))
         .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
       pipeline.Similarity.lshTopK(e.filter(col("vec_id") =!= 0L),
         "vec_id", "embedding", q, 10, nPlanes = 4)

@@ -174,9 +174,9 @@ object Similarity {
     import org.apache.spark.mllib.linalg.Vectors
     val train = (if (trainSample < 1.0)
       df.sample(withReplacement = false, trainSample, seed) else df)
-      .select(col(vecCol)).rdd
-      .map(r => Vectors.dense(
-        r.getSeq[Float](0).map(_.toDouble).toArray))
+      // cast-first: robust to float or double embedding columns
+      .select(col(vecCol).cast("array<double>")).rdd
+      .map(r => Vectors.dense(r.getSeq[Double](0).toArray))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setMaxIterations(10).run(train)
     val centroids = model.clusterCenters.map(_.toArray.toSeq)

@@ -99,8 +99,9 @@ class PipelineSpec extends SparkSpec {
 
   test("lshTopK returns subset of brute-force ranking from query bucket") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val q = e.filter(col("vec_id") === 0L).head()
-      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>").as("embedding"))
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
     val got = Similarity.lshTopK(e.filter(col("vec_id") =!= 0L),
       "vec_id", "embedding", q, 5, nPlanes = 3)
     assert(got.count() === 5)
@@ -145,8 +146,9 @@ class PipelineSpec extends SparkSpec {
   test("ivfTopK: full probe equals brute force; partial probe recalls") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val q = e.filter(col("vec_id") === 0L).head()
-      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>").as("embedding"))
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
     val data = e.filter(col("vec_id") =!= 0L)
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.getLong(0)).toSet

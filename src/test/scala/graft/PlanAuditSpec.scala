@@ -56,8 +56,9 @@ class PlanAuditSpec extends SparkSpec {
   test("lsh multi-probe raises ANN recall over single-probe") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val q = e.filter(col("vec_id") === 0L).head()
-      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>").as("embedding"))
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
     val data = e.filter(col("vec_id") =!= 0L)
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.getLong(0)).toSet
