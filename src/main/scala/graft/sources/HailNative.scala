@@ -216,6 +216,88 @@ object HailNative {
     }
   }
 
+  /** Parse a requiredness-annotated virtual-type string into the pair
+    * (virtual type, canonical pack-codec encoded type). Pre-1.2 files
+    * (`PackCodecSpec`, hail <= 0.2.20) carry no explicit encoded type:
+    * the wire format is derived structurally from the `+`-annotated
+    * virtual type — fixed-width primitives, full-width-integer lengths
+    * for binary/array, Call as int32, Locus as
+    * {contig:+String,position:+Int32}, Interval as
+    * {start,end,includesStart:+Boolean,includesEnd:+Boolean}, Dict as
+    * an array of required {key,value} structs (reference 0.2.16-era
+    * `rvd/RVDSpec.scala` + `io/RowStore.scala` PackDecoder; the same
+    * derivation the modern writer spells out explicitly, cf. the 1.2.0
+    * fixtures' `_eType`). */
+  def parsePackedType(s: String): (VType, ETyp) =
+    parsePackedType(new Tok(s))
+
+  private def parsePackedType(t: Tok): (VType, ETyp) = {
+    val req = t.tryPunct('+')
+    def legacyBin = EBin(req, varintLen = false)
+    t.ident() match {
+      case "Boolean" => (VBool, EBool(req))
+      case "Int32" => (VInt32, EI32(req))
+      case "Int64" => (VInt64, EI64(req))
+      case "Float32" => (VFloat32, EF32(req))
+      case "Float64" => (VFloat64, EF64(req))
+      case "String" => (VString, legacyBin)
+      case "Binary" => (VBinary, legacyBin)
+      case "Call" => (VCall, EI32(req))
+      case "Locus" =>
+        (VLocus(t.parenContent()), EStru(IndexedSeq(
+          "contig" -> EBin(required = true, varintLen = false),
+          "position" -> EI32(required = true)), req))
+      case "Array" =>
+        t.punct('['); val (v, e) = parsePackedType(t); t.punct(']')
+        (VArray(v), EArr(e, req, varintLen = false))
+      case "Set" =>
+        t.punct('['); val (v, e) = parsePackedType(t); t.punct(']')
+        (VSet(v), EArr(e, req, varintLen = false))
+      case "Dict" =>
+        t.punct('['); val (kv, ke) = parsePackedType(t); t.punct(',')
+        val (vv, ve) = parsePackedType(t); t.punct(']')
+        (VDict(kv, vv), EArr(EStru(IndexedSeq("key" -> ke, "value" -> ve),
+          required = true), req, varintLen = false))
+      case "Interval" =>
+        t.punct('['); val (pv, pe) = parsePackedType(t); t.punct(']')
+        (VInterval(pv), EStru(IndexedSeq("start" -> pe, "end" -> pe,
+          "includesStart" -> EBool(required = true),
+          "includesEnd" -> EBool(required = true)), req))
+      case "Struct" =>
+        t.punct('{')
+        val vs = IndexedSeq.newBuilder[(String, VType)]
+        val es = IndexedSeq.newBuilder[(String, ETyp)]
+        if (!t.tryPunct('}')) {
+          var more = true
+          while (more) {
+            val n = t.ident(); t.punct(':')
+            val (v, e) = parsePackedType(t)
+            vs += n -> v; es += n -> e
+            more = t.tryPunct(',')
+          }
+          t.punct('}')
+        }
+        (VStruct(vs.result()), EStru(es.result(), req))
+      case "Tuple" =>
+        t.punct('[')
+        val vs = IndexedSeq.newBuilder[VType]
+        val es = IndexedSeq.newBuilder[(String, ETyp)]
+        if (!t.tryPunct(']')) {
+          var more = true
+          var i = 0
+          while (more) {
+            val (v, e) = parsePackedType(t)
+            vs += v; es += i.toString -> e; i += 1
+            more = t.tryPunct(',')
+          }
+          t.punct(']')
+        }
+        (VTuple(vs.result()), EStru(es.result(), req))
+      case x => throw new UnsupportedOperationException(
+        s"unsupported pre-1.2 packed type: $x")
+    }
+  }
+
   /** Parse the encoded-type string (`EType.scala:441` eTypeParser
     * grammar; `EArray`/`EBinary` without the `2` suffix are the legacy
     * full-width-integer-length variants). */
@@ -707,8 +789,10 @@ object HailNative {
     * `utils/SemanticVersion.scala`): `file_version` packs
     * (major<<16)|(minor<<8)|patch; the current writer is 1.8.0 and the
     * format is back- but not forward-compatible, so we accept major 1 up
-    * to minor 8 — the range the decoder's fixtures cover — and refuse
-    * anything else loudly rather than risk a silent mis-decode. */
+    * to minor 8 — every version in that range is validated value-level
+    * against the reference's own backward-compatibility corpus
+    * (`BackCompatSpec`) — and refuse anything else loudly rather than
+    * risk a silent mis-decode. */
   private[sources] val MaxSupported: (Int, Int) = (1, 8)
   private[sources] def checkFileVersion(meta: JValue, path: String): Unit = {
     val rep = meta \ "file_version" match {
@@ -735,6 +819,7 @@ object HailNative {
   def readRvdSpec(conf: Configuration, dir: String): RvdSpec = {
     val jv = readJsonGz(conf, s"$dir/metadata.json.gz")
     val codec = jv \ "_codecSpec"
+    if (codec == org.json4s.JNothing) return readLegacyRvdSpec(jv, dir)
     RvdSpec(
       (jv \ "_key") match {
         case JArray(ks) => ks.map(jStr)
@@ -744,6 +829,44 @@ object HailNative {
       parseVType(jStr(codec \ "_vType")),
       parseBufferSpec(codec \ "_bufferSpec"),
       (jv \ "_partFiles").asInstanceOf[JArray].arr.map(jStr).toIndexedSeq)
+  }
+
+  /** Pre-1.2 RVD metadata (file_version 1.0.x/1.1.x):
+    * `OrderedRVDSpec`/`IndexedRVDSpec` carry
+    * `orvdType`/`rvdType = "…{key:[[a],[b]],row:<type>}"`,
+    * `UnpartitionedRVDSpec` a bare `rowType`; the codec is
+    * `PackCodecSpec{child: <bufferSpec>}` with the encoded type derived
+    * canonically from the annotated virtual type (parsePackedType). */
+  private def readLegacyRvdSpec(jv: JValue, dir: String): RvdSpec = {
+    val codec = jv \ "codecSpec"
+    val codecName = jStr(codec \ "name")
+    require(codecName == "PackCodecSpec",
+      s"cannot read $dir: unsupported legacy codec $codecName")
+    val buf = parseBufferSpec(codec \ "child")
+    val typeStr = Seq("rvdType", "orvdType", "rowType")
+      .map(f => jv \ f)
+      .collectFirst { case JString(s) => s }
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot read $dir: legacy RVD metadata has no row type"))
+    // "RVDType{key:[[idx]],row:Struct{…}}" → key names + row substring.
+    // Key fields are plain identifiers in every writer of this era, so
+    // splitting on the first ",row:" after "key:[" is unambiguous.
+    val (key, rowStr) = {
+      val k = typeStr.indexOf("key:[")
+      if (k < 0) (Nil, typeStr)
+      else {
+        val r = typeStr.indexOf(",row:", k)
+        require(r > 0, s"cannot read $dir: malformed legacy rvd type")
+        val keyNames = typeStr.substring(k + 5, r)
+          .split(",").map(_.replaceAll("[\\[\\]`\\s]", ""))
+          .filter(_.nonEmpty).toSeq
+        // row type runs to the RVDType wrapper's final '}'
+        (keyNames, typeStr.substring(r + 5, typeStr.length - 1))
+      }
+    }
+    val (v, e) = parsePackedType(rowStr)
+    RvdSpec(key, e, v, buf,
+      (jv \ "partFiles").asInstanceOf[JArray].arr.map(jStr).toIndexedSeq)
   }
 
   /** Decode a whole RVD component into local rows (globals / cols — the
