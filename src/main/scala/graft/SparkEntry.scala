@@ -2018,6 +2018,40 @@ object SparkEntry {
     // (tools/make_ht_fixture.py) following the same public format docs,
     // so reader and fixture share no code; values are closed-form
     // constants the oracle lists ------------------------------------------
+    // --- native-format EXPORT: write a reference-readable .ht/.mt and
+    // re-import it through the independent decoder ---------------------------
+    "ht_export" -> ((s, dir) => {
+      val t = Table(s.read.parquet(s"$dir/nation.parquet"),
+        Seq("n_nationkey"), Map("source" -> "tpch"))
+      val out = java.nio.file.Files.createTempDirectory("graft_htex")
+      sources.HailNativeWrite.writeTable(t, s"$out/nation.ht")
+      val back = sources.HailNative.readTable(s, s"$out/nation.ht")
+      back.df.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"),
+        lit(back.globals("source").toString).as("g_source"))
+    }),
+
+    "mt_export" -> ((s, _) => {
+      import graft.functions.Calls
+      val mt = sources.Vcf.read(s,
+        "/root/repo/src/test/resources/oracle_sample.vcf")
+      val out = java.nio.file.Files.createTempDirectory("graft_mtex")
+      sources.HailNativeWrite.writeMatrixTable(mt, s"$out/sample.mt")
+      val back = sources.HailNative.readMatrixTable(s, s"$out/sample.mt")
+      back.entriesTable.df
+        .filter(col("GT").isNotNull)
+        .select(col("contig"), col("position"), col("ref"),
+          concat_ws(",", col("alt")).as("alts"),
+          col("qual"),
+          col("info")("DP").as("info_dp"),
+          element_at(col("info")("AC"), 1).as("info_ac"),
+          col("s"),
+          Calls.allele1(col("GT")).as("a1"),
+          Calls.allele2(col("GT")).as("a2"),
+          Calls.isPhased(col("GT")).as("phased"),
+          col("DP").as("dp"))
+    }),
+
     "ht_import" -> ((s, _) => {
       val t = sources.HailNative.readTable(s,
         "/root/repo/src/test/resources/sample.ht")
@@ -5519,6 +5553,12 @@ object SparkEntry {
         |FROM part WHERE p_partkey <= 200""".stripMargin,
 
     // fixture constants (tools/make_ht_fixture.py writes them literally)
+    "ht_export" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 'tpch' AS g_source
+        |FROM nation""".stripMargin,
+
+    "mt_export" -> VcfImportOracleSql,
+
     "ht_import" ->
       """SELECT CAST(id AS INTEGER) AS id, name, CAST(score AS DOUBLE)
         |    AS score, tags,
