@@ -471,6 +471,12 @@ final case class MatrixTable(
     * values persist as a small parquet with an explicit `__col_idx`
     * (parquet read order is not positional), colKey in a sidecar
     * manifest. */
+  /** Export as a reference-readable hail-native `.mt` directory
+    * (`sources.HailNativeWrite`); `write` remains the parquet-native
+    * graft-to-graft path. */
+  def writeHail(path: String): Unit =
+    sources.HailNativeWrite.writeMatrixTable(this, path)
+
   def write(path: String): Unit = {
     Table(rows, rowKey, globals).write(s"$path/rows")
     val withIdx = colValues.zipWithIndex.map { case (r, i) =>

@@ -444,6 +444,13 @@ final case class Table(
       .saveAsTable(tableName)
   }
 
+  /** Export as a reference-readable hail-native `.ht` directory
+    * (`sources.HailNativeWrite`). Use `write` (key-sorted parquet +
+    * manifest) for graft-to-graft storage; this path exists to hand
+    * data back to a reference deployment. */
+  def writeHail(path: String, nPartitions: Option[Int] = None): Unit =
+    sources.HailNativeWrite.writeTable(this, path, nPartitions)
+
   def write(path: String): Unit = {
     val t = ensureKeyOrder()
     t.df.write.mode("overwrite").parquet(s"$path/rows")

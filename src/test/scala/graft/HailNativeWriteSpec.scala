@@ -135,6 +135,26 @@ class HailNativeWriteSpec extends SparkSpec {
     assert(got(2).getSeq[Row](2) == Seq(Row(null, 5), Row(2, 20)))
   }
 
+  test("full circle on a reference-written 1.8.0 all-values table") {
+    // the hardest nesting the format carries: sets, dicts keyed by
+    // arrays, loci, intervals, tuples, calls, an ndarray — read the
+    // reference's own file, re-export with OUR writer, re-import, and
+    // demand value-identical rows
+    val src = "/root/reference/hail/hail/test/resources/" +
+      "backward_compatability/1.8.0/table/0.ht"
+    assume(new java.io.File(src).isDirectory)
+    val orig = HailNative.readTable(spark, src)
+    val path = tmp("circle.ht")
+    HailNativeWrite.writeTable(
+      orig.copy(globals = Map.empty), path, nPartitions = Some(2))
+    val back = HailNative.readTable(spark, path)
+    assert(back.key == Seq("idx"))
+    val a = orig.df.orderBy("idx").collect().toSeq.map(_.toString)
+    val b = back.df.orderBy("idx").collect().toSeq.map(_.toString)
+    assert(a == b)
+    assert(back.df.schema == orig.df.schema)
+  }
+
   test("unsupported dtypes refuse loudly with an actionable message") {
     val sp = spark; import sp.implicits._
     val df = Seq((1, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
