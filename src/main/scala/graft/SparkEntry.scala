@@ -1616,6 +1616,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- streaming corpus profile: the langid/token kernels over a
+    // document stream, complete-mode grouped agg (state = one row per
+    // language) — oracled against the same profile in DuckDB ---------------
+    "stream_lang_profile" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      streaming.StreamText.runLangProfile(s, s"$dir/documents.parquet",
+        docs.schema, "doc_id", "text",
+        s"graft_stream_lp_${System.nanoTime()}")
+    }),
+
     // --- streaming exact dedup: a REAL readStream through
     // dropDuplicatesWithinWatermark; the key SET is order-independent,
     // so the oracle is a plain DISTINCT ------------------------------------
@@ -3816,6 +3826,39 @@ object SparkEntry {
     // bottom-2 of {F,O,P} by FNV-1a(seed=42): O < F < P (precomputed)
     "agg_sample" ->
       """SELECT 'O' AS v UNION ALL SELECT 'F' AS v""".stripMargin,
+
+    "stream_lang_profile" ->
+      """WITH w AS (
+        |  SELECT text,
+        |    string_split_regex(lower(text), ' +') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT *,
+        |    len(list_intersect(toks,
+        |      ['the','and','of','to','is','in','that','with'])) AS s_en,
+        |    len(list_intersect(toks,
+        |      ['der','die','das','und','ist','nicht','ein','mit'])) AS s_de,
+        |    len(list_intersect(toks,
+        |      ['le','la','les','et','est','une','dans','pour'])) AS s_fr,
+        |    len(list_intersect(toks,
+        |      ['el','los','las','es','una','que','por','como'])) AS s_es,
+        |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+        |      AS cjk
+        |  FROM w),
+        |langs AS (
+        |  SELECT
+        |    CASE WHEN cjk > length(text) * 0.2 THEN 'zh'
+        |         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+        |           THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr'
+        |         ELSE 'es' END AS pred_lang,
+        |    len(string_split_regex(trim(text), ' +')) AS n_toks
+        |  FROM sc)
+        |SELECT pred_lang, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM langs GROUP BY 1""".stripMargin,
 
     "pipe_langid_quality" ->
       """WITH w AS (

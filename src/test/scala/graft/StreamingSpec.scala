@@ -148,4 +148,32 @@ class StreamingSpec extends SparkSpec {
       .map(i => (i, i + 1000)).toSet
     assert(planted.subsetOf(got))
   }
+
+  test("streaming language profile accumulates across micro-batches") {
+    import graft.streaming.StreamText
+    // three files → three triggers: the final complete-mode profile
+    // must equal the batch profile over the union, proving the
+    // grouped-agg state carries across batches
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_slp")
+    for (i <- 0 until 3)
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.parquet(s"$dir/f$i")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_slp2")
+    for (i <- 0 until 3) {
+      val f = new java.io.File(s"$dir/f$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(s"f$i.parquet"), f.toPath)
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val got = toMap(StreamText.runLangProfile(spark, streamDir.toString,
+      docs.schema, "doc_id", "text", "spec_stream_lp"))
+    val want = toMap(StreamText.langProfile(docs, "doc_id", "text"))
+    assert(got == want)
+    assert(got.values.map(_._1).sum == docs.count())
+  }
 }
