@@ -2871,6 +2871,20 @@ object SparkEntry {
       BlockMatrix.load(s, s"$dir/m").entries
     }),
 
+    // --- hail-native .bm export/import: same entries as the graft-
+    // format IO gate, but through the reference's on-disk block codec ------
+    "bm_hail_io" -> ((s, _) => {
+      import graft.linalg.BlockMatrix
+      val ae = s.range(12).select(
+        floor(col("id") / 3).cast("long").as("i"),
+        pmod(col("id"), lit(3L)).as("j"),
+        (pmod(col("id"), lit(7L)).cast("double") + 0.5).as("value"))
+      val a = BlockMatrix.fromEntries(ae, 4, 3, blockSize = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm_hl")
+      BlockMatrix.writeHail(a, s"$dir/m.bm")
+      BlockMatrix.readHail(s, s"$dir/m.bm").entries
+    }),
+
     // --- BlockMatrix structural ops (BlockMatrixIR Slice/Filter/
     // Broadcast/row-interval sparsify/axis Agg), entry-checked against
     // SQL index arithmetic on the same exact-binary values ----------------
@@ -6127,6 +6141,11 @@ object SparkEntry {
         |SELECT i, j, v * 3.0 AS value, 'a3' AS tag FROM ae""".stripMargin,
 
     "linalg_blockmatrix_io" ->
+      """SELECT CAST(id // 3 AS BIGINT) AS i, CAST(id % 3 AS BIGINT) AS j,
+        |  CAST((id % 7) + 0.5 AS DOUBLE) AS value
+        |FROM (SELECT unnest(range(0, 12)) AS id)""".stripMargin,
+
+    "bm_hail_io" ->
       """SELECT CAST(id // 3 AS BIGINT) AS i, CAST(id % 3 AS BIGINT) AS j,
         |  CAST((id % 7) + 0.5 AS DOUBLE) AS value
         |FROM (SELECT unnest(range(0, 12)) AS id)""".stripMargin,

@@ -475,6 +475,127 @@ object BlockMatrix {
     BlockMatrix(new MlBlockMatrix(blocks, rpb, cpb, nr, nc))
   }
 
+  /** The reference's on-disk BlockMatrix codec
+    * (`linalg/BlockMatrix.scala:110`): 32 KiB blocking over LZ4-fast
+    * blocks with 4-byte LE stream framing. */
+  private val HailBmBufSpec = graft.sources.HailNative.Blocking(32768,
+    graft.sources.HailNative.Lz4Block(32768,
+      graft.sources.HailNative.StreamBlock))
+
+  /** Import a reference-written `.bm` block matrix
+    * (`linalg/BlockMatrix.scala:214` read; metadata.json + one part
+    * file per stored block, grid laid out column-major
+    * `GridPartitioner.blockCoordinates`: blockRow = bi % nBlockRows).
+    * Each part decodes in its own task; `maybeFiltered` (sparsified
+    * matrices persisting only some blocks) maps part index → block
+    * index. Block bytes: [int rows][int cols][bool isTranspose]
+    * [rows*cols doubles] through the codec above. */
+  def readHail(spark: SparkSession, path: String): BlockMatrix = {
+    val metaTxt = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/metadata.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val jv = org.json4s.jackson.JsonMethods.parse(metaTxt)
+    import org.json4s._
+    def jInt(f: String): Long = (jv \ f) match {
+      case JInt(v) => v.toLong
+      case x => throw new IllegalArgumentException(s"bad .bm $f: $x")
+    }
+    val blockSize = jInt("blockSize").toInt
+    val (nr, nc) = (jInt("nRows"), jInt("nCols"))
+    val partFiles = (jv \ "partFiles").asInstanceOf[JArray].arr.map {
+      case JString(s) => s
+      case x => throw new IllegalArgumentException(s"bad partFile $x")
+    }
+    val filtered: Option[IndexedSeq[Int]] = (jv \ "maybeFiltered") match {
+      case JArray(xs) => Some(xs.map(_.asInstanceOf[JInt].num.toInt)
+        .toIndexedSeq)
+      case _ => None
+    }
+    val nBlockRows = ((nr + blockSize - 1) / blockSize).toInt
+    val indexed = partFiles.zipWithIndex.map { case (f, pi) =>
+      val bi = filtered.map(_.apply(pi)).getOrElse(pi)
+      (bi % nBlockRows, bi / nBlockRows, s"$path/parts/$f")
+    }
+    val blocks = spark.sparkContext
+      .parallelize(indexed.toSeq, math.max(1, indexed.length))
+      .map { case (i, j, file) =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val in = graft.sources.HailNative.buildInBuf(HailBmBufSpec,
+          new java.io.BufferedInputStream(fs.open(p)))
+        try {
+          val rows = in.readInt()
+          val cols = in.readInt()
+          val isTranspose = in.readByte() != 0
+          val data = new Array[Double](rows * cols)
+          var k = 0
+          while (k < data.length) { data(k) = in.readDouble(); k += 1 }
+          // on-disk data is row-major when isTranspose; MLlib's dense
+          // layout is column-major with an isTransposed flag — same
+          // convention, pass it through
+          ((i, j), new org.apache.spark.mllib.linalg.DenseMatrix(
+            rows, cols, data, isTranspose)
+            : org.apache.spark.mllib.linalg.Matrix)
+        } finally in.close()
+      }
+    BlockMatrix(new MlBlockMatrix(blocks, blockSize, blockSize, nr, nc))
+  }
+
+  /** Export as a reference-readable `.bm`: one task per block writes
+    * its part file; parts are listed in column-major grid order (the
+    * reader's partition→coordinate contract). Dense only — every grid
+    * block must be present (MLlib fills missing blocks on
+    * `toBlockMatrix`, so graft matrices are dense by construction). */
+  def writeHail(bm: BlockMatrix, path: String): Unit = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/parts"))
+    val blockSize = bm.blockSize
+    val nBlockRows = ((bm.nRows + blockSize - 1) / blockSize).toInt
+    val nBlockCols = ((bm.nCols + blockSize - 1) / blockSize).toInt
+    val written = bm.m.blocks.map { case ((bi, bj), blk) =>
+      val pi = bj * nBlockRows + bi
+      val file = f"part-$pi%05d-${java.util.UUID.randomUUID.toString}"
+      val p = new org.apache.hadoop.fs.Path(s"$path/parts/$file")
+      val tfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = new graft.sources.HailNativeWrite.OutBuf(32768,
+        new java.io.BufferedOutputStream(tfs.create(p, true)),
+        varintFraming = false)
+      val dense = blk match {
+        case d: org.apache.spark.mllib.linalg.DenseMatrix => d
+        case s: org.apache.spark.mllib.linalg.SparseMatrix => s.toDense
+      }
+      out.writeInt(dense.numRows)
+      out.writeInt(dense.numCols)
+      out.writeByte(if (dense.isTransposed) 1 else 0)
+      val data = dense.values
+      var k = 0
+      while (k < data.length) { out.writeDouble(data(k)); k += 1 }
+      out.close()
+      (pi, file)
+    }.collect().sortBy(_._1)
+    require(written.length == nBlockRows * nBlockCols,
+      s"sparse grid (${written.length} of ${nBlockRows * nBlockCols} " +
+        "blocks) — densify() before writeHail")
+    val metaJson =
+      s"""{"blockSize":$blockSize,"nRows":${bm.nRows},""" +
+        s""""nCols":${bm.nCols},"maybeFiltered":null,""" +
+        s""""partFiles":${written.map(f => "\"" + f._2 + "\"")
+          .mkString("[", ",", "]")}}"""
+    val mp = new org.apache.hadoop.fs.Path(s"$path/metadata.json")
+    val mo = fs.create(mp, true)
+    try mo.write(metaJson.getBytes("UTF-8")) finally mo.close()
+    val so = fs.create(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"),
+      true)
+    so.close()
+  }
+
   /** Seeded random matrix (reference `BlockMatrixIR.scala:1038`
     * BlockMatrixRandom): entry (i,j) is a pure function of
     * (seed, i, j) via the engine's counter-based RNG (`functions/Rand`)

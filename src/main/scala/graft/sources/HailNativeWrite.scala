@@ -165,9 +165,13 @@ object HailNativeWrite {
     }
   }
 
-  /** Blocking + LZ4 + StreamBlock2 encoder sink. A primitive never
-    * spans a block (the reader's `ensure` contract); byte runs do. */
-  private final class OutBuf(blockSize: Int, out: OutputStream) {
+  /** Blocking + LZ4 + StreamBlock(2) encoder sink. A primitive never
+    * spans a block (the reader's `ensure` contract); byte runs do.
+    * `varintFraming` selects StreamBlockBufferSpec2 (varint lengths,
+    * the RVD codec) vs StreamBlockBufferSpec (4-byte LE lengths, the
+    * BlockMatrix codec). */
+  private[graft] final class OutBuf(blockSize: Int, out: OutputStream,
+      varintFraming: Boolean = true) {
     private val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
       .fastCompressor()
     private val buf = new Array[Byte](blockSize)
@@ -182,7 +186,12 @@ object HailNativeWrite {
       comp(1) = (off >> 8).toByte
       comp(2) = (off >> 16).toByte
       comp(3) = (off >> 24).toByte
-      writeVarintTo(out, clen + 4)
+      if (varintFraming) writeVarintTo(out, clen + 4)
+      else {
+        val n = clen + 4
+        out.write(n & 0xff); out.write((n >> 8) & 0xff)
+        out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+      }
       out.write(comp, 0, clen + 4)
       off = 0
     }
@@ -231,7 +240,7 @@ object HailNativeWrite {
 
   // ---- value encoding (mirror of HailNative.decode) -----------------------
 
-  private[sources] def encode(e: ETyp, v: Any, out: OutBuf): Unit = e match {
+  private[graft] def encode(e: ETyp, v: Any, out: OutBuf): Unit = e match {
     case EBool(_) => out.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
     case EI32(_) => out.writeInt(v.asInstanceOf[Int])
     case EI64(_) => out.writeLong(v.asInstanceOf[Long])
@@ -304,7 +313,7 @@ object HailNativeWrite {
   }
 
   /** One part file: [0x01 row]* 0x00 through the write codec. */
-  private[sources] def encodePart(rows: Iterator[Row], e: ETyp,
+  private[graft] def encodePart(rows: Iterator[Row], e: ETyp,
       raw: OutputStream): Long = {
     val out = new OutBuf(32768, raw)
     var n = 0L

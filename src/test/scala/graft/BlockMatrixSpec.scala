@@ -160,6 +160,40 @@ class BlockMatrixSpec extends SparkSpec {
     assert(storedBlocks == 7) // 3x3 grid minus the two far corners
   }
 
+  test("hail .bm interop: reference fixture import + write/read circle") {
+    // the reference's own test fixture (BlockMatrixIRSuite.scala:390)
+    val src = "/root/reference/hail/hail/test/resources/" +
+      "blockmatrix_example/0"
+    if (new java.io.File(src).isDirectory) {
+      val ref = BlockMatrix.readHail(spark, src)
+      assert(ref.nRows == 2 && ref.nCols == 2 && ref.blockSize == 2)
+      val v = ref.toLocal
+      assert((0 until 2).forall(i => (0 until 2).forall(j =>
+        !v(i, j).isNaN && !v(i, j).isInfinite)))
+      // full circle on the fixture through OUR writer
+      val d0 = java.nio.file.Files.createTempDirectory("graft_bmh")
+      BlockMatrix.writeHail(ref, s"$d0/copy.bm")
+      assert(BlockMatrix.readHail(spark, s"$d0/copy.bm").toLocal == v)
+    }
+    // multi-block ragged-edge grid round-trip (7x5 at blockSize 3 →
+    // 3x2 grid with partial fringe blocks, parts in col-major order)
+    val a = local(7, 5)((i, j) => math.cos(i * 3.0 + j) * 5)
+    val A = BlockMatrix.fromLocal(spark, a, blockSize = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmh2")
+    BlockMatrix.writeHail(A, s"$dir/m.bm")
+    val back = BlockMatrix.readHail(spark, s"$dir/m.bm")
+    assert(back.nRows == 7 && back.nCols == 5 && back.blockSize == 3)
+    assert(back.toLocal == a)
+    // metadata is the reference's exact shape
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/m.bm/metadata.json")), "UTF-8")
+    for (k <- Seq("\"blockSize\":3", "\"nRows\":7", "\"nCols\":5",
+      "\"maybeFiltered\":null", "\"partFiles\":["))
+      assert(meta.contains(k), s"missing $k in $meta")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/m.bm/_SUCCESS")))
+  }
+
   test("ldPruneGlobal removes cross-boundary correlated survivors") {
     val mt = Vcf.read(spark,
       "/root/repo/src/test/resources/oracle_sample.vcf")
