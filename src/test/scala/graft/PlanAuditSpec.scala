@@ -311,6 +311,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Generate"), plan.take(2000))
   }
 
+  test("streaming lang profile plans one exchange, partial+final agg") {
+    import graft.streaming.StreamText
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = StreamText.langProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // profile state is one row per language: map-side partial agg, ONE
+    // hash exchange on the language key, final agg — nothing else
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges\n${plan.take(2000)}")
+    assert(plan.contains("partial"), plan.take(2000))
+    assert(!plan.contains("Generate"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("native write-after-read plans no range exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pa_srt")
       .toString
