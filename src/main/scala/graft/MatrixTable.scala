@@ -464,6 +464,12 @@ final case class MatrixTable(
 
   // ---- native format ------------------------------------------------------
 
+  /** Export as a reference-readable hail-native `.mt` directory
+    * (`sources.HailNativeWrite`); `write` remains the parquet-native
+    * graft-to-graft path. */
+  def writeHail(path: String): Unit =
+    sources.HailNativeWrite.writeMatrixTable(this, path)
+
   /** Native MatrixTable write (reference `mt.write` /
     * `MatrixNativeWriter`): rows (entries array included) persist as
     * the native TABLE format — key-sorted parquet + key-range manifest,
@@ -471,12 +477,6 @@ final case class MatrixTable(
     * values persist as a small parquet with an explicit `__col_idx`
     * (parquet read order is not positional), colKey in a sidecar
     * manifest. */
-  /** Export as a reference-readable hail-native `.mt` directory
-    * (`sources.HailNativeWrite`); `write` remains the parquet-native
-    * graft-to-graft path. */
-  def writeHail(path: String): Unit =
-    sources.HailNativeWrite.writeMatrixTable(this, path)
-
   def write(path: String): Unit = {
     Table(rows, rowKey, globals).write(s"$path/rows")
     val withIdx = colValues.zipWithIndex.map { case (r, i) =>

@@ -87,12 +87,19 @@ object NdArrays {
   private def at(nd: Column, flatIdx: Column): Column =
     element_at(nd("data"), (flatIdx + 1L).cast("int"))
 
+  /** [0, n) as a bigint array; empty when n <= 0. A bare
+    * `sequence(0, n-1)` would yield the DESCENDING [0, -1] for n = 0
+    * and corrupt zero-extent ndarrays with phantom elements. */
+  private def indices(n: Column): Column =
+    when(n > 0L, sequence(lit(0L), n.cast("long") - 1L))
+      .otherwise(array().cast("array<bigint>"))
+
   /** NDArrayReindex with permutation (1,0): 2-D transpose. */
   def transpose2(nd: Column): Column = {
     val r = element_at(nd("shape"), 1)
     val c = element_at(nd("shape"), 2)
     struct(array(c, r).as("shape"),
-      transform(sequence(lit(0L), r * c - 1L),
+      transform(indices(r * c),
         k => at(nd, pmod(k, r) * c + idiv(k, r))).as("data"))
   }
 
@@ -102,7 +109,7 @@ object NdArrays {
     val c = element_at(nd("shape"), 2)
     val nc = c1 - c0
     struct(array(r1 - r0, nc).as("shape"),
-      transform(sequence(lit(0L), (r1 - r0) * nc - 1L),
+      transform(indices((r1 - r0) * nc),
         k => at(nd, (r0 + idiv(k, nc)) * c + c0 + pmod(k, nc))).as("data"))
   }
 
@@ -117,7 +124,7 @@ object NdArrays {
     else {
       val nc = ca + cb
       struct(array(ra, nc).as("shape"),
-        transform(sequence(lit(0L), ra * nc - 1L), k => {
+        transform(indices(ra * nc), k => {
           val i = idiv(k, nc); val j = pmod(k, nc)
           when(j < ca, at(a, i * ca + j))
             .otherwise(at(b, i * cb + (j - ca)))
@@ -130,7 +137,7 @@ object NdArrays {
     val c = element_at(nd("shape"), 2)
     val nc = size(cols).cast("long")
     struct(array(size(rows).cast("long"), nc).as("shape"),
-      transform(sequence(lit(0L), size(rows) * size(cols) - 1L), k => {
+      transform(indices(size(rows) * size(cols)), k => {
         val i = element_at(rows, (idiv(k, nc) + 1).cast("int"))
         val j = element_at(cols, (pmod(k, nc) + 1).cast("int"))
         at(nd, i * c + j)
@@ -144,13 +151,13 @@ object NdArrays {
     val c = element_at(nd("shape"), 2)
     if (axis == 0)
       struct(array(c).as("shape"),
-        transform(sequence(lit(0L), c - 1L), j =>
-          aggregate(sequence(lit(0L), r - 1L), lit(0.0),
+        transform(indices(c), j =>
+          aggregate(indices(r), lit(0.0),
             (acc, i) => acc + at(nd, i * c + j))).as("data"))
     else
       struct(array(r).as("shape"),
-        transform(sequence(lit(0L), r - 1L), i =>
-          aggregate(sequence(lit(0L), c - 1L), lit(0.0),
+        transform(indices(r), i =>
+          aggregate(indices(c), lit(0.0),
             (acc, j) => acc + at(nd, i * c + j))).as("data"))
   }
 
@@ -171,7 +178,7 @@ object NdArrays {
     val nC = element_at(nd("shape"), 2)
     struct(nd("shape").as("shape"),
       zip_with(nd("data"),
-        sequence(lit(0L), size(nd("data")).cast("long") - 1L),
+        indices(size(nd("data")).cast("long")),
         (v, idx) => {
           val (i, j) = rowColOf(idx, nC)
           when(j - i >= lower && j - i <= upper, v).otherwise(0.0)
@@ -183,7 +190,7 @@ object NdArrays {
     val nC = element_at(nd("shape"), 2)
     struct(nd("shape").as("shape"),
       zip_with(nd("data"),
-        sequence(lit(0L), size(nd("data")).cast("long") - 1L),
+        indices(size(nd("data")).cast("long")),
         (v, idx) => {
           val (i, j) = rowColOf(idx, nC)
           when(j >= element_at(starts, (i + 1).cast("int")) &&

@@ -55,7 +55,7 @@ object BgenIdx2 {
     * points at the JSON tail (reference `IndexReader
     * .readInlineMetadataRaw`). */
   private def readMeta(fs: FileSystem, idx2: String)
-      : (Idx2Meta, String /* index payload path */, Long /* payload end */) = {
+      : (Idx2Meta, String /* index payload path */) = {
     val p = new HPath(idx2)
     val jv =
       if (fs.getFileStatus(p).isDirectory)
@@ -83,7 +83,7 @@ object BgenIdx2 {
       jInt(jv, "rootOffset"))
     val payload =
       if (fs.getFileStatus(p).isDirectory) s"$idx2/index" else idx2
-    (meta, payload, meta.rootOffset)
+    (meta, payload)
   }
 
   // ---- node schemas (BgenSettings.getIndexSpec, version-dependent) -------
@@ -140,7 +140,8 @@ object BgenIdx2 {
     * O(nRanges). */
   def readOffsets(fs: FileSystem, idx2: String): IndexedSeq[Long] = {
     val out = IndexedSeq.newBuilder[Long]
-    val n = walkLeaves(fs, idx2)((_, off) => out += off)
+    val (meta, payload) = readMeta(fs, idx2)
+    val n = walkLeaves(fs, idx2, meta, payload)((_, off) => out += off)
     val offsets = out.result()
     require(offsets.length.toLong == n,
       s"$idx2: walked ${offsets.length} keys, metadata says $n")
@@ -154,11 +155,11 @@ object BgenIdx2 {
     * (nKeys, ascending bounds); bounds.head is the first record. */
   def readRangeBounds(fs: FileSystem, idx2: String, nRanges: Int)
       : (Long, IndexedSeq[Long]) = {
-    val (meta0, _, _) = readMeta(fs, idx2)
+    val (meta0, payload0) = readMeta(fs, idx2)
     val stride = math.max(1L, (meta0.nKeys + nRanges - 1) / nRanges)
     val out = IndexedSeq.newBuilder[Long]
     var i = 0L
-    val n = walkLeaves(fs, idx2) { (_, off) =>
+    val n = walkLeaves(fs, idx2, meta0, payload0) { (_, off) =>
       if (i % stride == 0) out += off
       i += 1
     }
@@ -168,9 +169,9 @@ object BgenIdx2 {
 
   /** Root-to-leaf walk invoking `onKey(first_idx + k, offset)` per leaf
     * entry in index order; returns metadata nKeys. */
-  private def walkLeaves(fs: FileSystem, idx2: String)(
+  private def walkLeaves(fs: FileSystem, idx2: String, meta: Idx2Meta,
+      payload: String)(
       onKey: (Long, Long) => Unit): Long = {
-    val (meta, payload, _) = readMeta(fs, idx2)
     val v13 = {
       val (maj, min) = ((meta.fileVersion >> 16) & 0xff,
         (meta.fileVersion >> 8) & 0xff)

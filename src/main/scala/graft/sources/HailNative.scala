@@ -892,14 +892,15 @@ object HailNative {
     val files = spec.partFiles.map(f => s"$dir/parts/$f")
     val bc = spark.sparkContext.broadcast((spec.bufferSpec, spec.eType,
       spec.vType))
+    // tasks must see the SESSION's Hadoop conf (spark.hadoop.* creds,
+    // programmatic fs settings) — a bare `new Configuration()` drops them
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.length))
       .flatMap { path =>
         val (bs, e, v) = bc.value
         val p = new HPath(path)
-        // task-side FS from default config: part paths carry their
-        // scheme, and the driver already validated access via metadata
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(sconf.value)
         decodePart(new BufferedInputStream(fs.open(p)), bs, e, v)
       }
     (spec, spark.createDataFrame(rdd, schema))
@@ -956,13 +957,14 @@ object HailNative {
         s"$path/entries/rows/parts/$en")
     }
     val bc = spark.sparkContext.broadcast((rowsSpec, entriesSpec))
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val rdd = spark.sparkContext
       .parallelize(filePairs, math.max(1, filePairs.length))
       .flatMap { case (rowPath, entryPath) =>
         val (rs, es) = bc.value
         def open(s: String) = {
           val p = new HPath(s)
-          new BufferedInputStream(p.getFileSystem(new Configuration())
+          new BufferedInputStream(p.getFileSystem(sconf.value)
             .open(p))
         }
         val rowIt = decodePart(open(rowPath), rs.bufferSpec, rs.eType,

@@ -258,15 +258,20 @@ object HailNativeWrite {
       val elems: scala.collection.Seq[Any] = v match {
         case s: scala.collection.Seq[_] => s
         case m: scala.collection.Map[_, _] =>
-          // dict: entries sorted by key where ordering exists, for a
-          // deterministic (hail-matching) on-disk order
+          // dict: hail dicts are key-sorted arrays (lookups binary-
+          // search), so sort every primitive key type by its natural
+          // order; complex keys (arrays/structs — rare) fall back to a
+          // deterministic rendered order, documented as approximate
           val entries = m.toSeq
           val sorted = entries.headOption.map(_._1) match {
             case Some(_: Int) => entries.sortBy(_._1.asInstanceOf[Int])
             case Some(_: Long) => entries.sortBy(_._1.asInstanceOf[Long])
             case Some(_: String) => entries.sortBy(_._1.asInstanceOf[String])
             case Some(_: Double) => entries.sortBy(_._1.asInstanceOf[Double])
-            case _ => entries
+            case Some(_: Float) => entries.sortBy(_._1.asInstanceOf[Float])
+            case Some(_: Boolean) =>
+              entries.sortBy(_._1.asInstanceOf[Boolean])
+            case _ => entries.sortBy(e => String.valueOf(e._1))
           }
           sorted.map { case (k, vv) => Row(k, vv) }
         case a: Array[_] => a.toSeq
@@ -422,10 +427,13 @@ object HailNativeWrite {
     val vType = vTypeOf(df.schema).asInstanceOf[VStruct]
     val eType = writeEType(vType)
     val sorted =
-      if (key.isEmpty) df
+      if (key.isEmpty) nPartitions.map(df.repartition(_)).getOrElse(df)
       else {
         import org.apache.spark.sql.functions.col
-        val kc = key.map(col)
+        // hail's key ordering puts missing LAST; Spark's default is
+        // nulls-first — export with the reader's expected order or the
+        // partitioner bounds come out unsorted
+        val kc = key.map(k => col(k).asc_nulls_last)
         nPartitions match {
           case Some(n) =>
             df.repartitionByRange(n, kc: _*).sortWithinPartitions(kc: _*)
@@ -438,12 +446,14 @@ object HailNativeWrite {
     require(keyIdx.forall(_ >= 0), s"key $key not in ${fields.toSeq}")
     new HPath(s"$dir/parts").getFileSystem(conf)
       .mkdirs(new HPath(s"$dir/parts"))
+    // session Hadoop conf must reach the tasks (spark.hadoop.* creds)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val results = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       if (!it.hasNext) Iterator.empty
       else {
         val file = f"part-$i%05d-${java.util.UUID.randomUUID.toString}"
         val p = new HPath(s"$dir/parts/$file")
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(sconf.value)
         var first: Row = null
         var last: Row = null
         val counted = it.map { r =>
@@ -583,7 +593,8 @@ object HailNativeWrite {
       .asInstanceOf[ArrayType].elementType)
 
     import org.apache.spark.sql.functions.col
-    val kc = mt.rowKey.map(col)
+    // missing-last key order, matching the reader's expectations
+    val kc = mt.rowKey.map(k => col(k).asc_nulls_last)
     val sorted = mt.rows.repartitionByRange(kc: _*)
       .sortWithinPartitions(kc: _*)
     val fields = mt.rows.schema.fieldNames
@@ -593,12 +604,13 @@ object HailNativeWrite {
     for (d <- Seq("rows/rows/parts", "entries/rows/parts"))
       fs.mkdirs(new HPath(s"$path/$d"))
 
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val results = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       if (!it.hasNext) Iterator.empty
       else {
         val uuid = java.util.UUID.randomUUID.toString
         val file = f"part-$i%05d-$uuid"
-        val taskConf = new Configuration()
+        val taskConf = sconf.value
         def create(s: String) = {
           val p = new HPath(s)
           new BufferedOutputStream(p.getFileSystem(taskConf)

@@ -183,9 +183,15 @@ object Events {
           java.nio.file.Path.of(path))
         d.toString
       }
+    // exact-parity harness: process the whole input as ONE micro-batch.
+    // With per-file triggers, a key whose only occurrences sit >1h
+    // behind a later file's max event time would be dropped as late by
+    // the watermark and the output would undershoot the DISTINCT
+    // oracle. Bounded-state multi-batch eviction (the production
+    // semantics) is exercised separately in StreamingSpec.
     withStatePartitions(spark, numStatePartitions) {
       val q = dedupStream(readEventStream(spark, streamDir, schema,
-        maxFilesPerTrigger = 1), idCols)
+        maxFilesPerTrigger = Int.MaxValue), idCols)
         .writeStream
         .format("memory")
         .queryName(sinkName)

@@ -297,6 +297,24 @@ class CoverageSpec extends SparkSpec {
     assert(out.getSeq[Double](1) == Seq(6.0, 4.0, 0.0, -6.0))
   }
 
+  test("zero-extent ndarray structural ops return empty data") {
+    import graft.functions.NdArrays._
+    // sequence(0, -1) is DESCENDING in Spark; the guarded index helper
+    // must make empty ranges yield genuinely empty arrays
+    val nd = make(Seq(2L, 3L),
+      array((1 to 6).map(i => lit(i.toDouble)): _*))
+    val row = spark.range(1).select(
+      size(data(slice2(nd, lit(0L), lit(0L), lit(0L), lit(3L))))
+        .as("emptySlice"),
+      size(data(slice2(nd, lit(0L), lit(2L), lit(1L), lit(1L))))
+        .as("emptyCols"),
+      size(data(filter2(nd, array(), array(lit(0), lit(1)))))
+        .as("emptyFilter"),
+      size(data(transpose2(slice2(nd, lit(0L), lit(0L), lit(0L),
+        lit(3L))))).as("emptyTranspose")).head()
+    assert((0 until 4).forall(row.getInt(_) == 0), row.toString)
+  }
+
   test("matrix distinctByRow and annotateGlobals") {
     val mt = graft.sources.Vcf.read(spark,
       "/root/repo/src/test/resources/oracle_sample.vcf")

@@ -135,6 +135,37 @@ class HailNativeWriteSpec extends SparkSpec {
     assert(got(2).getSeq[Row](2) == Seq(Row(null, 5), Row(2, 20)))
   }
 
+  test("null key values export nulls-LAST (hail's missing ordering)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(Option(5), None, Option(1), Option(3), None)
+      .toDF("k").withColumn("v", lit(1))
+    val path = tmp("nullkey.ht")
+    HailNativeWrite.writeTable(Table(df, Seq("k")), path,
+      nPartitions = Some(2))
+    val back = HailNative.readTable(spark, path)
+    assert(back.df.count() == 5)
+    assert(back.df.filter(col("k").isNull).count() == 2)
+    // the LAST listed part carries the nulls: its bound ends at null
+    val meta = {
+      val in = new java.util.zip.GZIPInputStream(
+        Files.newInputStream(java.nio.file.Paths.get(
+          s"$path/rows/metadata.json.gz")))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val bounds = "\"_jRangeBounds\":\\[(.*?)\\]".r
+      .findFirstMatchIn(meta).get.group(1)
+    assert(bounds.endsWith(""""end":{"k": null},"includeStart":true,""" +
+      """"includeEnd":true}"""), bounds)
+    assert(!bounds.startsWith("""{"start":{"k": null}"""), bounds)
+    // map with float keys sorts numerically on disk
+    val df2 = Seq((1, Map(2.5f -> 1, 0.5f -> 2, 1.5f -> 3)))
+      .toDF("id", "m")
+    val p2 = tmp("fkey.ht")
+    HailNativeWrite.writeTable(Table(df2, Seq("id")), p2)
+    val r = HailNative.readTable(spark, p2).df.head()
+    assert(r.getSeq[Row](1).map(_.getFloat(0)) == Seq(0.5f, 1.5f, 2.5f))
+  }
+
   test("full circle on a reference-written 1.8.0 all-values table") {
     // the hardest nesting the format carries: sets, dicts keyed by
     // arrays, loci, intervals, tuples, calls, an ndarray — read the
