@@ -671,6 +671,44 @@ object SparkEntry {
         "text", family = "xxhash64")
     }),
 
+    // --- winnowing document fingerprinting (MOSS-style rolling-hash
+    // k-grams + window-min selection): candidate pairs from shared
+    // fingerprints, verified by exact shared (k+w-1)-char normalized
+    // runs. The winnowing guarantee (any match >= k+w-1 chars forces a
+    // shared fingerprint) makes candidate recall exact, so the verified
+    // output EQUALS the all-pairs substring join DuckDB computes
+    // independently — the gate cross-checks the theorem end-to-end
+    // without reproducing the custom rolling hash in SQL --------------------
+    "pipe_winnow_pairs" -> ((s, dir) =>
+      pipeline.Dedup.winnowSubstringPairs(t(s, dir, "documents"),
+        "doc_id", "text")
+        .withColumn("n_shared", col("n_shared").cast("long"))),
+
+    // --- exact char-n-gram Jaccard near-dup pairs, blocked by
+    // (source, lang) — the n-gram-Jaccard dedup family's exact member;
+    // blocks bound the quadratic verify, candidates at corpus scale come
+    // from the LSH pipelines ------------------------------------------------
+    "pipe_ngram_jaccard" -> ((s, dir) =>
+      pipeline.Dedup.charNgramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.5)),
+
+    // --- deterministic per-language Bernoulli mixing: membership is a
+    // pure md5 predicate, so the exact sample re-derives in any engine —
+    // one codegen'd filter, no shuffle, no RNG state ------------------------
+    "pipe_stratified_sample" -> ((s, dir) =>
+      pipeline.Sampling.stratifiedSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 800, "de" -> 500, "fr" -> 250,
+          "es" -> 125, "zh" -> 50))
+        .select("doc_id", "lang")),
+
+    // --- deterministic repetition weights ("epochs" per domain):
+    // floor(weight) copies + hash-selected fractional copy ------------------
+    "pipe_repeat_weight" -> ((s, dir) =>
+      pipeline.Sampling.repeatByWeight(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 250, "de" -> 100, "fr" -> 150,
+          "es" -> 50, "zh" -> 0))
+        .select("doc_id", "lang", "rep")),
+
     // --- pipeline: brute-force cosine top-k ANN ----------------------------
     "pipe_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -3532,6 +3570,70 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS jaccard
         |FROM sh a JOIN sh b
         |  ON a.shingles = b.shingles AND a.doc_id < b.doc_id""".stripMargin,
+
+    // independent all-pairs shared-substring join (19 = k + w - 1 of the
+    // Spark side's winnowing parameters); the Spark side reaches the same
+    // set through fingerprint candidates + verify, never a quadratic join
+    "pipe_winnow_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, nt,
+        |    unnest(generate_series(1, greatest(length(nt) - 18, 0))) AS i
+        |  FROM d WHERE length(nt) >= 19),
+        |g AS (SELECT DISTINCT doc_id, substr(nt, i, 19) AS gram FROM pos)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "pipe_ngram_jaccard" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, source, lang,
+        |    unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i,
+        |    text
+        |  FROM documents WHERE length(text) >= 3),
+        |g AS (SELECT DISTINCT doc_id, source, lang,
+        |        substr(text, i, 3) AS gram FROM g0),
+        |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS iv
+        |  FROM g a JOIN g b ON a.source = b.source AND a.lang = b.lang
+        |    AND a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(iv / CAST(na.ng + nb.ng - iv AS DOUBLE), 4) AS jaccard
+        |FROM inter
+        |JOIN n na ON na.doc_id = id_a
+        |JOIN n nb ON nb.doc_id = id_b
+        |WHERE round(iv / CAST(na.ng + nb.ng - iv AS DOUBLE), 4) >= 0.5"""
+        .stripMargin,
+
+    "pipe_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 1000 <
+        |  CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
+        |    WHEN 'fr' THEN 250 WHEN 'es' THEN 125 WHEN 'zh' THEN 50
+        |    ELSE 0 END""".stripMargin,
+
+    "pipe_repeat_weight" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 100
+        |      WHEN 'fr' THEN 150 WHEN 'es' THEN 50 WHEN 'zh' THEN 0
+        |      ELSE 100 END AS pct,
+        |    CAST(('0x' || substr(md5('epoch|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 100 AS u
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |    (pct // 100) + CASE WHEN u < pct % 100 THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT doc_id, lang,
+        |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS rep
+        |FROM n WHERE n > 0""".stripMargin,
 
     // the streaming kernel must surface exactly the batch band-bucket
     // candidates (the md5 family is bit-reproducible in DuckDB)

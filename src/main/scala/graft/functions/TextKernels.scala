@@ -149,6 +149,116 @@ case class MinhashSigsExpr(child: Expression, numHashes: Int,
     copy(child = c)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+  * — the rolling-hash fingerprinting scheme behind MOSS): hash every
+  * character k-gram with a Rabin-Karp rolling hash, slide a window of
+  * `w` consecutive k-gram hashes, and select each window's minimum
+  * (rightmost on ties — "robust winnowing", so a tie run yields one
+  * fingerprint, not w). Guarantees: (a) any substring match of length
+  * >= w + k - 1 between two documents shares at least one selected
+  * fingerprint; (b) expected density of selected positions is 2/(w+1),
+  * so fingerprints are ~2n/(w+1) per n-char doc regardless of content.
+  *
+  * One fused per-row pass (rolling update is O(1) per position; window
+  * minima amortize O(1) via rescan-on-expiry over random hashes), output
+  * is the DISTINCT selected hash values in first-selection order —
+  * dedup/contamination joins need the set, not positions. Each k-gram's
+  * polynomial hash is finalized with a murmur-style avalanche so the
+  * window-min choice is uniform over positions (raw polynomial values
+  * bias the min toward lexicographically small suffixes). */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1 && w >= 1, "winnow k and w must be >= 1")
+  override def prettyName: String = "graft_winnow_fingerprints"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(textAny: Any): Any = {
+    val s = textAny
+      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    new GenericArrayData(
+      WinnowKernel.fingerprints(s, k, w).map(v => v: Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WinnowKernel {
+  // murmur3 fmix64 finalizer (public-domain avalanche constants)
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  private final val Base = 0x100000001b3L // FNV-1a prime; mod 2^64 overflow
+
+  /** Distinct selected fingerprints of `s` under (k, w) winnowing.
+    * Degenerate inputs stay useful for dedup: an empty string has no
+    * fingerprints; a string shorter than k fingerprints as its single
+    * whole-string hash; fewer than w k-grams select the global minimum. */
+  def fingerprints(s: String, k: Int, w: Int): Array[Long] = {
+    val n = s.length
+    if (n == 0) return Array.emptyLongArray
+    if (n < k) {
+      var h = 0L; var i = 0
+      while (i < n) { h = h * Base + s.charAt(i); i += 1 }
+      return Array(fmix64(h))
+    }
+    val m = n - k + 1
+    val grams = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
+    grams(0) = fmix64(h)
+    var bPow = 1L
+    i = 0
+    while (i < k - 1) { bPow *= Base; i += 1 }
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * bPow) * Base + s.charAt(i + k - 1)
+      grams(i) = fmix64(h)
+      i += 1
+    }
+    if (m <= w) {
+      var best = 0; var j = 1
+      while (j < m) { if (grams(j) <= grams(best)) best = j; j += 1 }
+      return Array(grams(best))
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]
+    var minIdx = 0
+    var j = 1
+    while (j < w) { if (grams(j) <= grams(minIdx)) minIdx = j; j += 1 }
+    out.add(grams(minIdx))
+    var start = 1
+    while (start + w <= m) {
+      val end = start + w - 1 // index entering the window this step
+      if (minIdx < start) {
+        // previous minimum slid out: rescan the window once; over
+        // uniform hashes this fires with probability 1/w per step,
+        // keeping the loop O(m) amortized
+        minIdx = start
+        var t = start + 1
+        while (t <= end) { if (grams(t) <= grams(minIdx)) minIdx = t; t += 1 }
+      } else if (grams(end) <= grams(minIdx)) {
+        minIdx = end
+      }
+      out.add(grams(minIdx))
+      start += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator
+    var z = 0
+    while (it.hasNext) { arr(z) = it.next(); z += 1 }
+    arr
+  }
+}
+
 object TextKernels {
   /** Distinct n-word shingles of a (split+lower builtin) token array. */
   def shinglesOfTokens(tokens: Column, n: Int): Column =
@@ -159,4 +269,9 @@ object TextKernels {
       : Column =
     GraftBridge.column(MinhashSigsExpr(GraftBridge.expression(shingles),
       numHashes, family))
+
+  /** Winnowing fingerprint set (see WinnowFingerprintsExpr). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFingerprintsExpr(
+      GraftBridge.expression(text), k, w))
 }

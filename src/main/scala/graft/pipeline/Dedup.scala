@@ -220,6 +220,131 @@ object Dedup {
       .groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucketSize)
 
+  /** Winnowing-fingerprint near-dup pairs (MOSS-style): each doc is
+    * reduced to its winnowing fingerprint set (rolling-hash k-grams,
+    * rightmost-min-per-window selection — `Text.winnowFingerprints`);
+    * two docs sharing >= `minShared` fingerprints are a pair, scored by
+    * containment overlap = shared / min(|fp_a|, |fp_b|). Winnowing's
+    * guarantee makes this the substring-copy detector (contamination,
+    * quotation, boilerplate spans): ANY shared normalized substring of
+    * w + k - 1 chars forces a shared fingerprint, while MinHash/SimHash
+    * only see whole-document similarity.
+    *
+    * Scale shape: one narrow fingerprint scan (fused per-row kernel, no
+    * explode of raw text), explode of the ~2n/(w+1)-dense fingerprint
+    * sets, then ONE equi-join on uniform 64-bit fingerprint keys with
+    * the same bucket caps as the LSH pipelines — no cross product, no
+    * skew (hot boilerplate fingerprints are exactly what the cap
+    * drops). Pair counts aggregate map-side before the join output
+    * shuffles on (id_a, id_b). */
+  def winnowPairs(df: DataFrame, id: String, text: String, k: Int = 8,
+      w: Int = 12, minShared: Int = 2, maxBucketSize: Int = 10000)
+      : DataFrame = {
+    // fingerprint sets are consumed by the explode AND both per-doc
+    // count joins: materialize once (see shingleSets)
+    val fps = df
+      .select(col(id).as("doc"),
+        Text.winnowFingerprints(col(text), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .repartition(col("doc"))
+      .localCheckpoint(false)
+    val counts = fps.select(col("doc"), size(col("fps")).as("nfp"))
+    val flat = fps.select(col("doc"), explode(col("fps")).as("fp"))
+    val pruned = capBuckets(flat, Seq("fp"), maxBucketSize)
+    pruned.select(col("fp"), col("doc").as("id_a"))
+      .join(pruned.select(col("fp"), col("doc").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(counts.select(col("doc").as("id_a"), col("nfp").as("nfp_a")),
+        "id_a")
+      .join(counts.select(col("doc").as("id_b"), col("nfp").as("nfp_b")),
+        "id_b")
+      .withColumn("overlap", round(col("shared").cast("double") /
+        least(col("nfp_a"), col("nfp_b")).cast("double"), 4))
+      .select("id_a", "id_b", "shared", "overlap")
+  }
+
+  /** Exact-duplicate subset of `winnowPairs`, verified: candidates whose
+    * smaller fingerprint set is fully contained (overlap == 1.0) and
+    * whose raw texts agree byte-for-byte. The winnow stage carries the
+    * RECALL obligation — identical texts always fingerprint identically
+    * and therefore must surface as full-overlap candidates, so a
+    * plumbing bug (bucketing, caps, joins) undershoots the exact-dup
+    * oracle — while the md5 verify join restores precision against the
+    * (possible) near-dup pair whose textual difference falls entirely
+    * between selected fingerprints. Same oracle-ability contract as
+    * `minhashExactPairs`. */
+  def winnowExactPairs(df: DataFrame, id: String, text: String,
+      k: Int = 8, w: Int = 12, maxBucketSize: Int = 10000): DataFrame = {
+    val h = df.select(col(id).as("doc"), md5(col(text)).as("__h"))
+    winnowPairs(df, id, text, k, w, minShared = 1, maxBucketSize)
+      .filter(col("overlap") === 1.0)
+      .join(h.select(col("doc").as("id_a"), col("__h").as("__ha")), "id_a")
+      .join(h.select(col("doc").as("id_b"), col("__h").as("__hb")), "id_b")
+      .filter(col("__ha") === col("__hb"))
+      .select("id_a", "id_b", "shared")
+  }
+
+  /** Substring-copy pairs via winnowing, verified exactly: candidate
+    * pairs come from shared winnowing fingerprints (`winnowPairs`,
+    * minShared = 1), then each candidate is verified by intersecting the
+    * docs' full normalized (k + w - 1)-char-gram sets — `n_shared` is
+    * the number of distinct shared runs. Winnowing's guarantee theorem
+    * (any normalized substring match of length >= k + w - 1 forces a
+    * shared selected fingerprint) makes candidate RECALL exact, so this
+    * output EQUALS the full all-pairs substring join — computed without
+    * ever shuffling the quadratic gram self-join: the gram verify only
+    * runs on the (linear) candidate set. That equality is what the
+    * DuckDB gate checks independently. */
+  def winnowSubstringPairs(df: DataFrame, id: String, text: String,
+      k: Int = 8, w: Int = 12, maxBucketSize: Int = 10000): DataFrame = {
+    val t = k + w - 1
+    val grams = df.select(col(id).as("doc"),
+      Text.charNgrams(Text.fingerprintNormalize(col(text)), t).as("__g"))
+    winnowPairs(df, id, text, k, w, minShared = 1, maxBucketSize)
+      .join(grams.select(col("doc").as("id_a"), col("__g").as("__ga")),
+        "id_a")
+      .join(grams.select(col("doc").as("id_b"), col("__g").as("__gb")),
+        "id_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("__ga"), col("__gb"))))
+      .filter(col("n_shared") > 0)
+      .select("id_a", "id_b", "n_shared")
+  }
+
+  /** Exact character-n-gram Jaccard near-dup pairs over bounded
+    * candidate blocks: all pairs sharing the same `blockCols` values
+    * (id_a < id_b), scored by Jaccard of their distinct char-n-gram
+    * sets, kept at `threshold`. The exact member of the n-gram-Jaccard
+    * dedup family — O(block²) by design, so blocks must be bounded
+    * (language × source, a time bucket, an LSH candidate set); at
+    * unbounded corpus scale generate candidates with `minhashPairs` /
+    * `winnowPairs` and verify with `charNgramJaccardVerify` semantics
+    * instead. The block equi-join shuffles on the block key only;
+    * n-gram sets travel once per side. */
+  def charNgramJaccardPairs(df: DataFrame, id: String, text: String,
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val g = df
+      .select(blockCols.map(col) ++ Seq(col(id).as("doc"),
+        Text.charNgrams(col(text), n).as("__g")): _*)
+      .filter(size(col("__g")) > 0)
+      .repartition(col("doc"))
+      // both join sides consume the n-gram projection: materialize once
+      .localCheckpoint(false)
+    val l = g.select(blockCols.map(col) ++ Seq(col("doc").as("id_a"),
+      col("__g").as("__ga")): _*)
+    val r = g.select(blockCols.map(col) ++ Seq(col("doc").as("id_b"),
+      col("__g").as("__gb")): _*)
+    val iv = size(array_intersect(col("__ga"), col("__gb")))
+    l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(iv.cast("double") /
+        (size(col("__ga")) + size(col("__gb")) - iv).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal top-k-bit
     * prefix bucket (cheap LSH for hamming space), verified by full hamming
     * distance <= `maxDist`. */

@@ -29,6 +29,33 @@ object Text {
   /** Stable 128-bit content fingerprint of the exact text. */
   def contentHash(text: Column): Column = md5(text)
 
+  /** Canonical form for character-level fingerprinting: lowercase,
+    * alphanumerics only — whitespace, punctuation and formatting changes
+    * don't move k-gram boundaries (the normalization MOSS-style
+    * fingerprinting expects). */
+  def fingerprintNormalize(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9]", "")
+
+  /** Winnowing fingerprint set of the normalized text (rolling-hash
+    * k-grams, rightmost-min-per-window selection; see
+    * `functions.WinnowFingerprintsExpr`). Any shared substring of
+    * >= w + k - 1 normalized chars guarantees a shared fingerprint. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 12): Column =
+    graft.functions.TextKernels.winnowFingerprints(
+      fingerprintNormalize(text), k, w)
+
+  /** Distinct character n-grams of the raw text (1-based substring
+    * positions — the formulation a SQL oracle mirrors with
+    * generate_series + substr). */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    // the when-guard matters: sequence(1, 0) auto-steps DOWN ([1, 0]),
+    // it is not empty — short strings must short-circuit to []
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Order/duplicate-insensitive document fingerprint: md5 of the sorted
     * distinct token multiset — collapses word-permuted near-duplicates. */
   def bagFingerprint(text: Column): Column =

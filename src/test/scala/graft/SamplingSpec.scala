@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  private def corpus(n: Int) = {
+    val rows = (0 until n).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"text $i"))
+    spark.createDataFrame(rows).toDF("doc_id", "lang", "text")
+  }
+
+  test("stratifiedSample: deterministic, rate-proportional, salt-sensitive") {
+    val df = corpus(2000)
+    val rates = Map("en" -> 700, "de" -> 200)
+    val s1 = Sampling.stratifiedSample(df, "doc_id", "lang", rates)
+    val s2 = Sampling.stratifiedSample(df, "doc_id", "lang", rates)
+    val got1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got1 === s2.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "same salt must reproduce the same membership")
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 docs per lang; binomial(1000, rate) stays well within ±80
+    assert(math.abs(byLang("en") - 700L) < 80, s"en ${byLang("en")}")
+    assert(math.abs(byLang("de") - 200L) < 80, s"de ${byLang("de")}")
+    val other = Sampling.stratifiedSample(df, "doc_id", "lang", rates,
+      salt = "mix2").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other !== got1, "a different salt must draw a different sample")
+    // unknown stratum defaults to 0: no leakage
+    val none = Sampling.stratifiedSample(df, "doc_id", "lang",
+      Map("fr" -> 1000)).count()
+    assert(none === 0L)
+  }
+
+  test("repeatByWeight: floor copies + deterministic fractional copy") {
+    val df = corpus(1000)
+    val out = Sampling.repeatByWeight(df, "doc_id", "lang",
+      Map("en" -> 230, "de" -> 0))
+    val rows = out.select("doc_id", "lang", "rep").collect()
+    assert(!rows.exists(_.getString(1) == "de"), "weight 0 drops the stratum")
+    val perDoc = rows.filter(_.getString(1) == "en")
+      .groupBy(_.getLong(0)).map { case (_, rs) =>
+        rs.map(_.getLong(2)).sorted.toSeq }
+    // every en doc appears 2 or 3 times with dense rep indices
+    assert(perDoc.forall(r => r == Seq(0L, 1L) || r == Seq(0L, 1L, 2L)))
+    val total = rows.count(_.getString(1) == "en")
+    assert(math.abs(total - 1150) < 60, s"total $total vs expected ~1150")
+  }
+}

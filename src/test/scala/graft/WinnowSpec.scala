@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.WinnowKernel
+import graft.pipeline.{Dedup, Text}
+
+/** Winnowing fingerprinting (rolling-hash k-grams + window-min
+  * selection): kernel invariants, the guarantee theorem, and the
+  * candidate-generation recall of the pair pipeline. */
+class WinnowSpec extends SparkSpec {
+
+  private val K = 8
+  private val W = 12
+
+  private def randWord(r: scala.util.Random, n: Int): String =
+    (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+
+  test("kernel: degenerate inputs (empty, shorter than k, one window)") {
+    assert(WinnowKernel.fingerprints("", K, W).isEmpty)
+    // shorter than k: single whole-string hash, stable
+    val short = WinnowKernel.fingerprints("abc", K, W)
+    assert(short.length === 1)
+    assert(short.toSeq === WinnowKernel.fingerprints("abc", K, W).toSeq)
+    assert(short.toSeq !== WinnowKernel.fingerprints("abd", K, W).toSeq)
+    // fewer k-grams than one window: exactly the global minimum
+    val s = "abcdefghijklmn" // 14 chars -> 7 grams < W
+    assert(WinnowKernel.fingerprints(s, K, W).length === 1)
+  }
+
+  test("kernel: identical strings fingerprint identically; density ~2/(w+1)") {
+    val r = new scala.util.Random(7)
+    val s = randWord(r, 4000)
+    val a = WinnowKernel.fingerprints(s, K, W)
+    val b = WinnowKernel.fingerprints(new String(s.toCharArray), K, W)
+    assert(a.toSeq === b.toSeq)
+    // distinct selected values are a subset of selected positions; the
+    // position density is 2/(w+1) in expectation — allow a wide band
+    val density = a.length.toDouble / (s.length - K + 1)
+    assert(density > 0.5 * 2.0 / (W + 1) && density < 2.0 * 2.0 / (W + 1),
+      s"density $density out of band")
+  }
+
+  test("kernel guarantee: any shared run of k+w-1 chars shares a fingerprint") {
+    val t = K + W - 1
+    val r = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val shared = randWord(r, t + r.nextInt(10))
+      val a = randWord(r, 60) + shared + randWord(r, 60)
+      val b = randWord(r, 45) + shared + randWord(r, 80)
+      val fa = WinnowKernel.fingerprints(a, K, W).toSet
+      val fb = WinnowKernel.fingerprints(b, K, W).toSet
+      assert(fa.intersect(fb).nonEmpty,
+        s"no shared fingerprint for shared run of ${shared.length}")
+    }
+  }
+
+  test("charNgrams: short strings yield empty, no descending-sequence bug") {
+    val got = spark.createDataFrame(Seq((1L, "ab"), (2L, "abcd")))
+      .toDF("id", "t")
+      .select(col("id"), Text.charNgrams(col("t"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got(1L) === Seq.empty)
+    assert(got(2L) === Seq("abc", "bcd"))
+  }
+
+  test("winnowSubstringPairs equals the brute-force shared-run join") {
+    val t = K + W - 1
+    val r = new scala.util.Random(11)
+    val sharedRun = randWord(r, t + 4)
+    val t3 = randWord(r, 90)
+    val all = Seq(
+      1L -> (randWord(r, 50) + " " + sharedRun + randWord(r, 30)),
+      2L -> (sharedRun + " " + randWord(r, 70)),
+      3L -> t3,
+      4L -> randWord(r, 90),
+      // doc 5 = doc 3 with punctuation noise: identical after normalize
+      5L -> (t3.grouped(7).mkString("! ") + "?"))
+    val df = spark.createDataFrame(all).toDF("doc_id", "text")
+    val got = Dedup.winnowSubstringPairs(df, "doc_id", "text", K, W)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    // brute-force expectation over normalized t-grams
+    def norm(s: String) = s.toLowerCase.filter(_.isLetterOrDigit)
+    def grams(s: String) =
+      norm(s).sliding(t).filter(_.length == t).toSet
+    val g = all.map { case (id, tx) => id -> grams(tx) }.toMap
+    val expect = (for {
+      (ia, ga) <- g; (ib, gb) <- g if ia < ib
+      n = ga.intersect(gb).size if n > 0
+    } yield (ia, ib) -> n).toMap
+    assert(got === expect)
+    assert(got.contains((1L, 2L))) // the planted shared run
+    assert(got.contains((3L, 5L))) // normalization-invariant pair
+  }
+}
