@@ -1654,6 +1654,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- streaming winnow contamination detection: fingerprints stream
+    // through a per-fingerprint bucket state; verified candidates must
+    // equal the batch substring join (same oracle as pipe_winnow_pairs —
+    // the guarantee theorem holds across micro-batch boundaries too) --------
+    "stream_winnow_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      streaming.StreamDedup.runWinnowPairs(s, s"$dir/documents.parquet",
+        docs.schema, "doc_id", "text",
+        s"graft_stream_wn_${System.nanoTime()}")
+    }),
+
     // --- streaming corpus profile: the langid/token kernels over a
     // document stream, complete-mode grouped agg (state = one row per
     // language) — oracled against the same profile in DuckDB ---------------
@@ -3575,6 +3586,22 @@ object SparkEntry {
     // Spark side's winnowing parameters); the Spark side reaches the same
     // set through fingerprint candidates + verify, never a quadratic join
     "pipe_winnow_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, nt,
+        |    unnest(generate_series(1, greatest(length(nt) - 18, 0))) AS i
+        |  FROM d WHERE length(nt) >= 19),
+        |g AS (SELECT DISTINCT doc_id, substr(nt, i, 19) AS gram FROM pos)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // identical to pipe_winnow_pairs: the streaming kernel must surface
+    // exactly the batch candidate set (verified), micro-batches or not
+    "stream_winnow_pairs" ->
       """WITH d AS (
         |  SELECT doc_id,
         |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt

@@ -259,6 +259,159 @@ object WinnowKernel {
   }
 }
 
+/** Distinct character n-grams in one fused pass — replaces the
+  * `transform(sequence(...), i -> substr(...))` HOF formulation, which
+  * Spark evaluates interpreted per element (an expression-tree walk and
+  * a fresh UTF8String per position — ~10 s per 5000-doc scan at n=19).
+  * Byte offsets for every codepoint are computed once per row, so each
+  * n-gram is a single byte-range copy; output is first-occurrence
+  * distinct in position order, matching the HOF/SQL formulation
+  * bit-for-bit (UTF8String comparisons are codepoint-exact). */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def prettyName: String = "graft_char_ngrams"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(textAny: Any): Any =
+    CharNgramsExpr.compute(
+      textAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val cls = CharNgramsExpr.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $cls.compute($s, $n);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CharNgramsExpr {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int)
+      : ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // codepoint-start byte offsets (one linear scan)
+    var chars = 0
+    var off = 0
+    while (off < nb) {
+      off += UTF8String.numBytesForFirstByte(bytes(off)); chars += 1
+    }
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](chars + 1)
+    off = 0; var i = 0
+    while (off < nb) {
+      offs(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off)); i += 1
+    }
+    offs(chars) = nb
+    val out = new java.util.LinkedHashSet[UTF8String]
+    i = 0
+    while (i + n <= chars) {
+      out.add(UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, offs(i), offs(i + n))))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** |A ∩ B| for two DISTINCT string arrays in one hash pass, without
+  * materializing the intersection array. `size(array_intersect(a, b))`
+  * inside a similarity formula gets inlined by CollapseProject into
+  * every use site (numerator and denominator), so each pair row paid
+  * 2-4 full intersect builds; this kernel returns just the count and
+  * appears once per reference. Inputs must already be element-distinct
+  * (every producer in the dedup pipelines emits distinct sets). */
+case class DistinctIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_intersect_count"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DistinctIntersectCountExpr.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val cls = DistinctIntersectCountExpr.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $cls.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+object DistinctIntersectCountExpr {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val (small, big) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val m = small.numElements()
+    val set = new java.util.HashSet[AnyRef](Math.max(4, m * 2))
+    var i = 0
+    while (i < m) { set.add(small.getUTF8String(i)); i += 1 }
+    var cnt = 0
+    val n = big.numElements()
+    i = 0
+    while (i < n) {
+      if (set.contains(big.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+}
+
+/** |A ∩ B| for two SORTED distinct string arrays by merge-walk — no
+  * per-pair hash-set build (the allocation + hashing churn dominated
+  * the quadratic-verify pipelines; a byte-wise compareTo walk over
+  * presorted arrays is allocation-free). Sort once per document with
+  * `array_sort` (binary collation = UTF8String.compareTo order), merge
+  * once per pair. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountExpr.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val cls = SortedIntersectCountExpr.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $cls.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+object SortedIntersectCountExpr {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+}
+
 object TextKernels {
   /** Distinct n-word shingles of a (split+lower builtin) token array. */
   def shinglesOfTokens(tokens: Column, n: Int): Column =
@@ -274,4 +427,18 @@ object TextKernels {
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprintsExpr(
       GraftBridge.expression(text), k, w))
+
+  /** Distinct char n-grams, fused (see CharNgramsExpr). */
+  def charNgrams(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgramsExpr(GraftBridge.expression(text), n))
+
+  /** |A ∩ B| of distinct string arrays (see DistinctIntersectCountExpr). */
+  def intersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(DistinctIntersectCountExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** |A ∩ B| of SORTED distinct string arrays by merge-walk. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCountExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

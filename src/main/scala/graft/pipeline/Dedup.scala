@@ -237,10 +237,13 @@ object Dedup {
     * skew (hot boilerplate fingerprints are exactly what the cap
     * drops). Pair counts aggregate map-side before the join output
     * shuffles on (id_a, id_b). */
-  def winnowPairs(df: DataFrame, id: String, text: String, k: Int = 8,
-      w: Int = 12, minShared: Int = 2, maxBucketSize: Int = 10000)
-      : DataFrame = {
-    // fingerprint sets are consumed by the explode AND both per-doc
+  /** (id_a, id_b, shared) candidate pairs sharing >= `minShared`
+    * winnowing fingerprints, plus the materialized fingerprint frame
+    * (doc, fps) for callers that score further. */
+  private def winnowCandidates(df: DataFrame, id: String, text: String,
+      k: Int, w: Int, minShared: Int, maxBucketSize: Int)
+      : (DataFrame, DataFrame) = {
+    // fingerprint sets are consumed by the explode AND downstream
     // count joins: materialize once (see shingleSets)
     val fps = df
       .select(col(id).as("doc"),
@@ -248,14 +251,23 @@ object Dedup {
       .filter(size(col("fps")) > 0)
       .repartition(col("doc"))
       .localCheckpoint(false)
-    val counts = fps.select(col("doc"), size(col("fps")).as("nfp"))
     val flat = fps.select(col("doc"), explode(col("fps")).as("fp"))
     val pruned = capBuckets(flat, Seq("fp"), maxBucketSize)
-    pruned.select(col("fp"), col("doc").as("id_a"))
+    val cand = pruned.select(col("fp"), col("doc").as("id_a"))
       .join(pruned.select(col("fp"), col("doc").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    (cand, fps)
+  }
+
+  def winnowPairs(df: DataFrame, id: String, text: String, k: Int = 12,
+      w: Int = 8, minShared: Int = 2, maxBucketSize: Int = 10000)
+      : DataFrame = {
+    val (cand, fps) = winnowCandidates(df, id, text, k, w, minShared,
+      maxBucketSize)
+    val counts = fps.select(col("doc"), size(col("fps")).as("nfp"))
+    cand
       .join(counts.select(col("doc").as("id_a"), col("nfp").as("nfp_a")),
         "id_a")
       .join(counts.select(col("doc").as("id_b"), col("nfp").as("nfp_b")),
@@ -276,7 +288,7 @@ object Dedup {
     * between selected fingerprints. Same oracle-ability contract as
     * `minhashExactPairs`. */
   def winnowExactPairs(df: DataFrame, id: String, text: String,
-      k: Int = 8, w: Int = 12, maxBucketSize: Int = 10000): DataFrame = {
+      k: Int = 12, w: Int = 8, maxBucketSize: Int = 10000): DataFrame = {
     val h = df.select(col(id).as("doc"), md5(col(text)).as("__h"))
     winnowPairs(df, id, text, k, w, minShared = 1, maxBucketSize)
       .filter(col("overlap") === 1.0)
@@ -298,18 +310,40 @@ object Dedup {
     * runs on the (linear) candidate set. That equality is what the
     * DuckDB gate checks independently. */
   def winnowSubstringPairs(df: DataFrame, id: String, text: String,
-      k: Int = 8, w: Int = 12, maxBucketSize: Int = 10000): DataFrame = {
+      k: Int = 16, w: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
     val t = k + w - 1
-    val grams = df.select(col(id).as("doc"),
-      Text.charNgrams(Text.fingerprintNormalize(col(text)), t).as("__g"))
-    winnowPairs(df, id, text, k, w, minShared = 1, maxBucketSize)
-      .join(grams.select(col("doc").as("id_a"), col("__g").as("__ga")),
-        "id_a")
-      .join(grams.select(col("doc").as("id_b"), col("__g").as("__gb")),
-        "id_b")
-      .withColumn("n_shared",
-        size(array_intersect(col("__ga"), col("__gb"))))
-      .filter(col("n_shared") > 0)
+    val (cand, _) = winnowCandidates(df, id, text, k, w, minShared = 1,
+      maxBucketSize)
+    verifySharedRuns(cand.select("id_a", "id_b"), df, id, text, t)
+  }
+
+  /** Exact shared-run verification for winnow candidate pairs: count
+    * the distinct normalized `t`-grams each candidate pair genuinely
+    * shares, at the GRAM level — a (doc, gram) equi-join whose output
+    * is bounded by the true shared-run pairs — NOT a join that drags
+    * each doc's full gram array onto every candidate row (that array
+    * payload dominated the first implementation ~3x). The gram table is
+    * restricted to docs appearing in some candidate pair, so at corpus
+    * scale this self-join sees only the near-dup population; hot grams
+    * are exactly the boilerplate `dedupParagraphs` removes upstream.
+    * By the winnowing guarantee every gram-sharing pair IS a candidate,
+    * so the final semi-join is a semantic no-op — kept as the recall
+    * cross-check (a kernel bug undershoots here, not silently passes). */
+  private[graft] def verifySharedRuns(cand: DataFrame, docs: DataFrame,
+      id: String, text: String, t: Int): DataFrame = {
+    val candM = cand.localCheckpoint(false)
+    val candDocs = candM.select(col("id_a").as("doc"))
+      .union(candM.select(col("id_b").as("doc"))).distinct()
+    val g = docs.select(col(id).cast("long").as("doc"),
+        Text.charNgrams(Text.fingerprintNormalize(col(text)), t)
+          .as("__g"))
+      .join(candDocs, Seq("doc"), "left_semi")
+      .select(col("doc"), explode(col("__g")).as("g"))
+    val pairCounts = g.select(col("g"), col("doc").as("id_a"))
+      .join(g.select(col("g"), col("doc").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    pairCounts.join(candM, Seq("id_a", "id_b"), "left_semi")
       .select("id_a", "id_b", "n_shared")
   }
 
@@ -327,21 +361,38 @@ object Dedup {
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5)
       : DataFrame = {
     val g = df
+      // sort the gram set once per document: the per-pair intersect is
+      // then an allocation-free merge-walk instead of a hash-set build
       .select(blockCols.map(col) ++ Seq(col(id).as("doc"),
-        Text.charNgrams(col(text), n).as("__g")): _*)
+        array_sort(Text.charNgrams(col(text), n)).as("__g")): _*)
       .filter(size(col("__g")) > 0)
+      .withColumn("__ng", size(col("__g")))
       .repartition(col("doc"))
       // both join sides consume the n-gram projection: materialize once
       .localCheckpoint(false)
     val l = g.select(blockCols.map(col) ++ Seq(col("doc").as("id_a"),
-      col("__g").as("__ga")): _*)
+      col("__g").as("__ga"), col("__ng").as("__na")): _*)
     val r = g.select(blockCols.map(col) ++ Seq(col("doc").as("id_b"),
-      col("__g").as("__gb")): _*)
-    val iv = size(array_intersect(col("__ga"), col("__gb")))
+      col("__g").as("__gb"), col("__ng").as("__nb")): _*)
     l.join(r, blockCols).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(iv.cast("double") /
-        (size(col("__ga")) + size(col("__gb")) - iv).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
+      // size prefilter: J >= θ forces min/max >= θ (|A∩B| <= min,
+      // |A∪B| >= max) — prunes the expensive intersect for most pairs
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        greatest(col("__na"), col("__nb")).cast("double") * threshold)
+      .withColumn("__iv", graft.functions.TextKernels
+        .sortedIntersectCount(col("__ga"), col("__gb")))
+      // pushdown barrier: without it PushPredicateThroughProject inlines
+      // the jaccard filter into the JOIN CONDITION, re-evaluating the
+      // intersect kernel 2x per candidate inside the join plus once in
+      // the projection (verified in the physical plan; the plan audit
+      // pins one kernel site). The filter carries a tautological
+      // non-deterministic conjunct (rand < 2), which no optimizer rule
+      // may push or fold — so the kernel runs exactly once per pair and
+      // the threshold test reads the projected attribute.
+      .withColumn("__barrier", rand(7L))
+      .withColumn("jaccard", round(col("__iv").cast("double") /
+        (col("__na") + col("__nb") - col("__iv")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold && col("__barrier") < 2.0)
       .select("id_a", "id_b", "jaccard")
   }
 

@@ -48,13 +48,7 @@ object Text {
     * positions — the formulation a SQL oracle mirrors with
     * generate_series + substr). */
   def charNgrams(text: Column, n: Int = 3): Column =
-    // the when-guard matters: sequence(1, 0) auto-steps DOWN ([1, 0]),
-    // it is not empty — short strings must short-circuit to []
-    when(length(text) >= n,
-      array_distinct(transform(
-        sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.TextKernels.charNgrams(text, n)
 
   /** Order/duplicate-insensitive document fingerprint: md5 of the sorted
     * distinct token multiset — collapses word-permuted near-duplicates. */

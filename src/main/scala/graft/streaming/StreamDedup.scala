@@ -78,28 +78,65 @@ object StreamDedup {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: (Int, String), it: Iterator[Banded],
             state: GroupState[BucketState]) =>
-          val seen = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
-          if (seen.length > maxBucketSize) Iterator.empty // saturated
-          else {
-            val seenSet = seen.toSet
-            val fresh = it.map(_.doc).toSeq.distinct
-              .filterNot(seenSet.contains)
-            val out = Seq.newBuilder[CandidatePair]
-            var members = seen.length
-            fresh.zipWithIndex.foreach { case (d, i) =>
-              members += 1
-              if (members <= maxBucketSize) {
-                (seen.iterator ++ fresh.iterator.take(i)).foreach { p =>
-                  out += (if (p < d) CandidatePair(p, d)
-                          else CandidatePair(d, p))
-                }
-              }
-            }
-            // keep one past the cap so saturation survives restarts
-            state.update(BucketState(
-              (seen ++ fresh).take(maxBucketSize + 1)))
-            out.result().iterator
+          emitPairs(state.getOption.map(_.ids).getOrElse(Array.empty[Long]),
+            it.map(_.doc).toSeq, maxBucketSize, state)
+      }
+  }
+
+  final case class FpRow(doc: Long, fp: Long)
+
+  /** Shared bucket-state transition for the streaming pair kernels:
+    * emit (old member, new member) pairs for every fresh id, saturate
+    * (emit-then-stop) past `maxBucketSize`, keep one id past the cap so
+    * saturation survives restarts. */
+  private def emitPairs(seen: Array[Long], incoming: Seq[Long],
+      maxBucketSize: Int, state: GroupState[BucketState])
+      : Iterator[CandidatePair] = {
+    if (seen.length > maxBucketSize) Iterator.empty // saturated
+    else {
+      val seenSet = seen.toSet
+      val fresh = incoming.distinct.filterNot(seenSet.contains)
+      val out = Seq.newBuilder[CandidatePair]
+      var members = seen.length
+      fresh.zipWithIndex.foreach { case (d, i) =>
+        members += 1
+        if (members <= maxBucketSize) {
+          (seen.iterator ++ fresh.iterator.take(i)).foreach { p =>
+            out += (if (p < d) CandidatePair(p, d)
+                    else CandidatePair(d, p))
           }
+        }
+      }
+      state.update(BucketState((seen ++ fresh).take(maxBucketSize + 1)))
+      out.result().iterator
+    }
+  }
+
+  /** Streaming winnowing contamination detector — the live form of
+    * `pipeline.Dedup.winnowPairs`: each arriving document projects to
+    * its winnowing fingerprint set (one fused per-row kernel pass —
+    * streaming-safe, no aggregation), and a per-fingerprint bucket
+    * state emits a candidate pair the moment two documents share a
+    * selected fingerprint — across micro-batches. By the winnowing
+    * guarantee, any pair sharing a normalized run of k + w - 1 chars
+    * surfaces no later than the second member's micro-batch. State per
+    * fingerprint is the member id list, capped like the minhash kernel. */
+  def winnowPairsStream(docs: DataFrame, id: String, text: String,
+      k: Int = 16, w: Int = 4, maxBucketSize: Int = 10000)
+      : Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs
+      .select(col(id).cast("long").as("doc"),
+        explode(graft.pipeline.Text.winnowFingerprints(col(text), k, w))
+          .as("fp"))
+      .as[FpRow]
+    rows.groupByKey(_.fp)
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[FpRow], state: GroupState[BucketState]) =>
+          emitPairs(state.getOption.map(_.ids).getOrElse(Array.empty[Long]),
+            it.map(_.doc).toSeq, maxBucketSize, state)
       }
   }
 
@@ -139,5 +176,45 @@ object StreamDedup {
       q.stop()
     }
     spark.table(sinkName).distinct()
+  }
+
+  /** Run the winnow stream to completion over a static directory and
+    * return the verified pairs: DISTINCT streamed candidates joined
+    * back to the full normalized (k+w-1)-gram sets of a batch read of
+    * the same data, keeping pairs with >= 1 genuinely shared run. The
+    * winnowing guarantee makes streamed-candidate recall exact, so this
+    * equals `Dedup.winnowSubstringPairs` on the batch read — one
+    * definition of "contaminated pair" for backfill and live tailing. */
+  def runWinnowPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      id: String, text: String, sinkName: String,
+      k: Int = 16, w: Int = 4, numStatePartitions: Int = 8): DataFrame = {
+    val dir =
+      if (new java.io.File(path).isDirectory) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_swn")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(new java.io.File(path).getName),
+          java.nio.file.Path.of(path))
+        d.toString
+      }
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    Events.withStatePartitions(spark, numStatePartitions) {
+      val q = winnowPairsStream(stream, id, text, k, w)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    graft.pipeline.Dedup.verifySharedRuns(
+      spark.table(sinkName).distinct(), spark.read.parquet(path),
+      id, text, k + w - 1)
+      .withColumn("n_shared", col("n_shared").cast("long"))
   }
 }

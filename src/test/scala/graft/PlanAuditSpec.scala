@@ -338,4 +338,42 @@ class PlanAuditSpec extends SparkSpec {
     val plan = back.df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  test("stratifiedSample is one narrow filter — no shuffle, no join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = pipeline.Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"$scans scans\n${plan.take(2000)}")
+  }
+
+  test("winnow candidates + verify join on uniform keys — no cross product") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = pipeline.Dedup
+      .winnowSubstringPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the verify side recomputes grams from the source with the fused
+    // kernel (the fingerprint kernel sits behind the candidate
+    // checkpoint, invisible to this plan — audited below)
+    assert(plan.contains("graft_char_ngrams"), plan.take(2000))
+    val fpPlan = docs.select(pipeline.Text.winnowFingerprints(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(fpPlan.contains("graft_winnow_fingerprints"), fpPlan.take(2000))
+  }
+
+  test("charNgramJaccard evaluates the intersect kernel once per pair") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = pipeline.Dedup.charNgramJaccardPairs(docs, "doc_id",
+      "text", Seq("source", "lang")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the barrier keeps the jaccard filter OUT of the join condition:
+    // exactly one kernel site in the whole plan (it was 3 before — twice
+    // inlined into the join condition plus the projection)
+    val kernels = "intersect_count".r.findAllIn(plan).length
+    assert(kernels == 1, s"$kernels intersect sites\n${plan.take(2500)}")
+  }
 }

@@ -77,7 +77,8 @@ class WinnowSpec extends SparkSpec {
       5L -> (t3.grouped(7).mkString("! ") + "?"))
     val df = spark.createDataFrame(all).toDF("doc_id", "text")
     val got = Dedup.winnowSubstringPairs(df, "doc_id", "text", K, W)
-      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2).toInt).toMap
     // brute-force expectation over normalized t-grams
     def norm(s: String) = s.toLowerCase.filter(_.isLetterOrDigit)
     def grams(s: String) =
