@@ -179,15 +179,20 @@ object Dedup {
 
   def minhashPairs(df: DataFrame, id: String, text: String,
       numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
-      maxBucketSize: Int = 10000, family: String = "md5"): DataFrame =
+      maxBucketSize: Int = 10000, family: String = "md5"): DataFrame = {
+    val iv = graft.functions.TextKernels
+      .intersectCount(col("sh_a"), col("sh_b"))
     candidatesWithShingles(df, id, text, numHashes, bands, shingleSize,
       maxBucketSize, family)
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"),
-        4))
+      // single fused intersect count: size(array_intersect) appeared
+      // twice in the formula and CollapseProject inlined both, building
+      // the full intersection array 2x per candidate pair
+      .withColumn("__iv", iv)
+      .withColumn("jaccard", round(col("__iv").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("__iv"))
+          .cast("double"), 4))
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** Family-invariant subset of `minhashPairs`: only pairs whose distinct
     * shingle sets are IDENTICAL. Identical sets hash to identical minhash
@@ -565,13 +570,15 @@ object Dedup {
       text: String, shingleSize: Int = 3): DataFrame = {
     val sh = docs.select(col(id).as("doc"),
       Text.shingles(col(text), shingleSize).as("sh"))
+    val iv = graft.functions.TextKernels
+      .intersectCount(col("sh_a"), col("sh_b"))
     pairs
       .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"))
-      .drop("sh_a", "sh_b")
+      .withColumn("__iv", iv)
+      .withColumn("jaccard", col("__iv").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("__iv"))
+          .cast("double"))
+      .drop("sh_a", "sh_b", "__iv")
   }
 }

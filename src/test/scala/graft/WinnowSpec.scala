@@ -54,6 +54,46 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("kernel matches a direct per-window reimplementation") {
+    // independent oracle: hash every k-gram directly (no rolling
+    // update), take each window's rightmost minimum by scan
+    def ref(s: String, k: Int, w: Int): Seq[Long] = {
+      def fmix(x0: Long): Long = {
+        var x = x0
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x
+      }
+      def h(g: String): Long =
+        fmix(g.foldLeft(0L)((a, c) => a * 0x100000001b3L + c))
+      if (s.isEmpty) return Seq.empty
+      if (s.length < k) return Seq(h(s))
+      val grams = s.sliding(k).map(h).toVector
+      if (grams.length <= w)
+        return Seq(grams.zipWithIndex.minBy { case (v, i) => (v, -i) }._1)
+      grams.sliding(w).map(win =>
+        win.zipWithIndex.minBy { case (v, i) => (v, -i) }._1)
+        .toVector.distinct
+    }
+    val r = new scala.util.Random(3)
+    (1 to 30).foreach { _ =>
+      val s = randWord(r, r.nextInt(200))
+      val (k, w) = (2 + r.nextInt(15), 1 + r.nextInt(15))
+      assert(WinnowKernel.fingerprints(s, k, w).toSeq === ref(s, k, w),
+        s"mismatch for len=${s.length} k=$k w=$w")
+    }
+  }
+
+  test("charNgrams counts codepoints, not UTF-16 units") {
+    // 😀 is an astral codepoint (a surrogate pair in Java strings); the
+    // kernel must treat it as ONE character, matching SQL substr
+    val got = spark.createDataFrame(Seq((1L, "a😀b")))
+      .toDF("id", "t")
+      .select(Text.charNgrams(col("t"), 2).as("g"))
+      .head().getSeq[String](0).toSeq
+    assert(got === Seq("a😀", "😀b"))
+  }
+
   test("charNgrams: short strings yield empty, no descending-sequence bug") {
     val got = spark.createDataFrame(Seq((1L, "ab"), (2L, "abcd")))
       .toDF("id", "t")
