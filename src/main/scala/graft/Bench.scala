@@ -68,7 +68,8 @@ object Bench {
       "table_add_index", "pipe_minhash_fast",
       "table_segment_intervals", "qc_compute_charr",
       "pipe_dedup_paragraphs", "pipe_quality_filters",
-      "geno_simulate_mating", "pipe_winnow_pairs", "pipe_ngram_jaccard")
+      "geno_simulate_mating", "pipe_winnow_pairs", "pipe_ngram_jaccard",
+      "pipe_corpus_clean", "stream_winnow_pairs")
     // Locale.ROOT: the one-line JSON contract must not pick up a
     // comma decimal separator from the JVM default locale.
     def num(v: Double): String =

@@ -692,6 +692,27 @@ object SparkEntry {
       pipeline.Dedup.charNgramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.5)),
 
+    // --- the full corpus-cleaning pipeline COMPOSED end-to-end:
+    // structural quality filter -> token-bag fingerprint dedup ->
+    // minhash-LSH near-dup clustering with canonical-doc dedup ->
+    // deterministic language mix. One gate proving the stages compose
+    // (each is also gated alone); the oracle chains the same four
+    // stages in SQL, incl. the recursive-CTE connected components ----------
+    "pipe_corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(length(col("text")) >= lit(100) &&
+        pipeline.Text.symbolToWordRatio(col("text")) < lit(0.3))
+      val fded = pipeline.Dedup.byFingerprint(q, "doc_id", "text")
+        .drop("fp")
+      val clusters = pipeline.Dedup.nearDupClusters(
+        pipeline.Dedup.minhashPairs(fded, "doc_id", "text"))
+      val ded = pipeline.Dedup.dedupByClusters(fded, "doc_id", clusters)
+      pipeline.Sampling.stratifiedSample(ded, "doc_id", "lang",
+        Map("en" -> 900, "de" -> 700, "fr" -> 700, "es" -> 700,
+          "zh" -> 500))
+        .select("doc_id", "lang")
+    }),
+
     // --- deterministic per-language Bernoulli mixing: membership is a
     // pure md5 predicate, so the exact sample re-derives in any engine —
     // one codegen'd filter, no shuffle, no RNG state ------------------------
@@ -3636,6 +3657,63 @@ object SparkEntry {
         |JOIN n nb ON nb.doc_id = id_b
         |WHERE round(iv / CAST(na.ng + nb.ng - iv AS DOUBLE), 4) >= 0.5"""
         .stripMargin,
+
+    "pipe_corpus_clean" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE length(text) >= 100
+        |    AND length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+        |      / CAST(greatest(len(string_split_regex(trim(text), ' +')),
+        |          1) AS DOUBLE) < 0.3),
+        |fded AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY md5(array_to_string(
+        |        list_sort(list_distinct(string_split_regex(lower(text),
+        |        ' +'))), ' ')) ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM fded),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      j -> concat(w[j], ' ', w[j+1], ' ', w[j+2]))) AS shingles
+        |  FROM tok WHERE len(w) >= 3),
+        |mh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), i ->
+        |      list_min(list_transform(shingles, s ->
+        |        CAST(('0x' || substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)) AS BIGINT)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.band,
+        |    md5(concat(CAST(sig[b.band*2+1] AS VARCHAR), '_',
+        |      CAST(sig[b.band*2+2] AS VARCHAR))) AS bsig
+        |  FROM mh, (SELECT unnest(range(0,4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM cand
+        |  UNION SELECT id_b, id_a FROM cand),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |clu AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        |ded AS (
+        |  SELECT f.doc_id, f.lang FROM fded f
+        |  LEFT JOIN clu c ON f.doc_id = c.node
+        |  WHERE c.cluster IS NULL OR c.cluster = f.doc_id)
+        |SELECT doc_id, lang FROM ded
+        |WHERE CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 1000 <
+        |  CASE lang WHEN 'en' THEN 900 WHEN 'de' THEN 700
+        |    WHEN 'fr' THEN 700 WHEN 'es' THEN 700 WHEN 'zh' THEN 500
+        |    ELSE 0 END""".stripMargin,
 
     "pipe_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
