@@ -291,7 +291,11 @@ object Dedup {
     * oracle — while the md5 verify join restores precision against the
     * (possible) near-dup pair whose textual difference falls entirely
     * between selected fingerprints. Same oracle-ability contract as
-    * `minhashExactPairs`. */
+    * `minhashExactPairs`. Scope limits of the recall obligation: docs
+    * whose text normalizes to EMPTY (no alphanumerics) carry no
+    * fingerprints and never pair here — run `exact` first for those —
+    * and a fingerprint bucket past `maxBucketSize` is dropped like
+    * every LSH pipeline's. */
   def winnowExactPairs(df: DataFrame, id: String, text: String,
       k: Int = 12, w: Int = 8, maxBucketSize: Int = 10000): DataFrame = {
     val h = df.select(col(id).as("doc"), md5(col(text)).as("__h"))
@@ -339,7 +343,10 @@ object Dedup {
     val candM = cand.localCheckpoint(false)
     val candDocs = candM.select(col("id_a").as("doc"))
       .union(candM.select(col("id_b").as("doc"))).distinct()
-    val g = docs.select(col(id).cast("long").as("doc"),
+    // no cast on the id: the candidate side carries the caller's id
+    // type untouched, and a silent cast-to-null here would empty the
+    // gram table for non-numeric ids (callers with typed ids pre-cast)
+    val g = docs.select(col(id).as("doc"),
         Text.charNgrams(Text.fingerprintNormalize(col(text)), t)
           .as("__g"))
       .join(candDocs, Seq("doc"), "left_semi")
@@ -381,9 +388,13 @@ object Dedup {
       col("__g").as("__gb"), col("__ng").as("__nb")): _*)
     l.join(r, blockCols).filter(col("id_a") < col("id_b"))
       // size prefilter: J >= θ forces min/max >= θ (|A∩B| <= min,
-      // |A∪B| >= max) — prunes the expensive intersect for most pairs
+      // |A∪B| >= max) — prunes the expensive intersect for most pairs.
+      // The final filter compares ROUNDED jaccard, so the prefilter
+      // must admit pairs whose true J sits within half an ulp of the
+      // 4-decimal rounding below θ (round-half-up can lift them to θ)
       .filter(least(col("__na"), col("__nb")).cast("double") >=
-        greatest(col("__na"), col("__nb")).cast("double") * threshold)
+        greatest(col("__na"), col("__nb")).cast("double") *
+          (threshold - 0.00005))
       .withColumn("__iv", graft.functions.TextKernels
         .sortedIntersectCount(col("__ga"), col("__gb")))
       // pushdown barrier: without it PushPredicateThroughProject inlines

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform hash of (salt, id) in [0, 2^60): the first 15 hex digits of
-    * md5 — bit-identical in any engine, unlike builtin hash functions. */
+    * md5 — bit-identical in any engine, unlike builtin hash functions.
+    * `concat` (not concat_ws): a NULL id must propagate to a NULL hash
+    * and drop the row, exactly as `'salt|' || NULL` does in SQL — the
+    * engine-portability contract would break if all null-id rows
+    * collapsed onto one shared hash. */
   private def unitHash(id: Column, salt: String): Column =
-    conv(substring(md5(concat_ws("|", lit(salt), id.cast("string"))),
+    conv(substring(md5(concat(lit(salt), lit("|"), id.cast("string"))),
       1, 15), 16, 10).cast("long")
 
   /** Per-stratum deterministic Bernoulli sampling ("data mixing"): a row

@@ -104,23 +104,26 @@ object Events {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** The file stream source wants a DIRECTORY: stage a single file
+    * behind a symlink in a temp dir (no copy); directories pass
+    * through. Shared by every streaming parity runner. */
+  private[graft] def stageAsDir(path: String, prefix: String): String =
+    if (new java.io.File(path).isDirectory) path
+    else {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(new java.io.File(path).getName),
+        java.nio.file.Path.of(path))
+      d.toString
+    }
+
   /** Run the streaming side to completion over a static directory and
     * return the result (complete-mode memory sink) — used by the parity
     * gate; a live deployment would use the same query with a real sink. */
   def runHourlyTypeAgg(spark: SparkSession, path: String,
       schema: StructType, sinkName: String,
       numStatePartitions: Int = 8): DataFrame = {
-    // the file source wants a directory: stage the parquet file(s)
-    // behind symlinks in a temp dir (no copy)
-    val streamDir =
-      if (new java.io.File(path).isDirectory) path
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(new java.io.File(path).getName),
-          java.nio.file.Path.of(path))
-        d.toString
-      }
+    val streamDir = stageAsDir(path, "graft_stream")
     withStatePartitions(spark, numStatePartitions) {
       val q = hourlyTypeAgg(readEventStream(spark, streamDir, schema,
         maxFilesPerTrigger = 1))
@@ -174,15 +177,7 @@ object Events {
   def runDedupStream(spark: SparkSession, path: String,
       schema: StructType, idCols: Seq[String], sinkName: String,
       numStatePartitions: Int = 8): DataFrame = {
-    val streamDir =
-      if (new java.io.File(path).isDirectory) path
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_dd")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(new java.io.File(path).getName),
-          java.nio.file.Path.of(path))
-        d.toString
-      }
+    val streamDir = stageAsDir(path, "graft_stream_dd")
     // exact-parity harness: process the whole input as ONE micro-batch.
     // With per-file triggers, a key whose only occurrences sit >1h
     // behind a later file's max event time would be dropped as late by

@@ -148,17 +148,7 @@ object StreamDedup {
       path: String, schema: org.apache.spark.sql.types.StructType,
       id: String, text: String, sinkName: String,
       family: String = "md5", numStatePartitions: Int = 8): DataFrame = {
-    // the file source wants a directory: stage a single file behind a
-    // symlink (no copy), same convention as Events.runHourlyTypeAgg
-    val dir =
-      if (new java.io.File(path).isDirectory) path
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_smh")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(new java.io.File(path).getName),
-          java.nio.file.Path.of(path))
-        d.toString
-      }
+    val dir = Events.stageAsDir(path, "graft_smh")
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -189,15 +179,7 @@ object StreamDedup {
       path: String, schema: org.apache.spark.sql.types.StructType,
       id: String, text: String, sinkName: String,
       k: Int = 16, w: Int = 4, numStatePartitions: Int = 8): DataFrame = {
-    val dir =
-      if (new java.io.File(path).isDirectory) path
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_swn")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(new java.io.File(path).getName),
-          java.nio.file.Path.of(path))
-        d.toString
-      }
+    val dir = Events.stageAsDir(path, "graft_swn")
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -212,8 +194,14 @@ object StreamDedup {
       q.processAllAvailable()
       q.stop()
     }
+    // pre-cast the id to long on the batch read: the streamed candidate
+    // pairs are typed long (CandidatePair), and verifySharedRuns joins
+    // ids as-is by contract
     graft.pipeline.Dedup.verifySharedRuns(
-      spark.table(sinkName).distinct(), spark.read.parquet(path),
+      spark.table(sinkName).distinct(),
+      spark.read.parquet(path)
+        .withColumn(id, org.apache.spark.sql.functions.col(id)
+          .cast("long")),
       id, text, k + w - 1)
       .withColumn("n_shared", col("n_shared").cast("long"))
   }

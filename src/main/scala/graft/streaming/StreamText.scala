@@ -46,15 +46,7 @@ object StreamText {
       path: String, schema: org.apache.spark.sql.types.StructType,
       id: String, text: String, sinkName: String,
       numStatePartitions: Int = 8): DataFrame = {
-    val dir =
-      if (new java.io.File(path).isDirectory) path
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_stxt")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(new java.io.File(path).getName),
-          java.nio.file.Path.of(path))
-        d.toString
-      }
+    val dir = Events.stageAsDir(path, "graft_stxt")
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
