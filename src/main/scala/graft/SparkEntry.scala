@@ -692,6 +692,22 @@ object SparkEntry {
       pipeline.Dedup.charNgramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.5)),
 
+    // --- video-like frame sampling: deterministic every-stride-th chunk
+    // extraction over opaque binary payloads (the partition/schema shape
+    // of real frame extraction; the decode itself is the documented
+    // stub). Payloads are synthesized from text bytes so DuckDB can
+    // replay the byte math exactly --------------------------------------
+    "pipe_video_frames" -> ((s, dir) => {
+      val fake = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      pipeline.Multimodal.sampleFrames(fake, "payload",
+        chunkSize = 16, stride = 4)
+        .select(col("doc_id"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+    }),
+
     // --- the full corpus-cleaning pipeline COMPOSED end-to-end:
     // structural quality filter -> token-bag fingerprint dedup ->
     // minhash-LSH near-dup clustering with canonical-doc dedup ->
@@ -3657,6 +3673,21 @@ object SparkEntry {
         |JOIN n nb ON nb.doc_id = id_b
         |WHERE round(iv / CAST(na.ng + nb.ng - iv AS DOUBLE), 4) >= 0.5"""
         .stripMargin,
+
+    // DuckDB has no BLOB substring: slice the hex encoding instead
+    // (2 hex chars per byte — slice-then-hex == hex-then-slice exactly)
+    "pipe_video_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS ph,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ph,
+        |    unnest(generate_series(0, greatest((nb // 64) - 1, 0))) AS i
+        |  FROM f)
+        |SELECT doc_id, i AS frame_idx,
+        |  substr(ph, CAST(i * 128 + 1 AS BIGINT), 32) AS frame_hex
+        |FROM idx""".stripMargin,
 
     "pipe_corpus_clean" ->
       """WITH RECURSIVE q AS (
