@@ -738,6 +738,19 @@ object SparkEntry {
           "es" -> 125, "zh" -> 50))
         .select("doc_id", "lang")),
 
+    // --- sequence packing: concatenate docs in id order, cut 512-token
+    // windows; the global token prefix-sum is the two-phase distributed
+    // scan (no single-task global window) -----------------------------------
+    "pipe_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      pipeline.Sampling.packSequences(docs, "doc_id",
+        pipeline.Text.tokenCount(col("text")), windowTokens = 512)
+        .select(col("doc_id"),
+          pipeline.Text.tokenCount(col("text")).cast("long")
+            .as("n_tokens"),
+          col("window_start"), col("window_end"), col("window_offset"))
+    }),
+
     // --- deterministic repetition weights ("epochs" per domain):
     // floor(weight) copies + hash-selected fractional copy ------------------
     "pipe_repeat_weight" -> ((s, dir) =>
@@ -3753,6 +3766,23 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
         |    WHEN 'fr' THEN 250 WHEN 'es' THEN 125 WHEN 'zh' THEN 50
         |    ELSE 0 END""".stripMargin,
+
+    "pipe_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS e
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens,
+        |  (e - n) // 512 AS window_start,
+        |  greatest((e - 1) // 512, (e - n) // 512) AS window_end,
+        |  (e - n) % 512 AS window_offset
+        |FROM s""".stripMargin,
 
     "pipe_repeat_weight" ->
       """WITH w AS (

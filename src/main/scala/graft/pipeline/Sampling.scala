@@ -42,6 +42,39 @@ object Sampling {
     df.filter(pmod(unitHash(col(id), salt), lit(1000L)) < rate)
   }
 
+  /** Sequence packing ("concatenate and chunk"): lay documents
+    * end-to-end in `id` order and cut fixed windows of `windowTokens`
+    * tokens — each doc learns its window span (`window_start`,
+    * `window_end`) and offset within its first window, i.e. exactly
+    * where its tokens land in the packed training batches. The global
+    * token prefix-sum is the two-phase distributed scan
+    * (`operators.Scans.runningSum`) — one range exchange + an O(parts)
+    * prefix combine, never a single-task global window, so the packing
+    * plan is the same at 100 TB as at test scale. Deterministic in the
+    * id order: re-running yields byte-identical window assignments. */
+  def packSequences(df: DataFrame, id: String, tokenCount: Column,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val withN = df.withColumn("__n", tokenCount.cast("long"))
+    // runningAgg with LONG sum (runningSum widens to double; token
+    // positions must stay exact integers)
+    graft.operators.Scans
+      .runningAgg(withN, Seq(id), col("__n"), sum,
+        (off, run) => coalesce(off, lit(0L)) + coalesce(run, lit(0L)),
+        "__end", inclusive = true)
+      .withColumn("__start", col("__end") - col("__n"))
+      .withColumn("window_start",
+        floor(col("__start") / windowTokens).cast("long"))
+      // empty docs (n = 0) sit AT their start boundary: clamp the end
+      // window up to the start window instead of floor((e-1)/W) = -1
+      .withColumn("window_end",
+        greatest(floor((col("__end") - 1) / windowTokens).cast("long"),
+          col("window_start")))
+      .withColumn("window_offset",
+        pmod(col("__start"), lit(windowTokens.toLong)))
+      .drop("__n", "__start", "__end")
+  }
+
   /** Deterministic up/down-weighting by repetition ("epochs" per
     * stratum): emit floor(weight) copies of every row plus one more for
     * the deterministic fractional remainder — the standard way to

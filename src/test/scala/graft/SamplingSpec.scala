@@ -33,6 +33,31 @@ class SamplingSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("packSequences: contiguous concat-and-chunk window assignment") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // doc token counts 300, 300, 300 with window 512:
+    // doc 0 -> [0, 300)   start w0 end w0 offset 0
+    // doc 1 -> [300, 600) start w0 end w1 offset 300 (straddles)
+    // doc 2 -> [600, 900) start w1 end w1 offset 88
+    val df = spark.createDataFrame(Seq(
+      (0L, 300L), (1L, 300L), (2L, 300L))).toDF("doc_id", "n")
+    val got = Sampling.packSequences(df, "doc_id", col("n"), 512)
+      .orderBy("doc_id")
+      .select("doc_id", "window_start", "window_end", "window_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((0L, 0L, 0L, 0L), (1L, 0L, 1L, 300L),
+      (2L, 1L, 1L, 88L)))
+    // empty doc clamps to its start window
+    val empty = Sampling.packSequences(
+      spark.createDataFrame(Seq((0L, 512L), (1L, 0L), (2L, 5L)))
+        .toDF("doc_id", "n"), "doc_id", col("n"), 512)
+      .orderBy("doc_id")
+      .select("window_start", "window_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(empty === Seq((0L, 0L), (1L, 1L), (1L, 1L)))
+  }
+
   test("repeatByWeight: floor copies + deterministic fractional copy") {
     val df = corpus(1000)
     val out = Sampling.repeatByWeight(df, "doc_id", "lang",
