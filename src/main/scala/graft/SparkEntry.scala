@@ -684,6 +684,36 @@ object SparkEntry {
         "doc_id", "text")
         .withColumn("n_shared", col("n_shared").cast("long"))),
 
+    // --- PII scrub: emails / IPv4 / phone-shaped runs -> typed
+    // placeholders, plus per-kind match counts. Deterministic PII is
+    // synthesized onto each doc so all three patterns fire; RE2-safe
+    // regexes keep Spark and DuckDB byte-identical ------------------------
+    "pipe_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("__t", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lit("+1 (555) 010-"), pmod(col("doc_id"), lit(10000L)),
+          lit(" at 10.0."), pmod(col("doc_id"), lit(256L)), lit(".1")))
+      d.select(col("doc_id"),
+        pipeline.Text.redactPii(col("__t")).as("redacted"),
+        pipeline.Text.piiCounts(col("__t")).as("__c"))
+        .select(col("doc_id"), col("redacted"),
+          col("__c")("emails").cast("long").as("n_emails"),
+          col("__c")("ips").cast("long").as("n_ips"),
+          col("__c")("phones").cast("long").as("n_phones"))
+    }),
+
+    // --- benchmark decontamination: corpus docs (doc_id % 17 != 0)
+    // sharing a verbatim 19-char normalized run with any "benchmark"
+    // doc (doc_id % 17 == 0); same independent substring-join oracle ------
+    "pipe_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(17L)) =!= 0L)
+      val bench = docs.filter(pmod(col("doc_id"), lit(17L)) === 0L)
+      pipeline.Dedup.winnowContamination(corpus, "doc_id", "text",
+        bench, "doc_id", "text")
+    }),
+
     // --- exact char-n-gram Jaccard near-dup pairs, blocked by
     // (source, lang) — the n-gram-Jaccard dedup family's exact member;
     // blocks bound the quadratic verify, candidates at corpus scale come
@@ -3663,6 +3693,47 @@ object SparkEntry {
         |g AS (SELECT DISTINCT doc_id, substr(nt, i, 19) AS gram FROM pos)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "pipe_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or ' || '+1 (555) 010-'
+        |      || CAST(doc_id % 10000 AS VARCHAR) || ' at 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+        |    '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+        |    AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM d""".stripMargin,
+
+    "pipe_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, nt,
+        |    unnest(generate_series(1, greatest(length(nt) - 18, 0))) AS i
+        |  FROM d WHERE length(nt) >= 19),
+        |g AS (SELECT DISTINCT doc_id, substr(nt, i, 19) AS gram FROM pos)
+        |SELECT a.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |  count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram
+        |WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
         |GROUP BY 1, 2""".stripMargin,
 
     "pipe_ngram_jaccard" ->

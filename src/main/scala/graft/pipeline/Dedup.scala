@@ -359,6 +359,39 @@ object Dedup {
       .select("id_a", "id_b", "n_shared")
   }
 
+  /** Benchmark-contamination detection: corpus documents that share a
+    * verbatim normalized run of >= k + w - 1 chars with any document of
+    * a BENCHMARK set (the decontamination pass a training corpus runs
+    * against its eval suites). Same winnowing machinery as
+    * `winnowSubstringPairs`, but pairs are restricted across the two
+    * tables: corpus docs fingerprint-bucket against benchmark docs
+    * only, so the candidate space is |corpus ∩ benchmark-similar|, not
+    * corpus². Returns (corpus_id, bench_id, n_shared) — drop every
+    * corpus_id that appears here to decontaminate. Ids of the two
+    * tables may overlap (they are namespaced internally). */
+  def winnowContamination(corpus: DataFrame, corpusId: String,
+      corpusText: String, bench: DataFrame, benchId: String,
+      benchText: String, k: Int = 16, w: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    // namespace: corpus ids -> 2*id, bench ids -> 2*id + 1; pairs come
+    // back (even, odd) so the cross-table restriction is an id-parity
+    // filter the existing self-join machinery applies for free
+    val tagged = corpus
+      .select((col(corpusId).cast("long") * 2).as("__id"),
+        col(corpusText).as("__text"))
+      .unionByName(bench.select(
+        (col(benchId).cast("long") * 2 + 1).as("__id"),
+        col(benchText).as("__text")))
+    winnowSubstringPairs(tagged, "__id", "__text", k, w, maxBucketSize)
+      .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+      .select(
+        (when(pmod(col("id_a"), lit(2L)) === 0L, col("id_a"))
+          .otherwise(col("id_b")) / 2).cast("long").as("corpus_id"),
+        ((when(pmod(col("id_a"), lit(2L)) === 1L, col("id_a"))
+          .otherwise(col("id_b")) - 1) / 2).cast("long").as("bench_id"),
+        col("n_shared"))
+  }
+
   /** Exact character-n-gram Jaccard near-dup pairs over bounded
     * candidate blocks: all pairs sharing the same `blockCols` values
     * (id_a < id_b), scored by Jaccard of their distinct char-n-gram

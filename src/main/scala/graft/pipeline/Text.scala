@@ -150,6 +150,34 @@ object Text {
       greatest(size(ls), lit(1)).cast("double")
   }
 
+  // ---- PII redaction (the standard pre-training scrub pass) -------------
+  // RE2-compatible patterns (no lookarounds/backrefs) so the DuckDB
+  // oracle replicates the scrub byte-for-byte; one codegen'd
+  // regexp_replace chain, no shuffle — a pure narrow pass at any scale.
+
+  private[pipeline] val EmailRe =
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[pipeline] val Ipv4Re =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[pipeline] val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Replace emails, IPv4 addresses and phone-shaped digit runs with
+    * typed placeholders. Email first (its local part contains digits a
+    * later pass would mangle), then IP (dots exclude it from the phone
+    * class), then phone. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII matches per kind, for scrub-rate monitoring. */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("emails"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("ips"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("phones"))
+
   /** Language id: CJK codepoint detection + per-language stopword voting —
     * the classic cheap n-gram-free heuristic. Returns a language code. */
   def langId(text: Column): Column = {
