@@ -768,6 +768,22 @@ object SparkEntry {
           "es" -> 125, "zh" -> 50))
         .select("doc_id", "lang")),
 
+    // --- deterministic train/val/test split: md5 bucket walk, one
+    // narrow projection; membership re-derives in any engine ---------------
+    "pipe_split_assign" -> ((s, dir) =>
+      pipeline.Sampling.assignSplit(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id",
+        Seq("train" -> 980, "val" -> 10, "test" -> 10))
+        .select("doc_id", "lang", "split")),
+
+    // --- deterministic global training shuffle: rank by md5 hash via
+    // the two-phase distributed scan (no single-task row_number) -----------
+    "pipe_shuffle_rank" -> ((s, dir) =>
+      pipeline.Sampling.shuffleRank(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+        .select(col("doc_id"),
+          col("shuffle_rank").cast("long").as("shuffle_rank"))),
+
     // --- sequence packing: concatenate docs in id order, cut 512-token
     // windows; the global token prefix-sum is the two-phase distributed
     // scan (no single-task global window) -----------------------------------
@@ -3837,6 +3853,24 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
         |    WHEN 'fr' THEN 250 WHEN 'es' THEN 125 WHEN 'zh' THEN 50
         |    ELSE 0 END""".stripMargin,
+
+    "pipe_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN h < 980 THEN 'train' WHEN h < 990 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000 AS h
+        |  FROM documents)""".stripMargin,
+
+    "pipe_shuffle_rank" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY
+        |    CAST(('0x' || substr(md5('shuffle|' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id)
+        |    AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     "pipe_pack_sequences" ->
       """WITH t AS (

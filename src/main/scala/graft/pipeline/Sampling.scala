@@ -42,6 +42,42 @@ object Sampling {
     df.filter(pmod(unitHash(col(id), salt), lit(1000L)) < rate)
   }
 
+  /** Deterministic train/val/test (or any named-bucket) split: the
+    * md5 hash of (salt, id) mod 1000 walks the cumulative rate table,
+    * so every row lands in exactly one split, membership re-derives in
+    * any engine, and adding a row never moves another row's split.
+    * `splitsPpt` lists (name, parts-per-thousand) in priority order;
+    * they must sum to 1000. One narrow projection — no shuffle. */
+  def assignSplit(df: DataFrame, id: String,
+      splitsPpt: Seq[(String, Int)], salt: String = "split",
+      outName: String = "split"): DataFrame = {
+    require(splitsPpt.map(_._2).sum == 1000 &&
+      splitsPpt.forall(_._2 >= 0), "split rates must sum to 1000 ppt")
+    val u = pmod(unitHash(col(id), salt), lit(1000L))
+    val cum = splitsPpt.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val expr = splitsPpt.zip(cum).foldRight(lit(null).cast("string")) {
+      case (((name, _), upper), acc) => when(u < upper, lit(name))
+        .otherwise(acc)
+    }
+    df.withColumn(outName, expr)
+  }
+
+  /** Deterministic global shuffle for training order: rank every row by
+    * the md5 hash of (salt, id) — a reproducible pseudo-random
+    * permutation. The rank is the two-phase distributed scan
+    * (`operators.Scans.runningCount` over the hash order), never a
+    * single-task global row_number window; at cluster scale this is one
+    * range exchange on a uniform key. Ties (hash collisions) break by
+    * id, so the permutation is total and stable. */
+  def shuffleRank(df: DataFrame, id: String, salt: String = "shuffle",
+      outName: String = "shuffle_rank"): DataFrame = {
+    val withH = df.withColumn("__h", unitHash(col(id), salt))
+    graft.operators.Scans
+      .runningCount(withH.withColumn("__id", col(id)),
+        Seq("__h", "__id"), outName, inclusive = true)
+      .drop("__h", "__id")
+  }
+
   /** Sequence packing ("concatenate and chunk"): lay documents
     * end-to-end in `id` order and cut fixed windows of `windowTokens`
     * tokens — each doc learns its window span (`window_start`,
