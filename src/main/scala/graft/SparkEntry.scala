@@ -684,6 +684,15 @@ object SparkEntry {
         "doc_id", "text")
         .withColumn("n_shared", col("n_shared").cast("long"))),
 
+    // --- deterministic engine-portable k-means (Lloyd, 2 iterations,
+    // k=4) over the embeddings: integer-grid coordinates + exact
+    // rational centroid states make every assignment DuckDB-replayable
+    // (unlike seeded MLlib KMeans) ------------------------------------------
+    "pipe_kmeans_exact" -> ((s, dir) =>
+      pipeline.Similarity.kmeansLloydExact(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2)
+        .withColumnRenamed("id", "vec_id")),
+
     // --- PII scrub: emails / IPv4 / phone-shaped runs -> typed
     // placeholders, plus per-kind match counts. Deterministic PII is
     // synthesized onto each doc so all three patterns fire; RE2-safe
@@ -3710,6 +3719,63 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // Lloyd's unrolled: init (k lowest ids) -> assign -> means ->
+    // assign -> means -> final assign. Distances compare the exact
+    // integer numerator sum_d (v_d*n - s_d)^2 over n^2; ties break to
+    // the lowest cluster index (row_number ORDER BY dist, c == Spark's
+    // array_position first-minimum).
+    "pipe_kmeans_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS s,
+        |    CAST(1 AS BIGINT) AS n
+        |  FROM (SELECT id, v FROM e ORDER BY id LIMIT 4)),
+        |a1 AS (
+        |  SELECT id, v, c FROM (
+        |    SELECT e.id, e.v, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, init i) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT c, list(sd ORDER BY d) AS s, max(n) AS n FROM (
+        |    SELECT a1.c, t.d, CAST(sum(a1.v[t.d]) AS BIGINT) AS sd,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM a1, unnest(range(1, 65)) AS t(d)
+        |    GROUP BY a1.c, t.d) GROUP BY c),
+        |c1 AS (
+        |  SELECT i.c, COALESCE(m.s, i.s) AS s, COALESCE(m.n, i.n) AS n
+        |  FROM init i LEFT JOIN m1 m ON i.c = m.c),
+        |a2 AS (
+        |  SELECT id, v, c FROM (
+        |    SELECT e.id, e.v, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, c1 i) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT c, list(sd ORDER BY d) AS s, max(n) AS n FROM (
+        |    SELECT a2.c, t.d, CAST(sum(a2.v[t.d]) AS BIGINT) AS sd,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM a2, unnest(range(1, 65)) AS t(d)
+        |    GROUP BY a2.c, t.d) GROUP BY c),
+        |c2 AS (
+        |  SELECT i.c, COALESCE(m.s, i.s) AS s, COALESCE(m.n, i.n) AS n
+        |  FROM init i LEFT JOIN m2 m ON i.c = m.c)
+        |SELECT id AS vec_id, c AS cluster FROM (
+        |  SELECT e.id, i.c,
+        |    row_number() OVER (PARTITION BY e.id ORDER BY
+        |      CAST(list_reduce(list_transform(range(1, 65),
+        |        d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |        (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |  FROM e, c2 i) WHERE rk = 1""".stripMargin,
 
     "pipe_pii_redact" ->
       """WITH d AS (

@@ -158,6 +158,68 @@ object Similarity {
       .select(col("id"), col("nbr"), col("cos"), col("rk"))
   }
 
+  /** Deterministic, ENGINE-PORTABLE Lloyd's k-means over embeddings —
+    * corpus domain clustering whose every assignment an external engine
+    * can re-derive bit-for-bit (MLlib's KMeans, used by `ivfTopK`, is
+    * seeded but not portable). The trick is an integer grid: vectors
+    * quantize to round(x*1000) BIGINTs, centroids are EXACT rational
+    * states (per-dim coordinate sums + member count, never divided),
+    * and the assignment distance compares
+    * sum_d (v_d*n - s_d)^2 / n^2 — an exact integer numerator over an
+    * exact integer denominator, so both engines divide the same two
+    * integers and get the same double. Init = the k lowest-id vectors;
+    * ties in the argmin break to the lowest cluster index; empty
+    * clusters keep their previous state.
+    *
+    * Scale shape: per iteration ONE narrow scan with broadcast centroid
+    * literals + a groupBy on (cluster, dim) whose output is k*dim rows
+    * (collected — bounded by k, not data). */
+  def kmeansLloydExact(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val grid = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x =>
+          round(x.cast("double") * 1000).cast("long")).as("__v"))
+      .repartition(col("id"))
+      .localCheckpoint(false) // consumed once per iteration
+    // centroid state: (per-dim coordinate sums, member count) — exact
+    var cents: Seq[(Seq[Long], Long)] = grid.orderBy(col("id").asc)
+      .limit(k).collect()
+      .map(r => (r.getSeq[Long](1).toSeq, 1L)).toSeq
+
+    def assign(): DataFrame = {
+      val dists = array(cents.map { case (s, n) =>
+        val sLit = array(s.map(lit): _*)
+        aggregate(
+          zip_with(col("__v"), sLit, (x, sd) =>
+            (x * n - sd) * (x * n - sd)),
+          lit(0L), (acc, v) => acc + v)
+          .cast("double") / lit(n * n)
+      }: _*)
+      grid.withColumn("cluster",
+        (array_position(dists, array_min(dists)) - 1).cast("long"))
+    }
+
+    var t = 0
+    while (t < iters) {
+      val sums = assign()
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("d", "x")))
+        .groupBy("cluster", "d")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byCluster.get(ci.toLong) match {
+          case Some(rows) =>
+            (rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq,
+              rows.head.getLong(3))
+          case None => old
+        }
+      }
+      t += 1
+    }
+    assign().select(col("id"), col("cluster"))
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside
     * LSH: a seeded k-means over (a sample of) the vectors yields
     * `nCells` centroids; every vector is assigned to its nearest cell
