@@ -371,25 +371,38 @@ object Dedup {
     * tables may overlap (they are namespaced internally). */
   def winnowContamination(corpus: DataFrame, corpusId: String,
       corpusText: String, bench: DataFrame, benchId: String,
-      benchText: String, k: Int = 16, w: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
-    // namespace: corpus ids -> 2*id, bench ids -> 2*id + 1; pairs come
-    // back (even, odd) so the cross-table restriction is an id-parity
-    // filter the existing self-join machinery applies for free
-    val tagged = corpus
-      .select((col(corpusId).cast("long") * 2).as("__id"),
-        col(corpusText).as("__text"))
-      .unionByName(bench.select(
-        (col(benchId).cast("long") * 2 + 1).as("__id"),
-        col(benchText).as("__text")))
-    winnowSubstringPairs(tagged, "__id", "__text", k, w, maxBucketSize)
-      .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
-      .select(
-        (when(pmod(col("id_a"), lit(2L)) === 0L, col("id_a"))
-          .otherwise(col("id_b")) / 2).cast("long").as("corpus_id"),
-        ((when(pmod(col("id_a"), lit(2L)) === 1L, col("id_a"))
-          .otherwise(col("id_b")) - 1) / 2).cast("long").as("bench_id"),
-        col("n_shared"))
+      benchText: String, k: Int = 16, w: Int = 4): DataFrame = {
+    val t = k + w - 1
+    def fps(df: DataFrame, id: String, text: String) = df
+      .select(col(id).as("doc"),
+        explode(Text.winnowFingerprints(col(text), k, w)).as("fp"))
+    def grams(df: DataFrame, id: String, text: String) = df
+      .select(col(id).as("doc"),
+        Text.charNgrams(Text.fingerprintNormalize(col(text)), t)
+          .as("__g"))
+      .select(col("doc"), explode(col("__g")).as("g"))
+    // candidates: one equi-join of the corpus fingerprint stream
+    // against the BENCH fingerprints — the benchmark side is tiny by
+    // nature (eval suites vs a 100 TB corpus), so Spark broadcasts it
+    // and the corpus is touched in ONE narrow pass; there is no
+    // corpus x corpus work anywhere, unlike the self-join pipelines
+    val cand = fps(corpus, corpusId, corpusText)
+      .join(broadcast(fps(bench, benchId, benchText)
+        .withColumnRenamed("doc", "bdoc")), Seq("fp"))
+      .select(col("doc").as("corpus_id"), col("bdoc").as("bench_id"))
+      .dropDuplicates("corpus_id", "bench_id")
+      .localCheckpoint(false)
+    // exact verify: shared t-grams, gram table restricted to candidate
+    // corpus docs (recall exact by the winnowing guarantee — see
+    // verifySharedRuns; the final semi-join is the same cross-check)
+    val gc = grams(corpus, corpusId, corpusText)
+      .join(cand.select(col("corpus_id").as("doc")).distinct(),
+        Seq("doc"), "left_semi")
+    gc.select(col("g"), col("doc").as("corpus_id"))
+      .join(broadcast(grams(bench, benchId, benchText)
+        .select(col("g"), col("doc").as("bench_id"))), Seq("g"))
+      .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .join(cand, Seq("corpus_id", "bench_id"), "left_semi")
   }
 
   /** Exact character-n-gram Jaccard near-dup pairs over bounded
