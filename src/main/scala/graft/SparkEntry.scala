@@ -1816,6 +1816,21 @@ object SparkEntry {
         .withColumn("end_ts",
           col("end_ts") - pmod(col("end_ts"), lit(1000L)))),
 
+    // --- TRUE streaming sessionization: the event-time-timeout kernel
+    // over a real readStream; a sentinel appended after the data batch
+    // advances the watermark so open sessions FLUSH — output equals the
+    // batch sessionization over all events (same oracle) -------------------
+    "stream_sessionize" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      streaming.Events.runSessionizeStream(s, s"$dir/events.parquet",
+        schema, gapNs = 1800000000000L,
+        s"graft_stream_sz_${System.nanoTime()}")
+        .withColumn("start_ts",
+          col("start_ts") - pmod(col("start_ts"), lit(1000L)))
+        .withColumn("end_ts",
+          col("end_ts") - pmod(col("end_ts"), lit(1000L)))
+    }),
+
     // --- TableTail (TableIR.scala:2167): last n in key order ---------------
     "table_tail" -> ((s, dir) =>
       Table(t(s, dir, "orders"), Seq("o_orderkey")).tail(100).df
@@ -5581,6 +5596,26 @@ object SparkEntry {
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // identical to stream_sessionize_batch: the streaming kernel with
+    // the watermark flush must reproduce the batch closed form exactly
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, value
+        |  FROM events),
+        |l AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > 1800000000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l)
+        |SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "stream_hourly_agg" ->
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,

@@ -50,6 +50,19 @@ object Events {
         s"TIMESTAMP_NTZ; got ${other.sql}")
   }
 
+  /** Inverse of `tsNanos`: materialize a nanosecond value back in the
+    * source column's dtype (LongType passes through; timestamp flavors
+    * take exact decimal µs floor-division; the NTZ arm assumes a UTC
+    * session timezone — the Verify/Bench/test builders all set it). */
+  def tsFromNanos(ns: Column, dt: DataType): Column = dt match {
+    case LongType          => ns
+    case TimestampType     => tsTimestamp(ns, LongType)
+    case TimestampNTZType  => tsTimestamp(ns, LongType)
+      .cast(TimestampNTZType)
+    case other => throw new IllegalArgumentException(
+      s"unsupported event-time dtype ${other.sql}")
+  }
+
   /** Event-time column as a TimestampType suitable for
     * `withWatermark`/`window`. Exact integer µs math on the long-ns arm
     * (decimal floor-div, not double division — ns epochs ~1.7e18 exceed
@@ -228,6 +241,132 @@ object Events {
           cur.foreach(state.update)
           out.result().iterator
       }
+  }
+
+  // typed row for the watermarked streaming kernel: `et` carries the
+  // watermark column through groupByKey
+  final case class EventW(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, et: java.sql.Timestamp)
+
+  // state with the value sum in EXACT 1e-4 units (the DECIMAL(18,4)
+  // semantics both engines' batch formulations use): doubles would
+  // accumulate in arrival order and drift an ulp from the oracle
+  final case class SessionStateX(startTs: Long, endTs: Long,
+      cnt: Long, units: Long)
+
+  private def valueUnits(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Gap sessionization with EVENT-TIME timeouts — the full streaming
+    * semantics: a session closes either when a later event of its user
+    * exceeds the gap, or when the WATERMARK passes the session's gap
+    * horizon and the state times out (so open sessions FLUSH — the
+    * NoTimeout kernel above can never emit a user's last session).
+    * State per live user is one (start, end, n, sum) tuple, removed on
+    * flush; value sums accumulate in exact 1e-4 units so the emitted
+    * `sum_value` is bit-identical to a DECIMAL(18,4) batch aggregate. */
+  def sessionizeStream(events: DataFrame, gapNs: Long,
+      lateness: String = "0 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dt = events.schema("ts").dataType
+    events
+      .withColumn("et", tsTimestamp(col("ts"), dt))
+      .withWatermark("et", lateness)
+      .select(col("event_id"), tsNanos(col("ts"), dt).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("et"))
+      .as[EventW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionStateX, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[EventW],
+            state: GroupState[SessionStateX]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.startTs, s.endTs, s.cnt,
+              java.math.BigDecimal.valueOf(s.units, 4).doubleValue()))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts)
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts - s.endTs <= gapNs =>
+                  cur = Some(SessionStateX(s.startTs, e.ts, s.cnt + 1,
+                    s.units + valueUnits(e.value)))
+                case Some(s) =>
+                  out += Session(user, s.startTs, s.endTs, s.cnt,
+                    java.math.BigDecimal.valueOf(s.units, 4).doubleValue())
+                  cur = Some(SessionStateX(e.ts, e.ts, 1,
+                    valueUnits(e.value)))
+                case None =>
+                  cur = Some(SessionStateX(e.ts, e.ts, 1,
+                    valueUnits(e.value)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush once the watermark passes end + gap (ms epoch)
+              state.setTimeoutTimestamp(
+                s.endTs / 1000000L + gapNs / 1000000L + 1L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Run `sessionizeStream` to completion over a static directory with
+    * a FULL flush: after the data batch, a sentinel event (user -1) far
+    * past max(ts) + gap is appended to the staged directory, advancing
+    * the watermark so every open session times out and emits (Spark
+    * runs the required no-data micro-batch once the watermark moves).
+    * Output therefore equals the batch sessionization over ALL events —
+    * the parity the oracle checks, open sessions included. */
+  def runSessionizeStream(spark: SparkSession, path: String,
+      schema: StructType, gapNs: Long, sinkName: String,
+      numStatePartitions: Int = 8): DataFrame = {
+    // ALWAYS stage into a fresh temp dir (even for directory sources):
+    // the sentinel below is appended to the staged dir, never the source
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_sess")
+      val src = new java.io.File(path)
+      val files =
+        if (src.isDirectory)
+          src.listFiles().filter(f => f.isFile &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        else Array(src)
+      files.foreach(f => java.nio.file.Files.createSymbolicLink(
+        d.resolve(f.getName), f.toPath))
+      d.toString
+    }
+    val batch = spark.read.parquet(path)
+    val dt = batch.schema("ts").dataType
+    val maxNs = batch.select(max(tsNanos(col("ts"), dt))).head().getLong(0)
+    val sentinelNs = maxNs + 2L * gapNs + 3600L * 1000000000L
+    withStatePartitions(spark, numStatePartitions) {
+      val q = sessionizeStream(
+        readEventStream(spark, dir, schema,
+          maxFilesPerTrigger = Int.MaxValue), gapNs)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      // append the sentinel AFTER the data batch so it can never drag
+      // the watermark ahead of real events
+      batch.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", tsFromNanos(lit(sentinelNs), dt))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName).filter(col("user_id") =!= -1L)
   }
 
   /** Batch reference for `sessionize`: lag-based session ids over a

@@ -176,4 +176,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.values.map(_._1).sum == docs.count())
   }
+
+  test("sessionizeStream: cross-batch merge, watermark flush, open stays") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val sec = 1000000000L // ns
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_spec")
+      .toString
+    def write(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      // stage behind a dot-dir (invisible to the file source), then
+      // move the single part file up as a flat sibling
+      val tmp = s"$dir/.stage_$name"
+      spark.createDataFrame(rows.map { case (eid, ts, uid) =>
+        (eid, ts, uid, "t", 1.5) })
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Path.of(dir, s"$name.parquet"))
+    }
+    // base epoch well above 0: an event AT the initial watermark
+    // (epoch 0) is filtered as late by the event-time-timeout operator
+    val base = 1000000L * sec
+    // batch 1: user 1 starts a session (2 events); user 2 one event
+    write("b1", Seq((1L, base, 1L), (2L, base + 10 * sec, 1L),
+      (3L, base, 2L)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val sink = s"sess_spec_${System.nanoTime()}"
+    val q = Events.sessionizeStream(stream, gapNs = 3600L * sec)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // batch 2: user 1 continues within the gap (cross-batch merge);
+    // user 2 jumps 2h (gap-splits); the 2h event also advances the
+    // watermark past user 1's horizon -> its merged session flushes
+    write("b2", Seq((4L, base + 20 * sec, 1L),
+      (5L, base + 7200 * sec, 2L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // user 1: ONE merged session over both batches, flushed by timeout;
+    // user 2: first session closed by the gap; its 2h session stays
+    // open (nothing advanced the watermark past it) and must NOT emit
+    assert(got === Set(
+      (1L, base, base + 20 * sec, 3L, 4.5),
+      (2L, base, base, 1L, 1.5)))
+  }
 }
