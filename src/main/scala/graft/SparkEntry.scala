@@ -1831,6 +1831,13 @@ object SparkEntry {
           col("end_ts") - pmod(col("end_ts"), lit(1000L)))
     }),
 
+    // --- Table.summarize (table.py:4566): per-field profile in ONE
+    // aggregation job (all stats ride a single map-side combine) -----------
+    "table_summarize" -> ((s, dir) =>
+      Table(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag")).summarize()),
+
     // --- TableTail (TableIR.scala:2167): last n in key order ---------------
     "table_tail" -> ((s, dir) =>
       Table(t(s, dir, "orders"), Seq("o_orderkey")).tail(100).df
@@ -5506,6 +5513,40 @@ object SparkEntry {
         |       + 0.5 * ln(n * mu0 * (1 - mu0)))), 6) AS chi_sq_stat
         |FROM g""".stripMargin
     },
+
+    "table_summarize" ->
+      """SELECT 'l_orderkey' AS field, 'bigint' AS dtype,
+        |  count(l_orderkey) AS n_defined,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  round(CAST(min(l_orderkey) AS DOUBLE), 6) AS min_num,
+        |  round(CAST(max(l_orderkey) AS DOUBLE), 6) AS max_num,
+        |  round(CAST(sum(CAST(l_orderkey AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(l_orderkey), 6) AS mean,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', 'int', count(l_linenumber),
+        |  count(DISTINCT l_linenumber),
+        |  round(CAST(min(l_linenumber) AS DOUBLE), 6),
+        |  round(CAST(max(l_linenumber) AS DOUBLE), 6),
+        |  round(CAST(sum(CAST(l_linenumber AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(l_linenumber), 6),
+        |  NULL, NULL
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', 'double', count(l_quantity),
+        |  count(DISTINCT l_quantity),
+        |  round(CAST(min(l_quantity) AS DOUBLE), 6),
+        |  round(CAST(max(l_quantity) AS DOUBLE), 6),
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(l_quantity), 6),
+        |  NULL, NULL
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', 'string', count(l_returnflag),
+        |  count(DISTINCT l_returnflag),
+        |  NULL, NULL, NULL, min(l_returnflag), max(l_returnflag)
+        |FROM lineitem""".stripMargin,
 
     "table_tail" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -100,6 +100,51 @@ final case class Table(
     copy(df = df.drop(fields: _*))
   }
 
+  /** Table.summarize (`table.py:4566`): one profile row per field —
+    * defined/distinct counts, numeric min/max/mean, string min/max.
+    * The mean follows the repo's cross-engine convention (DECIMAL(18,4)
+    * partial sums cast to double, divided by the defined count) so an
+    * external engine reproduces it bit-for-bit. ONE aggregation job for
+    * the whole schema (all per-field aggregates ride one map-side
+    * combine); the per-field unpivot is a driver-free generator over
+    * the single result row. */
+  def summarize(): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, NumericType, StringType}
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      val isStr = f.dataType == StringType
+      Seq(
+        org.apache.spark.sql.functions.count(c).as(s"__nd_${f.name}"),
+        countDistinct(c).as(s"__dist_${f.name}"),
+        (if (isNum) round(min(c).cast("double"), 6)
+         else lit(null).cast("double")).as(s"__minn_${f.name}"),
+        (if (isNum) round(max(c).cast("double"), 6)
+         else lit(null).cast("double")).as(s"__maxn_${f.name}"),
+        (if (isNum) round(sum(c.cast(DecimalType(18, 4))).cast("double") /
+           org.apache.spark.sql.functions.count(c), 6)
+         else lit(null).cast("double")).as(s"__mean_${f.name}"),
+        (if (isStr) min(c) else lit(null).cast("string"))
+          .as(s"__mins_${f.name}"),
+        (if (isStr) max(c) else lit(null).cast("string"))
+          .as(s"__maxs_${f.name}"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.map { f =>
+      struct(lit(f.name).as("field"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col(s"__nd_${f.name}").as("n_defined"),
+        col(s"__dist_${f.name}").as("n_distinct"),
+        col(s"__minn_${f.name}").as("min_num"),
+        col(s"__maxn_${f.name}").as("max_num"),
+        col(s"__mean_${f.name}").as("mean"),
+        col(s"__mins_${f.name}").as("min_str"),
+        col(s"__maxs_${f.name}").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("__s")).select(col("__s.*"))
+  }
+
   /** TableRename (`TableIR.scala:2570`). */
   def rename(m: (String, String)*): Table = {
     val mm = m.toMap
