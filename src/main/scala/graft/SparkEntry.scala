@@ -797,13 +797,14 @@ object SparkEntry {
     // windows; the global token prefix-sum is the two-phase distributed
     // scan (no single-task global window) -----------------------------------
     "pipe_pack_sequences" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      pipeline.Sampling.packSequences(docs, "doc_id",
-        pipeline.Text.tokenCount(col("text")), windowTokens = 512)
-        .select(col("doc_id"),
-          pipeline.Text.tokenCount(col("text")).cast("long")
-            .as("n_tokens"),
-          col("window_start"), col("window_end"), col("window_offset"))
+      // tokenize ONCE: the count column feeds the scan and the output
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), pipeline.Text.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+      pipeline.Sampling.packSequences(docs, "doc_id", col("n_tokens"),
+        windowTokens = 512)
+        .select("doc_id", "n_tokens", "window_start", "window_end",
+          "window_offset")
     }),
 
     // --- deterministic repetition weights ("epochs" per domain):
@@ -3790,7 +3791,7 @@ object SparkEntry {
         |    GROUP BY a2.c, t.d) GROUP BY c),
         |c2 AS (
         |  SELECT i.c, COALESCE(m.s, i.s) AS s, COALESCE(m.n, i.n) AS n
-        |  FROM init i LEFT JOIN m2 m ON i.c = m.c)
+        |  FROM c1 i LEFT JOIN m2 m ON i.c = m.c)
         |SELECT id AS vec_id, c AS cluster FROM (
         |  SELECT e.id, i.c,
         |    row_number() OVER (PARTITION BY e.id ORDER BY

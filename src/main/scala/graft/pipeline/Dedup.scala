@@ -382,25 +382,31 @@ object Dedup {
           .as("__g"))
       .select(col("doc"), explode(col("__g")).as("g"))
     // candidates: one equi-join of the corpus fingerprint stream
-    // against the BENCH fingerprints — the benchmark side is tiny by
-    // nature (eval suites vs a 100 TB corpus), so Spark broadcasts it
-    // and the corpus is touched in ONE narrow pass; there is no
-    // corpus x corpus work anywhere, unlike the self-join pipelines
+    // against the bench fingerprints — the benchmark side is small by
+    // nature (eval suites vs a 100 TB corpus) and the corpus is touched
+    // in ONE narrow pass; there is no corpus x corpus work anywhere,
+    // unlike the self-join pipelines. No forced broadcast: at winnow
+    // density 2/(w+1) even a modest eval suite's fingerprint/gram
+    // tables are tens of millions of rows — AQE broadcasts when the
+    // bench side truly fits, a shuffle join otherwise.
     val cand = fps(corpus, corpusId, corpusText)
-      .join(broadcast(fps(bench, benchId, benchText)
-        .withColumnRenamed("doc", "bdoc")), Seq("fp"))
+      .join(fps(bench, benchId, benchText)
+        .withColumnRenamed("doc", "bdoc"), Seq("fp"))
       .select(col("doc").as("corpus_id"), col("bdoc").as("bench_id"))
       .dropDuplicates("corpus_id", "bench_id")
       .localCheckpoint(false)
-    // exact verify: shared t-grams, gram table restricted to candidate
-    // corpus docs (recall exact by the winnowing guarantee — see
-    // verifySharedRuns; the final semi-join is the same cross-check)
+    // exact verify: shared t-grams, BOTH gram tables restricted to docs
+    // appearing in some candidate pair (recall exact by the winnowing
+    // guarantee — see verifySharedRuns; the final semi-join is the same
+    // cross-check)
     val gc = grams(corpus, corpusId, corpusText)
       .join(cand.select(col("corpus_id").as("doc")).distinct(),
         Seq("doc"), "left_semi")
+    val gb = grams(bench, benchId, benchText)
+      .join(cand.select(col("bench_id").as("doc")).distinct(),
+        Seq("doc"), "left_semi")
     gc.select(col("g"), col("doc").as("corpus_id"))
-      .join(broadcast(grams(bench, benchId, benchText)
-        .select(col("g"), col("doc").as("bench_id"))), Seq("g"))
+      .join(gb.select(col("g"), col("doc").as("bench_id")), Seq("g"))
       .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .join(cand, Seq("corpus_id", "bench_id"), "left_semi")
   }

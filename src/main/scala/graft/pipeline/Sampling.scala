@@ -55,10 +55,14 @@ object Sampling {
       splitsPpt.forall(_._2 >= 0), "split rates must sum to 1000 ppt")
     val u = pmod(unitHash(col(id), salt), lit(1000L))
     val cum = splitsPpt.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
-    val expr = splitsPpt.zip(cum).foldRight(lit(null).cast("string")) {
-      case (((name, _), upper), acc) => when(u < upper, lit(name))
-        .otherwise(acc)
-    }
+    // default = the LAST split (SQL CASE ... ELSE semantics): a NULL id
+    // hashes to NULL, every `when` is null-false, and the row must still
+    // land in exactly one split — same place a SQL re-derivation puts it
+    val expr = splitsPpt.zip(cum).init
+      .foldRight(lit(splitsPpt.last._1)) {
+        case (((name, _), upper), acc) => when(u < upper, lit(name))
+          .otherwise(acc)
+      }
     df.withColumn(outName, expr)
   }
 
@@ -70,13 +74,11 @@ object Sampling {
     * range exchange on a uniform key. Ties (hash collisions) break by
     * id, so the permutation is total and stable. */
   def shuffleRank(df: DataFrame, id: String, salt: String = "shuffle",
-      outName: String = "shuffle_rank"): DataFrame = {
-    val withH = df.withColumn("__h", unitHash(col(id), salt))
+      outName: String = "shuffle_rank"): DataFrame =
     graft.operators.Scans
-      .runningCount(withH.withColumn("__id", col(id)),
-        Seq("__h", "__id"), outName, inclusive = true)
-      .drop("__h", "__id")
-  }
+      .runningCount(df.withColumn("__h", unitHash(col(id), salt)),
+        Seq("__h", id), outName, inclusive = true)
+      .drop("__h")
 
   /** Sequence packing ("concatenate and chunk"): lay documents
     * end-to-end in `id` order and cut fixed windows of `windowTokens`

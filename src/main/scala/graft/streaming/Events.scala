@@ -344,7 +344,14 @@ object Events {
     }
     val batch = spark.read.parquet(path)
     val dt = batch.schema("ts").dataType
-    val maxNs = batch.select(max(tsNanos(col("ts"), dt))).head().getLong(0)
+    val maxRow = batch.select(max(tsNanos(col("ts"), dt))).head()
+    if (maxRow.isNullAt(0)) {
+      // zero events: nothing to sessionize, and max(ts) has no value to
+      // anchor the sentinel — return an empty, correctly-typed result
+      import spark.implicits._
+      return spark.emptyDataset[Session].toDF()
+    }
+    val maxNs = maxRow.getLong(0)
     val sentinelNs = maxNs + 2L * gapNs + 3600L * 1000000000L
     withStatePartitions(spark, numStatePartitions) {
       val q = sessionizeStream(

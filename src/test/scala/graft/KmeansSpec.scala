@@ -10,7 +10,8 @@ class KmeansSpec extends SparkSpec {
     def blob(center: Double, n: Int, from: Int) =
       (0 until n).map(i => ((from + i).toLong,
         Seq.fill(8)((center + r.nextGaussian() * 0.1).toFloat)))
-    // ids interleave the blobs so the lowest-k init spans both
+    // the k=2 lowest-id init takes ids 0 and 1 — BOTH inside blob A —
+    // so separation must come from Lloyd iterations, not a lucky seed
     val rows = (blob(-3.0, 40, 0) ++ blob(3.0, 40, 1000))
     val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
     val out = Similarity.kmeansLloydExact(df, "vec_id", "embedding",
