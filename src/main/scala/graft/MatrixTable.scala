@@ -405,6 +405,16 @@ final case class MatrixTable(
       aggs.tail.map { case (n, f) => f(col("__e")).as(n) }: _*)
   }
 
+  /** MatrixTable.summarize (`matrixtable.py` `summarize`): per-field
+    * profiles for the row and entry spaces — `Table.summarize` over the
+    * rows table and the entries table, each row tagged with its field
+    * space. (Cols are driver-local by representation; include them via
+    * `colsTable.summarize()` when needed.) */
+  def summarize(): DataFrame =
+    rowsTable.summarize().withColumn("space", lit("row"))
+      .unionByName(entriesTable.summarize()
+        .withColumn("space", lit("entry")))
+
   // ---- to tables (MatrixRowsTable/ColsTable/EntriesTable) -----------------
 
   /** MatrixRowsTable (`TableIR.scala:2423`). */

@@ -425,6 +425,11 @@ object SparkEntry {
       lineitemMatrix(s, dir).entriesTable
         .selectFields("line_no", "qty", "price").df.drop("col_idx")),
 
+    // --- MatrixTable.summarize: per-field profile of the row + entry
+    // spaces (Table.summarize over both views, space-tagged) ---------------
+    "matrix_summarize" -> ((s, dir) =>
+      lineitemMatrix(s, dir).summarize()),
+
     // --- MatrixMapRows with entry-scoped agg (call_rate pattern) ----------
     "matrix_annotate_rows_entry_agg" -> ((s, dir) => {
       val mt = lineitemMatrix(s, dir)
@@ -692,6 +697,18 @@ object SparkEntry {
       pipeline.Similarity.kmeansLloydExact(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 4, iters = 2)
         .withColumnRenamed("id", "vec_id")),
+
+    // --- corpus vocabulary: doc/term frequencies + IDF, one explode +
+    // one uniform-key groupBy (the tf-idf primitive) ------------------------
+    "pipe_vocab_idf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Text.vocab(docs, "doc_id", "text", docs.count(),
+        minDocFreq = 5)
+    }),
+
+    // --- top-50 bigram document frequencies (deterministic ties) -----------
+    "pipe_top_bigrams" -> ((s, dir) =>
+      pipeline.Text.topBigrams(t(s, dir, "documents"), "text", 50)),
 
     // --- PII scrub: emails / IPv4 / phone-shaped runs -> typed
     // placeholders, plus per-kind match counts. Deterministic PII is
@@ -3431,6 +3448,31 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber AS line_no, qty, price
         |FROM $cellSql""".stripMargin,
 
+    "matrix_summarize" -> {
+      def num(expr: String, field: String, dtype: String, space: String,
+          src: String) =
+        s"""SELECT '$field' AS field, '$dtype' AS dtype,
+           |  count($expr) AS n_defined,
+           |  count(DISTINCT $expr) AS n_distinct,
+           |  round(CAST(min($expr) AS DOUBLE), 6) AS min_num,
+           |  round(CAST(max($expr) AS DOUBLE), 6) AS max_num,
+           |  round(CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)
+           |    / count($expr), 6) AS mean,
+           |  CAST(NULL AS VARCHAR) AS min_str,
+           |  CAST(NULL AS VARCHAR) AS max_str,
+           |  '$space' AS space
+           |FROM $src""".stripMargin
+      Seq(
+        num("l_orderkey", "l_orderkey", "bigint", "row",
+          s"(SELECT DISTINCT l_orderkey FROM $cellSql) r"),
+        num("l_linenumber - 1", "col_idx", "int", "entry", cellSql),
+        num("l_orderkey", "l_orderkey", "bigint", "entry", cellSql),
+        num("qty", "qty", "double", "entry", cellSql),
+        num("price", "price", "double", "entry", cellSql),
+        num("l_linenumber", "line_no", "int", "entry", cellSql))
+        .mkString("", "\nUNION ALL\n", "")
+    },
+
     "matrix_annotate_rows_entry_agg" ->
       s"""SELECT l_orderkey, count(*) AS n_defined,
         |  round(sum(qty), 4) AS qty_sum
@@ -3799,6 +3841,32 @@ object SparkEntry {
         |        d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
         |        (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
         |  FROM e, c2 i) WHERE rk = 1""".stripMargin,
+
+    "pipe_vocab_idf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), ' +')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, count(DISTINCT doc_id) AS doc_freq,
+        |    count(*) AS term_freq
+        |  FROM tok WHERE length(token) > 0
+        |  GROUP BY token)
+        |SELECT token, doc_freq, term_freq,
+        |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |    / doc_freq), 6) AS idf
+        |FROM v WHERE doc_freq >= 5""".stripMargin,
+
+    "pipe_top_bigrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w)), j -> concat(w[j], ' ', w[j+1])))) AS bigram
+        |  FROM tok WHERE len(w) >= 2)
+        |SELECT bigram, count(*) AS n FROM sh GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
 
     "pipe_pii_redact" ->
       """WITH d AS (

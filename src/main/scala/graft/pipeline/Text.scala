@@ -201,6 +201,34 @@ object Text {
       .otherwise(when(best("s") > 0, best("l")).otherwise("und"))
   }
 
+  /** Corpus vocabulary with document/term frequencies and IDF —
+    * the tf-idf/vocab-induction primitive. One explode + one
+    * hash-partitioned groupBy on the token (uniform keys); `docCount`
+    * arrives as a literal so the plan stays a single aggregation.
+    * Call it as `vocab(df, id, text, df.count())`. */
+  def vocab(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+      docCount: Long, minDocFreq: Long = 1)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(id).as("doc"), explode(tokens(col(text))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(countDistinct(col("doc")).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+      .withColumn("idf",
+        round(log(lit(docCount.toDouble) / col("doc_freq")), 6))
+
+  /** Per-document-distinct bigram document frequencies, top k (count
+    * desc, bigram asc — fully deterministic): the quick
+    * corpus-inspection profile. `shingles` dedups per doc, so `n`
+    * counts DOCUMENTS containing the bigram. */
+  def topBigrams(df: org.apache.spark.sql.DataFrame, text: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(shingles(col(text), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
   /** 64-bit SimHash over token md5s: per-bit majority vote, codegen'd
     * bit-twiddling (no UDF). Near-duplicates differ in few bits. */
   def simHash64(text: Column): Column = {
