@@ -376,4 +376,34 @@ class PlanAuditSpec extends SparkSpec {
     val kernels = "intersect_count".r.findAllIn(plan).length
     assert(kernels == 1, s"$kernels intersect sites\n${plan.take(2500)}")
   }
+
+  test("packSequences: one range exchange, broadcast offsets, no global window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), pipeline.Text.tokenCount(col("text"))
+        .cast("long").as("n"))
+    val plan = pipeline.Sampling.packSequences(docs, "doc_id", col("n"),
+      512).queryExecution.executedPlan.toString
+    // the token prefix-sum must be the two-phase scan: range exchanges
+    // only (ReuseExchange collapses the shared sort subtree), partials
+    // riding a broadcast join — never a single-task global Window
+    val range = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(range >= 1, plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    // one single-partition exchange is the O(numPartitions) prefix
+    // combine over the partials — O(parts) rows, not O(rows)
+    assert(single <= 1, s"$single single-partition exchanges\n" +
+      plan.take(2500))
+  }
+
+  test("kmeans assignment pass: no join, no shuffle above the grid scan") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val assigned = pipeline.Similarity.kmeansLloydExact(
+      e, "vec_id", "embedding", k = 2, iters = 1)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // centroids are literals: the final assignment is a pure projection
+    // over the checkpointed grid — no join, no exchange
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }
