@@ -58,6 +58,33 @@ class SamplingSpec extends SparkSpec {
     assert(empty === Seq((0L, 0L), (1L, 1L), (1L, 1L)))
   }
 
+  test("membership and ranks are partitioning-invariant") {
+    import org.apache.spark.sql.functions.col
+    val df = corpus(1500)
+    val re = df.repartition(7)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(
+      ids(Sampling.stratifiedSample(df, "doc_id", "lang",
+        Map("en" -> 400, "de" -> 300))) ===
+      ids(Sampling.stratifiedSample(re, "doc_id", "lang",
+        Map("en" -> 400, "de" -> 300))))
+    def splits(d: org.apache.spark.sql.DataFrame) =
+      Sampling.assignSplit(d, "doc_id",
+        Seq("train" -> 980, "val" -> 10, "test" -> 10))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits(df) === splits(re))
+    def ranks(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleRank(d, "doc_id")
+        .select("doc_id", "shuffle_rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = ranks(df)
+    assert(r1 === ranks(re))
+    // ranks form an exact permutation of 1..n
+    assert(r1.values.toSeq.sorted === (1L to 1500L))
+  }
+
   test("repeatByWeight: floor copies + deterministic fractional copy") {
     val df = corpus(1000)
     val out = Sampling.repeatByWeight(df, "doc_id", "lang",
