@@ -710,6 +710,13 @@ object SparkEntry {
     "pipe_top_bigrams" -> ((s, dir) =>
       pipeline.Text.topBigrams(t(s, dir, "documents"), "text", 50)),
 
+    // --- per-doc top-3 tf-idf terms (retrieval features) -------------------
+    "pipe_tfidf_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Text.tfidfTopK(docs, "doc_id", "text", docs.count(),
+        k = 3, minDocFreq = 2)
+    }),
+
     // --- PII scrub: emails / IPv4 / phone-shaped runs -> typed
     // placeholders, plus per-kind match counts. Deterministic PII is
     // synthesized onto each doc so all three patterns fire; RE2-safe
@@ -3867,6 +3874,31 @@ object SparkEntry {
         |  FROM tok WHERE len(w) >= 2)
         |SELECT bigram, count(*) AS n FROM sh GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "pipe_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), ' +')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |v AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df_ FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1),
+        |idf AS (
+        |  SELECT token,
+        |    round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |      / df_), 6) AS idf
+        |  FROM v WHERE df_ >= 2),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * idf.idf, 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * idf.idf, 6) DESC, tf.token) AS rk
+        |  FROM tf JOIN idf USING (token))
+        |SELECT doc_id, rk, token, score FROM sc WHERE rk <= 3"""
+        .stripMargin,
 
     "pipe_pii_redact" ->
       """WITH d AS (

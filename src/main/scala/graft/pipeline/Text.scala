@@ -218,6 +218,29 @@ object Text {
       .withColumn("idf",
         round(log(lit(docCount.toDouble) / col("doc_freq")), 6))
 
+  /** Top-`k` tf-idf terms per document: term frequencies join the
+    * corpus `vocab` IDF (broadcastable — the vocabulary is tiny next to
+    * the corpus), ranked per doc with deterministic ties (score desc,
+    * token asc). One uniform-key groupBy + one doc-bounded window. */
+  def tfidfTopK(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, docCount: Long, k: Int, minDocFreq: Long = 2)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vocab(df, id, text, docCount, minDocFreq)
+      .select(col("token"), col("idf"))
+    val tf = df
+      .select(col(id).as("doc"), explode(tokens(col(text))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(v, Seq("token"))
+      .withColumn("score", round(col("tf") * col("idf"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc").as(id), col("rk"), col("token"), col("score"))
+  }
+
   /** Per-document-distinct bigram document frequencies, top k (count
     * desc, bigram asc — fully deterministic): the quick
     * corpus-inspection profile. `shingles` dedups per doc, so `n`
