@@ -710,6 +710,19 @@ object SparkEntry {
     "pipe_top_bigrams" -> ((s, dir) =>
       pipeline.Text.topBigrams(t(s, dir, "documents"), "text", 50)),
 
+    // --- JSONL shard delivery: write real text shards partitioned by a
+    // deterministic md5 shard id, read them BACK from disk, and check
+    // the (shard, line) set — end-to-end file IO, engine-reproducible
+    // shard membership and line bytes ---------------------------------------
+    "pipe_export_jsonl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "source")
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl")
+        .toString + "/shards"
+      pipeline.Export.writeJsonlShards(docs, "doc_id",
+        Seq("doc_id", "lang", "source"), out, numShards = 8)
+      pipeline.Export.readJsonlShards(s, out)
+    }),
+
     // --- per-doc top-3 tf-idf terms (retrieval features) -------------------
     "pipe_tfidf_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -3874,6 +3887,14 @@ object SparkEntry {
         |  FROM tok WHERE len(w) >= 2)
         |SELECT bigram, count(*) AS n FROM sh GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "pipe_export_jsonl" ->
+      """SELECT
+        |  CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 8 AS shard,
+        |  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
+        |    source := source)) AS VARCHAR) AS line
+        |FROM documents""".stripMargin,
 
     "pipe_tfidf_topk" ->
       """WITH tok AS (
