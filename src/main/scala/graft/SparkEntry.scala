@@ -716,8 +716,10 @@ object SparkEntry {
     // shard membership and line bytes ---------------------------------------
     "pipe_export_jsonl" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "lang", "source")
-      val out = java.nio.file.Files.createTempDirectory("graft_jsonl")
-        .toString + "/shards"
+      // fixed per-process path + overwrite mode: repeated invocations
+      // (verify, bench iterations) replace the delivery, not accrete it
+      val out = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_jsonl_${ProcessHandle.current().pid()}"
       pipeline.Export.writeJsonlShards(docs, "doc_id",
         Seq("doc_id", "lang", "source"), out, numShards = 8)
       pipeline.Export.readJsonlShards(s, out)

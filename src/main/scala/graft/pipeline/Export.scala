@@ -9,21 +9,24 @@ import org.apache.spark.sql.functions._
   * engine can re-derive which shard holds a document. */
 object Export {
 
-  /** Stable shard id in [0, numShards): md5 bucket of (salt, id) —
-    * same engine-portable membership contract as `Sampling`. */
+  /** Stable shard id in [0, numShards): `Sampling.unitHash`'s md5
+    * bucket — one definition of the engine-portable membership
+    * contract, shared with the sampling/split family. */
   def shardOf(id: Column, numShards: Int, salt: String = "shard")
       : Column =
-    pmod(conv(substring(md5(concat(lit(salt), lit("|"),
-      id.cast("string"))), 1, 15), 16, 10).cast("long"),
-      lit(numShards.toLong))
+    pmod(Sampling.unitHash(id, salt), lit(numShards.toLong))
 
   /** Project rows to (shard, line): `line` is the compact JSON of the
-    * given columns IN ORDER (field order and float-free payloads keep
-    * the bytes engine-reproducible). */
+    * given columns IN ORDER. Null fields are EMITTED ("k":null) — the
+    * SQL to_json convention — so the line bytes stay
+    * engine-reproducible on nullable payloads (Spark's default silently
+    * drops null fields). Float-free payloads recommended for byte
+    * stability. */
   def jsonlLines(df: DataFrame, id: String, cols: Seq[String],
       numShards: Int, salt: String = "shard"): DataFrame =
     df.select(shardOf(col(id), numShards, salt).as("shard"),
-      to_json(struct(cols.map(col): _*)).as("line"))
+      to_json(struct(cols.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("line"))
 
   /** Write the corpus as one directory of JSONL text files partitioned
     * by shard (shard=NN/part-*.txt). The shard column rides Spark's
@@ -34,14 +37,17 @@ object Export {
       path: String, numShards: Int, salt: String = "shard"): Unit =
     jsonlLines(df, id, cols, numShards, salt)
       .repartition(col("shard"))
-      .write.partitionBy("shard").text(path)
+      // overwrite: an export REPLACES the delivery at its path, so
+      // repeated runs (bench iterations, re-exports) stay bounded on
+      // disk instead of accreting temp copies
+      .write.mode("overwrite").partitionBy("shard").text(path)
 
-  /** Read shards back as (shard, line) — the verification surface. */
+  /** Read shards back as (shard, line) — the verification surface.
+    * The shard id comes from Spark's own partition discovery of the
+    * shard=NN directories (no second filename-parsing path). */
   def readJsonlShards(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     spark.read.text(path)
-      .withColumn("shard",
-        regexp_extract(input_file_name(), "shard=(\\d+)", 1)
-          .cast("long"))
-      .select(col("shard"), col("value").as("line"))
+      .select(col("shard").cast("long").as("shard"),
+        col("value").as("line"))
 }

@@ -15,7 +15,7 @@ object Sampling {
     * and drop the row, exactly as `'salt|' || NULL` does in SQL — the
     * engine-portability contract would break if all null-id rows
     * collapsed onto one shared hash. */
-  private def unitHash(id: Column, salt: String): Column =
+  private[pipeline] def unitHash(id: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), lit("|"), id.cast("string"))),
       1, 15), 16, 10).cast("long")
 

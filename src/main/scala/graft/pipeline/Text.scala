@@ -218,20 +218,28 @@ object Text {
       .withColumn("idf",
         round(log(lit(docCount.toDouble) / col("doc_freq")), 6))
 
-  /** Top-`k` tf-idf terms per document: term frequencies join the
-    * corpus `vocab` IDF (broadcastable — the vocabulary is tiny next to
-    * the corpus), ranked per doc with deterministic ties (score desc,
-    * token asc). One uniform-key groupBy + one doc-bounded window. */
+  /** Top-`k` tf-idf terms per document. The corpus is tokenized ONCE:
+    * the (doc, token, tf) aggregate is materialized, and because it has
+    * exactly one row per (doc, token), the document frequency is just
+    * its per-token row count — idf derives from tf with a second cheap
+    * aggregation instead of a second corpus scan. The idf side is
+    * vocabulary-sized (broadcastable); ranking is a doc-bounded window
+    * with deterministic ties (score desc, token asc). */
   def tfidfTopK(df: org.apache.spark.sql.DataFrame, id: String,
       text: String, docCount: Long, k: Int, minDocFreq: Long = 2)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = vocab(df, id, text, docCount, minDocFreq)
-      .select(col("token"), col("idf"))
     val tf = df
       .select(col(id).as("doc"), explode(tokens(col(text))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // consumed by idf derivation AND the join
+    val v = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .withColumn("idf",
+        round(log(lit(docCount.toDouble) / col("df")), 6))
+      .select(col("token"), col("idf"))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("score").desc, col("token").asc)
     tf.join(v, Seq("token"))
