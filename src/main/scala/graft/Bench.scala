@@ -19,6 +19,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming parity harnesses use implicit temp checkpoints; without
+      // this they survive q.stop() and accrete across iterations
+      .config("spark.sql.streaming.forceDeleteTempCheckpointLocation",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def runOnce(name: String,

@@ -16,6 +16,10 @@ object Verify {
       // under this flag); current data is TIMESTAMP(MICROS) → NTZ, and
       // Events.tsNanos adapts to either — the flag stays for old files
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming parity harnesses use implicit temp checkpoints; without
+      // this they survive q.stop() and accrete across iterations
+      .config("spark.sql.streaming.forceDeleteTempCheckpointLocation",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
