@@ -3268,6 +3268,17 @@ object SparkEntry {
       sources.Avro.read(s, tmp.resolve("part-0.avro").toString)
     }),
 
+    // --- Avro container EXPORT roundtrip: distributed per-partition
+    // write through the Hadoop FS, read back by the independent reader --
+    "avro_write_roundtrip" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val out = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_avro_w_${ProcessHandle.current().pid()}"
+      sources.Avro.write(nation, out)
+      sources.Avro.read(s, out)
+    }),
+
     // --- FASTA reference sequence (reference_genome.py add_sequence /
     // getReferenceSequence): .fai-indexed lookup with contig clamping -----
     "fasta_sequence" -> ((s, _) => {
@@ -6630,6 +6641,9 @@ object SparkEntry {
     "balding_nichols" -> BaldingNicholsGolden,
 
     "avro_read" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "avro_write_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "matrix_explode_cols" ->

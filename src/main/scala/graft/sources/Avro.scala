@@ -98,4 +98,113 @@ object Avro {
 
   def readTable(spark: SparkSession, path: String,
       key: Seq[String] = Nil): Table = Table(read(spark, path), key)
+
+  // ---- writer (reference avro.py has import only; export completes the
+  // row the way export_plink/export_bgen complete theirs) -----------------
+
+  private def toAvroSchema(dt: DataType, name: String,
+      nullable: Boolean): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType | ShortType | ByteType =>
+        Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case ArrayType(et, n) =>
+        Schema.createArray(toAvroSchema(et, s"${name}_elt", n))
+      case MapType(StringType, vt, n) =>
+        Schema.createMap(toAvroSchema(vt, s"${name}_val", n))
+      case st: StructType => structToAvro(st, name)
+      case other =>
+        throw new UnsupportedOperationException(s"avro write: $other")
+    }
+    if (nullable)
+      Schema.createUnion(java.util.Arrays.asList(
+        Schema.create(Schema.Type.NULL), base))
+    else base
+  }
+
+  private def structToAvro(st: StructType, name: String): Schema = {
+    val rec = Schema.createRecord(name, null, "graft", false)
+    rec.setFields(st.fields.map(f =>
+      new Schema.Field(f.name,
+        toAvroSchema(f.dataType, s"${name}_${f.name}", f.nullable),
+        null, null)).toList.asJava)
+    rec
+  }
+
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** Spark value -> Avro value under the WRITER's own (sub)schema —
+    * nested records must carry the writer schema instance so union
+    * branches resolve by record name. */
+  private def toAvroValue(v: Any, dt: DataType, s0: Schema): Any = {
+    val s = nonNull(s0)
+    (v, dt) match {
+      case (null, _) => null
+      case (r: Row, st: StructType) =>
+        val rec = new org.apache.avro.generic.GenericData.Record(s)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f.name,
+            toAvroValue(r.get(i), f.dataType, s.getField(f.name).schema()))
+        }
+        rec
+      case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+        seq.map(toAvroValue(_, et, s.getElementType)).asJava
+      case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+        m.map { case (k, x) =>
+          k.toString -> toAvroValue(x, vt, s.getValueType) }.asJava
+      case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+      case (x, _) => x
+    }
+  }
+
+  /** Distributed Avro container export: one container file per
+    * partition, each task streaming its rows straight to the (Hadoop)
+    * filesystem — no driver funnel, the same per-task write shape as
+    * the native/PLINK/BGEN writers. Readable back by `read` and by any
+    * Avro tooling. */
+  def write(df: DataFrame, path: String): Unit = {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
+    val sparkSchema = df.schema
+    val schemaJson = structToAvro(sparkSchema, "row").toString
+    val sc = df.sparkSession.sparkContext
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      sc.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fsDriver = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), sc.hadoopConfiguration)
+    fsDriver.mkdirs(dirPath)
+    df.rdd.mapPartitionsWithIndex { (i, it) =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), sconf.value)
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        path, f"part-$i%05d.avro"), true)
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](schema))
+        .create(schema, out)
+      var n = 0L
+      it.foreach { row =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        sparkSchema.fields.zipWithIndex.foreach { case (f, j) =>
+          rec.put(f.name,
+            toAvroValue(row.get(j), f.dataType, schema.getField(f.name)
+              .schema()))
+        }
+        w.append(rec)
+        n += 1
+      }
+      w.close()
+      Iterator.single(n)
+    }.count()
+    ()
+  }
 }
