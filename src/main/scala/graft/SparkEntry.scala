@@ -1871,6 +1871,30 @@ object SparkEntry {
           col("end_ts") - pmod(col("end_ts"), lit(1000L)))
     }),
 
+    // --- TableMapPartitions (Table.scala:176): per-partition imperative
+    // row transform through the row encoder ---------------------------------
+    "table_map_partitions" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      Table(n).mapPartitionsRows(
+        it => it.map(r => org.apache.spark.sql.Row(
+          r.getInt(0), r.getString(1).toLowerCase)),
+        n.schema).df
+    }),
+
+    // --- maximal_independent_set (misc.py; driver-local by contract,
+    // matching the reference): greedy max-degree removal with
+    // deterministic ties over the bipartite nation-region graph — every
+    // region vertex has degree >= 1 and falls, so the surviving set has
+    // the closed form the oracle states ------------------------------------
+    "table_mis" -> ((s, dir) => {
+      val edges = t(s, dir, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("i"),
+        concat(lit("r"), col("n_regionkey")).as("j"))
+      val keep = methods.Misc.maximalIndependentSet(edges)
+      import s.implicits._
+      keep.toSeq.sorted.toDF("node")
+    }),
+
     // --- Table.summarize (table.py:4566): per-field profile in ONE
     // aggregation job (all stats ride a single map-side combine) -----------
     "table_summarize" -> ((s, dir) =>
@@ -5648,6 +5672,16 @@ object SparkEntry {
         |       + 0.5 * ln(n * mu0 * (1 - mu0)))), 6) AS chi_sq_stat
         |FROM g""".stripMargin
     },
+
+    "table_map_partitions" ->
+      "SELECT n_nationkey, lower(n_name) AS n_name FROM nation",
+
+    // greedy MIS on the bipartite nation-region graph: every region
+    // vertex has positive degree and higher degree than any nation, so
+    // the algorithm removes exactly the region vertices — survivors are
+    // all nation vertices (closed form; determinism is the gate's point)
+    "table_mis" ->
+      "SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS node FROM nation",
 
     "table_summarize" ->
       """SELECT 'l_orderkey' AS field, 'bigint' AS dtype,
