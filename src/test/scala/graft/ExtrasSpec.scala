@@ -136,6 +136,39 @@ class ExtrasSpec extends SparkSpec {
       Seq(2.0, 4.0))
   }
 
+  test("avro writer round-trips nested structs, arrays, maps and nulls") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("xs", ArrayType(DoubleType, containsNull = false),
+        nullable = true),
+      StructField("tags", MapType(StringType, IntegerType), nullable = true),
+      StructField("inner", StructType(Seq(
+        StructField("a", IntegerType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true)))
+    val rows = Seq(
+      Row(1L, "x", Seq(1.5, 2.5), Map("k" -> 3), Row(7, "in")),
+      Row(2L, null, Seq.empty[Double], Map.empty[String, Int],
+        Row(null, "only-b")),
+      Row(3L, "z", null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = java.nio.file.Files.createTempDirectory("graft_avro_w")
+      .toString + "/t"
+    Avro.write(df, out)
+    val back = Avro.read(spark, out).orderBy("id").collect()
+    assert(back.length === 3)
+    assert(back(0).getAs[Row]("inner").getInt(0) === 7)
+    assert(back(0).getAs[Map[String, Int]]("tags") === Map("k" -> 3))
+    assert(back(1).isNullAt(1))
+    assert(back(1).getSeq[Double](2).isEmpty)
+    assert(back(1).getAs[Row]("inner").isNullAt(0))
+    assert(back(2).isNullAt(2) && back(2).isNullAt(3) && back(2).isNullAt(4))
+    assert(back(0).getSeq[Double](2).toSeq === Seq(1.5, 2.5))
+  }
+
   test("bgen sidecar index round-trips and skips the rescan") {
     val src = java.nio.file.Path.of(
       "/root/repo/src/test/resources/oracle_bgen.bgen")
