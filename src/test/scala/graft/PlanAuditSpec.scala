@@ -396,6 +396,17 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2500))
   }
 
+  test("jsonl shard projection: narrow lines, one shard exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = pipeline.Export.jsonlLines(docs, "doc_id",
+      Seq("doc_id", "lang", "source"), 8)
+      .repartition(col("shard"))
+      .queryExecution.executedPlan.toString
+    val ex = "Exchange".r.findAllIn(plan).length
+    assert(ex == 1, s"$ex exchanges\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("kmeans assignment pass: no join, no shuffle above the grid scan") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val assigned = pipeline.Similarity.kmeansLloydExact(
