@@ -167,6 +167,29 @@ object Events {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Stateful-query sizing for LARGE state (millions of keys — e.g. one
+    * state row per winnow fingerprint): more state partitions so the
+    * per-batch store commit parallelizes across cores, and the RocksDB
+    * state store provider — off-heap, incremental-checkpoint — instead
+    * of the default HDFS-backed in-memory map, whose per-batch
+    * snapshot/commit of a multi-million-entry JVM map is the dominant
+    * cost and variance source at this state volume. Key-count-bounded
+    * state (windowed aggs, per-user sessions, LSH band buckets) should
+    * stay on the default provider via `withStatePartitions` — RocksDB's
+    * native-write overhead only pays for itself past ~10⁶ keys. */
+  private[streaming] def withLargeState[A](spark: SparkSession,
+      n: Int)(body: => A): A = {
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pKey)
+    spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try withStatePartitions(spark, n)(body)
+    finally prev match {
+      case Some(v) => spark.conf.set(pKey, v)
+      case None    => spark.conf.unset(pKey)
+    }
+  }
+
   /** Streaming exact dedup — the pipeline's `Dedup.exact` for live
     * ingestion: `dropDuplicates` on the id columns under an event-time
     * watermark, so Spark keeps one state entry per key and EVICTS it

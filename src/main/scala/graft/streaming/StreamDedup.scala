@@ -178,13 +178,15 @@ object StreamDedup {
   def runWinnowPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: org.apache.spark.sql.types.StructType,
       id: String, text: String, sinkName: String,
-      k: Int = 16, w: Int = 4, numStatePartitions: Int = 8): DataFrame = {
+      k: Int = 16, w: Int = 4, numStatePartitions: Int = 32): DataFrame = {
     val dir = Events.stageAsDir(path, "graft_swn")
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-    Events.withStatePartitions(spark, numStatePartitions) {
+    // one state row per FINGERPRINT (~0.4/normalized char) — millions of
+    // keys at any real corpus slice, the large-state regime
+    Events.withLargeState(spark, numStatePartitions) {
       val q = winnowPairsStream(stream, id, text, k, w)
         .writeStream
         .format("memory")
