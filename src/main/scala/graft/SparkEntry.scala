@@ -698,6 +698,32 @@ object SparkEntry {
         "vec_id", "embedding", k = 4, iters = 2)
         .withColumnRenamed("id", "vec_id")),
 
+    // --- SemDeDup (cluster-then-compare semantic dedup): the exact
+    // k-means clusters block the candidate space; a vector is dropped
+    // iff a lower-id cluster-mate is cosine >= 0.2 similar. The oracle
+    // replays the full kmeans CTE + within-cluster pair join ---------------
+    "pipe_semdedup" -> ((s, dir) =>
+      pipeline.Dedup.semDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.2, k = 4, iters = 2)
+        .withColumnRenamed("id", "vec_id")),
+
+    // --- BM25 retrieval: top-20 documents for a 4-term query; per-term
+    // contributions round to 4dp and sum as exact DECIMAL(18,4), ties
+    // break by id — fully engine-replayable ranking -------------------------
+    "pipe_bm25" -> ((s, dir) =>
+      pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+        "text", Seq("join", "hash", "vector", "spark"), k = 20)),
+
+    // --- corpus bigram-LM NLL (the CCNet-style perplexity quality
+    // score): add-alpha bigram model trained on the corpus itself;
+    // per-bigram NLL rounds to 4dp and sums exactly -------------------------
+    "pipe_lm_score" -> ((s, dir) =>
+      pipeline.LangModel.bigramNll(t(s, dir, "documents"), "doc_id",
+        "text")
+        // the mean is sum/count — its last-ulp rounding is the one step
+        // two engines can disagree on; the gate checks the exact sum
+        .select(col("doc_id"), col("n_bigrams"), col("sum_nll"))),
+
     // --- corpus vocabulary: doc/term frequencies + IDF, one explode +
     // one uniform-key groupBy (the tf-idf primitive) ------------------------
     "pipe_vocab_idf" -> ((s, dir) => {
@@ -3898,6 +3924,160 @@ object SparkEntry {
         |        d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
         |        (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
         |  FROM e, c2 i) WHERE rk = 1""".stripMargin,
+
+    // SemDeDup: the pipe_kmeans_exact CTE verbatim (same k=4, iters=2
+    // assignment), then within-cluster cosine pairs; a vector is
+    // dropped iff a lower-id cluster-mate clears the 0.2 threshold.
+    "pipe_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS s,
+        |    CAST(1 AS BIGINT) AS n
+        |  FROM (SELECT id, v FROM e ORDER BY id LIMIT 4)),
+        |a1 AS (
+        |  SELECT id, v, c FROM (
+        |    SELECT e.id, e.v, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, init i) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT c, list(sd ORDER BY d) AS s, max(n) AS n FROM (
+        |    SELECT a1.c, t.d, CAST(sum(a1.v[t.d]) AS BIGINT) AS sd,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM a1, unnest(range(1, 65)) AS t(d)
+        |    GROUP BY a1.c, t.d) GROUP BY c),
+        |c1 AS (
+        |  SELECT i.c, COALESCE(m.s, i.s) AS s, COALESCE(m.n, i.n) AS n
+        |  FROM init i LEFT JOIN m1 m ON i.c = m.c),
+        |a2 AS (
+        |  SELECT id, v, c FROM (
+        |    SELECT e.id, e.v, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, c1 i) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT c, list(sd ORDER BY d) AS s, max(n) AS n FROM (
+        |    SELECT a2.c, t.d, CAST(sum(a2.v[t.d]) AS BIGINT) AS sd,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM a2, unnest(range(1, 65)) AS t(d)
+        |    GROUP BY a2.c, t.d) GROUP BY c),
+        |c2 AS (
+        |  SELECT i.c, COALESCE(m.s, i.s) AS s, COALESCE(m.n, i.n) AS n
+        |  FROM c1 i LEFT JOIN m2 m ON i.c = m.c),
+        |asg AS (
+        |  SELECT id, c AS cluster FROM (
+        |    SELECT e.id, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, c2 i) WHERE rk = 1),
+        |emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(ea.embedding[i] AS DOUBLE)
+        |        * CAST(eb.embedding[i] AS DOUBLE))) AS dp,
+        |    sqrt(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(ea.embedding[i] AS DOUBLE)
+        |        * CAST(ea.embedding[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(eb.embedding[i] AS DOUBLE)
+        |        * CAST(eb.embedding[i] AS DOUBLE)))) AS nb
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+        |    JOIN emb ea ON ea.id = a.id JOIN emb eb ON eb.id = b.id),
+        |drops AS (
+        |  SELECT DISTINCT id_b AS id FROM p WHERE dp / (na * nb) >= 0.2)
+        |SELECT a.id AS vec_id, a.cluster, (d.id IS NULL) AS kept
+        |FROM asg a LEFT JOIN drops d ON a.id = d.id""".stripMargin,
+
+    // BM25: per-doc length + per-term tf in one grouped pass, corpus
+    // stats (N, avgdl, df) in a scalar CTE, Lucene-floored idf; 4dp
+    // per-term contributions summed as exact decimals.
+    "pipe_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(string_split_regex(lower(text), ' +')) AS t
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc, count(*) AS dl,
+        |    sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS tf0,
+        |    sum(CASE WHEN t = 'hash' THEN 1 ELSE 0 END) AS tf1,
+        |    sum(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS tf2,
+        |    sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf3
+        |  FROM tok WHERE t <> '' GROUP BY doc),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS sumdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+        |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        |  FROM perdoc),
+        |scored AS (
+        |  SELECT doc,
+        |    CAST(round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(sumdl AS DOUBLE) / n))), 4) AS DECIMAL(18,4))
+        |    + CAST(round(ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(sumdl AS DOUBLE) / n))), 4) AS DECIMAL(18,4))
+        |    + CAST(round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(sumdl AS DOUBLE) / n))), 4) AS DECIMAL(18,4))
+        |    + CAST(round(ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+        |      / (tf3 + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(sumdl AS DOUBLE) / n))), 4) AS DECIMAL(18,4))
+        |      AS score,
+        |    CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_matched
+        |  FROM perdoc, stats)
+        |SELECT doc AS doc_id, CAST(score AS DOUBLE) AS score, n_matched
+        |FROM scored WHERE n_matched > 0
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // Bigram-LM NLL: non-empty tokens re-ranked per doc, lead() forms
+    // the bigram stream, add-0.5 smoothing over the conditioning
+    // vocabulary; 4dp NLL terms summed as exact decimals.
+    "pipe_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, i AS pos, sp[i] AS w
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(text), ' +') AS sp
+        |        FROM documents),
+        |    unnest(range(1, len(sp) + 1)) AS u(i)),
+        |nt AS (
+        |  SELECT doc, w,
+        |    row_number() OVER (PARTITION BY doc ORDER BY pos) AS rn
+        |  FROM tok WHERE w <> ''),
+        |bg AS (
+        |  SELECT doc, w1, w2 FROM (
+        |    SELECT doc, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc ORDER BY rn) AS w2
+        |    FROM nt) WHERE w2 IS NOT NULL),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni)
+        |SELECT bg.doc AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CAST(round(-ln((big.c12 + 0.5)
+        |    / (uni.c1 + 0.5 * vv.v)), 4) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_nll
+        |FROM bg
+        |  JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+        |  JOIN uni ON bg.w1 = uni.w1, vv
+        |GROUP BY bg.doc""".stripMargin,
 
     "pipe_vocab_idf" ->
       """WITH tok AS (

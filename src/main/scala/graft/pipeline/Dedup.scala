@@ -555,6 +555,49 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup-style semantic deduplication (cluster-then-compare):
+    * partition the embedding space with the deterministic,
+    * engine-portable k-means ([[Similarity.kmeansLloydExact]]), then
+    * compare cosine similarity ONLY within a cluster — the cluster
+    * assignment replaces the LSH bucket as the candidate blocker, so
+    * near-dups that no hash family catches (paraphrases, translations
+    * with aligned embeddings) still pair while the join stays
+    * O(Σ cluster²), never corpus². A document is dropped iff some
+    * lower-id member of its cluster is `threshold`-similar —
+    * deterministic, engine-replayable keep policy (the kept set is
+    * exactly the minimal elements of the within-cluster similarity
+    * relation). Returns (id, cluster, kept).
+    *
+    * Scale shape: k-means is iters × (one narrow scan + a k·dim-row
+    * aggregate); the pair join shuffles once on the cluster id with the
+    * same size cap as every LSH pipeline (at corpus scale k grows with
+    * the corpus — SemDeDup's published config is ~100k clusters — so
+    * cluster populations stay bounded by design, and the cap converts a
+    * degenerate cluster into a diagnostic instead of a quadratic
+    * blowup). */
+  def semDedup(df: DataFrame, id: String, vec: String,
+      threshold: Double, k: Int = 4, iters: Int = 2,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val assigned = Similarity.kmeansLloydExact(df, id, vec, k, iters)
+    val withVec = df.select(col(id).as("id"), col(vec).as("__v"))
+      .join(assigned, Seq("id"))
+      .repartition(col("id"))
+      .localCheckpoint(false) // consumed by both join sides + the output
+    val pruned = capBuckets(withVec, Seq("cluster"), maxClusterSize)
+    val l = pruned.select(col("cluster"), col("id").as("id_a"),
+      col("__v").as("__va"))
+    val r = pruned.select(col("cluster"), col("id").as("id_b"),
+      col("__v").as("__vb"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    withVec.join(dropped.withColumn("__drop", lit(true)), Seq("id"),
+        "left")
+      .select(col("id"), col("cluster"),
+        not(coalesce(col("__drop"), lit(false))).as("kept"))
+  }
+
   /** n-gram Jaccard verification for an arbitrary candidate-pair set:
     * join shingle sets back and compute exact similarity. */
   /** Connected components over near-dup pairs: every doc in a pair gets

@@ -280,4 +280,65 @@ class PipelineSpec extends SparkSpec {
       .head().getAs[org.apache.spark.sql.Row]("decoded")
     assert(dec.getInt(0) === 16 && dec.getInt(1) === 16)
   }
+
+  test("bm25TopK matches the closed-form Okapi scores") {
+    import graft.pipeline.Retrieval
+    val d = docs((1L, "join join hash"), (2L, "join scan scan scan"),
+      (3L, "scan merge"))
+    val got = Retrieval.bm25TopK(d, "doc_id", "text",
+      Seq("join", "hash"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // N=3, avgdl=3; df(join)=2, df(hash)=1 — mirror the formula exactly
+    def idf(dfT: Double) = math.log(1 + (3 - dfT + 0.5) / (dfT + 0.5))
+    def contrib(i: Double, tf: Double, dl: Double) = BigDecimal(
+      i * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = contrib(idf(2), 2, 3) + contrib(idf(1), 1, 3)
+    val s2 = contrib(idf(2), 1, 4)
+    assert(got(1L) === ((s1, 2L)))
+    assert(got(2L) === ((s2, 1L)))
+    assert(!got.contains(3L)) // no query term -> excluded
+    assert(s1 > s2)           // rarer term + higher tf outranks
+  }
+
+  test("bigramNll: add-alpha bigram LM sums match hand computation") {
+    import graft.pipeline.LangModel
+    val d = docs((1L, "a b a b"), (2L, "b a"))
+    val got = LangModel.bigramNll(d, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // bigram counts: (a,b)=2, (b,a)=2; c1: a=2, b=2; V=2
+    // nll(a,b) = nll(b,a) = round(-ln(2.5 / 3), 4) = 0.1823
+    assert(got(1L) === ((3L, 0.5469)))
+    assert(got(2L) === ((1L, 0.1823)))
+  }
+
+  test("filterByNll keeps the q-quantile most-typical documents") {
+    import graft.pipeline.LangModel
+    // d3's bigrams are corpus-unique -> highest NLL
+    val d = docs((1L, "a b a b"), (2L, "a b"), (3L, "x y x y"))
+    val kept = LangModel.filterByNll(d, "doc_id", "text", q = 0.67)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("semDedup drops the higher id of a within-cluster near-dup") {
+    val e = spark.createDataFrame(Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.99f, 0.01f))))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(e, "vec_id", "embedding",
+      threshold = 0.9, k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // clusters: {1, 3} vs {2}; cos(v1, v3) ~ 0.99995 >= 0.9 -> 3 dropped
+    assert(got(1L)._2 === true)
+    assert(got(2L)._2 === true)
+    assert(got(3L)._2 === false)
+    assert(got(1L)._1 === got(3L)._1) // same cluster
+    assert(got(1L)._1 !== got(2L)._1)
+  }
 }

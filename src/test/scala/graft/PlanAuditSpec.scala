@@ -417,4 +417,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  test("semDedup pairs are a cluster equi-join — no cross product") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = pipeline.Dedup.semDedup(e, "vec_id", "embedding",
+      threshold = 0.2, k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("bm25 ranks with a partial top-k, never a global sort") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = pipeline.Retrieval.bm25TopK(d, "doc_id", "text",
+      Seq("join", "hash"), k = 5)
+      .queryExecution.executedPlan.toString
+    // TakeOrderedAndProject = per-partition partial top-k + driver
+    // merge; a Sort+Limit shape would total-sort the corpus
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("bigramNll joins count tables on gram keys — no cross product") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = pipeline.LangModel.bigramNll(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the per-doc reduction is a hash aggregation (map-side partials),
+    // and the bigram window partitions by doc — no global window
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
 }
