@@ -95,6 +95,29 @@ object SparkEntry {
     Array(-2.0, 1.0), Array(-1.0, -1.0), Array(0.0, 1.0),
     Array(1.0, -1.0), Array(2.0, 1.0))
 
+  /** Golden oracles for the BPE gates (literal VALUES; the driver-side
+    * merge loop is not SQL-expressible): regenerate with
+    * `tools/gen_goldens.py` after a testdata change. The algorithm
+    * itself is proven against the classic worked example (Sennrich
+    * 2016) in PipelineSpec. */
+  private val BpeMergesGolden: String =
+    """(0, 'e', 'r'), (1, 'e', '</w>'), (2, 'n', '</w>'),
+      |  (3, 'er', '</w>'), (4, 'o', 'w'), (5, 'ow', '</w>'),
+      |  (6, 'o', 'r'), (7, 's', 't'), (8, 'h', '</w>'),
+      |  (9, 'a', 't'), (10, 'l', 'u'), (11, 'i', 'n'),
+      |  (12, 'a', '</w>'), (13, 'g', '</w>'), (14, 'y', '</w>'),
+      |  (15, 'a', 'r'), (16, 'p', 'ar'), (17, 't', '</w>'),
+      |  (18, 'i', 'n</w>'), (19, 'j', 'o'), (20, 'jo', 'in</w>'),
+      |  (21, 'a', 's'), (22, 'as', 'h</w>'),
+      |  (23, 'h', 'ash</w>')""".stripMargin
+
+  private val BpeEncodeGolden: String =
+    """(0, 104), (1, 277), (2, 181), (3, 103), (4, 169), (5, 221),
+      |  (6, 58), (7, 263), (8, 324), (9, 260), (10, 147), (11, 199),
+      |  (12, 223), (13, 240), (14, 349), (15, 159), (16, 65),
+      |  (17, 291), (18, 293), (19, 44), (20, 262), (21, 134),
+      |  (22, 329), (23, 112)""".stripMargin
+
   /** Golden oracle for `lmm_kinship` (literal VALUES): regenerate with
     * `tools/gen_goldens.py` after an intentional numeric change. The
     * numbers are independently reproduced — dense non-spectral REML
@@ -713,6 +736,30 @@ object SparkEntry {
     "pipe_bm25" -> ((s, dir) =>
       pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", Seq("join", "hash", "vector", "spark"), k = 20)),
+
+    // --- BPE tokenizer training (Sennrich 2016): corpus -> word-freq
+    // dictionary (one shuffle) -> driver-side merge loop over the
+    // bounded dictionary. The merge table is a pure function of the
+    // word frequencies; the oracle pins the golden literal (regenerate
+    // with tools/gen_goldens.py after a corpus change) ----------------------
+    "pipe_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      pipeline.Bpe.trainFromCorpus(t(s, dir, "documents"), "text",
+        numMerges = 24)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "lhs", "rhs")
+    }),
+
+    // --- BPE encoding: per-doc subword token counts under the
+    // corpus-trained merge table (narrow pass, merge table in the
+    // closure); golden oracle like the training gate --------------------
+    "pipe_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = pipeline.Bpe.trainFromCorpus(docs, "text", 24)
+      pipeline.Bpe.tokenCounts(docs.filter(col("doc_id") < 24),
+        "doc_id", "text", merges)
+    }),
 
     // --- corpus bigram-LM NLL (the CCNet-style perplexity quality
     // score): add-alpha bigram model trained on the corpus itself;
@@ -4046,6 +4093,16 @@ object SparkEntry {
         |SELECT doc AS doc_id, CAST(score AS DOUBLE) AS score, n_matched
         |FROM scored WHERE n_matched > 0
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // BPE golden literals (driver-side merge loop is not expressible in
+    // SQL; regenerate with tools/gen_goldens.py from a Verify dump)
+    "pipe_bpe_merges" ->
+      s"""SELECT * FROM (VALUES
+        |  $BpeMergesGolden) AS t(rank, lhs, rhs)""".stripMargin,
+
+    "pipe_bpe_encode" ->
+      s"""SELECT * FROM (VALUES
+        |  $BpeEncodeGolden) AS t(doc_id, n_tokens)""".stripMargin,
 
     // Bigram-LM NLL: non-empty tokens re-ranked per doc, lead() forms
     // the bigram stream, add-0.5 smoothing over the conditioning

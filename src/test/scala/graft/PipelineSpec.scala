@@ -324,6 +324,40 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(1L, 2L))
   }
 
+  test("bpe train reproduces the Sennrich worked example") {
+    import graft.pipeline.Bpe
+    // the classic vocabulary from Sennrich et al. 2016 §3.2
+    val merges = Bpe.train(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o")))
+    val ranks = merges.zipWithIndex.toMap
+    // 'lowest' was never a training word; BPE segments it from pieces
+    assert(Bpe.encodeWord("lowest", ranks) ===
+      Seq("lo", "w", "est</w>"))
+    assert(Bpe.encodeWord("low", ranks) === Seq("lo", "w", "</w>"))
+  }
+
+  test("bpe encode is deterministic and concatenation-faithful") {
+    import graft.pipeline.Bpe
+    val d = docs((1L, "join the hash join"), (2L, "hash hash"))
+    val merges = Bpe.trainFromCorpus(d, "text", numMerges = 6)
+    val toks = d.select(col("doc_id"),
+      Bpe.encodeTokens(col("text"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // stripping the word markers reconstructs the normalized text
+    def rebuild(ts: Seq[String]) =
+      ts.mkString("").replace(Bpe.EndOfWord, " ").trim
+    assert(rebuild(toks(1L)) === "join the hash join")
+    assert(rebuild(toks(2L)) === "hash hash")
+    // every token ends a word iff it carries the end marker; counts
+    // match tokenCounts
+    val counts = Bpe.tokenCounts(d, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) === toks(1L).length.toLong)
+    assert(counts(2L) === toks(2L).length.toLong)
+  }
+
   test("semDedup drops the higher id of a within-cluster near-dup") {
     val e = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)),

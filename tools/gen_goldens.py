@@ -54,3 +54,13 @@ print()
 bn = rows("balding_nichols", ["position", "p0", "n_alt", "n_het"])
 print("__BN_GOLDEN__ (paste into BnGoldenRows):\n")
 print(",\n      |  ".join(bn))
+print()
+
+bpe_m = rows("pipe_bpe_merges", ["rank", "lhs", "rhs"])
+print("__BPE_MERGES_GOLDEN__ (paste into BpeMergesGolden):\n")
+print(", ".join(bpe_m))
+print()
+
+bpe_e = rows("pipe_bpe_encode", ["doc_id", "n_tokens"])
+print("__BPE_ENCODE_GOLDEN__ (paste into BpeEncodeGolden):\n")
+print(", ".join(bpe_e))
