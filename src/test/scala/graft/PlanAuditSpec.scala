@@ -418,6 +418,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("Table.literal joins broadcast from a LocalTableScan") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val lit0 = Table.literal(spark,
+      Seq(org.apache.spark.sql.Row(1L), org.apache.spark.sql.Row(2L)),
+      StructType(Seq(StructField("l_orderkey", LongType))),
+      Seq("l_orderkey"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val plan = li.join(lit0.df, Seq("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("semDedup pairs are a cluster equi-join — no cross product") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = pipeline.Dedup.semDedup(e, "vec_id", "embedding",
