@@ -2978,6 +2978,25 @@ object SparkEntry {
           round(element_at(eg("eigenvalues"), 2), 6).as("ev2"))
     }),
 
+    // --- ndarray inverse (NDArrayInv, ir-gen Main.scala:968): 2x2
+    // inverse has the closed form adj(A)/det — entries chosen so
+    // det >= 10 for every key (never singular) ------------------------------
+    "ndarray_inv" -> ((s, dir) => {
+      import graft.functions.NdArrays
+      val k = col("p_partkey")
+      def e(m: Int, o: Int) = (pmod(k, lit(m)) + o).cast("double")
+      val a = NdArrays.make(Seq(2L, 2L), array(
+        e(7, 2), e(5, 0), e(3, 0), e(11, 9)))
+      val inv = NdArrays.inverse(a)
+      // + 0.0 collapses -0.0 (a zero off-diagonal negated by adj(A))
+      t(s, dir, "part").filter(k <= 20)
+        .select(k.as("p_partkey"),
+          (round(element_at(inv("data"), 1), 6) + lit(0.0)).as("i11"),
+          (round(element_at(inv("data"), 2), 6) + lit(0.0)).as("i12"),
+          (round(element_at(inv("data"), 3), 6) + lit(0.0)).as("i21"),
+          (round(element_at(inv("data"), 4), 6) + lit(0.0)).as("i22"))
+    }),
+
     // --- MatrixKeyRowsBy (MatrixIR.scala:600): re-key the row axis; the
     // new key steers every key-dependent op — here headRows picks the 5
     // smallest (qual, position) rows instead of (contig, position) ----------
@@ -6856,6 +6875,22 @@ object SparkEntry {
         |  round((a + c) / 2 - sqrt((a-c)*(a-c)/4 + bb*bb), 6) AS ev1,
         |  round((a + c) / 2 + sqrt((a-c)*(a-c)/4 + bb*bb), 6) AS ev2
         |FROM b""".stripMargin,
+
+    "ndarray_inv" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 7 + 2 AS DOUBLE) AS a,
+        |    CAST(p_partkey % 5 AS DOUBLE) AS bb,
+        |    CAST(p_partkey % 3 AS DOUBLE) AS c,
+        |    CAST(p_partkey % 11 + 9 AS DOUBLE) AS d
+        |  FROM part WHERE p_partkey <= 20),
+        |w AS (SELECT *, a * d - bb * c AS det FROM b)
+        |SELECT p_partkey,
+        |  round(d / det, 6) + 0.0 AS i11,
+        |  round(-bb / det, 6) + 0.0 AS i12,
+        |  round(-c / det, 6) + 0.0 AS i21,
+        |  round(a / det, 6) + 0.0 AS i22
+        |FROM w""".stripMargin,
 
     "matrix_key_rows_by" ->
       """WITH raw AS (

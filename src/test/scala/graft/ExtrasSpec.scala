@@ -262,4 +262,22 @@ class ExtrasSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(dump(back) == dump(src))
   }
+
+  test("ndarray inverse: inv(A)*A = I; singular input yields null") {
+    import graft.functions.NdArrays
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      NdArrays.make(Seq(2L, 2L),
+        array(lit(4.0), lit(7.0), lit(2.0), lit(6.0))).as("a"),
+      NdArrays.make(Seq(2L, 2L),
+        array(lit(1.0), lit(2.0), lit(2.0), lit(4.0))).as("sing"))
+    val out = df.select(
+      NdArrays.matmul(NdArrays.inverse(col("a")), col("a"))("data")
+        .as("ident"),
+      NdArrays.inverse(col("sing")).as("ns")).head()
+    val id = out.getSeq[Double](0)
+    assert(math.abs(id(0) - 1) < 1e-12 && math.abs(id(3) - 1) < 1e-12)
+    assert(math.abs(id(1)) < 1e-12 && math.abs(id(2)) < 1e-12)
+    assert(out.isNullAt(1))
+  }
 }
