@@ -70,10 +70,10 @@ object Bench {
       "pipe_dedup_exact", "stream_hourly_agg", "vds_combine_densify",
       "rand_seeded", "pipe_knn_join", "pipe_image_dedup", "geno_ld_prune",
       "table_add_index", "pipe_minhash_fast",
-      "table_segment_intervals", "qc_compute_charr",
-      "pipe_dedup_paragraphs", "pipe_quality_filters",
+      "pipe_quality_filters",
       "geno_simulate_mating", "pipe_winnow_pairs", "pipe_ngram_jaccard",
-      "pipe_corpus_clean", "stream_winnow_pairs")
+      "pipe_corpus_clean", "stream_winnow_pairs",
+      "pipe_semdedup", "pipe_lm_score", "pipe_bpe_encode")
     // Locale.ROOT: the one-line JSON contract must not pick up a
     // comma decimal separator from the JVM default locale.
     def num(v: Double): String =

@@ -100,6 +100,16 @@ object SparkEntry {
     * `tools/gen_goldens.py` after a testdata change. The algorithm
     * itself is proven against the classic worked example (Sennrich
     * 2016) in PipelineSpec. */
+  private val QualityClassifierGolden: String =
+    """(0, 0.5092), (1, 0.4126), (2, 0.4393), (3, 0.4494), (4, 0.4286),
+      |  (5, 0.4196), (6, 0.4821), (7, 0.4185), (8, 0.4151),
+      |  (9, 0.4525), (10, 0.4391), (11, 0.4612), (12, 0.4461),
+      |  (13, 0.4007), (14, 0.404), (15, 0.4293), (16, 0.4326),
+      |  (17, 0.4236), (18, 0.4115), (19, 0.4891), (20, 0.3962),
+      |  (21, 0.3967), (22, 0.4146), (23, 0.4369), (24, 0.4219),
+      |  (25, 0.4386), (26, 0.4781), (27, 0.4404), (28, 0.4231),
+      |  (29, 0.4098)""".stripMargin
+
   private val BpeMergesGolden: String =
     """(0, 'e', 'r'), (1, 'e', '</w>'), (2, 'n', '</w>'),
       |  (3, 'er', '</w>'), (4, 'o', 'w'), (5, 'ow', '</w>'),
@@ -736,6 +746,16 @@ object SparkEntry {
     "pipe_bm25" -> ((s, dir) =>
       pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", Seq("join", "hash", "vector", "spark"), k = 20)),
+
+    // --- trainable quality classifier (CCNet-style linear filter):
+    // distributed IRLS with order-free decimal reductions; golden
+    // oracle (IRLS is not SQL-expressible), learning proven on
+    // constructed classes in PipelineSpec -----------------------------------
+    "pipe_quality_classifier" -> ((s, dir) =>
+      pipeline.QualityClassifier.trainAndScore(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", iters = 6)
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), round(col("p"), 4).as("p"))),
 
     // --- BPE tokenizer training (Sennrich 2016): corpus -> word-freq
     // dictionary (one shuffle) -> driver-side merge loop over the
@@ -4112,6 +4132,10 @@ object SparkEntry {
         |SELECT doc AS doc_id, CAST(score AS DOUBLE) AS score, n_matched
         |FROM scored WHERE n_matched > 0
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "pipe_quality_classifier" ->
+      s"""SELECT * FROM (VALUES
+        |  $QualityClassifierGolden) AS t(doc_id, p)""".stripMargin,
 
     // BPE golden literals (driver-side merge loop is not expressible in
     // SQL; regenerate with tools/gen_goldens.py from a Verify dump)

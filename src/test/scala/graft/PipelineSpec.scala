@@ -358,6 +358,53 @@ class PipelineSpec extends SparkSpec {
     assert(counts(2L) === toks(2L).length.toLong)
   }
 
+  test("quality classifier: distributed IRLS equals a local replay " +
+      "and separates constructed classes") {
+    import graft.pipeline.QualityClassifier
+    // class 1 = punctuation-free prose-like; class 0 = symbol-heavy
+    val rows = (0 until 40).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, s"the quick brown fox jumps over dog number $i", 1)
+      else
+        (i.toLong, s"@@## %% !!! ;;; ### $i ??? *** $$$i", 0)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "text", "y")
+    val fs = QualityClassifier.features(col("text"))
+    val w = QualityClassifier.trainLogistic(df, col("y"), fs, iters = 6)
+    // independent local replay: same features, breeze IRLS
+    val feat = df.select((col("y").cast("double") +:
+      fs.map(_._2.cast("double"))): _*).collect()
+      .map(r => (r.getDouble(0), Array(1.0) ++
+        (1 to fs.length).map(r.getDouble)))
+    var beta = breeze.linalg.DenseVector.zeros[Double](fs.length + 1)
+    for (_ <- 0 until 6) {
+      val a = breeze.linalg.DenseMatrix.zeros[Double](beta.length,
+        beta.length)
+      val b = breeze.linalg.DenseVector.zeros[Double](beta.length)
+      feat.foreach { case (y, x) =>
+        val xv = breeze.linalg.DenseVector(x)
+        val eta = beta dot xv
+        val mu = 1.0 / (1.0 + math.exp(-eta))
+        val wgt = math.max(mu * (1 - mu), 1e-10)
+        val z = eta + (y - mu) / wgt
+        a += (xv * xv.t) * wgt
+        b += xv * (wgt * z)
+      }
+      for (i <- 0 until beta.length) a(i, i) += 1e-6
+      beta = a \ b
+    }
+    w.zip(beta.toArray).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+    }
+    // the trained model actually separates the two classes
+    val scored = QualityClassifier
+      .trainAndScore(df, "id", "text", col("y") === 1, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = rows.filter(_._3 == 1).map(r => scored(r._1))
+    val neg = rows.filter(_._3 == 0).map(r => scored(r._1))
+    assert(pos.min > neg.max, s"${pos.min} vs ${neg.max}")
+  }
+
   test("semDedup drops the higher id of a within-cluster near-dup") {
     val e = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)),

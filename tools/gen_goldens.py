@@ -64,3 +64,8 @@ print()
 bpe_e = rows("pipe_bpe_encode", ["doc_id", "n_tokens"])
 print("__BPE_ENCODE_GOLDEN__ (paste into BpeEncodeGolden):\n")
 print(", ".join(bpe_e))
+print()
+
+qc = rows("pipe_quality_classifier", ["doc_id", "p"])
+print("__QC_GOLDEN__ (paste into QualityClassifierGolden):\n")
+print(", ".join(qc))
