@@ -100,6 +100,16 @@ object SparkEntry {
     * `tools/gen_goldens.py` after a testdata change. The algorithm
     * itself is proven against the classic worked example (Sennrich
     * 2016) in PipelineSpec. */
+  private val CompressRatioGolden: String =
+    """(0, 0.6306), (1, 0.4458), (2, 0.5407), (3, 0.6735), (4, 0.556),
+      |  (5, 0.5159), (6, 0.8205), (7, 0.4627), (8, 0.4277),
+      |  (9, 0.4604), (10, 0.5794), (11, 0.5), (12, 0.4713),
+      |  (13, 0.474), (14, 0.4202), (15, 0.5614), (16, 0.8333),
+      |  (17, 0.4554), (18, 0.4515), (19, 1.0175), (20, 0.4543),
+      |  (21, 0.5576), (22, 0.4405), (23, 0.6566), (24, 0.3981),
+      |  (25, 0.4198), (26, 0.9683), (27, 0.4913), (28, 0.494),
+      |  (29, 0.5918)""".stripMargin
+
   private val QualityClassifierGolden: String =
     """(0, 0.5092), (1, 0.4126), (2, 0.4393), (3, 0.4494), (4, 0.4286),
       |  (5, 0.4196), (6, 0.4821), (7, 0.4185), (8, 0.4151),
@@ -746,6 +756,14 @@ object SparkEntry {
     "pipe_bm25" -> ((s, dir) =>
       pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", Seq("join", "hash", "vector", "spark"), k = 20)),
+
+    // --- compression-ratio quality signal (deflate/raw bytes): the
+    // cheap whole-doc complement to the token features; golden oracle
+    // (zlib is not SQL-expressible) -----------------------------------------
+    "pipe_compress_ratio" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          pipeline.Text.deflateRatio(col("text")).as("ratio"))),
 
     // --- trainable quality classifier (CCNet-style linear filter):
     // distributed IRLS with order-free decimal reductions; golden
@@ -4136,6 +4154,10 @@ object SparkEntry {
     "pipe_quality_classifier" ->
       s"""SELECT * FROM (VALUES
         |  $QualityClassifierGolden) AS t(doc_id, p)""".stripMargin,
+
+    "pipe_compress_ratio" ->
+      s"""SELECT * FROM (VALUES
+        |  $CompressRatioGolden) AS t(doc_id, ratio)""".stripMargin,
 
     // BPE golden literals (driver-side merge loop is not expressible in
     // SQL; regenerate with tools/gen_goldens.py from a Verify dump)

@@ -178,6 +178,32 @@ object Text {
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("ips"),
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("phones"))
 
+  /** Compression-ratio quality signal: deflate(level 6) size over raw
+    * UTF-8 size, rounded to 4 decimals. Template/boilerplate text
+    * compresses far below natural prose and random gibberish above it —
+    * the standard cheap complement to the token-level features. The one
+    * UDF in this file (byte-level zlib has no Column form); still a
+    * narrow per-row pass with no shuffle. Deterministic for a fixed JDK
+    * zlib, so golden oracles hold per environment. */
+  val deflateRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) None
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (raw.isEmpty) Some(0.0)
+        else {
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(raw); d.finish()
+          // worst case: stored blocks add ~5 bytes per 16 KiB + header
+          val buf = new Array[Byte](raw.length + raw.length / 1000 + 64)
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+          d.end()
+          Some(math.round(n.toDouble / raw.length * 10000.0) / 10000.0)
+        }
+      }
+    }
+
   /** Language id: CJK codepoint detection + per-language stopword voting —
     * the classic cheap n-gram-free heuristic. Returns a language code. */
   def langId(text: Column): Column = {

@@ -324,6 +324,20 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(1L, 2L))
   }
 
+  test("deflateRatio orders template < prose < gibberish") {
+    val rng = new scala.util.Random(7)
+    val d = docs(
+      (1L, "boilerplate line\n" * 50),
+      (2L, "the quick brown fox jumps over the lazy dog and then " +
+        "considers the consequences of repeated exertion at noon"),
+      (3L, Seq.fill(200)(rng.nextPrintableChar()).mkString))
+    val r = d.select(col("doc_id"),
+      Text.deflateRatio(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < r(2L) && r(2L) < r(3L), r.toString)
+    assert(r.values.forall(v => v > 0 && v < 1.5))
+  }
+
   test("bpe train reproduces the Sennrich worked example") {
     import graft.pipeline.Bpe
     // the classic vocabulary from Sennrich et al. 2016 §3.2

@@ -69,3 +69,8 @@ print()
 qc = rows("pipe_quality_classifier", ["doc_id", "p"])
 print("__QC_GOLDEN__ (paste into QualityClassifierGolden):\n")
 print(", ".join(qc))
+print()
+
+cr = rows("pipe_compress_ratio", ["doc_id", "ratio"])
+print("__COMPRESS_RATIO_GOLDEN__ (paste into CompressRatioGolden):\n")
+print(", ".join(cr))
