@@ -978,6 +978,20 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    // --- int8 scalar-quantized ANN: per-dim min/max quantization, an
+    // EXACT-integer dot-product prescan over the codes (4x less data
+    // read at scale), float-cosine rerank of the C*k best — both
+    // engines replay the integer ranking bit-for-bit ------------------------
+    "pipe_ann_sq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<float>").as("embedding"))
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      pipeline.Similarity.sqTopK(
+        e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     // --- pipeline: IVF ANN with every cell probed — must equal the exact
     // brute-force top-k (the spec checks partial-probe recall) -------------
     "pipe_ann_ivf" -> ((s, dir) => {
@@ -4486,6 +4500,53 @@ object SparkEntry {
     "pipe_ann_topk" -> AnnTopkOracleSql,
     // full-probe IVF degenerates to exact brute force
     "pipe_ann_ivf" -> AnnTopkOracleSql,
+
+    // int8 SQ ANN: L2-normalize, symmetric -127..127 quantization
+    // against per-dim max-abs of the normalized searched set, exact
+    // integer dot prescan (top 40 by (qdot, id)), float-cosine rerank
+    "pipe_ann_sq" ->
+      """WITH nv AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |      AS nrm
+        |  FROM embeddings),
+        |mm AS (
+        |  SELECT list(s ORDER BY d) AS ss FROM (
+        |    SELECT t.d,
+        |      max(abs(CAST(embedding[t.d] AS DOUBLE) / nrm)) AS s
+        |    FROM nv, unnest(range(1, 65)) AS t(d)
+        |    WHERE vec_id <> 0 GROUP BY t.d)),
+        |qv AS (SELECT embedding AS q, nrm AS qnrm FROM nv
+        |       WHERE vec_id = 0),
+        |qq AS (
+        |  SELECT list(qc ORDER BY d) AS qcs FROM (
+        |    SELECT t.d, CASE WHEN ss[t.d] <= 0 THEN 0
+        |      ELSE CAST(round(CAST(q[t.d] AS DOUBLE) / qnrm / ss[t.d]
+        |        * 127.0) AS BIGINT) END AS qc
+        |    FROM qv, mm, unnest(range(1, 65)) AS t(d))),
+        |cand AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (CASE WHEN ss[i] <= 0 THEN 0
+        |        ELSE CAST(round(CAST(embedding[i] AS DOUBLE) / nrm
+        |          / ss[i] * 127.0) AS BIGINT) END)
+        |      * qcs[i])) AS qdot
+        |  FROM nv, mm, qq WHERE vec_id <> 0),
+        |top AS (
+        |  SELECT vec_id, embedding FROM cand
+        |  ORDER BY qdot DESC, vec_id ASC LIMIT 40),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))) AS cos
+        |  FROM top, qv)
+        |SELECT vec_id, round(cos, 6) AS cos FROM scored
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     // LSH ANN: the hyperplanes are seed-deterministic
     // (Similarity.hyperplanes(64, 4, 42)) so they are embedded as literal

