@@ -992,6 +992,20 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    // --- product-quantized ANN (the FAISS codebook recipe): per-
+    // subspace exact-rational k-means codebooks, vectors stored as m
+    // codes, ADC lookup-table scan, float-cosine rerank — the oracle
+    // replays all four subspace codebooks + the ADC ranking in SQL ----------
+    "pipe_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<float>").as("embedding"))
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      pipeline.Similarity.pqTopK(
+        e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     // --- pipeline: IVF ANN with every cell probed — must equal the exact
     // brute-force top-k (the spec checks partial-probe recall) -------------
     "pipe_ann_ivf" -> ((s, dir) => {
@@ -4501,6 +4515,9 @@ object SparkEntry {
     // full-probe IVF degenerates to exact brute force
     "pipe_ann_ivf" -> AnnTopkOracleSql,
 
+    // PQ ANN: four subspace codebooks + ADC ranking, replayed in full
+    "pipe_ann_pq" -> PqAnnOracleSql,
+
     // int8 SQ ANN: L2-normalize, symmetric -127..127 quantization
     // against per-dim max-abs of the normalized searched set, exact
     // integer dot prescan (top 40 by (qdot, id)), float-cosine rerank
@@ -7366,6 +7383,86 @@ object SparkEntry {
   /** Shared oracle for `vcf_import` and `matrix_write_read`. */
   /** Shared oracle for the exact ANN gates (`pipe_ann_topk` and the
     * full-probe IVF path, which must reproduce it exactly). */
+  /** One PQ subspace's oracle CTEs (subspace `s`, dims 16s+1..16s+16):
+    * grid slice -> k=4 exact-rational Lloyd round (init by lowest ids,
+    * one update, final assignment) -> query-to-centroid ADC distances.
+    * Mirrors `Similarity.kmeansLloydExactStates` on the slice. */
+  private def pqSubspaceCtes(s: Int): String = {
+    val lo = s * 16 + 1
+    s"""e$s AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(range($lo, ${lo + 16}),
+       |      d -> CAST(round(CAST(embedding[d] AS DOUBLE) * 1000)
+       |        AS BIGINT)) AS v
+       |  FROM embeddings WHERE vec_id <> 0),
+       |i$s AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS sv,
+       |    CAST(1 AS BIGINT) AS n
+       |  FROM (SELECT id, v FROM e$s ORDER BY id LIMIT 4)),
+       |x$s AS (
+       |  SELECT id, v, c FROM (
+       |    SELECT e.id, e.v, i.c,
+       |      row_number() OVER (PARTITION BY e.id ORDER BY
+       |        CAST(list_reduce(list_transform(range(1, 17),
+       |          d -> (e.v[d]*i.n - i.sv[d])*(e.v[d]*i.n - i.sv[d])),
+       |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+       |    FROM e$s e, i$s i) WHERE rk = 1),
+       |u$s AS (
+       |  SELECT c, list(sd ORDER BY d) AS sv, max(n) AS n FROM (
+       |    SELECT x.c, t.d, CAST(sum(x.v[t.d]) AS BIGINT) AS sd,
+       |      CAST(count(*) AS BIGINT) AS n
+       |    FROM x$s x, unnest(range(1, 17)) AS t(d)
+       |    GROUP BY x.c, t.d) GROUP BY c),
+       |c$s AS (
+       |  SELECT i.c, COALESCE(u.sv, i.sv) AS sv, COALESCE(u.n, i.n) AS n
+       |  FROM i$s i LEFT JOIN u$s u ON i.c = u.c),
+       |g$s AS (
+       |  SELECT id, c FROM (
+       |    SELECT e.id, i.c,
+       |      row_number() OVER (PARTITION BY e.id ORDER BY
+       |        CAST(list_reduce(list_transform(range(1, 17),
+       |          d -> (e.v[d]*i.n - i.sv[d])*(e.v[d]*i.n - i.sv[d])),
+       |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+       |    FROM e$s e, c$s i) WHERE rk = 1),
+       |q$s AS (
+       |  SELECT list_transform(range($lo, ${lo + 16}),
+       |    d -> CAST(round(CAST(embedding[d] AS DOUBLE) * 1000)
+       |      AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |d$s AS (
+       |  SELECT i.c,
+       |    CAST(list_reduce(list_transform(range(1, 17),
+       |      d -> (q.qv[d]*i.n - i.sv[d])*(q.qv[d]*i.n - i.sv[d])),
+       |      (a, b) -> a + b) AS DOUBLE) / (i.n*i.n) AS dist
+       |  FROM c$s i, q$s q)""".stripMargin
+  }
+
+  private val PqAnnOracleSql: String = {
+    val subs = (0 until 4).map(pqSubspaceCtes).mkString(",\n")
+    s"""WITH $subs,
+       |cand AS (
+       |  SELECT g0.id,
+       |    d0.dist + d1.dist + d2.dist + d3.dist AS adcd
+       |  FROM g0, g1, g2, g3, d0, d1, d2, d3
+       |  WHERE g1.id = g0.id AND g2.id = g0.id AND g3.id = g0.id
+       |    AND d0.c = g0.c AND d1.c = g1.c AND d2.c = g2.c
+       |    AND d3.c = g3.c),
+       |top AS (SELECT id FROM cand ORDER BY adcd ASC, id ASC LIMIT 40),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |rr AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, 65), i ->
+       |      CAST(e.embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, 65), i ->
+       |        CAST(e.embedding[i] AS DOUBLE)
+       |          * CAST(e.embedding[i] AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(range(1, 65), i ->
+       |        CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))) AS cos
+       |  FROM embeddings e JOIN top ON e.vec_id = top.id, qv)
+       |SELECT vec_id, round(cos, 6) AS cos FROM rr
+       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   private val AnnTopkOracleSql: String =
     """WITH q AS (
       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -225,7 +225,15 @@ object Similarity {
     * literals + a groupBy on (cluster, dim) whose output is k*dim rows
     * (collected — bounded by k, not data). */
   def kmeansLloydExact(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    kmeansLloydExactStates(df, idCol, vecCol, k, iters)._1
+
+  /** As [[kmeansLloydExact]], also returning the final EXACT centroid
+    * states (per-dim grid-coordinate sums, member count) — the ADC
+    * tables of [[pqTopK]] derive from them. */
+  private[graft] def kmeansLloydExactStates(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int)
+      : (DataFrame, Seq[(Seq[Long], Long)]) = {
     val grid = df.select(col(idCol).as("id"),
         transform(col(vecCol), x =>
           round(x.cast("double") * 1000).cast("long")).as("__v"))
@@ -267,7 +275,66 @@ object Similarity {
       }
       t += 1
     }
-    assign().select(col("id"), col("cluster"))
+    (assign().select(col("id"), col("cluster")), cents)
+  }
+
+  /** Product-quantized (PQ) ANN — the codebook scale path (the FAISS
+    * recipe): split dimensions into `m` subspaces, learn a small
+    * exact-rational k-means codebook per subspace, store every vector
+    * as `m` small codes, and answer a query by ADC (asymmetric
+    * distance computation): a per-subspace lookup table of
+    * query-to-centroid distances, summed over the codes — at 100 TB
+    * the scan reads m bytes per vector instead of 4·dim, and the
+    * codebooks/tables are driver literals. Determinism: codebooks come
+    * from [[kmeansLloydExactStates]] (exact rational states on the
+    * 1e-3 grid), the query quantizes to the same grid, so every ADC
+    * entry is an exact integer numerator over n² — both engines rank
+    * identically. Final `k` re-ranked by exact float cosine with id
+    * tiebreaks, like [[sqTopK]]. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, m: Int = 4, kCodes: Int = 4,
+      iters: Int = 1, rerankFactor: Int = 4): DataFrame = {
+    val dim = query.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .localCheckpoint(false) // sliced m times + reranked
+    // per-subspace codebooks + assignments
+    val subs = (0 until m).map { s =>
+      val sliced = base.select(col("id"),
+        slice(col("__v"), s * subDim + 1, subDim).as("__s"))
+      val (asg, cents) =
+        kmeansLloydExactStates(sliced, "id", "__s", kCodes, iters)
+      (asg.withColumnRenamed("cluster", s"__c$s"), cents)
+    }
+    // ADC tables: exact distance of the grid-quantized query subvector
+    // to each centroid's rational state
+    val adc: Seq[Seq[Double]] = (0 until m).map { s =>
+      val qg = query.slice(s * subDim, (s + 1) * subDim)
+        .map(x => math.round(x.toDouble * 1000))
+      subs(s)._2.map { case (cs, n) =>
+        var num = 0L
+        var d = 0
+        while (d < subDim) {
+          val diff = qg(d) * n - cs(d); num += diff * diff; d += 1
+        }
+        num.toDouble / (n * n)
+      }
+    }
+    val coded = subs.map(_._1)
+      .foldLeft(base.select(col("id"), col("__v")))((acc, a) =>
+        acc.join(a, Seq("id")))
+    val dist = (0 until m).map(s =>
+      element_at(array(adc(s).map(lit): _*), col(s"__c$s").cast("int") + 1))
+      .reduce(_ + _)
+    val cand = coded.select(col("id"), col("__v"), dist.as("__adc"))
+      .orderBy(col("__adc").asc, col("id").asc)
+      .limit(k * rerankFactor)
+    val qVec = array(query.map(lit): _*)
+    cand.withColumn("cos", cosine(col("__v"), qVec))
+      .select(col("id").as(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside

@@ -343,6 +343,26 @@ class PipelineSpec extends SparkSpec {
     assert(exact.count(sq.contains) >= 7, s"recall ${exact.count(sq.contains)}/10")
   }
 
+  test("pq ANN: full rerank equals brute force; ADC prescan recalls") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>").as("embedding"))
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val rest = e.filter(col("vec_id") =!= 0L)
+    val n = rest.count().toInt
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, 10).collect().map(_.getLong(0)).toSeq
+    val full = Similarity.pqTopK(rest, "vec_id", "embedding", q, 10,
+      rerankFactor = n).collect().map(_.getLong(0)).toSeq
+    assert(full === exact)
+    val pq = Similarity.pqTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    // 4 subspaces x 4 codes is a coarse codebook; the prescan must
+    // still beat random (10/n) by a wide margin
+    assert(exact.count(pq.contains) >= 3,
+      s"recall ${exact.count(pq.contains)}/10")
+  }
+
   test("deflateRatio orders template < prose < gibberish") {
     val rng = new scala.util.Random(7)
     val d = docs(
