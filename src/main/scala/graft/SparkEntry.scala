@@ -1972,6 +1972,31 @@ object SparkEntry {
 
     // --- skew-salted equi-join: identical results to the plain join,
     // with the hot keys fanned over deterministic salts -------------------
+    // --- as-of join (merge_asof / kdb aj — an operator Spark lacks):
+    // each click joined to the user's most recent purchase at-or-
+    // before it, within a 1-hour tolerance. The union-and-carry plan
+    // shuffles ONCE on the user key — no range join, no per-key
+    // quadratic work; DuckDB's native ASOF JOIN is the oracle ---------------
+    "table_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val e2 = ev.withColumn("tns",
+        streaming.Events.tsNanos(col("ts"), ev.schema("ts").dataType))
+      val clicks = e2.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tns"))
+      // tie-free right side: one purchase per (user, ts), max event_id
+      val purch0 = e2.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tns").as("p_tns"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      val w = Window.partitionBy("user_id", "p_tns")
+        .orderBy(col("p_event_id").desc)
+      val purch = purch0.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      operators.AsOfJoin.backward(clicks, purch, Seq("user_id"),
+        "tns", "p_tns", Seq("p_event_id", "p_value"),
+        toleranceNs = Some(3600L * 1000000000L))
+    }),
+
     "table_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
@@ -6160,6 +6185,33 @@ object SparkEntry {
         |  ('chr1', 400, 1000, 600, 'VB', 30, 0, 0.0, 1717, 2.861667))
         |AS t(contig, start, "end", interval_size, s, dp_threshold,
         |  bases_over, fraction_over, sum_dp, mean_dp)""".stripMargin,
+
+    "table_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type,
+        |    value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, tns FROM e
+        |      WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, tns AS p_tns, event_id AS p_event_id,
+        |         value AS p_value
+        |       FROM e WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, p_tns, p_event_id, p_value FROM (
+        |    SELECT p0.*, row_number() OVER (
+        |      PARTITION BY user_id, p_tns
+        |      ORDER BY p_event_id DESC) AS rn
+        |    FROM p0) WHERE rn = 1),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.tns,
+        |    p.p_event_id, p.p_tns, p.p_value
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.tns >= p.p_tns)
+        |SELECT event_id, user_id, tns,
+        |  CASE WHEN tns - p_tns <= 3600000000000
+        |    THEN p_event_id END AS p_event_id,
+        |  CASE WHEN tns - p_tns <= 3600000000000
+        |    THEN p_value END AS p_value
+        |FROM j""".stripMargin,
 
     "table_salted_join" ->
       """SELECT l.l_orderkey AS o_orderkey, l.l_partkey, l.l_quantity,

@@ -432,6 +432,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("asOfJoin is union-and-carry — one key window, no range join") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val e2 = ev.withColumn("tns", graft.streaming.Events.tsNanos(
+      col("ts"), ev.schema("ts").dataType))
+    val l = e2.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tns"))
+    val r = e2.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tns").as("rt"),
+        col("value").as("rv"))
+    val plan = graft.operators.AsOfJoin.backward(l, r, Seq("user_id"),
+      "tns", "rt", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    // the whole join is a union + ONE keyed window — never a join node
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("Union"), plan.take(2000))
+  }
+
   test("semDedup pairs are a cluster equi-join — no cross product") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = pipeline.Dedup.semDedup(e, "vec_id", "embedding",

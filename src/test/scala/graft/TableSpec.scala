@@ -307,4 +307,30 @@ class TableSpec extends SparkSpec {
     // order-sensitive consumers still correct through ensureKeyOrder
     assert(back.collect().map(_.getLong(0)).toSeq === (0L until 200L))
   }
+
+  test("asOfJoin backward: equal-time match, tolerance, ties, no-match") {
+    import org.apache.spark.sql.functions._
+    val left = spark.createDataFrame(Seq(
+      (1L, 100L, 50L),  // matches right at 40 (most recent <= 50)
+      (2L, 100L, 40L),  // equal time counts as at-or-before
+      (3L, 100L, 9L),   // before any right row -> null
+      (4L, 200L, 500L), // match at 10 but older than tolerance -> null
+      (5L, 300L, 50L)   // user with no right rows -> null
+    )).toDF("id", "user", "t")
+    val right = spark.createDataFrame(Seq(
+      (100L, 10L, "a"), (100L, 40L, "b1"), (100L, 40L, "b2"),
+      (200L, 10L, "c")
+    )).toDF("user", "rt", "tag")
+    val got = graft.operators.AsOfJoin.backward(
+      left, right, Seq("user"), "t", "rt", Seq("tag"),
+      toleranceNs = Some(100L), tieBreak = Seq("tag"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(got === Map(
+      1L -> "b2", // tie at rt=40 resolves to the largest tieBreak
+      2L -> "b2", // equal time included
+      3L -> null,
+      4L -> null, // 500 - 10 > 100 tolerance
+      5L -> null))
+  }
 }
