@@ -757,6 +757,12 @@ object SparkEntry {
       pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", Seq("join", "hash", "vector", "spark"), k = 20)),
 
+    // --- RAG-style chunking: 64-char windows every 48 chars (16
+    // overlap), one codegen'd generator pass ---------------------------------
+    "pipe_chunk_docs" -> ((s, dir) =>
+      pipeline.Text.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        size = 64, step = 48)),
+
     // --- compression-ratio quality signal (deflate/raw bytes): the
     // cheap whole-doc complement to the token features; golden oracle
     // (zlib is not SQL-expressible) -----------------------------------------
@@ -4211,6 +4217,15 @@ object SparkEntry {
     "pipe_compress_ratio" ->
       s"""SELECT * FROM (VALUES
         |  $CompressRatioGolden) AS t(doc_id, ratio)""".stripMargin,
+
+    "pipe_chunk_docs" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1, 48)) AS st
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST((st - 1) / 48 AS BIGINT) AS chunk_idx,
+        |  CAST(st AS BIGINT) AS start, substr(text, CAST(st AS INTEGER), 64) AS chunk
+        |FROM s""".stripMargin,
 
     // BPE golden literals (driver-side merge loop is not expressible in
     // SQL; regenerate with tools/gen_goldens.py from a Verify dump)

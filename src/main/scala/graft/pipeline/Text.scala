@@ -178,6 +178,24 @@ object Text {
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("ips"),
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("phones"))
 
+  /** Overlapping character-window chunking (the RAG/embedding-prep
+    * pass): windows of `size` chars starting every `step` chars
+    * (overlap = size - step), 1-based starts, trailing windows kept
+    * short. One generator pass — sequence + posexplode + substr are
+    * all codegen'd; no shuffle, no state. */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, size: Int, step: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(size > 0 && step > 0, "size and step must be positive")
+    df.filter(length(col(text)) > 0)
+      .select(col(id), col(text).as("__t"),
+        posexplode(sequence(lit(1), length(col(text)), lit(step)))
+          .as(Seq("chunk_idx", "__st")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__st").cast("long").as("start"),
+        col("__t").substr(col("__st"), lit(size)).as("chunk"))
+  }
+
   /** Compression-ratio quality signal: deflate(level 6) size over raw
     * UTF-8 size, rounded to 4 decimals. Template/boilerplate text
     * compresses far below natural prose and random gibberish above it —

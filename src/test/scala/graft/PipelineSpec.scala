@@ -343,6 +343,16 @@ class PipelineSpec extends SparkSpec {
     assert(exact.count(sq.contains) >= 7, s"recall ${exact.count(sq.contains)}/10")
   }
 
+  test("chunkDocs: overlap, trailing short window, empty doc dropped") {
+    val d = docs((1L, "abcdefghij"), (2L, ""))
+    val got = Text.chunkDocs(d, "doc_id", "text", size = 4, step = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got === Set(
+      (1L, 0L, 1L, "abcd"), (1L, 1L, 4L, "defg"),
+      (1L, 2L, 7L, "ghij"), (1L, 3L, 10L, "j")))
+  }
+
   test("pq ANN: full rerank equals brute force; ADC prescan recalls") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0L)
