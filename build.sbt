@@ -30,11 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] single-JVM runs the whole 194-query gate fleet in one
+  // local[32] single-JVM runs the whole ~240-query gate fleet in one
   // heap: at 8g the old gen fills over the run and late/allocation-heavy
-  // queries degrade 3-5x from GC churn (the container has 128 GiB).
-  // A larger code cache keeps the JIT from deoptimizing the hundreds of
-  // large whole-stage-codegen classes the fleet compiles.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // queries degrade 3-5x from GC churn; at 24g occasional mid-fleet
+  // queries still spiked 3-9x over their isolated times (old-gen
+  // pressure), which 48g removes — full-fleet A/B 88.2 s -> ~84 s with
+  // a visibly tighter per-query distribution (the container has
+  // 128 GiB). A larger code cache keeps the JIT from deoptimizing the
+  // hundreds of large whole-stage-codegen classes the fleet compiles.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:ReservedCodeCacheSize=512m",
 )
