@@ -1965,6 +1965,16 @@ object SparkEntry {
         s"graft_stream_lp_${System.nanoTime()}")
     }),
 
+    // --- streaming quantile sketch: the KLL udaf as complete-mode
+    // stream state (one bounded sketch per event_type); exact vs
+    // quantile_cont while each group's n <= k — which holds at the
+    // oracle's sf0.01 ------------------------------------------------------
+    "stream_approx_cdf" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      streaming.Events.runValueQuantiles(s, s"$dir/events.parquet",
+        schema, s"graft_stream_qt_${System.nanoTime()}")
+    }),
+
     // --- streaming exact dedup: a REAL readStream through
     // dropDuplicatesWithinWatermark; the key SET is order-independent,
     // so the oracle is a plain DISTINCT ------------------------------------
@@ -6253,6 +6263,13 @@ object SparkEntry {
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // exact while per-type n <= k (holds at sf0.01)
+    "stream_approx_cdf" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS median_value,
+        |  round(quantile_cont(value, 0.9), 6) AS p90_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // identical to stream_sessionize_batch: the streaming kernel with
     // the watermark flush must reproduce the batch closed form exactly

@@ -190,6 +190,37 @@ object Events {
     }
   }
 
+  /** Streaming quantile sketches: the KLL-style `Aggs.approxCdf`
+    * typed aggregator lifted onto a complete-mode stream group-by —
+    * state is one bounded sketch per group, so percentile monitoring
+    * over an unbounded feed holds O(groups · k) state at any stream
+    * length. While a group's total stays <= k the sketch is EXACT and
+    * the result equals `quantile_cont` bit-for-bit (the parity the
+    * oracle checks); past k it degrades gracefully to the sketch
+    * guarantee, identically in batch and stream. */
+  def runValueQuantiles(spark: SparkSession, path: String,
+      schema: StructType, sinkName: String, k: Int = 4096,
+      numStatePartitions: Int = 8): DataFrame = {
+    val dir = stageAsDir(path, "graft_sqtl")
+    withStatePartitions(spark, numStatePartitions) {
+      val q = readEventStream(spark, dir, schema)
+        .groupBy(col("event_type"))
+        .agg(graft.operators.Aggs.approxCdf(col("value"), k).as("cdf"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName).select(col("event_type"),
+      round(graft.operators.Aggs.sketchQuantileUdf(col("cdf"),
+        lit(0.5)), 6).as("median_value"),
+      round(graft.operators.Aggs.sketchQuantileUdf(col("cdf"),
+        lit(0.9)), 6).as("p90_value"))
+  }
+
   /** Streaming exact dedup — the pipeline's `Dedup.exact` for live
     * ingestion: `dropDuplicates` on the id columns under an event-time
     * watermark, so Spark keeps one state entry per key and EVICTS it

@@ -226,4 +226,36 @@ class StreamingSpec extends SparkSpec {
       (1L, base, base + 20 * sec, 3L, 4.5),
       (2L, base, base, 1L, 1.5)))
   }
+
+  test("streaming approxCdf: sketch state merges across micro-batches " +
+      "and stays exact while n <= k") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // three files -> three triggers: the complete-mode sketch state
+    // must merge to the same exact quantiles as one batch pass
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqt1")
+    for (i <- 0 until 3)
+      events.filter(pmod(col("event_id"), lit(3L)) === i).coalesce(1)
+        .write.parquet(s"$dir/f$i")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sqt2")
+    for (i <- 0 until 3) {
+      val f = new java.io.File(s"$dir/f$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(s"f$i.parquet"), f.toPath)
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    val got = toMap(Events.runValueQuantiles(spark, streamDir.toString,
+      events.schema, "spec_stream_qt"))
+    val want = toMap(events.groupBy(col("event_type"))
+      .agg(graft.operators.Aggs.approxCdf(col("value"), 4096).as("cdf"))
+      .select(col("event_type"),
+        round(graft.operators.Aggs.sketchQuantileUdf(col("cdf"),
+          lit(0.5)), 6).as("m"),
+        round(graft.operators.Aggs.sketchQuantileUdf(col("cdf"),
+          lit(0.9)), 6).as("p")))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
