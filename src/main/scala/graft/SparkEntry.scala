@@ -100,6 +100,38 @@ object SparkEntry {
     * `tools/gen_goldens.py` after a testdata change. The algorithm
     * itself is proven against the classic worked example (Sennrich
     * 2016) in PipelineSpec. */
+  /** Shared bigram-LM oracle CTEs (see `LangModel.bigramNll`): ends in
+    * `sc(doc_id, n_bigrams, sum_nll)`. */
+  private val LmNllCtes: String =
+    """tok AS (
+      |  SELECT doc_id AS doc, i AS pos, sp[i] AS w
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(text), ' +') AS sp
+      |        FROM documents),
+      |    unnest(range(1, len(sp) + 1)) AS u(i)),
+      |nt AS (
+      |  SELECT doc, w,
+      |    row_number() OVER (PARTITION BY doc ORDER BY pos) AS rn
+      |  FROM tok WHERE w <> ''),
+      |bg AS (
+      |  SELECT doc, w1, w2 FROM (
+      |    SELECT doc, w AS w1,
+      |      lead(w) OVER (PARTITION BY doc ORDER BY rn) AS w2
+      |    FROM nt) WHERE w2 IS NOT NULL),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      |sc AS (
+      |  SELECT bg.doc AS doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CAST(round(-ln((big.c12 + 0.5)
+      |      / (uni.c1 + 0.5 * vv.v)), 4) AS DECIMAL(18,4))) AS DOUBLE)
+      |      AS sum_nll
+      |  FROM bg
+      |    JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+      |    JOIN uni ON bg.w1 = uni.w1, vv
+      |  GROUP BY bg.doc)""".stripMargin
+
   private val CompressRatioGolden: String =
     """(0, 0.6306), (1, 0.4458), (2, 0.5407), (3, 0.6735), (4, 0.556),
       |  (5, 0.5159), (6, 0.8205), (7, 0.4627), (8, 0.4277),
@@ -780,6 +812,13 @@ object SparkEntry {
         "doc_id", "text", col("lang") === "en", iters = 6)
         .filter(col("doc_id") < 30)
         .select(col("doc_id"), round(col("p"), 4).as("p"))),
+
+    // --- LM quantile filter: keep the half of the corpus most typical
+    // under its own bigram LM (rank on the rounded mean NLL, id ties) -------
+    "pipe_lm_filter" -> ((s, dir) =>
+      pipeline.LangModel.filterByNll(t(s, dir, "documents"), "doc_id",
+        "text", q = 0.5)
+        .select(col("doc_id"), col("n_bigrams"), col("sum_nll"))),
 
     // --- BPE tokenizer training (Sennrich 2016): corpus -> word-freq
     // dictionary (one shuffle) -> driver-side merge loop over the
@@ -4251,33 +4290,21 @@ object SparkEntry {
     // the bigram stream, add-0.5 smoothing over the conditioning
     // vocabulary; 4dp NLL terms summed as exact decimals.
     "pipe_lm_score" ->
-      """WITH tok AS (
-        |  SELECT doc_id AS doc, i AS pos, sp[i] AS w
-        |  FROM (SELECT doc_id,
-        |          string_split_regex(lower(text), ' +') AS sp
-        |        FROM documents),
-        |    unnest(range(1, len(sp) + 1)) AS u(i)),
-        |nt AS (
-        |  SELECT doc, w,
-        |    row_number() OVER (PARTITION BY doc ORDER BY pos) AS rn
-        |  FROM tok WHERE w <> ''),
-        |bg AS (
-        |  SELECT doc, w1, w2 FROM (
-        |    SELECT doc, w AS w1,
-        |      lead(w) OVER (PARTITION BY doc ORDER BY rn) AS w2
-        |    FROM nt) WHERE w2 IS NOT NULL),
-        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-        |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni)
-        |SELECT bg.doc AS doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(CAST(round(-ln((big.c12 + 0.5)
-        |    / (uni.c1 + 0.5 * vv.v)), 4) AS DECIMAL(18,4))) AS DOUBLE)
-        |    AS sum_nll
-        |FROM bg
-        |  JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
-        |  JOIN uni ON bg.w1 = uni.w1, vv
-        |GROUP BY bg.doc""".stripMargin,
+      s"""WITH $LmNllCtes
+        |SELECT doc_id, n_bigrams, sum_nll FROM sc""".stripMargin,
+
+    // quantile filter over the same scores: rank on the 6dp-rounded
+    // mean with id ties, keep floor(n * 0.5)
+    "pipe_lm_filter" ->
+      s"""WITH $LmNllCtes,
+        |r AS (SELECT *, round(sum_nll / n_bigrams, 6) AS nll_r
+        |      FROM sc),
+        |k AS (SELECT CAST(floor(count(*) * 0.5) AS BIGINT) AS keep
+        |      FROM r)
+        |SELECT doc_id, n_bigrams, sum_nll FROM (
+        |  SELECT r.*, row_number() OVER (ORDER BY nll_r, doc_id) AS rk
+        |  FROM r), k
+        |WHERE rk <= keep""".stripMargin,
 
     "pipe_vocab_idf" ->
       """WITH tok AS (

@@ -72,16 +72,20 @@ object LangModel {
 
   /** Corpus slice above/below an NLL quantile — the actual filter pass:
     * keep documents whose mean NLL is below the `q`-quantile of the
-    * corpus (exact rank, deterministic ties by id). */
+    * corpus. Ranks on the 6-decimal ROUNDED mean with id tiebreaks, so
+    * membership is reproducible across engines (an unrounded mean's
+    * last ulp is division-order sensitive); the rank itself is the
+    * two-phase distributed scan — one range exchange, never a
+    * single-task window. */
   def filterByNll(df: DataFrame, id: String, text: String, q: Double,
       alpha: Double = 0.5): DataFrame = {
-    val scored = bigramNll(df, id, text, alpha).localCheckpoint(false)
+    val scored = bigramNll(df, id, text, alpha)
+      .withColumn("nll_r", round(col("nll"), 6))
+      .localCheckpoint(false)
     val n = scored.count()
     val keep = math.max(1L, math.floor(n * q).toLong)
-    // global rank over (nll, id) via the two-phase distributed scan —
-    // one range exchange, never a single-task window
     graft.operators.Scans
-      .runningCount(scored, Seq("nll", id), "__rk", inclusive = true)
-      .filter(col("__rk") <= keep).drop("__rk")
+      .runningCount(scored, Seq("nll_r", id), "__rk", inclusive = true)
+      .filter(col("__rk") <= keep).drop("__rk", "nll_r")
   }
 }
