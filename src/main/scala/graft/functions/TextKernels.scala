@@ -412,6 +412,54 @@ object SortedIntersectCountExpr {
   }
 }
 
+/** 60-bit SimHash of a (distinct) token array in ONE fused per-row
+  * pass: per token, the unsigned value of the first 15 hex digits of
+  * its md5 (exactly `conv(substring(md5(t),1,15),16,10)`); per bit, a
+  * majority vote over the tokens (> half set the bit). Replaces the
+  * explode + 60-sum-aggregate relational formulation — same longs
+  * bit-for-bit, none of its token-table shuffle. */
+case class SimHash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "graft_simhash64"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(tokensAny: Any): Any = {
+    val arr = tokensAny.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val counts = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var s = 0
+    while (s < m) {
+      md.reset()
+      val dig = md.digest(arr.getUTF8String(s).getBytes)
+      // unsigned value of hex digits 1..15 = bytes 0..6 + high nibble
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((dig(7) & 0xf0L) >>> 4)
+      var b = 0
+      while (b < 60) {
+        if (((v >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      s += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) * 2 > m) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextKernels {
   /** Distinct n-word shingles of a (split+lower builtin) token array. */
   def shinglesOfTokens(tokens: Column, n: Int): Column =
@@ -436,6 +484,11 @@ object TextKernels {
   def intersectCount(a: Column, b: Column): Column =
     GraftBridge.column(DistinctIntersectCountExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Fused 60-bit simhash of a distinct-token array
+    * (see SimHash64Expr). */
+  def simHash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
 
   /** |A ∩ B| of SORTED distinct string arrays by merge-walk. */
   def sortedIntersectCount(a: Column, b: Column): Column =

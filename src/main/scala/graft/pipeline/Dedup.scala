@@ -470,9 +470,22 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String,
       prefixBits: Int = 16, maxDist: Int = 6,
       maxBucketSize: Int = 10000): DataFrame = {
-    // relational simhash: explode tokens and take the 60 per-bit votes as
-    // plain sum() aggregates — fully codegen'd, unlike higher-order array
-    // folds (CodegenFallback, ~10x slower interpreted)
+    // ONE fused per-row kernel pass (SimHash64Expr) — same longs as the
+    // explode + 60-sum-aggregate relational formulation (kept below for
+    // the parity spec) with none of its token-table shuffle
+    val sigs = df
+      .select(col(id).as("doc"),
+        array_distinct(Text.tokens(col(text))).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc"),
+        graft.functions.TextKernels.simHash64(col("__w")).as("sig"))
+    signaturePairs(sigs, prefixBits, maxDist, maxBucketSize, sigBits = 60)
+  }
+
+  /** The relational simhash formulation the fused kernel replaced —
+    * parity anchor for `PipelineSpec` (bit-identical by construction). */
+  private[graft] def simhashSigsRelational(df: DataFrame, id: String,
+      text: String): DataFrame = {
     val tok = df.select(col(id).as("doc"),
       explode(array_distinct(Text.tokens(col(text)))).as("t"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10)
@@ -481,12 +494,10 @@ object Dedup {
       count(lit(1)).as("n"),
       (0 until 60).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b")): _*)
-    // signature = the 60 bit votes folded to one long
-    val sigs = votes.select(col("doc"),
+    votes.select(col("doc"),
       (0 until 60).map(b =>
         when(col(s"b$b") * 2 > col("n"), math.pow(2.0, b).toLong)
           .otherwise(0L)).reduce(_ + _).as("sig"))
-    signaturePairs(sigs, prefixBits, maxDist, maxBucketSize, sigBits = 60)
   }
 
   /** Prefix-bucket LSH + full hamming verification over (doc, sig) long

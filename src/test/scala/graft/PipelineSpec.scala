@@ -343,6 +343,21 @@ class PipelineSpec extends SparkSpec {
     assert(exact.count(sq.contains) >= 7, s"recall ${exact.count(sq.contains)}/10")
   }
 
+  test("fused simhash kernel equals the relational 60-vote formulation") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kernel = d
+      .select(col("doc_id").as("doc"),
+        array_distinct(Text.tokens(col("text"))).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc"),
+        graft.functions.TextKernels.simHash64(col("__w")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relational = Dedup.simhashSigsRelational(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === relational)
+    assert(kernel.nonEmpty)
+  }
+
   test("chunkDocs: overlap, trailing short window, empty doc dropped") {
     val d = docs((1L, "abcdefghij"), (2L, ""))
     val got = Text.chunkDocs(d, "doc_id", "text", size = 4, step = 3)
