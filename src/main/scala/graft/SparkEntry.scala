@@ -789,6 +789,17 @@ object SparkEntry {
       pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", Seq("join", "hash", "vector", "spark"), k = 20)),
 
+    // --- length-bucketed batching (pad-minimizing batch prep): bucket
+    // by token count, rank in-bucket on the distributed scan minus
+    // broadcast offsets, 16 ranks per batch ---------------------------------
+    "pipe_length_batches" -> ((s, dir) =>
+      pipeline.Sampling.lengthBucketBatches(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", pipeline.Text.tokenCount(col("text")),
+        bounds = Seq(40L, 60L, 80L), batchSize = 16)
+        .select(col("doc_id"), col("bucket"), col("rank_in_bucket"),
+          col("batch_id"))),
+
     // --- RAG-style chunking: 64-char windows every 48 chars (16
     // overlap), one codegen'd generator pass ---------------------------------
     "pipe_chunk_docs" -> ((s, dir) =>
@@ -4266,6 +4277,25 @@ object SparkEntry {
     "pipe_compress_ratio" ->
       s"""SELECT * FROM (VALUES
         |  $CompressRatioGolden) AS t(doc_id, ratio)""".stripMargin,
+
+    "pipe_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), ' +')) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(n >= 40 AS INTEGER) + CAST(n >= 60 AS INTEGER)
+        |      + CAST(n >= 80 AS INTEGER) AS BIGINT) AS bucket
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+        |      AS rk
+        |  FROM b)
+        |SELECT doc_id, bucket, CAST(rk AS BIGINT) AS rank_in_bucket,
+        |  CAST(floor(rk / 16) AS BIGINT) AS batch_id
+        |FROM r""".stripMargin,
 
     "pipe_chunk_docs" ->
       """WITH s AS (

@@ -113,6 +113,48 @@ object Sampling {
       .drop("__n", "__start", "__end")
   }
 
+  /** Length-bucketed batch assignment — the pad-minimizing batch prep:
+    * rows bucket by token count against ascending `bounds`
+    * (bucket = #bounds <= n, so bucket 0 is "below the first bound"),
+    * rank within their bucket in id order, and group every `batchSize`
+    * consecutive ranks into one batch — padding waste per batch is then
+    * bounded by its bucket's width instead of the corpus max length.
+    *
+    * Scale shape: the in-bucket rank is the GLOBAL two-phase
+    * distributed scan over (bucket, id) minus each bucket's broadcast
+    * offset (per-bucket counts are a #buckets-row aggregate) — one
+    * range exchange on a uniform key, never a per-bucket single-task
+    * window (a `Window.partitionBy(bucket)` would funnel the corpus
+    * into #buckets tasks). Deterministic in (bucket, id) order;
+    * membership replays in any engine. */
+  def lengthBucketBatches(df: DataFrame, id: String,
+      tokenCount: Column, bounds: Seq[Long], batchSize: Int)
+      : DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted,
+      "bounds must be ascending")
+    require(batchSize > 0, "batchSize must be positive")
+    val n = tokenCount.cast("long")
+    val bucket = bounds.map(b => (n >= b).cast("long")).reduce(_ + _)
+    val withB = df.withColumn("bucket", bucket)
+      .localCheckpoint(false) // consumed by the count agg AND the scan
+    val counts = withB.groupBy("bucket")
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = counts.keys.toSeq.sorted
+      .foldLeft((Map.empty[Long, Long], 0L)) { case ((m, acc), b) =>
+        (m + (b -> acc), acc + counts(b))
+      }._1
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, o)) =>
+      when(col("bucket") === b, lit(o)).otherwise(acc)
+    }
+    graft.operators.Scans
+      .runningCount(withB, Seq("bucket", id), "__gr", inclusive = true)
+      .withColumn("rank_in_bucket", col("__gr") - 1 - offExpr)
+      .withColumn("batch_id",
+        floor(col("rank_in_bucket") / batchSize).cast("long"))
+      .drop("__gr")
+  }
+
   /** Deterministic up/down-weighting by repetition ("epochs" per
     * stratum): emit floor(weight) copies of every row plus one more for
     * the deterministic fractional remainder — the standard way to

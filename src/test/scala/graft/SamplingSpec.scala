@@ -99,4 +99,26 @@ class SamplingSpec extends SparkSpec {
     val total = rows.count(_.getString(1) == "en")
     assert(math.abs(total - 1150) < 60, s"total $total vs expected ~1150")
   }
+
+  test("lengthBucketBatches: bucket edges, in-bucket rank, batch split") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq(
+      (1L, 10L), (2L, 39L), (3L, 40L), (4L, 59L), (5L, 60L),
+      (6L, 80L), (7L, 45L), (8L, 41L)
+    )).toDF("id", "n").repartition(3)
+    val got = graft.pipeline.Sampling.lengthBucketBatches(
+      df, "id", col("n"), bounds = Seq(40L, 60L, 80L), batchSize = 2)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("bucket"), r.getAs[Long]("rank_in_bucket"),
+          r.getAs[Long]("batch_id")))).toMap
+    assert(got(1L) === ((0L, 0L, 0L)))
+    assert(got(2L) === ((0L, 1L, 0L)))  // 39 < 40 stays in bucket 0
+    assert(got(3L) === ((1L, 0L, 0L)))  // boundary value opens bucket 1
+    assert(got(4L) === ((1L, 1L, 0L)))  // rank follows id order
+    assert(got(7L) === ((1L, 2L, 1L)))  // third of bucket 1 -> batch 1
+    assert(got(8L) === ((1L, 3L, 1L)))
+    assert(got(5L) === ((2L, 0L, 0L)))
+    assert(got(6L) === ((3L, 0L, 0L)))
+  }
 }
