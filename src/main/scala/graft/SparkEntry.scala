@@ -789,6 +789,22 @@ object SparkEntry {
       pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", Seq("join", "hash", "vector", "spark"), k = 20)),
 
+    // --- contrastive triplet mining: deterministic hash-ranked
+    // negatives for a pair table (the pair source here is a synthetic
+    // consecutive-id pairing so the oracle stays compact; production
+    // feeds Dedup.minhashPairs / semDedup output) --------------------------
+    "pipe_triplet_mine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        .filter(pmod(col("id_a"), lit(10L)) === 0L)
+        .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"),
+          "left_semi")
+      pipeline.Sampling.tripletMine(pairs, docs, "doc_id",
+        nNeg = 2, poolMod = 5)
+    }),
+
     // --- length-bucketed batching (pad-minimizing batch prep): bucket
     // by token count, rank in-bucket on the distributed scan minus
     // broadcast offsets, 16 ranks per batch ---------------------------------
@@ -4277,6 +4293,37 @@ object SparkEntry {
     "pipe_compress_ratio" ->
       s"""SELECT * FROM (VALUES
         |  $CompressRatioGolden) AS t(doc_id, ratio)""".stripMargin,
+
+    "pipe_triplet_mine" ->
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+        |  FROM documents a
+        |  WHERE a.doc_id % 10 = 0 AND EXISTS (
+        |    SELECT 1 FROM documents b WHERE b.doc_id = a.doc_id + 1)),
+        |pool AS (
+        |  SELECT doc_id AS neg FROM documents
+        |  WHERE CAST(('0x' || substr(md5('neg-pool|'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0),
+        |adj AS (
+        |  SELECT id_a AS anchor, id_b AS other FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |cand AS (
+        |  SELECT p.anchor, pool.neg,
+        |    CAST(('0x' || substr(md5('neg|'
+        |      || CAST(p.anchor AS VARCHAR) || '|'
+        |      || CAST(pool.neg AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT DISTINCT id_a AS anchor FROM pairs) p, pool
+        |  WHERE pool.neg <> p.anchor AND NOT EXISTS (
+        |    SELECT 1 FROM adj
+        |    WHERE adj.anchor = p.anchor AND adj.other = pool.neg)),
+        |negs AS (
+        |  SELECT anchor, neg, CAST(row_number() OVER (
+        |    PARTITION BY anchor ORDER BY h, neg) AS BIGINT) AS neg_rank
+        |  FROM cand)
+        |SELECT pr.id_a AS anchor, pr.id_b AS positive,
+        |  negs.neg AS negative, neg_rank
+        |FROM pairs pr JOIN negs ON negs.anchor = pr.id_a
+        |WHERE neg_rank <= 2""".stripMargin,
 
     "pipe_length_batches" ->
       """WITH d AS (

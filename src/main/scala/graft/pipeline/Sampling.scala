@@ -113,6 +113,48 @@ object Sampling {
       .drop("__n", "__start", "__end")
   }
 
+  /** Contrastive triplet mining — the (anchor, positive, negative)
+    * prep for embedding-model training: every near-dup pair from a
+    * caller-supplied pair table (typically `Dedup.minhashPairs` /
+    * `semDedup` output) gains `nNeg` deterministic negatives. The
+    * negative pool is the corpus hash-thinned by `poolMod` (pick it so
+    * corpus/poolMod is broadcast-sized — the pool crossing is anchor ×
+    * pool with the pool broadcast, never corpus²); candidates exclude
+    * the anchor itself and everything paired with it, and rank per
+    * anchor by the md5 hash of (salt, anchor, candidate) — the same
+    * engine-portable determinism as every sampler here, so the mined
+    * triplets replay anywhere. */
+  def tripletMine(pairs: DataFrame, docs: DataFrame, id: String,
+      nNeg: Int = 2, poolMod: Int = 25, salt: String = "neg")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = pairs.select(col("id_a").as("anchor"),
+      col("id_b").as("positive"))
+    val pool = docs.select(col(id).as("neg"))
+      .filter(pmod(unitHash(col(id), s"$salt-pool"),
+        lit(poolMod.toLong)) === 0L)
+    val adjacency = pairs
+      .select(col("id_a").as("anchor"), col("id_b").as("neg"))
+      .union(pairs.select(col("id_b").as("anchor"),
+        col("id_a").as("neg")))
+    val cand = anchors.select("anchor").distinct()
+      .crossJoin(broadcast(pool))
+      .filter(col("anchor") =!= col("neg"))
+      .join(adjacency, Seq("anchor", "neg"), "left_anti")
+      .withColumn("__h", unitHash(
+        concat(col("anchor").cast("string"), lit("|"),
+          col("neg").cast("string")), salt))
+    val w = Window.partitionBy("anchor")
+      .orderBy(col("__h").asc, col("neg").asc)
+    val negs = cand
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= nNeg)
+      .select("anchor", "neg", "neg_rank")
+    anchors.join(negs, Seq("anchor"))
+      .select(col("anchor"), col("positive"),
+        col("neg").as("negative"), col("neg_rank"))
+  }
+
   /** Length-bucketed batch assignment — the pad-minimizing batch prep:
     * rows bucket by token count against ascending `bounds`
     * (bucket = #bounds <= n, so bucket 0 is "below the first bound"),

@@ -100,6 +100,31 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(total - 1150) < 60, s"total $total vs expected ~1150")
   }
 
+  test("tripletMine: negatives exclude the anchor and its pair partners") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 40).toDF("doc_id")
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (1L, 3L), (5L, 6L))).toDF("id_a", "id_b")
+    val got = graft.pipeline.Sampling.tripletMine(pairs, docs, "doc_id",
+      nNeg = 3, poolMod = 1) // pool = everything: exclusion is the test
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // every pair row mines exactly nNeg triplets
+    assert(got.length === 9)
+    got.foreach { case (a, p, n, rk) =>
+      assert(n != a && n != p, s"negative $n collides for ($a,$p)")
+      assert(rk >= 1 && rk <= 3)
+      // partner of the SAME anchor is never a negative (adjacency)
+      if (a == 1L) assert(n != 2L && n != 3L)
+    }
+    // determinism: same inputs, same triplets
+    val again = graft.pipeline.Sampling.tripletMine(pairs, docs,
+      "doc_id", nNeg = 3, poolMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSet === again.toSet)
+  }
+
   test("lengthBucketBatches: bucket edges, in-bucket rank, batch split") {
     import org.apache.spark.sql.functions._
     val df = spark.createDataFrame(Seq(
