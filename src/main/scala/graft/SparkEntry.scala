@@ -2031,6 +2031,12 @@ object SparkEntry {
         s"graft_stream_lp_${System.nanoTime()}")
     }),
 
+    // --- funnel analysis: earliest view -> click -> purchase per user
+    // (greedy min-after-previous, the earliest-completion semantics) --------
+    "events_funnel" -> ((s, dir) =>
+      streaming.Events.funnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
     // --- streaming quantile sketch: the KLL udaf as complete-mode
     // stream state (one bounded sketch per event_type); exact vs
     // quantile_cont while each group's n <= k — which holds at the
@@ -6367,6 +6373,22 @@ object SparkEntry {
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(t) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1, min(t) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND t > t1 GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2, min(t) AS t3
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND t > t2 GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3 FROM s3""".stripMargin,
 
     // exact while per-type n <= k (holds at sf0.01)
     "stream_approx_cdf" ->

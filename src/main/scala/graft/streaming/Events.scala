@@ -190,6 +190,42 @@ object Events {
     }
   }
 
+  /** Ordered funnel analysis: per user, the earliest completion of the
+    * step sequence — step i's time is the MIN event time of its type
+    * STRICTLY AFTER step i-1's chosen time (greedy earliest-first,
+    * which maximizes completion), optionally bounded to `windowNs`
+    * after step 1. Returns one row per user completing ALL steps, with
+    * every step time. Scale shape: the event table is projected once
+    * (repartitioned on the user key, lazily checkpointed) and each
+    * step is one filtered equi-join + keyed min — `steps.length`
+    * uniform-key shuffles total, no window functions, no per-user
+    * event collection. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      windowNs: Option[Long] = None): DataFrame = {
+    require(steps.length >= 2, "a funnel needs at least two steps")
+    val dt = events.schema("ts").dataType
+    val ev = events.select(col("user_id"), col("event_type"),
+        tsNanos(col("ts"), dt).as("t"))
+      .repartition(col("user_id"))
+      .localCheckpoint(false) // scanned once per step
+    var acc = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    var i = 2
+    steps.tail.foreach { step =>
+      val joined = acc
+        .join(ev.filter(col("event_type") === step), Seq("user_id"))
+        .filter(col("t") > col(s"t${i - 1}"))
+      val bounded = windowNs
+        .map(wn => joined.filter(col("t") <= col("t1") + wn))
+        .getOrElse(joined)
+      val carry = "user_id" +: (1 until i).map(j => s"t$j")
+      acc = bounded.groupBy(carry.map(col): _*)
+        .agg(min(col("t")).as(s"t$i"))
+      i += 1
+    }
+    acc
+  }
+
   /** Streaming quantile sketches: the KLL-style `Aggs.approxCdf`
     * typed aggregator lifted onto a complete-mode stream group-by —
     * state is one bounded sketch per group, so percentile monitoring

@@ -451,6 +451,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Union"), plan.take(2000))
   }
 
+  test("sq/pq ANN prescans rank with partial top-k, no cross product") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>").as("embedding"))
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val rest = e.filter(col("vec_id") =!= 0L)
+    for (df <- Seq(
+        Similarity.sqTopK(rest, "vec_id", "embedding", q, 5),
+        Similarity.pqTopK(rest, "vec_id", "embedding", q, 5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    }
+  }
+
+  test("tripletMine pool crossing is broadcast, exclusions hash-joined") {
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    val pairs = spark.createDataFrame(Seq((1L, 2L), (5L, 6L)))
+      .toDF("id_a", "id_b")
+    val plan = graft.pipeline.Sampling
+      .tripletMine(pairs, docs, "doc_id", nNeg = 2, poolMod = 25)
+      .queryExecution.executedPlan.toString
+    // the anchor x pool crossing must broadcast the thinned pool —
+    // never a shuffled cartesian of corpus-sized sides
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("chunkDocs is one generator pass — no shuffle") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.pipeline.Text
+      .chunkDocs(d, "doc_id", "text", 64, 48)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("semDedup pairs are a cluster equi-join — no cross product") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = pipeline.Dedup.semDedup(e, "vec_id", "embedding",

@@ -227,6 +227,30 @@ class StreamingSpec extends SparkSpec {
       (2L, base, base, 1L, 1.5)))
   }
 
+  test("funnel: greedy ordering, window bound, dropout") {
+    val df = spark.createDataFrame(Seq(
+      // user 1 completes a->b->c in order
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // user 2 has c BEFORE b: no completion
+      (2L, 10L, "a"), (2L, 30L, "b"), (2L, 20L, "c"),
+      // user 3 completes, but step c only outside a 15ns window
+      (3L, 10L, "a"), (3L, 12L, "b"), (3L, 40L, "c"),
+      // user 4 never does a
+      (4L, 10L, "b"), (4L, 20L, "c")
+    )).toDF("user_id", "ts", "event_type")
+    def run(w: Option[Long]) = Events.funnel(df, Seq("a", "b", "c"), w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val open = run(None)
+    assert(open === Map(1L -> ((10L, 20L, 30L)),
+      3L -> ((10L, 12L, 40L))))
+    // window 15 after t1=10: user 1's c at 30 > 25 misses; user 3's
+    // c at 40 > 25 misses — nobody converts
+    assert(run(Some(15L)).isEmpty)
+    // window 25: user 1 converts (30 <= 35), user 3 still misses (40)
+    assert(run(Some(25L)) === Map(1L -> ((10L, 20L, 30L))))
+  }
+
   test("streaming approxCdf: sketch state merges across micro-batches " +
       "and stays exact while n <= k") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
