@@ -2031,6 +2031,12 @@ object SparkEntry {
         s"graft_stream_lp_${System.nanoTime()}")
     }),
 
+    // --- retention cohorts: first-seen day cohorts x activity-day
+    // offsets, exact distinct user counts ----------------------------------
+    "events_retention" -> ((s, dir) =>
+      streaming.Events.retentionCohorts(t(s, dir, "events"),
+        bucketNs = 86400L * 1000000000L)),
+
     // --- funnel analysis: earliest view -> click -> purchase per user
     // (greedy min-after-previous, the earliest-completion semantics) --------
     "events_funnel" -> ((s, dir) =>
@@ -6373,6 +6379,19 @@ object SparkEntry {
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS t FROM events),
+        |f AS (
+        |  SELECT user_id, min(t) // 86400000000000 AS cohort
+        |  FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id, t // 86400000000000 AS bucket
+        |  FROM e)
+        |SELECT cohort, bucket - cohort AS offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM f JOIN a USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "events_funnel" ->
       """WITH e AS (

@@ -226,6 +226,35 @@ object Events {
     acc
   }
 
+  /** Retention cohort matrix: users cohort by their FIRST event's time
+    * bucket; each (cohort, offset) cell counts distinct users of that
+    * cohort active `offset` buckets later — the standard retention
+    * triangle. Two uniform-key shuffles (first-seen min per user,
+    * distinct user-bucket activity) + one broadcastable join on the
+    * user key; counts are exact distincts, no approximation. */
+  def retentionCohorts(events: DataFrame, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    val dt = events.schema("ts").dataType
+    val ev = events.select(col("user_id"),
+        tsNanos(col("ts"), dt).as("t"))
+      .repartition(col("user_id"))
+      .localCheckpoint(false) // consumed by first-seen AND activity
+    // exact decimal floor-division: ns epochs (~1.7e18) exceed the
+    // 2^53 double-integer range, and a double quotient can flip the
+    // bucket at boundaries (same discipline as tsTimestamp)
+    def bucketOf(c: Column): Column =
+      floor(c.cast(DecimalType(38, 0)) / lit(bucketNs)).cast("long")
+    val first = ev.groupBy("user_id")
+      .agg(bucketOf(min(col("t"))).as("cohort"))
+    val activity = ev
+      .select(col("user_id"), bucketOf(col("t")).as("bucket"))
+      .distinct()
+    first.join(activity, Seq("user_id"))
+      .groupBy(col("cohort"), (col("bucket") - col("cohort"))
+        .as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Streaming quantile sketches: the KLL-style `Aggs.approxCdf`
     * typed aggregator lifted onto a complete-mode stream group-by —
     * state is one bounded sketch per group, so percentile monitoring
