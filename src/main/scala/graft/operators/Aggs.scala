@@ -272,8 +272,15 @@ object Aggs {
   def approxCdfAgg(k: Int)
       : Aggregator[java.lang.Double, CdfBuf, Seq[Double]] =
     new Aggregator[java.lang.Double, CdfBuf, Seq[Double]] {
-      private def compactAll(levels: Seq[Seq[Double]]): Seq[Seq[Double]] = {
-        var ls = levels.toIndexedSeq
+      // Levels are VECTORS throughout: compactAll probes every level's
+      // length on EVERY reduce call, and `length` on a List walks the
+      // whole level (O(group·k) accumulation at 100k-row groups);
+      // Vector gives O(1) length and effectively-O(1) prepend. Level
+      // order is immaterial — compaction and finish both sort.
+      private def compactAll(levels: Seq[Seq[Double]])
+          : Seq[Seq[Double]] = {
+        var ls: Vector[Seq[Double]] =
+          levels.iterator.map(_.toVector: Seq[Double]).toVector
         var i = 0
         while (i < ls.length) {
           if (ls(i).length > k) {
@@ -281,7 +288,7 @@ object Aggs {
             val kept = sorted.zipWithIndex.collect {
               case (v, idx) if idx % 2 == 1 => v
             }
-            ls = ls.updated(i, Seq.empty[Double])
+            ls = ls.updated(i, Vector.empty[Double])
             if (i + 1 >= ls.length) ls = ls :+ kept
             else ls = ls.updated(i + 1, ls(i + 1) ++ kept)
           }
@@ -289,11 +296,22 @@ object Aggs {
         }
         ls
       }
-      def zero: CdfBuf = CdfBuf(Seq(Seq.empty))
-      def reduce(b: CdfBuf, a: java.lang.Double): CdfBuf =
+      def zero: CdfBuf = CdfBuf(Vector(Vector.empty))
+      def reduce(b: CdfBuf, a: java.lang.Double): CdfBuf = {
         if (a == null) b
-        else CdfBuf(compactAll(
-          b.levels.updated(0, b.levels.head :+ a.doubleValue)))
+        else {
+          val l0 = b.levels.head
+          // stay on the fast path between compactions: only re-walk
+          // compactAll when level 0 can actually spill
+          val nl0 = a.doubleValue +: (l0 match {
+            case v: Vector[Double @unchecked] => v
+            case other => other.toVector
+          })
+          if (nl0.length > k)
+            CdfBuf(compactAll(b.levels.updated(0, nl0)))
+          else CdfBuf(b.levels.updated(0, nl0))
+        }
+      }
       def merge(a: CdfBuf, b: CdfBuf): CdfBuf = {
         val n = math.max(a.levels.length, b.levels.length)
         val merged = (0 until n).map(i =>
