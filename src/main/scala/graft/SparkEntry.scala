@@ -789,6 +789,19 @@ object SparkEntry {
       pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", Seq("join", "hash", "vector", "spark"), k = 20)),
 
+    // --- HTML-to-text extraction (web-crawl ingestion): script/style
+    // blocks dropped, tags stripped, entities decoded, whitespace
+    // collapsed — deterministic synthetic markup around each doc -----------
+    "pipe_html_strip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("__h", concat(
+        lit("<html><head><style>body{color:red}</style>" +
+          "<script>var x = 1 < 2;</script></head><body><h1>Doc</h1><p>"),
+        col("text"),
+        lit("</p><div>&amp; &lt;tag&gt; &quot;q&#39;</div></body></html>")))
+      d.select(col("doc_id"),
+        pipeline.Text.stripHtml(col("__h")).as("clean"))
+    }),
+
     // --- contrastive triplet mining: deterministic hash-ranked
     // negatives for a pair table (the pair source here is a synthetic
     // consecutive-id pairing so the oracle stays compact; production
@@ -4305,6 +4318,27 @@ object SparkEntry {
     "pipe_compress_ratio" ->
       s"""SELECT * FROM (VALUES
         |  $CompressRatioGolden) AS t(doc_id, ratio)""".stripMargin,
+
+    "pipe_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>body{color:red}</style>'
+        |    || '<script>var x = 1 < 2;</script></head><body><h1>Doc</h1><p>'
+        |    || text
+        |    || '</p><div>&amp; &lt;tag&gt; &quot;q&#39;</div></body></html>'
+        |      AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '<[^>]*>', ' ', 'g'),
+        |    '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+        |  '\s+', ' ', 'g')) AS clean
+        |FROM h""".stripMargin,
 
     "pipe_triplet_mine" ->
       """WITH pairs AS (

@@ -178,6 +178,28 @@ object Text {
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("ips"),
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("phones"))
 
+  /** HTML-to-text extraction for web-crawl ingestion: drop script and
+    * style elements wholesale, strip the remaining tags, decode the
+    * five predefined entities, and collapse runs of whitespace. All
+    * RE2-compatible regex passes (no backrefs/lookarounds) over one
+    * codegen'd chain — a SQL engine replays the extraction
+    * byte-for-byte, and a 100 TB crawl pass stays one narrow scan.
+    * (Lightweight by design — readability-style main-content scoring
+    * is a model concern, not an engine one.) */
+  def stripHtml(html: Column): Column = {
+    // (?is): case-insensitive, dot-matches-newline — both RE2-safe
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, ch)) =>
+        regexp_replace(c, e, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Overlapping character-window chunking (the RAG/embedding-prep
     * pass): windows of `size` chars starting every `step` chars
     * (overlap = size - step), 1-based starts, trailing windows kept

@@ -388,6 +388,17 @@ class PipelineSpec extends SparkSpec {
       s"recall ${exact.count(pq.contains)}/10")
   }
 
+  test("stripHtml: script/style dropped, tags stripped, entities decoded") {
+    val html = "<html><head><title>T</title>" +
+      "<style type=\"text/css\">p { x: 1 }</style>" +
+      "<script>\nif (a < b) { alert('x'); }\n</script></head>" +
+      "<body><h1>Hello</h1>\n<p>one &amp; two &lt;three&gt;</p>" +
+      "<br/><div class=\"c\">&quot;four&#39;</div></body></html>"
+    val got = docs((1L, html))
+      .select(Text.stripHtml(col("text"))).head().getString(0)
+    assert(got === "T Hello one & two <three> \"four'")
+  }
+
   test("deflateRatio orders template < prose < gibberish") {
     val rng = new scala.util.Random(7)
     val d = docs(
