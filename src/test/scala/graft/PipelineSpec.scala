@@ -413,6 +413,25 @@ class PipelineSpec extends SparkSpec {
     assert(r.values.forall(v => v > 0 && v < 1.5))
   }
 
+  test("bpe encode: concatenation-faithful on random words under a " +
+      "random-corpus merge table") {
+    import graft.pipeline.Bpe
+    val rng = new scala.util.Random(23)
+    def word() = Seq.fill(1 + rng.nextInt(8))(
+      ('a' + rng.nextInt(5)).toChar).mkString
+    val freq = Seq.fill(50)(word() -> (1L + rng.nextInt(20)))
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }.toSeq
+    val merges = Bpe.train(freq, numMerges = 30)
+    val ranks = merges.zipWithIndex.toMap
+    // every encoding concatenates back to word + end marker, for
+    // training words AND unseen words alike
+    (freq.map(_._1) ++ Seq.fill(30)(word())).foreach { w =>
+      val toks = Bpe.encodeWord(w, ranks)
+      assert(toks.mkString("") === w + Bpe.EndOfWord, s"word $w")
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
   test("bpe train reproduces the Sennrich worked example") {
     import graft.pipeline.Bpe
     // the classic vocabulary from Sennrich et al. 2016 §3.2

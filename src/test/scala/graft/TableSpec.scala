@@ -308,6 +308,37 @@ class TableSpec extends SparkSpec {
     assert(back.collect().map(_.getLong(0)).toSeq === (0L until 200L))
   }
 
+  test("asOfJoin matches a brute-force reference on random data") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(17)
+    val leftRows = (1 to 300).map(i =>
+      (i.toLong, (rng.nextInt(5) + 1).toLong, rng.nextInt(1000).toLong))
+    val rightRows = (1 to 200).map(i =>
+      (i.toLong, (rng.nextInt(5) + 1).toLong, rng.nextInt(1000).toLong))
+    val left = spark.createDataFrame(leftRows).toDF("lid", "user", "t")
+      .repartition(5)
+    val right = spark.createDataFrame(rightRows)
+      .toDF("rid", "user", "rt").repartition(3)
+    val got = graft.operators.AsOfJoin.backward(left, right,
+      Seq("user"), "t", "rt", Seq("rid"), toleranceNs = Some(200L),
+      tieBreak = Seq("rid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // brute force: per left row, the right row with the max (rt, rid)
+    // among rt <= t, nulled when older than the tolerance
+    val want = leftRows.map { case (lid, u, t) =>
+      val cands = rightRows.filter(r => r._2 == u && r._3 <= t)
+      val best =
+        if (cands.isEmpty) -1L
+        else {
+          val (rid, _, rt) = cands.maxBy(r => (r._3, r._1))
+          if (t - rt <= 200L) rid else -1L
+        }
+      lid -> best
+    }.toMap
+    assert(got === want)
+  }
+
   test("asOfJoin backward: equal-time match, tolerance, ties, no-match") {
     import org.apache.spark.sql.functions._
     val left = spark.createDataFrame(Seq(
