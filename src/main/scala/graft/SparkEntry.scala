@@ -29,6 +29,26 @@ object SparkEntry {
     * The synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
     * cells pre-aggregate; sums are decimal-cleaned for cross-engine
     * determinism (see `dsum`). */
+  /** Shared as-of join fixture: clicks (left) and a tie-free purchase
+    * stream (right, one per (user, ts), max event_id) over `events`. */
+  private def asofFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val e2 = ev.withColumn("tns",
+      streaming.Events.tsNanos(col("ts"), ev.schema("ts").dataType))
+    val clicks = e2.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tns"))
+    val purch0 = e2.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tns").as("p_tns"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    val w = Window.partitionBy("user_id", "p_tns")
+      .orderBy(col("p_event_id").desc)
+    val purch = purch0.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    (clicks, purch)
+  }
+
   private def lineitemMatrix(s: SparkSession, dir: String): MatrixTable = {
     // pre-partition by the row key alone: hash(l_orderkey) satisfies the
     // clustering requirement of BOTH downstream groupBys (cell key is a
@@ -2085,21 +2105,28 @@ object SparkEntry {
     // shuffles ONCE on the user key — no range join, no per-key
     // quadratic work; DuckDB's native ASOF JOIN is the oracle ---------------
     "table_asof_join" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = t(s, dir, "events")
-      val e2 = ev.withColumn("tns",
-        streaming.Events.tsNanos(col("ts"), ev.schema("ts").dataType))
-      val clicks = e2.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("tns"))
-      // tie-free right side: one purchase per (user, ts), max event_id
-      val purch0 = e2.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tns").as("p_tns"),
-          col("event_id").as("p_event_id"), col("value").as("p_value"))
-      val w = Window.partitionBy("user_id", "p_tns")
-        .orderBy(col("p_event_id").desc)
-      val purch = purch0.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      val (clicks, purch) = asofFixture(s, dir)
       operators.AsOfJoin.backward(clicks, purch, Seq("user_id"),
+        "tns", "p_tns", Seq("p_event_id", "p_value"),
+        toleranceNs = Some(3600L * 1000000000L))
+    }),
+
+    // --- forward direction (merge_asof direction='forward'): each
+    // click joined to the user's NEXT purchase at-or-after it, within
+    // one hour — the same union-and-carry scan with time reversed ----------
+    "table_asof_forward" -> ((s, dir) => {
+      val (clicks, purch) = asofFixture(s, dir)
+      operators.AsOfJoin.forward(clicks, purch, Seq("user_id"),
+        "tns", "p_tns", Seq("p_event_id", "p_value"),
+        toleranceNs = Some(3600L * 1000000000L))
+    }),
+
+    // --- nearest direction (merge_asof direction='nearest', ties →
+    // backward): closer of the previous/next purchase within one hour.
+    // Both carries share one key exchange (plan-audited) --------------------
+    "table_asof_nearest" -> ((s, dir) => {
+      val (clicks, purch) = asofFixture(s, dir)
+      operators.AsOfJoin.nearest(clicks, purch, Seq("user_id"),
         "tns", "p_tns", Seq("p_event_id", "p_value"),
         toleranceNs = Some(3600L * 1000000000L))
     }),
@@ -4335,8 +4362,8 @@ object SparkEntry {
         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |    '<[^>]*>', ' ', 'g'),
-        |    '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g'),
         |  '\s+', ' ', 'g')) AS clean
         |FROM h""".stripMargin,
 
@@ -6387,6 +6414,77 @@ object SparkEntry {
         |  CASE WHEN tns - p_tns <= 3600000000000
         |    THEN p_value END AS p_value
         |FROM j""".stripMargin,
+
+    "table_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type,
+        |    value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, tns FROM e
+        |      WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, tns AS p_tns, event_id AS p_event_id,
+        |         value AS p_value
+        |       FROM e WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, p_tns, p_event_id, p_value FROM (
+        |    SELECT p0.*, row_number() OVER (
+        |      PARTITION BY user_id, p_tns
+        |      ORDER BY p_event_id DESC) AS rn
+        |    FROM p0) WHERE rn = 1),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.tns,
+        |    p.p_event_id, p.p_tns, p.p_value
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.tns <= p.p_tns)
+        |SELECT event_id, user_id, tns,
+        |  CASE WHEN p_tns - tns <= 3600000000000
+        |    THEN p_event_id END AS p_event_id,
+        |  CASE WHEN p_tns - tns <= 3600000000000
+        |    THEN p_value END AS p_value
+        |FROM j""".stripMargin,
+
+    "table_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type,
+        |    value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, tns FROM e
+        |      WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, tns AS p_tns, event_id AS p_event_id,
+        |         value AS p_value
+        |       FROM e WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, p_tns, p_event_id, p_value FROM (
+        |    SELECT p0.*, row_number() OVER (
+        |      PARTITION BY user_id, p_tns
+        |      ORDER BY p_event_id DESC) AS rn
+        |    FROM p0) WHERE rn = 1),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.tns,
+        |    CASE WHEN c.tns - p.p_tns <= 3600000000000
+        |      THEN p.p_event_id END AS b_eid,
+        |    CASE WHEN c.tns - p.p_tns <= 3600000000000
+        |      THEN p.p_tns END AS b_tns,
+        |    CASE WHEN c.tns - p.p_tns <= 3600000000000
+        |      THEN p.p_value END AS b_val
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.tns >= p.p_tns),
+        |f AS (
+        |  SELECT c.event_id,
+        |    CASE WHEN p.p_tns - c.tns <= 3600000000000
+        |      THEN p.p_event_id END AS f_eid,
+        |    CASE WHEN p.p_tns - c.tns <= 3600000000000
+        |      THEN p.p_tns END AS f_tns,
+        |    CASE WHEN p.p_tns - c.tns <= 3600000000000
+        |      THEN p.p_value END AS f_val
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.tns <= p.p_tns)
+        |SELECT b.event_id, b.user_id, b.tns,
+        |  CASE WHEN b_tns IS NOT NULL AND (f_tns IS NULL
+        |      OR b.tns - b_tns <= f_tns - b.tns)
+        |    THEN b_eid ELSE f_eid END AS p_event_id,
+        |  CASE WHEN b_tns IS NOT NULL AND (f_tns IS NULL
+        |      OR b.tns - b_tns <= f_tns - b.tns)
+        |    THEN b_val ELSE f_val END AS p_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
 
     "table_salted_join" ->
       """SELECT l.l_orderkey AS o_orderkey, l.l_partkey, l.l_quantity,

@@ -415,16 +415,19 @@ object Dedup {
     * candidate blocks: all pairs sharing the same `blockCols` values
     * (id_a < id_b), scored by Jaccard of their distinct char-n-gram
     * sets, kept at `threshold`. The exact member of the n-gram-Jaccard
-    * dedup family — O(block²) by design, so blocks must be bounded
-    * (language × source, a time bucket, an LSH candidate set); at
-    * unbounded corpus scale generate candidates with `minhashPairs` /
-    * `winnowPairs` and verify with `charNgramJaccardVerify` semantics
-    * instead. The block equi-join shuffles on the block key only;
-    * n-gram sets travel once per side. */
+    * dedup family — O(block²) by design, so blocks are hard-capped at
+    * `maxBlockSize` members through the same `capBuckets` guard as the
+    * LSH families: a hot block (one dominant language × source, one
+    * length bucket) would otherwise go quadratic silently at corpus
+    * scale. Oversized blocks are dropped — collapse boilerplate with
+    * `exact`/`byFingerprint` first, or generate candidates with
+    * `minhashPairs` / `winnowPairs` and verify with
+    * `charNgramJaccardVerify` semantics instead. The block equi-join
+    * shuffles on the block key only; n-gram sets travel once per side. */
   def charNgramJaccardPairs(df: DataFrame, id: String, text: String,
-      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5)
-      : DataFrame = {
-    val g = df
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val g0 = df
       // sort the gram set once per document: the per-pair intersect is
       // then an allocation-free merge-walk instead of a hash-set build
       .select(blockCols.map(col) ++ Seq(col(id).as("doc"),
@@ -434,6 +437,9 @@ object Dedup {
       .repartition(col("doc"))
       // both join sides consume the n-gram projection: materialize once
       .localCheckpoint(false)
+    // bound the quadratic: singleton blocks pair with nothing, and a
+    // block past maxBlockSize is a scale hazard, not a dedup candidate
+    val g = capBuckets(g0, blockCols, maxBlockSize)
     val l = g.select(blockCols.map(col) ++ Seq(col("doc").as("id_a"),
       col("__g").as("__ga"), col("__ng").as("__na")): _*)
     val r = g.select(blockCols.map(col) ++ Seq(col("doc").as("id_b"),

@@ -310,8 +310,13 @@ object Similarity {
     // ADC tables: exact distance of the grid-quantized query subvector
     // to each centroid's rational state
     val adc: Seq[Seq[Double]] = (0 until m).map { s =>
+      // HALF_UP (away from zero), matching the corpus grid (Spark SQL
+      // round) and the DuckDB oracle — math.round rounds negative
+      // halves toward +inf, so a dyadic component like -0.0625 would
+      // land on -62 vs the oracle's -63 (same rationale as sqTopK)
       val qg = query.slice(s * subDim, (s + 1) * subDim)
-        .map(x => math.round(x.toDouble * 1000))
+        .map(x => BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       subs(s)._2.map { case (cs, n) =>
         var num = 0L
         var d = 0

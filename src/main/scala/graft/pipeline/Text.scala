@@ -193,8 +193,10 @@ object Text {
     val noStyle = regexp_replace(noScript,
       "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
+    // '&amp;' decodes LAST: double-encoded entities ('&amp;lt;' = the
+    // literal text '&lt;') must not be re-decoded by a later pass
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, ch)) =>
         regexp_replace(c, e, ch) }
     trim(regexp_replace(decoded, "\\s+", " "))

@@ -76,6 +76,21 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped.count() === 12L * 11 / 2)
   }
 
+  test("charNgramJaccardPairs block cap bounds a degenerate one-block corpus") {
+    // every doc lands in ONE block: uncapped this is all-pairs O(n²);
+    // the cap drops the hot block entirely (same contract as the LSH
+    // bucket cap — collapse boilerplate with exact dedup first)
+    val many = (1L to 12L).map(i => (i, "alpha beta gamma delta", "web"))
+    val df = spark.createDataFrame(many).toDF("doc_id", "text", "src")
+    val capped = Dedup.charNgramJaccardPairs(df, "doc_id", "text",
+      Seq("src"), threshold = 0.5, maxBlockSize = 5)
+    assert(capped.count() === 0)
+    // within the cap the exact pair set comes through
+    val ok = Dedup.charNgramJaccardPairs(df, "doc_id", "text",
+      Seq("src"), threshold = 0.5, maxBlockSize = 12)
+    assert(ok.count() === 12L * 11 / 2)
+  }
+
   test("simHash64: identical text -> dist 0; small perturbation small dist") {
     val t1 = (1 to 40).map(i => s"w$i").mkString(" ")
     val t2 = (1 to 38).map(i => s"w$i").mkString(" ") + " zz yy"

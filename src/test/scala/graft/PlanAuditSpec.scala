@@ -449,6 +449,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(plan.contains("Window"), plan.take(2000))
     assert(plan.contains("Union"), plan.take(2000))
+    // nearest runs BOTH direction carries over the same key exchange:
+    // still zero join nodes, and exactly one hash exchange on the keys
+    // (the second window re-sorts in place — no second shuffle)
+    val nPlan = graft.operators.AsOfJoin.nearest(l, r, Seq("user_id"),
+      "tns", "rt", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!nPlan.contains("Join"), nPlan.take(2000))
+    val nEx = "Exchange hashpartitioning".r.findAllIn(nPlan).length
+    assert(nEx == 1, s"$nEx hash exchanges\n${nPlan.take(2500)}")
+    val fPlan = graft.operators.AsOfJoin.forward(l, r, Seq("user_id"),
+      "tns", "rt", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!fPlan.contains("Join"), fPlan.take(2000))
+  }
+
+  test("charNgramJaccard block cap sits before the self-join") {
+    // the capBuckets guard is a block-key aggregate + semi-ish join
+    // back; the audit pins that the candidate self-join consumes the
+    // CAPPED side (an Aggregate on the block key exists upstream) and
+    // the kernel still evaluates once (audited separately below)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = pipeline.Dedup.charNgramJaccardPairs(docs, "doc_id",
+      "text", Seq("source", "lang")).queryExecution
+      .optimizedPlan.toString
+    assert(plan.contains("count(1)"), plan.take(2000))
+    assert(plan.toLowerCase.contains("aggregate"), plan.take(2000))
   }
 
   test("sq/pq ANN prescans rank with partial top-k, no cross product") {

@@ -339,6 +339,82 @@ class TableSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("asOfJoin forward/nearest match a brute-force reference on random data") {
+    val rng = new scala.util.Random(29)
+    val leftRows = (1 to 300).map(i =>
+      (i.toLong, (rng.nextInt(5) + 1).toLong, rng.nextInt(1000).toLong))
+    val rightRows = (1 to 200).map(i =>
+      (i.toLong, (rng.nextInt(5) + 1).toLong, rng.nextInt(1000).toLong))
+    val left = spark.createDataFrame(leftRows).toDF("lid", "user", "t")
+      .repartition(5)
+    val right = spark.createDataFrame(rightRows)
+      .toDF("rid", "user", "rt").repartition(3)
+    def run(dir: String) = (dir match {
+      case "f" => graft.operators.AsOfJoin.forward(left, right,
+        Seq("user"), "t", "rt", Seq("rid"), toleranceNs = Some(200L),
+        tieBreak = Seq("rid"))
+      case _ => graft.operators.AsOfJoin.nearest(left, right,
+        Seq("user"), "t", "rt", Seq("rid"), toleranceNs = Some(200L),
+        tieBreak = Seq("rid"))
+    }).collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // brute force — forward: min (rt, then max rid at that rt) among
+    // rt >= t within tolerance; ties at equal rt go to the largest rid
+    def bwd(u: Long, t: Long): Option[(Long, Long)] = {
+      val c = rightRows.filter(r => r._2 == u && r._3 <= t && t - r._3 <= 200L)
+      if (c.isEmpty) None else Some {
+        val b = c.maxBy(r => (r._3, r._1)); (b._1, b._3) }
+    }
+    def fwd(u: Long, t: Long): Option[(Long, Long)] = {
+      val c = rightRows.filter(r => r._2 == u && r._3 >= t && r._3 - t <= 200L)
+      if (c.isEmpty) None else Some {
+        val b = c.minBy(r => (r._3, -r._1)); (b._1, b._3) }
+    }
+    val wantF = leftRows.map { case (lid, u, t) =>
+      lid -> fwd(u, t).map(_._1).getOrElse(-1L) }.toMap
+    assert(run("f") === wantF)
+    val wantN = leftRows.map { case (lid, u, t) =>
+      lid -> ((bwd(u, t), fwd(u, t)) match {
+        case (None, None) => -1L
+        case (Some((r, _)), None) => r
+        case (None, Some((r, _))) => r
+        case (Some((rb, tb)), Some((rf, tf))) =>
+          if (t - tb <= tf - t) rb else rf // tie -> backward
+      }) }.toMap
+    assert(run("n") === wantN)
+  }
+
+  test("asOfJoin strict and null-time semantics") {
+    val left = spark.createDataFrame(Seq(
+      (1L, 100L, Some(40L)), // sits exactly on a right row
+      (2L, 100L, Some(41L)),
+      (3L, 100L, None)       // null left time -> never matches
+    )).toDF("id", "user", "t")
+    val right = spark.createDataFrame(Seq(
+      (100L, Some(40L), "x"), (100L, Some(60L), "y"),
+      (100L, Option.empty[Long], "NULLTIME") // must be dropped, not carried
+    )).toDF("user", "rt", "tag")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    import graft.operators.AsOfJoin
+    // exact matches allowed: t=40 takes the rt=40 row both directions
+    assert(m(AsOfJoin.backward(left, right, Seq("user"), "t", "rt",
+      Seq("tag"))) === Map(1L -> "x", 2L -> "x", 3L -> null))
+    assert(m(AsOfJoin.forward(left, right, Seq("user"), "t", "rt",
+      Seq("tag"))) === Map(1L -> "x", 2L -> "y", 3L -> null))
+    // strict: the equal-time row is excluded
+    assert(m(AsOfJoin.backward(left, right, Seq("user"), "t", "rt",
+      Seq("tag"), allowExactMatches = false)) ===
+      Map(1L -> null, 2L -> "x", 3L -> null))
+    assert(m(AsOfJoin.forward(left, right, Seq("user"), "t", "rt",
+      Seq("tag"), allowExactMatches = false)) ===
+      Map(1L -> "y", 2L -> "y", 3L -> null))
+    // nearest: t=41 is 1 from rt=40 and 19 from rt=60 -> backward side
+    assert(m(AsOfJoin.nearest(left, right, Seq("user"), "t", "rt",
+      Seq("tag"))) === Map(1L -> "x", 2L -> "x", 3L -> null))
+  }
+
   test("asOfJoin backward: equal-time match, tolerance, ties, no-match") {
     import org.apache.spark.sql.functions._
     val left = spark.createDataFrame(Seq(
