@@ -986,20 +986,46 @@ object SparkEntry {
       pipeline.Dedup.charNgramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.5)),
 
-    // --- video-like frame sampling: deterministic every-stride-th chunk
-    // extraction over opaque binary payloads (the partition/schema shape
-    // of real frame extraction; the decode itself is the documented
-    // stub). Payloads are synthesized from text bytes so DuckDB can
-    // replay the byte math exactly --------------------------------------
+    // --- REAL video frame extraction: synthetic Y4M streams (3..6
+    // constant-luma 16×16 frames per doc, luma = (doc_id*31+k*17)%256)
+    // parsed by the real YUV4MPEG2 kernel, every 2nd frame kept with
+    // its exact Y-plane mean — DuckDB replays the luma formula in
+    // closed form, never touching the bytes -------------------------------
     "pipe_video_frames" -> ((s, dir) => {
-      val fake = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      pipeline.Multimodal.sampleFrames(fake, "payload",
-        chunkSize = 16, stride = 4)
+      val y4m = udf { id: Long =>
+        val n = (3 + id % 4).toInt
+        pipeline.Multimodal.syntheticY4m(16, 16,
+          (0 until n).map(k => ((id * 31 + k * 17) % 256).toInt))
+      }
+      val src = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("payload", y4m(col("doc_id")))
+      pipeline.Multimodal.videoFrameFeatures(src, "payload", stride = 2)
+        .select("doc_id", "frame_idx", "width", "height", "mean_luma")
+    }),
+
+    // --- REAL audio decode: synthetic mono 16-bit PCM WAV square
+    // waves (amp = 500 + (doc_id%50)*7, run length 4, n = 160*(1+
+    // doc_id%5) samples at 8 kHz) decoded by javax.sound.sampled —
+    // mean|amp| = RMS = amp and zero crossings = n/4 - 1 exactly, so
+    // DuckDB replays the features in closed form ---------------------------
+    "pipe_audio_features" -> ((s, dir) => {
+      val wav = udf { id: Long =>
+        pipeline.Multimodal.syntheticWav((500 + (id % 50) * 7).toInt, 8,
+          (160 * (1 + id % 5)).toInt)
+      }
+      val src = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("payload", wav(col("doc_id")))
+      pipeline.Multimodal.audioFeatures(src, "payload")
         .select(col("doc_id"),
-          posexplode(col("frames")).as(Seq("frame_idx", "frame")))
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          hex(col("frame")).as("frame_hex"))
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.n_frames").as("n_frames"),
+          col("audio.duration_sec").as("duration_sec"),
+          col("audio.mean_abs").as("mean_abs"),
+          col("audio.rms").as("rms"),
+          col("audio.zero_crossings").as("zero_crossings"))
     }),
 
     // --- the full corpus-cleaning pipeline COMPOSED end-to-end:
@@ -4581,17 +4607,23 @@ object SparkEntry {
     // DuckDB has no BLOB substring: slice the hex encoding instead
     // (2 hex chars per byte — slice-then-hex == hex-then-slice exactly)
     "pipe_video_frames" ->
-      """WITH f AS (
-        |  SELECT doc_id, hex(encode(text)) AS ph,
-        |    octet_length(encode(text)) AS nb
-        |  FROM documents),
-        |idx AS (
-        |  SELECT doc_id, ph,
-        |    unnest(generate_series(0, greatest((nb // 64) - 1, 0))) AS i
-        |  FROM f)
-        |SELECT doc_id, i AS frame_idx,
-        |  substr(ph, CAST(i * 128 + 1 AS BIGINT), 32) AS frame_hex
-        |FROM idx""".stripMargin,
+      """SELECT d.doc_id, f.frame_idx, 16 AS width, 16 AS height,
+        |  CAST((d.doc_id * 31 + f.frame_idx * 17) % 256 AS DOUBLE)
+        |    AS mean_luma
+        |FROM documents d
+        |CROSS JOIN (VALUES (0), (2), (4)) AS f(frame_idx)
+        |WHERE d.doc_id % 7 = 0
+        |  AND f.frame_idx < 3 + d.doc_id % 4""".stripMargin,
+
+    "pipe_audio_features" ->
+      """SELECT doc_id,
+        |  8000 AS sample_rate, 1 AS channels,
+        |  160 * (1 + doc_id % 5) AS n_frames,
+        |  (160 * (1 + doc_id % 5)) / 8000.0 AS duration_sec,
+        |  CAST(500 + (doc_id % 50) * 7 AS DOUBLE) AS mean_abs,
+        |  CAST(500 + (doc_id % 50) * 7 AS DOUBLE) AS rms,
+        |  (160 * (1 + doc_id % 5)) // 4 - 1 AS zero_crossings
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
 
     "pipe_corpus_clean" ->
       """WITH RECURSIVE q AS (

@@ -146,6 +146,72 @@ class PipelineSpec extends SparkSpec {
     assert(frames.head.length === 10)
   }
 
+  test("audioDecode reads real WAV bytes with exact square-wave features") {
+    // closed form: mean|amp| = rms = amp, zc = n/(p/2) - 1, dur = n/rate
+    val row = Multimodal.audioDecode(
+      Multimodal.syntheticWav(amp = 700, periodSamples = 8,
+        nSamples = 320, sampleRate = 8000))
+    assert(row.getInt(0) === 8000)
+    assert(row.getInt(1) === 1)
+    assert(row.getLong(2) === 320L)
+    assert(row.getDouble(3) === 320.0 / 8000.0)
+    assert(row.getDouble(4) === 700.0)
+    assert(row.getDouble(5) === 700.0)
+    assert(row.getLong(6) === 320L / 4 - 1)
+    // garbage and null payloads decode to null, not an exception
+    assert(Multimodal.audioDecode("not a wav".getBytes) === null)
+    assert(Multimodal.audioDecode(null) === null)
+    // batched column path: struct lands with the same values
+    val df = spark.createDataFrame(Seq(Tuple1(1L))).toDF("id")
+      .withColumn("payload",
+        udf(() => Multimodal.syntheticWav(100, 4, 40)).apply())
+    val a = Multimodal.audioFeatures(df, "payload")
+      .select(col("audio.rms"), col("audio.zero_crossings")).head()
+    assert(a.getDouble(0) === 100.0)
+    assert(a.getLong(1) === 40L / 2 - 1)
+  }
+
+  test("y4m frame extraction: exact luma means, stride sampling, junk-safe") {
+    val payload = Multimodal.syntheticY4m(16, 8, Seq(10, 20, 30, 40, 50))
+    val all = Multimodal.y4mFrames(payload, stride = 1)
+    assert(all.map(_.getInt(0)) === Seq(0, 1, 2, 3, 4))
+    assert(all.map(_.getDouble(3)) === Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+    assert(all.head.getInt(1) === 16 && all.head.getInt(2) === 8)
+    val strided = Multimodal.y4mFrames(payload, stride = 2)
+    assert(strided.map(_.getInt(0)) === Seq(0, 2, 4))
+    // truncated stream: frames parsed so far, no exception
+    val cut = java.util.Arrays.copyOf(payload, payload.length - 10)
+    assert(Multimodal.y4mFrames(cut, 1).length === 4)
+    assert(Multimodal.y4mFrames("junk".getBytes, 1).isEmpty)
+  }
+
+  test("mjpeg frame extraction decodes concatenated JPEGs via imageio") {
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpeg = jpeg(0x000000) ++ jpeg(0xffffff) ++ jpeg(0x000000)
+    val frames = Multimodal.mjpegFrames(mjpeg, stride = 1)
+    assert(frames.map(_.getInt(0)) === Seq(0, 1, 2))
+    assert(frames.forall(f => f.getInt(1) === 8 && f.getInt(2) === 8))
+    // JPEG is lossy: assert near-black / near-white, not exact
+    assert(frames(0).getDouble(3) < 40.0, frames(0).getDouble(3))
+    assert(frames(1).getDouble(3) > 215.0, frames(1).getDouble(3))
+    assert(Multimodal.mjpegFrames(mjpeg, stride = 2)
+      .map(_.getInt(0)) === Seq(0, 2))
+    // end-to-end through the batched extractor with auto-detection
+    val df = spark.createDataFrame(Seq(Tuple1(7L))).toDF("id")
+      .withColumn("payload", udf(() => mjpeg).apply())
+    val got = Multimodal.videoFrameFeatures(df, "payload")
+      .select("id", "frame_idx", "mean_luma").collect()
+    assert(got.length === 3)
+    assert(got.map(_.getLong(0)).toSet === Set(7L))
+  }
+
   test("langId detects CJK and stopword languages") {
     val got = docs(
       (1L, "the cat and the dog went to the park in the morning"),
