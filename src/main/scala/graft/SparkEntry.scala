@@ -29,6 +29,22 @@ object SparkEntry {
     * The synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
     * cells pre-aggregate; sums are decimal-cleaned for cross-engine
     * determinism (see `dsum`). */
+  /** query_table fixture: orders written once per (process, sf dir) in
+    * the native keyed format. Always rewritten on first use in a
+    * process (never trusted from a previous run's tmpdir). */
+  private val qtFixtureWritten = scala.collection.mutable.Set.empty[String]
+  private def qtFixture(s: SparkSession, dir: String): String = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_qt_orders_${Integer.toHexString(dir.hashCode)}"
+    qtFixtureWritten.synchronized {
+      if (!qtFixtureWritten.contains(tmp)) {
+        Table(t(s, dir, "orders"), Seq("o_orderkey")).write(tmp)
+        qtFixtureWritten += tmp
+      }
+    }
+    tmp
+  }
+
   /** Shared as-of join fixture: clicks (left) and a tie-free purchase
     * stream (right, one per (user, ts), max event_id) over `events`. */
   private def asofFixture(s: SparkSession, dir: String)
@@ -1241,10 +1257,12 @@ object SparkEntry {
     }),
 
     // --- query_table (functions.py query_table / StagedIndexReader):
-    // keyed range read of the native format; parquet stats skip files ------
+    // keyed range read of the native format; parquet stats skip files.
+    // The fixture WRITE is memoized per (process, sf dir) so the timed
+    // body — and Bench's post-burn-in iterations — measure the indexed
+    // READ path; write throughput is covered by matrix_write_read ---------
     "query_table" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_qt_orders"
-      Table(t(s, dir, "orders"), Seq("o_orderkey")).write(tmp)
+      val tmp = qtFixture(s, dir)
       Table.queryTable(s, tmp, 1000L, 3000L)
         .selectFields("o_custkey", "o_totalprice").df
     }),

@@ -180,14 +180,24 @@ object Events {
   private[streaming] def withLargeState[A](spark: SparkSession,
       n: Int)(body: => A): A = {
     val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val cKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(pKey)
+    val prevC = spark.conf.getOption(cKey)
     spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
-    try withStatePartitions(spark, n)(body)
-    finally prev match {
-      case Some(v) => spark.conf.set(pKey, v)
-      case None    => spark.conf.unset(pKey)
+    // changelog checkpointing: commit uploads the per-batch delta, not
+    // a full RocksDB snapshot — snapshots compact asynchronously in the
+    // background. At one state row per fingerprint the full-snapshot
+    // upload is the dominant per-batch cost; the delta is proportional
+    // to the batch instead.
+    spark.conf.set(cKey, "true")
+    def restore(key: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(key, x)
+      case None    => spark.conf.unset(key)
     }
+    try withStatePartitions(spark, n)(body)
+    finally { restore(pKey, prev); restore(cKey, prevC) }
   }
 
   /** Ordered funnel analysis: per user, the earliest completion of the

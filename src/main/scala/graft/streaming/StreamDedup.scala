@@ -178,7 +178,7 @@ object StreamDedup {
   def runWinnowPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: org.apache.spark.sql.types.StructType,
       id: String, text: String, sinkName: String,
-      k: Int = 16, w: Int = 4, numStatePartitions: Int = 32): DataFrame = {
+      k: Int = 16, w: Int = 4, numStatePartitions: Int = 16): DataFrame = {
     val dir = Events.stageAsDir(path, "graft_swn")
     val stream = spark.readStream
       .schema(schema)
