@@ -165,36 +165,67 @@ object HailNativeWrite {
     }
   }
 
-  /** Blocking + LZ4 + StreamBlock(2) encoder sink. A primitive never
-    * spans a block (the reader's `ensure` contract); byte runs do.
-    * `varintFraming` selects StreamBlockBufferSpec2 (varint lengths,
-    * the RVD codec) vs StreamBlockBufferSpec (4-byte LE lengths, the
-    * BlockMatrix codec). */
+  /** Blocking + compressed-block + StreamBlock(2) encoder sink. A
+    * primitive never spans a block (the reader's `ensure` contract);
+    * byte runs do. `varintFraming` selects StreamBlockBufferSpec2
+    * (varint lengths, the RVD codec) vs StreamBlockBufferSpec (4-byte
+    * LE lengths, the BlockMatrix codec). `codec` picks the block
+    * compressor: lz4 (part files) or zstd (index files —
+    * `BufferSpec.default`). Tracks raw bytes written so callers can
+    * record seekable row offsets in the reference's
+    * `(compressedPos << 16) | blockOff` form
+    * (`OutputBuffers.scala:157` indexOffset). */
   private[graft] final class OutBuf(blockSize: Int, out: OutputStream,
-      varintFraming: Boolean = true) {
-    private val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
-      .fastCompressor()
+      varintFraming: Boolean = true, codec: String = "lz4") {
+    private val lz4 =
+      if (codec == "lz4") net.jpountz.lz4.LZ4Factory.fastestInstance()
+        .fastCompressor()
+      else null
     private val buf = new Array[Byte](blockSize)
-    private val comp =
-      new Array[Byte](lz4.maxCompressedLength(blockSize) + 4)
+    private val comp = new Array[Byte](4 + (codec match {
+      case "lz4" => lz4.maxCompressedLength(blockSize)
+      case "zstd" =>
+        com.github.luben.zstd.Zstd.compressBound(blockSize.toLong).toInt
+      case x => throw new IllegalArgumentException(s"codec $x")
+    }))
     private var off = 0
+    private var rawBytes = 0L
     private def flushBlock(): Unit = if (off > 0) {
-      // LZ4 block frame: [4B LE decompressed length][lz4 bytes],
-      // wrapped in StreamBlock2 varint framing
-      val clen = lz4.compress(buf, 0, off, comp, 4)
+      // block frame: [4B LE decompressed length][compressed bytes],
+      // wrapped in StreamBlock(2) framing
+      val clen = codec match {
+        case "lz4" => lz4.compress(buf, 0, off, comp, 4)
+        case _ => com.github.luben.zstd.Zstd.compressByteArray(
+          comp, 4, comp.length - 4, buf, 0, off, 3).toInt
+      }
       comp(0) = off.toByte
       comp(1) = (off >> 8).toByte
       comp(2) = (off >> 16).toByte
       comp(3) = (off >> 24).toByte
-      if (varintFraming) writeVarintTo(out, clen + 4)
-      else {
+      if (varintFraming) {
+        writeVarintTo(out, clen + 4)
+        var v = clen + 4
+        rawBytes += 1
+        while ((v >>> 7) != 0) { rawBytes += 1; v = v >>> 7 }
+      } else {
         val n = clen + 4
         out.write(n & 0xff); out.write((n >> 8) & 0xff)
         out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+        rawBytes += 4
       }
       out.write(comp, 0, clen + 4)
+      rawBytes += clen + 4
       off = 0
     }
+    /** Seekable offset of the NEXT value written: compressed-stream
+      * position of the current block start <<16 | in-block offset. */
+    def indexOffset(): Long = {
+      if (off == blockSize) flushBlock()
+      (rawBytes << 16) | off
+    }
+    /** Flush the current partial block as a complete frame WITHOUT
+      * closing — each index node is its own seekable frame. */
+    def flushFrame(): Unit = flushBlock()
     private def ensure(n: Int): Unit =
       if (off + n > blockSize) flushBlock()
     def writeByte(b: Int): Unit = { ensure(1); buf(off) = b.toByte; off += 1 }
@@ -226,6 +257,16 @@ object HailNativeWrite {
         more = n != 0
       }
     }
+    def writeVarintLong(n0: Long): Unit = {
+      var n = n0
+      var more = true
+      while (more) {
+        val x = (n & 0x7f).toInt
+        n = n >>> 7
+        writeByte(if (n != 0) x | 0x80 else x)
+        more = n != 0
+      }
+    }
     def writeBytes(b: Array[Byte]): Unit = {
       var done = 0
       while (done < b.length) {
@@ -246,7 +287,10 @@ object HailNativeWrite {
     case EI64(_) => out.writeLong(v.asInstanceOf[Long])
     case EF32(_) => out.writeFloat(v.asInstanceOf[Float])
     case EF64(_) => out.writeDouble(v.asInstanceOf[Double])
-    case EVar(_) => out.writeVarint(v.asInstanceOf[Int])
+    case EVar(_) => v match {
+      case l: Long => out.writeVarintLong(l)
+      case i: Int => out.writeVarint(i)
+    }
     case EBin(_, vl) =>
       val bytes = v match {
         case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -317,12 +361,18 @@ object HailNativeWrite {
     case x => throw new UnsupportedOperationException(s"encode $x")
   }
 
-  /** One part file: [0x01 row]* 0x00 through the write codec. */
+  /** One part file: [0x01 row]* 0x00 through the write codec.
+    * `beforeRow`, when given, observes each row with its seekable
+    * indexOffset BEFORE the row indicator byte (the offset the
+    * reference's indexed reader seeks to — `RichContextRDDRegionValue
+    * .writeRowsPartition` records it at exactly this point). */
   private[graft] def encodePart(rows: Iterator[Row], e: ETyp,
-      raw: OutputStream): Long = {
+      raw: OutputStream,
+      beforeRow: (Row, Long) => Unit = null): Long = {
     val out = new OutBuf(32768, raw)
     var n = 0L
     rows.foreach { r =>
+      if (beforeRow != null) beforeRow(r, out.indexOffset())
       out.writeByte(1)
       encode(e, r, out)
       n += 1
@@ -334,7 +384,7 @@ object HailNativeWrite {
 
   // ---- JSON helpers -------------------------------------------------------
 
-  private def jsonEscape(s: String): String = s.flatMap {
+  private[sources] def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -393,14 +443,18 @@ object HailNativeWrite {
   }
 
   private def rvdMetadataJson(key: Seq[String], vType: VType, eType: ETyp,
-      partFiles: Seq[String], bounds: Seq[String]): String = {
+      partFiles: Seq[String], bounds: Seq[String],
+      indexSpec: Option[String] = None): String = {
     val keyJsonArr = key.map(k => "\"" + jsonEscape(k) + "\"")
       .mkString("[", ",", "]")
-    s"""{"name":"OrderedRVDSpec2","_key":$keyJsonArr,""" +
+    val name = if (indexSpec.isDefined) "IndexedRVDSpec2"
+      else "OrderedRVDSpec2"
+    s"""{"name":"$name","_key":$keyJsonArr,""" +
       s""""_codecSpec":{"name":"TypedCodecSpec",""" +
       s""""_eType":"${jsonEscape(eTypeString(eType))}",""" +
       s""""_vType":"${jsonEscape(vTypeString(vType))}",""" +
       s""""_bufferSpec":$WriteBufSpecJson},""" +
+      indexSpec.map(s => s""""_indexSpec":$s,""").getOrElse("") +
       s""""_partFiles":${partFiles.map(f => "\"" + jsonEscape(f) + "\"")
         .mkString("[", ",", "]")},""" +
       s""""_jRangeBounds":${bounds.mkString("[", ",", "]")},""" +
@@ -419,9 +473,14 @@ object HailNativeWrite {
     * parts/): range-partition + sort by key when keyed, one task per
     * part, each streaming to the FS. Empty partitions are dropped from
     * the listing (a keyed empty part has no expressible bounds).
-    * Returns per-part row counts. */
+    * Keyed components also stream a `.idx` B-tree sidecar per part to
+    * `indexDir` (same task, same pass — zero extra scans) and emit an
+    * `IndexedRVDSpec2`, so reference deployments point/interval-seek
+    * the export instead of scanning. Returns per-part row counts. */
   private def writeRvd(df: DataFrame, key: Seq[String], dir: String,
-      nPartitions: Option[Int] = None): Seq[Long] = {
+      nPartitions: Option[Int] = None,
+      indexDir: Option[String] = None,
+      indexRelPath: String = "../index"): Seq[Long] = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val vType = vTypeOf(df.schema).asInstanceOf[VStruct]
@@ -446,6 +505,10 @@ object HailNativeWrite {
     require(keyIdx.forall(_ >= 0), s"key $key not in ${fields.toSeq}")
     new HPath(s"$dir/parts").getFileSystem(conf)
       .mkdirs(new HPath(s"$dir/parts"))
+    val doIndex = indexDir.filter(_ => key.nonEmpty)
+    val (keyE, keyV) = indexTypes(df.schema, key)
+    doIndex.foreach(d =>
+      new HPath(d).getFileSystem(conf).mkdirs(new HPath(d)))
     // session Hadoop conf must reach the tasks (spark.hadoop.* creds)
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val results = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
@@ -461,8 +524,20 @@ object HailNativeWrite {
           last = r
           r
         }
+        val iw = doIndex.map { d =>
+          val ip = new HPath(s"$d/$file.idx")
+          new HailIdx.Writer(new BufferedOutputStream(
+            ip.getFileSystem(sconf.value).create(ip, true)),
+            keyE, keyV, HailIdx.EmptyAnn._1, HailIdx.EmptyAnn._2)
+        }
+        val beforeRow: (Row, Long) => Unit = iw match {
+          case Some(w) => (r, off) =>
+            w.appendRow(Row.fromSeq(keyIdx.map(r.get)), off, Row())
+          case None => null
+        }
         val n = encodePart(counted, eType,
-          new BufferedOutputStream(fs.create(p, true)))
+          new BufferedOutputStream(fs.create(p, true)), beforeRow)
+        iw.foreach(_.close())
         Iterator.single(PartResult(i, file, n,
           keyIdx.map(first.get), keyIdx.map(last.get)))
       }
@@ -476,8 +551,19 @@ object HailNativeWrite {
           """"includeStart":true,"includeEnd":true}"""
       }
     writeGz(conf, s"$dir/metadata.json.gz",
-      rvdMetadataJson(key, vType, eType, results.map(_.file), bounds))
+      rvdMetadataJson(key, vType, eType, results.map(_.file), bounds,
+        doIndex.map(_ => HailIdx.indexSpecJson(indexRelPath, keyE, keyV,
+          HailIdx.EmptyAnn._1, HailIdx.EmptyAnn._2, None))))
     results.map(_.count)
+  }
+
+  /** Encoded/virtual struct types of a key selection — the index key
+    * codec (required struct of the row's nullable-by-default fields). */
+  private def indexTypes(schema: StructType, key: Seq[String])
+      : (ETyp, VType) = {
+    val kv = VStruct(key.toIndexedSeq.map(k =>
+      k -> vTypeOf(schema(k).dataType)))
+    (setRequired(writeEType(kv)), kv)
   }
 
   /** Driver-side single-part RVD (globals / cols). */
