@@ -43,10 +43,14 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     queries.foreach { case (n, f) => runOnce(n, f) } // burn-in
-    val results = queries.map { case (name, fn) =>
+    // keep the full spread, not just the median: streaming/shuffle
+    // queries show >2x run-to-run variance across sessions, and a
+    // median-only artifact hides it (r9 verdict, finding #2)
+    val spreads = queries.map { case (name, fn) =>
       val times = (1 to iters).map(_ => runOnce(name, fn)).sorted
-      name -> times(times.length / 2) // median
+      name -> ((times.head, times(times.length / 2), times.last))
     }
+    val results = spreads.map { case (n, (_, med, _)) => n -> med }
     val total = results.map(_._2).sum
     // The one-line JSON contract: the harness captures only the tail of
     // stdout, so the line must stay well under 2000 chars. `value`/`n`
@@ -82,6 +86,18 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     System.err.println("BENCH FULL " + fmt(results))
+    // full min/median/max spread: stderr + a committed-on-demand file
+    // (the stdout line contract caps at ~2000 chars, medians only)
+    val spreadJson = spreads.map { case (k, (mn, md, mx)) =>
+      "\"" + k + "\":[" + num(mn) + "," + num(md) + "," + num(mx) + "]"
+    }.mkString("{", ",", "}")
+    System.err.println("BENCH SPREAD " + spreadJson)
+    sys.env.get("SPARK_GRAFT_BENCH_SPREAD_OUT").foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try w.println(s"""{"sf":"$sfDir","iters":$iters,""" +
+        s""""spread_min_med_max":$spreadJson}""")
+      finally w.close()
+    }
     val qs = fmt(results.filter { case (k, _) => headline.contains(k) })
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.length},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -34,8 +34,10 @@ object SparkEntry {
     * process (never trusted from a previous run's tmpdir). */
   private val qtFixtureWritten = scala.collection.mutable.Set.empty[String]
   private def qtFixture(s: SparkSession, dir: String): String = {
+    // sanitized sf-dir path, not hashCode hex — hash collisions between
+    // two sf dirs in one process would silently serve the wrong fixture
     val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft_qt_orders_${Integer.toHexString(dir.hashCode)}"
+      s"graft_qt_orders_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     qtFixtureWritten.synchronized {
       if (!qtFixtureWritten.contains(tmp)) {
         Table(t(s, dir, "orders"), Seq("o_orderkey")).write(tmp)

@@ -249,12 +249,18 @@ object HailIdx {
     val meta = readMeta(fs, path)
     val (leafE, leafV) = leafTypes(keyE, keyV, annE, annV)
     val (intE, intV) = internalTypes(keyE, keyV, annE, annV)
+    walk(fs, path, meta, IdxBufSpec, leafE, leafV, intE, intV)
+  }
+
+  private def walk(fs: FileSystem, path: String, meta: IdxMeta,
+      spec: BufSpec, leafE: ETyp, leafV: VType, intE: ETyp, intV: VType)
+      : IndexedSeq[(Row, Long, Row)] = {
     val out = IndexedSeq.newBuilder[(Row, Long, Row)]
     val in = fs.open(new HPath(path))
     try {
       def nodeAt(off: Long): Unit = {
         in.seek(off)
-        val ib = buildInBuf(IdxBufSpec, new java.io.InputStream {
+        val ib = buildInBuf(spec, new java.io.InputStream {
           def read(): Int = in.read()
           override def read(b: Array[Byte], o: Int, l: Int): Int =
             in.read(b, o, l)
@@ -279,5 +285,82 @@ object HailIdx {
     require(entries.length.toLong == meta.nKeys,
       s"$path: walked ${entries.length} keys, metadata says ${meta.nKeys}")
     entries
+  }
+
+  // ---- legacy (pre-0.2.139) directory-layout indexes -----------------------
+
+  /** Legacy index node codec (reference `compatibility.IndexSpec
+    * .baseSpec`): LEB128(Blocking(32K, LZ4HC(32K, StreamBlock))). The
+    * LZ4 block frame is identical for HC and fast compressors on the
+    * read side. */
+  private[graft] val LegacyIdxBufSpec: BufSpec =
+    Leb128(Blocking(32768, Lz4Block(32768, StreamBlock)))
+
+  /** Legacy node layouts (reference `compatibility.IndexSpec`):
+    * first_idx/offset fields are `EInt64Required` (varint on the wire
+    * via the LEB128 wrapper) and arrays are
+    * `EArrayLegacyFullWidthIntegerLength` (ditto). */
+  private def legacyLeafTypes(keyE: ETyp, keyV: VType, annE: ETyp,
+      annV: VType): (ETyp, VType) = (
+    EStru(IndexedSeq(
+      "first_idx" -> EI64(true),
+      "keys" -> EArr(EStru(IndexedSeq(
+        "key" -> keyE,
+        "offset" -> EI64(true),
+        "annotation" -> annE), required = true),
+        required = true, varintLen = false)), required = true),
+    leafTypes(keyE, keyV, annE, annV)._2)
+
+  private def legacyInternalTypes(keyE: ETyp, keyV: VType, annE: ETyp,
+      annV: VType): (ETyp, VType) = (
+    EStru(IndexedSeq(
+      "children" -> EArr(EStru(IndexedSeq(
+        "index_file_offset" -> EI64(true),
+        "first_idx" -> EI64(true),
+        "first_key" -> keyE,
+        "first_record_offset" -> EI64(true),
+        "first_annotation" -> annE), required = true),
+        required = true, varintLen = false)), required = true),
+    internalTypes(keyE, keyV, annE, annV)._2)
+
+  /** Legacy `.idx` is a DIRECTORY: `metadata.json.gz` (same field
+    * names as the inline form, plus `indexPath` naming the node file)
+    * beside the node file `index` (reference `IndexReader
+    * .readMetadataRaw` directory branch). Returns the metadata plus
+    * the key/annotation legacy type strings for `parsePackedType`. */
+  def readMetaLegacy(fs: FileSystem, dir: String)
+      : (IdxMeta, String, String, String) = {
+    val in = new java.util.zip.GZIPInputStream(
+      fs.open(new HPath(s"$dir/metadata.json.gz")))
+    val jv =
+      try org.json4s.jackson.JsonMethods.parse(
+        new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    def jLong(f: String): Long = (jv \ f) match {
+      case org.json4s.JInt(v) => v.toLong
+      case org.json4s.JLong(v) => v
+      case x => throw new IllegalArgumentException(s"legacy idx $f: $x")
+    }
+    def jStr(f: String): String = (jv \ f) match {
+      case org.json4s.JString(s) => s
+      case x => throw new IllegalArgumentException(s"legacy idx $f: $x")
+    }
+    (IdxMeta(jLong("fileVersion").toInt, jLong("branchingFactor").toInt,
+      jLong("height").toInt, jLong("nKeys"), jLong("rootOffset")),
+      jStr("keyType"), jStr("annotationType"), jStr("indexPath"))
+  }
+
+  /** Decode every entry of a reference-written legacy `.idx`
+    * directory. Key/annotation ETyps come from `parsePackedType` over
+    * the metadata's own type strings. */
+  def readEntriesLegacy(fs: FileSystem, dir: String)
+      : IndexedSeq[(Row, Long, Row)] = {
+    val (meta, keyT, annT, indexPath) = readMetaLegacy(fs, dir)
+    val (keyV, keyE) = parsePackedType(keyT)
+    val (annV, annE) = parsePackedType(annT)
+    val (leafE, leafV) = legacyLeafTypes(keyE, keyV, annE, annV)
+    val (intE, intV) = legacyInternalTypes(keyE, keyV, annE, annV)
+    walk(fs, s"$dir/$indexPath", meta, LegacyIdxBufSpec,
+      leafE, leafV, intE, intV)
   }
 }

@@ -630,7 +630,8 @@ object HailNativeWrite {
     val conf = t.spark.sparkContext.hadoopConfiguration
     val fs = new HPath(path).getFileSystem(conf)
     fs.mkdirs(new HPath(path))
-    val counts = writeRvd(t.df, t.key, s"$path/rows", nPartitions)
+    val counts = writeRvd(t.df, t.key, s"$path/rows", nPartitions,
+      indexDir = Some(s"$path/index"))
     val (gType, gRow) = globalsStruct(t.globals)
     writeRvdLocal(conf, Seq(gRow), gType, s"$path/globals")
     writeGz(conf, s"$path/metadata.json.gz",
@@ -687,8 +688,9 @@ object HailNativeWrite {
     val entIdx = fields.indexOf(MatrixTable.EntriesField)
     val rowIdx = fields.indices.filter(_ != entIdx)
     val keyIdx = mt.rowKey.map(fields.indexOf(_))
-    for (d <- Seq("rows/rows/parts", "entries/rows/parts"))
+    for (d <- Seq("rows/rows/parts", "entries/rows/parts", "index"))
       fs.mkdirs(new HPath(s"$path/$d"))
+    val (idxKeyE, idxKeyV) = indexTypes(rowSchema, mt.rowKey)
 
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val results = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
@@ -706,12 +708,21 @@ object HailNativeWrite {
           create(s"$path/rows/rows/parts/$file"))
         val entOut = new OutBuf(32768,
           create(s"$path/entries/rows/parts/$file"))
+        // one .idx shared by rows AND entries: key -> rows offset,
+        // annotation.entries_offset -> aligned entries offset (the
+        // reference's matrix layout — entries seeks through the same
+        // index via `_offsetField`)
+        val iw = new HailIdx.Writer(
+          create(s"$path/index/$file.idx"), idxKeyE, idxKeyV,
+          HailIdx.EntriesAnn._1, HailIdx.EntriesAnn._2)
         var first: Row = null
         var last: Row = null
         var n = 0L
         it.foreach { r =>
           if (first == null) first = r
           last = r
+          iw.appendRow(Row.fromSeq(keyIdx.map(r.get)),
+            rowOut.indexOffset(), Row(entOut.indexOffset()))
           rowOut.writeByte(1)
           encode(rowE, Row.fromSeq(rowIdx.map(r.get)), rowOut)
           entOut.writeByte(1)
@@ -720,6 +731,7 @@ object HailNativeWrite {
         }
         rowOut.writeByte(0); rowOut.close()
         entOut.writeByte(0); entOut.close()
+        iw.close()
         Iterator.single(PartResult(i, file, n,
           keyIdx.map(first.get), keyIdx.map(last.get)))
       }
@@ -733,10 +745,15 @@ object HailNativeWrite {
     }
     writeGz(conf, s"$path/rows/rows/metadata.json.gz",
       rvdMetadataJson(mt.rowKey, rowV, rowE, results.map(_.file),
-        rowBounds))
+        rowBounds,
+        Some(HailIdx.indexSpecJson("../../index", idxKeyE, idxKeyV,
+          HailIdx.EntriesAnn._1, HailIdx.EntriesAnn._2, None))))
     writeGz(conf, s"$path/entries/rows/metadata.json.gz",
       rvdMetadataJson(Nil, entV, entE, results.map(_.file),
-        results.map(_ => catchAllBound)))
+        results.map(_ => catchAllBound),
+        Some(HailIdx.indexSpecJson("../../index", idxKeyE, idxKeyV,
+          HailIdx.EntriesAnn._1, HailIdx.EntriesAnn._2,
+          Some("entries_offset")))))
 
     val (gType, gRow) = globalsStruct(mt.globals)
     writeRvdLocal(conf, Seq(gRow), gType, s"$path/globals/rows")

@@ -88,7 +88,9 @@ class HailNativeWriteSpec extends SparkSpec {
       "PartitionCountsComponentSpec"))
       assert(top.contains(k), s"missing $k in $top")
     val rvd = readGz(s"$path/rows/metadata.json.gz")
-    for (k <- Seq("\"name\":\"OrderedRVDSpec2\"", "\"_key\":[\"id\"]",
+    for (k <- Seq("\"name\":\"IndexedRVDSpec2\"", "\"_key\":[\"id\"]",
+      "\"_indexSpec\":{\"name\":\"IndexSpec2\"",
+      "\"_relPath\":\"../index\"",
       "TypedCodecSpec", "\"_eType\":\"EBaseStruct{id:EInt32,s:EBinary2}\"",
       "\"_vType\":\"Struct{id:Int32,s:String}\"",
       "LZ4FastBlockBufferSpec", "StreamBlockBufferSpec2",
