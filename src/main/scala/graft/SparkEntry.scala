@@ -721,6 +721,21 @@ object SparkEntry {
       pipeline.Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "fp")),
 
+    // --- skew diagnostic: hottest shuffle keys + ratio vs mean -------------
+    "table_skew_stats" -> ((s, dir) =>
+      Table(t(s, dir, "lineitem")).skewStats(Seq("l_returnflag"), 5)
+        .withColumn("ratio", round(col("ratio"), 6))),
+
+    // --- pipeline: cap audit (generic bucket stats, SQL-checkable) ---------
+    "pipe_cap_report" -> ((s, dir) =>
+      pipeline.Dedup.bucketCapStats(t(s, dir, "documents"),
+        Seq("text"), 4, "exact_text")),
+
+    // --- pipeline: cap audit across the real pair families (rows-only) ----
+    "pipe_cap_report_families" -> ((s, dir) =>
+      pipeline.Dedup.capReport(t(s, dir, "documents"), "doc_id", "text",
+        maxBucketSize = 50).orderBy("family")),
+
     // --- pipeline: text quality features -----------------------------------
     "pipe_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -4004,6 +4019,29 @@ object SparkEntry {
         |FROM (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS line_no) n
         |LEFT JOIN (SELECT l_linenumber AS line_no, count(*) AS n_lines
         |  FROM lineitem GROUP BY 1) c USING (line_no)""".stripMargin,
+
+    "table_skew_stats" ->
+      """WITH c AS (SELECT l_returnflag, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) /
+        |    (CAST((SELECT sum(cnt) FROM c) AS DOUBLE) /
+        |     (SELECT count(*) FROM c)), 6) AS ratio
+        |FROM c ORDER BY cnt DESC, l_returnflag LIMIT 5""".stripMargin,
+
+    "pipe_cap_report" ->
+      """WITH b AS (SELECT text, count(*) AS bn FROM documents
+        |  GROUP BY text)
+        |SELECT 'exact_text' AS family,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN bn BETWEEN 2 AND 4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pairable,
+        |  CAST(sum(CASE WHEN bn > 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_capped,
+        |  CAST(sum(bn) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN bn > 4 THEN bn ELSE 0 END) AS BIGINT)
+        |    AS rows_capped
+        |FROM b""".stripMargin,
 
     "pipe_dedup_exact" ->
       """SELECT doc_id, content_hash FROM (

@@ -280,6 +280,29 @@ final case class Table(
       .filter(col("__rn") === 1).drop("__rn"))
   }
 
+  /** Skew diagnostic for a prospective shuffle key: the top-k hottest
+    * key values with their row counts and the count/mean-count ratio.
+    * A ratio in the hundreds says the plain shuffle on this key will
+    * straggle at scale and the join belongs behind `Skew.saltedJoin`
+    * (or AQE skew handling); a ratio near 1 says it will not. ONE
+    * aggregation shuffle; the top-k is TakeOrderedAndProject, never a
+    * global sort materialization — safe to run on the full corpus
+    * before committing to a partitioning. */
+  def skewStats(keys: Seq[String], k: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "skewStats requires at least one key column")
+    val cnt = org.apache.spark.sql.functions.count(lit(1))
+    val counts = df.groupBy(keys.map(col): _*).agg(cnt.as("cnt"))
+    // mean rows-per-key as a broadcast 1-row join, one lazy DAG — the
+    // duplicated aggregate subtree collapses to a ReusedExchange
+    val mean = counts.agg(
+      (sum(col("cnt")) / cnt).cast("double").as("__mean"))
+    counts.crossJoin(broadcast(mean))
+      .withColumn("ratio", col("cnt").cast("double") / col("__mean"))
+      .drop("__mean")
+      .orderBy(col("cnt").desc +: keys.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   /** TableRepartition (`TableIR.scala:2184`). The shuffle-free branch
     * (hail's `naive_coalesce`) merges partitions whose grouping Spark
     * does not promise to be adjacent, so it conservatively drops the

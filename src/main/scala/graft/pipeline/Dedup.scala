@@ -225,6 +225,63 @@ object Dedup {
       .groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucketSize)
 
+  /** One audit row for a bucketed pair family: bucket counts split into
+    * pairable (2..max), singleton, and CAPPED (dropped by `capBuckets`),
+    * plus the row mass the cap silently discards. Every pair family in
+    * this file bounds its quadratic with a cap; this makes the loss an
+    * auditable number instead of a silent truncation. One aggregation
+    * shuffle on the bucket key — same cost shape as the cap itself. */
+  def bucketCapStats(buckets: DataFrame, byCols: Seq[String],
+      maxBucketSize: Int, family: String): DataFrame =
+    buckets.groupBy(byCols.map(col): _*).agg(count(lit(1)).as("__bn"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("__bn") > 1 && col("__bn") <= maxBucketSize, 1L)
+          .otherwise(0L)).as("n_pairable"),
+        sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L))
+          .as("n_capped"),
+        sum(col("__bn")).as("rows_total"),
+        sum(when(col("__bn") > maxBucketSize, col("__bn")).otherwise(0L))
+          .as("rows_capped"))
+      .select(lit(family).as("family"), col("n_buckets"),
+        col("n_pairable"), col("n_capped"), col("rows_total"),
+        col("rows_capped"))
+
+  /** Cap audit across the text pair families (default parameters of
+    * each): what would `minhashPairs` / `simhashPairs` / `winnowPairs`
+    * — and `charNgramJaccardPairs` when `blockCols` is given — drop at
+    * their bucket caps on THIS corpus. Run it before a production dedup
+    * pass: a large `rows_capped` says boilerplate should be collapsed
+    * with `exact`/`byFingerprint` first (or the cap raised), a zero
+    * says the caps are free. Families aggregate independently and
+    * union; each is one bucket-key shuffle. */
+  def capReport(df: DataFrame, id: String, text: String,
+      maxBucketSize: Int = 10000, blockCols: Seq[String] = Nil)
+      : DataFrame = {
+    val mh = bucketCapStats(
+      bandSignatures(shingleSets(df, id, text, 3), 8, 4),
+      Seq("band", "bsig"), maxBucketSize, "minhash")
+    val sh = bucketCapStats(
+      df.select(col(id).as("doc"),
+          array_distinct(Text.tokens(col(text))).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc"),
+          graft.functions.TextKernels.simHash64(col("__w")).as("sig"))
+        .withColumn("bucket", shiftrightunsigned(col("sig"), 60 - 16)),
+      Seq("bucket"), maxBucketSize, "simhash")
+    val wn = bucketCapStats(
+      df.select(col(id).as("doc"),
+          explode(Text.winnowFingerprints(col(text), 12, 8)).as("fp")),
+      Seq("fp"), maxBucketSize, "winnow")
+    val base = mh.unionByName(sh).unionByName(wn)
+    val all =
+      if (blockCols.isEmpty) base
+      else base.unionByName(bucketCapStats(
+        df.filter(length(col(text)) > 0), blockCols, maxBucketSize,
+        "ngram_block"))
+    all
+  }
+
   /** Winnowing-fingerprint near-dup pairs (MOSS-style): each doc is
     * reduced to its winnowing fingerprint set (rolling-hash k-grams,
     * rightmost-min-per-window selection — `Text.winnowFingerprints`);
