@@ -4458,9 +4458,12 @@ object SparkEntry {
         |  WHERE a.doc_id % 10 = 0 AND EXISTS (
         |    SELECT 1 FROM documents b WHERE b.doc_id = a.doc_id + 1)),
         |pool AS (
-        |  SELECT doc_id AS neg FROM documents
-        |  WHERE CAST(('0x' || substr(md5('neg-pool|'
-        |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0),
+        |  SELECT neg FROM (
+        |    SELECT doc_id AS neg,
+        |      CAST(('0x' || substr(md5('neg-pool|'
+        |        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS ph
+        |    FROM documents) WHERE ph % 5 = 0
+        |  ORDER BY ph, neg LIMIT 1024),
         |adj AS (
         |  SELECT id_a AS anchor, id_b AS other FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs),

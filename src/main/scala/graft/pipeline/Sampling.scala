@@ -125,14 +125,21 @@ object Sampling {
     * engine-portable determinism as every sampler here, so the mined
     * triplets replay anywhere. */
   def tripletMine(pairs: DataFrame, docs: DataFrame, id: String,
-      nNeg: Int = 2, poolMod: Int = 25, salt: String = "neg")
-      : DataFrame = {
+      nNeg: Int = 2, poolMod: Int = 25, salt: String = "neg",
+      poolCap: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val anchors = pairs.select(col("id_a").as("anchor"),
       col("id_b").as("positive"))
-    val pool = docs.select(col(id).as("neg"))
-      .filter(pmod(unitHash(col(id), s"$salt-pool"),
-        lit(poolMod.toLong)) === 0L)
+    // the pool must be BOUNDED, not a corpus fraction: anchors × pool
+    // is the candidate volume, and a mod-only thinning makes it
+    // O(n²/poolMod) — 10× data ran 83× slower before the cap. The cap
+    // keeps the deterministic subset (smallest pool hashes win) and
+    // the broadcast contract at any corpus size.
+    val pool = docs.select(col(id).as("neg"),
+        unitHash(col(id), s"$salt-pool").as("__ph"))
+      .filter(pmod(col("__ph"), lit(poolMod.toLong)) === 0L)
+      .orderBy(col("__ph").asc, col("neg").asc).limit(poolCap)
+      .select("neg")
     val adjacency = pairs
       .select(col("id_a").as("anchor"), col("id_b").as("neg"))
       .union(pairs.select(col("id_b").as("anchor"),

@@ -117,6 +117,25 @@ object Events {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Backfill trigger sizing: cap a static-directory replay at
+    * ~`targetBatches` micro-batches no matter how many part files the
+    * corpus was written as. With a fixed `maxFilesPerTrigger = 1`, the
+    * batch COUNT scales with the writer's partitioning and the
+    * per-batch state-store commit dominates (10× data in 32 parts ran
+    * 33× slower, not 10×). A production backfill sizes batches to
+    * executor memory (`maxBytesPerTrigger`); this is the same knob for
+    * the parity runners, keeping >= 2 batches when there are >= 2
+    * files so cross-batch state logic still gets exercised. */
+  private[graft] def filesPerTrigger(dir: String,
+      targetBatches: Int = 4): Int = {
+    val n = new java.io.File(dir).listFiles() match {
+      case null => 1
+      case fs => fs.count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    }
+    math.max(1, (math.max(n, 1) + targetBatches - 1) / targetBatches)
+  }
+
   /** The file stream source wants a DIRECTORY: stage a single file
     * behind a symlink in a temp dir (no copy); directories pass
     * through. Shared by every streaming parity runner. */
@@ -139,7 +158,7 @@ object Events {
     val streamDir = stageAsDir(path, "graft_stream")
     withStatePartitions(spark, numStatePartitions) {
       val q = hourlyTypeAgg(readEventStream(spark, streamDir, schema,
-        maxFilesPerTrigger = 1))
+        maxFilesPerTrigger = filesPerTrigger(streamDir)))
         .writeStream
         .format("memory")
         .queryName(sinkName)
@@ -190,13 +209,17 @@ object Events {
     // a full RocksDB snapshot — snapshots compact asynchronously in the
     // background. At one state row per fingerprint the full-snapshot
     // upload is the dominant per-batch cost; the delta is proportional
-    // to the batch instead.
-    spark.conf.set(cKey, "true")
+    // to the batch instead. SPARK_GRAFT_CHANGELOG=false and
+    // SPARK_GRAFT_STATE_PARTS=<n> exist for benchmark A/Bs only.
+    spark.conf.set(cKey,
+      sys.env.getOrElse("SPARK_GRAFT_CHANGELOG", "true"))
     def restore(key: String, v: Option[String]): Unit = v match {
       case Some(x) => spark.conf.set(key, x)
       case None    => spark.conf.unset(key)
     }
-    try withStatePartitions(spark, n)(body)
+    try withStatePartitions(spark,
+      sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(n))(
+      body)
     finally { restore(pKey, prev); restore(cKey, prevC) }
   }
 
@@ -278,7 +301,8 @@ object Events {
       numStatePartitions: Int = 8): DataFrame = {
     val dir = stageAsDir(path, "graft_sqtl")
     withStatePartitions(spark, numStatePartitions) {
-      val q = readEventStream(spark, dir, schema)
+      val q = readEventStream(spark, dir, schema,
+          maxFilesPerTrigger = filesPerTrigger(dir))
         .groupBy(col("event_type"))
         .agg(graft.operators.Aggs.approxCdf(col("value"), k).as("cdf"))
         .writeStream

@@ -151,7 +151,7 @@ object StreamDedup {
     val dir = Events.stageAsDir(path, "graft_smh")
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", Events.filesPerTrigger(dir))
       .parquet(dir)
     // state partitions sized to state volume, not cores — see
     // Events.withStatePartitions
@@ -178,11 +178,11 @@ object StreamDedup {
   def runWinnowPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: org.apache.spark.sql.types.StructType,
       id: String, text: String, sinkName: String,
-      k: Int = 16, w: Int = 4, numStatePartitions: Int = 16): DataFrame = {
+      k: Int = 16, w: Int = 4, numStatePartitions: Int = 32): DataFrame = {
     val dir = Events.stageAsDir(path, "graft_swn")
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", Events.filesPerTrigger(dir))
       .parquet(dir)
     // one state row per FINGERPRINT (~0.4/normalized char) — millions of
     // keys at any real corpus slice, the large-state regime

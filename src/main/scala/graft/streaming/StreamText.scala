@@ -49,7 +49,7 @@ object StreamText {
     val dir = Events.stageAsDir(path, "graft_stxt")
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", Events.filesPerTrigger(dir))
       .parquet(dir)
     Events.withStatePartitions(spark, numStatePartitions) {
       val q = langProfile(stream, id, text)

@@ -14,7 +14,13 @@ import json, sys
 def load(path):
     line = open(path).read().strip().splitlines()[-1]
     j = json.loads(line)
-    return j
+    # accept the one-line Bench artifact, a raw full map, or the
+    # spread file ({q: [min, med, max]} -> median)
+    if "queries" in j:
+        return j
+    qs = j.get("spread_min_med_max", j)
+    qs = {k: (v[1] if isinstance(v, list) else v) for k, v in qs.items()}
+    return {"queries": qs, "value": sum(qs.values()), "n": len(qs)}
 
 a, b = load(sys.argv[1]), load(sys.argv[2])
 qa, qb = a["queries"], b["queries"]
