@@ -35,7 +35,16 @@ object Bench {
           System.err.println(s"BENCH FAILURE in query '$name': $e")
           throw e
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint blocks accumulate across the ~250-query fleet
+      // (every pair family materializes its fan-out point); at sf1 the
+      // leftover storage filled the old gen and unrelated queries later
+      // in the fleet spiked 10-30x over their isolated times. Dropping
+      // persisted RDDs after each query is outside the timed section.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+      dt
     }
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
