@@ -731,7 +731,7 @@ object SparkEntry {
       pipeline.Dedup.bucketCapStats(t(s, dir, "documents"),
         Seq("text"), 4, "exact_text")),
 
-    // --- pipeline: cap audit across the real pair families (rows-only) ----
+    // --- pipeline: cap audit across the real pair families (oracled) ------
     "pipe_cap_report_families" -> ((s, dir) =>
       pipeline.Dedup.capReport(t(s, dir, "documents"), "doc_id", "text",
         maxBucketSize = 50).orderBy("family")),
@@ -4042,6 +4042,121 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN bn > 4 THEN bn ELSE 0 END) AS BIGINT)
         |    AS rows_capped
         |FROM b""".stripMargin,
+
+    // Replays all three pair-family bucketings independently: minhash
+    // bands (same CTEs as pipe_minhash_pairs), simhash top-16-bit
+    // buckets (same bit-vote sketch as pipe_simhash_pairs), and the
+    // winnowing fingerprints themselves — Rabin-Karp k-gram poly-hash
+    // mod 2^64 (HUGEINT arithmetic) + murmur fmix64 (split-multiply
+    // mulmod to stay under HUGEINT's 2^127), then rightmost-min-per-
+    // window selection reduced to DISTINCT per-window minima (the tie
+    // rule only moves positions, never the selected VALUE, so the
+    // distinct value set is window-min distinct).
+    "pipe_cap_report_families" -> {
+      val bitSums = (0 until 60).map(b =>
+        s"sum((hv >> $b) & 1) AS b$b").mkString(",\n        ")
+      val sig = (0 until 60).map(b =>
+        s"(CASE WHEN b$b * 2 > n THEN ${1L << b} ELSE 0 END)")
+        .mkString(" +\n        ")
+      // fmix64 stage: x -> (x ^ (x >>> 33)) * mult (mod 2^64), operands
+      // split at 2^32 so every HUGEINT product stays < 2^97
+      def mulmod(x: String, mult: String): String =
+        s"""((CAST($x AS HUGEINT) % 4294967296) * $mult +
+        |   (((CAST($x AS HUGEINT) // 4294967296) * $mult) % 4294967296)
+        |     * 4294967296) % 18446744073709551616""".stripMargin
+      def xs(h: String): String =
+        s"xor(CAST($h AS UBIGINT), CAST($h AS UBIGINT) >> 33)"
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |msh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      j -> concat(w[j], ' ', w[j+1], ' ', w[j+2]))) AS shingles
+        |  FROM tok WHERE len(w) >= 3),
+        |mmh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), i ->
+        |      list_min(list_transform(shingles, s ->
+        |        CAST(('0x' || substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)) AS BIGINT)))) AS sig
+        |  FROM msh),
+        |mbands AS (
+        |  SELECT doc_id, b.band,
+        |    md5(concat(CAST(sig[b.band*2+1] AS VARCHAR), '_',
+        |      CAST(sig[b.band*2+2] AS VARCHAR))) AS bsig
+        |  FROM mmh, (SELECT unnest(range(0,4)) AS band) b),
+        |mh_b AS (SELECT count(*) AS bn FROM mbands GROUP BY band, bsig),
+        |stok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(lower(text), ' +')))
+        |      AS t
+        |  FROM documents),
+        |sh_h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(string_split(
+        |        substring(md5(t), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM stok),
+        |sv AS (
+        |  SELECT doc_id, count(*) AS n,
+        |        $bitSums
+        |  FROM sh_h GROUP BY doc_id),
+        |ssg AS (
+        |  SELECT doc_id,
+        |        $sig AS sig
+        |  FROM sv),
+        |sim_b AS (SELECT count(*) AS bn FROM ssg GROUP BY sig >> 44),
+        |wd AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+        |  FROM documents),
+        |wpos AS (
+        |  SELECT doc_id, nt,
+        |    unnest(range(1, greatest(length(nt) - 11, 1) + 1)) AS i
+        |  FROM wd WHERE length(nt) > 0),
+        |wraw AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_transform(string_split(substr(nt, i, 12), ''),
+        |      c -> CAST(unicode(c) AS HUGEINT)),
+        |      (a, b) -> (a * 1099511628211 + b) % 18446744073709551616)
+        |      AS h0
+        |  FROM wpos),
+        |f1 AS (SELECT doc_id, i, ${xs("h0")} AS x FROM wraw),
+        |f2 AS (SELECT doc_id, i,
+        |  ${mulmod("x", "18397679294719823053")} AS h FROM f1),
+        |f3 AS (SELECT doc_id, i, ${xs("h")} AS x FROM f2),
+        |f4 AS (SELECT doc_id, i,
+        |  ${mulmod("x", "14181476777654086739")} AS h FROM f3),
+        |f5 AS (SELECT doc_id, i,
+        |  CAST(CASE WHEN ${xs("h")} >= 9223372036854775808
+        |    THEN CAST(${xs("h")} AS HUGEINT) - 18446744073709551616
+        |    ELSE CAST(${xs("h")} AS HUGEINT) END AS BIGINT) AS g
+        |  FROM f4),
+        |wmins AS (SELECT doc_id, i,
+        |    min(g) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM f5),
+        |wsel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wmins
+        |  WHERE i <= greatest(m - 7, 1)),
+        |win_b AS (SELECT count(*) AS bn FROM wsel GROUP BY fp),
+        |stats AS (
+        |  SELECT 'minhash' AS family, bn FROM mh_b
+        |  UNION ALL SELECT 'simhash', bn FROM sim_b
+        |  UNION ALL SELECT 'winnow', bn FROM win_b)
+        |SELECT family,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN bn BETWEEN 2 AND 50 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pairable,
+        |  CAST(sum(CASE WHEN bn > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_capped,
+        |  CAST(sum(bn) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN bn > 50 THEN bn ELSE 0 END) AS BIGINT)
+        |    AS rows_capped
+        |FROM stats GROUP BY family ORDER BY family""".stripMargin
+    },
 
     "pipe_dedup_exact" ->
       """SELECT doc_id, content_hash FROM (
