@@ -611,4 +611,69 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L)._1 === got(3L)._1) // same cluster
     assert(got(1L)._1 !== got(2L)._1)
   }
+
+  test("bucketCapStats: exact stats over a hand-built bucket frame") {
+    // buckets: k1 ×1 (singleton), k2 ×3 (pairable), k3 ×6 (over cap 5)
+    val buckets = spark.createDataFrame(
+      (Seq.fill(1)("k1") ++ Seq.fill(3)("k2") ++ Seq.fill(6)("k3"))
+        .zipWithIndex.map { case (k, i) => (k, i.toLong) })
+      .toDF("b", "member")
+    val r = Dedup.bucketCapStats(buckets, Seq("b"), maxBucketSize = 5,
+      "fam").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "fam")
+    assert(row.getLong(1) === 3L) // n_buckets
+    assert(row.getLong(2) === 1L) // n_pairable (k2)
+    assert(row.getLong(3) === 1L) // n_capped (k3)
+    assert(row.getLong(4) === 10L) // rows_total
+    assert(row.getLong(5) === 6L) // rows_capped (k3's 6 members)
+  }
+
+  test("capReport: 5 identical docs over-cap every family; distinct " +
+    "docs stay singletons; ngram_block branch counts blockCols") {
+    // 5 byte-identical docs (bucket together in every family), 2 docs
+    // sharing no 3-word shingle / 19-char normalized run with anything,
+    // and 1 empty-text doc (dropped by the ngram_block length filter
+    // and fingerprint-less for winnow)
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = (1L to 5L).map(i => (i, a, "en")) ++ Seq(
+      (6L, "zebra quartz echoes under violet canyon walls tonight", "fr"),
+      (7L, "numbers 1234567 8901234 5678901 2345678 stream onward", "fr"),
+      (8L, "", "en"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+    val got = Dedup.capReport(df, "doc_id", "text", maxBucketSize = 4,
+        blockCols = Seq("lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got.keySet === Set("minhash", "simhash", "winnow",
+      "ngram_block"))
+
+    // minhash: 7 non-empty docs × 4 bands = 28 rows; A's 4 band buckets
+    // hold 5 docs each (over cap 4); docs 6/7 band-bucket alone
+    assert(got("minhash") === ((12L, 0L, 4L, 28L, 20L)))
+
+    // simhash: one bucket row per doc; A's bucket has 5, docs 6/7/8
+    // their own (empty text still tokenizes to [""] -> a signature)
+    assert(got("simhash") === ((4L, 0L, 1L, 8L, 5L)))
+
+    // winnow: A's fingerprint set is shared by all 5 copies -> every
+    // one of its |fps| buckets is over cap; docs 6/7 all singletons;
+    // doc 8 has no fingerprints. Bucket counts derive from the
+    // (separately-verified) kernel's per-doc set sizes.
+    val fpsOf = Map(1L -> a, 6L -> rows(5)._2, 7L -> rows(6)._2)
+      .map { case (k, t) =>
+        k -> df.filter(col("doc_id") === k)
+          .select(Text.winnowFingerprints(col("text"), 12, 8))
+          .head().getSeq[Long](0).size.toLong
+      }
+    val (fA, f6, f7) = (fpsOf(1L), fpsOf(6L), fpsOf(7L))
+    assert(got("winnow") ===
+      ((fA + f6 + f7, 0L, fA, 5 * fA + f6 + f7, 5 * fA)))
+
+    // ngram_block: lang buckets over non-empty docs: en=5 (over cap),
+    // fr=2 (pairable); the empty doc_8 is filtered out
+    assert(got("ngram_block") === ((2L, 1L, 1L, 7L, 5L)))
+  }
 }

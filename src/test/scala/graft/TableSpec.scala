@@ -440,4 +440,30 @@ class TableSpec extends SparkSpec {
       4L -> null, // 500 - 10 > 100 tolerance
       5L -> null))
   }
+
+  test("skewStats: exact top-k hot keys, counts, and ratio vs mean") {
+    import org.apache.spark.sql.functions._
+    // keys: a ×6, b ×2, c ×1 -> 9 rows / 3 keys, mean 3 rows per key
+    val df = spark.createDataFrame(
+      (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(1)("c"))
+        .zipWithIndex.map { case (k, i) => (k, i.toLong) })
+      .toDF("k", "v")
+    val all = Table(df).skewStats(Seq("k"), 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(all.map(t => (t._1, t._2)).toSeq ===
+      Seq(("a", 6L), ("b", 2L), ("c", 1L)))
+    assert(math.abs(all(0)._3 - 2.0) < 1e-12)
+    assert(math.abs(all(1)._3 - 2.0 / 3) < 1e-12)
+    assert(math.abs(all(2)._3 - 1.0 / 3) < 1e-12)
+    // k truncates after the count-desc sort
+    val top = Table(df).skewStats(Seq("k"), 1).collect()
+    assert(top.map(_.getString(0)).toSeq === Seq("a"))
+    // top-k is TakeOrderedAndProject, never a global sort; the mean
+    // side arrives broadcast
+    val plan = Table(df).skewStats(Seq("k"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1500))
+  }
 }
