@@ -2115,6 +2115,16 @@ object SparkEntry {
         s"graft_stream_wn_${System.nanoTime()}")
     }),
 
+    // --- streaming winnow, live-tailing horizon mode: bounded state via
+    // event-time eviction; output = the in-horizon subset of
+    // stream_winnow_pairs (ts synthesized as doc_id seconds) --------------
+    "stream_winnow_pairs_horizon" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      streaming.StreamDedup.runWinnowPairsHorizon(s,
+        s"$dir/documents.parquet", docs.schema, "doc_id", "text",
+        s"graft_stream_wh_${System.nanoTime()}", horizonSec = 100)
+    }),
+
     // --- streaming corpus profile: the langid/token kernels over a
     // document stream, complete-mode grouped agg (state = one row per
     // language) — oracled against the same profile in DuckDB ---------------
@@ -4356,6 +4366,25 @@ object SparkEntry {
         |g AS (SELECT DISTINCT doc_id, substr(nt, i, 19) AS gram FROM pos)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the in-horizon restriction of stream_winnow_pairs: event time is
+    // doc_id seconds, horizon 100 s -> pairs with id_b - id_a <= 100
+    // (emission filters exactly; eviction is the state bound — see
+    // StreamDedup.winnowPairsStreamHorizon's contract)
+    "stream_winnow_pairs_horizon" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, nt,
+        |    unnest(generate_series(1, greatest(length(nt) - 18, 0))) AS i
+        |  FROM d WHERE length(nt) >= 19),
+        |g AS (SELECT DISTINCT doc_id, substr(nt, i, 19) AS gram FROM pos)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  AND b.doc_id - a.doc_id <= 100
         |GROUP BY 1, 2""".stripMargin,
 
     // Lloyd's unrolled: init (k lowest ids) -> assign -> means ->

@@ -140,6 +140,138 @@ object StreamDedup {
       }
   }
 
+  // carries the WATERMARKED timestamp column itself through to the
+  // stateful operator (projecting it away fails the event-time-timeout
+  // analyzer check); tsMs is derived in the state function
+  final case class TsFpRow(doc: Long, fp: Long, ts: java.sql.Timestamp)
+  // live bucket members with their event times, parallel arrays
+  final case class HorizonState(ids: Array[Long], tss: Array[Long])
+
+  /** Event-time-bounded form of `winnowPairsStream` — the LIVE-TAILING
+    * design: pairs are emitted only when the two members' event times
+    * lie within `horizonMs` of each other, and fingerprint buckets are
+    * EVICTED once the watermark passes their newest member by
+    * `horizonMs + latenessMs`, so state holds only the fingerprints of
+    * the trailing horizon instead of one row per fingerprint ever seen
+    * (the `NoTimeout` kernel's unbounded-growth mode, which remains the
+    * right choice for corpus-bounded backfills).
+    *
+    * Correctness contract (the `dropDuplicatesWithinWatermark` shape):
+    * the within-horizon filter at emission is EXACT — output is
+    * precisely the in-horizon pair set — and eviction loses no pair
+    * PROVIDED event-time disorder is bounded by `latenessMs` (the
+    * watermark delay): a member is dropped only when the watermark
+    * passes `ts + horizonMs + latenessMs`, by which point any arrival
+    * it could still pair with must carry an event time the horizon
+    * filter rejects. A parity gate over a corpus with unordered ids
+    * sets `latenessMs` to the corpus span (no eviction, deterministic
+    * output under any micro-batch composition); a live deployment sets
+    * it to the ingest disorder bound and gets bounded state. */
+  def winnowPairsStreamHorizon(docs: DataFrame, id: String, text: String,
+      tsCol: String, horizonMs: Long, latenessMs: Long,
+      k: Int = 16, w: Int = 4, maxBucketSize: Int = 10000)
+      : Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", s"$latenessMs milliseconds")
+      .select(col(id).cast("long").as("doc"),
+        explode(graft.pipeline.Text.winnowFingerprints(col(text), k, w))
+          .as("fp"),
+        col("__ts").as("ts"))
+      .as[TsFpRow]
+    rows.groupByKey(_.fp)
+      .flatMapGroupsWithState[HorizonState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, it: Iterator[TsFpRow], state: GroupState[HorizonState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val s0 = state.getOption.getOrElse(
+              HorizonState(Array.empty, Array.empty))
+            // prune members no future in-horizon arrival can reach
+            // (same bound eviction uses, applied member-wise so a hot
+            // bucket's state tracks the horizon, not its history)
+            val liveIdx = s0.tss.indices
+              .filter(i => s0.tss(i) + horizonMs + latenessMs >= wm)
+            var ids = liveIdx.map(s0.ids).toArray
+            var tss = liveIdx.map(s0.tss).toArray
+            val out = Seq.newBuilder[CandidatePair]
+            val seen = scala.collection.mutable.Set(ids.toSeq: _*)
+            var maxTs = if (tss.isEmpty) Long.MinValue else tss.max
+            it.map(r => (r.doc, r.ts.getTime)).toSeq.sortBy(r => (r._2, r._1))
+              .foreach { case (doc, tsMs) =>
+              if (!seen.contains(doc)) {
+                seen += doc
+                if (ids.length < maxBucketSize) {
+                  var i = 0
+                  while (i < ids.length) {
+                    if (math.abs(tsMs - tss(i)) <= horizonMs)
+                      out += (if (ids(i) < doc)
+                        CandidatePair(ids(i), doc)
+                      else CandidatePair(doc, ids(i)))
+                    i += 1
+                  }
+                  ids = ids :+ doc
+                  tss = tss :+ tsMs
+                  if (tsMs > maxTs) maxTs = tsMs
+                }
+                // at the cap: saturate (emit-then-stop) while hot, like
+                // the NoTimeout kernel; eviction reopens the bucket
+              }
+            }
+            if (ids.isEmpty) state.remove()
+            else {
+              state.update(HorizonState(ids, tss))
+              // watermark-safe: the timeout must sit in the future
+              state.setTimeoutTimestamp(
+                math.max(maxTs + horizonMs + latenessMs, wm + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Run the horizon stream to completion over a static directory with
+    * event time synthesized from the id (ts = id seconds — the parity
+    * runners' stand-in for an ingest timestamp) and return the verified
+    * in-horizon pairs, exactly `runWinnowPairs` restricted to
+    * |id_b - id_a| <= horizonSec. `latenessMs` defaults to a span no
+    * replay order exceeds, making the output independent of micro-batch
+    * composition (see `winnowPairsStreamHorizon`). */
+  def runWinnowPairsHorizon(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      id: String, text: String, sinkName: String, horizonSec: Long,
+      latenessMs: Long = 365L * 24 * 3600 * 1000,
+      k: Int = 16, w: Int = 4, numStatePartitions: Int = 32): DataFrame = {
+    val dir = Events.stageAsDir(path, "graft_swh")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", Events.filesPerTrigger(dir))
+      .parquet(dir)
+      .withColumn("__ingest",
+        timestamp_seconds(col(id).cast("long")))
+    Events.withLargeState(spark, numStatePartitions) {
+      val q = winnowPairsStreamHorizon(stream, id, text, "__ingest",
+        horizonSec * 1000, latenessMs, k, w)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    graft.pipeline.Dedup.verifySharedRuns(
+      spark.table(sinkName).distinct(),
+      spark.read.parquet(path)
+        .withColumn(id, org.apache.spark.sql.functions.col(id)
+          .cast("long")),
+      id, text, k + w - 1)
+      .withColumn("n_shared", col("n_shared").cast("long"))
+  }
+
   /** Run the stream to completion over a static directory (memory sink,
     * one file per trigger → real cross-batch state) and return the
     * DISTINCT candidate pairs — the parity surface the oracle checks

@@ -7,6 +7,10 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Events
 import graft.streaming.Events.{Event, Session}
 
+// top-level: MemoryStream needs a derivable Encoder
+final case class DocT(doc_id: Long, text: String,
+  ts: java.sql.Timestamp)
+
 class StreamingSpec extends SparkSpec {
 
   test("streaming hourly agg equals the batch transform") {
@@ -281,5 +285,77 @@ class StreamingSpec extends SparkSpec {
           lit(0.9)), 6).as("p")))
     assert(got == want)
     assert(got.nonEmpty)
+  }
+
+  test("winnow horizon stream: in-horizon pairs only, state plateaus " +
+      "across batches while the NoTimeout kernel's grows") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import graft.streaming.StreamDedup
+
+    // per-batch corpora: 4 docs of unique text each (disjoint token
+    // alphabets -> disjoint fingerprints), event time = batch * 1000 s;
+    // batch 4 adds an identical-text pair (in-horizon, must emit) and a
+    // copy of a batch-3 text (1000 s apart > 60 s horizon, must not)
+    def text(b: Int, d: Int) =
+      (0 until 25).map(j => s"w${b}q${d}x$j").mkString(" ")
+    def ts(b: Int) = new java.sql.Timestamp(b * 1000L * 1000)
+    def batch(b: Int): Seq[DocT] =
+      (0 until 4).map(d => DocT(b * 10L + d, text(b, d), ts(b)))
+
+    val horizonIn = MemoryStream[DocT]
+    val hq = StreamDedup.winnowPairsStreamHorizon(horizonIn.toDF(),
+      "doc_id", "text", "ts", horizonMs = 60 * 1000L, latenessMs = 0L)
+      .writeStream.format("memory").queryName("spec_wh")
+      .outputMode(OutputMode.Append()).start()
+    val plainIn = MemoryStream[DocT]
+    val pq = StreamDedup.winnowPairsStream(plainIn.toDF(),
+      "doc_id", "text")
+      .writeStream.format("memory").queryName("spec_wp")
+      .outputMode(OutputMode.Append()).start()
+
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery) =
+      q.lastProgress.stateOperators(0).numRowsTotal
+
+    val hRows = Seq.newBuilder[Long]
+    val pRows = Seq.newBuilder[Long]
+    for (b <- 0 until 5) {
+      val extra =
+        if (b == 4) Seq(
+          DocT(991L, text(4, 0), ts(4)), // dup of batch-4 doc 40: emit
+          DocT(992L, text(3, 0), ts(4))) // dup of batch-3 doc 30: too old
+        else Seq.empty
+      horizonIn.addData(batch(b) ++ extra)
+      hq.processAllAvailable()
+      plainIn.addData(batch(b) ++ extra)
+      pq.processAllAvailable()
+      hRows += stateRows(hq)
+      pRows += stateRows(pq)
+    }
+    hq.stop(); pq.stop()
+
+    val h = hRows.result(); val p = pRows.result()
+    // NoTimeout state is monotone non-decreasing and ends with every
+    // fingerprint ever seen; horizon state holds ~2 batches' worth
+    // (current + not-yet-past-watermark previous) and must PLATEAU:
+    // the last batches stay near the level of batch 1, far below the
+    // accumulating kernel
+    assert(p.last > p.head, s"plain should grow: $p")
+    assert((1 until 5).forall(i => p(i) >= p(i - 1)), s"plain: $p")
+    assert(h.last < p.last / 2, s"horizon $h vs plain $p")
+    // plateau: batch 2..4 states stay within 2x of the two-batch level
+    // reached at batch 1 (batch 4 carries the two extra dup docs)
+    assert((2 until 5).forall(i => h(i) <= h(1) * 2), s"horizon: $h")
+
+    // pair semantics: exactly the identical-text in-horizon pair
+    // (normalized, deduped across its shared fingerprints); the
+    // batch-3 copy pairs in the NoTimeout kernel only
+    val hPairs = spark.table("spec_wh").distinct().as[(Long, Long)]
+      .collect().toSet
+    val pPairs = spark.table("spec_wp").distinct().as[(Long, Long)]
+      .collect().toSet
+    assert(hPairs === Set((40L, 991L)))
+    assert(pPairs === Set((40L, 991L), (30L, 992L)))
   }
 }

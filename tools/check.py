@@ -11,11 +11,24 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # Spark-written tables are DIRECTORIES of part files (the sf1 scale
+    # corpus); single-file tables are the driver's testdata layout
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# optional subset / skip lists (comma-separated query names): the sf1
+# scale run skips the four content-golden oracles whose literal VALUES
+# are pinned to the driver corpus by contract
+only = set(os.environ.get("CHECK_ONLY", "").split(",")) - {""}
+skip = set(os.environ.get("CHECK_SKIP", "").split(",")) - {""}
+results = {}
 fails = []
+import time
 for name, sql in sorted(oracle.items()):
+    if (only and name not in only) or name in skip:
+        continue
+    t0 = time.time()
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
         fails.append((name, "missing spark output")); continue
@@ -72,8 +85,21 @@ for name, sql in sorted(oracle.items()):
         i = diff_mask.any(axis=1).idxmax() if ndiff else 0
         fails.append((name, f"{ndiff} differing rows; first:\n  spark={g.loc[i].to_dict()}\n  duck ={w.loc[i].to_dict()}"))
         continue
-    print(f"PASS {name} ({len(got)} rows)")
+    results[name] = {"pass": True, "rows": len(got),
+                     "sec": round(time.time() - t0, 1)}
+    print(f"PASS {name} ({len(got)} rows, {results[name]['sec']}s)",
+          flush=True)
 for name, why in fails:
+    results[name] = {"pass": False,
+                     "err": why.split("\n")[0][:200]}
     print(f"FAIL {name}: {why}")
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass")
+n_run = len(results)
+print(f"\n{n_run - len(fails)}/{n_run} pass"
+      + (f" ({len(skip)} skipped: {','.join(sorted(skip))})" if skip
+         else ""))
+if os.environ.get("CHECK_JSON"):
+    with open(os.environ["CHECK_JSON"], "w") as f:
+        json.dump({"sf_dir": sf_dir, "pass": n_run - len(fails),
+                   "run": n_run, "skipped": sorted(skip),
+                   "queries": results}, f, indent=1, sort_keys=True)
 sys.exit(1 if fails else 0)
