@@ -34,10 +34,14 @@ object SparkEntry {
     * process (never trusted from a previous run's tmpdir). */
   private val qtFixtureWritten = scala.collection.mutable.Set.empty[String]
   private def qtFixture(s: SparkSession, dir: String): String = {
-    // sanitized sf-dir path, not hashCode hex — hash collisions between
-    // two sf dirs in one process would silently serve the wrong fixture
+    // sanitized sf-dir path PLUS an md5 of the raw path: sanitization
+    // alone maps punctuation-only-different dirs (sf0-1 vs sf0_1) to
+    // one name; the digest makes the mapping injective
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"${b & 0xff}%02x").mkString
     val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft_qt_orders_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      s"graft_qt_orders_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$digest"
     qtFixtureWritten.synchronized {
       if (!qtFixtureWritten.contains(tmp)) {
         Table(t(s, dir, "orders"), Seq("o_orderkey")).write(tmp)

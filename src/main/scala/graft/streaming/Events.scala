@@ -128,11 +128,19 @@ object Events {
     * files so cross-batch state logic still gets exercised. */
   private[graft] def filesPerTrigger(dir: String,
       targetBatches: Int = 4): Int = {
-    val n = new java.io.File(dir).listFiles() match {
-      case null => 1
-      case fs => fs.count(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith("."))
-    }
+    // resolve through the path's Hadoop FileSystem (as the writers do):
+    // java.io.File.listFiles returns null for any non-local scheme
+    // (HDFS/S3), which would silently degrade to 1-file batches
+    val n = try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      p.getFileSystem(conf).listStatus(p).count { st =>
+        val nm = st.getPath.getName
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }
+    } catch { case _: java.io.IOException => 1 }
     math.max(1, (math.max(n, 1) + targetBatches - 1) / targetBatches)
   }
 

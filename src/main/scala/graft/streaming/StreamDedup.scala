@@ -88,14 +88,17 @@ object StreamDedup {
   /** Shared bucket-state transition for the streaming pair kernels:
     * emit (old member, new member) pairs for every fresh id, saturate
     * (emit-then-stop) past `maxBucketSize`, keep one id past the cap so
-    * saturation survives restarts. */
+    * saturation survives restarts. Fresh ids are processed in sorted
+    * order so WHICH members of an oversized bucket beat the cap does
+    * not depend on micro-batch composition — replays with different
+    * `filesPerTrigger` batching agree on capped-bucket output. */
   private def emitPairs(seen: Array[Long], incoming: Seq[Long],
       maxBucketSize: Int, state: GroupState[BucketState])
       : Iterator[CandidatePair] = {
     if (seen.length > maxBucketSize) Iterator.empty // saturated
     else {
       val seenSet = seen.toSet
-      val fresh = incoming.distinct.filterNot(seenSet.contains)
+      val fresh = incoming.distinct.filterNot(seenSet.contains).sorted
       val out = Seq.newBuilder[CandidatePair]
       var members = seen.length
       fresh.zipWithIndex.foreach { case (d, i) =>

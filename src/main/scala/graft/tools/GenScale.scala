@@ -53,8 +53,13 @@ object GenScale {
       (0 until reps).map(r => if (r == 0) df else shift(df, r))
         .reduce(_ unionByName _)
 
-    def keyStep(df: DataFrame, k: String): Long =
-      df.agg(max(col(k).cast("long"))).head().getLong(0) + 1L
+    def keyStep(df: DataFrame, k: String): Long = {
+      val row = df.agg(max(col(k).cast("long"))).head()
+      require(!row.isNullAt(0),
+        s"keyStep: column $k has no values (empty table?) — cannot " +
+          "derive a replica key offset")
+      row.getLong(0) + 1L
+    }
 
     // dims stay fixed
     wr(rd("region"), "region", 1)
@@ -125,7 +130,9 @@ object GenScale {
           i -= 1
         }
         i = 0
-        while (i < words.length) {
+        // an empty vocabulary (all-whitespace corpus) degrades to
+        // shuffle-only mutation instead of throwing on nextInt(0)
+        while (v.nonEmpty && i < words.length) {
           if (rng.nextDouble() < 0.5)
             words(i) = v(rng.nextInt(v.length))
           i += 1
@@ -135,7 +142,8 @@ object GenScale {
     }
     wr((0 until reps).map { r =>
       docs
-        .withColumn("text", mutate(col("text"), col("doc_id"), lit(r)))
+        .withColumn("text",
+          mutate(col("text"), col("doc_id").cast("long"), lit(r)))
         .withColumn("doc_id", col("doc_id") + lit(r * dStep))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _), "documents", 16)
@@ -160,7 +168,7 @@ object GenScale {
     wr((0 until reps).map { r =>
       emb
         .withColumn("embedding",
-          perturb(col("embedding"), col("vec_id"), lit(r)))
+          perturb(col("embedding"), col("vec_id").cast("long"), lit(r)))
         .withColumn("vec_id", col("vec_id") + lit(r * vStep))
     }.reduce(_ unionByName _), "embeddings", 8)
 
