@@ -23,13 +23,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-loop filter: SPARK_GRAFT_VERIFY_ONLY=q1,q2 dumps a subset
+    // dev-loop filter: SPARK_GRAFT_VERIFY_ONLY=q1,q2 dumps a subset;
+    // SPARK_GRAFT_VERIFY_RESUME=1 skips queries already dumped (their
+    // _SUCCESS marker exists) so an interrupted scale run continues
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val resume = sys.env.get("SPARK_GRAFT_VERIFY_RESUME").contains("1")
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce reaches through any
+      // shuffle-free tail and collapses the whole computation into one
+      // task — at scale that serializes the query; the round-robin
+      // exchange keeps compute parallel and only the write single-file
+      if (resume &&
+          new java.io.File(s"$outDir/$name/_SUCCESS").exists()) ()
+      else try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

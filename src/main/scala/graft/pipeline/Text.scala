@@ -111,13 +111,25 @@ object Text {
   /** Fraction of (whitespace) words inside the single most-repeated
     * word n-gram (Gopher's "top n-gram fraction"): modal n-gram count ×
     * n / word count. Modal count = longest equal run of the SORTED
-    * n-gram stream — O(w log w) per row, no quadratic per-gram recount. */
+    * n-gram stream — O(w log w) per row, no quadratic per-gram recount.
+    *
+    * Grams build from a chain of n-1 `zip_with`s over the token array
+    * and its shifted slices, NOT a transform-over-indices whose lambda
+    * slices the token expression: a subexpression CAPTURED inside a HOF
+    * lambda is re-evaluated interpreted per element, so the index
+    * formulation re-split the full text once per gram — O(chars·words)
+    * per row, found melting a 1000-doc concat group at sf1. zip_with's
+    * array children evaluate once per row. */
   def topNgramFraction(text: Column, n: Int = 2): Column = {
     val w = tokens(text)
     val total = size(w)
-    val starts = sequence(lit(0), greatest(total - n, lit(0)))
-    val sortedGrams = array_sort(transform(starts, i =>
-      concat_ws(" ", slice(w, i + 1, lit(n)))))
+    // grams_k[i] = words i..i+k-1 joined; rows past m-k go null via
+    // zip_with's shorter-side padding and null-propagating concat
+    val grams = (2 to n).foldLeft(w)((acc, k) =>
+      zip_with(acc,
+        slice(w, lit(k), greatest(total - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+    val sortedGrams = array_sort(filter(grams, _.isNotNull))
     val best = aggregate(sortedGrams,
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
       (acc, x) => {
