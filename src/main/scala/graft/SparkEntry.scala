@@ -730,6 +730,14 @@ object SparkEntry {
       Table(t(s, dir, "lineitem")).skewStats(Seq("l_returnflag"), 5)
         .withColumn("ratio", round(col("ratio"), 6))),
 
+    // --- skew diagnostic, byte-mass mode: wide-row-key skew that count
+    // mode misses (equal counts, 100x row width) ---------------------------
+    "table_skew_stats_bytes" -> ((s, dir) =>
+      Table(t(s, dir, "documents")).skewStatsByMass(Seq("lang"),
+        octet_length(col("text")), 5)
+        .withColumn("mass", col("mass").cast("long"))
+        .withColumn("ratio", round(col("ratio"), 6))),
+
     // --- pipeline: cap audit (generic bucket stats, SQL-checkable) ---------
     "pipe_cap_report" -> ((s, dir) =>
       pipeline.Dedup.bucketCapStats(t(s, dir, "documents"),
@@ -4042,6 +4050,15 @@ object SparkEntry {
         |    (CAST((SELECT sum(cnt) FROM c) AS DOUBLE) /
         |     (SELECT count(*) FROM c)), 6) AS ratio
         |FROM c ORDER BY cnt DESC, l_returnflag LIMIT 5""".stripMargin,
+
+    "table_skew_stats_bytes" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt,
+        |    CAST(sum(strlen(text)) AS DOUBLE) AS mass
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, cnt, CAST(mass AS BIGINT) AS mass,
+        |  ROUND(mass / ((SELECT sum(mass) FROM c) /
+        |    (SELECT count(*) FROM c)), 6) AS ratio
+        |FROM c ORDER BY mass DESC, lang LIMIT 5""".stripMargin,
 
     "pipe_cap_report" ->
       """WITH b AS (SELECT text, count(*) AS bn FROM documents

@@ -303,6 +303,28 @@ final case class Table(
       .limit(k)
   }
 
+  /** Byte-mass companion to `skewStats`: ranks keys by the SUM of a
+    * per-row mass expression (typically `octet_length` of the wide
+    * columns, or the full serialized row) instead of the row count —
+    * the skew mode that straggles shuffles at EQUAL counts, when one
+    * key's rows are 100× wider than the rest. Same plan shape: one
+    * aggregation shuffle, broadcast mean, TakeOrderedAndProject.
+    * Output: keys, cnt, mass, ratio (mass / mean key mass). */
+  def skewStatsByMass(keys: Seq[String], mass: Column, k: Int = 10)
+      : DataFrame = {
+    require(keys.nonEmpty, "skewStats requires at least one key column")
+    val cnt = org.apache.spark.sql.functions.count(lit(1))
+    val counts = df.groupBy(keys.map(col): _*).agg(cnt.as("cnt"),
+      sum(mass.cast("double")).as("mass"))
+    val mean = counts.agg(
+      (sum(col("mass")) / cnt).cast("double").as("__mean"))
+    counts.crossJoin(broadcast(mean))
+      .withColumn("ratio", col("mass") / col("__mean"))
+      .drop("__mean")
+      .orderBy(col("mass").desc +: keys.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   /** TableRepartition (`TableIR.scala:2184`). The shuffle-free branch
     * (hail's `naive_coalesce`) merges partitions whose grouping Spark
     * does not promise to be adjacent, so it conservatively drops the

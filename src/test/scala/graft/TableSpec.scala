@@ -466,4 +466,26 @@ class TableSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan.take(1500))
   }
+
+  test("skewStatsByMass surfaces wide-row keys that count mode misses") {
+    import org.apache.spark.sql.functions._
+    // key "wide": 2 rows x 500 bytes; key "many": 8 rows x 10 bytes —
+    // count mode ranks many first, byte mode must rank wide first
+    val rows = Seq.fill(2)(("wide", "x" * 500)) ++
+      Seq.fill(8)(("many", "y" * 10))
+    val df = spark.createDataFrame(rows).toDF("k", "payload")
+    val byCount = Table(df).skewStats(Seq("k"), 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(byCount === Seq("many"))
+    val byMass = Table(df)
+      .skewStatsByMass(Seq("k"), octet_length(col("payload")), 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(byMass.map(_._1).toSeq === Seq("wide", "many"))
+    // exact masses: 1000 vs 80; mean key mass 540
+    assert(byMass(0)._3 === 1000.0 && byMass(1)._3 === 80.0)
+    assert(math.abs(byMass(0)._4 - 1000.0 / 540) < 1e-12)
+    assert(byMass(0)._2 === 2L) // counts still reported
+  }
 }
