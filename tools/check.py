@@ -17,6 +17,11 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def fail(name, why):
+    print(f"FAIL(now) {name}: {why.splitlines()[0][:160]}", flush=True)
+    fails.append((name, why))
+
 # optional subset / skip lists (comma-separated query names): the sf1
 # scale run skips the four content-golden oracles whose literal VALUES
 # are pinned to the driver corpus by contract
@@ -24,27 +29,34 @@ only = set(os.environ.get("CHECK_ONLY", "").split(",")) - {""}
 skip = set(os.environ.get("CHECK_SKIP", "").split(",")) - {""}
 results = {}
 fails = []
+# CHECK_RESUME=1: reuse PASS results already recorded in CHECK_JSON
+# (long scale runs that died mid-way continue instead of restarting)
+if os.environ.get("CHECK_RESUME") and os.environ.get("CHECK_JSON") \
+        and os.path.exists(os.environ["CHECK_JSON"]):
+    prior = json.load(open(os.environ["CHECK_JSON"]))["queries"]
+    results = {k: v for k, v in prior.items() if v.get("pass")}
+    print(f"resuming past {len(results)} recorded passes")
 import time
 for name, sql in sorted(oracle.items()):
-    if (only and name not in only) or name in skip:
+    if (only and name not in only) or name in skip or name in results:
         continue
     t0 = time.time()
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
-        fails.append((name, "missing spark output")); continue
+        fail(name, "missing spark output"); continue
     try:
         got = con.execute(
             f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
         want = con.execute(sql).df()
     except Exception as e:
-        fails.append((name, f"exec error: {e}")); continue
+        fail(name, f"exec error: {e}"); continue
     got = got.reindex(sorted(got.columns), axis=1)
     want = want.reindex(sorted(want.columns), axis=1)
     if list(got.columns) != list(want.columns):
-        fails.append((name, f"schema: {list(got.columns)} vs {list(want.columns)}"))
+        fail(name, f"schema: {list(got.columns)} vs {list(want.columns)}")
         continue
     if len(got) != len(want):
-        fails.append((name, f"rows: {len(got)} vs {len(want)}")); continue
+        fail(name, f"rows: {len(got)} vs {len(want)}"); continue
     # dtype-strict: the driver's hash distinguishes int 2 from float 2.0
     # (DuckDB sum()->HUGEINT->float64 vs Spark BIGINT), so flag kind
     # mismatches even when values compare == .
@@ -56,7 +68,7 @@ for name, sql in sorted(oracle.items()):
         and {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u", "f", "b"}
     ]
     if kind_bad:
-        fails.append((name, f"dtype kind mismatch (spark vs duck): {kind_bad}"))
+        fail(name, f"dtype kind mismatch (spark vs duck): {kind_bad}")
         continue
     def norm(df):
         df = df.copy()
@@ -83,7 +95,7 @@ for name, sql in sorted(oracle.items()):
         diff_mask = ~(g == w) & ~(g.isna() & w.isna())
         ndiff = int(diff_mask.any(axis=1).sum())
         i = diff_mask.any(axis=1).idxmax() if ndiff else 0
-        fails.append((name, f"{ndiff} differing rows; first:\n  spark={g.loc[i].to_dict()}\n  duck ={w.loc[i].to_dict()}"))
+        fail(name, f"{ndiff} differing rows; first:\n  spark={g.loc[i].to_dict()}\n  duck ={w.loc[i].to_dict()}")
         continue
     results[name] = {"pass": True, "rows": len(got),
                      "sec": round(time.time() - t0, 1)}
