@@ -85,16 +85,20 @@ case class ShinglesExpr(child: Expression, n: Int)
   *    same XxHash64Function fold Spark's expression uses (seed 42). */
 case class MinhashSigsExpr(child: Expression, numHashes: Int,
     family: String)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def prettyName: String = "graft_minhash_sigs"
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(shinglesAny: Any): Any = {
-    val arr = shinglesAny.asInstanceOf[ArrayData]
+  override def nullSafeEval(shinglesAny: Any): Any =
+    compute(shinglesAny.asInstanceOf[ArrayData])
+
+  // codegen calls this directly (one virtual call per row) instead of
+  // the CodegenFallback path, which would re-evaluate the child through
+  // an interpreted projection of the full input row
+  def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     val minima = Array.fill(numHashes)(Long.MaxValue)
     if (family == "md5") {
@@ -142,7 +146,14 @@ case class MinhashSigsExpr(child: Expression, numHashes: Int,
         s += 1
       }
     }
-    new GenericArrayData(minima.map(v => v: Any))
+    new GenericArrayData(minima)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this,
+      classOf[MinhashSigsExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -167,8 +178,7 @@ case class MinhashSigsExpr(child: Expression, numHashes: Int,
   * window-min choice is uniform over positions (raw polynomial values
   * bias the min toward lexicographically small suffixes). */
 case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(k >= 1 && w >= 1, "winnow k and w must be >= 1")
   override def prettyName: String = "graft_winnow_fingerprints"
   override def nullable: Boolean = true
@@ -176,11 +186,17 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(textAny: Any): Any = {
-    val s = textAny
-      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    new GenericArrayData(
-      WinnowKernel.fingerprints(s, k, w).map(v => v: Any))
+  override def nullSafeEval(textAny: Any): Any =
+    compute(textAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    new GenericArrayData(WinnowKernel.fingerprints(s.toString, k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("winnowExpr", this,
+      classOf[WinnowFingerprintsExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -419,15 +435,16 @@ object SortedIntersectCountExpr {
   * explode + 60-sum-aggregate relational formulation — same longs
   * bit-for-bit, none of its token-table shuffle. */
 case class SimHash64Expr(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def prettyName: String = "graft_simhash64"
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(tokensAny: Any): Any = {
-    val arr = tokensAny.asInstanceOf[ArrayData]
+  override def nullSafeEval(tokensAny: Any): Any =
+    compute(tokensAny.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): Long = {
     val m = arr.numElements()
     val counts = new Array[Int](60)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -454,6 +471,13 @@ case class SimHash64Expr(child: Expression)
       b += 1
     }
     sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this,
+      classOf[SimHash64Expr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -676,4 +676,47 @@ class PipelineSpec extends SparkSpec {
     // fr=2 (pairable); the empty doc_8 is filtered out
     assert(got("ngram_block") === ((2L, 1L, 1L, 7L, 5L)))
   }
+
+  test("fused text kernels survive CODEGEN_ONLY and match interpreted eval") {
+    // the minhash/winnow/simhash kernels generate code (addReferenceObj
+    // + one virtual call) instead of the CodegenFallback row-boxing
+    // path; CODEGEN_ONLY + fallback=false makes a broken doGenCode a
+    // hard error here instead of a silent interpreted fallback in prod
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog and keeps going",
+      2L -> "pack my box with five dozen liquor jugs for the long trip",
+      3L -> "xy")
+    def kernels = df.select(
+      col("doc_id"),
+      graft.functions.TextKernels.minhashSigs(
+        Text.shingles(col("text"), 3), 8, "md5").as("mh"),
+      graft.functions.TextKernels.minhashSigs(
+        Text.shingles(col("text"), 3), 8, "xxhash64").as("mhx"),
+      Text.winnowFingerprints(col("text"), 8, 12).as("fps"),
+      graft.functions.TextKernels.simHash64(
+        split(lower(col("text")), " ")).as("sig"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getSeq[Long](3), r.getLong(4)))
+      .toSeq
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val fallbackKey = "spark.sql.codegen.fallback"
+    val prevFactory = spark.conf.getOption(factoryKey)
+    val prevFallback = spark.conf.getOption(fallbackKey)
+    try {
+      spark.conf.set(factoryKey, "CODEGEN_ONLY")
+      spark.conf.set(fallbackKey, "false")
+      val gen = kernels
+      spark.conf.set(factoryKey, "NO_CODEGEN")
+      val interp = kernels
+      assert(gen === interp)
+      assert(gen.head._2.length === 8 && gen.head._4.nonEmpty)
+    } finally {
+      def restore(k: String, v: Option[String]) =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore(factoryKey, prevFactory)
+      restore(fallbackKey, prevFallback)
+    }
+  }
 }

@@ -47,7 +47,12 @@ for name, sql in sorted(oracle.items()):
     try:
         got = con.execute(
             f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
-        want = con.execute(sql).df()
+        # materialize before .df(): duckdb 1.0's direct pandas
+        # conversion of a streaming unnest projection degrades from
+        # seconds to tens of minutes at ~10M rows; CTAS + table scan
+        # is the fast path for every query shape
+        con.execute("CREATE OR REPLACE TEMP TABLE __want AS " + sql)
+        want = con.execute("SELECT * FROM __want").df()
     except Exception as e:
         fail(name, f"exec error: {e}"); continue
     got = got.reindex(sorted(got.columns), axis=1)
