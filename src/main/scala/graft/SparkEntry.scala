@@ -2116,6 +2116,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- streaming minhash, live-tailing horizon mode: band buckets
+    // bounded by event-time eviction; output = the in-horizon subset of
+    // stream_minhash_pairs (ts synthesized as doc_id seconds) --------------
+    "stream_minhash_pairs_horizon" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      streaming.StreamDedup.runMinhashPairsHorizon(s,
+        s"$dir/documents.parquet", docs.schema, "doc_id", "text",
+        s"graft_stream_mhh_${System.nanoTime()}", horizonSec = 100)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- streaming winnow contamination detection: fingerprints stream
     // through a per-fingerprint bucket state; verified candidates must
     // equal the batch substring join (same oracle as pipe_winnow_pairs —
@@ -4995,6 +5006,35 @@ object SparkEntry {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.bsig = b.bsig
         |  AND a.doc_id < b.doc_id""".stripMargin,
+
+    // the in-horizon restriction of stream_minhash_pairs: event time is
+    // doc_id seconds, horizon 100 s -> |id_b - id_a| <= 100
+    "stream_minhash_pairs_horizon" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      j -> concat(w[j], ' ', w[j+1], ' ', w[j+2]))) AS shingles
+        |  FROM tok WHERE len(w) >= 3),
+        |mh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), i ->
+        |      list_min(list_transform(shingles, s ->
+        |        CAST(('0x' || substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)) AS BIGINT)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.band,
+        |    md5(concat(CAST(sig[b.band*2+1] AS VARCHAR), '_',
+        |      CAST(sig[b.band*2+2] AS VARCHAR))) AS bsig
+        |  FROM mh, (SELECT unnest(range(0,4)) AS band) b)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bsig = b.bsig
+        |  AND a.doc_id < b.doc_id
+        |  AND b.doc_id - a.doc_id <= 100""".stripMargin,
 
     "pipe_ann_topk" -> AnnTopkOracleSql,
     // full-probe IVF degenerates to exact brute force

@@ -188,51 +188,118 @@ object StreamDedup {
       .flatMapGroupsWithState[HorizonState, CandidatePair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: Long, it: Iterator[TsFpRow], state: GroupState[HorizonState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val wm = state.getCurrentWatermarkMs()
-            val s0 = state.getOption.getOrElse(
-              HorizonState(Array.empty, Array.empty))
-            // prune members no future in-horizon arrival can reach
-            // (same bound eviction uses, applied member-wise so a hot
-            // bucket's state tracks the horizon, not its history)
-            val liveIdx = s0.tss.indices
-              .filter(i => s0.tss(i) + horizonMs + latenessMs >= wm)
-            var ids = liveIdx.map(s0.ids).toArray
-            var tss = liveIdx.map(s0.tss).toArray
-            val out = Seq.newBuilder[CandidatePair]
-            val seen = scala.collection.mutable.Set(ids.toSeq: _*)
-            var maxTs = if (tss.isEmpty) Long.MinValue else tss.max
-            it.map(r => (r.doc, r.ts.getTime)).toSeq.sortBy(r => (r._2, r._1))
-              .foreach { case (doc, tsMs) =>
-              if (!seen.contains(doc)) {
-                seen += doc
-                if (ids.length < maxBucketSize) {
-                  var i = 0
-                  while (i < ids.length) {
-                    if (math.abs(tsMs - tss(i)) <= horizonMs)
-                      out += (if (ids(i) < doc)
-                        CandidatePair(ids(i), doc)
-                      else CandidatePair(doc, ids(i)))
-                    i += 1
-                  }
-                  ids = ids :+ doc
-                  tss = tss :+ tsMs
-                  if (tsMs > maxTs) maxTs = tsMs
-                }
-                // at the cap: saturate (emit-then-stop) while hot, like
-                // the NoTimeout kernel; eviction reopens the bucket
-              }
+          horizonTransition(it.map(r => (r.doc, r.ts.getTime)).toSeq,
+            state, horizonMs, latenessMs, maxBucketSize)
+      }
+  }
+
+  /** Shared horizon-bucket transition (winnow AND minhash live
+    * kernels): prune members no future in-horizon arrival can reach,
+    * emit in-horizon pairs for fresh ids, evict the bucket via
+    * event-time timeout once the watermark passes its newest member by
+    * horizon + lateness. */
+  private def horizonTransition(incoming: Seq[(Long, Long)],
+      state: GroupState[HorizonState], horizonMs: Long, latenessMs: Long,
+      maxBucketSize: Int): Iterator[CandidatePair] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val wm = state.getCurrentWatermarkMs()
+      val s0 = state.getOption.getOrElse(
+        HorizonState(Array.empty, Array.empty))
+      // prune members no future in-horizon arrival can reach
+      // (same bound eviction uses, applied member-wise so a hot
+      // bucket's state tracks the horizon, not its history)
+      val liveIdx = s0.tss.indices
+        .filter(i => s0.tss(i) + horizonMs + latenessMs >= wm)
+      var ids = liveIdx.map(s0.ids).toArray
+      var tss = liveIdx.map(s0.tss).toArray
+      val out = Seq.newBuilder[CandidatePair]
+      val seen = scala.collection.mutable.Set(ids.toSeq: _*)
+      var maxTs = if (tss.isEmpty) Long.MinValue else tss.max
+      incoming.sortBy(r => (r._2, r._1))
+        .foreach { case (doc, tsMs) =>
+        if (!seen.contains(doc)) {
+          seen += doc
+          if (ids.length < maxBucketSize) {
+            var i = 0
+            while (i < ids.length) {
+              if (math.abs(tsMs - tss(i)) <= horizonMs)
+                out += (if (ids(i) < doc)
+                  CandidatePair(ids(i), doc)
+                else CandidatePair(doc, ids(i)))
+              i += 1
             }
-            if (ids.isEmpty) state.remove()
-            else {
-              state.update(HorizonState(ids, tss))
-              // watermark-safe: the timeout must sit in the future
-              state.setTimeoutTimestamp(
-                math.max(maxTs + horizonMs + latenessMs, wm + 1))
-            }
-            out.result().iterator
+            ids = ids :+ doc
+            tss = tss :+ tsMs
+            if (tsMs > maxTs) maxTs = tsMs
           }
+          // at the cap: saturate (emit-then-stop) while hot, like
+          // the NoTimeout kernel; eviction reopens the bucket
+        }
+      }
+      if (ids.isEmpty) state.remove()
+      else {
+        state.update(HorizonState(ids, tss))
+        // watermark-safe: the timeout must sit in the future
+        state.setTimeoutTimestamp(
+          math.max(maxTs + horizonMs + latenessMs, wm + 1))
+      }
+      out.result().iterator
+    }
+
+  // carries the watermarked ts through the banded projection (same
+  // analyzer constraint as TsFpRow)
+  final case class TsBanded(doc: Long, band: Int, bsig: String,
+      ts: java.sql.Timestamp)
+
+  /** Event-time-bounded form of `minhashPairsStream` — the live-tailing
+    * minhash analogue of `winnowPairsStreamHorizon`: band buckets hold
+    * only the trailing horizon of members and are evicted by event-time
+    * timeout, so near-dup detection over an endless stream runs in
+    * bounded state. Output = the in-horizon subset of the NoTimeout
+    * kernel's pairs, exact under the same disorder contract. */
+  def minhashPairsStreamHorizon(docs: DataFrame, id: String, text: String,
+      tsCol: String, horizonMs: Long, latenessMs: Long,
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      maxBucketSize: Int = 10000, family: String = "md5")
+      : Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withTs = docs
+      .withColumn("__hts", col(tsCol).cast("timestamp"))
+      .withWatermark("__hts", s"$latenessMs milliseconds")
+    // the ts column threads through the banded projection directly
+    // (a post-hoc self-join would make this a stream-stream join)
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    require(family == "md5" || family == "xxhash64",
+      s"unknown minhash family: $family")
+    val bsigOf: Seq[Column] => Column =
+      if (family == "md5")
+        cs => md5(concat_ws("_", cs.map(_.cast("string")): _*))
+      else cs => xxhash64(cs: _*).cast("string")
+    val rows = withTs
+      .select(col(id).cast("long").as("doc"),
+        graft.pipeline.Text.shingles(col(text), shingleSize).as("__sh"),
+        col("__hts"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc"), graft.functions.TextKernels
+        .minhashSigs(col("__sh"), numHashes, family).as("__mh"),
+        col("__hts"))
+      .select(col("doc"),
+        posexplode(array((0 until bands).map(b =>
+          bsigOf((0 until rowsPerBand).map(r =>
+            element_at(col("__mh"), b * rowsPerBand + r + 1)))): _*))
+          .as(Seq("band", "bsig")),
+        col("__hts").as("ts"))
+      .as[TsBanded]
+    rows.groupByKey(b => (b.band, b.bsig))
+      .flatMapGroupsWithState[HorizonState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String), it: Iterator[TsBanded],
+            state: GroupState[HorizonState]) =>
+          horizonTransition(it.map(r => (r.doc, r.ts.getTime)).toSeq,
+            state, horizonMs, latenessMs, maxBucketSize)
       }
   }
 
@@ -273,6 +340,37 @@ object StreamDedup {
           .cast("long")),
       id, text, k + w - 1)
       .withColumn("n_shared", col("n_shared").cast("long"))
+  }
+
+  /** Run the minhash horizon stream to completion over a static
+    * directory with event time synthesized from the id (ts = id
+    * seconds) and return the DISTINCT in-horizon candidate pairs —
+    * exactly `runMinhashPairs` restricted to
+    * |id_b - id_a| <= horizonSec. */
+  def runMinhashPairsHorizon(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      id: String, text: String, sinkName: String, horizonSec: Long,
+      latenessMs: Long = 365L * 24 * 3600 * 1000,
+      family: String = "md5", numStatePartitions: Int = 8): DataFrame = {
+    val dir = Events.stageAsDir(path, "graft_smhh")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", Events.filesPerTrigger(dir))
+      .parquet(dir)
+      .withColumn("__ingest",
+        timestamp_seconds(col(id).cast("long")))
+    Events.withStatePartitions(spark, numStatePartitions) {
+      val q = minhashPairsStreamHorizon(stream, id, text, "__ingest",
+        horizonSec * 1000, latenessMs, family = family)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName).distinct()
   }
 
   /** Run the stream to completion over a static directory (memory sink,

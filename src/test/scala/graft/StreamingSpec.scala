@@ -358,4 +358,66 @@ class StreamingSpec extends SparkSpec {
     assert(hPairs === Set((40L, 991L)))
     assert(pPairs === Set((40L, 991L), (30L, 992L)))
   }
+
+  test("minhash horizon stream: in-horizon pairs only, state plateaus " +
+      "across batches while the NoTimeout kernel's grows") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import graft.streaming.StreamDedup
+
+    // same batch scheme as the winnow horizon spec: disjoint token
+    // alphabets per doc -> distinct band signatures; batch 4 plants an
+    // in-horizon identical-text dup (emit) and an out-of-horizon copy
+    // of a batch-3 text (silent in the horizon kernel only)
+    def text(b: Int, d: Int) =
+      (0 until 25).map(j => s"m${b}q${d}x$j").mkString(" ")
+    def ts(b: Int) = new java.sql.Timestamp(b * 1000L * 1000)
+    def batch(b: Int): Seq[DocT] =
+      (0 until 4).map(d => DocT(b * 10L + d, text(b, d), ts(b)))
+
+    val horizonIn = MemoryStream[DocT]
+    val hq = StreamDedup.minhashPairsStreamHorizon(horizonIn.toDF(),
+      "doc_id", "text", "ts", horizonMs = 60 * 1000L, latenessMs = 0L)
+      .writeStream.format("memory").queryName("spec_mhh")
+      .outputMode(OutputMode.Append()).start()
+    val plainIn = MemoryStream[DocT]
+    val pq = StreamDedup.minhashPairsStream(plainIn.toDF(),
+      "doc_id", "text")
+      .writeStream.format("memory").queryName("spec_mhp")
+      .outputMode(OutputMode.Append()).start()
+
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery) =
+      q.lastProgress.stateOperators(0).numRowsTotal
+
+    val hRows = Seq.newBuilder[Long]
+    val pRows = Seq.newBuilder[Long]
+    for (b <- 0 until 5) {
+      val extra =
+        if (b == 4) Seq(
+          DocT(991L, text(4, 0), ts(4)), // dup of batch-4 doc 40: emit
+          DocT(992L, text(3, 0), ts(4))) // dup of batch-3 doc 30: too old
+        else Seq.empty
+      horizonIn.addData(batch(b) ++ extra)
+      hq.processAllAvailable()
+      plainIn.addData(batch(b) ++ extra)
+      pq.processAllAvailable()
+      hRows += stateRows(hq)
+      pRows += stateRows(pq)
+    }
+    hq.stop(); pq.stop()
+
+    val h = hRows.result(); val p = pRows.result()
+    assert(p.last > p.head, s"plain should grow: $p")
+    assert((1 until 5).forall(i => p(i) >= p(i - 1)), s"plain: $p")
+    assert(h.last < p.last / 2, s"horizon $h vs plain $p")
+    assert((2 until 5).forall(i => h(i) <= h(1) * 2), s"horizon: $h")
+
+    val hPairs = spark.table("spec_mhh").distinct().as[(Long, Long)]
+      .collect().toSet
+    val pPairs = spark.table("spec_mhp").distinct().as[(Long, Long)]
+      .collect().toSet
+    assert(hPairs === Set((40L, 991L)))
+    assert(pPairs === Set((40L, 991L), (30L, 992L)))
+  }
 }
