@@ -6839,11 +6839,15 @@ object SparkEntry {
         |  WHERE event_type = 'purchase' AND t > t2 GROUP BY 1, 2, 3)
         |SELECT user_id, t1, t2, t3 FROM s3""".stripMargin,
 
-    // exact while per-type n <= k (holds at sf0.01)
+    // verified-bound contract (SF-invariant): Spark computes each
+    // sketch estimate's exact rank against the full data and asserts
+    // it lies within eps of the target quantile; the oracle pins the
+    // group set, the non-null counts, and that every bound held. (The
+    // old exact-value oracle was only valid while per-type n <= k —
+    // the sf1.0 scale run caught it drifting at the 4th digit.)
     "stream_approx_cdf" ->
-      """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS median_value,
-        |  round(quantile_cont(value, 0.9), 6) AS p90_value
+      """SELECT event_type, count(value) AS n,
+        |  true AS median_ok, true AS p90_ok
         |FROM events GROUP BY 1""".stripMargin,
 
     // identical to stream_sessionize_batch: the streaming kernel with

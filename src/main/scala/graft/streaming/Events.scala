@@ -314,11 +314,16 @@ object Events {
     * typed aggregator lifted onto a complete-mode stream group-by —
     * state is one bounded sketch per group, so percentile monitoring
     * over an unbounded feed holds O(groups · k) state at any stream
-    * length. While a group's total stays <= k the sketch is EXACT and
-    * the result equals `quantile_cont` bit-for-bit (the parity the
-    * oracle checks); past k it degrades gracefully to the sketch
-    * guarantee, identically in batch and stream. */
-  def runValueQuantiles(spark: SparkSession, path: String,
+    * length. While a group's total stays <= k the sketch is EXACT;
+    * past k it degrades to the sketch guarantee. The returned frame is
+    * therefore the VERIFIED-BOUND contract, which holds at every scale
+    * (the round-10 exact-value contract broke the moment a group
+    * exceeded k — caught by the first sf1.0 oracle run): each
+    * estimate's exact rank in a batch read of the same data must lie
+    * within `eps` of its target quantile. Exactness below capacity
+    * stays pinned by the bounded-input `agg_approx_cdf` gate and the
+    * batch/stream parity spec. */
+  def runValueQuantileEstimates(spark: SparkSession, path: String,
       schema: StructType, sinkName: String, k: Int = 4096,
       numStatePartitions: Int = 8): DataFrame = {
     val dir = stageAsDir(path, "graft_sqtl")
@@ -336,10 +341,39 @@ object Events {
       q.stop()
     }
     spark.table(sinkName).select(col("event_type"),
-      round(graft.operators.Aggs.sketchQuantileUdf(col("cdf"),
-        lit(0.5)), 6).as("median_value"),
-      round(graft.operators.Aggs.sketchQuantileUdf(col("cdf"),
-        lit(0.9)), 6).as("p90_value"))
+      graft.operators.Aggs.sketchQuantileUdf(col("cdf"), lit(0.5))
+        .as("med_est"),
+      graft.operators.Aggs.sketchQuantileUdf(col("cdf"), lit(0.9))
+        .as("p90_est"))
+  }
+
+  /** The gate surface over `runValueQuantileEstimates`. */
+  def runValueQuantiles(spark: SparkSession, path: String,
+      schema: StructType, sinkName: String, k: Int = 4096,
+      numStatePartitions: Int = 8, eps: Double = 0.01): DataFrame = {
+    val est = runValueQuantileEstimates(spark, path, schema, sinkName,
+      k, numStatePartitions)
+    // exact rank of each estimate against the full data — one scan,
+    // broadcast of the tiny per-group estimate table
+    spark.read.parquet(path)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"), col("med_est"), col("p90_est"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("med_est"), 1L).otherwise(0L))
+          .as("lt_m"),
+        sum(when(col("value") <= col("med_est"), 1L).otherwise(0L))
+          .as("le_m"),
+        sum(when(col("value") < col("p90_est"), 1L).otherwise(0L))
+          .as("lt_p"),
+        sum(when(col("value") <= col("p90_est"), 1L).otherwise(0L))
+          .as("le_p"))
+      .select(col("event_type"), col("n"),
+        (col("lt_m") / col("n") <= lit(0.5 + eps) &&
+          col("le_m") / col("n") >= lit(0.5 - eps)).as("median_ok"),
+        (col("lt_p") / col("n") <= lit(0.9 + eps) &&
+          col("le_p") / col("n") >= lit(0.9 - eps)).as("p90_ok"))
   }
 
   /** Streaming exact dedup — the pipeline's `Dedup.exact` for live

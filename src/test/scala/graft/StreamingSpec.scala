@@ -274,8 +274,10 @@ class StreamingSpec extends SparkSpec {
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) ->
         ((r.getDouble(1), r.getDouble(2)))).toMap
-    val got = toMap(Events.runValueQuantiles(spark, streamDir.toString,
-      events.schema, "spec_stream_qt"))
+    val got = toMap(Events.runValueQuantileEstimates(spark,
+      streamDir.toString, events.schema, "spec_stream_qt")
+      .select(col("event_type"), round(col("med_est"), 6),
+        round(col("p90_est"), 6)))
     val want = toMap(events.groupBy(col("event_type"))
       .agg(graft.operators.Aggs.approxCdf(col("value"), 4096).as("cdf"))
       .select(col("event_type"),
