@@ -194,16 +194,21 @@ object Events {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** Stateful-query sizing for LARGE state (millions of keys — e.g. one
-    * state row per winnow fingerprint): more state partitions so the
-    * per-batch store commit parallelizes across cores, and the RocksDB
-    * state store provider — off-heap, incremental-checkpoint — instead
-    * of the default HDFS-backed in-memory map, whose per-batch
-    * snapshot/commit of a multi-million-entry JVM map is the dominant
-    * cost and variance source at this state volume. Key-count-bounded
-    * state (windowed aggs, per-user sessions, LSH band buckets) should
-    * stay on the default provider via `withStatePartitions` — RocksDB's
-    * native-write overhead only pays for itself past ~10⁶ keys. */
+  /** Stateful-query sizing for LARGE state (millions of keys — e.g.
+    * one state row per winnow fingerprint): more state partitions so
+    * the per-batch store commit parallelizes across cores. Provider
+    * choice, round-11 A/B at sf1 (~1.25M state keys, back-to-back in
+    * one session): the default heap-backed provider's median is 64-66 s
+    * with a tight band vs RocksDB+changelog's 93-114 s with a 1.5-1.6x
+    * band — the round-9 assertion that RocksDB wins at million-key
+    * state was wrong AT THIS SIZE, so the replay runners default to the
+    * heap-backed provider. RocksDB's regime starts where state exceeds
+    * executor memory (tens of millions of rows per partition — a live
+    * NoTimeout deployment; the horizon kernels bound state precisely so
+    * that regime never arrives). SPARK_GRAFT_STATE_PROVIDER=rocksdb
+    * selects it, with changelog checkpointing ON (round-10 A/B: delta
+    * upload beats full-snapshot upload 8-17%) and row-count tracking
+    * OFF (a GET before every PUT for a metric). */
   private[streaming] def withLargeState[A](spark: SparkSession,
       n: Int)(body: => A): A = {
     val pKey = "spark.sql.streaming.stateStore.providerClass"
@@ -214,21 +219,18 @@ object Events {
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = Seq(pKey, cKey, tKey, nKey)
       .map(k => k -> spark.conf.getOption(k)).toMap
-    spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    // changelog checkpointing: commit uploads the per-batch delta, not
-    // a full RocksDB snapshot — snapshots compact asynchronously in the
-    // background. At one state row per fingerprint the full-snapshot
-    // upload is the dominant per-batch cost; the delta is proportional
-    // to the batch instead. SPARK_GRAFT_CHANGELOG=false and
-    // SPARK_GRAFT_STATE_PARTS=<n> exist for benchmark A/Bs only.
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+    else spark.conf.unset(pKey)
+    // RocksDB-only knobs (inert on the heap-backed provider):
+    // SPARK_GRAFT_CHANGELOG=false and SPARK_GRAFT_STATE_PARTS=<n>
+    // exist for benchmark A/Bs only.
     spark.conf.set(cKey,
       sys.env.getOrElse("SPARK_GRAFT_CHANGELOG", "true"))
     // row-count bookkeeping costs a RocksDB GET before every PUT (it
-    // must know whether the key existed) — at one write per fingerprint
-    // per batch that read-amplifies the dominant cost path for a
-    // metrics nicety. Specs that assert state row counts opt back in
-    // via SPARK_GRAFT_TRACK_ROWS or their own conf.
+    // must know whether the key existed). Specs that assert state row
+    // counts opt back in via SPARK_GRAFT_TRACK_ROWS or their own conf.
     spark.conf.set(tKey,
       sys.env.getOrElse("SPARK_GRAFT_TRACK_ROWS", "false"))
     // replay runners drain a static directory: the trailing no-data
