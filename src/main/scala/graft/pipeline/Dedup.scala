@@ -483,7 +483,7 @@ object Dedup {
     * shuffles on the block key only; n-gram sets travel once per side. */
   def charNgramJaccardPairs(df: DataFrame, id: String, text: String,
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5,
-      maxBlockSize: Int = 10000): DataFrame = {
+      maxBlockSize: Int = 10000, maxDictSize: Int = 1 << 16): DataFrame = {
     val g0 = df
       // sort the gram set once per document: the per-pair intersect is
       // then an allocation-free merge-walk instead of a hash-set build
@@ -497,11 +497,54 @@ object Dedup {
     // bound the quadratic: singleton blocks pair with nothing, and a
     // block past maxBlockSize is a scale hazard, not a dedup candidate
     val g = capBuckets(g0, blockCols, maxBlockSize)
-    val l = g.select(blockCols.map(col) ++ Seq(col("doc").as("id_a"),
-      col("__g").as("__ga"), col("__ng").as("__na")): _*)
-    val r = g.select(blockCols.map(col) ++ Seq(col("doc").as("id_b"),
-      col("__g").as("__gb"), col("__ng").as("__nb")): _*)
-    l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+    // Dictionary-bitmap fast path (round-11 sf10 finding: the per-pair
+    // sorted merge-walk over ~300-gram arrays made the within-block
+    // verification 135x on 10x data — the one super-linear query of
+    // the 100x bench). When the DISTINCT gram dictionary is small —
+    // char-n-gram spaces are bounded by |charset|^n, so real lowercase
+    // corpora sit far under 2^16 — every gram set dictionary-encodes
+    // into a fixed-width bitmap (|dict|/64 longs): the intersect
+    // becomes AND + popcount over ~6 longs via codegen'd builtins
+    // (zip_with / bit_count / aggregate), ~100x less CPU per pair and
+    // ~150x narrower join shuffle rows, with BIT-IDENTICAL output.
+    // Large-alphabet corpora (CJK, emoji) overflow maxDictSize and
+    // keep the sorted-array path.
+    val dict = g.select(explode(col("__g")).as("__gr")).distinct()
+      .limit(maxDictSize + 1).collect().map(_.getString(0))
+    val useBitmap = dict.length <= maxDictSize
+    val gv =
+      if (!useBitmap) g
+      else {
+        val index = dict.sorted.zipWithIndex.toMap
+        val nWords = (index.size + 63) >>> 6
+        val idxB = df.sparkSession.sparkContext.broadcast(index)
+        val toBits = udf { grams: Seq[String] =>
+          val bits = new Array[Long](nWords)
+          grams.foreach { gm =>
+            val i = idxB.value(gm)
+            bits(i >>> 6) |= 1L << (i & 63)
+          }
+          bits
+        }
+        g.withColumn("__b", toBits(col("__g")))
+      }
+    def side(a: String) = {
+      val payload =
+        if (useBitmap) Seq(col("__b").as(s"__b$a"))
+        else Seq(col("__g").as(s"__g$a"))
+      gv.select(blockCols.map(col) ++ Seq(col("doc").as(s"id_$a"),
+        col("__ng").as(s"__n$a")) ++ payload: _*)
+    }
+    val interCol =
+      if (useBitmap)
+        aggregate(
+          zip_with(col("__ba"), col("__bb"),
+            (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("int")
+      else graft.functions.TextKernels
+        .sortedIntersectCount(col("__ga"), col("__gb"))
+    side("a").join(side("b"), blockCols)
+      .filter(col("id_a") < col("id_b"))
       // size prefilter: J >= θ forces min/max >= θ (|A∩B| <= min,
       // |A∪B| >= max) — prunes the expensive intersect for most pairs.
       // The final filter compares ROUNDED jaccard, so the prefilter
@@ -510,8 +553,7 @@ object Dedup {
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         greatest(col("__na"), col("__nb")).cast("double") *
           (threshold - 0.00005))
-      .withColumn("__iv", graft.functions.TextKernels
-        .sortedIntersectCount(col("__ga"), col("__gb")))
+      .withColumn("__iv", interCol)
       // pushdown barrier: without it PushPredicateThroughProject inlines
       // the jaccard filter into the JOIN CONDITION, re-evaluating the
       // intersect kernel 2x per candidate inside the join plus once in

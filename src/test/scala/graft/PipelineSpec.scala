@@ -677,6 +677,20 @@ class PipelineSpec extends SparkSpec {
     assert(got("ngram_block") === ((2L, 1L, 1L, 7L, 5L)))
   }
 
+  test("ngram jaccard: bitmap fast path equals the sorted-array fallback") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(300)
+    def run(dictBudget: Int) =
+      Dedup.charNgramJaccardPairs(docs, "doc_id", "text",
+        Seq("source", "lang"), maxDictSize = dictBudget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bitmap = run(1 << 16)  // small synthetic dictionary -> bitmaps
+    val arrays = run(0)        // forced fallback -> merge-walk kernel
+    assert(bitmap === arrays)
+    assert(bitmap.nonEmpty, "fixture produced no pairs — weak test")
+  }
+
   test("fused text kernels survive CODEGEN_ONLY and match interpreted eval") {
     // the minhash/winnow/simhash kernels generate code (addReferenceObj
     // + one virtual call) instead of the CodegenFallback row-boxing

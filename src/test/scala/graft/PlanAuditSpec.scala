@@ -367,14 +367,23 @@ class PlanAuditSpec extends SparkSpec {
 
   test("charNgramJaccard evaluates the intersect kernel once per pair") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // default path on a small-dictionary corpus = dictionary bitmaps:
+    // the sorted-array kernel must be GONE from the plan (its per-pair
+    // merge-walk was the sf10 super-linear term), replaced by the
+    // codegen'd AND+popcount fold, still outside the join condition
     val plan = pipeline.Dedup.charNgramJaccardPairs(docs, "doc_id",
       "text", Seq("source", "lang")).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    // the barrier keeps the jaccard filter OUT of the join condition:
-    // exactly one kernel site in the whole plan (it was 3 before — twice
-    // inlined into the join condition plus the projection)
-    val kernels = "intersect_count".r.findAllIn(plan).length
-    assert(kernels == 1, s"$kernels intersect sites\n${plan.take(2500)}")
+    assert(!plan.contains("intersect_count"), plan.take(2500))
+    assert(plan.contains("bit_count"), plan.take(2500))
+    // fallback path (dictionary over budget): the one-kernel-site
+    // barrier discipline of rounds 8-10 still holds
+    val fb = pipeline.Dedup.charNgramJaccardPairs(docs, "doc_id",
+      "text", Seq("source", "lang"), maxDictSize = 0)
+      .queryExecution.executedPlan.toString
+    assert(!fb.contains("CartesianProduct"), fb.take(2000))
+    val kernels = "intersect_count".r.findAllIn(fb).length
+    assert(kernels == 1, s"$kernels intersect sites\n${fb.take(2500)}")
   }
 
   test("packSequences: one range exchange, broadcast offsets, no global window") {
