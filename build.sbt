@@ -40,4 +40,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // hundreds of large whole-stage-codegen classes the fleet compiles.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // ad-hoc -D flags for forked runMain (e.g. a disk-constrained scale
+  // run passing -Dspark.io.compression.codec=zstd)
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))
