@@ -829,6 +829,29 @@ object SparkEntry {
         "doc_id", "text")
         .withColumn("n_shared", col("n_shared").cast("long"))),
 
+    // --- exact duplicated-substring spans (the suffix-array dedup of
+    // Lee et al. 2022, relational): maximal char ranges covered by
+    // 30-grams occurring at 2+ corpus positions, minus each gram's
+    // canonical first occurrence. Spark groups 64-bit rolling-hash
+    // keys; the oracle groups the gram STRINGS — a kernel hash
+    // collision would surface here as a span diff ---------------------------
+    "pipe_substring_spans" -> ((s, dir) =>
+      pipeline.Dedup.duplicatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 30)
+        .select(col("doc").as("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_len").cast("long").as("span_len"),
+          col("n_positions"))),
+
+    // --- the corpus after cutting those spans: every document
+    // reassembled from its surviving characters (keep-first copies and
+    // untouched docs pass through; a fully-duplicated doc survives as
+    // an empty row for downstream length filters) ---------------------------
+    "pipe_substring_dedup" -> ((s, dir) =>
+      pipeline.Dedup.substringDedup(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 30)
+        .select(col("doc_id"), col("clean_text"))),
+
     // --- deterministic engine-portable k-means (Lloyd, 2 iterations,
     // k=4) over the embeddings: integer-grid coordinates + exact
     // rational centroid states make every assignment DuckDB-replayable
@@ -4383,6 +4406,75 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // position-level replay of exact-substring span dedup on the gram
+    // STRINGS (the Spark side shuffles 64-bit rolling hashes instead of
+    // gram bytes — value-identical unless the kernel hash collides):
+    // duplicated-gram positions minus the canonical first occurrence,
+    // merged into maximal char spans by the gap > 30 island rule
+    "pipe_substring_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 29)) AS i
+        |  FROM documents WHERE length(text) >= 30),
+        |g AS (SELECT doc_id, i, substr(text, i, 30) AS gram FROM pos),
+        |occ AS (SELECT doc_id, i,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn,
+        |    count(*)     OVER (PARTITION BY gram) AS c
+        |  FROM g),
+        |rem AS (SELECT doc_id, i - 1 AS p FROM occ WHERE c > 1 AND rn > 1),
+        |fl AS (SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 30
+        |         THEN 1 ELSE 0 END AS f
+        |  FROM rem),
+        |isl AS (SELECT doc_id, p,
+        |    sum(f) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM fl)
+        |SELECT doc_id, min(p) AS span_start,
+        |  max(p) + 30 - min(p) AS span_len,
+        |  count(*) AS n_positions
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    // same spans, then each doc reassembled from its kept segments
+    // (the gaps between spans plus the tail after the last span)
+    "pipe_substring_dedup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 29)) AS i
+        |  FROM documents WHERE length(text) >= 30),
+        |g AS (SELECT doc_id, i, substr(text, i, 30) AS gram FROM pos),
+        |occ AS (SELECT doc_id, i,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn,
+        |    count(*)     OVER (PARTITION BY gram) AS c
+        |  FROM g),
+        |rem AS (SELECT doc_id, i - 1 AS p FROM occ WHERE c > 1 AND rn > 1),
+        |fl AS (SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 30
+        |         THEN 1 ELSE 0 END AS f
+        |  FROM rem),
+        |isl AS (SELECT doc_id, p,
+        |    sum(f) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM fl),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) + 30 - min(p) AS l
+        |  FROM isl GROUP BY doc_id, grp),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(s + l) OVER (PARTITION BY doc_id ORDER BY s),
+        |             0) AS ks,
+        |    s AS ke
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT doc_id, max(s + l) AS ks, NULL AS ke
+        |  FROM sp GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT d.doc_id,
+        |    string_agg(substr(d.text, s.ks + 1,
+        |      coalesce(s.ke, length(d.text)) - s.ks), '' ORDER BY s.ks)
+        |      AS clean_text
+        |  FROM documents d JOIN segs s USING (doc_id)
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, coalesce(c.clean_text, d.text) AS clean_text
+        |FROM documents d LEFT JOIN cleaned c USING (doc_id)""".stripMargin,
 
     // identical to pipe_winnow_pairs: the streaming kernel must surface
     // exactly the batch candidate set (verified), micro-batches or not

@@ -214,18 +214,14 @@ object WinnowKernel {
 
   private final val Base = 0x100000001b3L // FNV-1a prime; mod 2^64 overflow
 
-  /** Distinct selected fingerprints of `s` under (k, w) winnowing.
-    * Degenerate inputs stay useful for dedup: an empty string has no
-    * fingerprints; a string shorter than k fingerprints as its single
-    * whole-string hash; fewer than w k-grams select the global minimum. */
-  def fingerprints(s: String, k: Int, w: Int): Array[Long] = {
+  /** All rolling k-gram hashes of `s` in position order (one entry per
+    * start offset 0..n-k): FNV-prime polynomial rolled in O(n), each
+    * value finalized through fmix64. Empty when the string is shorter
+    * than k. Shared by winnowing (below) and exact-substring span
+    * detection (`Dedup.duplicatedSpans`). */
+  def gramHashes(s: String, k: Int): Array[Long] = {
     val n = s.length
-    if (n == 0) return Array.emptyLongArray
-    if (n < k) {
-      var h = 0L; var i = 0
-      while (i < n) { h = h * Base + s.charAt(i); i += 1 }
-      return Array(fmix64(h))
-    }
+    if (n < k) return Array.emptyLongArray
     val m = n - k + 1
     val grams = new Array[Long](m)
     var h = 0L
@@ -241,6 +237,23 @@ object WinnowKernel {
       grams(i) = fmix64(h)
       i += 1
     }
+    grams
+  }
+
+  /** Distinct selected fingerprints of `s` under (k, w) winnowing.
+    * Degenerate inputs stay useful for dedup: an empty string has no
+    * fingerprints; a string shorter than k fingerprints as its single
+    * whole-string hash; fewer than w k-grams select the global minimum. */
+  def fingerprints(s: String, k: Int, w: Int): Array[Long] = {
+    val n = s.length
+    if (n == 0) return Array.emptyLongArray
+    if (n < k) {
+      var h = 0L; var i = 0
+      while (i < n) { h = h * Base + s.charAt(i); i += 1 }
+      return Array(fmix64(h))
+    }
+    val m = n - k + 1
+    val grams = gramHashes(s, k)
     if (m <= w) {
       var best = 0; var j = 1
       while (j < m) { if (grams(j) <= grams(best)) best = j; j += 1 }
@@ -273,6 +286,38 @@ object WinnowKernel {
     while (it.hasNext) { arr(z) = it.next(); z += 1 }
     arr
   }
+}
+
+/** All rolling k-gram hashes of the raw text, position-indexed (entry i
+  * = hash of chars [i, i+k)) — the per-position stream exact-substring
+  * span detection explodes. Same rolling FNV+fmix64 family the
+  * winnowing kernel selects from, kept UN-selected here because span
+  * dedup needs a verdict for EVERY start offset. Codegen'd direct
+  * call, no interpreted fallback. */
+case class GramHashesExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, "gram length k must be >= 1")
+  override def prettyName: String = "graft_gram_hashes"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(textAny: Any): Any =
+    compute(textAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    new GenericArrayData(WinnowKernel.gramHashes(s.toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("gramHashesExpr", this,
+      classOf[GramHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Distinct character n-grams in one fused pass — replaces the
@@ -503,6 +548,10 @@ object TextKernels {
   /** Distinct char n-grams, fused (see CharNgramsExpr). */
   def charNgrams(text: Column, n: Int): Column =
     GraftBridge.column(CharNgramsExpr(GraftBridge.expression(text), n))
+
+  /** Position-indexed rolling k-gram hashes (see GramHashesExpr). */
+  def gramHashes(text: Column, k: Int): Column =
+    GraftBridge.column(GramHashesExpr(GraftBridge.expression(text), k))
 
   /** |A ∩ B| of distinct string arrays (see DistinctIntersectCountExpr). */
   def intersectCount(a: Column, b: Column): Column =

@@ -468,6 +468,104 @@ object Dedup {
       .join(cand, Seq("corpus_id", "bench_id"), "left_semi")
   }
 
+  /** Exact duplicated-substring spans (the suffix-array dedup of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, re-expressed relationally): every maximal character
+    * range covered by a length-`minLen` gram that occurs at 2+ corpus
+    * positions, EXCEPT the canonical first occurrence (min (doc, pos))
+    * of each distinct gram — so one copy of every duplicated substring
+    * survives a removal pass. A duplicated run of length R >= minLen
+    * contributes R - minLen + 1 matching gram positions; merging
+    * char-overlapping positions recovers the maximal span, so the
+    * output is exactly the paper's duplicated-substring set at
+    * granularity minLen.
+    *
+    * Scale shape (the relational answer to a distributed suffix
+    * array): one O(|corpus|) rolling-hash pass (codegen'd kernel) emits
+    * (doc, pos, gramHash); ONE hash-partitioned aggregation finds
+    * duplicated grams (count + min — map-side partial combine, uniform
+    * 64-bit keys, no skew); ONE equi-join marks positions (1:1 per
+    * position — no fan-out even for a gram repeated a million times,
+    * unlike pair-based dedup which goes quadratic there); ONE per-doc
+    * window merges positions into spans. Three shuffles, all linear in
+    * corpus length — the same O(n) working set a suffix array needs,
+    * with Catalyst handling distribution. 64-bit gram hashes stand in
+    * for gram bytes on the wire (collision odds ~m²/2^65 — negligible
+    * below ~10^8 distinct grams per corpus; the DuckDB oracle groups by
+    * the gram STRING, so a collision would surface as a gate diff).
+    *
+    * Returns (doc, span_start, span_len, n_positions): 0-based char
+    * offset, merged char length, and the number of duplicated gram
+    * positions inside the span. */
+  def duplicatedSpans(df: DataFrame, id: String, text: String,
+      minLen: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = df
+      .select(col(id).as("doc"),
+        posexplode(graft.functions.TextKernels.gramHashes(col(text),
+          minLen)).as(Seq("pos", "h")))
+      // consumed twice (dup-gram agg + mark join): materialize the
+      // rolling-hash pass once, disk-backed, not re-derived per branch
+      .localCheckpoint(false)
+    val dupGrams = pos.groupBy("h")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc"), col("pos"))).as("first"))
+      .filter(col("occ") > 1)
+    val removable = pos.join(dupGrams, Seq("h"))
+      .filter(!(col("doc") === col("first.doc") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc"), col("pos"))
+    // char-level islands: two positions' grams overlap or touch iff
+    // their starts differ by <= minLen, so a gap > minLen starts a new
+    // span; span covers [first pos, last pos + minLen)
+    val ord = Window.partitionBy("doc").orderBy("pos")
+    removable
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(ord) > minLen, 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(minLen) - min(col("pos"))).as("span_len"),
+        count(lit(1)).as("n_positions"))
+      .drop("grp")
+  }
+
+  /** Remove every duplicated span found by [[duplicatedSpans]] from the
+    * corpus, keeping each document's surviving characters in order
+    * (documents with no duplicated spans pass through; a fully
+    * duplicated document survives as an empty string, preserving the
+    * row for downstream length filters to judge). The canonical first
+    * occurrence of each gram is exempt from removal, so one copy of
+    * every duplicated substring remains in the corpus unless its own
+    * characters fall inside a neighboring removable span.
+    *
+    * The cut itself is a per-doc fold over the (few) sorted spans —
+    * one groupBy(doc) on the span side and one join back to the
+    * corpus, both on the doc key. */
+  def substringDedup(df: DataFrame, id: String, text: String,
+      minLen: Int = 30): DataFrame = {
+    val spans = duplicatedSpans(df, id, text, minLen)
+      .groupBy(col("doc").as(id))
+      .agg(array_sort(collect_list(struct(col("span_start").as("s"),
+        col("span_len").as("l")))).as("__spans"))
+    df.join(spans, Seq(id), "left")
+      .withColumn("clean_text",
+        when(col("__spans").isNull, col(text)).otherwise(
+          // fold: acc carries (cursor, kept-so-far); each span appends
+          // the gap [cursor, span.s) and advances past the span
+          aggregate(col("__spans"),
+            struct(lit(0).as("cur"), lit("").as("acc")),
+            (st, sp) => struct(
+              (sp("s") + sp("l")).as("cur"),
+              concat(st("acc"), col(text).substr(st("cur") + 1,
+                sp("s") - st("cur"))).as("acc")),
+            st => concat(st("acc"),
+              col(text).substr(st("cur") + 1, length(col(text)))))))
+      .drop("__spans")
+  }
+
   /** Exact character-n-gram Jaccard near-dup pairs over bounded
     * candidate blocks: all pairs sharing the same `blockCols` values
     * (id_a < id_b), scored by Jaccard of their distinct char-n-gram

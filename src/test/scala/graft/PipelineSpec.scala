@@ -708,11 +708,12 @@ class PipelineSpec extends SparkSpec {
         Text.shingles(col("text"), 3), 8, "xxhash64").as("mhx"),
       Text.winnowFingerprints(col("text"), 8, 12).as("fps"),
       graft.functions.TextKernels.simHash64(
-        split(lower(col("text")), " ")).as("sig"))
+        split(lower(col("text")), " ")).as("sig"),
+      graft.functions.TextKernels.gramHashes(col("text"), 9).as("gh"))
       .orderBy("doc_id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
-        r.getSeq[Long](3), r.getLong(4)))
+        r.getSeq[Long](3), r.getLong(4), r.getSeq[Long](5)))
       .toSeq
     val factoryKey = "spark.sql.codegen.factoryMode"
     val fallbackKey = "spark.sql.codegen.fallback"
