@@ -852,6 +852,93 @@ object SparkEntry {
         "doc_id", "text", minLen = 30)
         .select(col("doc_id"), col("clean_text"))),
 
+    // --- unicode normalization (encoding hygiene before char-level
+    // dedup): decomposed e+COMBINING-ACUTE sequences are synthesized
+    // into every doc (the testdata is pure ASCII), NFC recomposes them
+    // to é — DuckDB's independent nfc_normalize must agree char-for-
+    // char, and the char-count delta counts the compositions ---------------
+    "pipe_unicode_nfc" -> ((s, dir) => {
+      val raw = regexp_replace(col("text"), "e",
+        "e\u0301") // e + COMBINING ACUTE (decomposed)
+      t(s, dir, "documents").select(col("doc_id"),
+        pipeline.Text.normalizeUnicode(raw).as("nfc_text"),
+        (length(raw) - length(pipeline.Text.normalizeUnicode(raw)))
+          .cast("long").as("n_composed"))
+    }),
+
+    // --- intra-document repetition counts (the quality signal for
+    // degenerate boilerplate loops that line-level rules miss): gram
+    // positions vs distinct grams, on the raw text and on a variant
+    // with a synthesized 60-char prefix echo (the ASCII testdata has
+    // almost no natural self-repetition) ------------------------------------
+    "pipe_selfrep" -> ((s, dir) => {
+      def stats(c: Column, prefix: String) = {
+        val gh = graft.functions.TextKernels.gramHashes(c, 20)
+        Seq(size(gh).cast("long").as(s"${prefix}_grams"),
+          (size(gh) - size(array_distinct(gh))).cast("long")
+            .as(s"${prefix}_repeated"))
+      }
+      val echoed = concat(col("text"), lit(" "),
+        substring(col("text"), 1, 60))
+      t(s, dir, "documents").select(
+        col("doc_id") +: (stats(col("text"), "n") ++
+          stats(echoed, "echo")): _*)
+    }),
+
+    // --- URL canonicalization (crawl dedup hygiene): three synthetic
+    // URL shapes per doc (mixed-case host + default port + tracking
+    // params / bare host / spaces + fbclid) through normalize, host
+    // and apex-domain extraction — every regex step replayed in SQL ---------
+    "pipe_url_normalize" -> ((s, dir) => {
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTP://"), upper(col("source")),
+            lit(".Example.Com:80/A/"), col("doc_id").cast("string"),
+            lit("?utm_campaign=x&z=26&a=1#top")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://sub."), col("source"), lit(".org")))
+        .otherwise(
+          concat(lit("https://"), col("source"), lit(".net/P%20Q/"),
+            col("doc_id").cast("string"), lit("?b=2&a=1&fbclid=abc")))
+      t(s, dir, "documents").select(col("doc_id"),
+        pipeline.Text.urlNormalize(url).as("norm_url"),
+        pipeline.Text.urlHost(url).as("host"),
+        pipeline.Text.urlDomain(url).as("domain"))
+    }),
+
+    // --- per-domain document cap (crawl-balance sampling): keep the 10
+    // smallest doc_ids per apex domain; the id sum pins WHICH rows
+    // survived, not just how many ------------------------------------------
+    "pipe_domain_cap" -> ((s, dir) => {
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTP://"), upper(col("source")),
+            lit(".Example.Com:80/A/"), col("doc_id").cast("string"),
+            lit("?utm_campaign=x&z=26&a=1#top")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://sub."), col("source"), lit(".org")))
+        .otherwise(
+          concat(lit("https://"), col("source"), lit(".net/P%20Q/"),
+            col("doc_id").cast("string"), lit("?b=2&a=1&fbclid=abc")))
+      val withDom = t(s, dir, "documents")
+        .withColumn("domain", pipeline.Text.urlDomain(url))
+      pipeline.Text.domainCap(withDom, "doc_id", col("domain"), cap = 10)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // --- Misra-Gries heavy hitters, exact two-pass consumption: a
+    // 64-counter one-pass summary prunes ~2.5k distinct synthesized
+    // keys (3 engineered hot keys at 25% each) to <= 64 candidates; the
+    // exact second pass restores merge-order determinism, so the output
+    // EQUALS DuckDB's full groupBy + HAVING cnt*64 > N — a broken
+    // sketch (dropped guaranteed key) surfaces as a missing row --------------
+    "agg_heavy_hitters" -> ((s, dir) => {
+      val keyed = t(s, dir, "events").withColumn("key",
+        when(col("event_id") % 4 =!= 0,
+          concat(lit("hot_"), (col("event_id") % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), col("event_id").cast("string"))))
+      operators.Aggs.heavyHittersExact(keyed, "key", m = 64)
+    }),
+
     // --- deterministic engine-portable k-means (Lloyd, 2 iterations,
     // k=4) over the embeddings: integer-grid coordinates + exact
     // rational centroid states make every assignment DuckDB-replayable
@@ -4475,6 +4562,138 @@ object SparkEntry {
         |  GROUP BY d.doc_id)
         |SELECT d.doc_id, coalesce(c.clean_text, d.text) AS clean_text
         |FROM documents d LEFT JOIN cleaned c USING (doc_id)""".stripMargin,
+
+    // independent NFC: DuckDB's nfc_normalize vs java.text.Normalizer
+    // on the same synthesized decomposed-accent corpus
+    "pipe_unicode_nfc" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+        |  length(raw) - length(nfc_normalize(raw)) AS n_composed
+        |FROM d""".stripMargin,
+
+    // per-variant 20-gram position/distinct counts on the gram STRINGS
+    // (the Spark side counts distinct rolling HASHES — a collision
+    // would diff here)
+    "pipe_selfrep" ->
+      """WITH v AS (
+        |  SELECT doc_id, text AS s, 'n' AS variant FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text || ' ' || substr(text, 1, 60), 'echo'
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, variant, substr(s, i, 20) AS gram
+        |  FROM (SELECT doc_id, variant, s,
+        |          unnest(generate_series(1, length(s) - 19)) AS i
+        |        FROM v WHERE length(s) >= 20)),
+        |f AS (
+        |  SELECT doc_id, variant, count(*) AS c,
+        |    count(DISTINCT gram) AS d
+        |  FROM g GROUP BY 1, 2)
+        |SELECT d0.doc_id,
+        |  coalesce(fn.c, 0) AS n_grams,
+        |  coalesce(fn.c - fn.d, 0) AS n_repeated,
+        |  coalesce(fe.c, 0) AS echo_grams,
+        |  coalesce(fe.c - fe.d, 0) AS echo_repeated
+        |FROM documents d0
+        |LEFT JOIN f fn ON fn.doc_id = d0.doc_id AND fn.variant = 'n'
+        |LEFT JOIN f fe ON fe.doc_id = d0.doc_id AND fe.variant = 'echo'
+        |""".stripMargin,
+
+    // full SQL replay of the URL canonicalization contract: fragment
+    // strip, scheme+host lowercase, default-port strip, tracking-param
+    // drop, param sort, empty path -> '/'
+    "pipe_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' || upper(source) ||
+        |           '.Example.Com:80/A/' || doc_id ||
+        |           '?utm_campaign=x&z=26&a=1#top'
+        |         WHEN doc_id % 3 = 1 THEN 'https://sub.' || source || '.org'
+        |         ELSE 'https://' || source || '.net/P%20Q/' || doc_id ||
+        |           '?b=2&a=1&fbclid=abc' END AS url
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS base
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(lower(coalesce(regexp_extract(base,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1), '')),
+        |      ':(80|443)$', '') AS scheme_host,
+        |    coalesce(regexp_extract(base,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '') AS rest
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, url, scheme_host,
+        |    CASE WHEN coalesce(regexp_extract(rest, '^([^?]*)', 1), '') = ''
+        |         THEN '/' ELSE regexp_extract(rest, '^([^?]*)', 1) END
+        |      AS path,
+        |    list_sort(list_filter(
+        |      string_split(coalesce(regexp_extract(rest, '\?(.*)$', 1), ''),
+        |        '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[a-z]+|fbclid|gclid)='))) AS params
+        |  FROM p2),
+        |h AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(coalesce(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), '')),
+        |      '^[^@]*@', ''), ':[0-9]+$', '') AS host
+        |  FROM u)
+        |SELECT p3.doc_id,
+        |  scheme_host || path ||
+        |    CASE WHEN len(params) > 0
+        |         THEN '?' || array_to_string(params, '&') ELSE '' END
+        |    AS norm_url,
+        |  h.host AS host,
+        |  coalesce(regexp_extract(h.host, '([^.]+\.[^.]+)$', 1), '')
+        |    AS domain
+        |FROM p3 JOIN h USING (doc_id)""".stripMargin,
+
+    // same synthesized URLs -> apex domain -> keep the 10 smallest ids
+    // per domain; id_sum pins the surviving row set
+    "pipe_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' || upper(source) ||
+        |           '.Example.Com:80/A/' || doc_id ||
+        |           '?utm_campaign=x&z=26&a=1#top'
+        |         WHEN doc_id % 3 = 1 THEN 'https://sub.' || source || '.org'
+        |         ELSE 'https://' || source || '.net/P%20Q/' || doc_id ||
+        |           '?b=2&a=1&fbclid=abc' END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(coalesce(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), '')),
+        |      '^[^@]*@', ''), ':[0-9]+$', '') AS host
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id,
+        |    coalesce(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '')
+        |      AS domain
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |  FROM d)
+        |SELECT domain, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rn <= 10 GROUP BY 1""".stripMargin,
+
+    // exact heavy hitters over the engineered skewed key stream: the
+    // Spark side's Misra-Gries candidates + exact second pass must
+    // equal the plain groupBy + HAVING cnt*m > N
+    "agg_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN event_id % 4 <> 0 THEN 'hot_' || (event_id % 3)
+        |              ELSE 'cold_' || event_id END AS key
+        |  FROM events)
+        |SELECT key, count(*) AS cnt
+        |FROM k GROUP BY 1
+        |HAVING count(*) * 64 > (SELECT count(*) FROM k)""".stripMargin,
 
     // identical to pipe_winnow_pairs: the streaming kernel must surface
     // exactly the batch candidate set (verified), micro-batches or not

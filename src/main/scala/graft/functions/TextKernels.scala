@@ -320,6 +320,45 @@ case class GramHashesExpr(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD via `java.text.Normalizer`)
+  * as a codegen'd expression — the encoding-hygiene pass a web-crawl
+  * corpus needs before any char-level dedup (composed vs decomposed
+  * accents hash differently while rendering identically). The form is
+  * resolved once at plan time, not per row. */
+case class NormalizeUnicodeExpr(child: Expression, form: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private val normForm = form match {
+    case "NFC" => java.text.Normalizer.Form.NFC
+    case "NFD" => java.text.Normalizer.Form.NFD
+    case "NFKC" => java.text.Normalizer.Form.NFKC
+    case "NFKD" => java.text.Normalizer.Form.NFKD
+    case other =>
+      throw new IllegalArgumentException(s"unknown unicode form: $other")
+  }
+  override def prettyName: String = "graft_normalize_unicode"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(textAny: Any): Any =
+    compute(textAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, normForm))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("normalizeUnicodeExpr", this,
+      classOf[NormalizeUnicodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Distinct character n-grams in one fused pass — replaces the
   * `transform(sequence(...), i -> substr(...))` HOF formulation, which
   * Spark evaluates interpreted per element (an expression-tree walk and
@@ -552,6 +591,11 @@ object TextKernels {
   /** Position-indexed rolling k-gram hashes (see GramHashesExpr). */
   def gramHashes(text: Column, k: Int): Column =
     GraftBridge.column(GramHashesExpr(GraftBridge.expression(text), k))
+
+  /** Unicode normalization (see NormalizeUnicodeExpr). */
+  def normalizeUnicode(text: Column, form: String): Column =
+    GraftBridge.column(NormalizeUnicodeExpr(
+      GraftBridge.expression(text), form))
 
   /** |A ∩ B| of distinct string arrays (see DistinctIntersectCountExpr). */
   def intersectCount(a: Column, b: Column): Column =

@@ -486,4 +486,80 @@ object Aggs {
       .otherwise(lit(1.0))
     struct(score.as("score"), n.as("n_included"))
   }
+
+  // ---- Misra-Gries heavy hitters (mergeable frequent-items summary) ------
+
+  case class MgBuf(items: Map[String, Long])
+
+  /** Misra-Gries frequent-items summary with `m` counters: one pass,
+    * O(m) memory, and the mergeable-summaries guarantee (Agarwal et
+    * al., PODS'12): every key with true frequency > N/(m+1) survives in
+    * the summary under ANY partitioning/merge order, with its count
+    * undercounted by at most N/(m+1). Merge sums counters and, when
+    * over capacity, subtracts the (m+1)-th largest count from all and
+    * drops the non-positive — exactly the decrement step, batched.
+    *
+    * The SET of surviving keys (beyond the guaranteed ones) and their
+    * estimates DO depend on merge order — consume this through
+    * [[heavyHittersExact]], which restores determinism with an exact
+    * second pass over the candidates. */
+  def misraGriesAgg(m: Int): Aggregator[String, MgBuf, Seq[String]] = {
+    require(m >= 1, "capacity m must be >= 1")
+    new Aggregator[String, MgBuf, Seq[String]] {
+      def zero: MgBuf = MgBuf(Map.empty)
+      def reduce(b: MgBuf, a: String): MgBuf = {
+        if (a == null) return b
+        val it = b.items
+        it.get(a) match {
+          case Some(c) => MgBuf(it.updated(a, c + 1))
+          case None if it.size < m => MgBuf(it.updated(a, 1L))
+          case None =>
+            // decrement-all: amortized O(m) over <= N/(m+1) firings
+            MgBuf(it.collect { case (k, v) if v > 1 => k -> (v - 1) })
+        }
+      }
+      def merge(a: MgBuf, b: MgBuf): MgBuf = {
+        val sum = b.items.foldLeft(a.items) { case (acc, (k, v)) =>
+          acc.updated(k, acc.getOrElse(k, 0L) + v)
+        }
+        if (sum.size <= m) MgBuf(sum)
+        else {
+          val cut = sum.valuesIterator.toArray.sorted(
+            Ordering[Long].reverse).apply(m) // (m+1)-th largest
+          MgBuf(sum.collect { case (k, v) if v > cut => k -> (v - cut) })
+        }
+      }
+      def finish(b: MgBuf): Seq[String] = b.items.keys.toSeq.sorted
+      def bufferEncoder: Encoder[MgBuf] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgBuf]()
+      def outputEncoder: Encoder[Seq[String]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    }
+  }
+
+  /** Deterministic exact heavy hitters via the classic two-pass scheme:
+    * pass 1 aggregates a Misra-Gries summary (partial per partition,
+    * merged — a single 1-row result, never a full groupBy over the key
+    * space); pass 2 exact-counts ONLY the <= m candidate keys (map-side
+    * filter against the broadcast candidate array, so the shuffle
+    * carries at most m distinct keys) and keeps those with exact count
+    * strictly above N/m. Because every key above N/(m+1) < N/m is
+    * guaranteed into the summary, the output is EXACTLY
+    * { key : trueCount(key) * m > N } — independent of merge order, at
+    * ~2 scans + one m-key shuffle instead of a key-space groupBy.
+    * Returns (key, cnt) rows. */
+  def heavyHittersExact(df: org.apache.spark.sql.DataFrame, key: String,
+      m: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val summary = df.agg(
+      udaf(misraGriesAgg(m)).apply(col(key)).as("cand"),
+      count(col(key)).as("n"))
+    df.select(col(key))
+      .crossJoin(broadcast(summary))
+      .filter(array_contains(col("cand"), col(key)))
+      .groupBy(col(key), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * m > col("n"))
+      .select(col(key), col("cnt"))
+  }
 }

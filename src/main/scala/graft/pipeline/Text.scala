@@ -363,4 +363,71 @@ object Text {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Unicode normalization (NFC by default) — the encoding-hygiene
+    * pass before char-level dedup: composed ("é") and decomposed
+    * ("e"+U+0301) sequences hash differently while rendering
+    * identically. Codegen'd (see `functions.NormalizeUnicodeExpr`). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.functions.TextKernels.normalizeUnicode(text, form)
+
+  /** Fraction of n-gram start positions whose gram already occurred
+    * earlier in the SAME document — the intra-document repetition
+    * signal (degenerate boilerplate loops, copy-paste padding) that
+    * line-level Gopher rules miss when the repeat unit spans lines.
+    * Pure per-row expression over the rolling-hash kernel: no shuffle,
+    * no self-join. 0.0 for docs shorter than n. */
+  def selfRepetitionFraction(text: Column, n: Int = 20): Column = {
+    val gh = graft.functions.TextKernels.gramHashes(text, n)
+    when(size(gh) > 0,
+      (size(gh) - size(array_distinct(gh))).cast("double") / size(gh))
+      .otherwise(lit(0.0))
+  }
+
+  // ---- URL hygiene (crawl-pipeline canonicalization) ----------------------
+
+  /** Lowercased host of a URL, ports and userinfo stripped. */
+  def urlHost(url: Column): Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+      "^[^@]*@", ""), ":[0-9]+$", "")
+
+  /** Apex domain heuristic: the last two host labels (no public-suffix
+    * list by the zero-dependency policy — document the caveat for
+    * co.uk-style suffixes). */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Canonicalized URL for crawl dedup: fragment dropped; scheme+host
+    * lowercased (path case preserved); explicit :80/:443 ports
+    * stripped; tracking params (utm_*, fbclid, gclid) dropped; the
+    * surviving query params sorted; empty path becomes "/". Pure
+    * string/array builtins — the DuckDB oracle replays every step. */
+  def urlNormalize(url: Column): Column = {
+    val base = regexp_replace(url, "#.*$", "")          // strip fragment
+    val schemeHost = regexp_replace(
+      lower(regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+      ":(80|443)$", "")
+    val rest = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val normPath = when(path === "", lit("/")).otherwise(path)
+    val params = filter(split(regexp_extract(rest, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)="))
+    val qs = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&")))
+      .otherwise(lit(""))
+    concat(schemeHost, normPath, qs)
+  }
+
+  /** Per-domain document cap (crawl-balance sampling): keep at most
+    * `cap` docs per domain, the smallest `id`s winning — bounds any
+    * single domain's share of the corpus. One hash shuffle on the
+    * domain key; a skewed mega-domain is bounded by the cap itself. */
+  def domainCap(df: org.apache.spark.sql.DataFrame, id: String,
+      domain: Column, cap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domain).orderBy(col(id).asc)
+    df.withColumn("__dom_rn", row_number().over(w))
+      .filter(col("__dom_rn") <= cap).drop("__dom_rn")
+  }
 }

@@ -709,11 +709,14 @@ class PipelineSpec extends SparkSpec {
       Text.winnowFingerprints(col("text"), 8, 12).as("fps"),
       graft.functions.TextKernels.simHash64(
         split(lower(col("text")), " ")).as("sig"),
-      graft.functions.TextKernels.gramHashes(col("text"), 9).as("gh"))
+      graft.functions.TextKernels.gramHashes(col("text"), 9).as("gh"),
+      graft.functions.TextKernels.normalizeUnicode(
+        concat(col("text"), lit("e\u0301")), "NFC").as("nfc"))
       .orderBy("doc_id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
-        r.getSeq[Long](3), r.getLong(4), r.getSeq[Long](5)))
+        r.getSeq[Long](3), r.getLong(4), r.getSeq[Long](5),
+        r.getString(6)))
       .toSeq
     val factoryKey = "spark.sql.codegen.factoryMode"
     val fallbackKey = "spark.sql.codegen.fallback"
@@ -733,5 +736,72 @@ class PipelineSpec extends SparkSpec {
       restore(factoryKey, prevFactory)
       restore(fallbackKey, prevFallback)
     }
+  }
+
+  test("unicode normalization: NFC composes, NFKC folds compatibility") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "cafe\u0301"),    // decomposed acute
+      (2L, "\ufb01le"),           // ﬁ ligature
+      (3L, "\uff28\uff49"),       // fullwidth HI
+      (4L, "plain"),
+      (5L, null.asInstanceOf[String]))).toDF("id", "s")
+    val out = df.select(col("id"),
+      Text.normalizeUnicode(col("s")).as("nfc"),
+      Text.normalizeUnicode(col("s"), "NFKC").as("nfkc"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === "caf\u00e9")
+    assert(out(0).getString(2) === "caf\u00e9")
+    assert(out(1).getString(1) === "\ufb01le") // NFC keeps ligatures
+    assert(out(1).getString(2) === "file")     // NFKC folds them
+    assert(out(2).getString(2) === "Hi")
+    assert(out(3).getString(1) === "plain")
+    assert(out(4).isNullAt(1) && out(4).isNullAt(2))
+    intercept[IllegalArgumentException] {
+      Text.normalizeUnicode(col("s"), "NFX")
+    }
+  }
+
+  test("selfRepetitionFraction: exact fraction, degenerate inputs") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "zzzzzzzz"),   // n=4: 5 grams, 1 distinct -> 4/5
+      (2L, "abcdefgh"),   // all distinct -> 0
+      (3L, "ab"))).toDF("id", "s") // shorter than n -> 0.0
+    val got = df.select(col("id"),
+      Text.selfRepetitionFraction(col("s"), 4).as("f"))
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(got === Seq(0.8, 0.0, 0.0))
+  }
+
+  test("url hygiene: normalize, host, apex domain, domain cap") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "HTTPS://User:Pw@WWW.Example.COM:443/Path/X?utm_source=a&b=2&a=1#f"),
+      (2L, "http://sub.host.org:8080/"),
+      (3L, "https://naked.io"),
+      (4L, "https://x.y.z.co/q?fbclid=1"),
+      (5L, "https://x.y.z.co/q?gclid=1&q=term"))).toDF("id", "u")
+    val got = df.select(col("id"),
+      Text.urlNormalize(col("u")).as("n"),
+      Text.urlHost(col("u")).as("h"),
+      Text.urlDomain(col("u")).as("d"))
+      .orderBy("id").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(got === Seq(
+      // userinfo survives normalize's scheme+host (documented: host
+      // extraction strips it; normalize lowercases it in place)
+      ("https://user:pw@www.example.com/Path/X?a=1&b=2",
+        "www.example.com", "example.com"),
+      ("http://sub.host.org:8080/", "sub.host.org", "host.org"),
+      ("https://naked.io/", "naked.io", "naked.io"),
+      ("https://x.y.z.co/q", "x.y.z.co", "z.co"),
+      ("https://x.y.z.co/q?q=term", "x.y.z.co", "z.co")))
+
+    val docs = spark.createDataFrame(
+      (1L to 25L).map(i => (i, s"d${i % 3}"))).toDF("id", "dom")
+    val capped = Text.domainCap(docs, "id", col("dom"), cap = 4)
+    assert(capped.count() === 12)
+    val kept = capped.groupBy("dom").agg(max("id").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest 4 ids win per domain: d1 gets 1,4,7,10
+    assert(kept("d1") === 10L)
   }
 }
