@@ -939,6 +939,34 @@ object SparkEntry {
       operators.Aggs.heavyHittersExact(keyed, "key", m = 64)
     }),
 
+    // --- PageRank domain-authority prior (crawl curation): 3 power
+    // sweeps with dangling redistribution over a synthesized 53-node
+    // link graph. Ranks are DECIMAL(18,9) with per-edge contributions
+    // rounded to 9dp, so every sum is exact decimal arithmetic and the
+    // oracle's unrolled-CTE replay matches digit-for-digit -----------------
+    "pipe_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "documents").select(
+        (col("doc_id") % 53).as("src"),
+        ((col("doc_id") * 7 + 3) % 53).as("dst"))
+      pipeline.Graph.pageRank(e, "src", "dst", iters = 3)
+    }),
+
+    // --- incremental ingest dedup: the whole corpus is the frozen
+    // hash index; a synthesized batch (every 3rd doc, ids shifted,
+    // half colliding verbatim / half genuinely new via a ' v2' suffix)
+    // anti-joins the index, then self-dedups keep-min — the 100 TB
+    // ingest shape where only the batch ever moves ---------------------------
+    "pipe_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = pipeline.Dedup.hashIndex(docs, "doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      pipeline.Dedup.dedupIncremental(batch, "doc_id", "text", index)
+        .select(col("doc_id"), col("content_hash"))
+    }),
+
     // --- deterministic engine-portable k-means (Lloyd, 2 iterations,
     // k=4) over the embeddings: integer-grid coordinates + exact
     // rational centroid states make every assignment DuckDB-replayable
@@ -4694,6 +4722,87 @@ object SparkEntry {
         |SELECT key, count(*) AS cnt
         |FROM k GROUP BY 1
         |HAVING count(*) * 64 > (SELECT count(*) FROM k)""".stripMargin,
+
+    // three unrolled PageRank sweeps in pure SQL: DECIMAL(18,9) ranks,
+    // per-edge contributions rounded at 9dp (all sums exact decimal),
+    // dangling mass redistributed uniformly; numeric literals forced
+    // to DOUBLE so DuckDB doesn't slip into decimal-literal arithmetic
+    "pipe_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 53 AS src, (doc_id * 7 + 3) % 53 AS dst
+        |  FROM documents),
+        |nodes AS (
+        |  SELECT DISTINCT node
+        |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |n AS (SELECT count(*) AS nn FROM nodes),
+        |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (
+        |  SELECT node, CAST(round(CAST(1.0 AS DOUBLE) / (SELECT nn FROM n),
+        |    9) AS DECIMAL(18,9)) AS rank FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS node, CAST(round(CAST(r.rank AS DOUBLE) /
+        |    od.outdeg, 9) AS DECIMAL(18,9)) AS c
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN od ON od.node = e.src),
+        |s1 AS (SELECT node, sum(c) AS in_sum FROM c1 GROUP BY 1),
+        |d1 AS (
+        |  SELECT coalesce(sum(r.rank), 0) AS dang
+        |  FROM r0 r LEFT JOIN od USING (node) WHERE od.outdeg IS NULL),
+        |r1 AS (
+        |  SELECT nodes.node, CAST(round(
+        |    CAST(0.15 AS DOUBLE) / (SELECT nn FROM n) +
+        |    CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.in_sum, 0) AS DOUBLE) +
+        |      CAST((SELECT dang FROM d1) AS DOUBLE) / (SELECT nn FROM n)),
+        |    9) AS DECIMAL(18,9)) AS rank
+        |  FROM nodes LEFT JOIN s1 s USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node, CAST(round(CAST(r.rank AS DOUBLE) /
+        |    od.outdeg, 9) AS DECIMAL(18,9)) AS c
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN od ON od.node = e.src),
+        |s2 AS (SELECT node, sum(c) AS in_sum FROM c2 GROUP BY 1),
+        |d2 AS (
+        |  SELECT coalesce(sum(r.rank), 0) AS dang
+        |  FROM r1 r LEFT JOIN od USING (node) WHERE od.outdeg IS NULL),
+        |r2 AS (
+        |  SELECT nodes.node, CAST(round(
+        |    CAST(0.15 AS DOUBLE) / (SELECT nn FROM n) +
+        |    CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.in_sum, 0) AS DOUBLE) +
+        |      CAST((SELECT dang FROM d2) AS DOUBLE) / (SELECT nn FROM n)),
+        |    9) AS DECIMAL(18,9)) AS rank
+        |  FROM nodes LEFT JOIN s2 s USING (node)),
+        |c3 AS (
+        |  SELECT e.dst AS node, CAST(round(CAST(r.rank AS DOUBLE) /
+        |    od.outdeg, 9) AS DECIMAL(18,9)) AS c
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN od ON od.node = e.src),
+        |s3 AS (SELECT node, sum(c) AS in_sum FROM c3 GROUP BY 1),
+        |d3 AS (
+        |  SELECT coalesce(sum(r.rank), 0) AS dang
+        |  FROM r2 r LEFT JOIN od USING (node) WHERE od.outdeg IS NULL)
+        |SELECT nodes.node, CAST(round(
+        |    CAST(0.15 AS DOUBLE) / (SELECT nn FROM n) +
+        |    CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.in_sum, 0) AS DOUBLE) +
+        |      CAST((SELECT dang FROM d3) AS DOUBLE) / (SELECT nn FROM n)),
+        |    9) AS DECIMAL(18,9)) AS rank
+        |FROM nodes LEFT JOIN s3 s USING (node)""".stripMargin,
+
+    // frozen-index anti-join + batch self-dedup, replayed directly
+    "pipe_incremental_dedup" ->
+      """WITH idx AS (SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text
+        |         ELSE text || ' v2' END AS text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |hashed AS (SELECT doc_id, md5(text) AS content_hash FROM batch),
+        |fresh AS (
+        |  SELECT * FROM hashed
+        |  WHERE content_hash NOT IN (SELECT content_hash FROM idx)),
+        |r AS (
+        |  SELECT doc_id, content_hash,
+        |    row_number() OVER (PARTITION BY content_hash
+        |                       ORDER BY doc_id) AS rn
+        |  FROM fresh)
+        |SELECT doc_id, content_hash FROM r WHERE rn = 1""".stripMargin,
 
     // identical to pipe_winnow_pairs: the streaming kernel must surface
     // exactly the batch candidate set (verified), micro-batches or not

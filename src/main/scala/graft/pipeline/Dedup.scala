@@ -468,6 +468,35 @@ object Dedup {
       .join(cand, Seq("corpus_id", "bench_id"), "left_semi")
   }
 
+  /** Exact-dedup fingerprint index of a frozen corpus: one row per
+    * distinct content hash with its canonical (min) doc id. Persist
+    * this table BUCKETED on `content_hash`
+    * (`.write.bucketBy(n, "content_hash")`) and every future ingest
+    * batch anti-joins against it with NO shuffle on the index side —
+    * the 100 TB ingest shape: the frozen corpus is never re-scanned,
+    * only the (small) batch moves. */
+  def hashIndex(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(Text.contentHash(col(text)).as("content_hash"),
+        col(id).as("canonical_id"))
+      .groupBy("content_hash")
+      .agg(min("canonical_id").as("canonical_id"))
+
+  /** Incremental ingest dedup: drop batch rows whose content hash is
+    * already in `index` (one anti-join — shuffle on the uniform hash
+    * key, or shuffle-free when the index is bucketed), then exact-dedup
+    * the batch against itself (keep min id). Survivors keep their
+    * `content_hash`; `hashIndex(survivors)` IS the index delta to
+    * append, so successive batches compose without ever touching the
+    * frozen corpus again. */
+  def dedupIncremental(batch: DataFrame, id: String, text: String,
+      index: DataFrame): DataFrame = {
+    val hashed = batch.withColumn("content_hash",
+      Text.contentHash(col(text)))
+    val fresh = hashed.join(index.select("content_hash"),
+      Seq("content_hash"), "left_anti")
+    keepMinPerKey(fresh, "content_hash", id)
+  }
+
   /** Exact duplicated-substring spans (the suffix-array dedup of
     * "Deduplicating Training Data Makes Language Models Better", Lee et
     * al. 2022, re-expressed relationally): every maximal character
