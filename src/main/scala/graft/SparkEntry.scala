@@ -967,6 +967,31 @@ object SparkEntry {
         .select(col("doc_id"), col("content_hash"))
     }),
 
+    // --- fuzzy entity join (edit distance <= 1) on the lowercased
+    // 12-char text prefix: deletion-neighborhood candidates (recall
+    // exact by construction, not probabilistic), levenshtein-verified;
+    // the oracle replays variants, the 2..1000 bucket cap, and the
+    // verification with its own levenshtein --------------------------------
+    "pipe_fuzzy_join" -> ((s, dir) =>
+      pipeline.Dedup.editDistancePairs(
+        t(s, dir, "documents")
+          .select(col("doc_id"), lower(substring(col("text"), 1, 12))
+            .as("k")),
+        "doc_id", "k")),
+
+    // --- HLL distinct-count contract (like agg_approx_cdf's): the
+    // output carries the exact per-group distinct count plus a bound
+    // check that Spark's approx_count_distinct estimate sits within
+    // 5 standard errors — the oracle expects every group in-bound, so
+    // a broken sketch surfaces as a value diff ------------------------------
+    "agg_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_distinct"),
+          approx_count_distinct(col("user_id"), 0.05).as("__est"))
+        .select(col("event_type"), col("n_distinct"),
+          (abs(col("__est") - col("n_distinct"))
+            <= lit(0.25) * col("n_distinct")).as("within_bound"))),
+
     // --- deterministic engine-portable k-means (Lloyd, 2 iterations,
     // k=4) over the embeddings: integer-grid coordinates + exact
     // rational centroid states make every assignment DuckDB-replayable
@@ -4803,6 +4828,39 @@ object SparkEntry {
         |                       ORDER BY doc_id) AS rn
         |  FROM fresh)
         |SELECT doc_id, content_hash FROM r WHERE rn = 1""".stripMargin,
+
+    // deletion-neighborhood fuzzy join replay: variants (i=0 is the
+    // string itself), distinct per doc, 2..1000 bucket cap, pair
+    // dedup, levenshtein verify
+    "pipe_fuzzy_join" ->
+      """WITH k AS (
+        |  SELECT doc_id, lower(substr(text, 1, 12)) AS s FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |v AS (
+        |  SELECT DISTINCT doc_id, s,
+        |    CASE WHEN i = 0 THEN s
+        |         ELSE substr(s, 1, i - 1) || substr(s, i + 1) END AS var
+        |  FROM (SELECT doc_id, s,
+        |          unnest(generate_series(0, length(s))) AS i
+        |        FROM k)),
+        |ok AS (
+        |  SELECT var FROM v GROUP BY 1
+        |  HAVING count(*) > 1 AND count(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.s AS sa, b.s AS sb
+        |  FROM v a JOIN ok USING (var) JOIN v b USING (var)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, levenshtein(sa, sb) AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin,
+
+    // the estimate's 5-sigma bound is checked on the Spark side; the
+    // oracle pins the exact counts and expects every group in-bound
+    "agg_approx_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_distinct,
+        |  true AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
 
     // identical to pipe_winnow_pairs: the streaming kernel must surface
     // exactly the batch candidate set (verified), micro-batches or not

@@ -468,6 +468,47 @@ object Dedup {
       .join(cand, Seq("corpus_id", "bench_id"), "left_semi")
   }
 
+  /** Fuzzy (edit-distance <= 1) id pairs over a short-string key —
+    * entity/metadata reconciliation (titles, names, model ids) where
+    * exact dedup misses typos. Candidate generation is the deletion
+    * neighborhood: every string emits itself plus each single-char
+    * deletion; two strings within edit distance 1 ALWAYS share a
+    * variant (equal -> the string itself; substitution -> the deletion
+    * at the edited position; indel -> the shorter string), so recall is
+    * EXACT, not probabilistic. Verification is the builtin levenshtein.
+    *
+    * Scale: variants blow the row count by ~|s| (short keys only —
+    * this is a key join, not a document join); the only shuffle is the
+    * variant equi-join, and hot variant buckets (mass-duplicated keys)
+    * are capped at `maxBucketSize` like every LSH family here —
+    * collapse exact duplicates first if oversized buckets appear.
+    * Returns (id_a, id_b, dist). */
+  def editDistancePairs(df: DataFrame, id: String, key: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val strings = df.select(col(id).as("doc"), col(key).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0)
+    val i = col("__i")
+    val variants = strings
+      .select(col("doc"), col("s"), explode(sequence(lit(0),
+        length(col("s")))).as("__i"))
+      .select(col("doc"), col("s"),
+        when(i === 0, col("s")).otherwise(concat(
+          col("s").substr(lit(1), i - 1),
+          col("s").substr(i + 1, length(col("s"))))).as("var"))
+      .distinct() // repeated chars emit duplicate deletions
+    val capped = capBuckets(variants, Seq("var"), maxBucketSize)
+    val a = capped.select(col("doc").as("id_a"), col("s").as("sa"),
+      col("var"))
+    val b = capped.select(col("doc").as("id_b"), col("s").as("sb"),
+      col("var"))
+    a.join(b, Seq("var"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sa", "sb").distinct()
+      .filter(levenshtein(col("sa"), col("sb")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+  }
+
   /** Exact-dedup fingerprint index of a frozen corpus: one row per
     * distinct content hash with its canonical (min) doc id. Persist
     * this table BUCKETED on `content_hash`

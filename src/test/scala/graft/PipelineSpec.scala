@@ -738,6 +738,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs: equals brute-force levenshtein join; cap drops hot keys") {
+    val r = new scala.util.Random(13)
+    val alphabet = "abcd"
+    def word(n: Int) =
+      (1 to n).map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+    // small alphabet + short words force plenty of distance-1 pairs,
+    // including indels (lengths 5..7)
+    val rows = (1L to 120L).map(i => (i, word(5 + r.nextInt(3))))
+    val df = spark.createDataFrame(rows).toDF("id", "k")
+    val got = Dedup.editDistancePairs(df, "id", "k")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    val brute = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      d = {
+        // textbook DP levenshtein as the independent oracle
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      } if d <= 1
+    } yield (a, b, d.toLong)).toSet
+    assert(got === brute)
+    assert(got.exists(_._3 == 1L) && got.exists(_._3 == 0L),
+      "fixture lacks both dist-0 and dist-1 pairs — weak test")
+    // a mass-duplicated key overflows its variant bucket under the cap
+    val hot = spark.createDataFrame(
+      (1L to 30L).map(i => (i, "samekey"))).toDF("id", "k")
+    assert(Dedup.editDistancePairs(hot, "id", "k",
+      maxBucketSize = 10).count() === 0)
+    assert(Dedup.editDistancePairs(hot, "id", "k").count() === 30L * 29 / 2)
+  }
+
   test("unicode normalization: NFC composes, NFKC folds compatibility") {
     val df = spark.createDataFrame(Seq(
       (1L, "cafe\u0301"),    // decomposed acute

@@ -554,4 +554,64 @@ class PlanAuditSpec extends SparkSpec {
     // and the bigram window partitions by doc — no global window
     assert(plan.contains("HashAggregate"), plan.take(2000))
   }
+
+  test("duplicatedSpans: equi-joins + per-doc window, fused gram kernel") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = pipeline.Dedup.duplicatedSpans(d, "doc_id", "text")
+    df.count() // materialize the localCheckpoint so the final plan shows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    // the islands window partitions by doc — a global (empty-key)
+    // window would single-partition the corpus
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(doc"), plan.take(2500))
+    // and the rolling-hash pass is the fused kernel, not a HOF chain
+    // (asserted pre-checkpoint: the localCheckpoint boundary replaces
+    // the subtree with a LogicalRDD in the final plan)
+    val logical = d.select(graft.functions.TextKernels
+      .gramHashes(col("text"), 30)).queryExecution.analyzed.toString
+    assert(logical.contains("graft_gram_hashes"), logical.take(2500))
+  }
+
+  test("heavyHittersExact: broadcast second pass, no key-space groupBy before prune") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("key", concat(lit("k"), (col("event_id") % 5)
+        .cast("string")))
+    val df = operators.Aggs.heavyHittersExact(e, "key", 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // the 1-row summary reaches the second pass as a broadcast, and the
+    // candidate filter sits BELOW the exact-count aggregation, so the
+    // exact groupBy only ever sees <= m candidate keys
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2500))
+    assert(plan.contains("array_contains"), plan.take(2500))
+  }
+
+  test("pageRank sweeps: rank joins stay equi-joins, scalars broadcast") {
+    val e = spark.createDataFrame(
+      (1 to 200).map(i => (i.toLong % 23, (i * 7L + 3) % 23)))
+      .toDF("src", "dst")
+    val df = pipeline.Graph.pageRank(e, "src", "dst", iters = 2)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // the only nested-loop joins are the broadcast 1-row scalar frames
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    val cart = "CartesianProduct".r.findAllIn(plan).length
+    assert(cart === 0, plan.take(2500))
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2500))
+  }
+
+  test("editDistancePairs: variant equi-join, no quadratic fallback") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lower(substring(col("text"), 1, 12)).as("k"))
+    val plan = pipeline.Dedup.editDistancePairs(d, "doc_id", "k")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
 }
