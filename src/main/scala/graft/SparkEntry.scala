@@ -1063,6 +1063,26 @@ object SparkEntry {
       pipeline.Text.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         size = 64, step = 48)),
 
+    // --- exact token-8-gram decontamination (the PaLM-report method):
+    // eval set = verbatim excerpts of every 97th doc (guaranteed
+    // leakage), bench grams broadcast, one corpus generator pass -------------
+    "pipe_exact_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 3L)
+        .select((col("doc_id") + 1000000L).as("bench_id"),
+          substring(col("text"), 21, 200).as("text"))
+      pipeline.Dedup.exactNgramDecontam(docs, "doc_id", "text",
+        bench, "text", n = 8)
+    }),
+
+    // --- DSIR (importance resampling data selection): hashed
+    // unigram+bigram log-ratios vs the English slice as target, top-50
+    // of the deterministic Gumbel-max draw — broadcast-joined bucket
+    // weights, exact decimal sums, fully engine-replayable ------------------
+    "pipe_dsir_select" -> ((s, dir) =>
+      pipeline.Sampling.dsirSelect(t(s, dir, "documents"), "doc_id",
+        "text", isTarget = col("lang") === "en", k = 50)),
+
     // --- compression-ratio quality signal (deflate/raw bytes): the
     // cheap whole-doc complement to the token features; golden oracle
     // (zlib is not SQL-expressible) -----------------------------------------
@@ -5211,6 +5231,66 @@ object SparkEntry {
         |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
         |    / doc_freq), 6) AS idf
         |FROM v WHERE doc_freq >= 5""".stripMargin,
+
+    "pipe_exact_decontam" ->
+      """WITH bench AS (
+        |  SELECT substr(text, 21, 200) AS text
+        |  FROM documents WHERE doc_id % 97 = 3),
+        |bt AS (
+        |  SELECT string_split_regex(lower(text), ' +') AS w FROM bench),
+        |bg AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5('decon|' || g), 1, 15))
+        |    AS BIGINT) AS h
+        |  FROM (SELECT unnest(list_transform(range(1, len(w) - 6),
+        |      j -> array_to_string(w[j:j+7], ' '))) AS g
+        |    FROM bt WHERE len(w) >= 8)),
+        |ct AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |cg AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5('decon|' || g), 1, 15))
+        |    AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+        |      j -> array_to_string(w[j:j+7], ' '))) AS g
+        |    FROM ct WHERE len(w) >= 8))
+        |SELECT doc_id, count(*) AS n_hits,
+        |  count(DISTINCT h) AS n_distinct
+        |FROM cg JOIN bg USING (h) GROUP BY doc_id""".stripMargin,
+
+    "pipe_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(list_concat(w,
+        |    list_transform(range(1, len(w)),
+        |      j -> concat(w[j], ' ', w[j+1])))) AS g
+        |  FROM tok),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('dsir-feat|' || g), 1, 15))
+        |      AS BIGINT) % 1024 AS b
+        |  FROM grams),
+        |counts AS (
+        |  SELECT b,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+        |    count(*) AS cr
+        |  FROM fb GROUP BY b),
+        |tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM counts),
+        |lw AS (
+        |  SELECT b, CAST(round(ln((ct + 1.0) / (t + 1024))
+        |    - ln((cr + 1.0) / (r + 1024)), 6) AS DECIMAL(18,6)) AS lw
+        |  FROM counts, tot),
+        |dw AS (
+        |  SELECT doc_id, sum(lw) AS wt
+        |  FROM fb JOIN lw USING (b) GROUP BY doc_id)
+        |SELECT doc_id, CAST(wt AS DOUBLE) AS weight,
+        |  CAST(wt + CAST(round(-ln(-ln(
+        |    (CAST(('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)), 6)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS sel_key
+        |FROM dw
+        |ORDER BY sel_key DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     "pipe_top_bigrams" ->
       """WITH tok AS (

@@ -468,6 +468,59 @@ object Dedup {
       .join(cand, Seq("corpus_id", "bench_id"), "left_semi")
   }
 
+  /** Exact token-n-gram decontamination (the PaLM/GPT-report method):
+    * a corpus document is contaminated iff it shares at least one
+    * verbatim run of `n` whitespace tokens with any benchmark document.
+    * Complements `winnowContamination` (char-level, fuzzy-normalized):
+    * this is the literal published contract eval suites are scrubbed
+    * with, exact by construction — no fingerprint selection step, so no
+    * recall argument needed.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT 60-bit md5
+    * gram hashes — |bench tokens| rows from data that is small by
+    * nature (eval suites vs a 100 TB corpus) — and is broadcast, so
+    * the corpus is touched in ONE narrow generator pass (tokenize →
+    * n-gram hash explode → broadcast semi-ish inner join) followed by a
+    * map-side-combined per-doc count. No corpus-keyed wide shuffle
+    * beyond the final doc aggregation; nothing anywhere is corpus².
+    * Set `broadcastBench = false` for a benchmark too large to fit an
+    * executor — AQE then picks the join side.
+    *
+    * Returns (corpus id, n_hits = matching gram occurrences,
+    * n_distinct = distinct matching grams) for contaminated docs only.
+    * Engine-portable: grams hash via md5 in both Spark and the SQL
+    * replay. */
+  def exactNgramDecontam(corpus: DataFrame, corpusId: String,
+      corpusText: String, bench: DataFrame, benchText: String,
+      n: Int = 8, salt: String = "decon",
+      broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 2, "n-gram decontamination needs n >= 2")
+    // token n-gram 60-bit hashes, with multiplicity, in one codegen'd
+    // builtin chain (split → sequence → slice/join → md5)
+    def gramHashes(text: Column): Column = {
+      val w = Text.tokens(text)
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          j => conv(substring(md5(concat(lit(s"$salt|"),
+            array_join(slice(w, j, lit(n)), " "))), 1, 15), 16, 10)
+            .cast("long")))
+        .otherwise(array().cast("array<long>"))
+    }
+    val benchGrams = bench
+      .select(explode(gramHashes(col(benchText))).as("h"))
+      .distinct()
+    val benchSide = if (broadcastBench) broadcast(benchGrams)
+      else benchGrams
+    corpus
+      .select(col(corpusId).as("doc"),
+        explode(gramHashes(col(corpusText))).as("h"))
+      .join(benchSide, Seq("h"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("h")).as("n_distinct"))
+      .select(col("doc").as(corpusId), col("n_hits"), col("n_distinct"))
+  }
+
   /** Fuzzy (edit-distance <= 1) id pairs over a short-string key —
     * entity/metadata reconciliation (titles, names, model ids) where
     * exact dedup misses typos. Candidate generation is the deletion

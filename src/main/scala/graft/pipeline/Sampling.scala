@@ -204,6 +204,86 @@ object Sampling {
       .drop("__gr")
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score every document by how much more likely its hashed-n-gram bag
+    * is under a TARGET distribution (e.g. a trusted high-quality slice)
+    * than under the raw corpus, then draw the k winners of the
+    * Gumbel-max trick over those log-ratios — i.e. a without-replacement
+    * sample ∝ exp(weight), the paper's resampling step, made
+    * deterministic by deriving the Gumbel noise from the md5 unit hash
+    * instead of an RNG.
+    *
+    * Features are unigrams + bigrams of the whitespace tokens, hashed
+    * into `numBuckets` buckets (the hashing trick) — the feature space
+    * is FIXED at numBuckets regardless of corpus size, which is the
+    * whole scale story: bucket counts are one map-side-combined
+    * aggregation to ≤ numBuckets rows, the per-bucket log-ratio table
+    * broadcasts, and the per-doc weight pass is a broadcast join + one
+    * doc-keyed aggregation. Two corpus scans, no wide shuffle beyond
+    * the doc-keyed agg. Per-bucket log-ratios round to 6dp DECIMAL and
+    * sum exactly (order-independent), so weights replay in any engine
+    * with md5 + ln.
+    *
+    * Smoothing: add-one on bucket counts against (total + numBuckets) —
+    * weight(d) = Σ_f n_d(f) · [ln((ct_f+1)/(T+B)) − ln((cr_f+1)/(R+B))]
+    * where ct/cr are target/raw occurrence counts of f's bucket, T/R
+    * the total target/raw feature occurrences.
+    *
+    * Returns the k selected rows (id, weight, sel_key = weight +
+    * gumbel), key-descending; ties break by ascending id. */
+  def dsirSelect(df: DataFrame, id: String, text: String,
+      isTarget: Column, k: Int, numBuckets: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    require(k > 0 && numBuckets > 0, "k and numBuckets must be positive")
+    val w = Text.tokens(col(text))
+    // unigrams ++ bigrams, WITH multiplicity (bag-of-ngrams, unlike the
+    // distinct shingle kernel) — parity formulation of the SQL oracle's
+    // unnest + list_transform(range(...))
+    val grams = concat(
+      w,
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          j => concat(element_at(w, j), lit(" "),
+            element_at(w, j + 1))))
+        .otherwise(array().cast("array<string>")))
+    // per-(doc, bucket) occurrence counts: bounded by numBuckets rows
+    // per doc, so the checkpoint for dual consumption stays doc-scaled
+    val docBucket = df
+      .select(col(id).as("doc"), isTarget.as("__t"),
+        explode(grams).as("g"))
+      .select(col("doc"), col("__t"),
+        pmod(unitHash(col("g"), s"$salt-feat"), lit(numBuckets.toLong))
+          .as("b"))
+      .groupBy("doc", "__t", "b")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val counts = docBucket.groupBy("b")
+      .agg(sum(when(col("__t"), col("n")).otherwise(0L)).as("ct"),
+        sum(col("n")).as("cr"))
+      .localCheckpoint(false)
+    val totRow = counts
+      .agg(sum("ct").as("t"), sum("cr").as("r")).head()
+    val (tTot, rTot) = (totRow.getLong(0), totRow.getLong(1))
+    val logw = counts.select(col("b"),
+      round(log((col("ct") + 1.0) / lit(tTot.toDouble + numBuckets))
+        - log((col("cr") + 1.0) / lit(rTot.toDouble + numBuckets)), 6)
+        .cast("decimal(18,6)").as("lw"))
+    // deterministic Gumbel: u from the md5 unit hash thinned to 1e6
+    // grains (bounded away from 0 and 1 — no ±Inf at the extremes)
+    val u = (pmod(unitHash(col("doc"), salt), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    val gumbel = round(-log(-log(u)), 6).cast("decimal(18,6)")
+    docBucket
+      .join(broadcast(logw), Seq("b"))
+      .groupBy("doc")
+      .agg(sum(col("lw") * col("n")).as("__w"))
+      .withColumn("sel_key", (col("__w") + gumbel).cast("double"))
+      .select(col("doc").as(id), col("__w").cast("double").as("weight"),
+        col("sel_key"))
+      .orderBy(col("sel_key").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** Deterministic up/down-weighting by repetition ("epochs" per
     * stratum): emit floor(weight) copies of every row plus one more for
     * the deterministic fractional remainder — the standard way to

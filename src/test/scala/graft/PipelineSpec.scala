@@ -839,4 +839,34 @@ class PipelineSpec extends SparkSpec {
     // smallest 4 ids win per domain: d1 gets 1,4,7,10
     assert(kept("d1") === 10L)
   }
+
+  test("exactNgramDecontam: hand-computed hits, multiplicity, misses") {
+    import graft.pipeline.Dedup
+    val bench = spark.createDataFrame(Seq(
+      (1L, "a b c d e f g h"))).toDF("bid", "text")
+    val corpus = spark.createDataFrame(Seq(
+      // contains the bench 8-gram once (interior match)
+      (10L, "x a b c d e f g h y"),
+      // broken run — 7 shared tokens then a detour: no 8-gram hit
+      (11L, "a b c d e f g x h"),
+      // the run twice -> n_hits 2, n_distinct 1
+      (12L, "a b c d e f g h z a b c d e f g h"),
+      // exact equality with the bench doc
+      (13L, "a b c d e f g h"),
+      // unrelated
+      (14L, "p q r s t u v w x y z"),
+      // fewer than 8 tokens: no grams at all
+      (15L, "a b c"))).toDF("doc_id", "text")
+    val got = Dedup.exactNgramDecontam(corpus, "doc_id", "text",
+      bench, "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      10L -> ((1L, 1L)), 12L -> ((2L, 1L)), 13L -> ((1L, 1L))))
+    // case-insensitivity comes from the shared tokenizer
+    val nUpper = Dedup.exactNgramDecontam(
+      corpus.withColumn("text", upper(col("text"))), "doc_id", "text",
+      bench, "text", n = 8).count()
+    assert(nUpper === 3L)
+  }
 }

@@ -614,4 +614,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
   }
+
+  test("exactNgramDecontam: bench grams broadcast; one corpus pass") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 3)
+      .select(substring(col("text"), 21, 200).as("text"))
+    val plan = pipeline.Dedup.exactNgramDecontam(docs, "doc_id", "text",
+      bench, "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("dsirSelect: bucket weight table joins broadcast, no cartesian") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = pipeline.Sampling.dsirSelect(docs, "doc_id", "text",
+      col("lang") === "en", k = 10, numBuckets = 64)
+      .queryExecution.executedPlan.toString
+    // the ≤numBuckets-row log-ratio table must arrive broadcast — the
+    // per-doc weight pass is scan + BHJ + one doc-keyed agg
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+    // top-k is TakeOrdered, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2500))
+  }
 }

@@ -146,4 +146,37 @@ class SamplingSpec extends SparkSpec {
     assert(got(5L) === ((2L, 0L, 0L)))
     assert(got(6L) === ((3L, 0L, 0L)))
   }
+
+  test("dsirSelect: target-like docs outweigh off-target docs") {
+    // two disjoint vocabularies: target docs speak "alpha beta gamma",
+    // off-target docs speak "zeta eta theta"; two probe docs (never in
+    // the target) speak one vocabulary each — DSIR must weight the
+    // target-vocabulary probe above the off-target-vocabulary probe
+    val rows =
+      (0 until 20).map(i => (i.toLong, true, "alpha beta gamma delta")) ++
+      (100 until 120).map(i => (i.toLong, false, "zeta eta theta iota")) ++
+      Seq((200L, false, "alpha beta gamma delta"),
+          (201L, false, "zeta eta theta iota"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "t", "text")
+      .repartition(4)
+    val got = Sampling.dsirSelect(df, "doc_id", "text", col("t"),
+      k = 42, numBuckets = 256)
+    val byId = got.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(200L) > byId(201L),
+      s"target-vocab probe ${byId(200L)} must outweigh ${byId(201L)}")
+    assert(byId(200L) > 0 && byId(201L) < 0,
+      s"log-ratios must split by vocabulary: $byId")
+    // all 20 target-vocab docs share one weight; same for off-target
+    assert((0 until 20).map(i => byId(i.toLong)).distinct.size === 1)
+    // deterministic: the Gumbel draw replays exactly
+    val again = Sampling.dsirSelect(df, "doc_id", "text", col("t"),
+      k = 42, numBuckets = 256).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(again.toSeq === got.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq)
+    // sel_key ordering is descending with id tiebreak
+    val keys = again.map(_._3).toSeq
+    assert(keys === keys.sorted.reverse)
+  }
 }
