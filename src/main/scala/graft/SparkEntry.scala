@@ -1017,6 +1017,30 @@ object SparkEntry {
       pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", Seq("join", "hash", "vector", "spark"), k = 20)),
 
+    // --- hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // top-100 and the dense cosine top-100 (vec_id 0 is the query, ids
+    // align with doc_ids) — 1/(60+rank) contributions as exact 6dp
+    // decimals, fused top-20 --------------------------------------------------
+    "pipe_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lex = pipeline.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("join", "hash", "vector", "spark"), k = 100)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<float>").as("embedding"))
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      // rank and CUT on the 6dp-rounded cosine (id tiebreak): the list
+      // membership itself must replay cross-engine
+      val den = e.filter(col("vec_id") =!= 0L)
+        .withColumn("score", round(pipeline.Similarity.cosine(
+          col("embedding"), array(q.map(lit): _*)), 6))
+        .select(col("vec_id").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(100)
+      pipeline.Retrieval.rrfFuse(Seq(lex, den), "doc_id", "score",
+        k = 20)
+    }),
+
     // --- HTML-to-text extraction (web-crawl ingestion): script/style
     // blocks dropped, tags stripped, entities decoded, whitespace
     // collapsed — deterministic synthetic markup around each doc -----------
@@ -5231,6 +5255,87 @@ object SparkEntry {
         |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
         |    / doc_freq), 6) AS idf
         |FROM v WHERE doc_freq >= 5""".stripMargin,
+
+    "pipe_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(string_split_regex(lower(text), ' +')) AS t
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc, count(*) AS dl,
+        |    sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS tf0,
+        |    sum(CASE WHEN t = 'hash' THEN 1 ELSE 0 END) AS tf1,
+        |    sum(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS tf2,
+        |    sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf3
+        |  FROM tok WHERE t <> '' GROUP BY doc),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS sumdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+        |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        |  FROM perdoc),
+        |scored AS (
+        |  SELECT doc,
+        |    CAST(round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(sumdl AS DOUBLE) / n))), 4) AS DECIMAL(18,4))
+        |    + CAST(round(ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(sumdl AS DOUBLE) / n))), 4) AS DECIMAL(18,4))
+        |    + CAST(round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(sumdl AS DOUBLE) / n))), 4) AS DECIMAL(18,4))
+        |    + CAST(round(ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+        |      / (tf3 + 1.2 * (0.25 + 0.75 * dl
+        |        / (CAST(sumdl AS DOUBLE) / n))), 4) AS DECIMAL(18,4))
+        |      AS score,
+        |    CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_matched
+        |  FROM perdoc, stats),
+        |lex AS (
+        |  SELECT doc AS doc_id, CAST(score AS DOUBLE) AS score
+        |  FROM scored WHERE n_matched > 0
+        |  ORDER BY score DESC, doc_id ASC LIMIT 100),
+        |q AS (
+        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |      AS dp,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE)
+        |         * CAST(embedding[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nb
+        |  FROM embeddings, q WHERE vec_id != 0),
+        |den AS (
+        |  SELECT vec_id AS doc_id, round(dp / (na * nb), 6) AS score
+        |  FROM c
+        |  ORDER BY round(dp / (na * nb), 6) DESC, vec_id ASC LIMIT 100),
+        |lexr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        |  FROM lex),
+        |denr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        |  FROM den),
+        |u AS (
+        |  SELECT doc_id, CAST(round(1.0 / (60 + r), 6)
+        |    AS DECIMAL(18,6)) AS contrib FROM lexr
+        |  UNION ALL
+        |  SELECT doc_id, CAST(round(1.0 / (60 + r), 6)
+        |    AS DECIMAL(18,6)) AS contrib FROM denr)
+        |SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS rrf,
+        |  count(*) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "pipe_exact_decontam" ->
       """WITH bench AS (

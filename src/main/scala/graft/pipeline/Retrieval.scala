@@ -78,4 +78,40 @@ object Retrieval {
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: each candidate list
+    * contributes 1/(rrfK + rank) for every id it ranks, and lists of
+    * incommensurable scores (BM25 lexical vs cosine dense) fuse
+    * without calibration.
+    *
+    * Inputs are (id, score) lists that are ALREADY top-k sized —
+    * outputs of `bm25TopK` / `Similarity.*TopK` — so the global
+    * row_number window here runs over bounded constants, never
+    * corpus-scaled data; at 100 TB the corpus work happened upstream
+    * in the list producers. Ranks order by (score desc, id asc):
+    * callers should pass scores that are engine-exact (decimal-summed
+    * BM25, 6dp-rounded cosine) so ranking replays anywhere.
+    * Contributions round to 6dp DECIMAL and sum exactly. Returns the
+    * fused top-k as (id, rrf, n_lists), rrf-descending, id tiebreak. */
+  def rrfFuse(lists: Seq[DataFrame], id: String, score: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty && k > 0 && rrfK >= 0, "need lists and k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = lists.map { df =>
+      val w = Window.orderBy(col(score).desc, col(id).asc)
+      df.select(col(id), col(score))
+        .withColumn("__r", row_number().over(w).cast("long"))
+        .select(col(id),
+          round(lit(1.0) / (lit(rrfK) + col("__r")), 6)
+            .cast("decimal(18,6)").as("__c"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(id)
+      .agg(sum(col("__c")).as("__rrf"), count(lit(1)).as("n_lists"))
+      .select(col(id), col("__rrf").cast("double").as("rrf"),
+        col("n_lists"))
+      .orderBy(col("rrf").desc, col(id).asc)
+      .limit(k)
+  }
 }

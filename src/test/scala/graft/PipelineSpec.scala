@@ -840,6 +840,30 @@ class PipelineSpec extends SparkSpec {
     assert(kept("d1") === 10L)
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank fusion") {
+    import graft.pipeline.Retrieval
+    // list A ranks 1,2,3; list B ranks 3,2,4 (scores arbitrary but
+    // rank-ordered; ranks derive from score desc, id asc)
+    val a = spark.createDataFrame(Seq(
+      (1L, 9.0), (2L, 8.0), (3L, 7.0))).toDF("doc_id", "score")
+    val b = spark.createDataFrame(Seq(
+      (3L, 0.9), (2L, 0.8), (4L, 0.7))).toDF("doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq(a, b), "doc_id", "score", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // contributions at 6dp: 1/61=0.016393, 1/62=0.016129, 1/63=0.015873
+    assert(got.toSeq === Seq(
+      (3L, 0.015873 + 0.016393, 2L),   // rank 3 in A, rank 1 in B
+      (2L, 0.016129 + 0.016129, 2L),   // rank 2 in both
+      (1L, 0.016393, 1L),
+      (4L, 0.015873, 1L)))
+    // a tie in score breaks rank by ascending id in every list
+    val tied = spark.createDataFrame(Seq(
+      (7L, 5.0), (6L, 5.0))).toDF("doc_id", "score")
+    val t2 = Retrieval.rrfFuse(Seq(tied), "doc_id", "score", k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(t2.toSeq === Seq((6L, 0.016393), (7L, 0.016129)))
+  }
+
   test("exactNgramDecontam: hand-computed hits, multiplicity, misses") {
     import graft.pipeline.Dedup
     val bench = spark.createDataFrame(Seq(
