@@ -1087,6 +1087,13 @@ object SparkEntry {
       pipeline.Text.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         size = 64, step = 48)),
 
+    // --- C4-style blocklist screen: token-boundary word + phrase
+    // matching, patterns broadcast, one generator pass per phrase
+    // length — per-doc hit counts --------------------------------------------
+    "pipe_blocklist" -> ((s, dir) =>
+      pipeline.Text.blocklistHits(t(s, dir, "documents"), "doc_id",
+        "text", Seq("spark", "table hash", "customer join"))),
+
     // --- exact token-8-gram decontamination (the PaLM-report method):
     // eval set = verbatim excerpts of every 97th doc (guaranteed
     // leakage), bench grams broadcast, one corpus generator pass -------------
@@ -5255,6 +5262,26 @@ object SparkEntry {
         |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
         |    / doc_freq), 6) AS idf
         |FROM v WHERE doc_freq >= 5""".stripMargin,
+
+    "pipe_blocklist" ->
+      """WITH pat AS (
+        |  SELECT * FROM (VALUES ('spark'), ('table hash'),
+        |    ('customer join')) AS p(g)),
+        |ct AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(w) AS g FROM ct),
+        |g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    j -> concat(w[j], ' ', w[j+1]))) AS g
+        |  FROM ct WHERE len(w) >= 2),
+        |hits AS (
+        |  SELECT doc_id, g FROM g1 JOIN pat USING (g)
+        |  UNION ALL
+        |  SELECT doc_id, g FROM g2 JOIN pat USING (g))
+        |SELECT doc_id, count(*) AS n_hits,
+        |  count(DISTINCT g) AS n_patterns
+        |FROM hits GROUP BY doc_id""".stripMargin,
 
     "pipe_hybrid_rrf" ->
       """WITH tok AS (

@@ -246,9 +246,12 @@ object Sampling {
           j => concat(element_at(w, j), lit(" "),
             element_at(w, j + 1))))
         .otherwise(array().cast("array<string>")))
-    // per-(doc, bucket) occurrence counts: bounded by numBuckets rows
-    // per doc, so the checkpoint for dual consumption stays doc-scaled
-    val docBucket = df
+    // per-(doc, bucket) occurrence counts — recomputed per consumer
+    // (two corpus scans) rather than checkpointed: the intermediate is
+    // gram-scaled, i.e. the same order as the input — at 100 TB,
+    // re-tokenizing beats materializing it. Only the ≤numBuckets-row
+    // counts table is pinned.
+    def docBucket = df
       .select(col(id).as("doc"), isTarget.as("__t"),
         explode(grams).as("g"))
       .select(col("doc"), col("__t"),
@@ -256,7 +259,6 @@ object Sampling {
           .as("b"))
       .groupBy("doc", "__t", "b")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
     val counts = docBucket.groupBy("b")
       .agg(sum(when(col("__t"), col("n")).otherwise(0L)).as("ct"),
         sum(col("n")).as("cr"))

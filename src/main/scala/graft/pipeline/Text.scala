@@ -430,4 +430,49 @@ object Text {
     df.withColumn("__dom_rn", row_number().over(w))
       .filter(col("__dom_rn") <= cap).drop("__dom_rn")
   }
+
+  /** C4-style blocklist screen: per-doc hit counts against a
+    * word/phrase list, matched on whitespace-token boundaries (the
+    * published "bad words" filter matches words, not substrings — no
+    * Scunthorpe false positives). Single words match tokens; multiword
+    * phrases match token n-grams of their own length.
+    *
+    * Scale shape: the pattern list is driver-supplied and small by
+    * nature — it broadcasts, and the corpus is touched in one generator
+    * pass per distinct phrase LENGTH (unigram hits plus one n-gram
+    * stream per length actually present in the list), each a narrow
+    * codegen'd explode + broadcast join, then one map-side-combined
+    * per-doc count. Nothing scales with the pattern count beyond the
+    * broadcast.
+    *
+    * Returns (id, n_hits = matching token/gram occurrences,
+    * n_patterns = distinct patterns hit) for docs with >= 1 hit; drop
+    * these ids (or threshold on n_hits) to apply the filter. */
+  def blocklistHits(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, patterns: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normed = patterns.map(_.toLowerCase.trim)
+      .filter(_.nonEmpty).distinct
+    require(normed.nonEmpty, "empty blocklist")
+    val byLen = normed.groupBy(_.split(" +").length)
+    val streams = byLen.toSeq.sortBy(_._1).map { case (len, ps) =>
+      val pat = broadcast(ps.toDF("g"))
+      val w = tokens(col(text))
+      val grams =
+        if (len == 1) w
+        else when(size(w) >= len,
+          transform(sequence(lit(1), size(w) - (len - 1)),
+            j => array_join(slice(w, j, lit(len)), " ")))
+          .otherwise(array().cast("array<string>"))
+      df.select(col(id).as("doc"), explode(grams).as("g"))
+        .join(pat, Seq("g"))
+    }
+    streams.reduce(_ unionByName _)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("g")).as("n_patterns"))
+      .select(col("doc").as(id), col("n_hits"), col("n_patterns"))
+  }
 }

@@ -840,6 +840,24 @@ class PipelineSpec extends SparkSpec {
     assert(kept("d1") === 10L)
   }
 
+  test("blocklistHits: token boundaries, phrases, multiplicity") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "this is bad bad stuff"),          // unigram, twice
+      (2L, "a very bad phrase occurs"),       // unigram + the phrase
+      (3L, "clean text only"),                // no hits -> absent
+      (4L, "BAD uppercase"),                  // case-folded
+      (5L, "badge and keybad stay clean")     // substrings must NOT hit
+    )).toDF("doc_id", "text")
+    val got = Text.blocklistHits(docs, "doc_id", "text",
+      Seq("bad", "very bad phrase"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L)),
+      2L -> ((2L, 2L)),
+      4L -> ((1L, 1L))))
+  }
+
   test("rrfFuse: hand-computed reciprocal-rank fusion") {
     import graft.pipeline.Retrieval
     // list A ranks 1,2,3; list B ranks 3,2,4 (scores arbitrary but
