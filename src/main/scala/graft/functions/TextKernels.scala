@@ -568,10 +568,200 @@ case class SimHash64Expr(child: Expression)
     copy(child = c)
 }
 
+/** Fused hashed-n-gram feature buckets for DSIR-style importance
+  * weighting: one pass over the token array emits the md5 bucket id of
+  * every unigram and bigram, WITH multiplicity (bag-of-ngrams).
+  * Bucket = conv(substr(md5(salt || '|' || gram), 1, 15), 16, 10) %
+  * numBuckets — bit-identical to the builtin chain it replaces (first
+  * 60 bits of the digest, big-endian), which paid an interpreted
+  * higher-order `transform` lambda plus hex-string + conv parse per
+  * gram. Grams hash as raw UTF-8 byte concatenation (token, space,
+  * token), so no intermediate strings are built at all. */
+case class DsirBucketsExpr(child: Expression, numBuckets: Int,
+    salt: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_dsir_buckets"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(tokensAny: Any): Any =
+    compute(tokensAny.asInstanceOf[ArrayData])
+
+  private val saltBytes =
+    s"$salt|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val spaceByte = Array[Byte](' ')
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Long](if (m >= 2) 2 * m - 1 else m)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def first60(dig: Array[Byte]): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+      (v << 4) | ((dig(7) & 0xffL) >>> 4)
+    }
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(saltBytes)
+      md.update(arr.getUTF8String(i).getBytes)
+      out(i) = first60(md.digest()) % numBuckets
+      i += 1
+    }
+    i = 0
+    while (i < m - 1) {
+      md.reset()
+      md.update(saltBytes)
+      md.update(arr.getUTF8String(i).getBytes)
+      md.update(spaceByte)
+      md.update(arr.getUTF8String(i + 1).getBytes)
+      out(m + i) = first60(md.digest()) % numBuckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("dsirExpr", this,
+      classOf[DsirBucketsExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Bag (with-multiplicity) token n-grams, space-joined — the
+  * non-distinct sibling of ShinglesExpr for operators whose contract
+  * counts occurrences (blocklist hits, decontamination multiplicity).
+  * One fused pass; the builtin `transform(sequence, slice, array_join)`
+  * chain it replaces evaluated an interpreted lambda per gram. */
+case class TokenNgramsExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "n >= 1")
+  override def prettyName: String = "graft_token_ngrams"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(tokensAny: Any): Any =
+    compute(tokensAny.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val cnt = if (m >= n) m - n + 1 else 0
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      var j = 1
+      var g = arr.getUTF8String(i)
+      while (j < n) {
+        g = org.apache.spark.unsafe.types.UTF8String.concat(
+          g, SpaceUtf8.S, arr.getUTF8String(i + j))
+        j += 1
+      }
+      out(i) = g
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("tokenNgramsExpr", this,
+      classOf[TokenNgramsExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+private object SpaceUtf8 {
+  val S: org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+}
+
+/** Bag token n-gram 60-bit md5 hashes: for every n-token run emits
+  * conv(substr(md5(salt || '|' || gram), 1, 15), 16, 10) — the
+  * engine-portable gram identity decontamination joins on — computed
+  * from raw UTF-8 bytes with no intermediate gram strings, hex
+  * strings, or conv parses. Bit-identical to the builtin chain. */
+case class TokenNgramHashesExpr(child: Expression, n: Int, salt: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "n >= 1")
+  override def prettyName: String = "graft_token_ngram_hashes"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(tokensAny: Any): Any =
+    compute(tokensAny.asInstanceOf[ArrayData])
+
+  private val saltBytes =
+    s"$salt|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val spaceByte = Array[Byte](' ')
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val cnt = if (m >= n) m - n + 1 else 0
+    val out = new Array[Long](cnt)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < cnt) {
+      md.reset()
+      md.update(saltBytes)
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(spaceByte)
+        md.update(arr.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val dig = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+      out(i) = (v << 4) | ((dig(7) & 0xffL) >>> 4)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("tokenNgramHashesExpr", this,
+      classOf[TokenNgramHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextKernels {
   /** Distinct n-word shingles of a (split+lower builtin) token array. */
   def shinglesOfTokens(tokens: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(tokens), n))
+
+  /** Bag token n-grams, space-joined (see TokenNgramsExpr). */
+  def tokenNgrams(tokens: Column, n: Int): Column =
+    GraftBridge.column(TokenNgramsExpr(GraftBridge.expression(tokens), n))
+
+  /** Bag token n-gram md5 hashes (see TokenNgramHashesExpr). */
+  def tokenNgramHashes(tokens: Column, n: Int, salt: String): Column =
+    GraftBridge.column(TokenNgramHashesExpr(
+      GraftBridge.expression(tokens), n, salt))
+
+  /** Hashed unigram+bigram feature buckets (see DsirBucketsExpr). */
+  def dsirBuckets(tokens: Column, numBuckets: Int, salt: String): Column =
+    GraftBridge.column(DsirBucketsExpr(GraftBridge.expression(tokens),
+      numBuckets, salt))
 
   /** Fused per-row minhash signature minima (see MinhashSigsExpr). */
   def minhashSigs(shingles: Column, numHashes: Int, family: String)

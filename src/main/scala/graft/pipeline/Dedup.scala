@@ -495,17 +495,12 @@ object Dedup {
       n: Int = 8, salt: String = "decon",
       broadcastBench: Boolean = true): DataFrame = {
     require(n >= 2, "n-gram decontamination needs n >= 2")
-    // token n-gram 60-bit hashes, with multiplicity, in one codegen'd
-    // builtin chain (split → sequence → slice/join → md5)
-    def gramHashes(text: Column): Column = {
-      val w = Text.tokens(text)
-      when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          j => conv(substring(md5(concat(lit(s"$salt|"),
-            array_join(slice(w, j, lit(n)), " "))), 1, 15), 16, 10)
-            .cast("long")))
-        .otherwise(array().cast("array<long>"))
-    }
+    // token n-gram 60-bit md5 hashes, with multiplicity, in one fused
+    // kernel pass (TokenNgramHashesExpr — bit-identical to the oracle's
+    // conv(substr(md5(...))) chain, no per-gram interpreted lambda)
+    def gramHashes(text: Column): Column =
+      graft.functions.TextKernels.tokenNgramHashes(
+        Text.tokens(text), n, salt)
     val benchGrams = bench
       .select(explode(gramHashes(col(benchText))).as("h"))
       .distinct()

@@ -235,33 +235,23 @@ object Sampling {
       isTarget: Column, k: Int, numBuckets: Int = 1024,
       salt: String = "dsir"): DataFrame = {
     require(k > 0 && numBuckets > 0, "k and numBuckets must be positive")
-    val w = Text.tokens(col(text))
-    // unigrams ++ bigrams, WITH multiplicity (bag-of-ngrams, unlike the
-    // distinct shingle kernel) — parity formulation of the SQL oracle's
-    // unnest + list_transform(range(...))
-    val grams = concat(
-      w,
-      when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          j => concat(element_at(w, j), lit(" "),
-            element_at(w, j + 1))))
-        .otherwise(array().cast("array<string>")))
-    // per-(doc, bucket) occurrence counts — recomputed per consumer
-    // (two corpus scans) rather than checkpointed: the intermediate is
-    // gram-scaled, i.e. the same order as the input — at 100 TB,
-    // re-tokenizing beats materializing it. Only the ≤numBuckets-row
-    // counts table is pinned.
-    def docBucket = df
+    // unigram+bigram buckets WITH multiplicity (bag-of-ngrams) in one
+    // fused per-row kernel pass (DsirBucketsExpr — bit-identical to the
+    // oracle's md5 chain; the builtin formulation paid an interpreted
+    // transform lambda + hex/conv parse per gram, ~4× this gate's cost).
+    // The exploded stream is recomputed per consumer (two corpus scans)
+    // rather than checkpointed: it is gram-scaled, the same order as
+    // the input, and at 100 TB re-tokenizing beats materializing it.
+    // Each consumer aggregates it map-side straight to its own small
+    // key space (≤numBuckets buckets / one row per doc), so neither
+    // pass shuffles gram-scaled data.
+    def bucketed = df
       .select(col(id).as("doc"), isTarget.as("__t"),
-        explode(grams).as("g"))
-      .select(col("doc"), col("__t"),
-        pmod(unitHash(col("g"), s"$salt-feat"), lit(numBuckets.toLong))
-          .as("b"))
-      .groupBy("doc", "__t", "b")
-      .agg(count(lit(1)).as("n"))
-    val counts = docBucket.groupBy("b")
-      .agg(sum(when(col("__t"), col("n")).otherwise(0L)).as("ct"),
-        sum(col("n")).as("cr"))
+        explode(graft.functions.TextKernels.dsirBuckets(
+          Text.tokens(col(text)), numBuckets, s"$salt-feat")).as("b"))
+    val counts = bucketed.groupBy("b")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
       .localCheckpoint(false)
     val totRow = counts
       .agg(sum("ct").as("t"), sum("cr").as("r")).head()
@@ -275,10 +265,10 @@ object Sampling {
     val u = (pmod(unitHash(col("doc"), salt), lit(1000000L))
       .cast("double") + 0.5) / 1000000.0
     val gumbel = round(-log(-log(u)), 6).cast("decimal(18,6)")
-    docBucket
+    bucketed
       .join(broadcast(logw), Seq("b"))
       .groupBy("doc")
-      .agg(sum(col("lw") * col("n")).as("__w"))
+      .agg(sum(col("lw")).as("__w"))
       .withColumn("sel_key", (col("__w") + gumbel).cast("double"))
       .select(col("doc").as(id), col("__w").cast("double").as("weight"),
         col("sel_key"))

@@ -460,12 +460,12 @@ object Text {
     val streams = byLen.toSeq.sortBy(_._1).map { case (len, ps) =>
       val pat = broadcast(ps.toDF("g"))
       val w = tokens(col(text))
+      // fused bag n-gram kernel (TokenNgramsExpr): the builtin
+      // transform/slice/array_join chain ran an interpreted lambda per
+      // gram — GC-bound and 3-8× slower at corpus scale
       val grams =
         if (len == 1) w
-        else when(size(w) >= len,
-          transform(sequence(lit(1), size(w) - (len - 1)),
-            j => array_join(slice(w, j, lit(len)), " ")))
-          .otherwise(array().cast("array<string>"))
+        else graft.functions.TextKernels.tokenNgrams(w, len)
       df.select(col(id).as("doc"), explode(grams).as("g"))
         .join(pat, Seq("g"))
     }

@@ -711,12 +711,19 @@ class PipelineSpec extends SparkSpec {
         split(lower(col("text")), " ")).as("sig"),
       graft.functions.TextKernels.gramHashes(col("text"), 9).as("gh"),
       graft.functions.TextKernels.normalizeUnicode(
-        concat(col("text"), lit("e\u0301")), "NFC").as("nfc"))
+        concat(col("text"), lit("e\u0301")), "NFC").as("nfc"),
+      graft.functions.TextKernels.dsirBuckets(
+        Text.tokens(col("text")), 1024, "dsir-feat").as("db"),
+      graft.functions.TextKernels.tokenNgrams(
+        Text.tokens(col("text")), 3).as("tng"),
+      graft.functions.TextKernels.tokenNgramHashes(
+        Text.tokens(col("text")), 3, "decon").as("tnh"))
       .orderBy("doc_id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
         r.getSeq[Long](3), r.getLong(4), r.getSeq[Long](5),
-        r.getString(6)))
+        r.getString(6), r.getSeq[Long](7), r.getSeq[String](8),
+        r.getSeq[Long](9)))
       .toSeq
     val factoryKey = "spark.sql.codegen.factoryMode"
     val fallbackKey = "spark.sql.codegen.fallback"
@@ -730,6 +737,36 @@ class PipelineSpec extends SparkSpec {
       val interp = kernels
       assert(gen === interp)
       assert(gen.head._2.length === 8 && gen.head._4.nonEmpty)
+      // dsirBuckets = the builtin md5 chain, as a multiset (unigrams
+      // then bigrams, with multiplicity)
+      val w = Text.tokens(col("text"))
+      val builtin = df.select(col("doc_id"), concat(w,
+        when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+          j => concat(element_at(w, j), lit(" "), element_at(w, j + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .select(col("doc_id"), transform(col("g"), g =>
+          pmod(conv(substring(md5(concat(lit("dsir-feat|"), g)), 1, 15),
+            16, 10).cast("long"), lit(1024L))).as("db"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      assert(gen.map(x => (x._1, x._8)) === builtin)
+      // tokenNgrams / tokenNgramHashes = the builtin slice/md5 chains
+      val builtinG = df.select(col("doc_id"),
+        when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
+          j => array_join(slice(w, j, lit(3)), " ")))
+          .otherwise(array().cast("array<string>")).as("tng"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+      assert(gen.map(x => (x._1, x._9)) === builtinG)
+      val builtinH = df.select(col("doc_id"),
+        when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
+          j => conv(substring(md5(concat(lit("decon|"),
+            array_join(slice(w, j, lit(3)), " "))), 1, 15), 16, 10)
+            .cast("long")))
+          .otherwise(array().cast("array<long>")).as("tnh"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      assert(gen.map(x => (x._1, x._10)) === builtinH)
     } finally {
       def restore(k: String, v: Option[String]) =
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
