@@ -1087,6 +1087,13 @@ object SparkEntry {
       pipeline.Text.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         size = 64, step = 48)),
 
+    // --- train/val leakage audit: near-dup pairs crossing a 90/10
+    // deterministic split — split names stamp onto the pair stream as
+    // a hash projection, no corpus join ---------------------------------------
+    "pipe_split_leakage" -> ((s, dir) =>
+      pipeline.Dedup.splitLeakage(t(s, dir, "documents"), "doc_id",
+        "text", Seq("train" -> 900, "val" -> 100))),
+
     // --- C4-style blocklist screen: token-boundary word + phrase
     // matching, patterns broadcast, one generator pass per phrase
     // length — per-doc hit counts --------------------------------------------
@@ -5262,6 +5269,56 @@ object SparkEntry {
         |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
         |    / doc_freq), 6) AS idf
         |FROM v WHERE doc_freq >= 5""".stripMargin,
+
+    "pipe_split_leakage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      j -> concat(w[j], ' ', w[j+1], ' ', w[j+2]))) AS shingles
+        |  FROM tok WHERE len(w) >= 3),
+        |mh AS (
+        |  SELECT doc_id, shingles,
+        |    list_transform(range(0, 8), i ->
+        |      list_min(list_transform(shingles, s ->
+        |        CAST(('0x' || substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)) AS BIGINT)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.band,
+        |    md5(concat(CAST(sig[b.band*2+1] AS VARCHAR), '_',
+        |      CAST(sig[b.band*2+2] AS VARCHAR))) AS bsig
+        |  FROM mh, (SELECT unnest(range(0,4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(len(list_intersect(sa.shingles, sb.shingles))
+        |        AS DOUBLE)
+        |      / (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))), 4)
+        |      AS jaccard
+        |  FROM cand
+        |  JOIN sh sa ON cand.id_a = sa.doc_id
+        |  JOIN sh sb ON cand.id_b = sb.doc_id)
+        |SELECT id_a, id_b, jaccard,
+        |  CASE WHEN CAST(('0x' || substr(md5('split|'
+        |      || CAST(id_a AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 900
+        |    THEN 'train' ELSE 'val' END AS split_a,
+        |  CASE WHEN CAST(('0x' || substr(md5('split|'
+        |      || CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 900
+        |    THEN 'train' ELSE 'val' END AS split_b
+        |FROM pairs
+        |WHERE (CASE WHEN CAST(('0x' || substr(md5('split|'
+        |      || CAST(id_a AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 900
+        |    THEN 'train' ELSE 'val' END)
+        |  <> (CASE WHEN CAST(('0x' || substr(md5('split|'
+        |      || CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 900
+        |    THEN 'train' ELSE 'val' END)""".stripMargin,
 
     "pipe_blocklist" ->
       """WITH pat AS (

@@ -468,6 +468,24 @@ object Dedup {
       .join(cand, Seq("corpus_id", "bench_id"), "left_semi")
   }
 
+  /** Train/val split-leakage audit: the MinHash near-dup pairs whose
+    * two sides landed in DIFFERENT splits of a deterministic
+    * `Sampling.assignSplit` assignment — i.e. the documents a random
+    * split silently shares between train and validation, the leak an
+    * eval run then scores as generalization. Pure composition: the
+    * split name is a hash function of the id (`Sampling.splitColumn`),
+    * so it stamps onto the pair stream as a projection — zero joins,
+    * zero shuffles beyond `minhashPairs` itself. Returns
+    * (id_a, id_b, jaccard, split_a, split_b). */
+  def splitLeakage(df: DataFrame, id: String, text: String,
+      splitsPpt: Seq[(String, Int)], salt: String = "split"): DataFrame =
+    minhashPairs(df, id, text)
+      .withColumn("split_a",
+        Sampling.splitColumn(col("id_a"), splitsPpt, salt))
+      .withColumn("split_b",
+        Sampling.splitColumn(col("id_b"), splitsPpt, salt))
+      .filter(col("split_a") =!= col("split_b"))
+
   /** Exact token-n-gram decontamination (the PaLM/GPT-report method):
     * a corpus document is contaminated iff it shares at least one
     * verbatim run of `n` whitespace tokens with any benchmark document.

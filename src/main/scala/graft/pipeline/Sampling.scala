@@ -50,20 +50,26 @@ object Sampling {
     * they must sum to 1000. One narrow projection — no shuffle. */
   def assignSplit(df: DataFrame, id: String,
       splitsPpt: Seq[(String, Int)], salt: String = "split",
-      outName: String = "split"): DataFrame = {
+      outName: String = "split"): DataFrame =
+    df.withColumn(outName, splitColumn(col(id), splitsPpt, salt))
+
+  /** The split-assignment expression itself — a pure function of the
+    * id, so leakage audits can stamp split names onto pair streams
+    * without joining the corpus back. */
+  def splitColumn(id: Column, splitsPpt: Seq[(String, Int)],
+      salt: String = "split"): Column = {
     require(splitsPpt.map(_._2).sum == 1000 &&
       splitsPpt.forall(_._2 >= 0), "split rates must sum to 1000 ppt")
-    val u = pmod(unitHash(col(id), salt), lit(1000L))
+    val u = pmod(unitHash(id, salt), lit(1000L))
     val cum = splitsPpt.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
     // default = the LAST split (SQL CASE ... ELSE semantics): a NULL id
     // hashes to NULL, every `when` is null-false, and the row must still
     // land in exactly one split — same place a SQL re-derivation puts it
-    val expr = splitsPpt.zip(cum).init
+    splitsPpt.zip(cum).init
       .foldRight(lit(splitsPpt.last._1)) {
         case (((name, _), upper), acc) => when(u < upper, lit(name))
           .otherwise(acc)
       }
-    df.withColumn(outName, expr)
   }
 
   /** Deterministic global shuffle for training order: rank every row by

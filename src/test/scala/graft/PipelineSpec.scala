@@ -877,6 +877,29 @@ class PipelineSpec extends SparkSpec {
     assert(kept("d1") === 10L)
   }
 
+  test("splitLeakage: exactly the cross-split near-dup pairs") {
+    import graft.pipeline.{Dedup, Sampling}
+    // 40 exact-dup pairs (i, i+1000) with per-pair unique text; which
+    // pairs leak follows from the split hash alone
+    // per-pair unique vocabulary: no shingle is shared ACROSS pairs,
+    // so the candidate set is exactly the 40 exact-dup pairs
+    val docs = spark.createDataFrame(
+      (0L until 40L).flatMap { i =>
+        val txt = (0 until 8).map(j => s"w${i}x$j").mkString(" ")
+        Seq((i, txt), (i + 1000L, txt))
+      }).toDF("doc_id", "text")
+    val splits = Seq("train" -> 900, "val" -> 100)
+    val leaked = Dedup.splitLeakage(docs, "doc_id", "text", splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val splitOf = Sampling.assignSplit(docs.select("doc_id"), "doc_id",
+      splits).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (0L until 40L)
+      .filter(i => splitOf(i) != splitOf(i + 1000L))
+      .map(i => (i, i + 1000L)).toSet
+    assert(leaked === expected)
+    assert(expected.nonEmpty, "fixture must produce at least one leak")
+  }
+
   test("blocklistHits: token boundaries, phrases, multiplicity") {
     val docs = spark.createDataFrame(Seq(
       (1L, "this is bad bad stuff"),          // unigram, twice
