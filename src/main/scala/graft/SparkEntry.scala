@@ -1113,6 +1113,12 @@ object SparkEntry {
         bench, "text", n = 8)
     }),
 
+    // --- weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential clocks, deterministic md5 u): 50 docs ∝ length ------------
+    "pipe_weighted_sample" -> ((s, dir) =>
+      pipeline.Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), k = 50)),
+
     // --- DSIR (importance resampling data selection): hashed
     // unigram+bigram log-ratios vs the English slice as target, top-50
     // of the deterministic Gumbel-max draw — broadcast-joined bucket
@@ -5445,6 +5451,16 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits,
         |  count(DISTINCT h) AS n_distinct
         |FROM cg JOIN bg USING (h) GROUP BY doc_id""".stripMargin,
+
+    "pipe_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |  CAST(CAST(round(ln((CAST(('0x' || substr(md5('wsample|'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 + 0.5) / 1000000.0)
+        |    / CAST(n_chars AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |    AS samp_key
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY samp_key DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     "pipe_dsir_select" ->
       """WITH tok AS (

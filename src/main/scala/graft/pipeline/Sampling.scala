@@ -210,6 +210,34 @@ object Sampling {
       .drop("__gr")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * the exponential-clocks / A-ES scheme): every row draws
+    * key = ln(u) / w with u uniform in (0,1), and the k LARGEST keys
+    * are exactly a weighted sample without replacement ∝ w. Here u
+    * derives from the md5 unit hash of (salt, id) — deterministic,
+    * rerun-stable, engine-portable — and keys round to 6dp DECIMAL so
+    * the selection replays bit-for-bit in SQL (the same trick
+    * `dsirSelect`'s Gumbel-max uses; Gumbel-max IS this scheme in
+    * log-weight space).
+    *
+    * Scale: one narrow projection + TakeOrdered — no shuffle, no
+    * state; the 100 TB shape of "sample 1M docs ∝ quality score".
+    * Rows with weight <= 0 or a NULL id never selected. Returns the k
+    * sampled rows as (id, weight, samp_key), key-descending. */
+  def weightedSample(df: DataFrame, id: String, weight: Column, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (pmod(unitHash(col(id), salt), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    val key = round(log(u) / weight.cast("double"), 6)
+      .cast("decimal(18,6)")
+    df.select(col(id), weight.cast("double").as("weight"),
+        key.cast("double").as("samp_key"))
+      .filter(col("weight") > 0 && col("samp_key").isNotNull)
+      .orderBy(col("samp_key").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
     * score every document by how much more likely its hashed-n-gram bag
     * is under a TARGET distribution (e.g. a trusted high-quality slice)

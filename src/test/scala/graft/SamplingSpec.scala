@@ -147,6 +147,30 @@ class SamplingSpec extends SparkSpec {
     assert(got(6L) === ((3L, 0L, 0L)))
   }
 
+  test("weightedSample: without replacement, weight-proportional, deterministic") {
+    val rows = (0L until 1000L).map(i =>
+      (i, if (i < 100) 1000.0 else 1.0))
+    val df = spark.createDataFrame(rows).toDF("id", "w").repartition(4)
+    val got = Sampling.weightedSample(df, "id", col("w"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === 50)
+    assert(got.map(_._1).distinct.length === 50, "without replacement")
+    // 100 rows carry 1000x the weight of the other 900: the sample
+    // must be dominated by them (E[heavy] ≈ 47/50 under A-ES)
+    val heavy = got.count(_._1 < 100L)
+    assert(heavy >= 35, s"only $heavy/50 heavy rows sampled")
+    // keys descend; determinism
+    val keys = got.map(_._3).toSeq
+    assert(keys === keys.sorted.reverse)
+    assert(Sampling.weightedSample(df, "id", col("w"), k = 50)
+      .collect().map(_.getLong(0)).toSeq === got.map(_._1).toSeq)
+    // zero/negative weights are never selected
+    val z = Sampling.weightedSample(
+      df.withColumn("w", when(col("id") < 990L, lit(0.0))
+        .otherwise(lit(-1.0))), "id", col("w"), k = 5).count()
+    assert(z === 0L)
+  }
+
   test("dsirSelect: target-like docs outweigh off-target docs") {
     // two disjoint vocabularies: target docs speak "alpha beta gamma",
     // off-target docs speak "zeta eta theta"; two probe docs (never in
