@@ -299,4 +299,42 @@ class PropertySpec extends SparkSpec {
       assert(sig === naiveMd5Sigs(shingles, 8), s"sigs of $shingles")
     }
   }
+
+  // ---- bag n-gram kernels ---------------------------------------------------
+
+  test("token n-gram kernels match independent JVM md5 models (random unicode)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    def ngrams(ts: Seq[String], n: Int): Seq[String] =
+      if (ts.length >= n)
+        (0 to ts.length - n).map(i => ts.slice(i, i + n).mkString(" "))
+      else Seq.empty
+    val tokG = Gen.frequency(
+      6 -> Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)),
+      1 -> Gen.oneOf("é", "日本語", "", "ß", "é́", "🙂"))
+    val arrG = for {
+      n <- Gen.choose(0, 9); ts <- Gen.listOfN(n, tokG)
+    } yield ts
+    val arrs = samples(arrG, 300, 11L)
+    val df = spark.createDataFrame(
+      arrs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) })
+      .toDF("i", "w")
+    val got = df.select(col("i"),
+        TextKernels.tokenNgrams(col("w"), 3).as("tng"),
+        TextKernels.tokenNgramHashes(col("w"), 3, "decon").as("tnh"),
+        TextKernels.dsirBuckets(col("w"), 257, "dsir-feat").as("db"))
+      .orderBy("i").collect()
+    got.zip(arrs).foreach { case (r, ts) =>
+      assert(r.getSeq[String](1) === ngrams(ts, 3), s"tng of $ts")
+      assert(r.getSeq[Long](2) ===
+        ngrams(ts, 3).map(g => h60(s"decon|$g")), s"tnh of $ts")
+      assert(r.getSeq[Long](3) ===
+        (ngrams(ts, 1) ++ ngrams(ts, 2))
+          .map(g => h60(s"dsir-feat|$g") % 257), s"db of $ts")
+    }
+  }
 }
