@@ -2385,6 +2385,21 @@ object SparkEntry {
         s"graft_stream_lp_${System.nanoTime()}")
     }),
 
+    // --- streaming decontamination guard: bench gram-hash set reduced
+    // once driver-side, each micro-batch screened by a STATELESS
+    // binary-search projection — output equals the batch operator
+    // exactly, which is what this oracle (= pipe_exact_decontam's)
+    // checks ------------------------------------------------------------------
+    "stream_decontam" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 3L)
+        .select((col("doc_id") + 1000000L).as("bench_id"),
+          substring(col("text"), 21, 200).as("text"))
+      streaming.StreamText.runDecontam(s, s"$dir/documents.parquet",
+        docs.schema, "doc_id", "text", bench, "text",
+        s"graft_stream_dec_${System.nanoTime()}", n = 8)
+    }),
+
     // --- retention cohorts: first-seen day cohorts x activity-day
     // offsets, exact distinct user counts ----------------------------------
     "events_retention" -> ((s, dir) =>
@@ -5427,30 +5442,11 @@ object SparkEntry {
         |FROM u GROUP BY doc_id
         |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
 
-    "pipe_exact_decontam" ->
-      """WITH bench AS (
-        |  SELECT substr(text, 21, 200) AS text
-        |  FROM documents WHERE doc_id % 97 = 3),
-        |bt AS (
-        |  SELECT string_split_regex(lower(text), ' +') AS w FROM bench),
-        |bg AS (
-        |  SELECT DISTINCT CAST(('0x' || substr(md5('decon|' || g), 1, 15))
-        |    AS BIGINT) AS h
-        |  FROM (SELECT unnest(list_transform(range(1, len(w) - 6),
-        |      j -> array_to_string(w[j:j+7], ' '))) AS g
-        |    FROM bt WHERE len(w) >= 8)),
-        |ct AS (
-        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
-        |  FROM documents),
-        |cg AS (
-        |  SELECT doc_id, CAST(('0x' || substr(md5('decon|' || g), 1, 15))
-        |    AS BIGINT) AS h
-        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
-        |      j -> array_to_string(w[j:j+7], ' '))) AS g
-        |    FROM ct WHERE len(w) >= 8))
-        |SELECT doc_id, count(*) AS n_hits,
-        |  count(DISTINCT h) AS n_distinct
-        |FROM cg JOIN bg USING (h) GROUP BY doc_id""".stripMargin,
+    "pipe_exact_decontam" -> ExactDecontamOracleSql,
+
+    // the streaming guard is stateless, so its output is EXACTLY the
+    // batch operator's — one oracle for both
+    "stream_decontam" -> ExactDecontamOracleSql,
 
     "pipe_weighted_sample" ->
       """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
@@ -8888,6 +8884,31 @@ object SparkEntry {
        |SELECT vec_id, round(cos, 6) AS cos FROM rr
        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
   }
+
+  private val ExactDecontamOracleSql: String =
+    """WITH bench AS (
+      |  SELECT substr(text, 21, 200) AS text
+      |  FROM documents WHERE doc_id % 97 = 3),
+      |bt AS (
+      |  SELECT string_split_regex(lower(text), ' +') AS w FROM bench),
+      |bg AS (
+      |  SELECT DISTINCT CAST(('0x' || substr(md5('decon|' || g), 1, 15))
+      |    AS BIGINT) AS h
+      |  FROM (SELECT unnest(list_transform(range(1, len(w) - 6),
+      |      j -> array_to_string(w[j:j+7], ' '))) AS g
+      |    FROM bt WHERE len(w) >= 8)),
+      |ct AS (
+      |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+      |  FROM documents),
+      |cg AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5('decon|' || g), 1, 15))
+      |    AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+      |      j -> array_to_string(w[j:j+7], ' '))) AS g
+      |    FROM ct WHERE len(w) >= 8))
+      |SELECT doc_id, count(*) AS n_hits,
+      |  count(DISTINCT h) AS n_distinct
+      |FROM cg JOIN bg USING (h) GROUP BY doc_id""".stripMargin
 
   private val AnnTopkOracleSql: String =
     """WITH q AS (

@@ -744,10 +744,62 @@ case class TokenNgramHashesExpr(child: Expression, n: Int, salt: String)
     copy(child = c)
 }
 
+/** Membership counts of a long array against a FIXED broadcast-sized
+  * set, binary-searched over one shared sorted array per expression
+  * instance: returns struct(n_hits = elements present WITH
+  * multiplicity, n_distinct = distinct elements present). The
+  * stateless core of the streaming decontamination guard — per-row,
+  * no join, no state. */
+case class CountInSetExpr(child: Expression, set: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_count_in_set"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hits", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+
+  private val sorted: Array[Long] = { val s = set.distinct; java.util.Arrays.sort(s); s }
+
+  override def nullSafeEval(arrAny: Any): Any =
+    compute(arrAny.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = arr.numElements()
+    var hits = 0L
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < m) {
+      val v = arr.getLong(i)
+      if (java.util.Arrays.binarySearch(sorted, v) >= 0) {
+        hits += 1
+        seen.add(v)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(hits, seen.size.toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("countInSetExpr", this,
+      classOf[CountInSetExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextKernels {
   /** Distinct n-word shingles of a (split+lower builtin) token array. */
   def shinglesOfTokens(tokens: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(tokens), n))
+
+  /** (n_hits, n_distinct) of a long array vs a fixed sorted set
+    * (see CountInSetExpr). */
+  def countInSet(arr: Column, set: Array[Long]): Column =
+    GraftBridge.column(CountInSetExpr(GraftBridge.expression(arr), set))
 
   /** Bag token n-grams, space-joined (see TokenNgramsExpr). */
   def tokenNgrams(tokens: Column, n: Int): Column =

@@ -63,4 +63,61 @@ object StreamText {
     }
     spark.table(sinkName)
   }
+
+  /** Streaming exact-n-gram decontamination guard — the live-ingestion
+    * form of `pipeline.Dedup.exactNgramDecontam`: the benchmark set
+    * reduces ONCE (driver-side) to its distinct 60-bit gram-hash set,
+    * and each arriving document is screened by a per-row
+    * binary-search kernel (`CountInSetExpr`) — a pure STATELESS
+    * projection, so the guard needs no state store, no watermark, no
+    * shuffle, and its output is batch-composition-independent and
+    * EXACTLY the batch operator's (same hashes, same counts), which is
+    * what the gate's oracle checks. The bench gram set is small by
+    * nature (eval suites); at 100 TB/day of ingest the cost is one
+    * codegen'd pass per micro-batch.
+    *
+    * Emits (id, n_hits, n_distinct) for contaminated docs only. */
+  def decontamStream(docs: DataFrame, id: String, text: String,
+      benchGramHashes: Array[Long], n: Int = 8,
+      salt: String = "decon"): DataFrame =
+    docs
+      .select(col(id).cast("long").as("doc"),
+        graft.functions.TextKernels.countInSet(
+          graft.functions.TextKernels.tokenNgramHashes(
+            graft.pipeline.Text.tokens(col(text)), n, salt),
+          benchGramHashes).as("c"))
+      .filter(col("c.n_hits") > 0)
+      .select(col("doc").as(id), col("c.n_hits").as("n_hits"),
+        col("c.n_distinct").as("n_distinct"))
+
+  /** Run the decontamination guard to completion over a static corpus
+    * directory, screening against `bench` (a static table whose
+    * distinct gram hashes are collected driver-side — the same
+    * reduction the batch operator broadcasts). Returns the streamed
+    * (id, n_hits, n_distinct) rows — exactly
+    * `Dedup.exactNgramDecontam(corpus, bench)`. */
+  def runDecontam(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      id: String, text: String, bench: DataFrame, benchText: String,
+      sinkName: String, n: Int = 8): DataFrame = {
+    val benchHashes = bench
+      .select(explode(graft.functions.TextKernels.tokenNgramHashes(
+        graft.pipeline.Text.tokens(col(benchText)), n, "decon"))
+        .as("h"))
+      .distinct().collect().map(_.getLong(0))
+    val dir = Events.stageAsDir(path, "graft_sdec")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", Events.filesPerTrigger(dir))
+      .parquet(dir)
+    val q = decontamStream(stream, id, text, benchHashes, n)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
 }

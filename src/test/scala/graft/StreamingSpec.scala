@@ -153,6 +153,32 @@ class StreamingSpec extends SparkSpec {
     assert(planted.subsetOf(got))
   }
 
+  test("streaming decontam guard equals the batch operator, stateless") {
+    import graft.streaming.StreamText
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 5000L).as("bid"),
+        substring(col("text"), 5, 120).as("text"))
+    // multiple files → multiple triggers; the guard is stateless, so
+    // batch composition must not matter
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdec")
+    docs.repartition(3).write.mode("overwrite")
+      .parquet(s"$dir/corpus.parquet")
+    val got = StreamText.runDecontam(spark, s"$dir/corpus.parquet",
+      docs.schema, "doc_id", "text", bench, "text",
+      "spec_stream_dec", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = Dedup.exactNgramDecontam(docs, "doc_id", "text",
+      bench, "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty, "excerpt fixture must contaminate")
+  }
+
   test("streaming language profile accumulates across micro-batches") {
     import graft.streaming.StreamText
     // three files → three triggers: the final complete-mode profile
