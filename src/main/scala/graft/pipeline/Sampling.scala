@@ -289,6 +289,8 @@ object Sampling {
       .localCheckpoint(false)
     val totRow = counts
       .agg(sum("ct").as("t"), sum("cr").as("r")).head()
+    require(!totRow.isNullAt(0) && !totRow.isNullAt(1),
+      "dsirSelect: corpus has no tokens")
     val (tTot, rTot) = (totRow.getLong(0), totRow.getLong(1))
     val logw = counts.select(col("b"),
       round(log((col("ct") + 1.0) / lit(tTot.toDouble + numBuckets))
