@@ -453,10 +453,12 @@ object Text {
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val normed = patterns.map(_.toLowerCase.trim)
-      .filter(_.nonEmpty).distinct
+    // canonicalize internal whitespace too: grams are single-space
+    // joined, so a pattern written "a  b" must still match "a b"
+    val normed = patterns.map(_.toLowerCase.trim.split("\\s+").toSeq)
+      .filter(_.exists(_.nonEmpty)).map(_.mkString(" ")).distinct
     require(normed.nonEmpty, "empty blocklist")
-    val byLen = normed.groupBy(_.split(" +").length)
+    val byLen = normed.groupBy(_.split(" ").length)
     val streams = byLen.toSeq.sortBy(_._1).map { case (len, ps) =>
       val pat = broadcast(ps.toDF("g"))
       val w = tokens(col(text))

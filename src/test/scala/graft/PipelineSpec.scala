@@ -908,8 +908,10 @@ class PipelineSpec extends SparkSpec {
       (4L, "BAD uppercase"),                  // case-folded
       (5L, "badge and keybad stay clean")     // substrings must NOT hit
     )).toDF("doc_id", "text")
+    // "very  bad   phrase": irregular internal whitespace in the
+    // PATTERN must still match the single-space token grams
     val got = Text.blocklistHits(docs, "doc_id", "text",
-      Seq("bad", "very bad phrase"))
+      Seq("bad", "very  bad   phrase"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     assert(got === Map(
