@@ -1381,6 +1381,23 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    // --- persisted IVF index: exact-rational k-means assignment
+    // written parquet PARTITIONED BY cell, centroid states alongside;
+    // the query probes 2 of 4 cells and reads ONLY their files
+    // (partition pruning — audited on inputFiles) ----------------------------
+    "pipe_ann_ivf_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<float>").as("embedding"))
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val out = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_ivfidx_${ProcessHandle.current().pid()}"
+      pipeline.Similarity.buildIvfIndex(e.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", out, nCells = 4, iters = 2)
+      pipeline.Similarity.queryIvfIndex(s, out, q, k = 10, nProbe = 2)
+        .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
     // --- int8 scalar-quantized ANN: per-dim min/max quantization, an
     // EXACT-integer dot-product prescan over the codes (4x less data
     // read at scale), float-cosine rerank of the C*k best — both
@@ -5032,6 +5049,92 @@ object SparkEntry {
         |        d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
         |        (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
         |  FROM e, c2 i) WHERE rk = 1""".stripMargin,
+
+    // persisted IVF: the kmeans CTE over vec_id != 0, probe cells
+    // ranked by exact rational distance of the grid-quantized query,
+    // cosine top-10 restricted to the probed cells' members
+    "pipe_ann_ivf_index" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id != 0),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS s,
+        |    CAST(1 AS BIGINT) AS n
+        |  FROM (SELECT id, v FROM e ORDER BY id LIMIT 4)),
+        |a1 AS (
+        |  SELECT id, v, c FROM (
+        |    SELECT e.id, e.v, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, init i) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT c, list(sd ORDER BY d) AS s, max(n) AS n FROM (
+        |    SELECT a1.c, t.d, CAST(sum(a1.v[t.d]) AS BIGINT) AS sd,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM a1, unnest(range(1, 65)) AS t(d)
+        |    GROUP BY a1.c, t.d) GROUP BY c),
+        |c1 AS (
+        |  SELECT i.c, COALESCE(m.s, i.s) AS s, COALESCE(m.n, i.n) AS n
+        |  FROM init i LEFT JOIN m1 m ON i.c = m.c),
+        |a2 AS (
+        |  SELECT id, v, c FROM (
+        |    SELECT e.id, e.v, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, c1 i) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT c, list(sd ORDER BY d) AS s, max(n) AS n FROM (
+        |    SELECT a2.c, t.d, CAST(sum(a2.v[t.d]) AS BIGINT) AS sd,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM a2, unnest(range(1, 65)) AS t(d)
+        |    GROUP BY a2.c, t.d) GROUP BY c),
+        |c2 AS (
+        |  SELECT i.c, COALESCE(m.s, i.s) AS s, COALESCE(m.n, i.n) AS n
+        |  FROM c1 i LEFT JOIN m2 m ON i.c = m.c),
+        |af AS (
+        |  SELECT id, c FROM (
+        |    SELECT e.id, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, c2 i) WHERE rk = 1),
+        |qg AS (
+        |  SELECT list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT c FROM (
+        |    SELECT i.c, row_number() OVER (ORDER BY
+        |      CAST(list_reduce(list_transform(range(1, 65),
+        |        d -> (qv[d]*i.n - i.s[d])*(qv[d]*i.n - i.s[d])),
+        |        (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM c2 i, qg) WHERE rk <= 2),
+        |q AS (
+        |  SELECT embedding AS qv2 FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.id, e.embedding FROM e
+        |  JOIN af ON e.id = af.id
+        |  JOIN probe ON af.c = probe.c),
+        |sc AS (
+        |  SELECT id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv2[i] AS DOUBLE)))
+        |      AS dp,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE)
+        |         * CAST(embedding[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv2[i] AS DOUBLE) * CAST(qv2[i] AS DOUBLE)))) AS nb
+        |  FROM cand, q)
+        |SELECT id AS vec_id, round(dp / (na * nb), 6) AS cos
+        |FROM sc ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""".stripMargin,
 
     // SemDeDup: the pipe_kmeans_exact CTE verbatim (same k=4, iters=2
     // assignment), then within-cluster cosine pairs; a vector is

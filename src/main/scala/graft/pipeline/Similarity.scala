@@ -351,6 +351,68 @@ object Similarity {
     * as a `cell` column); per-query cost drops by ~nCells/nProbe.
     * `nProbe = nCells` degenerates to exact brute force — the spec's
     * correctness anchor. */
+  /** Build a PERSISTED IVF index: vectors are assigned to their
+    * nearest of `nCells` centroids by the deterministic exact-rational
+    * k-means ([[kmeansLloydExactStates]] — engine-portable, so the
+    * index layout itself replays in SQL) and written as parquet
+    * PARTITIONED BY cell, with the exact centroid states alongside:
+    *
+    *   path/vectors/cell=<c>/…   path/centroids/
+    *
+    * This is the deployment shape of IVF at 100 TB: the index builds
+    * ONCE (one narrow assignment pass + one partitioned write), and
+    * every query reads ONLY its probed cells' files — partition
+    * pruning at the source, ~nCells/nProbe less IO, verified by plan
+    * audit on `inputFiles`. */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int = 16, iters: Int = 2): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val (asg, cents) =
+      kmeansLloydExactStates(base, "id", "vec", nCells, iters)
+    base.join(asg.withColumnRenamed("cluster", "cell"), Seq("id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors")
+    cents.zipWithIndex
+      .map { case ((s, n), c) => (c.toLong, s, n) }
+      .toDF("cell", "sums", "n")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a [[buildIvfIndex]] index: the `nProbe` cells nearest the
+    * query (exact rational distance on the same 1e-3 grid the build
+    * used — deterministic, id ties by cell) are resolved driver-side
+    * against the tiny centroid table, and the vector scan is filtered
+    * to them — the filter sits on the PARTITION column, so only the
+    * probed cells' files are opened. Returns (id, cos) top-k,
+    * cosine-descending with id tiebreak. */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq,
+        r.getLong(2)))
+    require(cents.nonEmpty, "empty centroid table")
+    // HALF_UP, matching the corpus grid round (see pqTopK's rationale)
+    val qg = query.map(x => BigDecimal(x.toDouble * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val probes = cents.map { case (c, s, n) =>
+      var num = 0L
+      var d = 0
+      while (d < s.length) {
+        val diff = qg(d) * n - s(d); num += diff * diff; d += 1
+      }
+      (num.toDouble / (n * n), c)
+    }.sortBy(identity).take(nProbe).map(_._2)
+    val qVec = array(query.map(lit): _*)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probes: _*))
+      .withColumn("cos", cosine(col("vec"), qVec))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
       seed: Long = 42L, trainSample: Double = 1.0): DataFrame = {

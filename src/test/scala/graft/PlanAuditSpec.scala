@@ -627,6 +627,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
 
+  test("persisted IVF index: queries read ONLY the probed cells' files") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>").as("embedding"))
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      .toString
+    Similarity.buildIvfIndex(e.filter(col("vec_id") =!= 0L), "vec_id",
+      "embedding", dir, nCells = 4, iters = 2)
+    val res = Similarity.queryIvfIndex(spark, dir, q, k = 5, nProbe = 2)
+    // the partition filter must reach the source: the scan's SELECTED
+    // partitions are exactly the two probed cells (inputFiles is
+    // pre-pruning, so inspect the executed scan node itself)
+    val scan = res.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.nonEmpty, scan.toString.take(1500))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected <= 2, s"scan selected $selected partitions")
+    val allParts = spark.read.parquet(s"$dir/vectors")
+      .select("cell").distinct().count()
+    assert(allParts === 4L && selected < allParts)
+    // full probe degenerates to exact brute force
+    val full = Similarity.queryIvfIndex(spark, dir, q, 5, nProbe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === brute)
+  }
+
   test("dsirSelect: bucket weight table joins broadcast, no cartesian") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = pipeline.Sampling.dsirSelect(docs, "doc_id", "text",
