@@ -403,9 +403,18 @@ object Dedup {
     // no cast on the id: the candidate side carries the caller's id
     // type untouched, and a silent cast-to-null here would empty the
     // gram table for non-numeric ids (callers with typed ids pre-cast)
+    //
+    // gram identity = the 64-bit avalanched rolling hash
+    // (GramHashesExpr), distinct'd — not the t-char gram STRING: both
+    // join sides use the same function, so shared-distinct-gram counts
+    // are unchanged (a 64-bit collision would take ~2^32 grams per
+    // doc-pair to matter), and the verification join shuffles 8-byte
+    // longs instead of ~t-byte strings — at sf10 this is the
+    // difference between the parity gates fitting transient shuffle
+    // disk and not.
     val g = docs.select(col(id).as("doc"),
-        Text.charNgrams(Text.fingerprintNormalize(col(text)), t)
-          .as("__g"))
+        array_distinct(graft.functions.TextKernels.gramHashes(
+          Text.fingerprintNormalize(col(text)), t)).as("__g"))
       .join(candDocs, Seq("doc"), "left_semi")
       .select(col("doc"), explode(col("__g")).as("g"))
     val pairCounts = g.select(col("g"), col("doc").as("id_a"))
