@@ -356,10 +356,11 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
-    // the verify side recomputes grams from the source with the fused
-    // kernel (the fingerprint kernel sits behind the candidate
+    // the verify side recomputes gram IDENTITIES from the source with
+    // the fused rolling-hash kernel — 8-byte join keys, not t-char
+    // strings (the fingerprint kernel sits behind the candidate
     // checkpoint, invisible to this plan — audited below)
-    assert(plan.contains("graft_char_ngrams"), plan.take(2000))
+    assert(plan.contains("graft_gram_hashes"), plan.take(2000))
     val fpPlan = docs.select(pipeline.Text.winnowFingerprints(col("text")))
       .queryExecution.executedPlan.toString
     assert(fpPlan.contains("graft_winnow_fingerprints"), fpPlan.take(2000))
