@@ -1381,6 +1381,13 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    // --- cluster-balanced sampling (topic balancing): exact k-means
+    // clusters capped at 100 members each, md5-hash order picking the
+    // survivors — rank-limit window plans as WindowGroupLimit ----------------
+    "pipe_cluster_balance" -> ((s, dir) =>
+      pipeline.Similarity.clusterBalance(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, quota = 100)),
+
     // --- persisted IVF index: exact-rational k-means assignment
     // written parquet PARTITIONED BY cell, centroid states alongside;
     // the query probes 2 of 4 cells and reads ONLY their files
@@ -5049,6 +5056,68 @@ object SparkEntry {
         |        d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
         |        (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
         |  FROM e, c2 i) WHERE rk = 1""".stripMargin,
+
+    // cluster balancing: the pipe_kmeans_exact CTE verbatim, then a
+    // per-cluster rank cap in deterministic md5-hash order
+    "pipe_cluster_balance" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS s,
+        |    CAST(1 AS BIGINT) AS n
+        |  FROM (SELECT id, v FROM e ORDER BY id LIMIT 4)),
+        |a1 AS (
+        |  SELECT id, v, c FROM (
+        |    SELECT e.id, e.v, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, init i) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT c, list(sd ORDER BY d) AS s, max(n) AS n FROM (
+        |    SELECT a1.c, t.d, CAST(sum(a1.v[t.d]) AS BIGINT) AS sd,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM a1, unnest(range(1, 65)) AS t(d)
+        |    GROUP BY a1.c, t.d) GROUP BY c),
+        |c1 AS (
+        |  SELECT i.c, COALESCE(m.s, i.s) AS s, COALESCE(m.n, i.n) AS n
+        |  FROM init i LEFT JOIN m1 m ON i.c = m.c),
+        |a2 AS (
+        |  SELECT id, v, c FROM (
+        |    SELECT e.id, e.v, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, c1 i) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT c, list(sd ORDER BY d) AS s, max(n) AS n FROM (
+        |    SELECT a2.c, t.d, CAST(sum(a2.v[t.d]) AS BIGINT) AS sd,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM a2, unnest(range(1, 65)) AS t(d)
+        |    GROUP BY a2.c, t.d) GROUP BY c),
+        |c2 AS (
+        |  SELECT i.c, COALESCE(m.s, i.s) AS s, COALESCE(m.n, i.n) AS n
+        |  FROM c1 i LEFT JOIN m2 m ON i.c = m.c),
+        |af AS (
+        |  SELECT id, c FROM (
+        |    SELECT e.id, i.c,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        CAST(list_reduce(list_transform(range(1, 65),
+        |          d -> (e.v[d]*i.n - i.s[d])*(e.v[d]*i.n - i.s[d])),
+        |          (a, b) -> a + b) AS DOUBLE) / (i.n*i.n), i.c) AS rk
+        |    FROM e, c2 i) WHERE rk = 1)
+        |SELECT vec_id, cluster, pick_rank FROM (
+        |  SELECT id AS vec_id, c AS cluster,
+        |    row_number() OVER (PARTITION BY c ORDER BY
+        |      CAST(('0x' || substr(md5('cbal|' || CAST(id AS VARCHAR)),
+        |        1, 15)) AS BIGINT) ASC, id ASC) AS pick_rank
+        |  FROM af)
+        |WHERE pick_rank <= 100""".stripMargin,
 
     // persisted IVF: the kmeans CTE over vec_id != 0, probe cells
     // ranked by exact rational distance of the grid-quantized query,

@@ -351,6 +351,34 @@ object Similarity {
     * as a `cell` column); per-query cost drops by ~nCells/nProbe.
     * `nProbe = nCells` degenerates to exact brute force — the spec's
     * correctness anchor. */
+  /** Cluster-balanced corpus sampling (the DataComp/SemDeDup-style
+    * topic-balancing pass): assign every vector to its exact-rational
+    * k-means cluster, then keep at most `quota` members per cluster —
+    * the deterministic md5-hash order picking the survivors, so the
+    * balanced sample replays in any engine and is stable under
+    * repartitioning. Caps any one topic's share of the corpus the same
+    * way `Text.domainCap` bounds a mega-domain.
+    *
+    * Scale: the per-cluster cap is a rank-limit window —
+    * Spark ≥3.5 plans it as WindowGroupLimit (per-partition partial
+    * top-quota BEFORE the shuffle), so a giant cluster never funnels
+    * through one task un-pruned. Returns (id, cluster, pick_rank). */
+  def clusterBalance(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, quota: Int, iters: Int = 2, salt: String = "cbal")
+      : DataFrame = {
+    require(quota > 0, "quota must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val asg = kmeansLloydExact(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "id", "vec", k, iters)
+    val h = Sampling.unitHash(col("id"), salt)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(h.asc, col("id").asc)
+    asg.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= quota)
+      .select(col("id").as(idCol), col("cluster"), col("pick_rank"))
+  }
+
   /** Build a PERSISTED IVF index: vectors are assigned to their
     * nearest of `nCells` centroids by the deterministic exact-rational
     * k-means ([[kmeansLloydExactStates]] — engine-portable, so the

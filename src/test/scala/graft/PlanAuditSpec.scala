@@ -628,6 +628,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
 
+  test("clusterBalance: per-cluster cap plans as WindowGroupLimit") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val res = Similarity.clusterBalance(e, "vec_id", "embedding",
+      k = 4, quota = 7)
+    // the rank-limit must push a partial group-limit BELOW the window
+    // shuffle — a giant topic cluster never funnels un-pruned
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2500))
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.groupBy(_._2).values.forall(_.length <= 7))
+    assert(got.map(_._3).forall(r => r >= 1 && r <= 7))
+    // deterministic
+    val again = Similarity.clusterBalance(e, "vec_id", "embedding",
+      k = 4, quota = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === got.toSet)
+  }
+
   test("persisted IVF index: queries read ONLY the probed cells' files") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
