@@ -442,10 +442,14 @@ object Dedup {
     def fps(df: DataFrame, id: String, text: String) = df
       .select(col(id).as("doc"),
         explode(Text.winnowFingerprints(col(text), k, w)).as("fp"))
+    // gram identity = the 64-bit rolling hash, distinct'd (same
+    // treatment as verifySharedRuns): shared-distinct counts are
+    // unchanged and the verification join shuffles 8-byte longs — at
+    // sf10 the string form was heap-borderline at 48g
     def grams(df: DataFrame, id: String, text: String) = df
       .select(col(id).as("doc"),
-        Text.charNgrams(Text.fingerprintNormalize(col(text)), t)
-          .as("__g"))
+        array_distinct(graft.functions.TextKernels.gramHashes(
+          Text.fingerprintNormalize(col(text)), t)).as("__g"))
       .select(col("doc"), explode(col("__g")).as("g"))
     // candidates: one equi-join of the corpus fingerprint stream
     // against the bench fingerprints — the benchmark side is small by
@@ -455,12 +459,18 @@ object Dedup {
     // density 2/(w+1) even a modest eval suite's fingerprint/gram
     // tables are tens of millions of rows — AQE broadcasts when the
     // bench side truly fits, a shuffle join otherwise.
+    // DISK_ONLY, not the MEMORY_AND_DISK default: the candidate pair
+    // set is corpus-similarity-scaled (hot fingerprints fan out), and
+    // a memory-first materialization of GB-sized partitions is what
+    // OOM'd the 48g single-JVM fleet at sf10 — disk blocks stream
+    // straight through the block manager instead
     val cand = fps(corpus, corpusId, corpusText)
       .join(fps(bench, benchId, benchText)
         .withColumnRenamed("doc", "bdoc"), Seq("fp"))
       .select(col("doc").as("corpus_id"), col("bdoc").as("bench_id"))
       .dropDuplicates("corpus_id", "bench_id")
-      .localCheckpoint(false)
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // exact verify: shared t-grams, BOTH gram tables restricted to docs
     // appearing in some candidate pair (recall exact by the winnowing
     // guarantee — see verifySharedRuns; the final semi-join is the same
