@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Mirrors the reference's
   * benchmark harness discipline (`python/benchmark/hail/conftest.py`:
   * >=1 burn-in + >=3 timed iterations); per-query time is the median of the
-  * timed iterations, so JVM/codegen warmup does not pollute the numbers.
+  * timed iterations, so JVM/codegen warmup does not pollute the numbers,
+  * and the iterations are fleet-interleaved so a transient host window
+  * cannot own all of one query's samples.
   * A failing query fails the whole bench loudly — a benchmark that records
   * broken queries as fast is worse than one that crashes. */
 object Bench {
@@ -52,11 +54,21 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     queries.foreach { case (n, f) => runOnce(n, f) } // burn-in
+    // Iterations are FLEET-INTERLEAVED (pass 1 runs every query, then
+    // pass 2, ...), not per-query back-to-back: a transient host
+    // slowdown then lands in at most ~one pass of each query's samples
+    // and the per-query median rejects it. Back-to-back sampling put
+    // all 3 samples of a query inside the same bad window — the r11
+    // driver artifact carried 12-15x medians on untouched code from
+    // exactly that mechanism.
+    val passes = (1 to iters).map { _ =>
+      queries.map { case (name, fn) => runOnce(name, fn) }
+    }
     // keep the full spread, not just the median: streaming/shuffle
     // queries show >2x run-to-run variance across sessions, and a
     // median-only artifact hides it (r9 verdict, finding #2)
-    val spreads = queries.map { case (name, fn) =>
-      val times = (1 to iters).map(_ => runOnce(name, fn)).sorted
+    val spreads = queries.zipWithIndex.map { case ((name, _), i) =>
+      val times = passes.map(_(i)).sorted
       name -> ((times.head, times(times.length / 2), times.last))
     }
     val results = spreads.map { case (n, (_, med, _)) => n -> med }

@@ -941,9 +941,11 @@ object SparkEntry {
 
     // --- PageRank domain-authority prior (crawl curation): 3 power
     // sweeps with dangling redistribution over a synthesized 53-node
-    // link graph. Ranks are DECIMAL(18,9) with per-edge contributions
-    // rounded to 9dp, so every sum is exact decimal arithmetic and the
-    // oracle's unrolled-CTE replay matches digit-for-digit -----------------
+    // link graph. All sweep arithmetic is EXACT 64-bit integer math in
+    // 1e-9 rank units (truncating division), so the oracle's
+    // unrolled-CTE replay is bit-identical at ANY scale factor — the
+    // r11 per-sweep round(double, 9) contract broke at sf0.1 on a
+    // 1-ULP double-literal difference between engines -----------------------
     "pipe_pagerank" -> ((s, dir) => {
       val e = t(s, dir, "documents").select(
         (col("doc_id") % 53).as("src"),
@@ -1329,6 +1331,19 @@ object SparkEntry {
         "doc_id", "lang", Map("en" -> 800, "de" -> 500, "fr" -> 250,
           "es" -> 125, "zh" -> 50))
         .select("doc_id", "lang")),
+
+    // --- temperature-flattened mixture sampling (mC4/PaLM rule,
+    // share ∝ n_lang^0.5): per-stratum ppt rates derived in-plan from
+    // the observed sizes and a budget of corpus/10 rows; the only
+    // doubles are one pow/round per stratum, replayed token-for-token
+    // by the oracle — membership itself is the integer md5 filter -----------
+    "pipe_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // Long division matches the oracle's count(*) // 10
+      pipeline.Sampling.temperatureSample(docs, "doc_id", "lang",
+          k = docs.count() / 10, alpha = 0.5)
+        .select("doc_id", "lang")
+    }),
 
     // --- deterministic train/val/test split: md5 bucket walk, one
     // narrow projection; membership re-derives in any engine ---------------
@@ -2444,6 +2459,20 @@ object SparkEntry {
       val schema = t(s, dir, "events").schema
       streaming.Events.runValueQuantiles(s, s"$dir/events.parquet",
         schema, s"graft_stream_qt_${System.nanoTime()}")
+    }),
+
+    // --- streaming heavy hitters: the Misra-Gries udaf as complete-mode
+    // stream state (ONE bounded 64-counter summary at any stream length
+    // or key cardinality), exact second pass for merge-order determinism
+    // — the PODS'12 survival guarantee holds across micro-batch merges,
+    // so the output equals batch agg_heavy_hitters and its SQL oracle ------
+    "stream_heavy_hitters" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      val keyExpr = when(col("event_id") % 4 =!= 0,
+          concat(lit("hot_"), (col("event_id") % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+      streaming.Events.runHeavyHitters(s, s"$dir/events.parquet",
+        schema, keyExpr, s"graft_stream_hh_${System.nanoTime()}", m = 64)
     }),
 
     // --- streaming exact dedup: a REAL readStream through
@@ -4842,19 +4871,19 @@ object SparkEntry {
     // exact heavy hitters over the engineered skewed key stream: the
     // Spark side's Misra-Gries candidates + exact second pass must
     // equal the plain groupBy + HAVING cnt*m > N
-    "agg_heavy_hitters" ->
-      """WITH k AS (
-        |  SELECT CASE WHEN event_id % 4 <> 0 THEN 'hot_' || (event_id % 3)
-        |              ELSE 'cold_' || event_id END AS key
-        |  FROM events)
-        |SELECT key, count(*) AS cnt
-        |FROM k GROUP BY 1
-        |HAVING count(*) * 64 > (SELECT count(*) FROM k)""".stripMargin,
+    "agg_heavy_hitters" -> HeavyHittersOracleSql,
 
-    // three unrolled PageRank sweeps in pure SQL: DECIMAL(18,9) ranks,
-    // per-edge contributions rounded at 9dp (all sums exact decimal),
-    // dangling mass redistributed uniformly; numeric literals forced
-    // to DOUBLE so DuckDB doesn't slip into decimal-literal arithmetic
+    // the streaming variant's exact second pass restores merge-order
+    // determinism across micro-batches — one oracle for both
+    "stream_heavy_hitters" -> HeavyHittersOracleSql,
+
+    // three unrolled PageRank sweeps in pure SQL, mirroring the
+    // engine's exact integer-unit contract: ranks are BIGINT counts of
+    // 1e-9 units, every division is truncating integer division (//),
+    // every sum is exact — no double touches a sweep, so the replay is
+    // bit-identical at any SF by construction. The final DECIMAL(18,9)
+    // reconstruction round(units/1e9, 9) is the only double op and is
+    // exact (units < 2^53, half-ulp from the 9dp grid point).
     "pipe_pagerank" ->
       """WITH e AS (
         |  SELECT DISTINCT doc_id % 53 AS src, (doc_id * 7 + 3) % 53 AS dst
@@ -4865,52 +4894,53 @@ object SparkEntry {
         |n AS (SELECT count(*) AS nn FROM nodes),
         |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
         |r0 AS (
-        |  SELECT node, CAST(round(CAST(1.0 AS DOUBLE) / (SELECT nn FROM n),
-        |    9) AS DECIMAL(18,9)) AS rank FROM nodes),
+        |  SELECT node, 1000000000 // (SELECT nn FROM n) AS ru FROM nodes),
         |c1 AS (
-        |  SELECT e.dst AS node, CAST(round(CAST(r.rank AS DOUBLE) /
-        |    od.outdeg, 9) AS DECIMAL(18,9)) AS c
+        |  SELECT e.dst AS node, r.ru // od.outdeg AS c
         |  FROM e JOIN r0 r ON e.src = r.node JOIN od ON od.node = e.src),
         |s1 AS (SELECT node, sum(c) AS in_sum FROM c1 GROUP BY 1),
         |d1 AS (
-        |  SELECT coalesce(sum(r.rank), 0) AS dang
+        |  SELECT coalesce(sum(r.ru), 0) AS dang
         |  FROM r0 r LEFT JOIN od USING (node) WHERE od.outdeg IS NULL),
         |r1 AS (
-        |  SELECT nodes.node, CAST(round(
-        |    CAST(0.15 AS DOUBLE) / (SELECT nn FROM n) +
-        |    CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.in_sum, 0) AS DOUBLE) +
-        |      CAST((SELECT dang FROM d1) AS DOUBLE) / (SELECT nn FROM n)),
-        |    9) AS DECIMAL(18,9)) AS rank
+        |  SELECT nodes.node,
+        |    (15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT nn FROM n))
+        |    + (85 * coalesce(s.in_sum, 0)) // 100
+        |    + (85 * (SELECT dang FROM d1)) // (100 * (SELECT nn FROM n))
+        |    AS ru
         |  FROM nodes LEFT JOIN s1 s USING (node)),
         |c2 AS (
-        |  SELECT e.dst AS node, CAST(round(CAST(r.rank AS DOUBLE) /
-        |    od.outdeg, 9) AS DECIMAL(18,9)) AS c
+        |  SELECT e.dst AS node, r.ru // od.outdeg AS c
         |  FROM e JOIN r1 r ON e.src = r.node JOIN od ON od.node = e.src),
         |s2 AS (SELECT node, sum(c) AS in_sum FROM c2 GROUP BY 1),
         |d2 AS (
-        |  SELECT coalesce(sum(r.rank), 0) AS dang
+        |  SELECT coalesce(sum(r.ru), 0) AS dang
         |  FROM r1 r LEFT JOIN od USING (node) WHERE od.outdeg IS NULL),
         |r2 AS (
-        |  SELECT nodes.node, CAST(round(
-        |    CAST(0.15 AS DOUBLE) / (SELECT nn FROM n) +
-        |    CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.in_sum, 0) AS DOUBLE) +
-        |      CAST((SELECT dang FROM d2) AS DOUBLE) / (SELECT nn FROM n)),
-        |    9) AS DECIMAL(18,9)) AS rank
+        |  SELECT nodes.node,
+        |    (15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT nn FROM n))
+        |    + (85 * coalesce(s.in_sum, 0)) // 100
+        |    + (85 * (SELECT dang FROM d2)) // (100 * (SELECT nn FROM n))
+        |    AS ru
         |  FROM nodes LEFT JOIN s2 s USING (node)),
         |c3 AS (
-        |  SELECT e.dst AS node, CAST(round(CAST(r.rank AS DOUBLE) /
-        |    od.outdeg, 9) AS DECIMAL(18,9)) AS c
+        |  SELECT e.dst AS node, r.ru // od.outdeg AS c
         |  FROM e JOIN r2 r ON e.src = r.node JOIN od ON od.node = e.src),
         |s3 AS (SELECT node, sum(c) AS in_sum FROM c3 GROUP BY 1),
         |d3 AS (
-        |  SELECT coalesce(sum(r.rank), 0) AS dang
-        |  FROM r2 r LEFT JOIN od USING (node) WHERE od.outdeg IS NULL)
-        |SELECT nodes.node, CAST(round(
-        |    CAST(0.15 AS DOUBLE) / (SELECT nn FROM n) +
-        |    CAST(0.85 AS DOUBLE) * (CAST(coalesce(s.in_sum, 0) AS DOUBLE) +
-        |      CAST((SELECT dang FROM d3) AS DOUBLE) / (SELECT nn FROM n)),
-        |    9) AS DECIMAL(18,9)) AS rank
-        |FROM nodes LEFT JOIN s3 s USING (node)""".stripMargin,
+        |  SELECT coalesce(sum(r.ru), 0) AS dang
+        |  FROM r2 r LEFT JOIN od USING (node) WHERE od.outdeg IS NULL),
+        |r3 AS (
+        |  SELECT nodes.node,
+        |    (15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT nn FROM n))
+        |    + (85 * coalesce(s.in_sum, 0)) // 100
+        |    + (85 * (SELECT dang FROM d3)) // (100 * (SELECT nn FROM n))
+        |    AS ru
+        |  FROM nodes LEFT JOIN s3 s USING (node))
+        |SELECT node,
+        |  CAST(round(CAST(ru AS DOUBLE) / 1000000000, 9)
+        |    AS DECIMAL(18,9)) AS rank
+        |FROM r3""".stripMargin,
 
     // frozen-index anti-join + batch self-dedup, replayed directly
     "pipe_incremental_dedup" ->
@@ -5620,14 +5650,21 @@ object SparkEntry {
     // batch operator's — one oracle for both
     "stream_decontam" -> ExactDecontamOracleSql,
 
+    // weights normalized by the corpus max before the A-ES divide
+    // (scale-aware 6dp rounding), replaying the engine's exact
+    // expression shape ln(u) / (weight / w_max)
     "pipe_weighted_sample" ->
-      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight
+        |  FROM documents WHERE n_chars > 0),
+        |m AS (SELECT max(weight) AS w_max FROM pos)
+        |SELECT doc_id, weight,
         |  CAST(CAST(round(ln((CAST(('0x' || substr(md5('wsample|'
         |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |      % 1000000 + 0.5) / 1000000.0)
-        |    / CAST(n_chars AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE)
-        |    AS samp_key
-        |FROM documents WHERE n_chars > 0
+        |    / (weight / (SELECT w_max FROM m)), 6)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS samp_key
+        |FROM pos
         |ORDER BY samp_key DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     "pipe_dsir_select" ->
@@ -5857,6 +5894,29 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
         |    WHEN 'fr' THEN 250 WHEN 'es' THEN 125 WHEN 'zh' THEN 50
         |    ELSE 0 END""".stripMargin,
+
+    // per-stratum ppt = min(1000, round(1000 * k * n^0.5 / z / n)),
+    // k = corpus//10; each pow lands on the 6dp decimal grid before z's
+    // EXACT decimal sum (order-independent), then the same one-shot
+    // double round the engine computes, then the integer md5 filter
+    "pipe_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang AS s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(round(pow(count(*), 0.5), 6) AS DECIMAL(28,6)) AS pg
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT sum(pg) AS z FROM c),
+        |kk AS (SELECT count(*) // 10 AS k FROM documents),
+        |r AS (
+        |  SELECT s, least(1000, CAST(round(
+        |      1000.0 * CAST((SELECT k FROM kk) AS DOUBLE)
+        |        * CAST(pg AS DOUBLE)
+        |        / CAST((SELECT z FROM z) AS DOUBLE) / n)
+        |    AS BIGINT)) AS ppt
+        |  FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.s
+        |WHERE CAST(('0x' || substr(md5('tmix|' || CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 1000 < r.ppt""".stripMargin,
 
     "pipe_split_assign" ->
       """SELECT doc_id, lang,
@@ -9056,6 +9116,18 @@ object SparkEntry {
        |SELECT vec_id, round(cos, 6) AS cos FROM rr
        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
   }
+
+  /** Shared by `agg_heavy_hitters` (batch) and `stream_heavy_hitters`
+    * (Misra-Gries stream state + exact pass): both are exactly the
+    * keys with trueCount * 64 > N over the engineered skewed stream. */
+  private val HeavyHittersOracleSql: String =
+    """WITH k AS (
+      |  SELECT CASE WHEN event_id % 4 <> 0 THEN 'hot_' || (event_id % 3)
+      |              ELSE 'cold_' || event_id END AS key
+      |  FROM events)
+      |SELECT key, count(*) AS cnt
+      |FROM k GROUP BY 1
+      |HAVING count(*) * 64 > (SELECT count(*) FROM k)""".stripMargin
 
   private val ExactDecontamOracleSql: String =
     """WITH bench AS (

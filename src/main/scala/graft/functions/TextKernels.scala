@@ -576,7 +576,8 @@ case class SimHash64Expr(child: Expression)
   * 60 bits of the digest, big-endian), which paid an interpreted
   * higher-order `transform` lambda plus hex-string + conv parse per
   * gram. Grams hash as raw UTF-8 byte concatenation (token, space,
-  * token), so no intermediate strings are built at all. */
+  * token), so no intermediate strings are built at all. Null input
+  * tokens are compacted out before gram formation ([[TokenArrays]]). */
 case class DsirBucketsExpr(child: Expression, numBuckets: Int,
     salt: String)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -593,7 +594,8 @@ case class DsirBucketsExpr(child: Expression, numBuckets: Int,
     s"$salt|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val spaceByte = Array[Byte](' ')
 
-  def compute(arr: ArrayData): ArrayData = {
+  def compute(arr0: ArrayData): ArrayData = {
+    val arr = TokenArrays.dropNulls(arr0)
     val m = arr.numElements()
     val out = new Array[Long](if (m >= 2) 2 * m - 1 else m)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -639,7 +641,9 @@ case class DsirBucketsExpr(child: Expression, numBuckets: Int,
   * non-distinct sibling of ShinglesExpr for operators whose contract
   * counts occurrences (blocklist hits, decontamination multiplicity).
   * One fused pass; the builtin `transform(sequence, slice, array_join)`
-  * chain it replaces evaluated an interpreted lambda per gram. */
+  * chain it replaces evaluated an interpreted lambda per gram. Null
+  * input tokens are compacted out before gram formation
+  * ([[TokenArrays]]). */
 case class TokenNgramsExpr(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(n >= 1, "n >= 1")
@@ -652,7 +656,8 @@ case class TokenNgramsExpr(child: Expression, n: Int)
   override def nullSafeEval(tokensAny: Any): Any =
     compute(tokensAny.asInstanceOf[ArrayData])
 
-  def compute(arr: ArrayData): ArrayData = {
+  def compute(arr0: ArrayData): ArrayData = {
+    val arr = TokenArrays.dropNulls(arr0)
     val m = arr.numElements()
     val cnt = if (m >= n) m - n + 1 else 0
     val out = new Array[Any](cnt)
@@ -687,11 +692,38 @@ private object SpaceUtf8 {
     org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 }
 
+/** Null-element guard for the array-input fused kernels
+  * (TokenNgramsExpr / TokenNgramHashesExpr / DsirBucketsExpr): their
+  * output declares containsNull=false, but a caller other than
+  * `Text.tokens` (whose split output is null-free) may hand them an
+  * array WITH null elements — which would NPE inside the md5/concat
+  * loops. Null elements are compacted out before gram formation (a
+  * null token contributes no gram), making the behavior defined for
+  * every input. The hot null-free path pays one boolean scan and
+  * returns the input array untouched. */
+private[functions] object TokenArrays {
+  def dropNulls(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    var i = 0
+    while (i < m && !arr.isNullAt(i)) i += 1
+    if (i == m) return arr
+    val out = new java.util.ArrayList[AnyRef](m)
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) out.add(arr.getUTF8String(j))
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Bag token n-gram 60-bit md5 hashes: for every n-token run emits
   * conv(substr(md5(salt || '|' || gram), 1, 15), 16, 10) — the
   * engine-portable gram identity decontamination joins on — computed
   * from raw UTF-8 bytes with no intermediate gram strings, hex
-  * strings, or conv parses. Bit-identical to the builtin chain. */
+  * strings, or conv parses. Bit-identical to the builtin chain. Null
+  * input tokens are compacted out before gram formation
+  * ([[TokenArrays]]). */
 case class TokenNgramHashesExpr(child: Expression, n: Int, salt: String)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(n >= 1, "n >= 1")
@@ -708,7 +740,8 @@ case class TokenNgramHashesExpr(child: Expression, n: Int, salt: String)
     s"$salt|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val spaceByte = Array[Byte](' ')
 
-  def compute(arr: ArrayData): ArrayData = {
+  def compute(arr0: ArrayData): ArrayData = {
+    val arr = TokenArrays.dropNulls(arr0)
     val m = arr.numElements()
     val cnt = if (m >= n) m - n + 1 else 0
     val out = new Array[Long](cnt)

@@ -7,32 +7,55 @@ import org.apache.spark.sql.functions._
   * prior (PageRank over the host/domain link graph) that web-corpus
   * pipelines use as a quality signal alongside content filters.
   *
-  * Determinism contract (the property every gate here needs): ranks
-  * are DECIMAL(18,9) end-to-end. Each edge contribution is computed in
-  * double, rounded to 9dp, and cast back — so the per-destination SUM
-  * is exact decimal arithmetic, independent of Spark's aggregation
-  * order, and a SQL engine replays it bit-for-bit (the same pattern as
-  * the BM25 gate's DECIMAL(18,4) term sums). */
+  * Determinism contract (the property every gate here needs): all
+  * per-sweep arithmetic is EXACT 64-bit integer arithmetic over rank
+  * counts in 1e-9 units (truncating division, addition, and
+  * multiplication by the whole-percent damping numerator). No double
+  * ever enters a sweep, so results are bit-identical across engines,
+  * partitionings, and scale factors by construction — the round-11
+  * lesson: a per-sweep `round(double, 9)` is only as deterministic as
+  * the doubles feeding it, and `(1.0 - 0.85)` vs the literal `0.15`
+  * differ by 1 ULP, flipping 9dp rounding on boundary values that only
+  * appear in denser (larger-SF) graphs. Integer units have no boundary
+  * values. The final rank column is reconstructed once at the end as
+  * DECIMAL(18,9) = round(units/1e9, 9): units < 2^53 so the double
+  * quotient is within a half-ulp of the true 9dp grid point and both
+  * engines recover it exactly. */
 object Graph {
 
   private val RankType = "decimal(18,9)"
+  /** 1 rank = 1e9 units; all sweep math is exact in these units. */
+  private val Unit = 1000000000L
 
   /** Power-iteration PageRank with a fixed iteration count (web-scale
     * practice runs a fixed small number of sweeps, not to convergence).
     * Multi-edges collapse to simple edges; self-loops are kept if
     * present in `edges` (filter upstream if unwanted). Dangling mass
-    * (nodes with no out-edges) is redistributed uniformly each sweep,
-    * so total rank stays ~1.
+    * (nodes with no out-edges) is redistributed uniformly each sweep.
+    * Truncating division only ever LOSES mass (≤ a few units per node
+    * per sweep plus ≤ outdeg-1 units per source), so total rank stays
+    * within ~1e-5 of 1 for graphs up to ~1e3 nodes per sweep count —
+    * a monotone, bounded drift, never a nondeterminism.
+    *
+    * `damping` must be a whole-percent value (0.85, 0.9, …) so the
+    * sweep can use its exact integer numerator.
     *
     * Scale shape per iteration: one equi-join of edges to the rank
     * vector on src (shuffle on node key), one groupBy(dst) partial-agg
     * sum, one broadcast of the two scalars (node count, dangling
-    * mass). Iterations chain lineage linearly — for iters beyond ~10
-    * checkpoint the rank vector; at 3 (the crawl-prior setting) the
-    * static plan is fine. */
+    * mass). The rank vector is lineage-truncated via a lazy
+    * `localCheckpoint` every `checkpointEvery` sweeps, so a deep
+    * convergence run (iters=50) plans only the tail since the last
+    * checkpoint instead of a 150-stage chain. */
   def pageRank(edgesRaw: DataFrame, src: String, dst: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val dNum = math.round(damping * 100)
+    require(dNum >= 0 && dNum <= 100 && dNum / 100.0 == damping,
+      s"damping must be a whole-percent value (0.85, 0.9, ...); got $damping")
+    val tNum = 100L - dNum
     val edges = edgesRaw.select(col(src).as("src"), col(dst).as("dst"))
       .distinct()
       // consumed every sweep (join + outdeg) and for the node set:
@@ -48,32 +71,35 @@ object Graph {
 
     val init = nodes.crossJoin(broadcast(nC))
       .select(col("node"),
-        round(lit(1.0) / col("n_nodes"), 9).cast(RankType).as("rank"))
+        expr(s"CAST($Unit AS BIGINT) div n_nodes").as("ru"))
 
-    (1 to iters).foldLeft(init) { (ranks, _) =>
+    val iterated = (1 to iters).foldLeft(init) { (ranks0, i) =>
+      val ranks =
+        if (i > 1 && (i - 1) % checkpointEvery == 0) ranks0.localCheckpoint(false)
+        else ranks0
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
-      // dangling mass: ranks of nodes with no out-edges (exact decimal
+      // dangling mass: units of nodes with no out-edges (exact integer
       // sum -> deterministic), redistributed uniformly
       val dangling = withDeg.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0).cast(RankType))
-          .as("dangling"))
+        .agg(coalesce(sum(col("ru")), lit(0L)).as("dang"))
       val contribs = edges
         .join(withDeg.filter(col("outdeg").isNotNull)
           .withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"),
-          round(col("rank").cast("double") / col("outdeg"), 9)
-            .cast(RankType).as("c"))
+        .select(col("dst").as("node"), expr("ru div outdeg").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("in_sum"))
       nodes.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(nC.crossJoin(dangling)))
         .select(col("node"),
-          round(
-            (lit(1.0) - damping) / col("n_nodes") +
-              lit(damping) * (coalesce(col("in_sum"),
-                lit(0).cast(RankType)).cast("double") +
-                col("dangling").cast("double") / col("n_nodes")), 9)
-            .cast(RankType).as("rank"))
+          expr(s"($tNum * CAST($Unit AS BIGINT)) div (100 * n_nodes)" +
+            s" + ($dNum * coalesce(in_sum, CAST(0 AS BIGINT))) div 100" +
+            s" + ($dNum * dang) div (100 * n_nodes)").as("ru"))
     }
+    // units -> DECIMAL(18,9): ru < 2^53 so ru/1e9 in double is within
+    // half-ulp of the exact 9dp value; round(…, 9) recovers it exactly
+    // in any IEEE-754 engine.
+    iterated.select(col("node"),
+      round(col("ru").cast("double") / lit(Unit.toDouble), 9)
+        .cast(RankType).as("rank"))
   }
 }

@@ -42,6 +42,52 @@ object Sampling {
     df.filter(pmod(unitHash(col(id), salt), lit(1000L)) < rate)
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual-corpus
+    * mixing rule (mC4 / PaLM / XLM-R style): a stratum's target share
+    * of the sampled corpus is q_s = n_s^α / Σ_t n_t^α for temperature
+    * α in (0, 1]. α = 1 keeps natural proportions; α → 0 approaches
+    * uniform across strata — flattening head languages/domains so the
+    * tail isn't drowned. Each stratum's parts-per-thousand keep rate
+    * is derived IN the plan from its observed size and the row budget
+    * `k`: ppt_s = min(1000, round(1000 · k · q_s / n_s)), then rows
+    * pass the same deterministic md5 Bernoulli filter as
+    * [[stratifiedSample]] — membership replays in any engine.
+    *
+    * Determinism contract: the only double arithmetic is the ONE
+    * pow/divide/round per stratum (a handful of scalars, the BM25-
+    * style one-shot rounding — not a per-row boundary), computed from
+    * the same expression shape in both engines; per-row comparisons
+    * are integer-only. Expected output size is ~k rows (Bernoulli,
+    * not exact-k; an exact-k per-stratum cut is `clusterBalance`).
+    *
+    * Scale: one map-side-combined count per stratum (≤ |strata| rows),
+    * a broadcast rate join, and one codegen'd filter pass — no wide
+    * shuffle, no driver participation. Returns the surviving rows. */
+  def temperatureSample(df: DataFrame, id: String, stratum: String,
+      k: Long, alpha: Double, salt: String = "tmix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(k > 0, "row budget k must be positive")
+    val counts = df.groupBy(col(stratum).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    // each stratum's pow lands on a 6dp decimal grid BEFORE the sum, so
+    // z is an exact decimal total independent of summation order (a raw
+    // double sum over strata is order-sensitive at the last ULP — the
+    // pagerank cross-engine lesson)
+    val powGrid = round(pow(col("__n"), lit(alpha)), 6)
+      .cast("decimal(28,6)")
+    val z = counts.agg(sum(powGrid).as("__z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("__s"),
+        least(lit(1000L),
+          round(lit(1000.0) * lit(k.toDouble)
+            * powGrid.cast("double") / col("__z").cast("double")
+            / col("__n"))
+            .cast("long")).as("__ppt"))
+    df.join(broadcast(rates), col(stratum) === col("__s"))
+      .filter(pmod(unitHash(col(id), salt), lit(1000L)) < col("__ppt"))
+      .drop("__s", "__ppt")
+  }
+
   /** Deterministic train/val/test (or any named-bucket) split: the
     * md5 hash of (salt, id) mod 1000 walks the cumulative rate table,
     * so every row lands in exactly one split, membership re-derives in
@@ -220,20 +266,36 @@ object Sampling {
     * `dsirSelect`'s Gumbel-max uses; Gumbel-max IS this scheme in
     * log-weight space).
     *
-    * Scale: one narrow projection + TakeOrdered — no shuffle, no
-    * state; the 100 TB shape of "sample 1M docs ∝ quality score".
-    * Rows with weight <= 0 or a NULL id never selected. Returns the k
-    * sampled rows as (id, weight, samp_key), key-descending. */
+    * Weights are normalized by the corpus max BEFORE dividing —
+    * key = ln(u) / (w / max(w)) — because selection ∝ w is invariant
+    * under a positive scalar on all weights, but 6-ABSOLUTE-decimal
+    * rounding is not: ln(u) is bounded in [-14.5, 0), so for raw
+    * weights ≥ ~1e4 unnormalized keys collapse onto ~14.5e6/w grains
+    * (and to a single 0.000000 grain past ~1.45e7), degenerating the
+    * heavy-row order to lowest-id. Normalizing puts the rows that
+    * contend for the top-k (w near max) on the finest grain always,
+    * at any weight magnitude — e.g. n_chars on large web documents.
+    *
+    * Scale: one partial-agg max pass (broadcast back as a scalar) +
+    * one narrow projection + TakeOrdered — no wide shuffle, no state;
+    * the 100 TB shape of "sample 1M docs ∝ quality score". Rows with
+    * weight <= 0 or a NULL id never selected. Returns the k sampled
+    * rows as (id, weight, samp_key), key-descending. */
   def weightedSample(df: DataFrame, id: String, weight: Column, k: Int,
       salt: String = "wsample"): DataFrame = {
     require(k > 0, "k must be positive")
+    val pos = df.select(col(id), weight.cast("double").as("weight"))
+      .filter(col("weight") > 0)
+    val wMax = pos.agg(max(col("weight")).as("w_max"))
     val u = (pmod(unitHash(col(id), salt), lit(1000000L))
       .cast("double") + 0.5) / 1000000.0
-    val key = round(log(u) / weight.cast("double"), 6)
+    // exact expression order matters cross-engine: ln(u)/(w/wmax), NOT
+    // ln(u)*wmax/w — the oracle SQL replays this shape token for token
+    val key = round(log(u) / (col("weight") / col("w_max")), 6)
       .cast("decimal(18,6)")
-    df.select(col(id), weight.cast("double").as("weight"),
-        key.cast("double").as("samp_key"))
-      .filter(col("weight") > 0 && col("samp_key").isNotNull)
+    pos.crossJoin(broadcast(wMax))
+      .select(col(id), col("weight"), key.cast("double").as("samp_key"))
+      .filter(col("samp_key").isNotNull)
       .orderBy(col("samp_key").desc, col(id).asc)
       .limit(k)
   }

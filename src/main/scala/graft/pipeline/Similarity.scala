@@ -342,15 +342,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside
-    * LSH: a seeded k-means over (a sample of) the vectors yields
-    * `nCells` centroids; every vector is assigned to its nearest cell
-    * by a codegen'd argmin over broadcast centroid literals, and a
-    * query scans only its `nProbe` nearest cells. At 100 TB the
-    * assignment is one narrow pass (and would be precomputed/persisted
-    * as a `cell` column); per-query cost drops by ~nCells/nProbe.
-    * `nProbe = nCells` degenerates to exact brute force — the spec's
-    * correctness anchor. */
   /** Cluster-balanced corpus sampling (the DataComp/SemDeDup-style
     * topic-balancing pass): assign every vector to its exact-rational
     * k-means cluster, then keep at most `quota` members per cluster —
@@ -424,13 +415,20 @@ object Similarity {
     // HALF_UP, matching the corpus grid round (see pqTopK's rationale)
     val qg = query.map(x => BigDecimal(x.toDouble * 1000)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    // exact BigInt accumulation: with grid values ~±1e3 and ~1e6-member
+    // cells a single squared diff reaches ~4e18, so a Long sum would
+    // overflow silently (the oracle's BIGINT raises instead). The final
+    // BigInt→double cast is the same round-to-nearest as the oracle's
+    // CAST(sum AS DOUBLE)/(n*n), so probe ordering matches exactly.
     val probes = cents.map { case (c, s, n) =>
-      var num = 0L
+      val nB = BigInt(n)
+      var num = BigInt(0)
       var d = 0
       while (d < s.length) {
-        val diff = qg(d) * n - s(d); num += diff * diff; d += 1
+        val diff = BigInt(qg(d)) * nB - BigInt(s(d)); num += diff * diff
+        d += 1
       }
-      (num.toDouble / (n * n), c)
+      (num.toDouble / (n.toDouble * n.toDouble), c)
     }.sortBy(identity).take(nProbe).map(_._2)
     val qVec = array(query.map(lit): _*)
     spark.read.parquet(s"$path/vectors")
@@ -441,6 +439,15 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside
+    * LSH: a seeded k-means over (a sample of) the vectors yields
+    * `nCells` centroids; every vector is assigned to its nearest cell
+    * by a codegen'd argmin over broadcast centroid literals, and a
+    * query scans only its `nProbe` nearest cells. At 100 TB the
+    * assignment is one narrow pass (and would be precomputed/persisted
+    * as a `cell` column); per-query cost drops by ~nCells/nProbe.
+    * `nProbe = nCells` degenerates to exact brute force — the spec's
+    * correctness anchor. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
       seed: Long = 42L, trainSample: Double = 1.0): DataFrame = {

@@ -378,6 +378,58 @@ object Events {
           col("le_p") / col("n") >= lit(0.9 - eps)).as("p90_ok"))
   }
 
+  /** Streaming exact heavy hitters — the Misra-Gries typed aggregator
+    * ([[graft.operators.Aggs.misraGriesAgg]]) lifted onto a
+    * complete-mode stream aggregation, then the exact second pass of
+    * [[graft.operators.Aggs.heavyHittersExact]] over a batch read of
+    * the same data. State is ONE bounded m-counter summary regardless
+    * of stream length or key cardinality — the streaming family's
+    * frequent-items sketch beside the KLL quantile state.
+    *
+    * Determinism across micro-batches: the candidate SET a stream
+    * produces depends on the batch/merge order, but the
+    * mergeable-summaries guarantee (Agarwal et al., PODS'12 — survival
+    * of every key with true frequency > N/(m+1)) holds under ANY
+    * reduce/merge sequence, including the one a micro-batched stream
+    * applies. The exact pass then keeps exactly
+    * { key : trueCount(key) * m > N }, so the verified output EQUALS
+    * the batch operator's and the plain SQL groupBy + HAVING replay —
+    * the same sketch-contract pattern as [[runValueQuantiles]].
+    * `keyExpr` is any deterministic expression over the source columns
+    * (applied identically to the stream and the verification scan). */
+  def runHeavyHitters(spark: SparkSession, path: String,
+      schema: StructType, keyExpr: Column, sinkName: String, m: Int,
+      numStatePartitions: Int = 8): DataFrame = {
+    val dir = stageAsDir(path, "graft_shh")
+    withStatePartitions(spark, numStatePartitions) {
+      val q = readEventStream(spark, dir, schema,
+          maxFilesPerTrigger = filesPerTrigger(dir))
+        .select(keyExpr.as("key"))
+        .agg(udaf(graft.operators.Aggs.misraGriesAgg(m))
+            .apply(col("key")).as("cand"),
+          count(col("key")).as("n"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // exact second pass: count ONLY the <= m streamed candidates (the
+    // shuffle carries at most m distinct keys after the map-side
+    // broadcast filter), keep exact count strictly above N/m
+    val summary = spark.table(sinkName)
+    spark.read.parquet(path)
+      .select(keyExpr.as("key"))
+      .crossJoin(broadcast(summary))
+      .filter(array_contains(col("cand"), col("key")))
+      .groupBy(col("key"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * m > col("n"))
+      .select(col("key"), col("cnt"))
+  }
+
   /** Streaming exact dedup — the pipeline's `Dedup.exact` for live
     * ingestion: `dropDuplicates` on the id columns under an event-time
     * watermark, so Spark keeps one state entry per key and EVICTS it

@@ -38,12 +38,21 @@ class GraphSpec extends SparkSpec {
     val df = edges((es ++ es): _*)
     val pr = Graph.pageRank(df, "src", "dst", iters = 3)
     val total = pr.agg(sum(col("rank"))).head.getDecimal(0).doubleValue()
-    assert(math.abs(total - 1.0) < 1e-6, s"rank mass $total")
+    // truncating integer units only ever LOSE mass: monotone drift,
+    // bounded by a few units per node per sweep + outdeg-1 per source
+    assert(total <= 1.0 + 1e-12 && total > 1.0 - 1e-5, s"rank mass $total")
     val single = ranks(Graph.pageRank(edges(es: _*), "src", "dst", iters = 3))
     assert(ranks(pr) === single)
   }
 
-  test("decimal sums make ranks partitioning-invariant") {
+  test("non-whole-percent damping is rejected (integer-unit contract)") {
+    val e = edges(1L -> 2L, 2L -> 1L)
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "src", "dst", iters = 1, damping = 0.855)
+    }
+  }
+
+  test("integer units make ranks partitioning-invariant") {
     val r = new scala.util.Random(7)
     val es = (1 to 500).map(_ => (r.nextInt(60).toLong, r.nextInt(60).toLong))
     val a = ranks(Graph.pageRank(edges(es: _*).repartition(1),

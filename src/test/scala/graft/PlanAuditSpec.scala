@@ -607,6 +607,24 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan.take(2500))
   }
 
+  test("pageRank lineage-truncates: deep runs plan only the tail after the last checkpoint") {
+    val e = spark.createDataFrame(
+      (1 to 100).map(i => (i.toLong % 13, (i * 5L + 1) % 13)))
+      .toDF("src", "dst")
+    def joins(it: Int, ck: Int) = {
+      val p = pipeline.Graph.pageRank(e, "src", "dst", iters = it,
+        checkpointEvery = ck).queryExecution.optimizedPlan.toString
+      "Join".r.findAllIn(p).length
+    }
+    // checkpointEvery=4 truncates before sweeps 5,9,13,17: a 20-sweep
+    // run plans at most 4 tail sweeps, so its join count is bounded by
+    // a 5-sweep plan's. The uncheckpointed 20-sweep plan is not built
+    // as a baseline on purpose — ANALYZING it is itself super-linear
+    // (minutes at depth 20), which is exactly why the truncation
+    // parameter exists.
+    assert(joins(20, 4) <= joins(5, 100))
+  }
+
   test("editDistancePairs: variant equi-join, no quadratic fallback") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), lower(substring(col("text"), 1, 12)).as("k"))

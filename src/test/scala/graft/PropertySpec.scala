@@ -337,4 +337,39 @@ class PropertySpec extends SparkSpec {
           .map(g => h60(s"dsir-feat|$g") % 257), s"db of $ts")
     }
   }
+
+  test("token n-gram kernels compact null tokens — defined for ANY caller") {
+    // the kernels declare containsNull=false output; a null input token
+    // contributes no gram (compacted before gram formation) instead of
+    // NPE-ing — result equals the kernel over the null-free compaction
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    def ngrams(ts: Seq[String], n: Int): Seq[String] =
+      if (ts.length >= n)
+        (0 to ts.length - n).map(i => ts.slice(i, i + n).mkString(" "))
+      else Seq.empty
+    val rows = Seq(
+      (0L, Seq[String]("a", null, "b", "c", "d")),
+      (1L, Seq[String](null, null)),
+      (2L, Seq[String]("x", "y", null, "z", "w")),
+      (3L, Seq[String]("p", "q", "r")))
+    val df = spark.createDataFrame(rows).toDF("i", "w")
+    val got = df.select(col("i"),
+        TextKernels.tokenNgrams(col("w"), 2).as("tng"),
+        TextKernels.tokenNgramHashes(col("w"), 2, "decon").as("tnh"),
+        TextKernels.dsirBuckets(col("w"), 257, "dsir-feat").as("db"))
+      .orderBy("i").collect()
+    got.zip(rows).foreach { case (r, (_, ts0)) =>
+      val ts = ts0.filter(_ != null)
+      assert(r.getSeq[String](1) === ngrams(ts, 2), s"tng of $ts0")
+      assert(r.getSeq[Long](2) ===
+        ngrams(ts, 2).map(g => h60(s"decon|$g")), s"tnh of $ts0")
+      assert(r.getSeq[Long](3) ===
+        (ngrams(ts, 1) ++ ngrams(ts, 2))
+          .map(g => h60(s"dsir-feat|$g") % 257), s"db of $ts0")
+    }
+  }
 }

@@ -171,6 +171,48 @@ class SamplingSpec extends SparkSpec {
     assert(z === 0L)
   }
 
+  test("temperatureSample: alpha flattens head strata toward the tail; deterministic") {
+    // head stratum 10x the tail: natural sampling (alpha=1) keeps the
+    // 10:1 ratio; alpha=0.5 targets sqrt(10):1 ≈ 3.2, so the tail's
+    // absolute cut must RISE at the same budget
+    val rows = (0L until 1100L).map(i =>
+      (i, if (i < 1000) "big" else "small"))
+    val df = spark.createDataFrame(rows).toDF("id", "s").repartition(4)
+    def byStratum(alpha: Double) =
+      Sampling.temperatureSample(df, "id", "s", k = 300, alpha = alpha)
+        .groupBy("s").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nat = byStratum(1.0)   // ppt 273 for BOTH strata: ~10:1 rows
+    val flat = byStratum(0.5)  // ppt big 228, small 721
+    assert(nat("big") > 4 * nat("small"))
+    assert(flat("small") > nat("small"))
+    assert(flat("big") < nat("big"))
+    // same salt -> same membership
+    val a = Sampling.temperatureSample(df, "id", "s", 300, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.temperatureSample(df, "id", "s", 300, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("weightedSample: scale-invariant — heavy raw weights don't collapse the key grid") {
+    // pre-fix, ln(u)/w rounded at 6 ABSOLUTE decimals: for w >= ~1.45e7
+    // every key rounds to 0.000000 and selection degenerates to
+    // ascending id. Selection ∝ w is invariant under a positive scalar
+    // on all weights, so the sample at w*1e7 must EQUAL the sample at w.
+    val rows = (0L until 1000L).map(i =>
+      (i, if (i < 100) 1000.0 else 1.0))
+    val df = spark.createDataFrame(rows).toDF("id", "w").repartition(4)
+    val base = Sampling.weightedSample(df, "id", col("w"), k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    val scaled = Sampling.weightedSample(
+      df.withColumn("w", col("w") * 1.0e7), "id", col("w"), k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(scaled === base, "sample must be invariant to weight scaling")
+    assert(scaled !== (0L until 50L).toSeq, "not lowest-id degenerate")
+  }
+
   test("dsirSelect: target-like docs outweigh off-target docs") {
     // two disjoint vocabularies: target docs speak "alpha beta gamma",
     // off-target docs speak "zeta eta theta"; two probe docs (never in

@@ -448,4 +448,36 @@ class StreamingSpec extends SparkSpec {
     assert(hPairs === Set((40L, 991L)))
     assert(pPairs === Set((40L, 991L), (30L, 992L)))
   }
+
+  test("stream heavy hitters: MG state merged across micro-batches equals batch exact") {
+    // 3 engineered hot keys (~25% each) in a ~750-distinct-key tail,
+    // m = 16 counters: every micro-batch merge truncates the summary
+    // (the decrement step fires), yet the PODS'12 survival guarantee
+    // keeps all keys above N/(m+1) — so the exact second pass yields
+    // EXACTLY { key : cnt * m > N }, equal to the batch operator and
+    // the brute-force model, independent of batch boundaries.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shh_spec").toString
+    val n = 3000
+    val rows = (0 until n).map { i =>
+      if (i % 4 != 0) (i.toLong, s"hot_${i % 3}")
+      else (i.toLong, s"cold_$i")
+    }
+    // 5 part files -> multiple micro-batches (filesPerTrigger targets 4)
+    spark.createDataFrame(rows).toDF("event_id", "key")
+      .repartition(5).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val m = 16
+    val got = Events.runHeavyHitters(spark, dir, schema, col("key"),
+        s"shh_spec_${System.nanoTime()}", m = m)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Aggs.heavyHittersExact(
+        spark.read.parquet(dir), "key", m)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expect = counts.filter { case (_, c) => c * m > n }
+    assert(expect.keySet === Set("hot_0", "hot_1", "hot_2"))
+    assert(got === expect)
+    assert(batch === expect)
+  }
 }

@@ -132,4 +132,33 @@ class WinnowSpec extends SparkSpec {
     assert(got.contains((1L, 2L))) // the planted shared run
     assert(got.contains((3L, 5L))) // normalization-invariant pair
   }
+
+  test("verifySharedRuns: gram-slice iteration is output-invariant (bounded-disk mode)") {
+    // distinct grams partition exactly across hash residue classes, so
+    // per-pair counts sum across slices to the unsliced aggregation —
+    // the equality that lets the sf10 parity verification run in K
+    // sequential sub-joins, each under the transient-disk budget
+    val t = K + W - 1
+    val r = new scala.util.Random(23)
+    val shared = randWord(r, t + 9)
+    val base = randWord(r, 120)
+    val all = Seq(
+      1L -> (randWord(r, 40) + shared + randWord(r, 40)),
+      2L -> (shared + randWord(r, 60)),
+      3L -> base,
+      4L -> (base.take(70) + randWord(r, 50)),
+      5L -> randWord(r, 100))
+    val df = spark.createDataFrame(all).toDF("doc_id", "text")
+    val cand = Dedup.winnowSubstringPairs(df, "doc_id", "text", K, W)
+      .select("id_a", "id_b")
+    def run(slices: Int) =
+      Dedup.verifySharedRuns(cand, df, "doc_id", "text", t,
+          slices = slices)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val unsliced = run(1)
+    assert(unsliced.nonEmpty)
+    assert(run(3) === unsliced)
+    assert(run(7) === unsliced)
+  }
 }
