@@ -376,11 +376,108 @@ object Dedup {
     * runs on the (linear) candidate set. That equality is what the
     * DuckDB gate checks independently. */
   def winnowSubstringPairs(df: DataFrame, id: String, text: String,
-      k: Int = 16, w: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
+      k: Int = 16, w: Int = 4, maxBucketSize: Int = 10000,
+      slices: Int = defaultGramSlices): DataFrame = {
     val t = k + w - 1
-    val (cand, _) = winnowCandidates(df, id, text, k, w, minShared = 1,
-      maxBucketSize)
-    verifySharedRuns(cand.select("id_a", "id_b"), df, id, text, t)
+    if (slices == 1) {
+      val (cand, _) = winnowCandidates(df, id, text, k, w, minShared = 1,
+        maxBucketSize)
+      verifySharedRuns(cand.select("id_a", "id_b"), df, id, text, t)
+    } else {
+      winnowSubstringPairsSliced(df, id, text, k, w, maxBucketSize,
+        slices)
+    }
+  }
+
+  /** Bounded-disk form of [[winnowSubstringPairs]] (slices > 1): equal
+    * output, but NOTHING pair-candidate-scaled ever materializes.
+    *
+    * Why the default path can't run at sf10 on one box: the candidate
+    * pair set is quadratic in fingerprint-bucket sizes — measured
+    * 1.69e9 pair incidences at sf10, 1.3e9 of them from 14k hot
+    * buckets of 100-3500 docs, all UNDER the 10k cap — and its
+    * localCheckpoint alone filled a 73 GB block manager. The round-11
+    * diagnosis blamed the verification join; the r12 WinnowDiag
+    * measurement shows the candidate materialization is the real
+    * floor.
+    *
+    * The bounded plan keeps only output-scaled or doc-scaled frames:
+    *  1. candidate DOCS derive LINEARLY from bucket sizes (a doc is in
+    *     some pair iff one of its fps lands in a bucket of 2..cap
+    *     docs) — no pair join;
+    *  2. exact shared-gram counts compute per 64-bit-gram-hash residue
+    *     class, each a sequential sub-join shuffling ~1/slices of the
+    *     gram stream (the [[verifySharedRuns]] slicing argument:
+    *     distinct grams partition across residues, counts sum);
+    *  3. the candidate cross-check (which prunes gram-sharing pairs
+    *     whose every shared fingerprint was cap-dropped — exact parity
+    *     with the default path) runs per FINGERPRINT residue class as
+    *     a semi-join whose probe side streams 1/slices of the bucket
+    *     pair incidences and whose survivors are output-scaled.
+    * WinnowSpec pins sliced == unsliced output. */
+  private def winnowSubstringPairsSliced(df: DataFrame, id: String,
+      text: String, k: Int, w: Int, maxBucketSize: Int, slices: Int)
+      : DataFrame = {
+    val t = k + w - 1
+    val DiskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    def flat = df.select(col(id).as("doc"),
+      explode(Text.winnowFingerprints(col(text), k, w)).as("fp"))
+    val candDocs = capBuckets(flat, Seq("fp"), maxBucketSize)
+      .select(col("doc")).distinct()
+      .localCheckpoint(true, DiskOnly)
+    def g = df.select(col(id).as("doc"),
+        array_distinct(graft.functions.TextKernels.gramHashes(
+          Text.fingerprintNormalize(col(text)), t)).as("__g"))
+      .join(candDocs, Seq("doc"), "left_semi")
+      .select(col("doc"), explode(col("__g")).as("g"))
+    def gramCounts(r: Int): DataFrame = {
+      val gr = g.filter(pmod(col("g"), lit(slices.toLong)) === r)
+      gr.select(col("g"), col("doc").as("id_a"))
+        .join(gr.select(col("g"), col("doc").as("id_b")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    }
+    // Incremental folds, NOT collect-all-parts-then-merge: at sf10 the
+    // ANSWER itself is tens of GB (near-dup pairs share grams in every
+    // residue, so per-slice parts are each answer-scaled), and holding
+    // all `slices` parts before one merge re-created the disk floor.
+    // Folding keeps at most TWO answer-scaled frames alive at once —
+    // the previous accumulator (released to the ContextCleaner after
+    // the merge materializes) and the merged result.
+    val counts = (0 until slices).foldLeft(Option.empty[DataFrame]) {
+      (acc, r) =>
+        val part = gramCounts(r)
+        val merged = acc match {
+          case None => part
+          case Some(a) => a.union(part).groupBy("id_a", "id_b")
+            .agg(sum(col("n_shared")).as("n_shared"))
+        }
+        val m = merged.localCheckpoint(true, DiskOnly)
+        System.gc()
+        Some(m)
+    }.get
+    val surv = (0 until slices).foldLeft(Option.empty[DataFrame]) {
+      (acc, r) =>
+        // per-fp-residue bucket counts equal the global ones (counts
+        // are per-fp), so capBuckets inside the residue is exact — and
+        // its count shuffle is 1/slices instead of the full stream
+        val pr = capBuckets(
+          flat.filter(pmod(col("fp"), lit(slices.toLong)) === r),
+          Seq("fp"), maxBucketSize)
+        val pairsR = pr.select(col("fp"), col("doc").as("id_a"))
+          .join(pr.select(col("fp"), col("doc").as("id_b")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        val s = counts.join(pairsR, Seq("id_a", "id_b"), "left_semi")
+        val merged = acc match {
+          case None => s
+          case Some(a) => a.union(s).distinct()
+        }
+        val m = merged.localCheckpoint(true, DiskOnly)
+        System.gc()
+        Some(m)
+    }.get
+    surv.select("id_a", "id_b", "n_shared")
   }
 
   /** Exact shared-run verification for winnow candidate pairs: count
@@ -403,20 +500,30 @@ object Dedup {
     * sub-jobs. Distinct grams partition exactly across residue classes,
     * so per-pair shared counts are the sums of per-slice counts — the
     * union-then-sum equals the unsliced aggregation BY CONSTRUCTION
-    * (WinnowSpec pins the equality). Each slice shuffles ~1/slices of
-    * the gram rows and its shuffle files are released (lineage is
-    * truncated by the eager checkpoint; the GC hint lets the
-    * ContextCleaner reclaim them) before the next slice starts, so peak
-    * transient shuffle disk is ~1/slices of the single-join cost — a
-    * pure wall-clock-for-disk trade with bit-identical output. This is
-    * what lets the sf10 winnow-parity verification (measured 77 GB
-    * single-join shuffle vs this box's 78 GB free) run on one machine;
+    * (WinnowSpec pins the equality). Each slice recomputes the gram
+    * stream and filters its residue class (persisting the exploded
+    * stream instead measured ~40+ GB at sf10 — most of the budget the
+    * slicing frees), shuffling ~1/slices of the rows; a finished
+    * slice's shuffle files are released (lineage truncated by the
+    * eager checkpoint; the GC hint lets the ContextCleaner reclaim
+    * them) while the next slice runs, so peak transient shuffle disk
+    * is ~a few slices' worth instead of the whole join — a
+    * wall-clock-for-disk trade with bit-identical output. This is what
+    * lets the sf10 winnow-parity verification (measured 77 GB
+    * single-join shuffle vs this box's free disk) run on one machine;
     * on a real cluster the unsliced join simply scales out. */
   private[graft] def verifySharedRuns(cand: DataFrame, docs: DataFrame,
       id: String, text: String, t: Int,
       slices: Int = defaultGramSlices): DataFrame = {
     require(slices >= 1, "slices must be >= 1")
-    val candM = cand.localCheckpoint(false)
+    // sliced mode exists BECAUSE the box is disk-constrained: every
+    // materialization in this path goes DISK_ONLY there (blocks stream
+    // through the block manager; a memory-first put of GB partitions
+    // is what OOM'd winnowContamination at sf10)
+    val candM =
+      if (slices == 1) cand.localCheckpoint(false)
+      else cand.localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val candDocs = candM.select(col("id_a").as("doc"))
       .union(candM.select(col("id_b").as("doc"))).distinct()
     // no cast on the id: the candidate side carries the caller's id
@@ -445,14 +552,20 @@ object Dedup {
       if (slices == 1) pairCounts(g)
       else {
         val parts = (0 until slices).map { r =>
-          // eager checkpoint = this slice's sub-join runs NOW (the
-          // driver loop serializes the slices) and its result — only
+          // each slice RECOMPUTES the gram stream and filters its
+          // residue class — deliberately trading `slices` extra
+          // normalize+hash corpus scans (CPU, ~linear) for disk: a
+          // DISK_ONLY persist of the exploded gram stream measured
+          // ~40+ GB at sf10, most of the budget the slicing frees.
+          // The eager checkpoint makes this slice's sub-join run NOW
+          // (the driver loop serializes the slices); its result — only
           // the true shared-run pairs, tiny next to the gram stream —
           // is pinned with lineage truncated, making the slice's
           // shuffle dependencies unreachable
           val p = pairCounts(
             g.filter(pmod(col("g"), lit(slices.toLong)) === r))
-            .localCheckpoint()
+            .localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.DISK_ONLY)
           // async reclaim of the finished slice's shuffle files before
           // the next slice writes its own
           System.gc()

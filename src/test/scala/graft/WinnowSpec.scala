@@ -160,5 +160,17 @@ class WinnowSpec extends SparkSpec {
     assert(unsliced.nonEmpty)
     assert(run(3) === unsliced)
     assert(run(7) === unsliced)
+    // the full bounded-disk operator path (linear candDocs from bucket
+    // sizes + sliced gram counts + sliced candidate cross-check) must
+    // equal the default candidate-join path exactly
+    def full(slices: Int) =
+      Dedup.winnowSubstringPairs(df, "doc_id", "text", K, W,
+          maxBucketSize = 10000, slices = slices)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val fullDefault = full(1)
+    assert(fullDefault.nonEmpty)
+    assert(full(3) === fullDefault)
+    assert(full(5) === fullDefault)
   }
 }
