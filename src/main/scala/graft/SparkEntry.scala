@@ -941,11 +941,12 @@ object SparkEntry {
 
     // --- PageRank domain-authority prior (crawl curation): 3 power
     // sweeps with dangling redistribution over a synthesized 53-node
-    // link graph. All sweep arithmetic is EXACT 64-bit integer math in
-    // 1e-9 rank units (truncating division), so the oracle's
-    // unrolled-CTE replay is bit-identical at ANY scale factor — the
-    // r11 per-sweep round(double, 9) contract broke at sf0.1 on a
-    // 1-ULP double-literal difference between engines -----------------------
+    // link graph. All arithmetic INCLUDING the output column is EXACT
+    // 64-bit integer math in 1e-9 rank units (truncating division) —
+    // the r11 per-sweep round(double,9) broke at sf0.1 on a 1-ULP
+    // engine difference, and the r12 terminal units→DECIMAL
+    // reconstruction broke on the driver's duckdb/pandas stack, so the
+    // gate emits rank_units BIGINT verbatim --------------------------------
     "pipe_pagerank" -> ((s, dir) => {
       val e = t(s, dir, "documents").select(
         (col("doc_id") % 53).as("src"),
@@ -4880,10 +4881,11 @@ object SparkEntry {
     // three unrolled PageRank sweeps in pure SQL, mirroring the
     // engine's exact integer-unit contract: ranks are BIGINT counts of
     // 1e-9 units, every division is truncating integer division (//),
-    // every sum is exact — no double touches a sweep, so the replay is
-    // bit-identical at any SF by construction. The final DECIMAL(18,9)
-    // reconstruction round(units/1e9, 9) is the only double op and is
-    // exact (units < 2^53, half-ulp from the 9dp grid point).
+    // every sum is exact, and the OUTPUT is the raw unit count — no
+    // double touches the hashed value anywhere (the r12 terminal
+    // round(units/1e9,9)→DECIMAL reconstruction proved stack-dependent
+    // on the driver's duckdb/pandas despite being half-ulp-safe on
+    // paper), so the replay is bit-identical on any engine and stack.
     "pipe_pagerank" ->
       """WITH e AS (
         |  SELECT DISTINCT doc_id % 53 AS src, (doc_id * 7 + 3) % 53 AS dst
@@ -4937,9 +4939,7 @@ object SparkEntry {
         |    + (85 * (SELECT dang FROM d3)) // (100 * (SELECT nn FROM n))
         |    AS ru
         |  FROM nodes LEFT JOIN s3 s USING (node))
-        |SELECT node,
-        |  CAST(round(CAST(ru AS DOUBLE) / 1000000000, 9)
-        |    AS DECIMAL(18,9)) AS rank
+        |SELECT node, CAST(ru AS BIGINT) AS rank_units
         |FROM r3""".stripMargin,
 
     // frozen-index anti-join + batch self-dedup, replayed directly

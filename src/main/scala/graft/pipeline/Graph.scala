@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   * the doubles feeding it, and `(1.0 - 0.85)` vs the literal `0.15`
   * differ by 1 ULP, flipping 9dp rounding on boundary values that only
   * appear in denser (larger-SF) graphs. Integer units have no boundary
-  * values. The final rank column is reconstructed once at the end as
-  * DECIMAL(18,9) = round(units/1e9, 9): units < 2^53 so the double
-  * quotient is within a half-ulp of the true 9dp grid point and both
-  * engines recover it exactly. */
+  * values. The OUTPUT is the integer unit count itself (`rank_units`
+  * BIGINT = rank × 1e9) — round 12 proved that even a single terminal
+  * `round(CAST(units AS DOUBLE)/1e9, 9) → DECIMAL` reconstruction,
+  * though half-ulp-safe on paper, lands a different last digit on some
+  * duckdb/pandas stacks; the only engine- AND stack-robust contract is
+  * one where no double touches the emitted value at all. Callers who
+  * want a [0,1] rank divide by 1e9 themselves, with their own rounding
+  * policy. */
 object Graph {
 
-  private val RankType = "decimal(18,9)"
   /** 1 rank = 1e9 units; all sweep math is exact in these units. */
   private val Unit = 1000000000L
 
@@ -95,11 +98,8 @@ object Graph {
             s" + ($dNum * coalesce(in_sum, CAST(0 AS BIGINT))) div 100" +
             s" + ($dNum * dang) div (100 * n_nodes)").as("ru"))
     }
-    // units -> DECIMAL(18,9): ru < 2^53 so ru/1e9 in double is within
-    // half-ulp of the exact 9dp value; round(…, 9) recovers it exactly
-    // in any IEEE-754 engine.
-    iterated.select(col("node"),
-      round(col("ru").cast("double") / lit(Unit.toDouble), 9)
-        .cast(RankType).as("rank"))
+    // emit the exact integer unit count verbatim — no double, no
+    // decimal reconstruction, nothing stack-dependent (rank = units/1e9)
+    iterated.select(col("node"), col("ru").as("rank_units"))
   }
 }
