@@ -1335,16 +1335,16 @@ object SparkEntry {
 
     // --- temperature-flattened mixture sampling (mC4/PaLM rule,
     // share ∝ n_lang^0.5): per-stratum ppt rates derived in-plan from
-    // the observed sizes and a budget of corpus/10 rows; the only
-    // doubles are one pow/round per stratum, replayed token-for-token
-    // by the oracle — membership itself is the integer md5 filter -----------
-    "pipe_temperature_mix" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // Long division matches the oracle's count(*) // 10
-      pipeline.Sampling.temperatureSample(docs, "doc_id", "lang",
-          k = docs.count() / 10, alpha = 0.5)
-        .select("doc_id", "lang")
-    }),
+    // the observed sizes and a budget of corpus/10 rows (also derived
+    // in-plan — ONE job, no driver-side count). For α=0.5 the whole
+    // contract is exact integer arithmetic: sqrt grid points via
+    // Newton-corrected isqrt, ppt via integer half-up division — no
+    // double anywhere a stack could evaluate differently ---------------------
+    "pipe_temperature_mix" -> ((s, dir) =>
+      pipeline.Sampling.temperatureSampleBudgetDiv(
+          t(s, dir, "documents"), "doc_id", "lang",
+          budgetDiv = 10, alpha = 0.5)
+        .select("doc_id", "lang")),
 
     // --- deterministic train/val/test split: md5 bucket walk, one
     // narrow projection; membership re-derives in any engine ---------------
@@ -5895,24 +5895,37 @@ object SparkEntry {
         |    WHEN 'fr' THEN 250 WHEN 'es' THEN 125 WHEN 'zh' THEN 50
         |    ELSE 0 END""".stripMargin,
 
-    // per-stratum ppt = min(1000, round(1000 * k * n^0.5 / z / n)),
-    // k = corpus//10; each pow lands on the 6dp decimal grid before z's
-    // EXACT decimal sum (order-independent), then the same one-shot
-    // double round the engine computes, then the integer md5 filter
+    // exact-integer replay of the α=0.5 contract: sqrt grid points in
+    // 1e-6 pow units via Newton-corrected isqrt (the double sqrt only
+    // SEEDS the estimate; integer compares fix its ±1), k = corpus//10,
+    // ppt = (2000·k·pu + z·n) // (2·z·n) — half-up in pure HUGEINT
+    // arithmetic, then the integer md5 membership filter. No double
+    // influences any compared value on either engine.
     "pipe_temperature_mix" ->
       """WITH c AS (
-        |  SELECT lang AS s, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(round(pow(count(*), 0.5), 6) AS DECIMAL(28,6)) AS pg
+        |  SELECT lang AS s, CAST(count(*) AS BIGINT) AS n
         |  FROM documents GROUP BY 1),
-        |z AS (SELECT sum(pg) AS z FROM c),
+        |c2 AS (
+        |  SELECT s, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 2000000) AS BIGINT) AS s0,
+        |    CAST(n AS HUGEINT) * 4000000000000 AS m
+        |  FROM c),
+        |c3 AS (
+        |  SELECT s, n,
+        |    ((s0 + (CASE
+        |        WHEN CAST(s0 + 1 AS HUGEINT) * CAST(s0 + 1 AS HUGEINT) <= m
+        |          THEN 1
+        |        WHEN CAST(s0 AS HUGEINT) * CAST(s0 AS HUGEINT) > m THEN -1
+        |        ELSE 0 END)) + 1) // 2 AS pu
+        |  FROM c2),
+        |z AS (SELECT CAST(sum(pu) AS HUGEINT) AS z FROM c3),
         |kk AS (SELECT count(*) // 10 AS k FROM documents),
         |r AS (
-        |  SELECT s, least(1000, CAST(round(
-        |      1000.0 * CAST((SELECT k FROM kk) AS DOUBLE)
-        |        * CAST(pg AS DOUBLE)
-        |        / CAST((SELECT z FROM z) AS DOUBLE) / n)
-        |    AS BIGINT)) AS ppt
-        |  FROM c)
+        |  SELECT s, least(1000, CAST(
+        |    (2000 * CAST((SELECT k FROM kk) AS HUGEINT) * pu
+        |       + (SELECT z FROM z) * n)
+        |    // (2 * (SELECT z FROM z) * n) AS BIGINT)) AS ppt
+        |  FROM c3)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN r ON d.lang = r.s
         |WHERE CAST(('0x' || substr(md5('tmix|' || CAST(doc_id AS VARCHAR)),

@@ -53,36 +53,98 @@ object Sampling {
     * pass the same deterministic md5 Bernoulli filter as
     * [[stratifiedSample]] — membership replays in any engine.
     *
-    * Determinism contract: the only double arithmetic is the ONE
-    * pow/divide/round per stratum (a handful of scalars, the BM25-
-    * style one-shot rounding — not a per-row boundary), computed from
-    * the same expression shape in both engines; per-row comparisons
-    * are integer-only. Expected output size is ~k rows (Bernoulli,
-    * not exact-k; an exact-k per-stratum cut is `clusterBalance`).
+    * Determinism contract (round 13, after the pagerank stack lesson):
+    * every value that can influence membership is EXACT integer
+    * arithmetic. n_s^α is carried in 1e-6 "pow units"; for α = 0.5 the
+    * grid point is the exact integer sqrt (a double sqrt only SEEDS a
+    * Newton correction whose compares are integer — the seed's ULPs
+    * cannot change the result), for α = 1 it is n·1e6 exactly, and
+    * only for other α does one pow/round per stratum remain a
+    * documented one-shot double (not per-row). z is an exact BIGINT
+    * sum of pow units; ppt = (2000·k·pu + z·n) div (2·z·n) is the
+    * half-up rounding of 1000·k·pu/(z·n) in pure integer/decimal ops.
+    * No double touches any emitted or compared value for α ∈ {0.5, 1}.
+    * Expected output size is ~k rows (Bernoulli, not exact-k; an
+    * exact-k per-stratum cut is `clusterBalance`).
     *
     * Scale: one map-side-combined count per stratum (≤ |strata| rows),
     * a broadcast rate join, and one codegen'd filter pass — no wide
     * shuffle, no driver participation. Returns the surviving rows. */
   def temperatureSample(df: DataFrame, id: String, stratum: String,
       k: Long, alpha: Double, salt: String = "tmix"): DataFrame = {
+    require(k > 0 && k <= 1000000000000000L,
+      "row budget k must be in (0, 1e15]")
+    temperatureSampleImpl(df, id, stratum, lit(k), alpha, salt)
+  }
+
+  /** As [[temperatureSample]] but the row budget is derived IN the
+    * plan as total_rows div budgetDiv (e.g. 10 → keep ~a tenth of the
+    * corpus) — the stratum-count aggregation already computes the
+    * total, so sizing the budget costs no extra pass and no separate
+    * driver-side count job. */
+  def temperatureSampleBudgetDiv(df: DataFrame, id: String,
+      stratum: String, budgetDiv: Long, alpha: Double,
+      salt: String = "tmix"): DataFrame = {
+    require(budgetDiv > 0, "budgetDiv must be positive")
+    temperatureSampleImpl(df, id, stratum,
+      expr(s"__ntot div CAST($budgetDiv AS BIGINT)"), alpha, salt)
+  }
+
+  /** Attaches `__pu` = n^α in exact 1e-6 "pow units" to a counts frame
+    * with column `__n`. α = 0.5: pu = round_half_up(sqrt(n)·1e6)
+    * computed EXACTLY as (isqrt(4·n·1e12) + 1) div 2 — sqrt(n) is
+    * irrational unless n is a perfect square, so the half-up tie is
+    * unreachable and the parity trick is exact; the double sqrt seeds
+    * an estimate whose ±1 error a Newton step corrects with integer
+    * compares (seed absolute error ≤ sqrt(n)·2e-10 < 1 for n ≤ 1e18).
+    * α = 1: pu = n·1e6. Other α: one-shot round(pow(n,α),6) double per
+    * stratum on a 6dp decimal grid — documented residual engine risk
+    * (JVM vs libm pow may differ ≥1 ULP on a boundary value). */
+  private[graft] def powUnits(counts: DataFrame, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
-    require(k > 0, "row budget k must be positive")
+    if (alpha == 1.0)
+      counts.withColumn("__pu", expr("__n * CAST(1000000 AS BIGINT)"))
+    else if (alpha == 0.5)
+      counts
+        .withColumn("__m", expr(
+          "CAST(__n AS DECIMAL(20,0)) * CAST(4000000000000 AS DECIMAL(13,0))"))
+        .withColumn("__s0", expr(
+          "CAST(FLOOR(SQRT(CAST(__n AS DOUBLE)) * 2000000.0D) AS BIGINT)"))
+        .withColumn("__pu", expr(
+          "(__s0 + (CASE WHEN CAST(__s0 + 1 AS DECIMAL(16,0))" +
+            " * CAST(__s0 + 1 AS DECIMAL(16,0)) <= __m THEN 1" +
+            " WHEN CAST(__s0 AS DECIMAL(16,0))" +
+            " * CAST(__s0 AS DECIMAL(16,0)) > __m THEN -1" +
+            " ELSE 0 END) + 1) div 2"))
+        .drop("__m", "__s0")
+    else
+      counts.withColumn("__pu", expr(
+        s"CAST(CAST(round(pow(CAST(__n AS DOUBLE), ${alpha}D), 6)" +
+          " AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
+  }
+
+  private def temperatureSampleImpl(df: DataFrame, id: String,
+      stratum: String, kCol: Column, alpha: Double,
+      salt: String): DataFrame = {
     val counts = df.groupBy(col(stratum).as("__s"))
       .agg(count(lit(1)).as("__n"))
-    // each stratum's pow lands on a 6dp decimal grid BEFORE the sum, so
-    // z is an exact decimal total independent of summation order (a raw
-    // double sum over strata is order-sensitive at the last ULP — the
-    // pagerank cross-engine lesson)
-    val powGrid = round(pow(col("__n"), lit(alpha)), 6)
-      .cast("decimal(28,6)")
-    val z = counts.agg(sum(powGrid).as("__z"))
-    val rates = counts.crossJoin(broadcast(z))
+    val withPu = powUnits(counts, alpha)
+    // z: exact BIGINT sum of pow units (order-independent); __ntot
+    // feeds the in-plan budget variant and costs nothing extra
+    val z = withPu
+      .agg(sum(col("__pu")).as("__z"), sum(col("__n")).as("__ntot"))
+      .select(col("__z"), kCol.cast("long").as("__k"))
+    // ppt = half-up(1000·k·pu / (z·n)) = (2000·k·pu + z·n) div (2·z·n)
+    // — decimal(≤38,0) products stay integer-exact at these magnitudes
+    // (k ≤ 1e15, pu ≤ 1e15, z ≤ 1e19, n ≤ 1e18), div is integral
+    val rates = withPu.crossJoin(broadcast(z))
       .select(col("__s"),
-        least(lit(1000L),
-          round(lit(1000.0) * lit(k.toDouble)
-            * powGrid.cast("double") / col("__z").cast("double")
-            / col("__n"))
-            .cast("long")).as("__ppt"))
+        least(lit(1000L), expr(
+          "(CAST(2000 AS DECIMAL(4,0)) * CAST(__k AS DECIMAL(16,0))" +
+            " * CAST(__pu AS DECIMAL(17,0))" +
+            " + CAST(__z AS DECIMAL(19,0)) * CAST(__n AS DECIMAL(18,0)))" +
+            " div (2 * CAST(__z AS DECIMAL(19,0))" +
+            " * CAST(__n AS DECIMAL(18,0)))")).as("__ppt"))
     df.join(broadcast(rates), col(stratum) === col("__s"))
       .filter(pmod(unitHash(col(id), salt), lit(1000L)) < col("__ppt"))
       .drop("__s", "__ppt")

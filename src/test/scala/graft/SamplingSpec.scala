@@ -171,6 +171,68 @@ class SamplingSpec extends SparkSpec {
     assert(z === 0L)
   }
 
+  test("powUnits(alpha=0.5): Newton-corrected isqrt grid is exact vs a BigDecimal model") {
+    // the engine value must equal round_half_up(sqrt(n) * 1e6) computed
+    // at 60-digit precision — for every n, including perfect squares
+    // and their neighbours (where the double-sqrt seed is most likely
+    // to land on the wrong side of the grid line)
+    val squares = (1L to 2000L).flatMap(i => Seq(i * i - 1, i * i, i * i + 1))
+    val rnd = new scala.util.Random(13)
+    val big = (1 to 300).map(_ => 1L + (rnd.nextLong(4000000000000L)))
+    val ns = ((1L to 3000L) ++ squares ++ big).distinct.filter(_ > 0)
+    val df = spark.createDataFrame(ns.map(Tuple1(_))).toDF("__n")
+    val got = Sampling.powUnits(df, 0.5)
+      .select(col("__n"), col("__pu").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mc = new java.math.MathContext(60)
+    ns.foreach { n =>
+      val exact = new java.math.BigDecimal(n).sqrt(mc)
+        .movePointRight(6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      assert(got(n) === exact, s"n=$n")
+    }
+  }
+
+  test("temperature ppt: integer half-up division matches a BigInteger model") {
+    // ppt = (2000·k·pu + z·n) div (2·z·n) must equal
+    // round_half_up(1000·k·pu / (z·n)) for magnitudes up to the
+    // documented bounds (k ≤ 1e15, pu ≤ 1e15, z ≤ 1e19) — pin the
+    // Spark decimal expression against exact BigInteger arithmetic
+    val rnd = new scala.util.Random(29)
+    val cases = (1 to 200).map { _ =>
+      val n = 1L + rnd.nextLong(1000000000000L)
+      val pu = 1L + rnd.nextLong(1000000000000000L)
+      val z = pu + rnd.nextLong(1000000000000000L)
+      val k = 1L + rnd.nextLong(1000000000000000L)
+      (n, pu, z, k)
+    }
+    val df = spark.createDataFrame(cases).toDF("__n", "__pu", "__z", "__k")
+    val got = df.select(col("__n"), col("__pu"), col("__z"), col("__k"),
+      expr("(CAST(2000 AS DECIMAL(4,0)) * CAST(__k AS DECIMAL(16,0))" +
+        " * CAST(__pu AS DECIMAL(17,0))" +
+        " + CAST(__z AS DECIMAL(19,0)) * CAST(__n AS DECIMAL(18,0)))" +
+        " div (2 * CAST(__z AS DECIMAL(19,0))" +
+        " * CAST(__n AS DECIMAL(18,0)))").as("ppt")).collect()
+    got.foreach { r =>
+      val (n, pu, z, k) =
+        (BigInt(r.getLong(0)), BigInt(r.getLong(1)),
+          BigInt(r.getLong(2)), BigInt(r.getLong(3)))
+      val expect = (2000 * k * pu + z * n) / (2 * z * n)
+      assert(BigInt(r.getLong(4)) === expect,
+        s"n=$n pu=$pu z=$z k=$k")
+    }
+  }
+
+  test("temperatureSampleBudgetDiv equals temperatureSample at k = total div d") {
+    val df = corpus(3000)
+    val a = Sampling.temperatureSample(df, "doc_id", "lang",
+      k = 300, alpha = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.temperatureSampleBudgetDiv(df, "doc_id", "lang",
+      budgetDiv = 10, alpha = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("temperatureSample: alpha flattens head strata toward the tail; deterministic") {
     // head stratum 10x the tail: natural sampling (alpha=1) keeps the
     // 10:1 ratio; alpha=0.5 targets sqrt(10):1 ≈ 3.2, so the tail's
