@@ -143,7 +143,9 @@ object SparkEntry {
     * itself is proven against the classic worked example (Sennrich
     * 2016) in PipelineSpec. */
   /** Shared bigram-LM oracle CTEs (see `LangModel.bigramNll`): ends in
-    * `sc(doc_id, n_bigrams, sum_nll)`. */
+    * `sc(doc_id, n_bigrams, sum_nll, sum_nll_units)` — the units column
+    * is the exact BIGINT 1e-4-unit form of the decimal sum, the base of
+    * integer rank keys downstream. */
   private val LmNllCtes: String =
     """tok AS (
       |  SELECT doc_id AS doc, i AS pos, sp[i] AS w
@@ -168,7 +170,10 @@ object SparkEntry {
       |    CAST(count(*) AS BIGINT) AS n_bigrams,
       |    CAST(sum(CAST(round(-ln((big.c12 + 0.5)
       |      / (uni.c1 + 0.5 * vv.v)), 4) AS DECIMAL(18,4))) AS DOUBLE)
-      |      AS sum_nll
+      |      AS sum_nll,
+      |    CAST(sum(CAST(round(-ln((big.c12 + 0.5)
+      |      / (uni.c1 + 0.5 * vv.v)), 4) AS DECIMAL(18,4))) * 10000
+      |      AS BIGINT) AS sum_nll_units
       |  FROM bg
       |    JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
       |    JOIN uni ON bg.w1 = uni.w1, vv
@@ -1022,8 +1027,10 @@ object SparkEntry {
 
     // --- hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // top-100 and the dense cosine top-100 (vec_id 0 is the query, ids
-    // align with doc_ids) — 1/(60+rank) contributions as exact 6dp
-    // decimals, fused top-20 --------------------------------------------------
+    // align with doc_ids) — contributions are exact INTEGER 1e-6 units
+    // (half-up(1e6/(60+r)) via integer div; r=68 hits the dyadic 1/128
+    // exactly ON the 6dp grid, where two round() implementations may
+    // split), fused top-20 ---------------------------------------------------
     "pipe_hybrid_rrf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val lex = pipeline.Retrieval.bm25TopK(docs, "doc_id", "text",
@@ -1149,7 +1156,8 @@ object SparkEntry {
         .select(col("doc_id"), round(col("p"), 4).as("p"))),
 
     // --- LM quantile filter: keep the half of the corpus most typical
-    // under its own bigram LM (rank on the rounded mean NLL, id ties) -------
+    // under its own bigram LM (rank on the INTEGER 1e-10-unit mean
+    // NLL — exact floor division of the unit sum, id ties) ------------------
     "pipe_lm_filter" -> ((s, dir) =>
       pipeline.LangModel.filterByNll(t(s, dir, "documents"), "doc_id",
         "text", q = 0.5)
@@ -5465,11 +5473,13 @@ object SparkEntry {
       s"""WITH $LmNllCtes
         |SELECT doc_id, n_bigrams, sum_nll FROM sc""".stripMargin,
 
-    // quantile filter over the same scores: rank on the 6dp-rounded
-    // mean with id ties, keep floor(n * 0.5)
+    // quantile filter over the same scores: rank on the exact integer
+    // mean key (1e-4-unit sum scaled by 1e6, floor-divided by the
+    // count — no double rank key; see LangModel.filterByNll) with id
+    // ties, keep floor(n * 0.5)
     "pipe_lm_filter" ->
       s"""WITH $LmNllCtes,
-        |r AS (SELECT *, round(sum_nll / n_bigrams, 6) AS nll_r
+        |r AS (SELECT *, (sum_nll_units * 1000000) // n_bigrams AS nll_r
         |      FROM sc),
         |k AS (SELECT CAST(floor(count(*) * 0.5) AS BIGINT) AS keep
         |      FROM r)
@@ -5634,15 +5644,15 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
         |  FROM den),
         |u AS (
-        |  SELECT doc_id, CAST(round(1.0 / (60 + r), 6)
-        |    AS DECIMAL(18,6)) AS contrib FROM lexr
+        |  SELECT doc_id,
+        |    (2000000 + (60 + r)) // (2 * (60 + r)) AS contrib FROM lexr
         |  UNION ALL
-        |  SELECT doc_id, CAST(round(1.0 / (60 + r), 6)
-        |    AS DECIMAL(18,6)) AS contrib FROM denr)
-        |SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS rrf,
+        |  SELECT doc_id,
+        |    (2000000 + (60 + r)) // (2 * (60 + r)) AS contrib FROM denr)
+        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_units,
         |  count(*) AS n_lists
         |FROM u GROUP BY doc_id
-        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
+        |ORDER BY rrf_units DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "pipe_exact_decontam" -> ExactDecontamOracleSql,
 

@@ -42,10 +42,12 @@ object LangModel {
   }
 
   /** Per-document bigram NLL under the corpus's own add-α bigram LM.
-    * Returns (id, n_bigrams, sum_nll, nll): `sum_nll` is the EXACT
-    * 4-decimal sum (the engine-portable value — means are sums divided
-    * by counts, and that division's last-ulp rounding is the one step
-    * two engines can disagree on); `nll` is the per-bigram mean as a
+    * Returns (id, n_bigrams, sum_nll, sum_nll_units, nll): `sum_nll`
+    * is the EXACT 4-decimal sum (the engine-portable value — means are
+    * sums divided by counts, and that division's last-ulp rounding is
+    * the one step two engines can disagree on), `sum_nll_units` the
+    * same sum as an exact BIGINT in 1e-4 units (the integer form
+    * downstream rank keys derive from), `nll` the per-bigram mean as a
     * convenience. Lower = more typical of the corpus. Documents with
     * no bigram (0- or 1-token) drop out. */
   def bigramNll(df: DataFrame, id: String, text: String,
@@ -64,23 +66,30 @@ object LangModel {
       .join(uni, Seq("w1"))
       .groupBy("doc")
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(nll).cast("double").as("sum_nll"))
+        sum(nll).as("__snd"))
+      .select(col("doc").as(id), col("n_bigrams"),
+        col("__snd").cast("double").as("sum_nll"),
+        (col("__snd") * lit(10000)).cast("long").as("sum_nll_units"))
       .withColumn("nll", col("sum_nll") / col("n_bigrams"))
-      .select(col("doc").as(id), col("n_bigrams"), col("sum_nll"),
-        col("nll"))
   }
 
   /** Corpus slice above/below an NLL quantile — the actual filter pass:
     * keep documents whose mean NLL is below the `q`-quantile of the
-    * corpus. Ranks on the 6-decimal ROUNDED mean with id tiebreaks, so
-    * membership is reproducible across engines (an unrounded mean's
-    * last ulp is division-order sensitive); the rank itself is the
+    * corpus. Ranks on an exact INTEGER key — the 1e-4-unit NLL sum
+    * scaled by 1e6 and floor-divided by the bigram count (mean NLL in
+    * 1e-10 units) — with id tiebreaks, so membership replays on any
+    * engine and stack (the round-13 contract sweep: ranking on
+    * `round(mean, 6)` left a double whose .5-boundary behaviour
+    * differs between round IMPLEMENTATIONS — std::round of x·1e6 vs
+    * exact-BigDecimal HALF_UP — and the fleet probe measured a real
+    * sub-1e-12 boundary hit at sf0.01). The rank itself is the
     * two-phase distributed scan — one range exchange, never a
     * single-task window. */
   def filterByNll(df: DataFrame, id: String, text: String, q: Double,
       alpha: Double = 0.5): DataFrame = {
     val scored = bigramNll(df, id, text, alpha)
-      .withColumn("nll_r", round(col("nll"), 6))
+      .withColumn("nll_r",
+        expr("(sum_nll_units * CAST(1000000 AS BIGINT)) div n_bigrams"))
       .localCheckpoint(false)
     val n = scored.count()
     val keep = math.max(1L, math.floor(n * q).toLong)

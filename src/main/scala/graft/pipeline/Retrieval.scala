@@ -92,8 +92,16 @@ object Retrieval {
     * in the list producers. Ranks order by (score desc, id asc):
     * callers should pass scores that are engine-exact (decimal-summed
     * BM25, 6dp-rounded cosine) so ranking replays anywhere.
-    * Contributions round to 6dp DECIMAL and sum exactly. Returns the
-    * fused top-k as (id, rrf, n_lists), rrf-descending, id tiebreak. */
+    *
+    * Contributions are EXACT integers in 1e-6 units:
+    * units = half-up(1e6 / (rrfK + r)) = (2e6 + d) div (2d) for
+    * d = rrfK + r — no double anywhere (the round-13 contract sweep:
+    * the earlier `round(1.0/d, 6)` was double-computed, and for dyadic
+    * d (r = 68, d = 128 → exactly 0.0078125) sat exactly ON the grid
+    * line, where two engines' round IMPLEMENTATIONS — std::round of
+    * x·1e6 vs exact-BigDecimal HALF_UP — are not obliged to agree).
+    * Returns the fused top-k as (id, rrf_units, n_lists),
+    * units-descending, id tiebreak. */
   def rrfFuse(lists: Seq[DataFrame], id: String, score: String, k: Int,
       rrfK: Int = 60): DataFrame = {
     require(lists.nonEmpty && k > 0 && rrfK >= 0, "need lists and k > 0")
@@ -102,16 +110,14 @@ object Retrieval {
       val w = Window.orderBy(col(score).desc, col(id).asc)
       df.select(col(id), col(score))
         .withColumn("__r", row_number().over(w).cast("long"))
-        .select(col(id),
-          round(lit(1.0) / (lit(rrfK) + col("__r")), 6)
-            .cast("decimal(18,6)").as("__c"))
+        .select(col(id), expr(
+          s"(2000000 + ($rrfK + __r)) div (2 * ($rrfK + __r))")
+          .as("__c"))
     }
     ranked.reduce(_ unionByName _)
       .groupBy(id)
-      .agg(sum(col("__c")).as("__rrf"), count(lit(1)).as("n_lists"))
-      .select(col(id), col("__rrf").cast("double").as("rrf"),
-        col("n_lists"))
-      .orderBy(col("rrf").desc, col(id).asc)
+      .agg(sum(col("__c")).as("rrf_units"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_units").desc, col(id).asc)
       .limit(k)
   }
 }

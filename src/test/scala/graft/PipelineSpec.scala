@@ -929,19 +929,28 @@ class PipelineSpec extends SparkSpec {
     val b = spark.createDataFrame(Seq(
       (3L, 0.9), (2L, 0.8), (4L, 0.7))).toDF("doc_id", "score")
     val got = Retrieval.rrfFuse(Seq(a, b), "doc_id", "score", k = 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
-    // contributions at 6dp: 1/61=0.016393, 1/62=0.016129, 1/63=0.015873
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // integer 1e-6-unit contributions, half-up:
+    // 1e6/61 = 16393.44 -> 16393; 1e6/62 = 16129.03 -> 16129;
+    // 1e6/63 = 15873.02 -> 15873
     assert(got.toSeq === Seq(
-      (3L, 0.015873 + 0.016393, 2L),   // rank 3 in A, rank 1 in B
-      (2L, 0.016129 + 0.016129, 2L),   // rank 2 in both
-      (1L, 0.016393, 1L),
-      (4L, 0.015873, 1L)))
+      (3L, 15873L + 16393L, 2L),   // rank 3 in A, rank 1 in B
+      (2L, 16129L + 16129L, 2L),   // rank 2 in both
+      (1L, 16393L, 1L),
+      (4L, 15873L, 1L)))
     // a tie in score breaks rank by ascending id in every list
     val tied = spark.createDataFrame(Seq(
       (7L, 5.0), (6L, 5.0))).toDF("doc_id", "score")
     val t2 = Retrieval.rrfFuse(Seq(tied), "doc_id", "score", k = 2)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(t2.toSeq === Seq((6L, 0.016393), (7L, 0.016129)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(t2.toSeq === Seq((6L, 16393L), (7L, 16129L)))
+    // the dyadic boundary case the integer contract exists for:
+    // rank 68 -> d = 128, 1e6/128 = 7812.5 exactly — half-up = 7813
+    val many = spark.createDataFrame(
+      (1L to 70L).map(i => (i, 1000.0 - i))).toDF("doc_id", "score")
+    val t3 = Retrieval.rrfFuse(Seq(many), "doc_id", "score", k = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(t3(68L) === 7813L)
   }
 
   test("exactNgramDecontam: hand-computed hits, multiplicity, misses") {
