@@ -377,16 +377,64 @@ object Dedup {
     * DuckDB gate checks independently. */
   def winnowSubstringPairs(df: DataFrame, id: String, text: String,
       k: Int = 16, w: Int = 4, maxBucketSize: Int = 10000,
-      slices: Int = defaultGramSlices): DataFrame = {
+      slices: Int = 0): DataFrame = {
+    require(slices >= 0, "slices must be >= 0 (0 = auto-select)")
     val t = k + w - 1
-    if (slices == 1) {
+    val s =
+      if (slices > 0) slices
+      else sys.env.get("SPARK_GRAFT_VERIFY_GRAM_SLICES").map(_.toInt)
+        .getOrElse(autoWinnowSlices(df, text, k, w, maxBucketSize))
+    if (s == 1) {
       val (cand, _) = winnowCandidates(df, id, text, k, w, minShared = 1,
         maxBucketSize)
       verifySharedRuns(cand.select("id_a", "id_b"), df, id, text, t)
     } else {
-      winnowSubstringPairsSliced(df, id, text, k, w, maxBucketSize,
-        slices)
+      winnowSubstringPairsSliced(df, id, text, k, w, maxBucketSize, s)
     }
+  }
+
+  /** Measured at the r12 sf10 run: 1.69e9 candidate-pair incidences
+    * filled a 73 GB checkpoint → ~43 bytes each; 48 adds headroom for
+    * shuffle-file overhead. */
+  private val BytesPerCandidateIncidence = 48L
+
+  /** Disk budget the default (unsliced) winnow plan may spend on
+    * candidate-scaled materializations before [[winnowSubstringPairs]]
+    * flips itself to the bounded sliced mode.
+    * SPARK_GRAFT_WINNOW_DISK_BUDGET_GB overrides (single-box parity
+    * runs size it to the box); the 32 GB default keeps one sf10-shaped
+    * corpus per executor group comfortably under typical local-disk
+    * provisioning. */
+  private def winnowDiskBudgetBytes: Long =
+    sys.env.get("SPARK_GRAFT_WINNOW_DISK_BUDGET_GB").map(_.toLong)
+      .getOrElse(32L) * (1L << 30)
+
+  /** Auto slice count for [[winnowSubstringPairs]] (r12 verdict ask:
+    * the bounded mode must engage ITSELF at scale, not rely on the
+    * operator knowing an env var). The default path's disk floor is
+    * the candidate pair set, whose incidence mass is a closed form of
+    * the fingerprint-bucket sizes the operator already aggregates:
+    * M = Σ_buckets c·(c−1)/2 over buckets with 2 ≤ c ≤ cap (larger
+    * buckets are dropped, contributing nothing). One map-side-combined
+    * count + one scalar aggregate — a narrow pass over the fingerprint
+    * stream, nothing doc-pair-scaled. slices = ceil(M·48 B / budget),
+    * clamped to [1, 64]: 1 (the plain co-partitioned plan) whenever
+    * the estimate fits the budget. */
+  private[graft] def autoWinnowSlices(df: DataFrame, text: String,
+      k: Int, w: Int, maxBucketSize: Int,
+      budgetBytes: Long = winnowDiskBudgetBytes): Int = {
+    val mass = df
+      .select(explode(Text.winnowFingerprints(col(text), k, w)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= maxBucketSize)
+      .agg(sum(expr("c * (c - 1) div 2")).as("m"))
+      .head().getAs[Any]("m") match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+      }
+    val est = mass * BytesPerCandidateIncidence
+    math.max(1L, math.min(64L,
+      (est + budgetBytes - 1) / budgetBytes)).toInt
   }
 
   /** Bounded-disk form of [[winnowSubstringPairs]] (slices > 1): equal

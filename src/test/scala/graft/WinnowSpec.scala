@@ -173,4 +173,36 @@ class WinnowSpec extends SparkSpec {
     assert(full(3) === fullDefault)
     assert(full(5) === fullDefault)
   }
+
+  test("autoWinnowSlices: hot-bucket mass flips to sliced mode by itself; stays 1 under budget") {
+    // a synthetic hot fingerprint bucket: 40 docs sharing one long
+    // verbatim run -> that bucket alone carries 40*39/2 = 780 pair
+    // incidences; with a 4 KiB budget (48 B each -> ~37 KiB estimate)
+    // the auto rule must engage the bounded mode WITHOUT the env var
+    val r = new scala.util.Random(31)
+    val hot = randWord(r, 3 * (K + W))
+    val docs = (1L to 40L).map(i => i -> (hot + " " + randWord(r, 10))) :+
+      (99L -> randWord(r, 120))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val auto = Dedup.autoWinnowSlices(df, "text", K, W,
+      maxBucketSize = 10000, budgetBytes = 4096)
+    assert(auto > 1)
+    // under the default (32 GB) budget the same corpus keeps the plain
+    // co-partitioned plan: slices = 1, nothing changes for small data
+    assert(Dedup.autoWinnowSlices(df, "text", K, W,
+      maxBucketSize = 10000) === 1)
+    // buckets past the cap are DROPPED by the operator, so they must
+    // not count toward the mass estimate either
+    assert(Dedup.autoWinnowSlices(df, "text", K, W,
+      maxBucketSize = 10, budgetBytes = 4096) === 1)
+    // and the auto default (slices = 0) produces the same output as
+    // the explicit default path on a normal corpus
+    val got0 = Dedup.winnowSubstringPairs(df, "doc_id", "text", K, W)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got1 = Dedup.winnowSubstringPairs(df, "doc_id", "text", K, W,
+        maxBucketSize = 10000, slices = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got0 === got1)
+    assert(got0.nonEmpty)
+  }
 }
