@@ -2448,6 +2448,18 @@ object SparkEntry {
         s"graft_stream_dec_${System.nanoTime()}", n = 8)
     }),
 
+    // --- streaming temperature mixing: per-stratum ppt rates derived
+    // ONCE from a batch read (exact integer contract, α=0.5), then the
+    // stream applies the identical stateless md5 predicate per
+    // micro-batch — no state, no watermark; output equals the batch
+    // operator (shared oracle) ----------------------------------------------
+    "stream_temperature_mix" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      streaming.StreamText.runTemperatureMix(s,
+        s"$dir/documents.parquet", docs.schema, "doc_id", "lang",
+        budgetDiv = 10, alpha = 0.5, "graft_stream_tmx")
+    }),
+
     // --- retention cohorts: first-seen day cohorts x activity-day
     // offsets, exact distinct user counts ----------------------------------
     "events_retention" -> ((s, dir) =>
@@ -5910,36 +5922,12 @@ object SparkEntry {
     // SEEDS the estimate; integer compares fix its ±1), k = corpus//10,
     // ppt = (2000·k·pu + z·n) // (2·z·n) — half-up in pure HUGEINT
     // arithmetic, then the integer md5 membership filter. No double
-    // influences any compared value on either engine.
-    "pipe_temperature_mix" ->
-      """WITH c AS (
-        |  SELECT lang AS s, CAST(count(*) AS BIGINT) AS n
-        |  FROM documents GROUP BY 1),
-        |c2 AS (
-        |  SELECT s, n,
-        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 2000000) AS BIGINT) AS s0,
-        |    CAST(n AS HUGEINT) * 4000000000000 AS m
-        |  FROM c),
-        |c3 AS (
-        |  SELECT s, n,
-        |    ((s0 + (CASE
-        |        WHEN CAST(s0 + 1 AS HUGEINT) * CAST(s0 + 1 AS HUGEINT) <= m
-        |          THEN 1
-        |        WHEN CAST(s0 AS HUGEINT) * CAST(s0 AS HUGEINT) > m THEN -1
-        |        ELSE 0 END)) + 1) // 2 AS pu
-        |  FROM c2),
-        |z AS (SELECT CAST(sum(pu) AS HUGEINT) AS z FROM c3),
-        |kk AS (SELECT count(*) // 10 AS k FROM documents),
-        |r AS (
-        |  SELECT s, least(1000, CAST(
-        |    (2000 * CAST((SELECT k FROM kk) AS HUGEINT) * pu
-        |       + (SELECT z FROM z) * n)
-        |    // (2 * (SELECT z FROM z) * n) AS BIGINT)) AS ppt
-        |  FROM c3)
-        |SELECT d.doc_id, d.lang
-        |FROM documents d JOIN r ON d.lang = r.s
-        |WHERE CAST(('0x' || substr(md5('tmix|' || CAST(doc_id AS VARCHAR)),
-        |    1, 15)) AS BIGINT) % 1000 < r.ppt""".stripMargin,
+    // influences any compared value on either engine. The streaming
+    // gate shares this oracle verbatim: the stream applies the same
+    // stateless predicate, so its output IS the batch answer.
+    "pipe_temperature_mix" -> TemperatureMixOracleSql,
+
+    "stream_temperature_mix" -> TemperatureMixOracleSql,
 
     "pipe_split_assign" ->
       """SELECT doc_id, lang,
@@ -9151,6 +9139,40 @@ object SparkEntry {
       |SELECT key, count(*) AS cnt
       |FROM k GROUP BY 1
       |HAVING count(*) * 64 > (SELECT count(*) FROM k)""".stripMargin
+
+  /** Shared by `pipe_temperature_mix` (batch) and
+    * `stream_temperature_mix` (the stateless streaming guard — same
+    * rates, same integer md5 predicate, so the stream's complete
+    * replay equals the batch answer row-for-row). */
+  private val TemperatureMixOracleSql: String =
+    """WITH c AS (
+      |  SELECT lang AS s, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1),
+      |c2 AS (
+      |  SELECT s, n,
+      |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 2000000) AS BIGINT) AS s0,
+      |    CAST(n AS HUGEINT) * 4000000000000 AS m
+      |  FROM c),
+      |c3 AS (
+      |  SELECT s, n,
+      |    ((s0 + (CASE
+      |        WHEN CAST(s0 + 1 AS HUGEINT) * CAST(s0 + 1 AS HUGEINT) <= m
+      |          THEN 1
+      |        WHEN CAST(s0 AS HUGEINT) * CAST(s0 AS HUGEINT) > m THEN -1
+      |        ELSE 0 END)) + 1) // 2 AS pu
+      |  FROM c2),
+      |z AS (SELECT CAST(sum(pu) AS HUGEINT) AS z FROM c3),
+      |kk AS (SELECT count(*) // 10 AS k FROM documents),
+      |r AS (
+      |  SELECT s, least(1000, CAST(
+      |    (2000 * CAST((SELECT k FROM kk) AS HUGEINT) * pu
+      |       + (SELECT z FROM z) * n)
+      |    // (2 * (SELECT z FROM z) * n) AS BIGINT)) AS ppt
+      |  FROM c3)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r ON d.lang = r.s
+      |WHERE CAST(('0x' || substr(md5('tmix|' || CAST(doc_id AS VARCHAR)),
+      |    1, 15)) AS BIGINT) % 1000 < r.ppt""".stripMargin
 
   private val ExactDecontamOracleSql: String =
     """WITH bench AS (

@@ -123,9 +123,15 @@ object Sampling {
           " AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
   }
 
-  private def temperatureSampleImpl(df: DataFrame, id: String,
-      stratum: String, kCol: Column, alpha: Double,
-      salt: String): DataFrame = {
+  /** Per-stratum keep rates in parts-per-thousand under the
+    * temperature-flattening rule — the (bounded, broadcastable)
+    * `(__s, __ppt)` frame [[temperatureSample]] filters with. Exposed
+    * so the SAME rates can drive the stateless streaming guard
+    * ([[graft.streaming.StreamText.temperatureMixStream]]): a batch
+    * corpus establishes the mixture, an unbounded feed replays the
+    * identical integer membership predicate. */
+  def temperatureRates(df: DataFrame, stratum: String, kCol: Column,
+      alpha: Double): DataFrame = {
     val counts = df.groupBy(col(stratum).as("__s"))
       .agg(count(lit(1)).as("__n"))
     val withPu = powUnits(counts, alpha)
@@ -137,7 +143,7 @@ object Sampling {
     // ppt = half-up(1000·k·pu / (z·n)) = (2000·k·pu + z·n) div (2·z·n)
     // — decimal(≤38,0) products stay integer-exact at these magnitudes
     // (k ≤ 1e15, pu ≤ 1e15, z ≤ 1e19, n ≤ 1e18), div is integral
-    val rates = withPu.crossJoin(broadcast(z))
+    withPu.crossJoin(broadcast(z))
       .select(col("__s"),
         least(lit(1000L), expr(
           "(CAST(2000 AS DECIMAL(4,0)) * CAST(__k AS DECIMAL(16,0))" +
@@ -145,10 +151,24 @@ object Sampling {
             " + CAST(__z AS DECIMAL(19,0)) * CAST(__n AS DECIMAL(18,0)))" +
             " div (2 * CAST(__z AS DECIMAL(19,0))" +
             " * CAST(__n AS DECIMAL(18,0)))")).as("__ppt"))
+  }
+
+  /** Stateless membership application of a [[temperatureRates]] frame:
+    * one broadcast equi-join + the integer md5 filter. `df` may be a
+    * batch frame OR a streaming one (stream-static broadcast join, no
+    * state store, no watermark) — the expression tree is identical, so
+    * stream output equals the batch operator's on the same rows. */
+  def applyTemperatureRates(df: DataFrame, id: String, stratum: String,
+      rates: DataFrame, salt: String = "tmix"): DataFrame =
     df.join(broadcast(rates), col(stratum) === col("__s"))
       .filter(pmod(unitHash(col(id), salt), lit(1000L)) < col("__ppt"))
       .drop("__s", "__ppt")
-  }
+
+  private def temperatureSampleImpl(df: DataFrame, id: String,
+      stratum: String, kCol: Column, alpha: Double,
+      salt: String): DataFrame =
+    applyTemperatureRates(df, id, stratum,
+      temperatureRates(df, stratum, kCol, alpha), salt)
 
   /** Deterministic train/val/test (or any named-bucket) split: the
     * md5 hash of (salt, id) mod 1000 walks the cumulative rate table,

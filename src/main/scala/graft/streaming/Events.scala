@@ -144,6 +144,40 @@ object Events {
     math.max(1, (math.max(n, 1) + targetBatches - 1) / targetBatches)
   }
 
+  /** Drain a streaming Dataset to completion through a
+    * foreachBatch→parquet-append sink and return a batch read of the
+    * accumulated output. The complete-output `memory` sink pins the
+    * ENTIRE output stream in driver memory — at sf10 the winnow
+    * candidate-pair stream alone exceeded the JVM (the r11/r12
+    * scaling-table exclusion, a harness artifact, not an operator
+    * bound). Here each micro-batch's output lands on disk and is
+    * immediately droppable from memory: output size bounds DISK, not
+    * the driver heap. The explicit checkpoint keeps batch replay
+    * possible after a crash; replayed batches rewrite the same rows
+    * and the callers' `distinct()` absorbs them. */
+  private[streaming] def drainToParquet[T](
+      ds: org.apache.spark.sql.Dataset[T], tag: String)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ds.sparkSession
+    val root = java.nio.file.Files.createTempDirectory(tag).toString
+    val out = root + "/out"
+    val sink: (org.apache.spark.sql.Dataset[T], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out)
+    val q = ds.writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", root + "/chk")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    if (new java.io.File(out).listFiles() == null)
+      // zero batches produced output files: empty result, same schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ds.toDF().schema)
+    else spark.read.parquet(out)
+  }
+
   /** The file stream source wants a DIRECTORY: stage a single file
     * behind a symlink in a temp dir (no copy); directories pass
     * through. Shared by every streaming parity runner. */

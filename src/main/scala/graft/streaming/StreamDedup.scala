@@ -401,38 +401,6 @@ object StreamDedup {
     spark.table(sinkName).distinct()
   }
 
-  /** Drain a streaming Dataset to completion through a
-    * foreachBatch→parquet-append sink and return a batch read of the
-    * accumulated output. The complete-output `memory` sink the parity
-    * runners used pins the ENTIRE output stream in driver memory — at
-    * sf10 the winnow candidate-pair stream alone exceeded the JVM (the
-    * r11/r12 scaling-table exclusion, a harness artifact, not an
-    * operator bound). Here each micro-batch's output lands on disk and
-    * is immediately droppable from memory: output size bounds DISK, not
-    * the driver heap. The explicit checkpoint keeps batch replay
-    * possible after a crash; replayed batches rewrite the same pairs
-    * and the callers' `distinct()` absorbs them. */
-  private def drainToParquet[T](ds: Dataset[T], tag: String): DataFrame = {
-    val spark = ds.sparkSession
-    val root = java.nio.file.Files.createTempDirectory(tag).toString
-    val out = root + "/out"
-    val sink: (Dataset[T], Long) => Unit =
-      (batch, _) => batch.write.mode("append").parquet(out)
-    val q = ds.writeStream
-      .foreachBatch(sink)
-      .option("checkpointLocation", root + "/chk")
-      .outputMode(OutputMode.Append())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    if (new java.io.File(out).listFiles() == null)
-      // zero batches produced output files: empty result, same schema
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        ds.toDF().schema)
-    else spark.read.parquet(out)
-  }
-
   /** Run the winnow stream to completion over a static directory and
     * return the verified pairs: DISTINCT streamed candidates joined
     * back to the full normalized (k+w-1)-gram sets of a batch read of
@@ -455,7 +423,8 @@ object StreamDedup {
     // one state row per FINGERPRINT (~0.4/normalized char) — millions of
     // keys at any real corpus slice, the large-state regime
     val candidates = Events.withLargeState(spark, numStatePartitions) {
-      drainToParquet(winnowPairsStream(stream, id, text, k, w), sinkName)
+      Events.drainToParquet(
+        winnowPairsStream(stream, id, text, k, w), sinkName)
     }
     // pre-cast the id to long on the batch read: the streamed candidate
     // pairs are typed long (CandidatePair), and verifySharedRuns joins

@@ -120,4 +120,47 @@ object StreamText {
     q.stop()
     spark.table(sinkName)
   }
+
+  /** Streaming temperature-flattened mixture sampling — the live form
+    * of `pipeline.Sampling.temperatureSample`: a REFERENCE corpus
+    * (batch) establishes the per-stratum parts-per-thousand rates once
+    * (exact integer arithmetic end to end for α ∈ {0.5, 1}; bounded by
+    * |strata|), and the stream applies the identical stateless
+    * membership predicate — one broadcast equi-join plus the integer
+    * md5 filter per micro-batch. No state store, no watermark: output
+    * is batch-composition-independent and EXACTLY the batch operator's
+    * on the same rows, the property the gate's oracle checks. At
+    * 100 TB/day the per-batch cost is a codegen'd filter pass; rates
+    * refresh by re-running the (cheap, narrow) batch aggregation on
+    * whatever cadence the mixture should track. */
+  def temperatureMixStream(docs: DataFrame, id: String, stratum: String,
+      rates: DataFrame, salt: String = "tmix"): DataFrame =
+    graft.pipeline.Sampling.applyTemperatureRates(
+      docs, id, stratum, rates, salt)
+
+  /** Run the temperature-mix guard to completion over a static corpus
+    * directory, deriving rates from a batch read of the same corpus
+    * with budget = total div `budgetDiv` — the parity harness for
+    * [[temperatureMixStream]]; returns the surviving (id, stratum)
+    * rows, equal to `Sampling.temperatureSampleBudgetDiv` on the batch
+    * read. Output drains through the bounded parquet sink (it is
+    * ~corpus/budgetDiv-scaled — never driver-memory-resident). */
+  def runTemperatureMix(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      id: String, stratum: String, budgetDiv: Long, alpha: Double,
+      sinkName: String): DataFrame = {
+    val batch = spark.read.parquet(path)
+    val rates = graft.pipeline.Sampling.temperatureRates(batch, stratum,
+      expr(s"__ntot div CAST($budgetDiv AS BIGINT)"), alpha)
+      .localCheckpoint(false)
+    val dir = Events.stageAsDir(path, "graft_stmx")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", Events.filesPerTrigger(dir))
+      .parquet(dir)
+    Events.drainToParquet(
+      temperatureMixStream(stream, id, stratum, rates)
+        .select(col(id), col(stratum)),
+      sinkName)
+  }
 }

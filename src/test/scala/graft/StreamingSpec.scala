@@ -179,6 +179,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "excerpt fixture must contaminate")
   }
 
+  test("streaming temperature mix equals the batch sampler across micro-batches") {
+    import graft.streaming.StreamText
+    import graft.pipeline.Sampling
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+    // multiple files → multiple triggers; the membership predicate is
+    // stateless, so micro-batch composition must not matter
+    val dir = java.nio.file.Files.createTempDirectory("graft_stmx")
+    docs.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/corpus.parquet")
+    val got = StreamText.runTemperatureMix(spark,
+      s"$dir/corpus.parquet", docs.schema, "doc_id", "lang",
+      budgetDiv = 10, alpha = 0.5, "spec_stream_tmx")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Sampling.temperatureSampleBudgetDiv(docs, "doc_id",
+      "lang", budgetDiv = 10, alpha = 0.5)
+      .select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming language profile accumulates across micro-batches") {
     import graft.streaming.StreamText
     // three files → three triggers: the final complete-mode profile
