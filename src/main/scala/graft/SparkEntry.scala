@@ -4654,10 +4654,12 @@ object SparkEntry {
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b,
-        |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        |    / (len(sa.shingles) + len(sb.shingles)
-        |       - len(list_intersect(sa.shingles, sb.shingles))), 4)
-        |    AS jaccard
+        |  CAST((20000 * len(list_intersect(sa.shingles, sb.shingles))
+        |      + (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))))
+        |    // (2 * (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))))
+        |    AS DOUBLE) / 10000 AS jaccard
         |FROM cand
         |JOIN sh sa ON cand.id_a = sa.doc_id
         |JOIN sh sb ON cand.id_b = sb.doc_id""".stripMargin,
@@ -5542,11 +5544,12 @@ object SparkEntry {
         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
         |pairs AS (
         |  SELECT id_a, id_b,
-        |    round(CAST(len(list_intersect(sa.shingles, sb.shingles))
-        |        AS DOUBLE)
-        |      / (len(sa.shingles) + len(sb.shingles)
-        |         - len(list_intersect(sa.shingles, sb.shingles))), 4)
-        |      AS jaccard
+        |    CAST((20000 * len(list_intersect(sa.shingles, sb.shingles))
+        |        + (len(sa.shingles) + len(sb.shingles)
+        |           - len(list_intersect(sa.shingles, sb.shingles))))
+        |      // (2 * (len(sa.shingles) + len(sb.shingles)
+        |           - len(list_intersect(sa.shingles, sb.shingles))))
+        |      AS DOUBLE) / 10000 AS jaccard
         |  FROM cand
         |  JOIN sh sa ON cand.id_a = sa.doc_id
         |  JOIN sh sb ON cand.id_b = sb.doc_id)
@@ -5824,11 +5827,13 @@ object SparkEntry {
         |    AND a.gram = b.gram AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        |  round(iv / CAST(na.ng + nb.ng - iv AS DOUBLE), 4) AS jaccard
+        |  CAST((20000 * iv + (na.ng + nb.ng - iv))
+        |    // (2 * (na.ng + nb.ng - iv)) AS DOUBLE) / 10000 AS jaccard
         |FROM inter
         |JOIN n na ON na.doc_id = id_a
         |JOIN n nb ON nb.doc_id = id_b
-        |WHERE round(iv / CAST(na.ng + nb.ng - iv AS DOUBLE), 4) >= 0.5"""
+        |WHERE (20000 * iv + (na.ng + nb.ng - iv))
+        |    // (2 * (na.ng + nb.ng - iv)) >= 5000"""
         .stripMargin,
 
     // DuckDB has no BLOB substring: slice the hex encoding instead

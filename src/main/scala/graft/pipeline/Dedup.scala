@@ -188,9 +188,13 @@ object Dedup {
       // twice in the formula and CollapseProject inlined both, building
       // the full intersection array 2x per candidate pair
       .withColumn("__iv", iv)
-      .withColumn("jaccard", round(col("__iv").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("__iv"))
-          .cast("double"), 4))
+      // same integer-unit 4dp contract as charNgramJaccardPairs: no
+      // engine's round() implementation touches the hashed value
+      .withColumn("__ju", expr(
+        "(20000 * CAST(__iv AS BIGINT)" +
+          " + (size(sh_a) + size(sh_b) - __iv))" +
+          " div (2 * CAST(size(sh_a) + size(sh_b) - __iv AS BIGINT))"))
+      .withColumn("jaccard", col("__ju").cast("double") / lit(10000.0))
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -1026,9 +1030,18 @@ object Dedup {
       // may push or fold — so the kernel runs exactly once per pair and
       // the threshold test reads the projected attribute.
       .withColumn("__barrier", rand(7L))
-      .withColumn("jaccard", round(col("__iv").cast("double") /
-        (col("__na") + col("__nb") - col("__iv")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold && col("__barrier") < 2.0)
+      // 4dp jaccard via EXACT integer half-up units, reconstructed by
+      // one IEEE division (bit-deterministic on any engine) — the
+      // round-13 contract sweep measured a candidate pair whose double
+      // quotient sits <1e-12 from a .5 grid line, where round
+      // IMPLEMENTATIONS (std::round of x*1e4 vs exact-BigDecimal
+      // HALF_UP) may split; units = (2e4*iv + d) div (2d) cannot
+      .withColumn("__ju", expr(
+        "(20000 * CAST(__iv AS BIGINT) + (__na + __nb - __iv))" +
+          " div (2 * CAST(__na + __nb - __iv AS BIGINT))"))
+      .withColumn("jaccard", col("__ju").cast("double") / lit(10000.0))
+      .filter(col("__ju") >= math.round(threshold * 10000) &&
+        col("__barrier") < 2.0)
       .select("id_a", "id_b", "jaccard")
   }
 

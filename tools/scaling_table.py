@@ -45,8 +45,12 @@ for q in allq:
         (i0, t0), (i1, t1) = measured[0], measured[-1]
         data_ratio = 10 ** (i1 - i0)
         r = t1 / t0
+        # thresholds scale with the span width (r12 advice #2): over a
+        # two-decade span a 5x ratio is strongly constant-dominated,
+        # not ~linear — ~linear means r within [0.2, 2]x of data_ratio
         verdict = ("**super-linear**" if r > 2 * data_ratio else
-                   "~linear" if r > 2 else "constant-dominated")
+                   "~linear" if r > 0.2 * data_ratio
+                   else "constant-dominated")
         span = f"{r:.1f}x/{data_ratio}x data"
     else:
         r, span, verdict = -1.0, "—", "single-decade"
