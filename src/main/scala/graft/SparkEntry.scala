@@ -1269,6 +1269,18 @@ object SparkEntry {
       pipeline.Dedup.charNgramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.5)),
 
+    // --- GLOBAL exact set-similarity self-join via prefix filtering
+    // (AllPairs/PPJoin, Bayardo et al. WWW'07): every char-8-gram
+    // Jaccard >= 0.8 pair corpus-wide — no blocks, no caps, no LSH
+    // misses; candidates come from an equi-join on each doc's RAREST
+    // grams (prefix lemma guarantees completeness), verified by the
+    // exact intersect kernel. The oracle is the INDEPENDENT brute-force
+    // all-pairs join (completeness check), affordable through sf0.1;
+    // CHECK_SKIP at sf1+ where brute force goes quadratic ---------------
+    "pipe_ppjoin" -> ((s, dir) =>
+      pipeline.Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 8, threshold = 0.8)),
+
     // --- REAL video frame extraction: synthetic Y4M streams (3..6
     // constant-luma 16×16 frames per doc, luma = (doc_id*31+k*17)%256)
     // parsed by the real YUV4MPEG2 kernel, every 2nd frame kept with
@@ -5835,6 +5847,37 @@ object SparkEntry {
         |WHERE (20000 * iv + (na.ng + nb.ng - iv))
         |    // (2 * (na.ng + nb.ng - iv)) >= 5000"""
         .stripMargin,
+
+    // Brute-force ALL-PAIRS oracle, fully independent of the prefix
+    // filter: intersections from the raw co-gram equi-join (every pair
+    // sharing any 8-gram), same integer-unit contract. This is what
+    // makes the gate a COMPLETENESS check — a prefix-filter bug that
+    // drops a true pair hash-mismatches here. Cost is the co-gram
+    // incidence mass (Σ bucket²): 4 s at sf0.01, ~90 s at sf0.1,
+    // ~100× that at sf1 — CHECK_SKIP the gate at sf1+ by contract
+    // (brute force is oracle-hostile past sf0.1; the operator itself
+    // is the scalable path and is spec-pinned equal to brute force).
+    "pipe_ppjoin" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 7)) AS i FROM d),
+        |gr AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, substr(text, i, 8) AS g FROM pos),
+        |nn AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS ng FROM gr GROUP BY 1),
+        |iv AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS iv
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST((20000 * iv + (na.ng + nb.ng - iv))
+        |    // (2 * (na.ng + nb.ng - iv)) AS DOUBLE) / 10000 AS jaccard
+        |FROM iv JOIN nn na ON na.doc_id = id_a
+        |JOIN nn nb ON nb.doc_id = id_b
+        |WHERE (20000 * iv + (na.ng + nb.ng - iv))
+        |    // (2 * (na.ng + nb.ng - iv)) >= 8000""".stripMargin,
 
     // DuckDB has no BLOB substring: slice the hex encoding instead
     // (2 hex chars per byte — slice-then-hex == hex-then-slice exactly)

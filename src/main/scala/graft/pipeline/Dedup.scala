@@ -1045,6 +1045,89 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** GLOBAL exact set-similarity self-join via prefix filtering (the
+    * AllPairs / PPJoin family — Bayardo, Ma & Srikant, "Scaling Up All
+    * Pairs Similarity Search", WWW 2007; public algorithm): EVERY pair
+    * (id_a < id_b) whose distinct char-`n`-gram sets have 4dp-rounded
+    * Jaccard >= `threshold`, with no candidate blocks, no bucket caps
+    * and no LSH misses — the exact-at-scale member of the
+    * n-gram-Jaccard family ([[charNgramJaccardPairs]] bounds its
+    * quadratic inside hard-capped blocks; [[minhashPairs]] /
+    * [[winnowPairs]] are probabilistic candidate generators).
+    *
+    * Why this avoids the all-pairs quadratic: order the gram universe
+    * by ascending global document frequency, ties by the gram value
+    * (any TOTAL order works, so no global rank is ever materialized —
+    * the (df, gram) pair itself is the sort key). The final filter
+    * admits a pair iff its half-up 4dp units pass, i.e. iff
+    * 2e4·|x∩y| >= (2t−1)·|x∪y| where t = round(threshold·1e4); write
+    * τ' = (2t−1)/2e4. Then |x∩y| >= τ'·|x∪y| >= τ'·max(nx,ny), so by
+    * the standard prefix lemma the two docs must share a gram within
+    * their PREFIXES of length n_d − ceil(τ'·n_d) + 1 in that order.
+    * Prefixes are the RAREST grams of each doc, so the candidate
+    * equi-join shuffles on low-frequency keys whose buckets stay small
+    * on any corpus with rare-gram mass (boilerplate-heavy corpora
+    * should collapse exact duplicates first with [[exact]] /
+    * [[byFingerprint]], same guidance as the capped families).
+    * Candidates then verify exactly with the codegen'd sorted-merge
+    * intersect kernel; every compared quantity is an integer, and the
+    * printed jaccard is integer units through one IEEE division (the
+    * fleet's engine-robust contract).
+    *
+    * Plan shape at 100 TB: one groupBy(gram) for document frequencies,
+    * one per-doc window (doc-sized partitions) to take prefixes, one
+    * equi-join on prefix grams + a distinct on (id_a, id_b), one
+    * equi-join back to the gram arrays for verification — all
+    * hash-partitioned on high-cardinality keys, no driver state. */
+  def prefixFilterJaccardPairs(df: DataFrame, id: String, text: String,
+      n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t4 = math.round(threshold * 10000).toInt
+    require(t4 >= 1 && t4 <= 10000, s"threshold must be in (0,1]: $threshold")
+    val tn = 2L * t4 - 1 // τ' numerator over 2e4
+    val docs = df
+      .select(col(id).as("doc"),
+        array_sort(Text.charNgrams(col(text), n)).as("__g"))
+      .filter(size(col("__g")) > 0)
+      .withColumn("__n", size(col("__g")))
+      .repartition(col("doc"))
+      // consumed by the prefix build and BOTH verify sides: once
+      .localCheckpoint(false)
+    val grams = docs.select(col("doc"), col("__n"),
+      explode(col("__g")).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    // prefix length p(n_d) = n_d − ceil(τ'·n_d) + 1; ceil in integers
+    val prefix = grams.join(dfreq, "g")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("doc").orderBy(col("__df"), col("g"))))
+      .filter(col("__rk") <= col("__n") -
+        expr(s"CAST(($tn * __n + 19999) div 20000 AS INT)") + 1)
+    def pside(a: String) = prefix.select(col("g"),
+      col("doc").as(s"id_$a"), col("__n").as(s"__s$a"))
+    val cand = pside("a").join(pside("b"), "g")
+      .filter(col("id_a") < col("id_b"))
+      // size filter: |x∩y| <= min and >= τ'·max forces min >= τ'·max
+      .filter(lit(20000L) * least(col("__sa"), col("__sb")) >=
+        lit(tn) * greatest(col("__sa"), col("__sb")))
+      .select("id_a", "id_b").distinct()
+    val va = docs.select(col("doc").as("id_a"), col("__g").as("__ga"),
+      col("__n").as("__na"))
+    val vb = docs.select(col("doc").as("id_b"), col("__g").as("__gb"),
+      col("__n").as("__nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("__iv", graft.functions.TextKernels
+        .sortedIntersectCount(col("__ga"), col("__gb")))
+      // same pushdown barrier as charNgramJaccardPairs: keep the
+      // intersect kernel out of the join condition (one eval per pair)
+      .withColumn("__barrier", rand(7L))
+      .withColumn("__ju", expr(
+        "(20000 * CAST(__iv AS BIGINT) + (__na + __nb - __iv))" +
+          " div (2 * CAST(__na + __nb - __iv AS BIGINT))"))
+      .withColumn("jaccard", col("__ju").cast("double") / lit(10000.0))
+      .filter(col("__ju") >= t4 && col("__barrier") < 2.0)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal top-k-bit
     * prefix bucket (cheap LSH for hamming space), verified by full hamming
     * distance <= `maxDist`. */

@@ -677,6 +677,63 @@ class PipelineSpec extends SparkSpec {
     assert(got("ngram_block") === ((2L, 1L, 1L, 7L, 5L)))
   }
 
+  test("prefixFilterJaccardPairs equals the all-pairs brute force") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+      n = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // brute-force twin: EVERY pair, same integer-unit contract — pins
+    // the prefix filter's completeness (no pair the lemma should admit
+    // is lost to the candidate join) on a real corpus
+    val g = d.select(col("doc_id").as("doc"),
+        array_sort(Text.charNgrams(col("text"), 8)).as("gs"))
+      .filter(size(col("gs")) > 0).withColumn("n", size(col("gs")))
+    val brute = g
+      .select(col("doc").as("id_a"), col("gs").as("ga"),
+        col("n").as("na"))
+      .crossJoin(g.select(col("doc").as("id_b"), col("gs").as("gb"),
+        col("n").as("nb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("iv", graft.functions.TextKernels
+        .sortedIntersectCount(col("ga"), col("gb")))
+      .withColumn("ju", expr("(20000 * CAST(iv AS BIGINT) +" +
+        " (na + nb - iv)) div (2 * CAST(na + nb - iv AS BIGINT))"))
+      .filter(col("ju") >= 8000)
+      .select(col("id_a"), col("id_b"),
+        (col("ju").cast("double") / 10000.0).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture produced no pairs — weak test")
+  }
+
+  test("prefixFilterJaccardPairs edge thresholds: exact dups at tau=1") {
+    // jaccard(1,4) = 58/75 = 0.7733… exactly (one word edit); doc 3
+    // shares almost nothing
+    val d = docs(
+      1L -> ("the quick brown fox jumps over the lazy dog tonight " +
+        "and every night after"),
+      2L -> ("the quick brown fox jumps over the lazy dog tonight " +
+        "and every night after"),
+      3L -> "a completely different document about winnowing fields",
+      4L -> ("the quick brown fox jumped over the lazy dog tonight " +
+        "and every night after"))
+    val at1 = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+      n = 8, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at1 === Set((1L, 2L)))
+    val at07 = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+      n = 8, threshold = 0.7)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(at07((1L, 2L)) === 1.0)
+    assert(at07((1L, 4L)) === 0.7733 &&
+      at07((2L, 4L)) === 0.7733,
+      "one-word-edit near-dup must survive tau=0.7 at its exact units")
+    assert(!at07.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("ngram jaccard: bitmap fast path equals the sorted-array fallback") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(300)
