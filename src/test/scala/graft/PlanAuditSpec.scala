@@ -387,6 +387,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(kernels == 1, s"$kernels intersect sites\n${fb.take(2500)}")
   }
 
+  test("prefixFilterJaccard: no cartesian, one intersect kernel site") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = pipeline.Dedup.prefixFilterJaccardPairs(docs, "doc_id",
+      "text", n = 8, threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    // completeness comes from prefix-gram EQUI-joins — an accidental
+    // cartesian would mean the candidate join degenerated to all-pairs
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the barrier discipline: the sorted-merge kernel evaluates once
+    // per candidate in the projection, never inside a join condition
+    val kernels = "intersect_count".r.findAllIn(plan).length
+    assert(kernels == 1, s"$kernels intersect sites\n${plan.take(2500)}")
+  }
+
   test("packSequences: one range exchange, broadcast offsets, no global window") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), pipeline.Text.tokenCount(col("text"))
