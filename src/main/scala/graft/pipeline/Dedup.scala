@@ -1089,9 +1089,10 @@ object Dedup {
     * AllPairs regime, near-linear. On LOW-DIVERSITY corpora (this
     * repo's 31-word synthetic documents table is an adversarial
     * instance) prefix buckets grow with corpus size and the candidate
-    * mass goes quadratic: measured 5.7 s at sf0.1 → ~190 s at sf1
-    * (33×/10× data), though still ~50× faster than the brute-force
-    * join at the same SF. Mitigations, in order: collapse exact /
+    * mass trends quadratic: measured 3.1 s at sf0.1 → 49 s at sf1
+    * (16×/10× data WITH the positional filter; 33× without it), still
+    * ~180× under the brute-force join at the same SF. Mitigations, in
+    * order: collapse exact /
     * fingerprint duplicates first ([[exact]], [[byFingerprint]]);
     * raise `n` (more gram diversity); or accept the candidates'
     * bucket quadratic as the price of exactness and let it scale out
