@@ -824,6 +824,89 @@ case class CountInSetExpr(child: Expression, set: Array[Long])
     copy(child = c)
 }
 
+/** Identity marker flagged non-deterministic so NO optimizer rule may
+  * fold it, push a predicate containing it through a Project/Join, or
+  * inline the wrapped attribute into a join condition. Purpose-built
+  * replacement for the `rand(7L) < 2.0` tautology the similarity
+  * verifies used as a pushdown barrier: wrapping the pair-score
+  * attribute in the final threshold filter keeps the expensive
+  * intersect kernel in its own projection (evaluated ONCE per
+  * candidate) instead of being substituted 2-3x into the verify join
+  * condition by PushPredicateThroughJoin + CollapseProject. Runtime
+  * cost: zero — eval and codegen are the identity. */
+case class OptimizerFenceExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_optimizer_fence"
+  // the whole point: deterministic=false is the one flag every
+  // pushdown/folding rule checks before moving an expression
+  override lazy val deterministic: Boolean = false
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = child.dataType
+
+  override def nullSafeEval(v: Any): Any = v
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c => c)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** [[SortedIntersectCountExpr]] with EARLY TERMINATION: the merge-walk
+  * aborts as soon as matches-so-far + min(remaining_a, remaining_b)
+  * cannot reach `minNeeded` — at that point the pair's true overlap is
+  * provably < minNeeded, so any returned value below it filters the
+  * pair identically (overlap >= alpha iff half-up-4dp jaccard >=
+  * threshold — an exact integer equivalence, see
+  * [[graft.pipeline.Dedup.prefixFilterJaccardPairs]]). Pairs that CAN
+  * reach the bound run the full walk and return the exact count, so
+  * every emitted jaccard is exact. On verify workloads where
+  * candidates cluster just under the threshold the walk does ~half the
+  * compares of the unbounded kernel. */
+case class BoundedSortedIntersectCountExpr(left: Expression,
+    right: Expression, bound: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "graft_sorted_intersect_count_bounded"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = bound
+
+  override def nullSafeEval(a: Any, b: Any, m: Any): Any =
+    BoundedSortedIntersectCountExpr.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], m.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val cls = BoundedSortedIntersectCountExpr.getClass.getName
+      .stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b, m) =>
+      s"${ev.value} = $cls.compute($a, $b, $m);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression =
+    copy(left = f, right = s, bound = t)
+}
+
+object BoundedSortedIntersectCountExpr {
+  def compute(a: ArrayData, b: ArrayData, minNeeded: Long): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val rem = Math.min(na - i, nb - j)
+      if (cnt + rem < minNeeded) return cnt
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+}
+
 object TextKernels {
   /** Distinct n-word shingles of a (split+lower builtin) token array. */
   def shinglesOfTokens(tokens: Column, n: Int): Column =
@@ -886,4 +969,18 @@ object TextKernels {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCountExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** As [[sortedIntersectCount]] with early exit once the count
+    * provably cannot reach `minNeeded` (exact at or above the bound;
+    * see BoundedSortedIntersectCountExpr). */
+  def sortedIntersectCountBounded(a: Column, b: Column,
+      minNeeded: Column): Column =
+    GraftBridge.column(BoundedSortedIntersectCountExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b),
+      GraftBridge.expression(minNeeded.cast("long"))))
+
+  /** Optimizer pushdown barrier: identity on the wrapped column,
+    * flagged non-deterministic (see OptimizerFenceExpr). */
+  def fence(c: Column): Column =
+    GraftBridge.column(OptimizerFenceExpr(GraftBridge.expression(c)))
 }

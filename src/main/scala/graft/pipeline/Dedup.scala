@@ -1020,16 +1020,18 @@ object Dedup {
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         greatest(col("__na"), col("__nb")).cast("double") *
           (threshold - 0.00005))
-      .withColumn("__iv", interCol)
-      // pushdown barrier: without it PushPredicateThroughProject inlines
-      // the jaccard filter into the JOIN CONDITION, re-evaluating the
-      // intersect kernel 2x per candidate inside the join plus once in
-      // the projection (verified in the physical plan; the plan audit
-      // pins one kernel site). The filter carries a tautological
-      // non-deterministic conjunct (rand < 2), which no optimizer rule
-      // may push or fold — so the kernel runs exactly once per pair and
-      // the threshold test reads the projected attribute.
-      .withColumn("__barrier", rand(7L))
+      // the fence around the kernel makes this PROJECT FIELD
+      // non-deterministic-flagged: PushPredicateThroughNonJoin requires
+      // every project field it substitutes through to be deterministic
+      // and CollapseProject refuses to inline non-deterministic
+      // aliases, so the jaccard threshold filter can sink at most TO
+      // this projection (never past it into the join condition) and
+      // __iv is never duplicated — the kernel runs exactly once per
+      // candidate (plan audit pins it). The fence itself is a
+      // purpose-built identity (OptimizerFenceExpr), zero runtime cost
+      // — the principled replacement for the round-8 `rand(7L) < 2`
+      // tautology barrier.
+      .withColumn("__iv", graft.functions.TextKernels.fence(interCol))
       // 4dp jaccard via EXACT integer half-up units, reconstructed by
       // one IEEE division (bit-deterministic on any engine) — the
       // round-13 contract sweep measured a candidate pair whose double
@@ -1040,8 +1042,7 @@ object Dedup {
         "(20000 * CAST(__iv AS BIGINT) + (__na + __nb - __iv))" +
           " div (2 * CAST(__na + __nb - __iv AS BIGINT))"))
       .withColumn("jaccard", col("__ju").cast("double") / lit(10000.0))
-      .filter(col("__ju") >= math.round(threshold * 10000) &&
-        col("__barrier") < 2.0)
+      .filter(col("__ju") >= math.round(threshold * 10000))
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -1074,96 +1075,222 @@ object Dedup {
     * printed jaccard is integer units through one IEEE division (the
     * fleet's engine-robust contract).
     *
-    * Plan shape at 100 TB: one groupBy(gram) for document frequencies,
+    * Plan shape at 100 TB: one groupBy on the gram-set (the exact
+    * duplicate collapse), one groupBy(gram) for document frequencies,
     * one per-doc window (doc-sized partitions) to take prefixes, one
-    * equi-join on prefix grams + a positional-filter groupBy on
-    * (id_a, id_b), one equi-join back to the gram arrays for
-    * verification — all hash-partitioned on high-cardinality keys, no
-    * driver state.
+    * equi-join on prefix grams with the size + per-row positional
+    * predicates IN the join condition, a groupBy on (id_a, id_b) for
+    * the pair-level bound, the verify join back to the gram arrays,
+    * and two output-sized expansion joins — all hash-partitioned on
+    * high-cardinality keys, no driver state beyond one O(1) stats row
+    * (the broadcast-mode decision).
+    *
+    * The four pruning/collapse levers, with their measured effect on
+    * the 10x-replicated synthetic corpus (sf1 = 50k docs, 31-word
+    * vocabulary, n=8, tau=0.8 — an adversarially LOW-diversity
+    * instance; round-14 measurements):
+    *
+    *  1. Identical-gram-set collapse: docs are grouped by their exact
+    *     gram array before the join; one representative per group runs
+    *     the pipeline, answers expand afterward (within-group pairs
+    *     are Jaccard 1 by definition; cross-group pairs inherit the
+    *     verified rep score, exact because the sets are equal). On
+    *     boilerplate-heavy corpora this removes the dominant quadratic
+    *     outright; the synthetic corpus has only 8/50000 duplicate
+    *     sets, so here it is insurance, not the win.
+    *  2. PER-ROW positional predicate inside the join condition:
+    *     min(nx−rkx, ny−rkyb)+1 >= alpha evaluated per probed pair at
+    *     match time (sound: a qualifying pair's FIRST shared prefix
+    *     gram always passes it). Cuts rows entering the pair groupBy
+    *     321M -> 25M at sf1 (12.8x) — this, not the post-aggregation
+    *     filter, is what keeps the exchange output-shaped.
+    *  3. Pair-level TIGHT bound after aggregation: every shared gram
+    *     <= the LARGEST shared prefix gram w* lies in both prefixes
+    *     (if t < w* and w* is in x's prefix then rk_x(t) < rk_x(w*)
+    *     <= p_x), so overlap <= count(shared prefix grams) +
+    *     min(nx − max(rk_x), ny − max(rk_y)). Subsumes the classic
+    *     max-of-min bound (provably <= it). Prunes nothing on the
+    *     synthetic corpus (candidates share most prefix grams by
+    *     construction) but is the published lever on natural corpora.
+    *     The PPJoin+ depth-1 suffix probe (middle-suffix gram + rank
+    *     carried per doc) was measured on this corpus too: 18.58M ->
+    *     18.58M candidates, zero pruning — prefix+whole-suffix ~= n
+    *     >= alpha for near-threshold sizes — so it is NOT implemented;
+    *     this bound is strictly stronger per dollar here.
+    *  4. Size-keyed BROADCAST verify: when the measured gram mass fits
+    *     `maxVerifyBroadcastBytes` (default 1 GiB), both verify sides
+    *     are broadcast — the candidate pairs never re-shuffle carrying
+    *     gram arrays. At sf1 the arrays-per-pair shuffle (18.5M pairs
+    *     x ~4.4 KB both sides ~= 80 GB raw) WAS the 49 s; broadcast
+    *     replaces it with two hash probes per pair. Past the budget
+    *     (sf10+, real clusters with vocab growth) it degrades to the
+    *     shuffled sort-merge verify, which scales out. The intersect
+    *     kernel early-exits once overlap provably can't reach alpha
+    *     (exact: overlap >= alpha iff 4dp-jaccard >= tau).
     *
     * Scale regime, measured honestly: the cost floor is the PREFIX
     * JOIN's incidence mass Σ_grams c_pfx², where c_pfx is how many
-    * docs carry that gram inside their prefix. On natural corpora
-    * (Zipfian text, growing vocabulary) rare-gram diversity grows
-    * with the corpus and c_pfx stays O(1)-ish — the published
-    * AllPairs regime, near-linear. On LOW-DIVERSITY corpora (this
-    * repo's 31-word synthetic documents table is an adversarial
-    * instance) prefix buckets grow with corpus size and the candidate
-    * mass trends quadratic: measured 3.1 s at sf0.1 → 49 s at sf1
-    * (16×/10× data WITH the positional filter; 33× without it), still
-    * ~180× under the brute-force join at the same SF. Mitigations, in
-    * order: collapse exact /
-    * fingerprint duplicates first ([[exact]], [[byFingerprint]]);
-    * raise `n` (more gram diversity); or accept the candidates'
-    * bucket quadratic as the price of exactness and let it scale out
-    * (equi-joins shuffle; a cluster absorbs what one box cannot). */
+    * distinct-set docs carry that gram inside their prefix. On natural
+    * corpora (Zipfian text, growing vocabulary) rare-gram diversity
+    * grows with the corpus and c_pfx stays O(1)-ish — the published
+    * AllPairs regime, near-linear (measured on a Zipfian corpus in
+    * SCALING_r14). On low-diversity corpora the probe mass trends
+    * quadratic (1.7e9 probes at sf1) but probes are codegen'd integer
+    * compares inside the join — the emitted/shuffled rows stay
+    * output-shaped via lever 2. Mitigations past one box: raise `n`
+    * (more gram diversity) or let the equi-joins scale out. */
   def prefixFilterJaccardPairs(df: DataFrame, id: String, text: String,
-      n: Int = 8, threshold: Double = 0.5): DataFrame = {
+      n: Int = 8, threshold: Double = 0.5,
+      maxVerifyBroadcastBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t4 = math.round(threshold * 10000).toInt
     require(t4 >= 1 && t4 <= 10000, s"threshold must be in (0,1]: $threshold")
     val tn = 2L * t4 - 1 // τ' numerator over 2e4
-    val docs = df
+    // lever 1: collapse identical gram sets; reps carry member lists
+    val groups = df
       .select(col(id).as("doc"),
         array_sort(Text.charNgrams(col(text), n)).as("__g"))
       .filter(size(col("__g")) > 0)
+      .groupBy(col("__g"))
+      .agg(min(col("doc")).as("doc"),
+        sort_array(collect_list(col("doc"))).as("__mem"))
       .withColumn("__n", size(col("__g")))
-      .repartition(col("doc"))
-      // consumed by the prefix build and BOTH verify sides: once
+      // consumed by the prefix build, BOTH verify sides, both
+      // expansion joins and the stats row: materialize once
       .localCheckpoint(false)
+    val docs = groups.select("doc", "__g", "__n")
     val grams = docs.select(col("doc"), col("__n"),
       explode(col("__g")).as("g"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
-    // prefix length p(n_d) = n_d − ceil(τ'·n_d) + 1; ceil in integers
-    val prefix = grams.join(dfreq, "g")
+    // prefix extraction, sort-free at the partition level: attach df
+    // with a SHUFFLED HASH join (a fact x vocab join — sort-merge
+    // would sort all N gram rows by string key; hash-partitioning both
+    // sides on g needs no sort and scales out identically), then rank
+    // per doc by re-collecting each doc's (df, g) structs and
+    // array_sort-ing IN-ROW — O(n_d log n_d) cache-local per doc, no
+    // partition-wide window sort, and only the PREFIX slice explodes
+    // downstream. Prefix length p(n_d) = n_d − ceil(τ'·n_d) + 1; ceil
+    // in integers, BIGINT (tn·n wraps 32-bit past ~107k grams/doc)
+    val prefix = grams.join(dfreq.hint("shuffle_hash"), "g")
       .withColumn("__rk", row_number().over(
         Window.partitionBy("doc").orderBy(col("__df"), col("g"))))
-      .filter(col("__rk") <= col("__n") -
-        expr(s"CAST(($tn * __n + 19999) div 20000 AS INT)") + 1)
+      .filter(col("__rk").cast("long") <= expr(
+        s"CAST(__n AS BIGINT) -" +
+          s" (($tn * CAST(__n AS BIGINT) + 19999) div 20000) + 1"))
     def pside(a: String) = prefix.select(col("g"),
       col("doc").as(s"id_$a"), col("__n").as(s"__s$a"),
       col("__rk").as(s"__rk$a"))
-    // positional filter (PPJoin's second pruning lever): a true pair's
-    // SMALLEST shared gram w sits in both prefixes (prefix lemma), and
-    // every shared gram is >= w in the total order, so the overlap is
-    // bounded by the smaller suffix at w's positions:
-    // i <= min(nx − rk_x, ny − rk_y) + 1. Requiring i >= τ'·(nx+ny−i)
-    // gives the integer floor α = ceil(tn·(nx+ny) / (2e4+tn)); a pair
-    // whose BEST shared prefix incidence can't reach α cannot qualify.
-    // This prunes before the expensive gram-array verify join — on
-    // low-diversity corpora (where semi-rare grams make wide prefix
-    // buckets) it is the difference between candidate mass tracking
-    // the output and tracking the bucket quadratic.
-    val cand = pside("a").join(pside("b"), "g")
-      .filter(col("id_a") < col("id_b"))
-      // size filter: |x∩y| <= min and >= τ'·max forces min >= τ'·max
-      .filter(lit(20000L) * least(col("__sa"), col("__sb")) >=
-        lit(tn) * greatest(col("__sa"), col("__sb")))
-      .withColumn("__ub", least(col("__sa") - col("__rka"),
-        col("__sb") - col("__rkb")) + lit(1))
+    // alpha = minimum overlap: |x∩y| >= ceil(tn·(nx+ny) / (2e4+tn))
+    def alphaSql(na: String, nb: String) =
+      s"(($tn * (CAST($na AS BIGINT) + $nb) + ${20000 + tn} - 1)" +
+        s" div ${20000 + tn})"
+    // size-bucketed composite join key: a compatible pair's sizes are
+    // within ratio r = 2e4/tn of each other, so bucketing docs into
+    // geometric size classes b(n) = floor(ln n / ln r) and joining on
+    // (g, bucket) splits every gram bucket by size class — measured
+    // 2.8x fewer probed pairs on the sf1 synthetic corpus (1.7e9 ->
+    // 6.1e8). The INDEX side carries its home bucket; the PROBE side
+    // explodes to the buckets of its integer compatibility range
+    // [ceil(tn·n/2e4), (2e4·n) div tn] (~2-3 classes). Coverage is
+    // float-proof: it only needs MONOTONICITY of floor(ln(x)/lnR) on
+    // integers — lo <= n_partner <= hi implies b(lo) <= b(partner) <=
+    // b(hi) whatever LN's rounding does — never float equality.
+    val lnR = math.log(20000.0 / tn)
+    def bexp(x: String) =
+      s"CAST(FLOOR(LN(CAST(($x) AS DOUBLE)) / ${lnR}D) AS INT)"
+    val idx = pside("b").withColumn("__bk", expr(bexp("__sb")))
+    val probe = pside("a").withColumn("__bk", explode(expr(
+      s"sequence(${bexp(s"($tn * CAST(__sa AS BIGINT) + 19999)" +
+          s" div 20000")}," +
+        s" ${bexp(s"(20000 * CAST(__sa AS BIGINT)) div $tn")})")))
+    // levers 2+3: candidate equi-join on prefix grams. The size filter
+    // (|x∩y| <= min, >= τ'·max forces min >= τ'·max) and the PER-ROW
+    // positional predicate both land in the JOIN CONDITION (Catalyst
+    // pushes deterministic two-sided predicates there — here that is
+    // exactly what we want: probed pairs that cannot qualify are never
+    // emitted into the aggregation exchange). Soundness of the per-row
+    // form: a qualifying pair's FIRST shared gram w has all overlap at
+    // rank >= rk(w) in both docs, so min(nx−rkx, ny−rky)+1 >= alpha
+    // holds on at least that row. Each unordered pair is matched once:
+    // both roles occur (probe ranges cover home buckets symmetrically)
+    // and id_a < id_b keeps exactly the probe=smaller-id match, per
+    // shared gram, exactly as the symmetric join did.
+    // shuffle_hash marker: the prefix side is corpus-sized — a
+    // (statically mis-estimated) broadcast here would ship the whole
+    // prefix index to every task AND build the prefix pipeline twice;
+    // hash-partitioning both sides on (g, bucket) is the scale-out
+    // shape, and the probe/index exchanges canonicalize identically up
+    // to the bucket column so the prefix pipeline is computed once.
+    val cand = probe.join(idx.hint("shuffle_hash"), Seq("g", "__bk"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(20000L) * least(col("__sa"), col("__sb")) >=
+          lit(tn) * greatest(col("__sa"), col("__sb")) &&
+        (least(col("__sa") - col("__rka"), col("__sb") - col("__rkb"))
+          + lit(1)).cast("long") >= expr(alphaSql("__sa", "__sb")))
       .groupBy("id_a", "id_b")
-      .agg(max(col("__ub")).as("__mub"),
+      .agg(count(lit(1)).as("__cp"),
+        max(col("__rka")).as("__mra"), max(col("__rkb")).as("__mrb"),
         max(col("__sa")).as("__pna"), max(col("__sb")).as("__pnb"))
-      .filter(col("__mub") >= expr(
-        s"CAST(($tn * (__pna + __pnb) + ${20000 + tn} - 1)" +
-          s" div ${20000 + tn} AS INT)"))
-      .select("id_a", "id_b")
-    val va = docs.select(col("doc").as("id_a"), col("__g").as("__ga"),
-      col("__n").as("__na"))
-    val vb = docs.select(col("doc").as("id_b"), col("__g").as("__gb"),
-      col("__n").as("__nb"))
-    cand.join(va, "id_a").join(vb, "id_b")
-      .withColumn("__iv", graft.functions.TextKernels
-        .sortedIntersectCount(col("__ga"), col("__gb")))
-      // same pushdown barrier as charNgramJaccardPairs: keep the
-      // intersect kernel out of the join condition (one eval per pair)
-      .withColumn("__barrier", rand(7L))
+      // tight pair bound: shared grams <= the largest shared PREFIX
+      // gram are all in both prefixes (= __cp of them); shared grams
+      // beyond it sit past its rank in both docs
+      .filter(expr(
+        s"__cp + least(CAST(__pna AS BIGINT) - __mra," +
+          s" CAST(__pnb AS BIGINT) - __mrb) >= " +
+          alphaSql("__pna", "__pnb")))
+      .select("id_a", "id_b", "__pna", "__pnb")
+    // lever 4: verify sides broadcast when the measured gram mass fits
+    // the budget (one O(1) stats row off the checkpointed groups
+    // frame); otherwise the shuffled sort-merge verify (scales out)
+    val st = groups.agg(count(lit(1)).as("d"),
+      coalesce(sum(col("__n").cast("long")), lit(0L)).as("tg")).head()
+    val verifyBroadcast =
+      st.getLong(1) * (n.toLong + 16L) + st.getLong(0) * 80L <=
+        maxVerifyBroadcastBytes
+    def vside(a: String) = {
+      val v = docs.select(col("doc").as(s"id_$a"),
+        col("__g").as(s"__g$a"))
+      if (verifyBroadcast) broadcast(v) else v
+    }
+    val repPairs = cand.join(vside("a"), "id_a").join(vside("b"), "id_b")
+      // fence (see charNgramJaccardPairs): the non-deterministic-
+      // flagged identity on the project field blocks predicate
+      // substitution through this projection — one kernel eval per
+      // candidate pair, never inside the join condition
+      .withColumn("__iv", graft.functions.TextKernels.fence(
+        graft.functions.TextKernels.sortedIntersectCountBounded(
+          col("__ga"), col("__gb"), expr(alphaSql("__pna", "__pnb")))))
       .withColumn("__ju", expr(
-        "(20000 * CAST(__iv AS BIGINT) + (__na + __nb - __iv))" +
-          " div (2 * CAST(__na + __nb - __iv AS BIGINT))"))
+        "(20000 * CAST(__iv AS BIGINT)" +
+          " + (CAST(__pna AS BIGINT) + __pnb - __iv))" +
+          " div (2 * (CAST(__pna AS BIGINT) + __pnb - __iv))"))
       .withColumn("jaccard", col("__ju").cast("double") / lit(10000.0))
-      .filter(col("__ju") >= t4 && col("__barrier") < 2.0)
+      .filter(col("__ju") >= t4)
       .select("id_a", "id_b", "jaccard")
+    // expansion of the collapse: within-group pairs are exact
+    // duplicates (jaccard 1.0 in the integer-unit contract, admitted
+    // at every threshold <= 1); cross-group pairs inherit the rep
+    // score verbatim (equal sets => equal jaccard against anything)
+    val within = groups
+      .filter(size(col("__mem")) >= 2)
+      .select(posexplode(col("__mem")).as(Seq("__i", "id_a")),
+        col("__mem"))
+      .select(col("id_a"), explode(slice(col("__mem"),
+        col("__i") + lit(2),
+        size(col("__mem")) - col("__i") - lit(1))).as("id_b"))
+      .withColumn("jaccard", lit(1.0))
+      .select("id_a", "id_b", "jaccard")
+    def memSide(a: String) = groups.select(col("doc").as(s"id_$a"),
+      col("__mem").as(s"__m$a"))
+    val cross = repPairs
+      .join(memSide("a"), "id_a").join(memSide("b"), "id_b")
+      .select(col("jaccard"), explode(col("__ma")).as("__ea"),
+        col("__mb"))
+      .select(col("jaccard"), col("__ea"),
+        explode(col("__mb")).as("__eb"))
+      .select(least(col("__ea"), col("__eb")).as("id_a"),
+        greatest(col("__ea"), col("__eb")).as("id_b"), col("jaccard"))
+    cross.unionByName(within)
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal top-k-bit

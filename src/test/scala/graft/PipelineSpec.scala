@@ -832,6 +832,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bounded intersect kernel + fence: codegen parity; abort is " +
+      "filter-equivalent to the exact count") {
+    import graft.functions.TextKernels
+    val r = new scala.util.Random(7)
+    val vocab = (1 to 40).map(i => f"g$i%02d")
+    val rows = (1L to 60L).map { i =>
+      val set = r.shuffle(vocab).take(5 + r.nextInt(30)).sorted
+      (i, set)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "gs")
+    val pairs = df.select(col("id").as("ia"), col("gs").as("ga"))
+      .crossJoin(df.select(col("id").as("ib"), col("gs").as("gb")))
+      .filter(col("ia") < col("ib"))
+    def run() = pairs.select(col("ia"), col("ib"),
+      TextKernels.sortedIntersectCount(col("ga"), col("gb")).as("iv"),
+      TextKernels.fence(TextKernels.sortedIntersectCountBounded(
+        col("ga"), col("gb"), lit(12L))).as("bv"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getInt(3)))
+      .toSeq.sorted
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val fallbackKey = "spark.sql.codegen.fallback"
+    val prevFactory = spark.conf.getOption(factoryKey)
+    val prevFallback = spark.conf.getOption(fallbackKey)
+    val (gen, interp) = try {
+      spark.conf.set(factoryKey, "CODEGEN_ONLY")
+      spark.conf.set(fallbackKey, "false")
+      val g = run()
+      spark.conf.set(factoryKey, "NO_CODEGEN")
+      (g, run())
+    } finally {
+      def restore(k: String, v: Option[String]) =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore(factoryKey, prevFactory)
+      restore(fallbackKey, prevFallback)
+    }
+    assert(gen === interp) // doGenCode == interpreted, fence included
+    // the bounded kernel's contract: exact at or above the bound,
+    // strictly below it when it aborts — so `bv >= k` decides exactly
+    // like `iv >= k`, and passing pairs carry the exact count
+    assert(gen.exists(_._3 >= 12) && gen.exists(_._3 < 12),
+      "fixture must exercise both sides of the bound")
+    gen.foreach { case (_, _, iv, bv) =>
+      if (iv >= 12) assert(bv === iv)
+      else assert(bv <= iv && bv < 12)
+    }
+  }
+
   test("editDistancePairs: equals brute-force levenshtein join; cap drops hot keys") {
     val r = new scala.util.Random(13)
     val alphabet = "abcd"

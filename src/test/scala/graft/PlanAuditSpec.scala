@@ -401,6 +401,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(kernels == 1, s"$kernels intersect sites\n${plan.take(2500)}")
   }
 
+  test("prefixFilterJaccard cluster shape: candidate join shuffles on " +
+      "(g, bucket); past-budget verify shuffles on pair ids") {
+    // the invariants the 100-TB scale-out argument rests on, pinned
+    // with every broadcast escape hatch closed: autoBroadcast off (no
+    // statically mis-estimated broadcast of the corpus-sized prefix
+    // index) and a zero verify-broadcast budget (the degraded path a
+    // vocab-rich corpus takes)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = pipeline.Dedup.prefixFilterJaccardPairs(docs, "doc_id",
+        "text", n = 8, threshold = 0.8, maxVerifyBroadcastBytes = 0L)
+        .queryExecution.executedPlan.toString
+      // candidate join: hash-partitioned shuffled hash join on the
+      // composite (gram, size-bucket) key — never a broadcast of the
+      // prefix index
+      assert(plan.contains("ShuffledHashJoin [g#") ||
+        """ShuffledHashJoin \[g""".r.findFirstIn(plan).nonEmpty,
+        plan.take(3000))
+      assert("""Exchange hashpartitioning\(g#\d+, __bk""".r
+        .findFirstIn(plan).nonEmpty, plan.take(3000))
+      // verify joins (budget 0 = the at-scale path): shuffled equi-
+      // joins keyed on the pair ids, and the gram arrays never ride a
+      // broadcast
+      assert("""Exchange hashpartitioning\(id_a#\d+""".r
+        .findFirstIn(plan).nonEmpty, plan.take(3000))
+      assert("""Exchange hashpartitioning\(id_b#\d+""".r
+        .findFirstIn(plan).nonEmpty, plan.take(3000))
+      // the kernel still evaluates once, outside any join condition
+      val kernels = "intersect_count".r.findAllIn(plan).length
+      assert(kernels == 1, s"$kernels intersect sites\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("packSequences: one range exchange, broadcast offsets, no global window") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), pipeline.Text.tokenCount(col("text"))
