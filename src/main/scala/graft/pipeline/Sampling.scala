@@ -90,16 +90,72 @@ object Sampling {
       expr(s"__ntot div CAST($budgetDiv AS BIGINT)"), alpha, salt)
   }
 
+  /** The continued-fraction convergent p/q (q <= maxDen) that
+    * reproduces `alpha`'s double bits to within 4 ulps — i.e. the
+    * rational number the caller actually typed (0.7 -> 7/10, 0.25 ->
+    * 1/4, 1/3 written as 0.3333333333333333 -> 1/3). A pure function
+    * of the double bits: every engine recovers the same (p, q). */
+  private[graft] def asRational(alpha: Double,
+      maxDen: Long = 1000000L): Option[(Long, Long)] = {
+    var h0 = 0L; var h1 = 1L; var k0 = 1L; var k1 = 0L
+    var x = alpha
+    var i = 0
+    while (i < 40) {
+      val a = math.floor(x).toLong
+      val h2 = a * h1 + h0; val k2 = a * k1 + k0
+      if (k2 > maxDen) return None
+      if (k2 > 0 &&
+          math.abs(h2.toDouble / k2.toDouble - alpha) <=
+            4 * math.ulp(alpha)) return Some((h2, k2))
+      val frac = x - a
+      if (frac < 1e-15) return None
+      x = 1.0 / frac
+      h0 = h1; h1 = h2; k0 = k1; k1 = k2
+      i += 1
+    }
+    None
+  }
+
+  /** Floor of the q-th root of a non-negative BigInteger: Newton from
+    * a power-of-two overestimate (monotone decreasing), integer-exact
+    * final adjust. O(log) BigInteger ops per call — called once per
+    * STRATUM, never per row. */
+  private def iroot(x: java.math.BigInteger, q: Int)
+      : java.math.BigInteger = {
+    import java.math.BigInteger
+    if (x.signum == 0) return BigInteger.ZERO
+    val bq = BigInteger.valueOf(q.toLong)
+    val bq1 = BigInteger.valueOf(q.toLong - 1)
+    var r = BigInteger.ONE.shiftLeft(x.bitLength() / q + 1)
+    var done = false
+    while (!done) {
+      // r' = ((q-1)·r + x / r^(q-1)) / q
+      val next = bq1.multiply(r).add(x.divide(r.pow(q - 1))).divide(bq)
+      if (next.compareTo(r) >= 0) done = true else r = next
+    }
+    while (r.pow(q).compareTo(x) > 0) r = r.subtract(BigInteger.ONE)
+    while (r.add(BigInteger.ONE).pow(q).compareTo(x) <= 0)
+      r = r.add(BigInteger.ONE)
+    r
+  }
+
   /** Attaches `__pu` = n^α in exact 1e-6 "pow units" to a counts frame
-    * with column `__n`. α = 0.5: pu = round_half_up(sqrt(n)·1e6)
-    * computed EXACTLY as (isqrt(4·n·1e12) + 1) div 2 — sqrt(n) is
-    * irrational unless n is a perfect square, so the half-up tie is
-    * unreachable and the parity trick is exact; the double sqrt seeds
-    * an estimate whose ±1 error a Newton step corrects with integer
-    * compares (seed absolute error ≤ sqrt(n)·2e-10 < 1 for n ≤ 1e18).
-    * α = 1: pu = n·1e6. Other α: one-shot round(pow(n,α),6) double per
-    * stratum on a 6dp decimal grid — documented residual engine risk
-    * (JVM vs libm pow may differ ≥1 ULP on a boundary value). */
+    * with column `__n` — EXACT INTEGER arithmetic for every α the
+    * hashed-membership contract accepts. α = 0.5: pu =
+    * round_half_up(sqrt(n)·1e6) computed EXACTLY as
+    * (isqrt(4·n·1e12) + 1) div 2 (the double sqrt only SEEDS a Newton
+    * correction whose compares are integer — seed absolute error ≤
+    * sqrt(n)·2e-10 < 1 for n ≤ 1e18). α = 1: pu = n·1e6. Any other α
+    * is interpreted as the rational p/q its double bits encode
+    * ([[asRational]]) and computed exactly on the driver per STRATUM:
+    * pu = (iroot_q(n^p · (2e6)^q) + 1) div 2, which IS half-up of
+    * n^(p/q)·1e6 including at .5 grid points ((2m+1+1) div 2 = m+1) —
+    * BigInteger throughout, no libm call anywhere (round-13 pagerank
+    * lesson generalized: no double may reach a hashed output). An α
+    * that encodes no small rational (q > 1e6) raises — route genuinely
+    * irrational temperatures through [[temperatureSampleEstimator]],
+    * which owns the documented one-shot-double residual instead of
+    * hiding it under the exact contract. */
   private[graft] def powUnits(counts: DataFrame, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     if (alpha == 1.0)
@@ -117,10 +173,36 @@ object Sampling {
             " * CAST(__s0 AS DECIMAL(16,0)) > __m THEN -1" +
             " ELSE 0 END) + 1) div 2"))
         .drop("__m", "__s0")
-    else
-      counts.withColumn("__pu", expr(
-        s"CAST(CAST(round(pow(CAST(__n AS DOUBLE), ${alpha}D), 6)" +
-          " AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
+    else {
+      val (p, q) = asRational(alpha).getOrElse(throw new
+        IllegalArgumentException(
+          s"alpha=$alpha encodes no rational p/q with q <= 1e6; the " +
+            "exact-integer contract cannot hold it — use " +
+            "temperatureSampleEstimator for irrational temperatures"))
+      val g = java.math.BigInteger.valueOf(p)
+        .gcd(java.math.BigInteger.valueOf(q)).longValueExact()
+      val (pr, qr) = ((p / g).toInt, (q / g).toInt)
+      val twoM = java.math.BigInteger.valueOf(2000000L).pow(qr)
+      val pow6 = udf { n: Long =>
+        val x = java.math.BigInteger.valueOf(n).pow(pr).multiply(twoM)
+        iroot(x, qr).add(java.math.BigInteger.ONE)
+          .shiftRight(1).longValueExact()
+      }
+      counts.withColumn("__pu", pow6(col("__n").cast("long")))
+    }
+  }
+
+  /** The pre-round-14 general-α path, explicitly estimator-named: one
+    * round(pow(n, α), 6) DOUBLE per stratum lands on the 6dp grid —
+    * the documented residual engine risk (JVM vs libm pow may differ
+    * >= 1 ULP on a grid-boundary value), acceptable for exploratory
+    * mixing, excluded from the exact hashed-membership contract. */
+  private[graft] def powUnitsEstimator(counts: DataFrame,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    counts.withColumn("__pu", expr(
+      s"CAST(CAST(round(pow(CAST(__n AS DOUBLE), ${alpha}D), 6)" +
+        " AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
   }
 
   /** Per-stratum keep rates in parts-per-thousand under the
@@ -131,10 +213,11 @@ object Sampling {
     * corpus establishes the mixture, an unbounded feed replays the
     * identical integer membership predicate. */
   def temperatureRates(df: DataFrame, stratum: String, kCol: Column,
-      alpha: Double): DataFrame = {
+      alpha: Double, estimator: Boolean = false): DataFrame = {
     val counts = df.groupBy(col(stratum).as("__s"))
       .agg(count(lit(1)).as("__n"))
-    val withPu = powUnits(counts, alpha)
+    val withPu = if (estimator) powUnitsEstimator(counts, alpha)
+      else powUnits(counts, alpha)
     // z: exact BIGINT sum of pow units (order-independent); __ntot
     // feeds the in-plan budget variant and costs nothing extra
     val z = withPu
@@ -166,9 +249,27 @@ object Sampling {
 
   private def temperatureSampleImpl(df: DataFrame, id: String,
       stratum: String, kCol: Column, alpha: Double,
-      salt: String): DataFrame =
+      salt: String, estimator: Boolean = false): DataFrame =
     applyTemperatureRates(df, id, stratum,
-      temperatureRates(df, stratum, kCol, alpha), salt)
+      temperatureRates(df, stratum, kCol, alpha, estimator), salt)
+
+  /** [[temperatureSample]] for temperatures the exact-integer contract
+    * cannot carry (α whose double encodes no rational p/q, q <= 1e6 —
+    * e.g. α = 1/π): the per-stratum rate derivation takes ONE
+    * round(pow(n, α), 6) double on a 6dp grid, a documented estimator
+    * residual (engines may disagree >= 1 ULP at a grid boundary).
+    * Membership is still the deterministic md5 filter; only the RATE a
+    * stratum gets carries the estimator risk. Prefer
+    * [[temperatureSample]] — every finitely-typed α (0.7, 0.25, …)
+    * routes there exactly. */
+  def temperatureSampleEstimator(df: DataFrame, id: String,
+      stratum: String, k: Long, alpha: Double,
+      salt: String = "tmix"): DataFrame = {
+    require(k > 0 && k <= 1000000000000000L,
+      "row budget k must be in (0, 1e15]")
+    temperatureSampleImpl(df, id, stratum, lit(k), alpha, salt,
+      estimator = true)
+  }
 
   /** Deterministic train/val/test (or any named-bucket) split: the
     * md5 hash of (salt, id) mod 1000 walks the cumulative rate table,

@@ -193,6 +193,50 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("powUnits(rational alpha): exact q-th-root grid; irrational " +
+      "alpha refuses the exact contract") {
+    import java.math.BigInteger
+    // every finitely-typed alpha routes through the BigInteger q-th
+    // root: verify the DEFINING half-up inequality directly —
+    // pu = half_up(n^(p/q)·1e6) iff (2pu−1)^q <= n^p·(2e6)^q < (2pu+1)^q
+    // — an independent model, no shared code with the implementation
+    val cases = Seq(0.7 -> (7, 10), 0.25 -> (1, 4), 0.75 -> (3, 4),
+      (1.0 / 3.0) -> (1, 3), 0.6 -> (3, 5))
+    val rnd = new scala.util.Random(29)
+    val ns = ((1L to 400L) ++
+      (1 to 60).map(_ => 1L + rnd.nextLong(100000000000L))).distinct
+    val df = spark.createDataFrame(ns.map(Tuple1(_))).toDF("__n")
+    cases.foreach { case (alpha, (p, q)) =>
+      assert(Sampling.asRational(alpha) === Some((p.toLong, q.toLong)),
+        s"alpha=$alpha")
+      val got = Sampling.powUnits(df, alpha)
+        .select(col("__n"), col("__pu").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scaleQ = BigInteger.valueOf(2000000L).pow(q)
+      ns.foreach { n =>
+        val twoY = BigInteger.valueOf(n).pow(p).multiply(scaleQ)
+        val pu = BigInteger.valueOf(got(n))
+        val lo = pu.shiftLeft(1).subtract(BigInteger.ONE).pow(q)
+        val hi = pu.shiftLeft(1).add(BigInteger.ONE).pow(q)
+        assert(lo.compareTo(twoY) <= 0 && twoY.compareTo(hi) < 0,
+          s"alpha=$alpha n=$n pu=${got(n)}")
+      }
+    }
+    // pi/4 encodes no rational with q <= 1e6 inside 4 ulps: the exact
+    // path must REFUSE (never silently fall back to a libm double)...
+    val err = intercept[IllegalArgumentException] {
+      Sampling.powUnits(df, 0.7853981633974483)
+    }
+    assert(err.getMessage.contains("temperatureSampleEstimator"))
+    // ...while the explicitly estimator-named surface carries it
+    val rows = (0L until 400L).map(i =>
+      (i, if (i < 300) "big" else "small"))
+    val sdf = spark.createDataFrame(rows).toDF("id", "s")
+    val est = Sampling.temperatureSampleEstimator(sdf, "id", "s",
+      k = 100, alpha = 0.7853981633974483)
+    assert(est.count() > 0)
+  }
+
   test("temperature ppt: integer half-up division matches a BigInteger model") {
     // ppt = (2000·k·pu + z·n) div (2·z·n) must equal
     // round_half_up(1000·k·pu / (z·n)) for magnitudes up to the

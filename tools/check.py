@@ -22,11 +22,33 @@ def fail(name, why):
     print(f"FAIL(now) {name}: {why.splitlines()[0][:160]}", flush=True)
     fails.append((name, why))
 
-# optional subset / skip lists (comma-separated query names): the sf1
-# scale run skips the four content-golden oracles whose literal VALUES
-# are pinned to the driver corpus by contract
+# Per-scale-factor DEFAULT skip lists, machine-enforced (round-14
+# advice: the skip set used to live only in docs + a hand-copied env
+# var). Keyed on the SF parsed from the data dir name:
+#   - sf > 0.01: the four content-golden oracles whose literal VALUES
+#     are pinned to the driver's sf0.01 corpus by contract;
+#   - sf > 0.1: also pipe_ppjoin, whose oracle is a deliberately
+#     independent brute-force all-pairs join that goes quadratic past
+#     sf0.1 (~90 s at sf0.1, ~100x at sf1) — the operator itself stays
+#     spec-pinned equal to brute force in PipelineSpec.
+# CHECK_SKIP adds to these; CHECK_NO_DEFAULT_SKIP=1 disables them.
+CONTENT_GOLDEN = {"pipe_bpe_merges", "pipe_bpe_encode",
+                  "pipe_compress_ratio", "pipe_quality_classifier"}
+ORACLE_QUADRATIC = {"pipe_ppjoin"}
+import re as _re
+_m = _re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+_sf = float(_m.group(1)) if _m else None
+default_skip = set()
+if not os.environ.get("CHECK_NO_DEFAULT_SKIP"):
+    if _sf is None or _sf > 0.01:
+        default_skip |= CONTENT_GOLDEN
+    if _sf is None or _sf > 0.1:
+        default_skip |= ORACLE_QUADRATIC
 only = set(os.environ.get("CHECK_ONLY", "").split(",")) - {""}
-skip = set(os.environ.get("CHECK_SKIP", "").split(",")) - {""}
+skip = (set(os.environ.get("CHECK_SKIP", "").split(",")) - {""}) \
+    | (default_skip - only)  # CHECK_ONLY overrides a default skip
+if default_skip - only:
+    print(f"default-skip at sf={_sf}: {sorted(default_skip - only)}")
 results = {}
 fails = []
 # CHECK_RESUME=1: reuse PASS results already recorded in CHECK_JSON
