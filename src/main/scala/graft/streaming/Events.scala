@@ -170,6 +170,23 @@ object Events {
       .start()
     q.processAllAvailable()
     q.stop()
+    // SEQUENCE the disk footprints (round-14 ask: at 100x the winnow
+    // state store + drained candidates + verify spill exceed one box
+    // only CONCURRENTLY): the query is stopped and this harness never
+    // resumes it, so its checkpoint — which holds the entire state
+    // store, fingerprint-scaled for the winnow family — is dead
+    // weight. Delete it eagerly; only the drained output parquet stays
+    // on disk while the downstream batch verify runs.
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(root + "/chk"))
+    // same reclaim hint as the sliced verify: the stopped query's
+    // shuffle files free only when the ContextCleaner collects their
+    // RDDs — nudge it before the downstream batch job starts writing
+    System.gc()
     if (new java.io.File(out).listFiles() == null)
       // zero batches produced output files: empty result, same schema
       spark.createDataFrame(
