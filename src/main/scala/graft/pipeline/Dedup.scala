@@ -1130,18 +1130,28 @@ object Dedup {
     *
     * Scale regime, measured honestly: the cost floor is the PREFIX
     * JOIN's incidence mass Σ_grams c_pfx², where c_pfx is how many
-    * distinct-set docs carry that gram inside their prefix. On natural
-    * corpora (Zipfian text, growing vocabulary) rare-gram diversity
-    * grows with the corpus and c_pfx stays O(1)-ish — the published
-    * AllPairs regime, near-linear (measured on a Zipfian corpus in
-    * SCALING_r14). On low-diversity corpora the probe mass trends
-    * quadratic (1.7e9 probes at sf1) but probes are codegen'd integer
-    * compares inside the join — the emitted/shuffled rows stay
-    * output-shaped via lever 2. Mitigations past one box: raise `n`
-    * (more gram diversity) or let the equi-joins scale out. */
+    * distinct-set docs carry that gram inside their prefix — it tracks
+    * how fast VOCABULARY grows with the corpus. Measured three decades
+    * on a Zipfian corpus with Heaps-law vocab V ~ sqrt(N) (GenZipf,
+    * round 14): 1.9 s at 5k docs -> 6.5 s at 50k (3.4x/10x,
+    * near-linear) -> 87 s at 500k (13.4x/10x — the sqrt-vocab regime's
+    * predicted drift toward N^1.5 as prefix buckets thicken; corpora
+    * whose vocabulary grows ~linearly with N hold the near-linear
+    * regime). On the fixed-31-word synthetic corpus (no vocab growth —
+    * the adversarial floor) the probe mass is quadratic: 1.7e9 probes
+    * at sf1, 3.0 s at sf0.1 -> 19.2 s at sf1 (was 48.9 s before the
+    * round-14 levers) — but probes are codegen'd integer compares
+    * inside the join and the emitted/shuffled rows stay output-shaped
+    * via lever 2. Mitigations past one box: raise `n` (more gram
+    * diversity) or let the equi-joins scale out. */
   def prefixFilterJaccardPairs(df: DataFrame, id: String, text: String,
       n: Int = 8, threshold: Double = 0.5,
-      maxVerifyBroadcastBytes: Long = 1L << 30): DataFrame = {
+      // default broadcast budget scales with the JVM: 1/16th of the
+      // heap, capped at 4 GiB — an 8 GB executor broadcasts up to
+      // 512 MB of gram arrays, a big-memory single box up to 4 GiB,
+      // and past it the verify degrades to the shuffled join
+      maxVerifyBroadcastBytes: Long =
+        math.min(4L << 30, Runtime.getRuntime.maxMemory() / 16)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t4 = math.round(threshold * 10000).toInt
     require(t4 >= 1 && t4 <= 10000, s"threshold must be in (0,1]: $threshold")
