@@ -42,7 +42,7 @@ object GenZipf {
     sb.toString
   }
 
-  private def docText(docId: Long, vocab: Long): String = {
+  private[graft] def docText(docId: Long, vocab: Long): String = {
     val rng = new java.util.Random(docId * 1000003L + 7919L)
     val nWords = 40 + (docId % 21).toInt
     val base =

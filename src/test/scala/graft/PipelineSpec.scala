@@ -708,6 +708,37 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture produced no pairs — weak test")
   }
 
+  test("prefixFilterJaccardPairs equals brute force on a Zipfian corpus") {
+    // second corpus GEOMETRY: power-law vocabulary + seeded near-dups
+    // (GenZipf's generator inline, 400 docs) — the size distribution,
+    // bucket shapes, and collapse/expansion paths differ structurally
+    // from the driver fixture the other equality spec pins
+    val d = spark.createDataFrame((0L until 400L).map(i =>
+        (i, graft.tools.GenZipf.docText(i, vocab = 900L))))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = pairs(Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+      n = 8, threshold = 0.8))
+    val g = d.select(col("doc_id").as("doc"),
+        array_sort(Text.charNgrams(col("text"), 8)).as("gs"))
+      .filter(size(col("gs")) > 0).withColumn("n", size(col("gs")))
+    val brute = pairs(g
+      .select(col("doc").as("id_a"), col("gs").as("ga"), col("n").as("na"))
+      .crossJoin(g.select(col("doc").as("id_b"), col("gs").as("gb"),
+        col("n").as("nb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("iv", graft.functions.TextKernels
+        .sortedIntersectCount(col("ga"), col("gb")))
+      .withColumn("ju", expr("(20000 * CAST(iv AS BIGINT) +" +
+        " (na + nb - iv)) div (2 * CAST(na + nb - iv AS BIGINT))"))
+      .filter(col("ju") >= 8000)
+      .select(col("id_a"), col("id_b"),
+        (col("ju").cast("double") / 10000.0).as("j")))
+    assert(got === brute)
+    assert(got.nonEmpty, "zipf fixture produced no pairs — weak test")
+  }
+
   test("prefixFilterJaccardPairs edge thresholds: exact dups at tau=1") {
     // jaccard(1,4) = 58/75 = 0.7733… exactly (one word edit); doc 3
     // shares almost nothing
