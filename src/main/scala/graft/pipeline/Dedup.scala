@@ -1083,7 +1083,11 @@ object Dedup {
     * the pair-level bound, the verify join back to the gram arrays,
     * and two output-sized expansion joins — all hash-partitioned on
     * high-cardinality keys, no driver state beyond one O(1) stats row
-    * (the broadcast-mode decision).
+    * (the broadcast-mode decision). NOTE: that stats row makes this
+    * function EAGER — calling it triggers one small Spark job (an
+    * O(1)-row aggregate over the checkpointed gram-group frame) to
+    * size the verify broadcast before the returned DataFrame's plan
+    * is built; every other operator in this family is lazy.
     *
     * The four pruning/collapse levers, with their measured effect on
     * the 10x-replicated synthetic corpus (sf1 = 50k docs, 31-word
@@ -1104,23 +1108,27 @@ object Dedup {
     *     gram always passes it). Cuts rows entering the pair groupBy
     *     321M -> 25M at sf1 (12.8x) — this, not the post-aggregation
     *     filter, is what keeps the exchange output-shaped.
-    *  3. Pair-level TIGHT bound after aggregation: every shared gram
-    *     <= the LARGEST shared prefix gram w* lies in both prefixes
-    *     (if t < w* and w* is in x's prefix then rk_x(t) < rk_x(w*)
-    *     <= p_x), so overlap <= count(shared prefix grams) +
-    *     min(nx − max(rk_x), ny − max(rk_y)). Subsumes the classic
-    *     max-of-min bound (provably <= it) at zero extra cost (the
-    *     aggregation already computes count/max). Measured honestly:
-    *     it prunes nothing on EITHER test corpus — on the synthetic
-    *     one candidates share most prefix grams by construction; on
-    *     the Zipfian one the per-row predicate already cuts
-    *     candidates to ~answer size (514 pairs at 50k docs) — its
-    *     pruning regime is corpora between those extremes.
+    *  3. (Derivation kept as documentation — the filter itself is NOT
+    *     materialized because lever 2 subsumes it.) Pair-level TIGHT
+    *     bound after aggregation: every shared gram <= the LARGEST
+    *     shared prefix gram w* lies in both prefixes (if t < w* and w*
+    *     is in x's prefix then rk_x(t) < rk_x(w*) <= p_x), so overlap
+    *     <= count(shared prefix grams) + min(nx − max(rk_x),
+    *     ny − max(rk_y)). It subsumes the classic max-of-min bound —
+    *     but with lever 2 composed in front it is provably ALWAYS
+    *     TRUE: both docs rank grams by the one global (df, g) order,
+    *     so max(rk_x) and max(rk_y) are attained by the SAME surviving
+    *     row (w* itself), which already satisfied the per-row
+    *     predicate min(nx−rk_x, ny−rk_y)+1 >= alpha; with cp >= 1 the
+    *     pair bound cannot fail. No corpus can make it prune, so the
+    *     aggregation computes only max(size) per side and no bound
+    *     filter runs.
     *     The PPJoin+ depth-1 suffix probe (middle-suffix gram + rank
-    *     carried per doc) was measured on this corpus too: 18.58M ->
-    *     18.58M candidates, zero pruning — prefix+whole-suffix ~= n
-    *     >= alpha for near-threshold sizes — so it is NOT implemented;
-    *     this bound is strictly stronger per dollar here.
+    *     carried per doc) was measured on the synthetic corpus too:
+    *     18.58M -> 18.58M candidates, zero pruning — prefix+whole-
+    *     suffix ~= n >= alpha for near-threshold sizes — so it is NOT
+    *     implemented either; the per-row predicate is strictly
+    *     stronger per dollar here.
     *  4. Size-keyed BROADCAST verify: when the measured gram mass fits
     *     `maxVerifyBroadcastBytes` (default 1 GiB), both verify sides
     *     are broadcast — the candidate pairs never re-shuffle carrying
@@ -1241,18 +1249,13 @@ object Dedup {
           lit(tn) * greatest(col("__sa"), col("__sb")) &&
         (least(col("__sa") - col("__rka"), col("__sb") - col("__rkb"))
           + lit(1)).cast("long") >= expr(alphaSql("__sa", "__sb")))
+      // one row per candidate pair; sizes are constant per doc so max
+      // is "the" value. The pair-level tight bound is NOT applied
+      // here: with the per-row positional predicate in the join
+      // condition it is provably always-true (scaladoc lever 3), so
+      // the count/rank-max aggregates it needed are dead weight.
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__cp"),
-        max(col("__rka")).as("__mra"), max(col("__rkb")).as("__mrb"),
-        max(col("__sa")).as("__pna"), max(col("__sb")).as("__pnb"))
-      // tight pair bound: shared grams <= the largest shared PREFIX
-      // gram are all in both prefixes (= __cp of them); shared grams
-      // beyond it sit past its rank in both docs
-      .filter(expr(
-        s"__cp + least(CAST(__pna AS BIGINT) - __mra," +
-          s" CAST(__pnb AS BIGINT) - __mrb) >= " +
-          alphaSql("__pna", "__pnb")))
-      .select("id_a", "id_b", "__pna", "__pnb")
+      .agg(max(col("__sa")).as("__pna"), max(col("__sb")).as("__pnb"))
     // lever 4: verify sides broadcast when the measured gram mass fits
     // the budget (one O(1) stats row off the checkpointed groups
     // frame); otherwise the shuffled sort-merge verify (scales out)

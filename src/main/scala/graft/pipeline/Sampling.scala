@@ -69,7 +69,15 @@ object Sampling {
     *
     * Scale: one map-side-combined count per stratum (≤ |strata| rows),
     * a broadcast rate join, and one codegen'd filter pass — no wide
-    * shuffle, no driver participation. Returns the surviving rows. */
+    * shuffle, no driver participation. Returns the surviving rows.
+    *
+    * BREAKING (round 14): α that encodes no rational p/q with
+    * q <= 1e6 (e.g. 0.123456789 read as 123456789/1e9) now throws
+    * IllegalArgumentException instead of silently taking the one-shot
+    * double pow path — migrate such callers to
+    * [[temperatureSampleEstimator]], which owns that documented
+    * residual explicitly. Every finitely-typed α (0.7, 0.25, 1/3 as
+    * 0.3333333333333333, …) is unaffected and now EXACT. */
   def temperatureSample(df: DataFrame, id: String, stratum: String,
       k: Long, alpha: Double, salt: String = "tmix"): DataFrame = {
     require(k > 0 && k <= 1000000000000000L,
@@ -102,6 +110,14 @@ object Sampling {
     var i = 0
     while (i < 40) {
       val a = math.floor(x).toLong
+      // a huge partial quotient (frac just above the 1e-15 cutoff
+      // gives a ~ 1e15) would wrap h2 = a*h1 + h0 and continue the
+      // loop on corrupted state; past the first iteration k1 >= 1, so
+      // a > maxDen forces k2 > maxDen anyway — bail BEFORE the
+      // multiply, which also bounds every h/k by ~maxDen^2 (no
+      // overflow at maxDen = 1e6). First iteration is safe: x = alpha
+      // <= 1 so a <= 1.
+      if (a > maxDen && k1 > 0) return None
       val h2 = a * h1 + h0; val k2 = a * k1 + k0
       if (k2 > maxDen) return None
       if (k2 > 0 &&
@@ -211,7 +227,12 @@ object Sampling {
     * so the SAME rates can drive the stateless streaming guard
     * ([[graft.streaming.StreamText.temperatureMixStream]]): a batch
     * corpus establishes the mixture, an unbounded feed replays the
-    * identical integer membership predicate. */
+    * identical integer membership predicate.
+    *
+    * BREAKING (round 14): same α contract as [[temperatureSample]] —
+    * an α whose double encodes no rational p/q with q <= 1e6 throws;
+    * route irrational temperatures through
+    * [[temperatureSampleEstimator]]. */
   def temperatureRates(df: DataFrame, stratum: String, kCol: Column,
       alpha: Double, estimator: Boolean = false): DataFrame = {
     val counts = df.groupBy(col(stratum).as("__s"))

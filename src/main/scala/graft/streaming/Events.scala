@@ -177,16 +177,24 @@ object Events {
     // store, fingerprint-scaled for the winnow family — is dead
     // weight. Delete it eagerly; only the drained output parquet stays
     // on disk while the downstream batch verify runs.
-    def rmTree(f: java.io.File): Unit = {
+    def rmTree(f: java.io.File): Long = {
       val kids = f.listFiles()
-      if (kids != null) kids.foreach(rmTree)
+      val sub = if (kids == null) 0L else kids.map(rmTree).sum
+      val sz = if (f.isFile) f.length() else 0L
       f.delete(): Unit
+      sub + sz
     }
-    rmTree(new java.io.File(root + "/chk"))
+    val chkBytes = rmTree(new java.io.File(root + "/chk"))
     // same reclaim hint as the sliced verify: the stopped query's
     // shuffle files free only when the ContextCleaner collects their
-    // RDDs — nudge it before the downstream batch job starts writing
-    System.gc()
+    // RDDs — nudge it before the downstream batch job starts writing.
+    // A full-heap GC on a 32-core JVM costs ~0.3-0.5 s, so gate it on
+    // the measured checkpoint mass: below 1 GiB the state store was
+    // never the footprint that matters and the nudge buys nothing
+    // (the r14 sf0.1 fleet paid ~2 s total for it); at sf10, where
+    // the winnow-family state store is tens of GB, the gate is
+    // trivially passed and the sequencing behavior is unchanged.
+    if (chkBytes >= (1L << 30)) System.gc()
     if (new java.io.File(out).listFiles() == null)
       // zero batches produced output files: empty result, same schema
       spark.createDataFrame(

@@ -36,13 +36,28 @@ CONTENT_GOLDEN = {"pipe_bpe_merges", "pipe_bpe_encode",
                   "pipe_compress_ratio", "pipe_quality_classifier"}
 ORACLE_QUADRATIC = {"pipe_ppjoin"}
 import re as _re
-_m = _re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
-_sf = float(_m.group(1)) if _m else None
+# Anchored to the known corpus naming (sf0.01, sf1, scale_sf10 — an
+# "sf<NUM>" token bounded on both sides), so e.g. zipf_sf01 does NOT
+# parse as sf=1.0 (round-14 advice). When the SF cannot be determined
+# we fail LOUDLY instead of silently applying the widest skip set;
+# CHECK_SF=<num> overrides for unconventionally-named dirs.
+_base = os.path.basename(sf_dir.rstrip("/"))
+_m = _re.search(r"(?:^|[_-])sf(\d+(?:\.\d+)?)(?:$|[_-])", _base)
+if os.environ.get("CHECK_SF"):
+    _sf = float(os.environ["CHECK_SF"])
+elif _m:
+    _sf = float(_m.group(1))
+elif os.environ.get("CHECK_NO_DEFAULT_SKIP"):
+    _sf = None  # skips disabled anyway; no decision rides on the SF
+else:
+    sys.exit(f"cannot parse scale factor from data dir name '{_base}' "
+             "(expected an sf<NUM> token, e.g. sf0.01 or scale_sf10); "
+             "set CHECK_SF=<num> or CHECK_NO_DEFAULT_SKIP=1")
 default_skip = set()
 if not os.environ.get("CHECK_NO_DEFAULT_SKIP"):
-    if _sf is None or _sf > 0.01:
+    if _sf > 0.01:
         default_skip |= CONTENT_GOLDEN
-    if _sf is None or _sf > 0.1:
+    if _sf > 0.1:
         default_skip |= ORACLE_QUADRATIC
 only = set(os.environ.get("CHECK_ONLY", "").split(",")) - {""}
 skip = (set(os.environ.get("CHECK_SKIP", "").split(",")) - {""}) \
