@@ -1077,7 +1077,8 @@ object Dedup {
     *
     * Plan shape at 100 TB: one groupBy on the gram-set (the exact
     * duplicate collapse), one groupBy(gram) for document frequencies,
-    * one per-doc window (doc-sized partitions) to take prefixes, one
+    * one per-doc in-row gram ranking to take prefixes (a hash
+    * re-collect + in-row sort, never a partition-wide window sort), one
     * equi-join on prefix grams with the size + per-row positional
     * predicates IN the join condition, a groupBy on (id_a, id_b) for
     * the pair-level bound, the verify join back to the gram arrays,
@@ -1191,14 +1192,38 @@ object Dedup {
     // per doc by re-collecting each doc's (df, g) structs and
     // array_sort-ing IN-ROW — O(n_d log n_d) cache-local per doc, no
     // partition-wide window sort, and only the PREFIX slice explodes
-    // downstream. Prefix length p(n_d) = n_d − ceil(τ'·n_d) + 1; ceil
-    // in integers, BIGINT (tn·n wraps 32-bit past ~107k grams/doc)
+    // downstream. MEASURED (round 15, 500k-doc Zipfian corpora): the
+    // row_number window formulation this replaced sorts all gram rows
+    // by (doc, df, g) inside one exchange and was the pipeline's only
+    // super-linear-in-time stage on one box — 1.1 s -> 2.3 s -> ~100 s
+    // across 5k/50k/500k docs while every stage MASS stayed linear;
+    // the in-row form does the identical ranking in 21.6 s at the
+    // third decade (counts bit-identical, ranks unique per doc because
+    // grams are distinct within a doc). Prefix length p(n_d) = n_d −
+    // ceil(τ'·n_d) + 1; ceil in integers, BIGINT (tn·n wraps 32-bit
+    // past ~107k grams/doc)
     val prefix = grams.join(dfreq.hint("shuffle_hash"), "g")
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("doc").orderBy(col("__df"), col("g"))))
-      .filter(col("__rk").cast("long") <= expr(
-        s"CAST(__n AS BIGINT) -" +
-          s" (($tn * CAST(__n AS BIGINT) + 19999) div 20000) + 1"))
+      .groupBy("doc")
+      .agg(first(col("__n")).as("__n"),
+        collect_list(struct(col("__df"), col("g"))).as("__dg"))
+      .withColumn("__p", expr(
+        s"CAST(CAST(__n AS BIGINT) -" +
+          s" (($tn * CAST(__n AS BIGINT) + 19999) div 20000) + 1" +
+          s" AS INT)"))
+      .select(col("doc"), col("__n"),
+        posexplode(slice(array_sort(col("__dg")), lit(1), col("__p"))))
+      .select(col("doc"), col("__n"),
+        (col("pos") + 1).cast("int").as("__rk"), col("col.g").as("g"))
+      // BOTH candidate-join sides (probe and index) consume this
+      // frame, and their exchange subtrees do NOT canonicalize equal
+      // (the probe side explodes a bucket range, the index side
+      // computes its home bucket), so without a materialization the
+      // whole grams-join + in-row ranking pipeline runs twice —
+      // verified by a zero-ReusedExchange plan dump at 50k docs.
+      // Prefix rows are ~11% of gram rows at tau=0.8; one lazy
+      // localCheckpoint is far cheaper than the recompute at every
+      // scale measured (500k docs: ~1 GB stored vs ~20 s re-run)
+      .localCheckpoint(false)
     def pside(a: String) = prefix.select(col("g"),
       col("doc").as(s"id_$a"), col("__n").as(s"__s$a"),
       col("__rk").as(s"__rk$a"))

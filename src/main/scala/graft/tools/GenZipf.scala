@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   * AllPairs/PPJoin is near-linear. This generator produces that
   * corpus, deterministically:
   *
-  *  - vocabulary size V = 30·sqrt(total words), word k spelled from a
-  *    seeded hash of k (length 3..8);
+  *  - vocabulary size V = 30·sqrt(total words) by default, word k
+  *    spelled from a seeded hash of k (length 3..8). A second mode
+  *    (SPARK_GRAFT_GEN_VOCAB=linear) grows the vocabulary LINEARLY,
+  *    V = 3·nDocs — anchored to equal the sqrt mode's V at 5k docs
+  *    (both give V = 15,000) so the two sweeps share their first
+  *    decade and diverge only in growth rate (10x vs ~3.2x per
+  *    decade). This measures the round-14 scaladoc's one unmeasured
+  *    claim: corpora whose vocabulary grows ~linearly with N hold the
+  *    prefix-filter join's near-linear regime;
   *  - word choice per (doc, position) is zipf(1): rank = floor(V^u)
   *    for a seeded uniform u — inverse-CDF of the 1/k law;
   *  - ~1% of docs (id % 97 == 0) are near-duplicates of the previous
@@ -80,9 +87,16 @@ object GenZipf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Heaps' law vocabulary: V = 30·sqrt(expected corpus word count)
-    val vocab = math.max(100L,
-      (30.0 * math.sqrt(nDocs * 50.0)).toLong)
+    // Heaps' law vocabulary: V = 30·sqrt(expected corpus word count);
+    // linear mode: V = 3·nDocs (see scaladoc — same V at 5k docs)
+    val vocabMode = sys.env.getOrElse("SPARK_GRAFT_GEN_VOCAB", "sqrt")
+    val vocab = vocabMode match {
+      case "linear" => math.max(100L, 3L * nDocs)
+      case "sqrt" =>
+        math.max(100L, (30.0 * math.sqrt(nDocs * 50.0)).toLong)
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_GEN_VOCAB must be sqrt|linear, got: $other")
+    }
     val textUdf = udf { id: Long => docText(id, vocab) }
     spark.range(nDocs).toDF("doc_id")
       .withColumn("text", textUdf(col("doc_id")))

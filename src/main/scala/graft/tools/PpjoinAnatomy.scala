@@ -1,0 +1,186 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-mass anatomy for `prefixFilterJaccardPairs` (round-15 verdict
+  * ask: attribute the third-decade scaling drift). Replays the
+  * operator's exact integer formulas (t4/tn, prefix length, size
+  * buckets, alpha) stage by stage and prints ONE JSON line of counts:
+  *
+  *   docs, reps (distinct gram sets), gramRows, distinctGrams,
+  *   prefixRows, probedPairs (the (g,bucket) join mass BEFORE the
+  *   join-condition filters — the operator's theoretical cost floor),
+  *   candRows (rows entering the pair groupBy, i.e. per-shared-gram
+  *   matches surviving the size + per-row positional predicates),
+  *   pairs (distinct candidate pairs = verify-kernel invocations),
+  *   outPairs (verified jaccard >= tau)
+  *
+  * plus per-phase wall seconds. Run on two corpus geometries at three
+  * decades each and the counts say which term owns the growth —
+  * separating "the algorithm's candidate mass is super-linear" from
+  * "a linear stage got slower per row on one box" (memory pressure,
+  * spill), which a total-seconds row cannot do. */
+object PpjoinAnatomy {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/repo/.bench-data/zipf_sf01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
+    val n = 8
+    val threshold = 0.8
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.expressions.Window
+
+    val t4 = math.round(threshold * 10000).toInt
+    val tn = 2L * t4 - 1
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+
+    // PPJOIN_FULLOP=1: time the real operator end-to-end with a
+    // per-stage listener + plan dump (ReusedExchange visibility),
+    // instead of the checkpointed stage replay below.
+    if (sys.env.get("PPJOIN_FULLOP").contains("1")) {
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Int, String, Long, Long)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler
+                .SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            stages.add((si.stageId, si.name.takeWhile(_ != '\n'),
+              si.completionTime.getOrElse(0L) -
+                si.submissionTime.getOrElse(0L),
+              si.numTasks.toLong))
+          }
+        })
+      val out = graft.pipeline.Dedup.prefixFilterJaccardPairs(
+        df.select(col("doc_id"), col("text")), "doc_id", "text",
+        n = n, threshold = threshold)
+      out.explain("formatted")
+      val (cnt, secs) = timed(out.count())
+      Thread.sleep(1000)
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._3).take(12).foreach {
+        case (id, nm, ms, nt) =>
+          println(f"STAGE $id%4d ${ms / 1000.0}%8.1fs tasks=$nt%-4d $nm")
+      }
+      println(s"""{"dir":"$dir","fullop_pairs":$cnt,""" +
+        s""""fullop_secs":${f"$secs%.1f"}}""")
+      spark.stop()
+      return
+    }
+
+    val docsTotal = df.count()
+    val groups = df
+      .select(col("doc_id").as("doc"),
+        array_sort(graft.pipeline.Text.charNgrams(col("text"), n))
+          .as("__g"))
+      .filter(size(col("__g")) > 0)
+      .groupBy(col("__g"))
+      .agg(min(col("doc")).as("doc"))
+      .withColumn("__n", size(col("__g")))
+      .localCheckpoint(false)
+    val (reps, tGroups) = timed(groups.count())
+    val docs = groups.select("doc", "__g", "__n")
+    val grams = docs.select(col("doc"), col("__n"),
+      explode(col("__g")).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    val ((gramRows, distinctGrams), tGrams) =
+      timed((grams.count(), dfreq.count()))
+    val prefixVariant = sys.env.getOrElse("PPJOIN_PREFIX", "window")
+    val prefix = (if (prefixVariant == "inrow") {
+      // the scaladoc's sort-free design: re-collect each doc's
+      // (df, g) structs, array_sort IN-ROW, slice to the prefix
+      grams.join(dfreq.hint("shuffle_hash"), "g")
+        .groupBy("doc")
+        .agg(first(col("__n")).as("__n"),
+          collect_list(struct(col("__df"), col("g"))).as("__dg"))
+        .withColumn("__p", expr(
+          s"CAST(CAST(__n AS BIGINT) -" +
+            s" (($tn * CAST(__n AS BIGINT) + 19999) div 20000) + 1" +
+            s" AS INT)"))
+        .select(col("doc"), col("__n"),
+          posexplode(slice(array_sort(col("__dg")), lit(1),
+            col("__p"))))
+        .select(col("doc"), col("__n"),
+          (col("pos") + 1).cast("int").as("__rk"),
+          col("col.g").as("g"))
+    } else {
+      grams.join(dfreq.hint("shuffle_hash"), "g")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("doc").orderBy(col("__df"), col("g"))))
+        .filter(col("__rk").cast("long") <= expr(
+          s"CAST(__n AS BIGINT) -" +
+            s" (($tn * CAST(__n AS BIGINT) + 19999) div 20000) + 1"))
+    }).localCheckpoint(false)
+    val (prefixRows, tPrefix) = timed(prefix.count())
+    def pside(a: String) = prefix.select(col("g"),
+      col("doc").as(s"id_$a"), col("__n").as(s"__s$a"),
+      col("__rk").as(s"__rk$a"))
+    def alphaSql(na: String, nb: String) =
+      s"(($tn * (CAST($na AS BIGINT) + $nb) + ${20000 + tn} - 1)" +
+        s" div ${20000 + tn})"
+    val lnR = math.log(20000.0 / tn)
+    def bexp(x: String) =
+      s"CAST(FLOOR(LN(CAST(($x) AS DOUBLE)) / ${lnR}D) AS INT)"
+    val idx = pside("b").withColumn("__bk", expr(bexp("__sb")))
+    val probe = pside("a").withColumn("__bk", explode(expr(
+      s"sequence(${bexp(s"($tn * CAST(__sa AS BIGINT) + 19999)" +
+          s" div 20000")}," +
+        s" ${bexp(s"(20000 * CAST(__sa AS BIGINT)) div $tn")})")))
+    // the (g, bucket) join mass with no condition: sum of per-key
+    // count products — the floor the prefix filter is supposed to keep
+    // near-linear. Computed from two tiny aggregates, never the join.
+    val (probedPairs, tProbeMass) = timed {
+      val ci = idx.groupBy("g", "__bk").agg(count(lit(1)).as("ci"))
+      val cp = probe.groupBy("g", "__bk").agg(count(lit(1)).as("cp"))
+      ci.join(cp, Seq("g", "__bk"))
+        .agg(coalesce(sum(col("ci") * col("cp")), lit(0L)))
+        .head().getLong(0)
+    }
+    val cand = probe.join(idx.hint("shuffle_hash"), Seq("g", "__bk"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(20000L) * least(col("__sa"), col("__sb")) >=
+          lit(tn) * greatest(col("__sa"), col("__sb")) &&
+        (least(col("__sa") - col("__rka"), col("__sb") - col("__rkb"))
+          + lit(1)).cast("long") >= expr(alphaSql("__sa", "__sb")))
+    val (candRows, tCand) = timed(cand.count())
+    val pairsDf = cand.groupBy("id_a", "id_b")
+      .agg(max(col("__sa")).as("__pna"), max(col("__sb")).as("__pnb"))
+      .localCheckpoint(false)
+    val (pairs, tPairs) = timed(pairsDf.count())
+    def vside(a: String) = docs.select(col("doc").as(s"id_$a"),
+      col("__g").as(s"__g$a"))
+    val (outPairs, tVerify) = timed {
+      pairsDf.join(vside("a"), "id_a").join(vside("b"), "id_b")
+        .withColumn("__iv", graft.functions.TextKernels.fence(
+          graft.functions.TextKernels.sortedIntersectCountBounded(
+            col("__ga"), col("__gb"), expr(alphaSql("__pna", "__pnb")))))
+        .withColumn("__ju", expr(
+          "(20000 * CAST(__iv AS BIGINT)" +
+            " + (CAST(__pna AS BIGINT) + __pnb - __iv))" +
+            " div (2 * (CAST(__pna AS BIGINT) + __pnb - __iv))"))
+        .filter(col("__ju") >= t4)
+        .count()
+    }
+    println(s"""{"dir":"$dir","docs":$docsTotal,"reps":$reps,""" +
+      s""""gramRows":$gramRows,"distinctGrams":$distinctGrams,""" +
+      s""""prefixRows":$prefixRows,"probedPairs":$probedPairs,""" +
+      s""""candRows":$candRows,"pairs":$pairs,"outPairs":$outPairs,""" +
+      s""""secs":{"groups":${f"$tGroups%.1f"},""" +
+      s""""grams":${f"$tGrams%.1f"},"prefix":${f"$tPrefix%.1f"},""" +
+      s""""probeMass":${f"$tProbeMass%.1f"},"cand":${f"$tCand%.1f"},""" +
+      s""""pairs":${f"$tPairs%.1f"},"verify":${f"$tVerify%.1f"}}}""")
+    spark.stop()
+  }
+}
