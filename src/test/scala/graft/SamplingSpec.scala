@@ -237,6 +237,37 @@ class SamplingSpec extends SparkSpec {
     assert(est.count() > 0)
   }
 
+  test("asRational: total function contract on random + adversarial " +
+      "doubles (round-15 overflow bail)") {
+    // Contract: for ANY alpha in (0,1], the result is None or a
+    // genuine reduced-denominator reconstruction — (p, q) with
+    // 0 < q <= 1e6 and |p/q - alpha| <= 4 ulps. The round-15 bail
+    // (a partial quotient > maxDen returns None before the convergent
+    // multiply) makes Long overflow unreachable; this property pins
+    // that no input produces a garbage Some or an exception, incl.
+    // near-cutoff fractional parts the old loop continued through.
+    val rnd = new scala.util.Random(31)
+    val adversarial = Seq(
+      1.0 / 3.0, 2.0 / 3.0, 1.0 / 7.0, 355.0 / 113.0 / 4.0,
+      0.3141582 + 1e-12, 0.123456789, 1e-9, 1 - 1e-9,
+      math.nextUp(0.5), math.nextDown(0.5), 31415.0 / 99991.0 + 1e-12,
+      1.0 / 44.0 + 1e-13, 5.0 / 23.0 + 3e-16)
+    val alphas = adversarial ++ (1 to 2000).map(_ => rnd.nextDouble()) ++
+      (1 to 200).map(_ => (1 + rnd.nextInt(999999)).toDouble / 1000000)
+    alphas.filter(a => a > 0 && a <= 1).foreach { a =>
+      Sampling.asRational(a) match {
+        case Some((p, q)) =>
+          assert(q > 0 && q <= 1000000L && p > 0, s"alpha=$a -> ($p,$q)")
+          assert(math.abs(p.toDouble / q.toDouble - a) <=
+            4 * math.ulp(a), s"alpha=$a -> ($p,$q)")
+        case None => // refusal is always allowed
+      }
+    }
+    // the 1e6-grid doubles above must all RECONSTRUCT (they encode
+    // their rational within 4 ulps by construction)
+    assert(Sampling.asRational(123456.0 / 1000000).nonEmpty)
+  }
+
   test("temperature ppt: integer half-up division matches a BigInteger model") {
     // ppt = (2000·k·pu + z·n) div (2·z·n) must equal
     // round_half_up(1000·k·pu / (z·n)) for magnitudes up to the
