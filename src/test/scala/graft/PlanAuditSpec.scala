@@ -433,6 +433,15 @@ class PlanAuditSpec extends SparkSpec {
       // the kernel still evaluates once, outside any join condition
       val kernels = "intersect_count".r.findAllIn(plan).length
       assert(kernels == 1, s"$kernels intersect sites\n${plan.take(3000)}")
+      // single-materialization invariant (round 15): the gram-group
+      // frame AND the prefix frame are both localCheckpointed, so the
+      // collect_list aggregations that build them must be INVISIBLE in
+      // the final physical plan (both join sides read the checkpoint's
+      // ExistingRDD). If the prefix checkpoint is ever dropped, its
+      // re-collect pipeline reappears here TWICE (the candidate join's
+      // sides do not canonicalize to a reused exchange — verified by a
+      // zero-ReusedExchange plan dump at 50k docs).
+      assert(!plan.contains("collect_list"), plan.take(3000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
