@@ -1165,7 +1165,6 @@ object Dedup {
       // and past it the verify degrades to the shuffled join
       maxVerifyBroadcastBytes: Long =
         math.min(4L << 30, Runtime.getRuntime.maxMemory() / 16)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t4 = math.round(threshold * 10000).toInt
     require(t4 >= 1 && t4 <= 10000, s"threshold must be in (0,1]: $threshold")
     val tn = 2L * t4 - 1 // τ' numerator over 2e4
