@@ -1141,22 +1141,28 @@ object Dedup {
     *     kernel early-exits once overlap provably can't reach alpha
     *     (exact: overlap >= alpha iff 4dp-jaccard >= tau).
     *
-    * Scale regime, measured honestly: the cost floor is the PREFIX
+    * Scale regime, measured honestly (round 15, both vocabulary
+    * geometries, three decades each — 5k/50k/500k docs on GenZipf
+    * corpora with V ~ sqrt(N) Heaps-law AND V = 3N linear growth,
+    * anchored to the same V at 5k docs): the cost floor is the PREFIX
     * JOIN's incidence mass Σ_grams c_pfx², where c_pfx is how many
-    * distinct-set docs carry that gram inside their prefix — it tracks
-    * how fast VOCABULARY grows with the corpus. Measured three decades
-    * on a Zipfian corpus with Heaps-law vocab V ~ sqrt(N) (GenZipf,
-    * round 14): 1.9 s at 5k docs -> 6.5 s at 50k (3.4x/10x,
-    * near-linear) -> 87 s at 500k (13.4x/10x — the sqrt-vocab regime's
-    * predicted drift toward N^1.5 as prefix buckets thicken; corpora
-    * whose vocabulary grows ~linearly with N hold the near-linear
-    * regime). On the fixed-31-word synthetic corpus (no vocab growth —
-    * the adversarial floor) the probe mass is quadratic: 1.7e9 probes
-    * at sf1, 3.0 s at sf0.1 -> 19.2 s at sf1 (was 48.9 s before the
-    * round-14 levers) — but probes are codegen'd integer compares
-    * inside the join and the emitted/shuffled rows stay output-shaped
-    * via lever 2. Mitigations past one box: raise `n` (more gram
-    * diversity) or let the equi-joins scale out. */
+    * distinct-set docs carry that gram inside their prefix. MEASURED,
+    * it is LINEAR in N on both geometries (probed pairs 0.32M -> 3.2M
+    * -> 32M, within 1% between geometries at every decade): char-
+    * n-grams straddle word boundaries, so prefix-gram diversity is
+    * word-COMBINATION driven and the word-vocabulary growth law is
+    * irrelevant to the floor. r14's apparent 13.4x/10x third decade
+    * was NOT bucket thickening — it was the row_number window sort
+    * (replaced this round) plus the double-computed prefix pipeline
+    * (now checkpointed); end-to-end the third decade runs 10-12x per
+    * 10x data on both geometries (76.9 s sqrt / 93.1 s linear at 500k
+    * docs, local[24]). On the fixed-31-word synthetic corpus (no gram
+    * diversity at all — the adversarial floor) the probe mass IS
+    * quadratic: 1.7e9 probes at sf1, ~22 s at sf1 — but probes are
+    * codegen'd integer compares inside the join and the
+    * emitted/shuffled rows stay output-shaped via lever 2.
+    * Mitigations past one box: raise `n` (more gram diversity) or
+    * let the equi-joins scale out. */
   def prefixFilterJaccardPairs(df: DataFrame, id: String, text: String,
       n: Int = 8, threshold: Double = 0.5,
       // default broadcast budget scales with the JVM: 1/16th of the
