@@ -1269,10 +1269,12 @@ object Dedup {
     // shared gram, exactly as the symmetric join did.
     // shuffle_hash marker: the prefix side is corpus-sized — a
     // (statically mis-estimated) broadcast here would ship the whole
-    // prefix index to every task AND build the prefix pipeline twice;
-    // hash-partitioning both sides on (g, bucket) is the scale-out
-    // shape, and the probe/index exchanges canonicalize identically up
-    // to the bucket column so the prefix pipeline is computed once.
+    // prefix index to every task; hash-partitioning both sides on
+    // (g, bucket) is the scale-out shape. Single computation of the
+    // prefix pipeline comes from its localCheckpoint above — the two
+    // sides' exchanges do NOT canonicalize to a ReusedExchange
+    // (measured, round 15), which is why the checkpoint exists and
+    // why the plan audit pins collect_list out of the final plan.
     val cand = probe.join(idx.hint("shuffle_hash"), Seq("g", "__bk"))
       .filter(col("id_a") < col("id_b") &&
         lit(20000L) * least(col("__sa"), col("__sb")) >=

@@ -97,7 +97,9 @@ object PpjoinAnatomy {
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
     val ((gramRows, distinctGrams), tGrams) =
       timed((grams.count(), dfreq.count()))
-    val prefixVariant = sys.env.getOrElse("PPJOIN_PREFIX", "window")
+    // default = the SHIPPED in-row form; PPJOIN_PREFIX=window replays
+    // the replaced row_number formulation (kept for A/B attribution)
+    val prefixVariant = sys.env.getOrElse("PPJOIN_PREFIX", "inrow")
     val prefix = (if (prefixVariant == "inrow") {
       // the scaladoc's sort-free design: re-collect each doc's
       // (df, g) structs, array_sort IN-ROW, slice to the prefix
@@ -173,7 +175,8 @@ object PpjoinAnatomy {
         .filter(col("__ju") >= t4)
         .count()
     }
-    println(s"""{"dir":"$dir","docs":$docsTotal,"reps":$reps,""" +
+    println(s"""{"dir":"$dir","prefixVariant":"$prefixVariant",""" +
+      s""""docs":$docsTotal,"reps":$reps,""" +
       s""""gramRows":$gramRows,"distinctGrams":$distinctGrams,""" +
       s""""prefixRows":$prefixRows,"probedPairs":$probedPairs,""" +
       s""""candRows":$candRows,"pairs":$pairs,"outPairs":$outPairs,""" +

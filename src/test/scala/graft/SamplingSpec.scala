@@ -252,20 +252,25 @@ class SamplingSpec extends SparkSpec {
       0.3141582 + 1e-12, 0.123456789, 1e-9, 1 - 1e-9,
       math.nextUp(0.5), math.nextDown(0.5), 31415.0 / 99991.0 + 1e-12,
       1.0 / 44.0 + 1e-13, 5.0 / 23.0 + 3e-16)
-    val alphas = adversarial ++ (1 to 2000).map(_ => rnd.nextDouble()) ++
-      (1 to 200).map(_ => (1 + rnd.nextInt(999999)).toDouble / 1000000)
-    alphas.filter(a => a > 0 && a <= 1).foreach { a =>
+    val grid = (1 to 200).map(_ => (1 + rnd.nextInt(999999)).toDouble /
+      1000000) :+ 123456.0 / 1000000
+    val alphas = adversarial ++ (1 to 2000).map(_ => rnd.nextDouble())
+    (alphas ++ grid).filter(a => a > 0 && a <= 1).foreach { a =>
       Sampling.asRational(a) match {
         case Some((p, q)) =>
           assert(q > 0 && q <= 1000000L && p > 0, s"alpha=$a -> ($p,$q)")
           assert(math.abs(p.toDouble / q.toDouble - a) <=
             4 * math.ulp(a), s"alpha=$a -> ($p,$q)")
-        case None => // refusal is always allowed
+        case None => // refusal is always allowed for NON-grid alphas
       }
     }
-    // the 1e6-grid doubles above must all RECONSTRUCT (they encode
-    // their rational within 4 ulps by construction)
-    assert(Sampling.asRational(123456.0 / 1000000).nonEmpty)
+    // …but the 1e6-grid doubles must ALL reconstruct (each is within
+    // half an ulp of its rational, whose reduced q <= 1e6 and whose
+    // continued fraction has every partial quotient <= its own
+    // denominator — the convergent is reached before any bail)
+    grid.foreach { a =>
+      assert(Sampling.asRational(a).nonEmpty, s"grid alpha=$a -> None")
+    }
   }
 
   test("temperature ppt: integer half-up division matches a BigInteger model") {

@@ -37,12 +37,15 @@ CONTENT_GOLDEN = {"pipe_bpe_merges", "pipe_bpe_encode",
 ORACLE_QUADRATIC = {"pipe_ppjoin"}
 import re as _re
 # Anchored to the known corpus naming (sf0.01, sf1, scale_sf10 — an
-# "sf<NUM>" token bounded on both sides), so e.g. zipf_sf01 does NOT
-# parse as sf=1.0 (round-14 advice). When the SF cannot be determined
-# we fail LOUDLY instead of silently applying the widest skip set;
-# CHECK_SF=<num> overrides for unconventionally-named dirs.
+# "sf<NUM>" token bounded on both sides, where <NUM> has no leading
+# zero unless it is "0.<frac>"), so e.g. zipf_sf01 does NOT parse at
+# all (its "01" is an abbreviation, not a number — round-14 advice;
+# round-15 review caught that \d+ still accepted it as 1.0). When the
+# SF cannot be determined we fail LOUDLY instead of silently applying
+# the widest skip set; CHECK_SF=<num> overrides such dirs.
 _base = os.path.basename(sf_dir.rstrip("/"))
-_m = _re.search(r"(?:^|[_-])sf(\d+(?:\.\d+)?)(?:$|[_-])", _base)
+_m = _re.search(r"(?:^|[_-])sf(0\.\d+|[1-9]\d*(?:\.\d+)?)(?:$|[_-])",
+                _base)
 if os.environ.get("CHECK_SF"):
     _sf = float(os.environ["CHECK_SF"])
 elif _m:
