@@ -47,7 +47,13 @@ _base = os.path.basename(sf_dir.rstrip("/"))
 _m = _re.search(r"(?:^|[_-])sf(0\.\d+|[1-9]\d*(?:\.\d+)?)(?:$|[_-])",
                 _base)
 if os.environ.get("CHECK_SF"):
-    _sf = float(os.environ["CHECK_SF"])
+    try:
+        _sf = float(os.environ["CHECK_SF"])
+    except ValueError:
+        sys.exit(f"cannot parse CHECK_SF='{os.environ['CHECK_SF']}' as a "
+                 "number (expected e.g. CHECK_SF=0.01 or CHECK_SF=10); "
+                 "unset it to parse the SF from the data dir name, or "
+                 "set CHECK_NO_DEFAULT_SKIP=1 to disable SF-keyed skips")
 elif _m:
     _sf = float(_m.group(1))
 elif os.environ.get("CHECK_NO_DEFAULT_SKIP"):
