@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Stage-mass anatomy for `prefixFilterJaccardPairs` (round-15 verdict
   * ask: attribute the third-decade scaling drift). Replays the
-  * operator's exact integer formulas (t4/tn, prefix length, size
-  * buckets, alpha) stage by stage and prints ONE JSON line of counts:
+  * operator stage by stage — every integer formula and the prefix
+  * pipeline come from the SHARED `pipeline.PpjoinCore` (round-15
+  * advice: a hand-copied replay desynchronizes silently when the
+  * operator changes; now a change there changes both sides of every
+  * A/B run) — and prints ONE JSON line of counts:
   *
   *   docs, reps (distinct gram sets), gramRows, distinctGrams,
   *   prefixRows, probedPairs (the (g,bucket) join mass BEFORE the
@@ -36,8 +39,8 @@ object PpjoinAnatomy {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.expressions.Window
 
-    val t4 = math.round(threshold * 10000).toInt
-    val tn = 2L * t4 - 1
+    val core = graft.pipeline.PpjoinCore
+    val (t4, tn) = core.thresholdUnits(threshold)
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
@@ -101,45 +104,27 @@ object PpjoinAnatomy {
     // the replaced row_number formulation (kept for A/B attribution)
     val prefixVariant = sys.env.getOrElse("PPJOIN_PREFIX", "inrow")
     val prefix = (if (prefixVariant == "inrow") {
-      // the scaladoc's sort-free design: re-collect each doc's
-      // (df, g) structs, array_sort IN-ROW, slice to the prefix
-      grams.join(dfreq.hint("shuffle_hash"), "g")
-        .groupBy("doc")
-        .agg(first(col("__n")).as("__n"),
-          collect_list(struct(col("__df"), col("g"))).as("__dg"))
-        .withColumn("__p", expr(
-          s"CAST(CAST(__n AS BIGINT) -" +
-            s" (($tn * CAST(__n AS BIGINT) + 19999) div 20000) + 1" +
-            s" AS INT)"))
-        .select(col("doc"), col("__n"),
-          posexplode(slice(array_sort(col("__dg")), lit(1),
-            col("__p"))))
-        .select(col("doc"), col("__n"),
-          (col("pos") + 1).cast("int").as("__rk"),
-          col("col.g").as("g"))
+      // the SHIPPED pipeline, verbatim (shared code path)
+      core.prefixFrame(grams, dfreq, tn)
     } else {
+      // the replaced row_number formulation, kept local to the tool as
+      // the A/B baseline (it is no longer anyone's production path);
+      // the prefix-length bound still comes from the shared formula
       grams.join(dfreq.hint("shuffle_hash"), "g")
         .withColumn("__rk", row_number().over(
           Window.partitionBy("doc").orderBy(col("__df"), col("g"))))
-        .filter(col("__rk").cast("long") <= expr(
-          s"CAST(__n AS BIGINT) -" +
-            s" (($tn * CAST(__n AS BIGINT) + 19999) div 20000) + 1"))
+        .filter(col("__rk").cast("long") <=
+          expr(core.prefixLenSql(tn, "__n")).cast("long"))
     }).localCheckpoint(false)
     val (prefixRows, tPrefix) = timed(prefix.count())
     def pside(a: String) = prefix.select(col("g"),
       col("doc").as(s"id_$a"), col("__n").as(s"__s$a"),
       col("__rk").as(s"__rk$a"))
-    def alphaSql(na: String, nb: String) =
-      s"(($tn * (CAST($na AS BIGINT) + $nb) + ${20000 + tn} - 1)" +
-        s" div ${20000 + tn})"
-    val lnR = math.log(20000.0 / tn)
-    def bexp(x: String) =
-      s"CAST(FLOOR(LN(CAST(($x) AS DOUBLE)) / ${lnR}D) AS INT)"
-    val idx = pside("b").withColumn("__bk", expr(bexp("__sb")))
-    val probe = pside("a").withColumn("__bk", explode(expr(
-      s"sequence(${bexp(s"($tn * CAST(__sa AS BIGINT) + 19999)" +
-          s" div 20000")}," +
-        s" ${bexp(s"(20000 * CAST(__sa AS BIGINT)) div $tn")})")))
+    def alphaSql(na: String, nb: String) = core.alphaSql(tn, na, nb)
+    val idx = pside("b")
+      .withColumn("__bk", expr(core.bucketSql(tn, "__sb")))
+    val probe = pside("a")
+      .withColumn("__bk", explode(expr(core.probeBucketsSql(tn, "__sa"))))
     // the (g, bucket) join mass with no condition: sum of per-key
     // count products — the floor the prefix filter is supposed to keep
     // near-linear. Computed from two tiny aggregates, never the join.
@@ -151,11 +136,7 @@ object PpjoinAnatomy {
         .head().getLong(0)
     }
     val cand = probe.join(idx.hint("shuffle_hash"), Seq("g", "__bk"))
-      .filter(col("id_a") < col("id_b") &&
-        lit(20000L) * least(col("__sa"), col("__sb")) >=
-          lit(tn) * greatest(col("__sa"), col("__sb")) &&
-        (least(col("__sa") - col("__rka"), col("__sb") - col("__rkb"))
-          + lit(1)).cast("long") >= expr(alphaSql("__sa", "__sb")))
+      .filter(core.candCondition(tn))
     val (candRows, tCand) = timed(cand.count())
     val pairsDf = cand.groupBy("id_a", "id_b")
       .agg(max(col("__sa")).as("__pna"), max(col("__sb")).as("__pnb"))
@@ -168,10 +149,7 @@ object PpjoinAnatomy {
         .withColumn("__iv", graft.functions.TextKernels.fence(
           graft.functions.TextKernels.sortedIntersectCountBounded(
             col("__ga"), col("__gb"), expr(alphaSql("__pna", "__pnb")))))
-        .withColumn("__ju", expr(
-          "(20000 * CAST(__iv AS BIGINT)" +
-            " + (CAST(__pna AS BIGINT) + __pnb - __iv))" +
-            " div (2 * (CAST(__pna AS BIGINT) + __pnb - __iv))"))
+        .withColumn("__ju", expr(core.jaccardUnitsSql))
         .filter(col("__ju") >= t4)
         .count()
     }
