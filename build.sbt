@@ -1,8 +1,16 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "hailspark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
-unmanagedBase := file("/opt/spark/jars")
+// Spark jars ship with the image at /opt/spark/jars (zero-egress).
+// SPARK_JARS_DIR overrides for the Spark-upgrade canary: the fence
+// placement (OptimizerFenceExpr project-field invariant) and the
+// fan-out materialization behavior are Spark-version-sensitive by
+// nature, so before adopting a new 4.x patch run
+//   SPARK_JARS_DIR=/path/to/new-spark/jars sbt -batch \
+//     "testOnly graft.PlanAuditSpec graft.PipelineSpec"
+// and treat any failure as an optimizer-behavior change to audit.
+unmanagedBase := file(sys.env.getOrElse("SPARK_JARS_DIR",
+  "/opt/spark/jars"))
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

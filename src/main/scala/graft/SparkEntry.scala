@@ -987,6 +987,18 @@ object SparkEntry {
             .as("k")),
         "doc_id", "k")),
 
+    // --- linear-output rollup of the fuzzy join: each doc's best 2
+    // matches by (dist, match id) — the per-doc verdict a
+    // reconciliation run wants instead of the quadratic pair ball; the
+    // rank filter plans as WindowGroupLimit (bounded top-k before the
+    // shuffle, audited in PlanAuditSpec) -----------------------------------
+    "pipe_fuzzy_best_match" -> ((s, dir) =>
+      pipeline.Dedup.bestFuzzyMatchPerDoc(
+        t(s, dir, "documents")
+          .select(col("doc_id"), lower(substring(col("text"), 1, 12))
+            .as("k")),
+        "doc_id", "k", k = 2)),
+
     // --- HLL distinct-count contract (like agg_approx_cdf's): the
     // output carries the exact per-group distinct count plus a bound
     // check that Spark's approx_count_distinct estimate sits within
@@ -1259,6 +1271,19 @@ object SparkEntry {
       val bench = docs.filter(pmod(col("doc_id"), lit(17L)) === 0L)
       pipeline.Dedup.winnowContamination(corpus, "doc_id", "text",
         bench, "doc_id", "text")
+    }),
+
+    // --- per-doc decontamination verdicts: the DROP LIST with
+    // worst-overlap stats, one groupBy over the pair frame — output
+    // <= |corpus| rows (linear) where the pair gate above is
+    // answer-scaled (41M rows at the 100x decade) --------------------------
+    "pipe_contamination_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dedup.contaminatedDocs(
+        docs.filter(pmod(col("doc_id"), lit(17L)) =!= 0L),
+        "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(17L)) === 0L),
+        "doc_id", "text")
     }),
 
     // --- exact char-n-gram Jaccard near-dup pairs, blocked by
@@ -5021,6 +5046,41 @@ object SparkEntry {
         |SELECT id_a, id_b, levenshtein(sa, sb) AS dist
         |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin,
 
+    // same deletion-neighborhood replay, symmetrized and ranked per doc
+    // by (dist, match id) — the top-2 rollup
+    "pipe_fuzzy_best_match" ->
+      """WITH k AS (
+        |  SELECT doc_id, lower(substr(text, 1, 12)) AS s FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |v AS (
+        |  SELECT DISTINCT doc_id, s,
+        |    CASE WHEN i = 0 THEN s
+        |         ELSE substr(s, 1, i - 1) || substr(s, i + 1) END AS var
+        |  FROM (SELECT doc_id, s,
+        |          unnest(generate_series(0, length(s))) AS i
+        |        FROM k)),
+        |ok AS (
+        |  SELECT var FROM v GROUP BY 1
+        |  HAVING count(*) > 1 AND count(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.s AS sa, b.s AS sb
+        |  FROM v a JOIN ok USING (var) JOIN v b USING (var)
+        |  WHERE a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT id_a, id_b, levenshtein(sa, sb) AS dist
+        |  FROM cand WHERE levenshtein(sa, sb) <= 1),
+        |sym AS (
+        |  SELECT id_a AS doc, id_b AS match_id, dist FROM p
+        |  UNION ALL
+        |  SELECT id_b AS doc, id_a AS match_id, dist FROM p),
+        |r AS (
+        |  SELECT doc, match_id, dist, row_number() OVER (
+        |    PARTITION BY doc ORDER BY dist, match_id) AS rk
+        |  FROM sym)
+        |SELECT doc, match_id, dist, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 2""".stripMargin,
+
     // the estimate's 5-sigma bound is checked on the Spark side; the
     // oracle pins the exact counts and expects every group in-bound
     "agg_approx_distinct" ->
@@ -5823,6 +5883,31 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.gram = b.gram
         |WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
         |GROUP BY 1, 2""".stripMargin,
+
+    // the same substring-join replay, rolled up to one verdict row per
+    // contaminated corpus doc (sum(BIGINT) is HUGEINT in DuckDB — cast
+    // back to match Spark's long)
+    "pipe_contamination_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, nt,
+        |    unnest(generate_series(1, greatest(length(nt) - 18, 0))) AS i
+        |  FROM d WHERE length(nt) >= 19),
+        |g AS (SELECT DISTINCT doc_id, substr(nt, i, 19) AS gram FROM pos),
+        |pairs AS (
+        |  SELECT a.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |    count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram
+        |  WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+        |  GROUP BY 1, 2)
+        |SELECT corpus_id,
+        |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+        |  max(n_shared) AS max_shared,
+        |  CAST(sum(n_shared) AS BIGINT) AS total_shared
+        |FROM pairs GROUP BY 1""".stripMargin,
 
     "pipe_ngram_jaccard" ->
       """WITH g0 AS (

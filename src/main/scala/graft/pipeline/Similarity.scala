@@ -138,7 +138,7 @@ object Similarity {
     val bucketed = df
       .select(col(idCol).as("id"), col(vecCol).as("__v"),
         lshBucket(col(vecCol), planes).as("bucket"))
-      .localCheckpoint(false)
+      .transform(Materialize.fanout)
     // cap on the RIGHT side: a degenerate bucket stops fanning out
     val counts = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__bn"))
@@ -238,7 +238,7 @@ object Similarity {
         transform(col(vecCol), x =>
           round(x.cast("double") * 1000).cast("long")).as("__v"))
       .repartition(col("id"))
-      .localCheckpoint(false) // consumed once per iteration
+      .transform(Materialize.fanout) // consumed once per iteration
     // centroid state: (per-dim coordinate sums, member count) — exact
     var cents: Seq[(Seq[Long], Long)] = grid.orderBy(col("id").asc)
       .limit(k).collect()
@@ -298,7 +298,7 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     val base = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .localCheckpoint(false) // sliced m times + reranked
+      .transform(Materialize.fanout) // sliced m times + reranked
     // per-subspace codebooks + assignments
     val subs = (0 until m).map { s =>
       val sliced = base.select(col("id"),

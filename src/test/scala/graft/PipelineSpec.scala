@@ -62,7 +62,14 @@ class PipelineSpec extends SparkSpec {
       docs((1L, base), (2L, base), (3L, base + " x")), "doc_id", "text")
     df.collect() // AQE reuses identical shuffle stages at runtime
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") ||
+    // the work-sharing mechanism is mode-specific: under the default
+    // localCheckpoint strategy AQE reuses the identical shuffle stages
+    // above the checkpoint boundary; under persistDisk the sharing IS
+    // the CacheManager entry (consumers read InMemoryTableScan)
+    if (spark.conf.get("spark.graft.materialize",
+        "localCheckpoint") == "persistDisk")
+      assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    else assert(plan.contains("ReusedExchange") ||
       plan.contains("ReusedQueryStage"), plan.take(2000))
   }
 
@@ -765,6 +772,33 @@ class PipelineSpec extends SparkSpec {
     assert(!at07.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefixFilterJaccardPairs giant-doc guard fires eagerly and names" +
+      " the remedy") {
+    // one adversarial "giant" doc (≫ cap distinct 8-grams) among
+    // normal ones; a tiny cap stands in for the 8M default so the spec
+    // doesn't build a multi-GB row to prove the point
+    val giant = (0 until 400).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> giant,
+      3L -> "a completely different document about winnowing fields")
+    val e = intercept[IllegalArgumentException] {
+      // the guard is checked on the operator's FIRST action (the
+      // eager stats row) — construction itself must already throw,
+      // before any candidate join or verify work is scheduled
+      Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+        n = 8, threshold = 0.8, maxGramsPerDoc = 100)
+    }
+    assert(e.getMessage.contains("maxGramsPerDoc"))
+    assert(e.getMessage.contains("chunkDocs"),
+      "the error must point at the Text.chunkDocs remedy")
+    // same corpus under the default cap: runs, and the giant doc still
+    // participates normally (the guard is a guard, not a filter)
+    val ok = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+      n = 8, threshold = 0.8)
+    assert(ok.collect().isEmpty) // no near-dups among the three
+  }
+
   test("ngram jaccard: bitmap fast path equals the sorted-array fallback") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(300)
@@ -944,6 +978,71 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(hot, "id", "k",
       maxBucketSize = 10).count() === 0)
     assert(Dedup.editDistancePairs(hot, "id", "k").count() === 30L * 29 / 2)
+  }
+
+  test("bestFuzzyMatchPerDoc: top-k by (dist, id) from BOTH pair roles") {
+    // abc's ball: abd (sub), ab (del), abcd (ins) all dist 1; abc==abc2
+    // dist 0; zzzzz isolated. Expected best-2 per doc is hand-derivable.
+    val df = spark.createDataFrame(Seq(
+      (1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "abcd"),
+      (5L, "abc"), (6L, "zzzzz"))).toDF("id", "k")
+    val got = Dedup.bestFuzzyMatchPerDoc(df, "id", "k", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // brute force the same contract: symmetrized dist<=1 pairs, per-doc
+    // rank by (dist, match id), keep 2
+    val pairs = Dedup.editDistancePairs(df, "id", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sym = pairs.flatMap { case (a, b, d) =>
+      Seq((a, b, d), (b, a, d)) }
+    val want = sym.groupBy(_._1).toSeq.flatMap { case (doc, ms) =>
+      ms.sortBy(m => (m._3, m._2)).take(2).zipWithIndex.map {
+        case ((_, m, d), i) => (doc, m, d, (i + 1).toLong) }.toSeq
+    }.toSet
+    assert(got === want)
+    // doc 1's best two: the exact dup (5, dist 0) then the smallest-id
+    // dist-1 neighbor (2) — pins the (dist, id) order end to end
+    assert(got.contains((1L, 5L, 0L, 1L)) && got.contains((1L, 2L, 1L, 2L)))
+    assert(!got.exists(_._1 == 6L), "isolated doc must produce no row")
+    // linear-output contract: never more than k rows per doc
+    assert(got.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
+  test("contaminatedDocs rolls the pair list into per-doc verdicts") {
+    val run = "this exact benchmark sentence appears verbatim in " +
+      "the corpus document and is long enough to fingerprint"
+    val run2 = "another leaked evaluation answer string that also " +
+      "exceeds the winnowing window comfortably"
+    // ids: corpus docs 1,2,3 (non-multiples of 17); bench docs 17, 34
+    val df = docs(
+      1L -> s"corpus filler $run more corpus filler $run2",
+      2L -> s"unrelated corpus text about partitioning and shuffles ok",
+      3L -> s"second contaminated doc containing $run only",
+      17L -> s"benchmark item one: $run",
+      34L -> s"benchmark item two: $run2")
+    val corpus = df.filter(col("doc_id") % 17 =!= 0L)
+    val bench = df.filter(col("doc_id") % 17 === 0L)
+    val pairAgg = Dedup.winnowContamination(corpus, "doc_id", "text",
+        bench, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = Dedup.contaminatedDocs(corpus, "doc_id", "text",
+        bench, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the rollup must agree with aggregating the pair operator itself
+    assert(got.keySet === pairAgg.keySet)
+    for ((id, ps) <- pairAgg) {
+      val (nb, mx, tot) = got(id)
+      assert(nb === ps.map(_._2).distinct.size.toLong)
+      assert(mx === ps.map(_._3).max)
+      assert(tot === ps.map(_._3).sum)
+    }
+    // shape: doc 1 hits both bench docs, doc 3 one, doc 2 none
+    assert(got(1L)._1 === 2L)
+    assert(got(3L)._1 === 1L)
+    assert(!got.contains(2L))
   }
 
   test("unicode normalization: NFC composes, NFKC folds compatibility") {

@@ -13,6 +13,11 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fan-out materialization strategy under test (pipeline
+      // operators read it per call): GRAFT_MATERIALIZE=persistDisk
+      // re-runs every spec under the lineage-retaining mode
+      .config("spark.graft.materialize",
+        sys.env.getOrElse("GRAFT_MATERIALIZE", "localCheckpoint"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
