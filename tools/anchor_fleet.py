@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Paired same-host bench anchor, as ONE command (round-16 verdict
+stretch ask #6 — the r15 protocol, scripted).
+
+Cross-round bench deltas on this box are meaningless without a paired
+anchor: the host swings up to ~1.4x BETWEEN sessions (r15 measured the
+identical r14 commit at 213.3 s vs its recorded 151.4 s). This script
+re-runs the PREVIOUS round's close tree and the CURRENT tree
+back-to-back in the same session with identical env, then judges
+per-gate deltas by the paired median ratio — never by recorded
+numbers.
+
+Usage:
+  tools/anchor_fleet.py <anchor-commit> [round-label]
+      [--sf DIR] [--iters N] [--cpus N]
+
+Steps:
+  1. git worktree add /tmp/anchor_<label> <anchor-commit>  (reused if
+     it already exists at that commit)
+  2. sbt -batch compile in the worktree
+  3. anchor fleet run -> .bench-data/<label>_anchor_spread.json
+  4. current fleet run -> .bench-data/<label>_fleet_spread.json
+  5. paired per-gate ratios -> stdout markdown (the SCALING footer)
+     and .bench-data/<label>_paired.json
+
+Run SOLO (no concurrent duckdb/java/check.py) — see the sf10 box-limit
+notes; concurrent load contaminates both sides equally but widens
+spreads. The worktree is left in place for manual re-runs; remove with
+`git worktree remove /tmp/anchor_<label>`.
+"""
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+opts = {a.split("=")[0].lstrip("-"): a.split("=", 1)[1]
+        for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+if not args:
+    sys.exit(__doc__)
+anchor_commit = args[0]
+label = args[1] if len(args) > 1 else "anchor"
+sf_dir = opts.get("sf", "/root/testdata/sf0.1")
+iters = opts.get("iters", "3")
+cpus = opts.get("cpus", "32")
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+wt = f"/tmp/anchor_{label}"
+
+
+def run(cmd, cwd, env=None, quiet=False):
+    e = dict(os.environ)
+    e.update(env or {})
+    r = subprocess.run(cmd, cwd=cwd, env=e,
+                       capture_output=quiet, text=True)
+    if r.returncode != 0:
+        if quiet:
+            sys.stderr.write((r.stdout or "")[-2000:])
+            sys.stderr.write((r.stderr or "")[-2000:])
+        sys.exit(f"FAILED ({r.returncode}): {' '.join(cmd)} in {cwd}")
+    return r
+
+
+# 1. worktree (idempotent: reuse if present and at the right commit)
+want = subprocess.run(["git", "rev-parse", anchor_commit], cwd=repo,
+                      capture_output=True, text=True).stdout.strip()
+if not want:
+    sys.exit(f"cannot resolve anchor commit '{anchor_commit}'")
+if os.path.isdir(wt):
+    have = subprocess.run(["git", "rev-parse", "HEAD"], cwd=wt,
+                          capture_output=True, text=True).stdout.strip()
+    if have != want:
+        sys.exit(f"{wt} exists at {have[:12]}, wanted {want[:12]} — "
+                 "remove it first (git worktree remove)")
+    print(f"reusing worktree {wt} @ {want[:12]}")
+else:
+    run(["git", "worktree", "add", wt, anchor_commit], cwd=repo)
+
+# 2. compile the anchor tree
+print("compiling anchor tree ...", flush=True)
+run(["sbt", "-batch", "compile"], cwd=wt, quiet=True)
+
+# 3+4. both fleets, back-to-back, identical env
+out_anchor = f"{repo}/.bench-data/{label}_anchor_spread.json"
+out_current = f"{repo}/.bench-data/{label}_fleet_spread.json"
+for name, cwd, out in (("anchor", wt, out_anchor),
+                       ("current", repo, out_current)):
+    print(f"running {name} fleet ({sf_dir}, iters={iters}, "
+          f"local[{cpus}]) ...", flush=True)
+    run(["sbt", "-batch", "runMain graft.Bench"], cwd=cwd, quiet=True,
+        env={"SPARK_GRAFT_SF_DIR": sf_dir,
+             "SPARK_GRAFT_CPUS": cpus,
+             "SPARK_GRAFT_BENCH_ITERS": iters,
+             "SPARK_GRAFT_BENCH_SPREAD_OUT": out})
+
+# 5. paired comparison
+def load(p):
+    return json.load(open(p))["spread_min_med_max"]
+
+a, c = load(out_anchor), load(out_current)
+common = sorted(set(a) & set(c))
+only_a, only_c = sorted(set(a) - set(c)), sorted(set(c) - set(a))
+ratios = {q: c[q][1] / a[q][1] for q in common if a[q][1] > 0}
+med = statistics.median(ratios.values())
+ta = sum(a[q][1] for q in common)
+tc = sum(c[q][1] for q in common)
+# a gate is flagged only when its paired ratio is far off the fleet
+# median AND its spreads are disjoint (the r15 adjudication rule)
+flags = [q for q, r in ratios.items()
+         if (r > 1.3 * med or r < med / 1.3)
+         and (c[q][0] > a[q][2] or c[q][2] < a[q][0])]
+paired = {"anchor_commit": want, "sf": sf_dir, "iters": int(iters),
+          "anchor_total": round(ta, 1), "current_total": round(tc, 1),
+          "paired_median_ratio": round(med, 3),
+          "flagged_disjoint": sorted(flags, key=lambda q: -ratios[q]),
+          "only_in_anchor": only_a, "only_in_current": only_c,
+          "ratios": {q: round(r, 3) for q, r in ratios.items()}}
+pj = f"{repo}/.bench-data/{label}_paired.json"
+json.dump(paired, open(pj, "w"), indent=1)
+
+print("\n<!-- FLEET:BEGIN -->")
+print(f"**Paired same-host anchor** (`tools/anchor_fleet.py`, anchor "
+      f"`{want[:12]}`, {sf_dir}, {iters} iters, local[{cpus}], "
+      "back-to-back same session):\n")
+print(f"- anchor tree, TODAY's host: **{ta:.1f} s** "
+      f"({len(common)} common gates)")
+print(f"- current tree, same session: **{tc:.1f} s** — paired "
+      f"per-gate median ratio **{med:.3f}**")
+if flags:
+    print(f"- gates with DISJOINT spreads off the median (re-run solo "
+          f"before calling a regression): " +
+          ", ".join(f"`{q}` {ratios[q]:.2f}x" for q in
+                    sorted(flags, key=lambda q: -ratios[q])[:10]))
+else:
+    print("- no gate's spread is disjoint from its anchor off the "
+          "fleet median — every per-gate delta is ambient")
+for lst, tag in ((only_c, "new gates (no anchor twin)"),
+                 (only_a, "gates removed since anchor")):
+    if lst:
+        print(f"- {tag}: " + ", ".join(f"`{q}`" for q in lst))
+print(f"\nSpreads: `{os.path.relpath(out_anchor, repo)}`, "
+      f"`{os.path.relpath(out_current, repo)}`; paired table "
+      f"`{os.path.relpath(pj, repo)}`.")
+print("<!-- FLEET:END -->")
