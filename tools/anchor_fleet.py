@@ -12,7 +12,12 @@ numbers.
 
 Usage:
   tools/anchor_fleet.py <anchor-commit> [round-label]
-      [--sf DIR] [--iters N] [--cpus N]
+      [--sf DIR] [--iters N] [--cpus N] [--only g1,g2]
+
+--only runs the SOLO ADJUDICATION step for flagged gates: both trees
+re-run just those gates back-to-back (fresh JVMs, no fleet context) —
+the prescribed follow-up when a full-fleet row shows a disjoint
+spread off the median (fleet-position noise vs real regression).
 
 Steps:
   1. git worktree add /tmp/anchor_<label> <anchor-commit>  (reused if
@@ -83,15 +88,19 @@ run(["sbt", "-batch", "compile"], cwd=wt, quiet=True)
 # 3+4. both fleets, back-to-back, identical env
 out_anchor = f"{repo}/.bench-data/{label}_anchor_spread.json"
 out_current = f"{repo}/.bench-data/{label}_fleet_spread.json"
+only = opts.get("only")
 for name, cwd, out in (("anchor", wt, out_anchor),
                        ("current", repo, out_current)):
-    print(f"running {name} fleet ({sf_dir}, iters={iters}, "
-          f"local[{cpus}]) ...", flush=True)
+    print(f"running {name} {'solo gates ' + only if only else 'fleet'}"
+          f" ({sf_dir}, iters={iters}, local[{cpus}]) ...", flush=True)
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir,
+           "SPARK_GRAFT_CPUS": cpus,
+           "SPARK_GRAFT_BENCH_ITERS": iters,
+           "SPARK_GRAFT_BENCH_SPREAD_OUT": out}
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = only
     run(["sbt", "-batch", "runMain graft.Bench"], cwd=cwd, quiet=True,
-        env={"SPARK_GRAFT_SF_DIR": sf_dir,
-             "SPARK_GRAFT_CPUS": cpus,
-             "SPARK_GRAFT_BENCH_ITERS": iters,
-             "SPARK_GRAFT_BENCH_SPREAD_OUT": out})
+        env=env)
 
 # 5. paired comparison
 def load(p):
