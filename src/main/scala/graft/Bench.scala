@@ -98,7 +98,8 @@ object Bench {
       "pipe_quality_filters",
       "geno_simulate_mating", "pipe_winnow_pairs", "pipe_ngram_jaccard",
       "pipe_corpus_clean", "stream_winnow_pairs",
-      "pipe_semdedup", "pipe_lm_score", "pipe_bpe_encode")
+      "pipe_semdedup", "pipe_lm_score", "pipe_bpe_encode",
+      "pipe_contamination_docs", "pipe_fuzzy_best_match")
     // Locale.ROOT: the one-line JSON contract must not pick up a
     // comma decimal separator from the JVM default locale.
     def num(v: Double): String =
