@@ -28,15 +28,21 @@ import org.apache.spark.storage.StorageLevel
   *    the cached subtree under InMemoryTableScan nodes (the plan
   *    audits strip those before asserting).
   *
-  * Scope: the LAZY fan-out points in `Dedup` and `Similarity`. The
-  * EAGER `localCheckpoint(true, DISK_ONLY)` calls in the winnow
-  * slicing family are exempt — they are disk-footprint SEQUENCING
-  * barriers (compute slice, release, next slice) whose bounded-disk
-  * contract needs blocks dropped at precise points, which a pinned
-  * cache defeats. Iterative operators (`Graph.pageRank`, PCA's NIPALS
-  * loop) are also exempt: they checkpoint to TRUNCATE LINEAGE — under
-  * `persistDisk` a deep loop would rebuild the very plan explosion the
-  * checkpoint exists to stop. */
+  * Scope: every LAZY, non-iterative fan-out point in the pipeline
+  * package (`Dedup`, `Similarity`, `Sampling`, `Retrieval`,
+  * `LangModel`, `QualityClassifier`). Exempt, deliberately:
+  *  - the EAGER `localCheckpoint(true, DISK_ONLY)` calls in the
+  *    winnow slicing family — disk-footprint SEQUENCING barriers
+  *    (compute slice, release, next slice) whose bounded-disk
+  *    contract needs blocks dropped at precise points, which a
+  *    pinned cache defeats;
+  *  - iterative operators (`Graph.pageRank`, label propagation,
+  *    PCA's NIPALS loop) — they checkpoint to TRUNCATE LINEAGE, and
+  *    under `persistDisk` a deep loop would rebuild the very plan
+  *    explosion the checkpoint exists to stop;
+  *  - the streaming parity harnesses (`StreamText`) — their batch
+  *    side frames live for a stream's lifetime, a different
+  *    lifecycle from a one-job fan-out. */
 private[graft] object Materialize {
   private def mode(df: DataFrame): String = df.sparkSession.conf
     .get("spark.graft.materialize", "localCheckpoint")

@@ -42,7 +42,7 @@ object QualityClassifier {
     val featDf = df.select(
       (label.cast("double").as("__y") +:
         xCols.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }): _*)
-      .localCheckpoint(false)
+      .transform(Materialize.fanout)
     var beta = Array.fill(d)(0.0)
     var it = 0
     while (it < iters) {

@@ -552,7 +552,7 @@ object Sampling {
     val counts = bucketed.groupBy("b")
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
-      .localCheckpoint(false)
+      .transform(Materialize.fanout)
     val totRow = counts
       .agg(sum("ct").as("t"), sum("cr").as("r")).head()
     require(!totRow.isNullAt(0) && !totRow.isNullAt(1),
