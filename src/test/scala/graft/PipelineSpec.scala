@@ -56,6 +56,23 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("materialize knob rejects unknown modes with guidance") {
+    val prev = spark.conf.get("spark.graft.materialize",
+      "localCheckpoint")
+    try {
+      spark.conf.set("spark.graft.materialize", "replicate3")
+      val e = intercept[IllegalArgumentException] {
+        // any fan-out operator exercises the knob at construction
+        Dedup.minhashPairs(docs(1L -> "alpha beta gamma delta"),
+          "doc_id", "text").count()
+      }
+      assert(e.getMessage.contains("replicate3") &&
+        e.getMessage.contains("localCheckpoint") &&
+        e.getMessage.contains("persistDisk"),
+        s"error must name the bad value and both valid modes: $e")
+    } finally spark.conf.set("spark.graft.materialize", prev)
+  }
+
   test("minhashPairs plan shares the shingle exchange (no persist)") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val df = Dedup.minhashPairs(
