@@ -440,8 +440,8 @@ object Sampling {
     require(batchSize > 0, "batchSize must be positive")
     val n = tokenCount.cast("long")
     val bucket = bounds.map(b => (n >= b).cast("long")).reduce(_ + _)
-    val withB = df.withColumn("bucket", bucket)
-      .localCheckpoint(false) // consumed by the count agg AND the scan
+    // consumed by the count agg AND the scan — a knob-routed fan-out
+    val withB = Materialize.fanout(df.withColumn("bucket", bucket))
     val counts = withB.groupBy("bucket")
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

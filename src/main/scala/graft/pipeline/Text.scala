@@ -313,8 +313,9 @@ object Text {
       .select(col(id).as("doc"), explode(tokens(col(text))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false) // consumed by idf derivation AND the join
-    val v = tf.groupBy("token")
+    val tfPinned = // consumed by idf derivation AND the join
+      Materialize.fanout(tf)
+    val v = tfPinned.groupBy("token")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
       .withColumn("idf",
@@ -322,7 +323,7 @@ object Text {
       .select(col("token"), col("idf"))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("score").desc, col("token").asc)
-    tf.join(v, Seq("token"))
+    tfPinned.join(v, Seq("token"))
       .withColumn("score", round(col("tf") * col("idf"), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

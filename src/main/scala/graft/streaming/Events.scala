@@ -191,31 +191,15 @@ object Events {
     // A full-heap GC on a 32-core JVM costs ~0.3-0.5 s, so gate it on
     // the measured DEAD disk mass: the checkpoint (state store) the
     // rmTree above just deleted, PLUS the stopped query's shuffle
-    // files still sitting in the block-manager local dirs — shuffle
+    // files still sitting in THIS app's block-manager dirs — shuffle
     // mass can dominate independently of state-store size (a drain
     // with small state but a wide repartition leaves GBs of shuffle
     // on disk), so gating on checkpoint bytes alone would skip the
-    // nudge exactly when it pays. Below 1 GiB combined, the r14
-    // sf0.1 fleet measured the nudge as pure cost (~2 s total); at
-    // sf10 either term passes the gate alone and sequencing is
-    // unchanged. Only `shuffle_*` files count — blockmgr dirs also
-    // hold rdd_* blocks (live localCheckpoints of OTHER operators in
-    // the same JVM, which a GC cannot free), and counting those
-    // would re-trigger the nudge fleet-wide, undoing the gating. The
-    // size walk is read-only and costs ms, not the GC's 0.3-0.5 s.
-    def duShuffle(f: java.io.File): Long = {
-      val kids = f.listFiles()
-      (if (kids == null) 0L else kids.map(duShuffle).sum) +
-        (if (f.isFile && f.getName.startsWith("shuffle_")) f.length()
-         else 0L)
-    }
-    val shuffleBytes = spark.sparkContext.getConf
-      .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
-      .split(",").map(new java.io.File(_))
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(_.getName.startsWith("blockmgr-"))
-      .map(duShuffle).sum
-    if (chkBytes + shuffleBytes >= (1L << 30)) System.gc()
+    // nudge exactly when it pays. Inclusion/exclusion rules, the
+    // threshold, and the own-dirs scoping live on `DrainGc` (specced).
+    val shuffleBytes = DrainGc.shuffleBytes(
+      org.apache.spark.storage.GraftStorageBridge.blockManagerDirs.toSeq)
+    if (DrainGc.shouldNudge(chkBytes, shuffleBytes)) System.gc()
     if (new java.io.File(out).listFiles() == null)
       // zero batches produced output files: empty result, same schema
       spark.createDataFrame(

@@ -10,4 +10,13 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Entry count of the session's CacheManager (`private[sql]`
+    * sharedState) — lets the persistDisk-lifecycle spec assert pins
+    * return to baseline after `Materialize.release`. */
+  def cachedPlanCount(spark: SparkSession): Int = spark match {
+    case c: classic.SparkSession =>
+      c.sharedState.cacheManager.numCachedEntries
+    case _ => 0
+  }
 }

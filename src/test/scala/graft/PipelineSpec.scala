@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+import graft.pipeline.{Dedup, Materialize, Multimodal, Similarity, Text}
 
 class PipelineSpec extends SparkSpec {
 
@@ -70,6 +70,67 @@ class PipelineSpec extends SparkSpec {
         e.getMessage.contains("localCheckpoint") &&
         e.getMessage.contains("persistDisk"),
         s"error must name the bad value and both valid modes: $e")
+    } finally spark.conf.set("spark.graft.materialize", prev)
+  }
+
+  test("persistDisk pins release via Materialize.release") {
+    val prev = spark.conf.get("spark.graft.materialize",
+      "localCheckpoint")
+    Materialize.release(spark) // drain pins earlier tests may hold
+    val baseCache = org.apache.spark.sql.GraftBridge
+      .cachedPlanCount(spark)
+    assert(Materialize.pinnedCount(spark) === 0)
+    try {
+      spark.conf.set("spark.graft.materialize", "persistDisk")
+      val df = Dedup.minhashPairs(
+        docs((1L, "alpha beta gamma delta"),
+          (2L, "alpha beta gamma delta")), "doc_id", "text")
+      val n = df.count() // the caller's terminal action
+      assert(Materialize.pinnedCount(spark) > 0,
+        "persistDisk fan-outs must register for release")
+      assert(org.apache.spark.sql.GraftBridge.cachedPlanCount(spark)
+        > baseCache)
+      Materialize.release(spark)
+      assert(Materialize.pinnedCount(spark) === 0)
+      // CacheManager returns to baseline: no pinned frames accumulate
+      // across operator calls in a long-lived session
+      assert(org.apache.spark.sql.GraftBridge.cachedPlanCount(spark)
+        === baseCache)
+      // lineage was retained, so the released frame still recomputes
+      assert(df.count() === n)
+    } finally spark.conf.set("spark.graft.materialize", prev)
+  }
+
+  test("withFanouts releases persistDisk pins even on failure") {
+    val prev = spark.conf.get("spark.graft.materialize",
+      "localCheckpoint")
+    Materialize.release(spark)
+    try {
+      spark.conf.set("spark.graft.materialize", "persistDisk")
+      intercept[RuntimeException] {
+        Materialize.withFanouts(spark) {
+          Dedup.minhashPairs(docs(7L -> "one two three four"),
+            "doc_id", "text").count()
+          assert(Materialize.pinnedCount(spark) > 0)
+          throw new RuntimeException("operator downstream failed")
+        }
+      }
+      assert(Materialize.pinnedCount(spark) === 0,
+        "scoped pins must release on the failure path")
+    } finally spark.conf.set("spark.graft.materialize", prev)
+  }
+
+  test("localCheckpoint mode registers no pins; release is a no-op") {
+    val prev = spark.conf.get("spark.graft.materialize",
+      "localCheckpoint")
+    Materialize.release(spark)
+    try {
+      spark.conf.set("spark.graft.materialize", "localCheckpoint")
+      Dedup.minhashPairs(docs(3L -> "a b c d e"), "doc_id", "text")
+        .count()
+      assert(Materialize.pinnedCount(spark) === 0,
+        "the self-reclaiming default must not register pins")
+      Materialize.release(spark) // no-op, must not throw
     } finally spark.conf.set("spark.graft.materialize", prev)
   }
 

@@ -502,4 +502,47 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect)
     assert(batch === expect)
   }
+
+  test("DrainGc counts shuffle_* files only, recursively") {
+    import graft.streaming.DrainGc
+    def put(root: java.nio.file.Path, rel: String, n: Int): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, Array.fill[Byte](n)(1))
+    }
+    val blk1 = java.nio.file.Files.createTempDirectory("spec_blkA")
+    val blk2 = java.nio.file.Files.createTempDirectory("spec_blkB")
+    // real blockmgr layout: two-hex subdirs holding the block files
+    put(blk1, "0c/shuffle_3_0_0.data", 700) //   counted
+    put(blk1, "0d/shuffle_3_0_0.index", 50) //   counted
+    put(blk1, "11/rdd_12_3", 4000) //            live pin: excluded
+    put(blk1, "11/temp_shuffle_ab", 0) //        0-length: no effect
+    put(blk1, "stray.txt", 999) //               unrelated: excluded
+    put(blk2, "3f/shuffle_9_0_0.data", 250) //   second dir: counted
+    val got = DrainGc.shuffleBytes(Seq(blk1.toFile, blk2.toFile,
+      new java.io.File(blk1.toFile, "does_not_exist")))
+    assert(got === 700L + 50L + 250L) // missing dir contributes 0
+  }
+
+  test("DrainGc nudge threshold fires at 1 GiB combined, either term") {
+    import graft.streaming.DrainGc
+    val g = DrainGc.thresholdBytes
+    assert(g === (1L << 30))
+    assert(!DrainGc.shouldNudge(0L, 0L))
+    assert(!DrainGc.shouldNudge(g / 2, g / 2 - 1)) // just under
+    assert(DrainGc.shouldNudge(g / 2, g / 2)) //      exactly at
+    assert(DrainGc.shouldNudge(g, 0L)) //             checkpoint alone
+    assert(DrainGc.shouldNudge(0L, g)) //             shuffle alone
+  }
+
+  test("drain GC walk is scoped to this app's own blockmgr dirs") {
+    // the bridge must return THIS SparkContext's dirs — not every
+    // blockmgr-* under spark.local.dir (stale/concurrent JVMs) — so a
+    // neighbor's shuffle mass can never re-trigger the nudge here
+    val dirs = org.apache.spark.storage.GraftStorageBridge
+      .blockManagerDirs
+    assert(dirs.nonEmpty)
+    assert(dirs.forall(_.getName.startsWith("blockmgr-")))
+    assert(dirs.forall(_.isDirectory))
+  }
 }
