@@ -1369,6 +1369,50 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // --- composite end-to-end curation pipeline (the full training-
+    // data run a 100 TB user executes): clean → exact dedup → minhash
+    // near-dup clusters → representative dedup → integer-exact Gopher-
+    // style quality gates → deterministic split assign → export
+    // (write partitioned parquet, read back) → per-(split, lang)
+    // summary. The deduped corpus is pinned ONCE (Materialize.fanout)
+    // where BOTH the minhash pair chain and the representative-dedup
+    // join consume it; the quality filter + split assign are narrow
+    // projections that add NO exchange over the dedup join
+    // (composition plan-audited). Every compared value is exact
+    // integer arithmetic — token counts, char masses, md5 bucket
+    // membership — so the DuckDB replay is bit-stable ----------------------
+    "pipe_curation_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cleaned = docs.filter(length(col("text")) >= lit(100) &&
+        pipeline.Text.symbolToWordRatio(col("text")) < lit(0.3))
+      val ex = pipeline.Materialize.fanout(
+        pipeline.Dedup.exact(cleaned, "doc_id", "text")
+          .drop("content_hash"))
+      val clusters = pipeline.Dedup.nearDupClusters(
+        pipeline.Dedup.minhashPairs(ex, "doc_id", "text"))
+      val ded = pipeline.Dedup.dedupByClusters(ex, "doc_id", clusters)
+      val toks = pipeline.Text.tokenCount(col("text")).cast("long")
+      val chars = length(regexp_replace(col("text"), "\\s", ""))
+        .cast("long")
+      val q = ded
+        .withColumn("n_tokens", toks)
+        .withColumn("n_chars", chars)
+        .filter(col("n_tokens") >= 20L && col("n_tokens") <= 2000L &&
+          col("n_chars") > col("n_tokens") * 2L &&
+          col("n_chars") < col("n_tokens") * 12L)
+      val split = pipeline.Sampling.assignSplit(
+        q.select("doc_id", "lang", "n_tokens"), "doc_id",
+        Seq("train" -> 980, "val" -> 10, "test" -> 10))
+      val out = java.nio.file.Files
+        .createTempDirectory("curation_e2e").toString + "/corpus"
+      split.write.partitionBy("split").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("docid_sum"),
+          sum(col("n_tokens")).cast("long").as("token_sum"))
+    }),
+
     // --- deterministic per-language Bernoulli mixing: membership is a
     // pure md5 predicate, so the exact sample re-derives in any engine —
     // one codegen'd filter, no shuffle, no RNG state ------------------------
@@ -1972,6 +2016,43 @@ object SparkEntry {
           Calls.allele1(col("GT")).as("a1"),
           Calls.allele2(col("GT")).as("a2"),
           col("DP").as("dp"))
+    }),
+
+    // --- composite end-to-end genetics pipeline, mirroring the
+    // reference's pinned benchmark (benchmark_methods.py:130
+    // test_genetics_pipeline): import VCF → split_multi →
+    // variant_qc + sample_qc → filter cols/rows/entries on the QC
+    // fields → write native → read back → aggregate. The split rows
+    // are pinned ONCE (Materialize.fanout) and feed BOTH QC consumers
+    // — the sample aggregate and the annotated row pipeline into the
+    // write — so the source parses once (composition plan-audited).
+    // DP stands in for GQ in the entry filter (the fixture carries
+    // GT:DP); thresholds sized to the fixture so every filter stage
+    // drops something real -------------------------------------------------
+    "genetics_pipeline" -> ((s, _) => {
+      import graft.functions.Calls
+      val sp0 = methods.SplitMulti(sources.Vcf.read(s, VcfMultiFixture))
+      val sp = sp0.copy(rows = pipeline.Materialize.fanout(sp0.rows))
+      val ann = methods.Qc.annotateVariantQc(sp)
+        .annotateColsTable(methods.Qc.sampleQc(sp), Seq("call_rate"))
+      val crIdx = ann.colSchema.fieldIndex("call_rate")
+      val filtered = ann
+        .filterCols(_.getDouble(crIdx) > 0.8)
+        .filterRows(element_at(col("AC"), 2) > 2)
+        .filterEntries(e => e("GT").isNotNull &&
+          when(length(col("ref")) =!= length(element_at(col("alt"), 1)),
+            e("DP") > 20).otherwise(e("DP") > 10))
+      val out = java.nio.file.Files
+        .createTempDirectory("genetics_e2e").toString + "/pipeline.mt"
+      filtered.write(out)
+      MatrixTable.read(s, out).entriesTable.df
+        .groupBy(col("contig"), col("position"), col("ref"),
+          element_at(col("alt"), 1).as("alt"), col("a_index"),
+          col("was_split"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("DP")).cast("long").as("dp_sum"),
+          sum(Calls.nNonRefAlleles(col("GT"))).cast("long")
+            .as("ac_kept"))
     }),
 
     // --- linear_regression_rows (statgen.py:235): per-variant OLS via the
@@ -6042,6 +6123,85 @@ object SparkEntry {
         |    WHEN 'fr' THEN 700 WHEN 'es' THEN 700 WHEN 'zh' THEN 500
         |    ELSE 0 END""".stripMargin,
 
+    // full independent replay of the composite curation run: clean →
+    // exact (md5 text, min id) dedup → the minhash/band/cluster chain
+    // (same closed-form replay as pipe_corpus_clean, over the exact-
+    // deduped corpus) → representative dedup → integer token/char
+    // quality gates → md5 split assign → per-(split, lang) summary.
+    // The partitioned-parquet export leg is value-preserving, so the
+    // replay covers it by recomputing the same aggregate
+    "pipe_curation_e2e" ->
+      """WITH RECURSIVE cleaned AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE length(text) >= 100
+        |    AND length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+        |      / CAST(greatest(len(string_split_regex(trim(text), ' +')),
+        |          1) AS DOUBLE) < 0.3),
+        |ex AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY md5(text)
+        |        ORDER BY doc_id) AS rn
+        |    FROM cleaned) WHERE rn = 1),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+        |  FROM ex),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      j -> concat(w[j], ' ', w[j+1], ' ', w[j+2]))) AS shingles
+        |  FROM tok WHERE len(w) >= 3),
+        |mh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), i ->
+        |      list_min(list_transform(shingles, s ->
+        |        CAST(('0x' || substr(md5(concat(s, '|', i // 4)),
+        |          1 + 8 * (i % 4), 8)) AS BIGINT)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.band,
+        |    md5(concat(CAST(sig[b.band*2+1] AS VARCHAR), '_',
+        |      CAST(sig[b.band*2+2] AS VARCHAR))) AS bsig
+        |  FROM mh, (SELECT unnest(range(0,4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM cand
+        |  UNION SELECT id_b, id_a FROM cand),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |clu AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        |ded AS (
+        |  SELECT f.doc_id, f.lang, f.text FROM ex f
+        |  LEFT JOIN clu c ON f.doc_id = c.node
+        |  WHERE c.cluster IS NULL OR c.cluster = f.doc_id),
+        |qf AS (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |        AS n_tokens,
+        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |        AS n_chars
+        |    FROM ded)
+        |  WHERE n_tokens >= 20 AND n_tokens <= 2000
+        |    AND n_chars > n_tokens * 2 AND n_chars < n_tokens * 12),
+        |spl AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CASE WHEN h < 980 THEN 'train' WHEN h < 990 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT *, CAST(('0x' || substr(md5('split|' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h
+        |    FROM qf))
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS docid_sum,
+        |  CAST(sum(n_tokens) AS BIGINT) AS token_sum
+        |FROM spl GROUP BY 1, 2""".stripMargin,
+
     "pipe_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)),
@@ -7002,6 +7162,52 @@ object SparkEntry {
         |    WHEN a2 = a_index THEN 1 ELSE 0 END AS a2,
         |  dp
         |FROM x""".stripMargin
+    },
+
+    // full independent replay of the composite pipeline: split rows →
+    // per-sample call rate (cols kept) → per-variant alt AC over ALL
+    // samples, reference ordering: variant_qc precedes filter_cols →
+    // rows kept → DP entry gate (indel 20 / SNV 10) → final aggregate.
+    // The write/read-back leg is value-preserving by contract, so the
+    // replay covers it by recomputing the same aggregate
+    "genetics_pipeline" -> {
+      val base = vcfParseCte(VcfMultiFixture, 4, (1 to 4).map(i => s"T$i"))
+      s"""WITH $base,
+        |x AS (
+        |  SELECT contig, position, ref, string_split(alts, ',') AS alist,
+        |    s, a1, a2, dp, i.i AS a_index
+        |  FROM q, (SELECT unnest(range(1, 4)) AS i) i
+        |  WHERE i.i <= len(string_split(alts, ','))),
+        |sp AS (
+        |  SELECT contig, position, ref, alist[a_index] AS alt,
+        |    CAST(a_index AS INTEGER) AS a_index,
+        |    len(alist) > 1 AS was_split, s,
+        |    CASE WHEN a1 IS NULL THEN NULL
+        |      WHEN a1 = a_index THEN 1 ELSE 0 END AS a1,
+        |    CASE WHEN a2 IS NULL THEN NULL
+        |      WHEN a2 = a_index THEN 1 ELSE 0 END AS a2,
+        |    dp
+        |  FROM x),
+        |keeps AS (
+        |  SELECT s FROM sp GROUP BY s
+        |  HAVING CAST(count(a1) AS DOUBLE) / count(*) > 0.8),
+        |keptrows AS (
+        |  SELECT contig, position, ref, alt, a_index FROM sp
+        |  GROUP BY 1, 2, 3, 4, 5
+        |  HAVING sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN a2 = 1 THEN 1 ELSE 0 END) > 2),
+        |e AS (
+        |  SELECT sp.* FROM sp
+        |  JOIN keeps USING (s)
+        |  JOIN keptrows USING (contig, position, ref, alt, a_index)
+        |  WHERE sp.a1 IS NOT NULL
+        |    AND CASE WHEN length(ref) <> length(alt)
+        |      THEN dp > 20 ELSE dp > 10 END)
+        |SELECT contig, position, ref, alt, a_index, was_split,
+        |  count(*) AS n_kept,
+        |  CAST(sum(dp) AS BIGINT) AS dp_sum,
+        |  CAST(sum(a1 + a2) AS BIGINT) AS ac_kept
+        |FROM e GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
     },
 
     "linreg_rows" -> {

@@ -47,7 +47,16 @@ object Qc {
     * narrow per-row pass; returns the rows Table annotated with the
     * metrics (AC/AF/AN/homozygote_count arrays + scalar counts + exact
     * Levene-Haldane HWE for biallelic variants). */
-  def variantQc(mt: MatrixTable): Table = {
+  def variantQc(mt: MatrixTable): Table =
+    Table(annotateVariantQc(mt).rows.drop(MatrixTable.EntriesField),
+      mt.rowKey, mt.globals)
+
+  /** variant_qc in the reference's own annotate shape (`hl.variant_qc`
+    * hands back the MATRIX with the metrics as row fields): entries are
+    * retained, so a pipeline can `filterRows`/`filterEntries` on the
+    * metrics and keep flowing — still the same narrow per-row pass, no
+    * join, no shuffle, one stage with whatever follows. */
+  def annotateVariantQc(mt: MatrixTable): MatrixTable = {
     val es = entrySchema(mt)
     val nAlleles = size(col("alt")) + 1
     val nCols = lit(mt.nCols.toLong)
@@ -100,8 +109,7 @@ object Qc {
     val withDpGq = dpGq.foldLeft(annotated) {
       case (d, (name, c)) => d.withColumn(name, c)
     }
-    Table(withDpGq.drop(MatrixTable.EntriesField, "__cs", "__present"),
-      mt.rowKey, mt.globals)
+    mt.copy(rows = withDpGq.drop("__cs", "__present"))
   }
 
   /** sample_qc (reference `qc.py:59`): per-sample metrics via one

@@ -826,4 +826,82 @@ class PlanAuditSpec extends SparkSpec {
     // top-k is TakeOrdered, never a global sort
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2500))
   }
+
+  private def exchangeCount(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+
+  test("genetics_pipeline composition: split rows pinned once feed " +
+      "both QC consumers; the write-side row pass is one narrow stage") {
+    eachMaterializeMode {
+      val sp0 = methods.SplitMulti(Vcf.read(spark,
+        "/root/repo/src/test/resources/oracle_multi.vcf"))
+      val sp = sp0.copy(rows = pipeline.Materialize.fanout(sp0.rows))
+      val ann = methods.Qc.annotateVariantQc(sp)
+        .annotateColsTable(methods.Qc.sampleQc(sp), Seq("call_rate"))
+      val crIdx = ann.colSchema.fieldIndex("call_rate")
+      val filtered = ann
+        .filterCols(_.getDouble(crIdx) > 0.8)
+        .filterRows(element_at(col("AC"), 2) > 2)
+        .filterEntries(e => e("GT").isNotNull &&
+          when(length(col("ref")) =!= length(element_at(col("alt"), 1)),
+            e("DP") > 20).otherwise(e("DP") > 10))
+      val full = filtered.rows.queryExecution.executedPlan.toString
+      // both QC consumers read the one pin: the checkpoint's
+      // ExistingRDD under the default, the CacheManager entry under
+      // persistDisk — the VCF parses once, not once per consumer
+      if (spark.conf.get("spark.graft.materialize") == "persistDisk")
+        assert(full.contains("InMemoryTableScan"), full.take(3000))
+      else assert(full.contains("ExistingRDD"), full.take(3000))
+      val plan = strippedPlan(filtered.rows)
+      // no source re-scan above the pin
+      assert(!plan.contains("FileScan"), plan.take(3000))
+      // variant QC + row/entry filters compose into ONE narrow stage
+      // over the pinned split rows: no join, no exchange anywhere in
+      // the write-side row pass (sample QC already folded into the
+      // driver-resident col values)
+      assert(exchangeCount(plan) === 0, plan.take(3000))
+      assert(!plan.contains("Join"), plan.take(3000))
+    }
+  }
+
+  test("pipe_curation_e2e composition: deduped corpus pinned once; " +
+      "quality filter + split assign add no exchange over the dedup") {
+    eachMaterializeMode {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val cleaned = docs.filter(length(col("text")) >= lit(100) &&
+        pipeline.Text.symbolToWordRatio(col("text")) < lit(0.3))
+      val ex = pipeline.Materialize.fanout(
+        pipeline.Dedup.exact(cleaned, "doc_id", "text")
+          .drop("content_hash"))
+      val clusters = pipeline.Dedup.nearDupClusters(
+        pipeline.Dedup.minhashPairs(ex, "doc_id", "text"))
+      val ded = pipeline.Dedup.dedupByClusters(ex, "doc_id", clusters)
+      val toks = pipeline.Text.tokenCount(col("text")).cast("long")
+      val chars = length(regexp_replace(col("text"), "\\s", ""))
+        .cast("long")
+      val q = ded
+        .withColumn("n_tokens", toks)
+        .withColumn("n_chars", chars)
+        .filter(col("n_tokens") >= 20L && col("n_tokens") <= 2000L &&
+          col("n_chars") > col("n_tokens") * 2L &&
+          col("n_chars") < col("n_tokens") * 12L)
+      val split = pipeline.Sampling.assignSplit(
+        q.select("doc_id", "lang", "n_tokens"), "doc_id",
+        Seq("train" -> 980, "val" -> 10, "test" -> 10))
+      // every path to documents.parquet sits below a fan-out pin (the
+      // exact-dedup pin here, minhashPairs' signature pin inside): the
+      // corpus cleans + dedups ONCE, not once per consumer
+      val plan = strippedPlan(split)
+      assert(!plan.contains("FileScan"), plan.take(3000))
+      val full = split.queryExecution.executedPlan.toString
+      if (spark.conf.get("spark.graft.materialize") == "persistDisk")
+        assert(full.contains("InMemoryTableScan"), full.take(3000))
+      else assert(full.contains("ExistingRDD"), full.take(3000))
+      // the quality gates and split assignment are pure projections:
+      // zero exchanges beyond what the representative-dedup join needs
+      assert(exchangeCount(strippedPlan(split)) ===
+        exchangeCount(strippedPlan(ded)), plan.take(3000))
+    }
+  }
 }
