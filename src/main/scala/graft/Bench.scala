@@ -45,6 +45,10 @@ object Bench {
       // persisted RDDs after each query is outside the timed section.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // under persistDisk this also empties Materialize's pin registry
+      // (the clearCache below would drop the cache entries anyway, but
+      // the registry would keep growing across the fleet)
+      pipeline.Materialize.release(spark)
       spark.sharedState.cacheManager.clearCache()
       dt
     }

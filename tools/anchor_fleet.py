@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Paired same-host bench anchor, as ONE command (round-16 verdict
-stretch ask #6 — the r15 protocol, scripted).
+stretch ask #6 — the r15 protocol, scripted; round-17 adds the
+flag -> solo A/B -> verdict chain, machine-generated end-to-end).
 
 Cross-round bench deltas on this box are meaningless without a paired
 anchor: the host swings up to ~1.4x BETWEEN sessions (r15 measured the
@@ -10,14 +11,15 @@ back-to-back in the same session with identical env, then judges
 per-gate deltas by the paired median ratio — never by recorded
 numbers.
 
-Usage:
-  tools/anchor_fleet.py <anchor-commit> [round-label]
-      [--sf DIR] [--iters N] [--cpus N] [--only g1,g2]
-
---only runs the SOLO ADJUDICATION step for flagged gates: both trees
-re-run just those gates back-to-back (fresh JVMs, no fleet context) —
-the prescribed follow-up when a full-fleet row shows a disjoint
-spread off the median (fleet-position noise vs real regression).
+When the full-fleet pass flags gates (paired ratio far off the fleet
+median AND disjoint min/max spreads), it AUTO-ADJUDICATES them: both
+trees re-run just those gates back-to-back (fresh JVMs, no fleet
+context) and each flag resolves to a verdict — overlapping solo
+spreads = fleet-position noise; disjoint solo spreads with a material
+ratio = a real regression/improvement. Verdicts land in the paired
+JSON and the stdout footer. --only skips the fleet and runs ONLY the
+solo step for the named gates (manual adjudication); --no-adjudicate
+skips the auto step.
 
 Steps:
   1. git worktree add /tmp/anchor_<label> <anchor-commit>  (reused if
@@ -25,30 +27,43 @@ Steps:
   2. sbt -batch compile in the worktree
   3. anchor fleet run -> .bench-data/<label>_anchor_spread.json
   4. current fleet run -> .bench-data/<label>_fleet_spread.json
-  5. paired per-gate ratios -> stdout markdown (the SCALING footer)
-     and .bench-data/<label>_paired.json
+  5. paired per-gate ratios; flagged gates re-run solo in both trees
+     -> .bench-data/<label>_adj_{anchor,current}_spread.json
+  6. stdout markdown (the SCALING footer) and
+     .bench-data/<label>_paired.json, adjudication verdicts included
 
 Run SOLO (no concurrent duckdb/java/check.py) — see the sf10 box-limit
 notes; concurrent load contaminates both sides equally but widens
 spreads. The worktree is left in place for manual re-runs; remove with
 `git worktree remove /tmp/anchor_<label>`.
 """
+import argparse
 import json
 import os
 import statistics
 import subprocess
 import sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-opts = {a.split("=")[0].lstrip("-"): a.split("=", 1)[1]
-        for a in sys.argv[1:] if a.startswith("--") and "=" in a}
-if not args:
-    sys.exit(__doc__)
-anchor_commit = args[0]
-label = args[1] if len(args) > 1 else "anchor"
-sf_dir = opts.get("sf", "/root/testdata/sf0.1")
-iters = opts.get("iters", "3")
-cpus = opts.get("cpus", "32")
+ap = argparse.ArgumentParser(
+    prog="tools/anchor_fleet.py",
+    description="Paired same-host bench anchor (see module docstring).")
+ap.add_argument("anchor_commit", help="previous round's close commit")
+ap.add_argument("label", nargs="?", default="anchor",
+                help="output-file label (default: anchor)")
+ap.add_argument("--sf", default="/root/testdata/sf0.1", metavar="DIR")
+ap.add_argument("--iters", default="3")
+ap.add_argument("--cpus", default="32")
+ap.add_argument("--only", default=None, metavar="g1,g2",
+                help="skip the fleet; solo-adjudicate just these gates")
+ap.add_argument("--no-adjudicate", action="store_true",
+                help="skip the automatic solo re-run of flagged gates")
+args = ap.parse_args()
+
+anchor_commit = args.anchor_commit
+label = args.label
+sf_dir = args.sf
+iters = args.iters
+cpus = args.cpus
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 wt = f"/tmp/anchor_{label}"
 
@@ -85,12 +100,9 @@ else:
 print("compiling anchor tree ...", flush=True)
 run(["sbt", "-batch", "compile"], cwd=wt, quiet=True)
 
-# 3+4. both fleets, back-to-back, identical env
-out_anchor = f"{repo}/.bench-data/{label}_anchor_spread.json"
-out_current = f"{repo}/.bench-data/{label}_fleet_spread.json"
-only = opts.get("only")
-for name, cwd, out in (("anchor", wt, out_anchor),
-                       ("current", repo, out_current)):
+
+def bench(name, cwd, out, only=None):
+    """One Bench run (fresh JVM) writing a min/med/max spread file."""
     print(f"running {name} {'solo gates ' + only if only else 'fleet'}"
           f" ({sf_dir}, iters={iters}, local[{cpus}]) ...", flush=True)
     env = {"SPARK_GRAFT_SF_DIR": sf_dir,
@@ -102,14 +114,30 @@ for name, cwd, out in (("anchor", wt, out_anchor),
     run(["sbt", "-batch", "runMain graft.Bench"], cwd=cwd, quiet=True,
         env=env)
 
-# 5. paired comparison
+
 def load(p):
     return json.load(open(p))["spread_min_med_max"]
 
+
+# 3+4. both fleets (or the manual --only solo pair), back-to-back
+out_anchor = f"{repo}/.bench-data/{label}_anchor_spread.json"
+out_current = f"{repo}/.bench-data/{label}_fleet_spread.json"
+bench("anchor", wt, out_anchor, only=args.only)
+bench("current", repo, out_current, only=args.only)
+
+# 5. paired comparison
 a, c = load(out_anchor), load(out_current)
 common = sorted(set(a) & set(c))
 only_a, only_c = sorted(set(a) - set(c)), sorted(set(c) - set(a))
 ratios = {q: c[q][1] / a[q][1] for q in common if a[q][1] > 0}
+if not ratios:
+    sys.exit(
+        "no common gate with a positive anchor median between\n"
+        f"  {out_anchor} ({len(a)} gates)\n"
+        f"  {out_current} ({len(c)} gates)\n"
+        f"  gate overlap: {len(common)}"
+        + (f" ({', '.join(common[:8])}...)" if common else "")
+        + "\ncheck the --only list / that both trees define the gates")
 med = statistics.median(ratios.values())
 ta = sum(a[q][1] for q in common)
 tc = sum(c[q][1] for q in common)
@@ -118,10 +146,43 @@ tc = sum(c[q][1] for q in common)
 flags = [q for q, r in ratios.items()
          if (r > 1.3 * med or r < med / 1.3)
          and (c[q][0] > a[q][2] or c[q][2] < a[q][0])]
+
+# 5b. auto-adjudication: flagged gates re-run SOLO in both trees
+# (fresh JVMs, no fleet context) and each flag resolves to a verdict
+adjudications = {}
+if flags and not args.only and not args.no_adjudicate:
+    only_list = ",".join(sorted(flags))
+    adj_anchor = f"{repo}/.bench-data/{label}_adj_anchor_spread.json"
+    adj_current = f"{repo}/.bench-data/{label}_adj_fleet_spread.json"
+    bench("anchor-adjudicate", wt, adj_anchor, only=only_list)
+    bench("current-adjudicate", repo, adj_current, only=only_list)
+    sa, sc = load(adj_anchor), load(adj_current)
+    for q in sorted(flags):
+        if q not in sa or q not in sc or sa[q][1] <= 0:
+            adjudications[q] = {"verdict": "no-solo-data"}
+            continue
+        r = sc[q][1] / sa[q][1]
+        overlap = not (sc[q][0] > sa[q][2] or sc[q][2] < sa[q][0])
+        if overlap:
+            verdict = "noise (overlapping solo spreads)"
+        elif r > 1.1:
+            verdict = "REGRESSION (disjoint solo spreads)"
+        elif r < 0.9:
+            verdict = "improvement (disjoint solo spreads)"
+        else:
+            verdict = "noise (solo ratio within 10%)"
+        adjudications[q] = {
+            "fleet_ratio": round(ratios[q], 3),
+            "solo_ratio": round(r, 3),
+            "solo_anchor_min_med_max": sa[q],
+            "solo_current_min_med_max": sc[q],
+            "verdict": verdict}
+
 paired = {"anchor_commit": want, "sf": sf_dir, "iters": int(iters),
           "anchor_total": round(ta, 1), "current_total": round(tc, 1),
           "paired_median_ratio": round(med, 3),
           "flagged_disjoint": sorted(flags, key=lambda q: -ratios[q]),
+          "adjudications": adjudications,
           "only_in_anchor": only_a, "only_in_current": only_c,
           "ratios": {q: round(r, 3) for q, r in ratios.items()}}
 pj = f"{repo}/.bench-data/{label}_paired.json"
@@ -135,7 +196,15 @@ print(f"- anchor tree, TODAY's host: **{ta:.1f} s** "
       f"({len(common)} common gates)")
 print(f"- current tree, same session: **{tc:.1f} s** — paired "
       f"per-gate median ratio **{med:.3f}**")
-if flags:
+if flags and adjudications:
+    print("- flagged gates auto-adjudicated solo (fresh JVMs, "
+          "back-to-back):")
+    for q in sorted(adjudications):
+        v = adjudications[q]
+        extra = ("" if "solo_ratio" not in v else
+                 f" fleet {v['fleet_ratio']}x -> solo {v['solo_ratio']}x")
+        print(f"  - `{q}`:{extra} — {v['verdict']}")
+elif flags:
     print(f"- gates with DISJOINT spreads off the median (re-run solo "
           f"before calling a regression): " +
           ", ".join(f"`{q}` {ratios[q]:.2f}x" for q in
