@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level n-gram language-model scoring — the perplexity-style
@@ -17,9 +16,9 @@ import org.apache.spark.sql.functions._
   * bigrams. All probabilities derive from count tables the engine
   * aggregates in the same job — no external model artifact.
   *
-  * Scale shape: tokenize once per doc (posexplode — a codegen'd
-  * generator), form bigrams with a lead() window over (doc, pos) —
-  * one uniform-key shuffle on the doc id, never a global window.
+  * Scale shape: tokenize once per doc and pair adjacent tokens IN-ROW
+  * (an array zip over the token array — a codegen'd generator pass,
+  * zero exchanges; bigram formation never shuffles).
   * Count tables shuffle on the gram (uniform); the score joins are
   * plain equi-joins on the gram — vocabulary-sized right sides that
   * AQE broadcasts when they fit. Per-bigram NLL rounds to 4 decimals
@@ -29,16 +28,26 @@ object LangModel {
 
   /** (doc, w1, w2) bigram stream — every adjacent token pair, NOT
     * deduplicated (an LM needs occurrence counts; [[Text.shingles]]
-    * dedups for fingerprinting). */
+    * dedups for fingerprinting). Adjacent tokens live in the SAME row's
+    * token array, so the pairing is a narrow in-row zip of the array
+    * with its own tail — the earlier lead()-over-(doc, pos) window paid
+    * a full exchange + per-doc sort to pair values that never leave
+    * their row (optimization guide §2.4: remove shuffles outright).
+    * Same output: empty tokens are dropped BEFORE pairing (as the old
+    * posexplode+filter did), so bigrams form between consecutive
+    * non-empty tokens. */
   private def bigrams(df: DataFrame, id: String, text: String)
       : DataFrame = {
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    df.select(col(id).as("doc"),
-        posexplode(Text.tokens(col(text))).as(Seq("pos", "w1")))
-      .filter(length(col("w1")) > 0)
-      .withColumn("w2", lead(col("w1"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc"), col("w1"), col("w2"))
+    val toks = filter(Text.tokens(col(text)),
+      t => length(t) > lit(0))
+    df.select(col(id).as("doc"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("doc"), col("__bg")("w1").as("w1"),
+        col("__bg")("w2").as("w2"))
   }
 
   /** Per-document bigram NLL under the corpus's own add-α bigram LM.
