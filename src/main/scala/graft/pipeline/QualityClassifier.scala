@@ -31,8 +31,10 @@ object QualityClassifier {
 
   /** Logistic weights (intercept first, then `feats` order) via
     * distributed IRLS. `label` must be 0/1. Each iteration aggregates
-    * sum(w·xᵢ·xⱼ) and sum(w·xᵢ·z) with the current β inlined as
-    * literals, then solves the (d+1)×(d+1) system with Breeze. */
+    * sum(w·xᵢ·xⱼ) and sum(w·xᵢ·z) with the current β joined in as a
+    * broadcast one-row frame (plan shape constant across iterations →
+    * one codegen compile, not `iters`), then solves the (d+1)×(d+1)
+    * system with Breeze. */
   def trainLogistic(df: DataFrame, label: Column,
       feats: Seq[(String, Column)], iters: Int = 8,
       ridge: Double = 1e-6): Seq[Double] = {
@@ -45,8 +47,26 @@ object QualityClassifier {
       .transform(Materialize.fanout)
     var beta = Array.fill(d)(0.0)
     var it = 0
+    // β enters each iteration as a broadcast ONE-ROW frame, not as
+    // inlined literals: with literals every iteration's aggregate is a
+    // textually different generated class (the β values are burned into
+    // the source), so whole-stage codegen janino-compiles `iters` times
+    // — all driver-side serial time. With column references the plan
+    // and its generated source are IDENTICAL across iterations and the
+    // code cache hits after the first (guide §1.2: per-task work after
+    // algorithm shape; the arithmetic is the same doubles in the same
+    // order, so trained weights are bit-identical either way).
+    val spark = df.sparkSession
+    val betaSchema = org.apache.spark.sql.types.StructType(
+      (0 until d).map(i => org.apache.spark.sql.types.StructField(
+        s"__bb$i", org.apache.spark.sql.types.DoubleType,
+        nullable = false)))
     while (it < iters) {
-      val eta = (0 until d).map(i => col(s"__x$i") * beta(i))
+      val betaDf = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row.fromSeq(beta.toSeq)), betaSchema)
+      val withB = featDf.crossJoin(broadcast(betaDf))
+      val eta = (0 until d).map(i => col(s"__x$i") * col(s"__bb$i"))
         .reduce(_ + _)
       val mu = lit(1.0) / (lit(1.0) + exp(-eta))
       // clamp keeps w positive when a feature separates perfectly
@@ -61,7 +81,7 @@ object QualityClassifier {
           yield dsum(w * col(s"__x$i") * col(s"__x$j"))
             .as(s"__a${i}_$j")) ++
         (0 until d).map(i => dsum(w * col(s"__x$i") * z).as(s"__b$i"))
-      val row = featDf.agg(aggs.head, aggs.tail: _*).head()
+      val row = withB.agg(aggs.head, aggs.tail: _*).head()
       val a = breeze.linalg.DenseMatrix.zeros[Double](d, d)
       var idx = 0
       for (i <- 0 until d; j <- i until d) {
