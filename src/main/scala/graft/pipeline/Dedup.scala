@@ -308,17 +308,28 @@ object Dedup {
   /** (id_a, id_b, shared) candidate pairs sharing >= `minShared`
     * winnowing fingerprints, plus the materialized fingerprint frame
     * (doc, fps) for callers that score further. */
+  /** The materialized (doc, fps) winnowing-fingerprint frame every
+    * winnow consumer reads: ONE kernel pass over the corpus, pinned.
+    * Extracted (optimization r17, guide §1.2/§2.4) so the slice
+    * auto-estimator, the candidate build, and the sliced bounded-disk
+    * path all share the same pass instead of re-running the rolling-
+    * hash kernel once each. */
+  private def winnowFpsFrame(df: DataFrame, id: String, text: String,
+      k: Int, w: Int): DataFrame = df
+    .select(col(id).as("doc"),
+      Text.winnowFingerprints(col(text), k, w).as("fps"))
+    .filter(size(col("fps")) > 0)
+    .repartition(col("doc"))
+    .transform(Materialize.fanout)
+
   private def winnowCandidates(df: DataFrame, id: String, text: String,
       k: Int, w: Int, minShared: Int, maxBucketSize: Int)
-      : (DataFrame, DataFrame) = {
-    // fingerprint sets are consumed by the explode AND downstream
-    // count joins: materialize once (see shingleSets)
-    val fps = df
-      .select(col(id).as("doc"),
-        Text.winnowFingerprints(col(text), k, w).as("fps"))
-      .filter(size(col("fps")) > 0)
-      .repartition(col("doc"))
-      .transform(Materialize.fanout)
+      : (DataFrame, DataFrame) =
+    winnowCandidatesFromFps(
+      winnowFpsFrame(df, id, text, k, w), minShared, maxBucketSize)
+
+  private def winnowCandidatesFromFps(fps: DataFrame, minShared: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     val flat = fps.select(col("doc"), explode(col("fps")).as("fp"))
     val pruned = capBuckets(flat, Seq("fp"), maxBucketSize)
     val cand = pruned.select(col("fp"), col("doc").as("id_a"))
@@ -386,16 +397,28 @@ object Dedup {
       slices: Int = 0): DataFrame = {
     require(slices >= 0, "slices must be >= 0 (0 = auto-select)")
     val t = k + w - 1
+    // ONE fingerprint kernel pass for the whole operator (r17
+    // optimization): the pinned fps frame feeds the slice
+    // auto-estimator, the candidate build, and (in bounded-disk mode)
+    // both sliced sub-pipelines. Before, the estimator and each sliced
+    // consumer re-ran the rolling-hash kernel over the full corpus —
+    // 2 kernel passes in the default path, 3 in sliced mode. The pin
+    // is doc-scaled (packed fingerprint ARRAYS, ~8 B/fingerprint —
+    // not the exploded stream whose DISK_ONLY persist measured ~40 GB
+    // at sf10), so it fits the bounded-disk story at every measured
+    // scale.
+    val fps = winnowFpsFrame(df, id, text, k, w)
     val s =
       if (slices > 0) slices
       else sys.env.get("SPARK_GRAFT_VERIFY_GRAM_SLICES").map(_.toInt)
-        .getOrElse(autoWinnowSlices(df, text, k, w, maxBucketSize))
+        .getOrElse(autoWinnowSlicesFromFps(fps, maxBucketSize))
     if (s == 1) {
-      val (cand, _) = winnowCandidates(df, id, text, k, w, minShared = 1,
+      val (cand, _) = winnowCandidatesFromFps(fps, minShared = 1,
         maxBucketSize)
       verifySharedRuns(cand.select("id_a", "id_b"), df, id, text, t)
     } else {
-      winnowSubstringPairsSliced(df, id, text, k, w, maxBucketSize, s)
+      winnowSubstringPairsSliced(df, fps, id, text, k, w, maxBucketSize,
+        s)
     }
   }
 
@@ -428,9 +451,23 @@ object Dedup {
     * the estimate fits the budget. */
   private[graft] def autoWinnowSlices(df: DataFrame, text: String,
       k: Int, w: Int, maxBucketSize: Int,
-      budgetBytes: Long = winnowDiskBudgetBytes): Int = {
-    val mass = df
-      .select(explode(Text.winnowFingerprints(col(text), k, w)).as("fp"))
+      budgetBytes: Long = winnowDiskBudgetBytes): Int =
+    slicesFromMass(massOfFlat(
+      df.select(explode(Text.winnowFingerprints(col(text), k, w))
+        .as("fp")), maxBucketSize), budgetBytes)
+
+  /** Same decision rule, reading the already-pinned (doc, fps) frame —
+    * the operator path (one kernel pass total, see
+    * [[winnowSubstringPairs]]). */
+  private def autoWinnowSlicesFromFps(fps: DataFrame,
+      maxBucketSize: Int,
+      budgetBytes: Long = winnowDiskBudgetBytes): Int =
+    slicesFromMass(massOfFlat(
+      fps.select(explode(col("fps")).as("fp")), maxBucketSize),
+      budgetBytes)
+
+  private def massOfFlat(flat: DataFrame, maxBucketSize: Int): Long =
+    flat
       .groupBy("fp").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= maxBucketSize)
       .agg(sum(expr("c * (c - 1) div 2")).as("m"))
@@ -438,6 +475,8 @@ object Dedup {
         case null => 0L
         case l: java.lang.Long => l.longValue()
       }
+
+  private def slicesFromMass(mass: Long, budgetBytes: Long): Int = {
     val est = mass * BytesPerCandidateIncidence
     math.max(1L, math.min(64L,
       (est + budgetBytes - 1) / budgetBytes)).toInt
@@ -469,13 +508,15 @@ object Dedup {
     *     a semi-join whose probe side streams 1/slices of the bucket
     *     pair incidences and whose survivors are output-scaled.
     * WinnowSpec pins sliced == unsliced output. */
-  private def winnowSubstringPairsSliced(df: DataFrame, id: String,
-      text: String, k: Int, w: Int, maxBucketSize: Int, slices: Int)
-      : DataFrame = {
+  private def winnowSubstringPairsSliced(df: DataFrame,
+      fps: DataFrame, id: String, text: String, k: Int, w: Int,
+      maxBucketSize: Int, slices: Int): DataFrame = {
     val t = k + w - 1
     val DiskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    def flat = df.select(col(id).as("doc"),
-      explode(Text.winnowFingerprints(col(text), k, w)).as("fp"))
+    // both consumers (candDocs + the per-residue survivor scan) read
+    // the PINNED fingerprint frame — the kernel never re-runs; only
+    // the cheap explode repeats per consumer
+    def flat = fps.select(col("doc"), explode(col("fps")).as("fp"))
     val candDocs = capBuckets(flat, Seq("fp"), maxBucketSize)
       .select(col("doc")).distinct()
       .localCheckpoint(true, DiskOnly)
