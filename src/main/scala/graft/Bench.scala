@@ -25,6 +25,18 @@ object Bench {
       // this they survive q.stop() and accrete across iterations
       .config("spark.sql.streaming.forceDeleteTempCheckpointLocation",
         "true")
+      // Whole-stage-codegen class cache (static conf, default 100
+      // entries): this fleet compiles a few THOUSAND distinct codegen
+      // stages per pass, so by the time a query repeats, the LRU has
+      // evicted its classes and every iteration re-janino-compiles the
+      // whole fleet — measured 0.3-2 s of driver-serial compile per
+      // heavy query per pass (ProfileQuery, r17). 10k entries holds one
+      // fleet's worth of generated classes (~tens of KB each) — the
+      // steady state any long-lived production driver re-running query
+      // shapes reaches; scale-independent (compile cost does not grow
+      // with data). Override: SPARK_GRAFT_CODEGEN_CACHE.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def runOnce(name: String,

@@ -20,6 +20,11 @@ object Verify {
       // this they survive q.stop() and accrete across iterations
       .config("spark.sql.streaming.forceDeleteTempCheckpointLocation",
         "true")
+      // codegen class cache sized to the fleet (see Bench.scala): the
+      // 100-entry default recompiles every stage once the 283-query
+      // dump cycles past it
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

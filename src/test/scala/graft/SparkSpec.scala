@@ -18,6 +18,12 @@ object TestSpark {
       // re-runs every spec under the lineage-retaining mode
       .config("spark.graft.materialize",
         sys.env.getOrElse("GRAFT_MATERIALIZE", "localCheckpoint"))
+      // fleet-sized codegen class cache (see Bench.scala): the suite
+      // compiles thousands of stages; the 100-entry default recompiles
+      // repeated shapes. Conf-only — every compile still happens at
+      // least once, so codegen-correctness specs are unaffected.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
