@@ -163,13 +163,17 @@ object Events {
     val out = root + "/out"
     val sink: (org.apache.spark.sql.Dataset[T], Long) => Unit =
       (batch, _) => batch.write.mode("append").parquet(out)
-    val q = ds.writeStream
-      .foreachBatch(sink)
-      .option("checkpointLocation", root + "/chk")
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // the checkpoint below is rmTree'd right after the drain — skip the
+    // double-checksum file ops (withReplayCheckpointConf scaladoc)
+    withReplayCheckpointConf(spark) {
+      val q = ds.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", root + "/chk")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     // SEQUENCE the disk footprints (round-14 ask: at 100x the winnow
     // state store + drained candidates + verify spill exceed one box
     // only CONCURRENTLY): the query is stopped and this harness never
@@ -226,7 +230,10 @@ object Events {
     * gate; a live deployment would use the same query with a real sink. */
   def runHourlyTypeAgg(spark: SparkSession, path: String,
       schema: StructType, sinkName: String,
-      numStatePartitions: Int = 8): DataFrame = {
+      // state = one row per (hour-window, event_type) — KBs for any
+      // retention the watermark admits: 2 stores hold it (sizing
+      // rationale on withStatePartitions)
+      numStatePartitions: Int = 2): DataFrame = {
     val streamDir = stageAsDir(path, "graft_stream")
     withStatePartitions(spark, numStatePartitions) {
       val q = hourlyTypeAgg(readEventStream(spark, streamDir, schema,
@@ -242,6 +249,36 @@ object Events {
     spark.table(sinkName)
   }
 
+  /** Replay-harness checkpoint conf: the parity runners' checkpoints
+    * are TEMPORARY (memory/parquet-drain sinks, temp dirs force-deleted
+    * on stop), yet every checkpoint file was written under TWO
+    * integrity layers — Spark 4.1's per-file checksum
+    * (`ChecksumCheckpointFileManager`) on top of Hadoop's `ChecksumFs`
+    * `.crc` twin. On a local FS without libhadoop each extra file
+    * op shells out (`RawLocalFileSystem.setPermission` /
+    * `getFileLinkStatus` fork+exec `chmod`/`stat` — measured by stack
+    * sampling at ~20% of the stream-gate floor, §5 driver overhead).
+    * Both layers are pure cost for a checkpoint that is deleted
+    * seconds later; a production deployment with durable checkpoints
+    * on HDFS/S3 keeps its own integrity machinery and never takes this
+    * path. Keys restore on exit; each streaming query resolves its
+    * checkpoint FS from the session conf at start. */
+  private[streaming] def withReplayCheckpointConf[A](spark: SparkSession)
+      (body: => A): A = {
+    val kCk = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    // session-conf keys copy into each query's hadoopConf verbatim, so
+    // the bare hadoop key (no spark.hadoop. prefix) is the one that
+    // reaches FileContext resolution
+    val kFs = "fs.AbstractFileSystem.file.impl"
+    val prev = Seq(kCk, kFs).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(kCk, "false")
+    spark.conf.set(kFs, "org.apache.hadoop.fs.local.RawLocalFs")
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Stateful-query partition sizing: `spark.sql.shuffle.partitions` at
     * FIRST micro-batch fixes the state-store partition count for the
     * checkpoint's lifetime, and every micro-batch pays an open+commit
@@ -251,7 +288,7 @@ object Events {
     * splits. Restores the session conf afterwards; the streaming query
     * keeps its planned value for its whole lifetime. */
   private[streaming] def withStatePartitions[A](spark: SparkSession,
-      n: Int)(body: => A): A = {
+      n: Int)(body: => A): A = withReplayCheckpointConf(spark) {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n)
@@ -391,7 +428,10 @@ object Events {
     * batch/stream parity spec. */
   def runValueQuantileEstimates(spark: SparkSession, path: String,
       schema: StructType, sinkName: String, k: Int = 4096,
-      numStatePartitions: Int = 8): DataFrame = {
+      // state = ONE sketch row per event_type (a bounded enum at any
+      // corpus scale): 2 stores hold it; every extra store is one more
+      // per-batch delta-file commit (withStatePartitions scaladoc)
+      numStatePartitions: Int = 2): DataFrame = {
     val dir = stageAsDir(path, "graft_sqtl")
     withStatePartitions(spark, numStatePartitions) {
       val q = readEventStream(spark, dir, schema,
@@ -463,7 +503,9 @@ object Events {
     * (applied identically to the stream and the verification scan). */
   def runHeavyHitters(spark: SparkSession, path: String,
       schema: StructType, keyExpr: Column, sinkName: String, m: Int,
-      numStatePartitions: Int = 8): DataFrame = {
+      // state = ONE global Misra-Gries summary row: a single store
+      // holds it (sizing rationale on withStatePartitions)
+      numStatePartitions: Int = 1): DataFrame = {
     val dir = stageAsDir(path, "graft_shh")
     withStatePartitions(spark, numStatePartitions) {
       val q = readEventStream(spark, dir, schema,
@@ -525,6 +567,15 @@ object Events {
     // oracle. Bounded-state multi-batch eviction (the production
     // semantics) is exercised separately in StreamingSpec.
     withStatePartitions(spark, numStatePartitions) {
+      // the single data batch emits every first arrival already; the
+      // trailing no-data micro-batch would only advance the watermark
+      // and evict state this stopped query never reuses — one full
+      // open+commit cycle across every state partition for zero output
+      // (same rationale as withLargeState's replay drains)
+      val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevN = spark.conf.getOption(nKey)
+      spark.conf.set(nKey, "false")
+      try {
       val q = dedupStream(readEventStream(spark, streamDir, schema,
         maxFilesPerTrigger = Int.MaxValue), idCols)
         .writeStream
@@ -534,6 +585,10 @@ object Events {
         .start()
       q.processAllAvailable()
       q.stop()
+      } finally prevN match {
+        case Some(v) => spark.conf.set(nKey, v)
+        case None    => spark.conf.unset(nKey)
+      }
     }
     spark.table(sinkName)
   }
