@@ -456,7 +456,7 @@ object Events {
   /** The gate surface over `runValueQuantileEstimates`. */
   def runValueQuantiles(spark: SparkSession, path: String,
       schema: StructType, sinkName: String, k: Int = 4096,
-      numStatePartitions: Int = 8, eps: Double = 0.01): DataFrame = {
+      numStatePartitions: Int = 2, eps: Double = 0.01): DataFrame = {
     val est = runValueQuantileEstimates(spark, path, schema, sinkName,
       k, numStatePartitions)
     // exact rank of each estimate against the full data — one scan,
