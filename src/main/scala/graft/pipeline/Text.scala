@@ -270,15 +270,27 @@ object Text {
     val scores = stops.map { case (lang, ws) =>
       lang -> size(array_intersect(w, array(ws.map(lit): _*)))
     }
-    val best = scores.tail.foldLeft[Column](
-      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
-      case (acc, (lang, s)) =>
-        when(s > acc("s"), struct(s.as("s"), lit(lang).as("l")))
-          .otherwise(acc)
-    }
+    // Argmax as ONE array_max over (score, -listRank, lang) structs —
+    // bit-identical to the when(s > acc.s, ...).otherwise(acc) fold it
+    // replaces (struct ordering is field-by-field: max score wins,
+    // ties go to the EARLIEST language in `stops` order via -rank),
+    // with the old `when(best.s > 0, best.l).otherwise("und")` arm
+    // folded in as a sentinel element: (s=0, rank +1) beats every
+    // language at s <= 0 and loses to any s >= 1 — exactly "und" iff
+    // no score is positive. The fold form duplicated the accumulated
+    // expression tree at every level (acc appears in both the
+    // condition and the otherwise, and codegen does NOT share
+    // subexpressions across when branches), re-evaluating the
+    // intersect votes ~2^(langs-1) times per row — measured 8x the
+    // cost of evaluating them once (tools/LangIdAb decomposition).
+    val best = array_max(array(
+      struct(lit(0).as("s"), lit(1).as("r"), lit("und").as("l")) +:
+        scores.zipWithIndex.map { case ((lang, s), i) =>
+          struct(s.as("s"), lit(-i).as("r"), lit(lang).as("l"))
+        }: _*))
     when(length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", "")) >
         length(text) * 0.2, "zh")
-      .otherwise(when(best("s") > 0, best("l")).otherwise("und"))
+      .otherwise(best("l"))
   }
 
   /** Corpus vocabulary with document/term frequencies and IDF —
